@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults are tuned for the test harness (`local[32]`, single JVM) but the
+  * same settings are what we would ship on a 1000-executor cluster:
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  *     and dynamic broadcast conversion are the backbone of the 100 TB plan.
+  *   - UTC session timezone so timestamp semantics match the DuckDB oracle
+  *     and are stable across cluster nodes.
+  *   - Shuffle partitions sized to the parallelism of the harness; on a real
+  *     cluster this is set to 2-3x total cores and AQE coalesces down.
+  */
+object GraftSession {
+  def builder(cores: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def getOrCreate(cores: Int = 32): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
