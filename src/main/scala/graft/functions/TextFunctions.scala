@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text kit: canonical tokenizer, shingles, portable hashing, quality and
+  * language heuristics. Everything here is built-in-expression only (no UDFs)
+  * so whole-stage codegen applies and the 100 TB path stays vectorized.
+  *
+  * Canonical tokenizer spec (FIXTURES.md): mirrors the reference's DL4J
+  * DefaultTokenizerFactory + CommonPreprocessor
+  * (reference: 13486_Code/src/main/scala/chapter2/Word2VecTransformingIterator.java:55-56,95).
+  */
+object TextFunctions {
+
+  /** lower → strip non-[a-z0-9 ] → split on runs of spaces → drop empties. */
+  def tokenize(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^a-z0-9 ]", "")), " +"), t => t =!= "")
+
+  /** Portable 32-bit hash: first 8 hex chars of md5, as an unsigned long.
+    * Identical in any engine with md5 (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)),
+    * so oracle checks of hash-based operators (MinHash/SimHash) are exact.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** n-token shingles ("w1 w2 w3" strings). Empty array when the doc is
+    * shorter than n (guard: sequence(1, k) with k<1 would count down).
+    */
+  def shingles(tokens: Column, n: Int): Column = {
+    val k = size(tokens) - (n - 1)
+    when(k >= 1,
+      transform(sequence(lit(1), k),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Document fingerprint: md5 over the canonically-tokenized text, so
+    * whitespace/punctuation variants collapse to one fingerprint.
+    */
+  def fingerprint(text: Column): Column = md5(concat_ws(" ", tokenize(text)))
+
+  /** Fraction of characters outside [a-z0-9 ] after lowercasing. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0, length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** Fraction of tokens that are common-English stopwords. */
+  def stopwordRatio(tokens: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    when(size(tokens) > 0,
+      size(filter(tokens, t => array_contains(stops, t))).cast("double") / size(tokens))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: linear blend of stopword density,
+    * length saturation and cleanliness. Deliberately transcendental-free so
+    * the DuckDB oracle matches bit-for-bit after round(…, 6).
+    */
+  def qualityScore(text: Column, tokens: Column): Column = {
+    val lenSat = least(size(tokens).cast("double") / 100.0, lit(1.0))
+    lit(0.4) * stopwordRatio(tokens) + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio(text))
+  }
+
+  /** BPE-ish subword count: alpha runs, digit runs, or single non-space
+    * symbols — a cheap proxy for tokenizer-cost estimation at corpus scale.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword-list hit counts per language → argmax language id. N-gram-free
+    * heuristic; ties resolve in fixed list order (en, de, fr, es).
+    */
+  def langId(tokens: Column): Column = {
+    val lists: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in"),
+      "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+      "es" -> Seq("el", "la", "los", "y", "es", "una"))
+    val hits = lists.map { case (lang, ws) =>
+      lang -> size(filter(tokens, t => array_contains(array(ws.map(lit): _*), t)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h === best && h > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, the latest right row with
+  * right.ts <= left.ts within the same key (SURVEY J6/W5 — the
+  * step-schedule lookup of chapter_4/MnistClassification.java:92-102
+  * generalized).
+  *
+  * Implementation: union both sides tagged, one window pass ordered by
+  * (key, ts, side) carrying the last right value forward — a single sort
+  * per key partition, no range cross-join. At 100 TB this shuffles each
+  * side once on the key (same cost as any equi-join) and never builds
+  * per-row candidate sets.
+  */
+object AsOfJoin {
+
+  /** @param left     left table; must contain `key` and `ts`
+    * @param right    right table; must contain `key`, `ts` and `valueCol`
+    * @param valueCol carried value; must not collide with a left column
+    * @return all left rows plus `valueCol` from the most recent right row
+    *         with the same key and right.ts <= left.ts (null if none)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
+               valueCol: String): DataFrame = {
+    require(!left.columns.contains(valueCol), s"left already has column $valueCol")
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(key), col(ts), col(valueCol)).withColumn("__side", lit(0))
+    // right rows sort before left rows at equal ts => "at or before" semantics
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__asof", last(col(valueCol), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__side", valueCol)
+      .withColumnRenamed("__asof", valueCol)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** LLM-data-pipeline dedup + similarity queries (SURVEY E1/E2/E3).
+  *
+  * The fixture corpus has no planted duplicates, so each query constructs a
+  * deterministic perturbed corpus inline (exact copies for E1, 90%-prefix
+  * truncations for E2) — both engines build the identical corpus, so the
+  * oracle checks the full pipeline: corpus → shingles → portable md5-based
+  * MinHash → LSH band-bucket candidate join → exact-Jaccard verification.
+  * No all-pairs comparison anywhere (see operators.Dedup scaladoc for the
+  * 100 TB design).
+  */
+object DedupQueries {
+
+  private val NumHashes = 16
+  private val RowsPerBand = 2
+
+  /** DuckDB twin of the planted-duplicate corpora. */
+  private def duckCorpus(copies: Boolean): String = {
+    val variant =
+      if (copies) "text"
+      else "substr(text, 1, CAST(floor(length(text) * 0.9) AS INT))"
+    s"""(SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + 1000000 AS doc_id, $variant AS text FROM documents WHERE doc_id < 20)""".stripMargin
+  }
+
+  private def corpusDF(s: SparkSession, d: String, copies: Boolean): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variant =
+      if (copies) col("text")
+      else expr("substring(text, 1, CAST(floor(length(text) * 0.9) AS INT))")
+    base.union(
+      Tables.documents(s, d).where(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), variant.as("text")))
+  }
+
+  /** DuckDB MinHash pipeline, kept in lockstep with operators.Dedup. */
+  private val duckMinhashSql: String = {
+    val toks = "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+    val mins = (0 until NumHashes).map { j =>
+      val (a, b) = Dedup.hashParams(j)
+      s"min((h * $a + $b) % ${Dedup.P}) AS mh$j"
+    }.mkString(", ")
+    val bandSelects = (0 until NumHashes / RowsPerBand).map { k =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(mh${k * RowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $k AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS ${duckCorpus(copies = false)},
+       |tokd AS (SELECT doc_id, $toks AS toks FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+       |    FROM tokd)
+       |),
+       |hashed AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b USING (band, key) WHERE a.doc_id < b.doc_id
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.a_id
+       |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+       |  GROUP BY c.a_id, c.b_id
+       |),
+       |scored AS (
+       |  SELECT i.a_id, i.b_id,
+       |         round(CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter), 6) AS jaccard
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.a_id
+       |  JOIN sizes nb ON nb.doc_id = i.b_id
+       |)
+       |SELECT a_id, b_id, jaccard FROM scored WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** DuckDB SimHash, in lockstep with operators.Dedup.simhash. */
+  private val duckSimhashSql: String = {
+    val toks = "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+    val bitSums = (0 until 32).map(i => s"sum((h >> $i) % 2 * 2 - 1) AS s$i").mkString(", ")
+    val value = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH corpus AS ${duckCorpus(copies = false)},
+       |tok AS (
+       |  SELECT DISTINCT doc_id, token FROM (
+       |    SELECT doc_id, unnest($toks) AS token FROM corpus)
+       |),
+       |hashed AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h FROM tok),
+       |sums AS (SELECT doc_id, $bitSums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $value AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // E1: exact dedup with deterministic keep-min-doc_id survivor.
+    QueryDef.sql(
+      "e1_dedup_exact",
+      s"""WITH corpus AS ${duckCorpus(copies = true)}
+         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies, length(text) AS text_len
+         |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exactDedup(
+        corpusDF(s, d, copies = true)
+          .withColumn("n_copies",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("text"))),
+        key = Seq("text"), tiebreak = "doc_id")
+        .select(col("doc_id"), col("n_copies"), length(col("text")).cast("long").as("text_len"))
+        .orderBy("doc_id")
+    },
+
+    // E2a: MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+    QueryDef.sql("e2_minhash_lsh", duckMinhashSql) { (s, d) =>
+      Dedup.nearDupPairs(corpusDF(s, d, copies = false), "doc_id", "text",
+        threshold = 0.5, NumHashes, RowsPerBand)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .where(round(col("jaccard"), 6) >= 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // E2b: exact 3-gram Jaccard on the known planted pairs (verifies the
+    // similarity metric independently of candidate generation).
+    QueryDef.sql(
+      "e2_jaccard_exact",
+      s"""WITH corpus AS ${duckCorpus(copies = false)},
+         |tokd AS (SELECT doc_id,
+         |    list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '') AS toks
+         |  FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |    FROM tokd)
+         |),
+         |pairs AS (SELECT doc_id AS a_id, doc_id + 1000000 AS b_id FROM documents WHERE doc_id < 20),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.a_id, p.b_id, count(*) AS inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.sh = sa.sh
+         |  GROUP BY p.a_id, p.b_id
+         |)
+         |SELECT i.a_id, i.b_id,
+         |       round(CAST(i.inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.a_id
+         |JOIN sizes nb ON nb.doc_id = i.b_id
+         |ORDER BY a_id""".stripMargin) { (s, d) =>
+      val corpus = corpusDF(s, d, copies = false)
+      val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+      val pairs = Tables.documents(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
+      Dedup.exactJaccard(pairs, sh)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id")
+    },
+
+    // E2c: SimHash fingerprints (portable md5-derived bits).
+    QueryDef.sql("e2_simhash", duckSimhashSql) { (s, d) =>
+      Dedup.simhash(corpusDF(s, d, copies = false), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // E2d: Hamming distance between planted pairs' SimHashes — near-dups
+    // must land close in Hamming space.
+    QueryDef.sql(
+      "e2_simhash_hamming",
+      s"""WITH sims AS ($duckSimhashSql)
+         |SELECT a.doc_id AS a_id, a.doc_id + 1000000 AS b_id,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON b.doc_id = a.doc_id + 1000000
+         |WHERE a.doc_id < 20 ORDER BY a_id""".stripMargin) { (s, d) =>
+      val sims = Dedup.simhash(corpusDF(s, d, copies = false), "doc_id", "text")
+      val a = sims.select(col("doc_id").as("a_id"), col("simhash").as("sim_a"))
+      val b = sims.select(col("doc_id").as("b_id"), col("simhash").as("sim_b"))
+      a.where(col("a_id") < 20)
+        .join(b, col("b_id") === col("a_id") + 1000000)
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .orderBy("a_id")
+    },
+
+    // E3 (scale path): LSH-bucketed ANN — not oracle-expressible compactly;
+    // rows-only here, recall-vs-exact asserted in SimilaritySpec.
+    QueryDef.rowsOnly("e3_ann_lsh") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
+    // E2e (embedding-space near-dup): planted perturbed vectors must be
+    // each query's top-1 cosine neighbor.
+    QueryDef.sql(
+      "e2_embedding_neardup",
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01) AS emb
+        |  FROM embeddings WHERE vec_id < 10
+        |),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, c.vec_id AS n_id,
+        |         round(list_cosine_similarity(q_emb, c.emb), 6) AS cos_sim,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY round(list_cosine_similarity(q_emb, c.emb), 6) DESC, c.vec_id) AS rnk
+        |  FROM q, corpus c WHERE c.vec_id <> q_id
+        |)
+        |SELECT q_id, n_id, rnk FROM scored WHERE rnk = 1 ORDER BY q_id""".stripMargin) { (s, d) =>
+      import graft.functions.VectorFunctions.cosine
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("emb"))
+      val corpus = base.union(
+        base.where(col("vec_id") < 10)
+          .select((col("vec_id") + 1000000).as("vec_id"),
+            transform(col("emb"), _ * 1.01).as("emb")))
+      val q = corpus.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          round(cosine(col("q_emb"), col("emb")), 6).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") === 1)
+        .select("q_id", "n_id", "rnk")
+        .orderBy("q_id")
+    }
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Date/JSON kits (F13/F14), as-of lookup (W5) and the batch-parity halves
+  * of the streaming surface (E6: tumbling/sliding/session windows) over the
+  * `events` fixture. The true streaming versions (readStream + watermark +
+  * the same window expressions) live in graft.streaming.EventStreams and are
+  * exercised with MemoryStream in tests; these batch queries pin down the
+  * window semantics against the DuckDB oracle.
+  *
+  * Timestamps are surfaced as epoch milliseconds (unix_millis / epoch_ms) —
+  * never as raw timestamp columns — so engine-specific timezone/encoding
+  * differences can't perturb the comparison.
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F13: date/time kit over orders.
+    QueryDef.sql(
+      "f13_date_kit",
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS BIGINT) AS y,
+        |       CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |       epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        unix_millis(date_trunc("month", col("o_orderdate"))).as("month_start_ms"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"))
+        .orderBy("o_orderkey")
+    },
+
+    // F14: JSON kit — extract props.k, aggregate by event type.
+    QueryDef.sql(
+      "f14_json_extract",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    },
+
+    QueryDef.sql(
+      "f14_json_agg",
+      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type").agg(sum("k").as("k_total"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // W5: as-of lookup — last signup at-or-before each event, per user
+    // (the step-schedule pattern of chapter_4/MnistClassification.java:92-102).
+    QueryDef.sql(
+      "w5_asof_lookup",
+      """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |       epoch_ms(max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS last_signup_ms
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(max(when(col("event_type") === "signup", col("ts"))).over(w))
+          .as("last_signup_ms"))
+        .orderBy("event_id")
+    },
+
+    // E6a: tumbling 1-hour windows (batch parity of the streaming agg).
+    QueryDef.sql(
+      "e6_tumbling_window",
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS win_start_ms,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type, win_start_ms ORDER BY event_type, win_start_ms""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(14, 2))).cast("double").as("total"))
+          .select(col("event_type"), unix_millis(col("w.start")).as("win_start_ms"),
+            col("n"), col("total"))
+          .orderBy("event_type", "win_start_ms")
+    },
+
+    // E6b: sliding windows (1 h length, 30 min slide) — every event lands in
+    // exactly two windows; the oracle materializes both via unnest.
+    QueryDef.sql(
+      "e6_sliding_window",
+      """WITH slotted AS (
+        |  SELECT event_type,
+        |         unnest([to_timestamp(floor(epoch(ts) / 1800) * 1800),
+        |                 to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)]) AS win_start
+        |  FROM events
+        |)
+        |SELECT event_type, epoch_ms(win_start) AS win_start_ms, count(*) AS n
+        |FROM slotted GROUP BY event_type, win_start_ms ORDER BY event_type, win_start_ms""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"), window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), unix_millis(col("w.start")).as("win_start_ms"), col("n"))
+          .orderBy("event_type", "win_start_ms")
+    },
+
+    // E6c: session windows, 10-minute gap per user. Oracle = classic
+    // gaps-and-islands; Spark = session_window (new session iff the gap
+    // since the previous event is >= the timeout, end-exclusive).
+    QueryDef.sql(
+      "e6_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts >= lag(ts) OVER w + INTERVAL 10 MINUTE OR lag(ts) OVER w IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n
+        |FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_start_ms""".stripMargin) {
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"), col("n"))
+          .orderBy("user_id", "session_start_ms")
+    }
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.PCA
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.mse
+import graft.sources.Tables
+
+/** MLlib-backed pipelines (SURVEY §2.9 M1-M7) + execution-control loops
+  * (X3/X4). Training-based queries are rows-only (float nondeterminism);
+  * the exact acceptance criteria (M4 R² > 0.99 etc.) live in MlSpec.
+  * Vectors ride as ArrayType(FloatType) and convert at the MLlib boundary
+  * via array_to_vector — no custom UDT.
+  */
+object MLQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // M6/A7: evaluation metrics — accuracy via MulticlassClassificationEvaluator
+    // over a deterministic prediction rule; exact-division oracle.
+    QueryDef.sql(
+      "m6_eval_accuracy",
+      """SELECT round(CAST(SUM(CASE WHEN label = CAST(vec_id % 10 AS INT) THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS accuracy
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val preds = Tables.embeddings(s, d)
+        .select(col("label").cast("double").as("label"),
+          pmod(col("vec_id"), lit(10)).cast("double").as("prediction"))
+      val acc = new MulticlassClassificationEvaluator()
+        .setMetricName("accuracy").evaluate(preds)
+      val spark = s
+      import spark.implicits._
+      Seq(acc).toDF("accuracy").select(round(col("accuracy"), 6).as("accuracy"))
+    },
+
+    // X3: epoch loop — driver-side re-iteration over a cached frame
+    // (chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:56-60).
+    QueryDef.sql(
+      "x3_epoch_loop",
+      """SELECT 1 AS epoch, count(*) AS n FROM lineitem WHERE l_quantity <= 10
+        |UNION ALL SELECT 2 AS epoch, count(*) AS n FROM lineitem WHERE l_quantity <= 20
+        |UNION ALL SELECT 3 AS epoch, count(*) AS n FROM lineitem WHERE l_quantity <= 30
+        |ORDER BY epoch""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_quantity").cache()
+      (1 to 3).map { epoch =>
+        li.where(col("l_quantity") <= epoch * 10)
+          .agg(count(lit(1)).as("n")).select(lit(epoch).as("epoch"), col("n"))
+      }.reduce(_ union _).orderBy("epoch")
+    },
+
+    // X4: hyperparameter sweep — grid loop producing one metric row per
+    // parameter (chapter_6/SumNumberOfIterations.java:34-48).
+    QueryDef.sql(
+      "x4_param_sweep",
+      """SELECT 5 AS param, count(*) AS n FROM orders WHERE o_totalprice > 50000
+        |UNION ALL SELECT 10 AS param, count(*) AS n FROM orders WHERE o_totalprice > 100000
+        |UNION ALL SELECT 20 AS param, count(*) AS n FROM orders WHERE o_totalprice > 200000
+        |ORDER BY param""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d).select("o_totalprice").cache()
+      Seq(5, 10, 20).map { p =>
+        o.where(col("o_totalprice") > p * 10000)
+          .agg(count(lit(1)).as("n")).select(lit(p).as("param"), col("n"))
+      }.reduce(_ union _).orderBy("param")
+    },
+
+    // M4: regression learns a+b (LinearRegression — exact for the additive
+    // target; chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:87-101).
+    QueryDef.rowsOnly("m4_regression_sum") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val data = (0 until 2000).map { i =>
+        val a = (i % 97) / 97.0 * 3.0
+        val b = (i % 89) / 89.0 * 3.0
+        (a, b, a + b)
+      }.toDF("a", "b", "y")
+      val feat = data.select(array_to_vector(array(col("a"), col("b"))).as("features"),
+        col("y").as("label"))
+      val model = new LinearRegression().setMaxIter(20).fit(feat)
+      Seq((model.coefficients(0), model.coefficients(1), model.intercept,
+        model.summary.r2)).toDF("coef_a", "coef_b", "intercept", "r2")
+    },
+
+    // M2: anomaly scoring — PCA reconstruction error feeding the W1
+    // top-k ranking (chapter3/MNISTAnomalyDetector.java:91-109,184-217).
+    QueryDef.rowsOnly("m2_pca_anomaly") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), array_to_vector(col("embedding")).as("features"))
+      val pca = new PCA().setK(8).setInputCol("features").setOutputCol("pc").fit(emb)
+      // reconstruction error proxy: residual variance = |x|^2 - |proj|^2
+      val scored = pca.transform(emb)
+        .select(col("vec_id"), col("label"),
+          (aggregate(vector_to_array(col("features")), lit(0.0), (a, x) => a + x * x) -
+            aggregate(vector_to_array(col("pc")), lit(0.0), (a, x) => a + x * x)).as("score"))
+      val w = Window.partitionBy("label").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+        .orderBy("label", "rnk")
+    },
+
+    // M1: sequence/sentiment-style classification — mean-pooled embedding
+    // features → LogisticRegression (capability match for the LSTM pipeline,
+    // chapter2/PredictCommentsUsingRNNAndWord2Vec.java:94-107).
+    QueryDef.rowsOnly("m1_classification_pipeline") { (s, d) =>
+      val data = Tables.embeddings(s, d)
+        .select((col("label") % 2).cast("double").as("label"),
+          array_to_vector(col("embedding")).as("features"))
+      val model = new LogisticRegression().setMaxIter(10).fit(data)
+      val preds = model.transform(data)
+      val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+        .evaluate(preds)
+      val spark = s
+      import spark.implicits._
+      Seq(acc).toDF("train_accuracy")
+    },
+
+    // A8/M2 hybrid: per-example MSE between each vector and its label's
+    // mean vector (reconstruction against the class centroid) — exact
+    // relational computation, oracle-checked.
+    QueryDef.sql(
+      "a8_centroid_mse",
+      """WITH mean_vec AS (
+        |  SELECT label, pos, avg(CAST(v AS DOUBLE)) AS mv
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+        |        FROM embeddings)
+        |  GROUP BY label, pos
+        |), per_elem AS (
+        |  SELECT e.vec_id, e.label, m.pos,
+        |         (CAST(e.embedding[m.pos] AS DOUBLE) - m.mv) AS diff
+        |  FROM embeddings e JOIN mean_vec m ON m.label = e.label
+        |)
+        |SELECT vec_id, round(sum(diff * diff) / count(*), 6) AS centroid_mse
+        |FROM per_elem GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val exploded = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          col("v").cast("double").as("v"))
+      val means = exploded.groupBy("label", "pos").agg(avg("v").as("mv"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+        .select(col("vec_id"), col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          col("v").cast("double").as("v"))
+        .join(broadcast(means), Seq("label", "pos"))
+        .withColumn("diff", col("v") - col("mv"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("diff") * col("diff")) / count(lit(1)), 6).as("centroid_mse"))
+        .orderBy("vec_id")
+    }
+  )
+}

@@ -13,10 +13,15 @@ final case class QueryDef(
     oracle: Option[String])
 
 object QueryDef {
+  /** Oracle-checked query. Callers apply `.stripMargin` themselves so SQL
+    * containing literal '|' (regexes, string data) is never mangled here.
+    */
   def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, run, Some(oracle.stripMargin.trim))
+    QueryDef(name, run, Some(oracle.trim))
 
-  /** Non-SQL-expressible operator: driver records a weaker rows-only check. */
+  /** Non-SQL-expressible operator (seeded/ML/binary): driver records a
+    * weaker rows-only check.
+    */
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
 }

@@ -1,0 +1,450 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY §2.1-2.6, §2.8): scans, filters,
+  * joins, aggregations, windows, sort/limit/set ops — each as a catalogued,
+  * DuckDB-oracle-checked query over the TPC-H-style fixtures.
+  *
+  * Scale notes (100 TB):
+  *  - dimension sides (nation/region/supplier) are `broadcast()` so fact
+  *    scans never shuffle for lookups (J1);
+  *  - money aggregates go through DECIMAL(18,4) so partial/final aggregation
+  *    order can't perturb the result (exact arithmetic — and the oracle
+  *    matches bit-for-bit after the final cast to double);
+  *  - top-k is expressed orderBy+limit so TakeOrderedAndProject fires
+  *    (no global sort);
+  *  - global sorts only appear where the operator IS a total sort (O1).
+  */
+object RelationalQueries {
+
+  /** Exact money aggregate: sum in decimal, surface as double. */
+  private def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1: in-memory scan — the reference's 5-row UserTransaction dataset
+    // (chapter1/SparkRDDAPITest.scala:12-18).
+    QueryDef.sql(
+      "s1_inmemory_scan",
+      """SELECT * FROM (VALUES ('A', 1001), ('B', 1002), ('A', 1003), ('C', 1004), ('D', 1005))
+        |  AS t(user_id, amount) ORDER BY amount""".stripMargin) { (s, _) =>
+      import s.implicits._
+      Seq(("A", 1001), ("B", 1002), ("A", 1003), ("C", 1004), ("D", 1005))
+        .toDF("user_id", "amount").orderBy("amount")
+    },
+
+    // S2: parquet scan with pushdown + pruning (explain-checked in tests).
+    QueryDef.sql(
+      "s2_parquet_scan",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 = 0 ORDER BY c_custkey") {
+      (s, d) =>
+        Tables.customer(s, d).where(col("c_custkey") % 10 === 0)
+          .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey")
+    },
+
+    // S3: text corpus scan (documents stands in for the file-per-review dirs).
+    QueryDef.sql(
+      "s3_text_corpus_scan",
+      "SELECT doc_id, lang, source, n_chars, length(text) AS text_len FROM documents ORDER BY doc_id") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            length(col("text")).cast("long").as("text_len"))
+          .orderBy("doc_id")
+    },
+
+    // P1: string-predicate filter (chapter1/SparkRDDAPITest.scala:22).
+    QueryDef.sql(
+      "p1_filter",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment LIKE '%BUILD%' ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment").contains("BUILD"))
+        .select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+    },
+
+    // P2: keyBy (chapter1/SparkRDDAPITest.scala:23) — key column extraction.
+    QueryDef.sql(
+      "p2_keyby",
+      "SELECT c_mktsegment AS k, c_custkey, c_acctbal FROM customer ORDER BY c_custkey") { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_mktsegment").as("k"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // P3: projection/map (chapter1/SparkRDDAPITest.scala:24).
+    QueryDef.sql(
+      "p3_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity + l_tax + l_discount AS row_sum
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + col("l_tax") + col("l_discount")).as("row_sum"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // P4: per-partition map (chapter1/SparkRDDAPITest.scala:35,74) —
+    // mapPartitions computes partial (count, sum) pairs; the final agg
+    // reduces them. Quantities are integral so double partials are exact.
+    QueryDef.sql(
+      "p4_mappartitions",
+      "SELECT count(*) AS total_rows, sum(l_quantity) AS total_qty FROM lineitem") { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d).select(col("l_quantity")).as[Double]
+        .mapPartitions { it =>
+          var n = 0L; var t = 0.0
+          it.foreach { q => n += 1; t += q }
+          Iterator((n, t))
+        }
+        .toDF("part_rows", "part_qty")
+        .agg(sum("part_rows").as("total_rows"), sum("part_qty").as("total_qty"))
+    },
+
+    // P6: null-skip on lookup miss
+    // (chapter2/Word2VecTransformingIterator.java:251-253): left join against
+    // a restricted lookup side, keep only hits.
+    QueryDef.sql(
+      "p6_null_skip",
+      """SELECT o_orderkey, c_name FROM orders
+        |LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey
+        |WHERE c_name IS NOT NULL ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val rich = Tables.customer(s, d).where(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+      Tables.orders(s, d)
+        .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+        .where(col("c_name").isNotNull)
+        .select("o_orderkey", "c_name").orderBy("o_orderkey")
+    },
+
+    // J1: broadcast hash equi-join lookup chain (word→vector generalized):
+    // fact scan joins two broadcast dims, no shuffle on the fact side until
+    // the final (small) aggregation.
+    QueryDef.sql(
+      "j1_broadcast_lookup",
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // J2: left-semi join — customers that have orders.
+    QueryDef.sql(
+      "j2_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // J3: left-anti join — customers without orders (the dropped-token set).
+    QueryDef.sql(
+      "j3_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // J4: hash-partitioned group lookup (listsByDigit routing —
+    // chapter3/MNISTAnomalyDetector.java:184-198) as groupBy.
+    QueryDef.sql(
+      "j4_group_lookup",
+      "SELECT label, count(*) AS n, min(vec_id) AS first_id FROM embeddings GROUP BY label ORDER BY label") {
+      (s, d) =>
+        Tables.embeddings(s, d).groupBy("label")
+          .agg(count(lit(1)).as("n"), min("vec_id").as("first_id"))
+          .orderBy("label")
+    },
+
+    // J5: zip/positional join via explicit row_number (stable, unlike
+    // monotonically_increasing_id) — parallel-array semantics of
+    // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:87-94.
+    QueryDef.sql(
+      "j5_zip_join",
+      """SELECT a.rn AS rn, a.c_custkey, b.s_suppkey
+        |FROM (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) a
+        |JOIN (SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier) b
+        |  USING (rn) ORDER BY rn""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey"),
+        row_number().over(Window.orderBy("c_custkey")).cast("long").as("rn"))
+      val b = Tables.supplier(s, d).select(col("s_suppkey"),
+        row_number().over(Window.orderBy("s_suppkey")).cast("long").as("rn"))
+      a.join(b, "rn").select("rn", "c_custkey", "s_suppkey").orderBy("rn")
+    },
+
+    // J6a: multiway star join (TPC-H Q5 shape) — SMJ/BHJ mix under AQE.
+    QueryDef.sql(
+      "j6_multiway_join",
+      """SELECT n_name, CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      val asia = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+      val nat = broadcast(Tables.nation(s, d)
+        .join(asia, col("n_regionkey") === col("r_regionkey")))
+      val sup = broadcast(Tables.supplier(s, d)
+        .join(nat, col("s_nationkey") === col("n_nationkey")))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // J6b: equi+range join — lineitems shipped within 30 days of order date.
+    QueryDef.sql(
+      "j6_range_join",
+      """SELECT o_orderkey, count(l_orderkey) AS n_quick
+        |FROM orders LEFT JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_quick"))
+        .orderBy("o_orderkey")
+    },
+
+    // A1: count (chapter1/SparkRDDAPITest.scala:32) — grouped counts.
+    QueryDef.sql(
+      "a1_count",
+      "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment") {
+      (s, d) =>
+        Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+    },
+
+    // A2: max/min (chapter1/SparkRDDAPITest.scala:36-37) per nation.
+    QueryDef.sql(
+      "a2_max_min",
+      """SELECT c_nationkey, max(c_acctbal) AS max_bal, min(c_acctbal) AS min_bal, count(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(max("c_acctbal").as("max_bal"), min("c_acctbal").as("min_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // A4: per-group collect_list, order-stabilized by sorting in the array
+    // (chapter3/MNISTAnomalyDetector.java:196-197).
+    QueryDef.sql(
+      "a4_collect_list",
+      """SELECT label, string_agg(vec_id, ',' ORDER BY vec_id) AS ids
+        |FROM (SELECT label, vec_id FROM embeddings WHERE vec_id < 100)
+        |GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).where(col("vec_id") < 100)
+        .groupBy("label")
+        .agg(concat_ws(",", sort_array(collect_list(col("vec_id")))).as("ids"))
+        .orderBy("label")
+    },
+
+    // A7: confusion-matrix query over a deterministic prediction rule
+    // (chapter_4/MnistClassification.java:82-83).
+    QueryDef.sql(
+      "a7_confusion_matrix",
+      """SELECT label, CAST(vec_id % 10 AS INT) AS pred, count(*) AS n
+        |FROM embeddings GROUP BY label, pred ORDER BY label, pred""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), pmod(col("vec_id"), lit(10)).cast("int").as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    },
+
+    // A10a: rollup with exact decimal money sums.
+    QueryDef.sql(
+      "a10_rollup",
+      """SELECT r_name, n_name, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |       count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+      // DataFrame `.rollup(...).agg(...)` trips Spark's ambiguous-self-join
+      // detector on joined grouping columns (analyzer false positive), so
+      // this one goes through the SQL front end — same Catalyst plan.
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView("graft_cust_geo")
+      s.sql(
+        """SELECT r_name, n_name,
+          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+          |       count(*) AS n
+          |FROM graft_cust_geo
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+    },
+
+    // A10b: grouped distinct count.
+    QueryDef.sql(
+      "a10_count_distinct",
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // W2: global top-k as orderBy+limit → TakeOrderedAndProject (no global
+    // sort) — chapter1/SparkRDDAPITest.scala:38 takeOrdered.
+    QueryDef.sql(
+      "w2_global_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    // W3: deterministic first (chapter1/SparkRDDAPITest.scala:33).
+    QueryDef.sql(
+      "w3_first",
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 1") { (s, d) =>
+      Tables.customer(s, d).select("c_custkey", "c_name").orderBy("c_custkey").limit(1)
+    },
+
+    // W6: analytic window kit — rank/dense_rank/lag/lead/ntile + running sum.
+    QueryDef.sql(
+      "w6_window_kit",
+      """SELECT o_orderkey, o_custkey,
+        |       rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        |       lag(o_orderkey) OVER w AS prev_ok, lead(o_orderkey) OVER w AS next_ok,
+        |       ntile(4) OVER w AS quartile,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |         AS DOUBLE) AS run_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rk""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(w).cast("long").as("rk"), dense_rank().over(w).cast("long").as("drk"),
+        lag("o_orderkey", 1).over(w).as("prev_ok"),
+        lead("o_orderkey", 1).over(w).as("next_ok"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(wRun).cast("double").as("run_total"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    // O1: total sort, with the order materialized as a rank column so the
+    // oracle checks the order itself (chapter3/MNISTAnomalyDetector.java:201-206).
+    QueryDef.sql(
+      "o1_total_sort",
+      """SELECT c_custkey, c_acctbal,
+        |       row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
+        |FROM customer ORDER BY pos""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"),
+        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+          .cast("long").as("pos"))
+        .orderBy("pos")
+    },
+
+    // O5: interleaved (round-robin) union of two classes —
+    // chapter2/Word2VecTransformingIterator.java:74-89.
+    QueryDef.sql(
+      "o5_interleave",
+      """SELECT 2 * (rn - 1) AS pos, c_custkey FROM
+        |  (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+        |   FROM customer WHERE c_mktsegment = 'BUILDING')
+        |UNION ALL
+        |SELECT 2 * (rn - 1) + 1 AS pos, c_custkey FROM
+        |  (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+        |   FROM customer WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY pos""".stripMargin) { (s, d) =>
+      def ranked(seg: String, off: Int) =
+        Tables.customer(s, d).where(col("c_mktsegment") === seg)
+          .select(col("c_custkey"), row_number().over(Window.orderBy("c_custkey")).as("rn"))
+          .select((lit(2) * (col("rn") - 1) + off).cast("long").as("pos"), col("c_custkey"))
+      ranked("BUILDING", 0).union(ranked("MACHINERY", 1)).orderBy("pos")
+    },
+
+    // O7a/b/c: set operations.
+    QueryDef.sql(
+      "o7_intersect",
+      """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def cust(y0: String, y1: String) = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(y0).cast("timestamp") &&
+          col("o_orderdate") < lit(y1).cast("timestamp"))
+        .select("o_custkey")
+      cust("1995-01-01", "1996-01-01").intersect(cust("1996-01-01", "1997-01-01"))
+        .orderBy("o_custkey")
+    },
+
+    QueryDef.sql(
+      "o7_except",
+      """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def cust(y0: String, y1: String) = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit(y0).cast("timestamp") &&
+          col("o_orderdate") < lit(y1).cast("timestamp"))
+        .select("o_custkey")
+      cust("1995-01-01", "1996-01-01").except(cust("1996-01-01", "1997-01-01"))
+        .orderBy("o_custkey")
+    },
+
+    QueryDef.sql(
+      "o7_union_distinct",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val a = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = Tables.customer(s, d).where(col("c_acctbal") > 9000).select("c_custkey")
+      a.union(b).distinct().orderBy("c_custkey")
+    },
+
+    // X1: cache/persist parity (chapter1/SparkRDDAPITest.scala:63) — a cached
+    // aggregate consumed twice must equal its recomputed twin.
+    QueryDef.sql(
+      "x1_cache_reuse",
+      """WITH agg AS (SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment)
+        |SELECT 'a' AS branch, c_mktsegment, n FROM agg
+        |UNION ALL
+        |SELECT 'b' AS branch, c_mktsegment, n FROM agg
+        |ORDER BY branch, c_mktsegment""".stripMargin) { (s, d) =>
+      val agg = Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("n")).cache()
+      agg.select(lit("a").as("branch"), col("c_mktsegment"), col("n"))
+        .union(agg.select(lit("b").as("branch"), col("c_mktsegment"), col("n")))
+        .orderBy("branch", "c_mktsegment")
+    }
+  )
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text ETL + analysis surface (SURVEY §2 F1/P5/P6/W4/A5/O6, E5) over the
+  * `documents` fixture — re-expresses the reference's tokenize → vocab-filter
+  * → truncate pipeline (chapter2/Word2VecTransformingIterator.java:70-145)
+  * as declarative DataFrame queries.
+  *
+  * Scale: tokenization is a per-row expression (no shuffle); the vocab is a
+  * grouped aggregate whose result is small (vocab cardinality), so the
+  * membership filter is a broadcast semi-join — the 100 TB corpus never
+  * shuffles for vocabulary filtering.
+  */
+object TextQueries {
+
+  /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec). */
+  private val duckToks =
+    "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+
+  /** Exploded (doc_id, token) stream, shared by several oracles. */
+  private val duckTokenStream =
+    s"SELECT doc_id, unnest($duckToks) AS token FROM documents"
+
+  private def tokensDF(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), explode(tokenize(col("text"))).as("token"))
+
+  /** Vocabulary = tokens present in at least half of all documents
+    * (scale-free threshold so the same query works at any sf).
+    */
+  private val duckVocab =
+    s"""(SELECT token FROM ($duckTokenStream) GROUP BY token
+       | HAVING count(DISTINCT doc_id) * 2 >= (SELECT count(*) FROM documents))""".stripMargin
+
+  private def vocabDF(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    tokensDF(s, d).groupBy("token")
+      .agg(countDistinct("doc_id").as("df"))
+      .where(col("df") * 2 >= nDocs)
+      .select("token")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F1: canonical tokenizer — corpus-wide token frequencies.
+    QueryDef.sql(
+      "f1_token_counts",
+      s"SELECT token, count(*) AS n FROM ($duckTokenStream) GROUP BY token ORDER BY token") {
+      (s, d) => tokensDF(s, d).groupBy("token").agg(count(lit(1)).as("n")).orderBy("token")
+    },
+
+    // W4: sequence position via posexplode (timestep index j —
+    // Word2VecTransformingIterator.java:248-255). 1-based on both sides.
+    QueryDef.sql(
+      "w4_posexplode",
+      s"""SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+         |FROM (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id < 20)
+         |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(tokenize(col("text"))).as(Seq("pos0", "token")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // A5: running max of sequence lengths (maxLength —
+    // Word2VecTransformingIterator.java:101), plus corpus length stats.
+    QueryDef.sql(
+      "a5_max_seq_len",
+      s"""SELECT max(n_toks) AS max_len, min(n_toks) AS min_len, avg(n_toks) AS avg_len
+         |FROM (SELECT len($duckToks) AS n_toks FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(size(tokenize(col("text"))).cast("long").as("n_toks"))
+        .agg(max("n_toks").as("max_len"), min("n_toks").as("min_len"),
+          avg("n_toks").as("avg_len"))
+    },
+
+    // P5: vocabulary-membership filter as a broadcast semi-join
+    // (wordVectors.hasWord — Word2VecTransformingIterator.java:97-99).
+    QueryDef.sql(
+      "p5_vocab_filter",
+      s"""SELECT doc_id, count(*) AS n_vocab_tokens
+         |FROM ($duckTokenStream) WHERE token IN $duckVocab
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      tokensDF(s, d)
+        .join(broadcast(vocabDF(s, d)), Seq("token"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_vocab_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // J3-as-text: dropped out-of-vocab tokens (the anti-join complement).
+    QueryDef.sql(
+      "p5_oov_tokens",
+      s"""SELECT token, count(*) AS n
+         |FROM ($duckTokenStream) WHERE token NOT IN $duckVocab
+         |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
+      tokensDF(s, d)
+        .join(broadcast(vocabDF(s, d)), Seq("token"), "left_anti")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    },
+
+    // O6: truncate per sequence (256-cap — Word2VecTransformingIterator.java:104-105),
+    // here cap=5 surfaced as a joined string.
+    QueryDef.sql(
+      "o6_truncate_seq",
+      s"""SELECT doc_id, array_to_string(toks[1:5], ' ') AS head5, len(toks) AS full_len
+         |FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 5)).as("head5"),
+          size(toks).cast("long").as("full_len"))
+        .orderBy("doc_id")
+    },
+
+    // F11: path → label extraction (ParentPathLabelGenerator —
+    // chapter_4/MnistClassification.java:60) over synthesized paths.
+    QueryDef.sql(
+      "f11_path_label",
+      """SELECT doc_id, path, regexp_extract(path, '/([^/]+)/[^/]+$', 1) AS label
+        |FROM (SELECT doc_id, '/data/' || source || '/' || doc_id || '.txt' AS path FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("/data/"), col("source"), lit("/"), col("doc_id"), lit(".txt")).as("path"))
+        .withColumn("label", regexp_extract(col("path"), "/([^/]+)/[^/]+$", 1))
+        .orderBy("doc_id")
+    },
+
+    // F12: string formatting/concat of results (chapter_6/SumNumberOfIterations.java:53).
+    QueryDef.sql(
+      "f12_format_concat",
+      """SELECT c_custkey,
+        |       'customer ' || c_name || ' [' || c_mktsegment || '] bal=' ||
+        |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS description
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          concat(lit("customer "), col("c_name"), lit(" ["), col("c_mktsegment"),
+            lit("] bal="), col("c_acctbal").cast("decimal(12,2)").cast("string"))
+            .as("description"))
+        .orderBy("c_custkey")
+    },
+
+    // E5a: per-document quality/statistics kit (length, punctuation,
+    // stopword density, whitespace + BPE-ish token counts, quality score).
+    QueryDef.sql(
+      "e5_text_stats",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $duckToks AS toks FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n_tokens,
+         |         length(text) AS n_chars,
+         |         CASE WHEN length(text) > 0
+         |              THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+         |         CASE WHEN len(toks) > 0
+         |              THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) AS DOUBLE) / len(toks)
+         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, n_chars, bpe_tokens,
+         |       round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
+         |       round(CAST(0.4 AS DOUBLE) * stop_ratio
+         |             + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(toks), 6).as("stop_ratio"),
+          round(qualityScore(col("text"), toks), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // E5b: heuristic language ID by stopword-list hits (argmax, fixed
+    // tie order en→de→fr→es, 'und' = undetermined).
+    QueryDef.sql(
+      "e5_lang_id",
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |hits AS (
+         |  SELECT doc_id,
+         |         len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS en_h,
+         |         len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist'], t))) AS de_h,
+         |         len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr_h,
+         |         len(list_filter(toks, t -> list_contains(['el','la','los','y','es','una'], t))) AS es_h
+         |  FROM base
+         |)
+         |SELECT doc_id,
+         |       CASE WHEN en_h = greatest(en_h, de_h, fr_h, es_h) AND en_h > 0 THEN 'en'
+         |            WHEN de_h = greatest(en_h, de_h, fr_h, es_h) AND de_h > 0 THEN 'de'
+         |            WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) AND fr_h > 0 THEN 'fr'
+         |            WHEN es_h = greatest(en_h, de_h, fr_h, es_h) AND es_h > 0 THEN 'es'
+         |            ELSE 'und' END AS pred_lang
+         |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langId(tokenize(col("text"))).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // E5c: document fingerprint over normalized tokens (md5 — portable
+    // across engines, collapses formatting variants).
+    QueryDef.sql(
+      "e5_fingerprint",
+      s"""SELECT doc_id, md5(array_to_string($duckToks, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // E4: multimodal column plumbing — text treated as an opaque binary
+    // payload with typed metadata; byte length + a deterministic stub
+    // "decode" feature. (Real decode is operators.Multimodal.decodeStub,
+    // exercised in tests — no image libs in this container.)
+    QueryDef.sql(
+      "e4_binary_meta",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 256 AS INT) AS feature0
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val bin = col("text").cast("binary")
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(bin).cast("long").as("n_bytes"),
+          (length(bin) % 256).cast("int").as("feature0"))
+        .orderBy("doc_id")
+    }
+  )
+}

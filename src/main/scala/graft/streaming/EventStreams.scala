@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured-Streaming surface (SURVEY E6): the same window expressions
+  * power the batch-parity queries in EventQueries and the streaming tests
+  * (MemoryStream in EventStreamsSpec) — one definition, two execution modes,
+  * which is exactly how Structured Streaming is meant to be used.
+  *
+  * Scale: streaming aggs shuffle on (group, window); watermarks bound state.
+  * At 100 TB/day the same code runs with kafka sources — nothing here is
+  * local-mode-specific.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts+sums per event type. `withEventTimeWatermark`
+    * must be applied by the caller for streaming inputs.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(14, 2))).cast("double").as("total"))
+      .select(col("event_type"), col("w.start").as("win_start"), col("n"), col("total"))
+
+  /** Sliding 1h/30min counts per event type. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("w.start").as("win_start"), col("n"))
+
+  /** Session windows (10-minute gap) per user. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** Streaming wrapper: 10-minute watermark for late data, then tumbling agg. */
+  def streamingTumbling(stream: DataFrame): DataFrame =
+    tumblingAgg(stream.withWatermark("ts", "10 minutes"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def streamingDedup(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}
