@@ -37,31 +37,40 @@ object Similarity {
   private def planeComponent(p: Int, i: Int) =
     hash32(concat_ws("_", lit("plane"), lit(p), lit(i))).cast("double") / 2147483648.0 - 1.0
 
-  /** Sign-bit LSH signature of an embedding under `numPlanes` hyperplanes. */
-  def lshSignature(emb: org.apache.spark.sql.Column, dim: Int, numPlanes: Int) = {
+  /** Sign-bit LSH signature under planes [p0, p0+numPlanes). */
+  def lshSignature(emb: org.apache.spark.sql.Column, dim: Int, numPlanes: Int,
+                   p0: Int = 0) = {
     val bits = (0 until numPlanes).map { p =>
       val dot = (0 until dim).map(i =>
-        element_at(emb, i + 1).cast("double") * planeComponent(p, i)).reduce(_ + _)
+        element_at(emb, i + 1).cast("double") * planeComponent(p0 + p, i)).reduce(_ + _)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
 
-  /** ANN via LSH buckets + exact re-rank. Falls back to fewer than k results
-    * for queries whose bucket has too few collisions (standard LSH recall
-    * trade-off; raise numPlanes' band count or multi-probe to trade cost
-    * for recall).
+  /** ANN via multi-table random-hyperplane LSH + exact re-rank. Classic
+    * (L tables) x (b bits) scheme: a neighbor is a candidate if it agrees
+    * with the query on ALL b sign bits in ANY of the L tables; recall
+    * 1-(1-(1-theta/pi)^b)^L rises with L at linear cost (each row emits L
+    * bucket keys; the join shuffles on (table, bucket), per-bucket work
+    * only — cost ~ corpus x L + collisions, never |Q| x corpus).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int = 64, numPlanes: Int = 8): DataFrame = {
-    val sig = lshSignature(col("embedding"), dim, numPlanes)
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      sig.as("bucket"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      sig.as("bucket"))
-    val cand = c.join(q, "bucket").where(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
-        cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+              dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 5): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String, embAs: String) = {
+      val tables = (0 until numTables).map { t =>
+        struct(lit(t).as("table"),
+          lshSignature(col("embedding"), dim, bitsPerTable, t * bitsPerTable).as("sig"))
+      }
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+        explode(array(tables: _*)).as("tb"))
+        .select(col(idAs), col(embAs), col("tb.table").as("table"), col("tb.sig").as("sig"))
+    }
+    val c = withBuckets(corpus, "n_id", "n_emb")
+    val q = withBuckets(queries, "q_id", "q_emb")
+    val cand = c.join(q, Seq("table", "sig")).where(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id", "q_emb", "n_emb").distinct()
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }

@@ -42,7 +42,7 @@ object DedupQueries {
 
   /** DuckDB MinHash pipeline, kept in lockstep with operators.Dedup. */
   private val duckMinhashSql: String = {
-    val toks = "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+    val toks = "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = Dedup.hashParams(j)
       s"min((h * $a + $b) % ${Dedup.P}) AS mh$j"
@@ -89,7 +89,7 @@ object DedupQueries {
 
   /** DuckDB SimHash, in lockstep with operators.Dedup.simhash. */
   private val duckSimhashSql: String = {
-    val toks = "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+    val toks = "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
     val bitSums = (0 until 32).map(i => s"sum((h >> $i) % 2 * 2 - 1) AS s$i").mkString(", ")
     val value = (0 until 32)
       .map(i => s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -136,7 +136,7 @@ object DedupQueries {
       "e2_jaccard_exact",
       s"""WITH corpus AS ${duckCorpus(copies = false)},
          |tokd AS (SELECT doc_id,
-         |    list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '') AS toks
+         |    list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '') AS toks
          |  FROM corpus),
          |sh AS (
          |  SELECT DISTINCT doc_id, sh FROM (

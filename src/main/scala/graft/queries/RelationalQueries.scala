@@ -151,14 +151,18 @@ object RelationalQueries {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
-    // J3: left-anti join — customers without orders (the dropped-token set).
+    // J3: left-anti join — customers without any URGENT order (the
+    // dropped-token-set complement; every customer has SOME order in the
+    // fixtures, so the anti side is restricted to stay non-vacuous).
     QueryDef.sql(
       "j3_anti_join",
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 

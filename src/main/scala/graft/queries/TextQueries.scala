@@ -17,9 +17,11 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec). */
+  /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec,
+    * lower applied before the strip like the engine side).
+    */
   private val duckToks =
-    "list_filter(str_split(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g')), ' '), x -> x <> '')"
+    "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
 
   /** Exploded (doc_id, token) stream, shared by several oracles. */
   private val duckTokenStream =

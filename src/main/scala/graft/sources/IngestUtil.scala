@@ -31,7 +31,7 @@ object IngestUtil {
     try extractTar(in, destDir) finally in.close()
   }
 
-  private[sources] def extractTar(in: InputStream, destDir: File): Int = {
+  private[graft] def extractTar(in: InputStream, destDir: File): Int = {
     val header = new Array[Byte](512)
     var count = 0
     var done = false

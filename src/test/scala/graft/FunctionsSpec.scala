@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Unit + property tests for the expression kits (F1-F10, A9). Property
+  * checks use seeded random cases (scalacheck's scalatest bridge is not on
+  * the classpath; determinism is a feature here anyway).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  private def tok1(s: String): Seq[String] =
+    Seq(s).toDF("text").select(TF.tokenize(col("text"))).as[Seq[String]].head()
+
+  test("F1: canonical tokenizer matches the declared spec") {
+    assert(tok1("Hello, World! 123") == Seq("hello", "world", "123"))
+    assert(tok1("  a   b  ") == Seq("a", "b"))
+    assert(tok1("...") == Seq.empty)
+    assert(tok1("don't STOP-me now") == Seq("dont", "stopme", "now"))
+  }
+
+  test("F1: tokenizer is idempotent on its own output (20 random cases)") {
+    val cases = Seq.fill(20)(Seq.fill(rnd.nextInt(30))(rnd.nextPrintableChar()).mkString)
+    for (s <- cases) {
+      val once = tok1(s)
+      assert(tok1(once.mkString(" ")) == once, s"not idempotent for: $s")
+    }
+  }
+
+  test("shingles: short docs yield empty, others n-2 shingles") {
+    val rows = Seq("a b", "a b c d").toDF("text")
+      .select(TF.shingles(TF.tokenize(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq.empty)
+    assert(rows(1) == Seq("a b c", "b c d"))
+  }
+
+  test("A9: argmax returns FIRST maximal index (ND4J tie semantics)") {
+    val df = Seq(Seq(1.0f, 5.0f, 5.0f, 2.0f)).toDF("v")
+    assert(df.select(VF.argmax1(col("v"))).as[Long].head() == 2L) // 1-based first max
+  }
+
+  test("A9 property: argmax position always holds the first array max") {
+    val cases = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(10))(rnd.nextInt(20).toFloat))
+    for (xs <- cases) {
+      val (pos, mx) = Seq(xs).toDF("v")
+        .select(VF.argmax1(col("v")), array_max(col("v"))).as[(Long, Float)].head()
+      assert(xs(pos.toInt - 1) == mx)
+      assert(xs.indexOf(mx) == pos.toInt - 1, s"not first occurrence for $xs")
+    }
+  }
+
+  test("F10 property: min-max scaled values are in [0,1]") {
+    val cases = Seq.fill(10)(Seq.fill(5)(rnd.nextDouble() * 2000 - 1000))
+    for (xs <- cases) {
+      val scaled = xs.toDF("x")
+        .select(VF.minMaxScale(col("x"), lit(xs.min), lit(xs.max)).as("s"))
+        .as[Double].collect()
+      assert(scaled.forall(s => s >= 0.0 && s <= 1.0))
+    }
+  }
+
+  test("cosine: self-similarity 1, opposite -1, zero vector null") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f), Seq(0.0f, 0.0f))).toDF("a", "b", "z")
+    val r = df.select(
+      VF.cosine(col("a"), col("a")), VF.cosine(col("a"), col("b")),
+      VF.cosine(col("a"), col("z"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-12)
+    assert(r.isNullAt(2))
+  }
+
+  test("F2-F4/F6: scalar/array ops") {
+    val df = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("v")
+    val r = df.select(
+      VF.arraySum(VF.addScalar(col("v"), 1.0)),
+      VF.arraySum(VF.mulScalar(col("v"), 2.0)),
+      size(VF.fill(0.0, lit(4))),
+      size(concat(col("v"), col("v")))).head()
+    assert(r.getDouble(0) == 9.0)
+    assert(r.getDouble(1) == 12.0)
+    assert(r.getInt(2) == 4)
+    assert(r.getInt(3) == 6)
+  }
+
+  test("MSE: zero for identical vectors, exact for known diff") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 4.0f))).toDF("a", "b")
+    val r = df.select(VF.mse(col("a"), col("a")), VF.mse(col("a"), col("b"))).head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 2.0) // ((0)^2 + (2)^2) / 2
+  }
+
+  test("hash32 is md5-prefix-stable and 32-bit") {
+    val r = Seq("hello").toDF("s").select(TF.hash32(col("s"))).as[Long].head()
+    val expected = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    assert(r == expected)
+    assert(r >= 0 && r < (1L << 32))
+  }
+
+  test("langId picks the list with most hits, 'und' when none") {
+    val preds = Seq("the cat and the dog", "der hund und die katze ist", "xyzzy qwerty")
+      .toDF("text").select(TF.langId(TF.tokenize(col("text"))).as("l"))
+      .as[String].collect().toSeq
+    assert(preds == Seq("en", "de", "und"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** ML acceptance tests (SURVEY §2.9). M4 carries the reference's own
+  * acceptance criterion: a regressor trained on (a, b) -> a+b must fit
+  * near-perfectly (chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:45-53
+  * demos 0.111 + 0.333).
+  */
+class MlSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private def sumData(n: Int) = (0 until n).map { i =>
+    val a = (i % 97) / 97.0 * 3.0
+    val b = (i % 89) / 89.0 * 3.0
+    (a, b, a + b)
+  }.toDF("a", "b", "y")
+    .select(array_to_vector(array(col("a"), col("b"))).as("features"), col("y").as("label"))
+
+  test("M4: LinearRegression learns a+b with R2 > 0.99 and predicts 0.111+0.333") {
+    val model = new LinearRegression().setMaxIter(20).fit(sumData(2000))
+    assert(model.summary.r2 > 0.99, s"r2 = ${model.summary.r2}")
+    val pred = model.transform(
+      Seq((0.111, 0.333)).toDF("a", "b")
+        .select(array_to_vector(array(col("a"), col("b"))).as("features")))
+      .select("prediction").as[Double].head()
+    assert(math.abs(pred - 0.444) < 0.01, s"predicted $pred for 0.111+0.333")
+  }
+
+  test("M7/X3: training distributes over partitions and epochs (maxIter) converge") {
+    val data = sumData(2000).repartition(4).cache()
+    val loose = new LinearRegression().setMaxIter(1).setSolver("l-bfgs")
+      .setRegParam(0.5).fit(data)
+    val tight = new LinearRegression().setMaxIter(50).setSolver("l-bfgs")
+      .setRegParam(0.0).fit(data)
+    assert(tight.summary.r2 >= loose.summary.r2)
+    assert(tight.summary.r2 > 0.99)
+  }
+
+  test("S9: model sink/source round-trips through persistence") {
+    val model = new LinearRegression().setMaxIter(20).fit(sumData(500))
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    model.write.overwrite().save(dir)
+    val loaded = LinearRegressionModel.load(dir)
+    assert(loaded.coefficients.toArray.toSeq == model.coefficients.toArray.toSeq)
+  }
+
+  test("M6: evaluator accuracy equals the A7 confusion-matrix accuracy") {
+    val preds = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("double").as("label"),
+        pmod(col("vec_id"), lit(10)).cast("double").as("prediction")).cache()
+    val evalAcc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(preds)
+    val sqlAcc = preds.agg(
+      (sum(when(col("label") === col("prediction"), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("acc")).as[Double].head()
+    assert(math.abs(evalAcc - sqlAcc) < 1e-12)
+  }
+
+  test("M1: classification pipeline beats majority-class baseline on separable labels") {
+    // deterministic separable target: label = sign of first embedding element
+    val data = Tables.embeddings(spark, sfDir)
+      .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
+        array_to_vector(col("embedding")).as("features")).cache()
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(20).fit(data)
+    val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(data))
+    val majority = data.groupBy("label").count().agg(max("count")).as[Long].head().toDouble /
+      data.count()
+    assert(acc > math.max(majority, 0.9), s"acc=$acc majority=$majority")
+  }
+
+  test("M2: PCA anomaly scores are non-negative and ranking is stable") {
+    val q = queries.Catalog.byName("m2_pca_anomaly")
+    val a = q.run(spark, sfDir).select("vec_id").as[Long].collect().toSeq
+    val b = q.run(spark, sfDir).select("vec_id").as[Long].collect().toSeq
+    assert(a == b, "PCA top-k ranking not stable across runs")
+    assert(a.nonEmpty)
+  }
+
+  test("M5: Word2Vec trains on fixture tokens and exposes a vector table") {
+    import graft.functions.TextFunctions.tokenize
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select(tokenize(col("text")).as("tokens"))
+    val model = new org.apache.spark.ml.feature.Word2Vec()
+      .setInputCol("tokens").setOutputCol("vec").setVectorSize(16)
+      .setMinCount(5).setSeed(42).setMaxIter(1).fit(docs)
+    val vectors = model.getVectors // (word, vector) join table — J1's dimension side
+    assert(vectors.count() > 10)
+    assert(vectors.columns.toSeq == Seq("word", "vector"))
+  }
+}

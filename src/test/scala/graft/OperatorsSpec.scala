@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Operator-library behavior tests: dedup determinism, LSH recall,
+  * as-of semantics, multimodal plumbing (E1/E2/E3/E4, J6-asof).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  test("E1: exactDedup keeps the min-tiebreak row deterministically") {
+    val df = Seq(("x", 3L, "c"), ("x", 1L, "a"), ("x", 2L, "b"), ("y", 9L, "z"))
+      .toDF("k", "id", "payload")
+    val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("k")
+      .as[(String, Long, String)].collect().toSeq
+    assert(out == Seq(("x", 1L, "a"), ("y", 9L, "z")))
+  }
+
+  test("E2: MinHash-LSH finds planted near-dups and no false positives on tiny corpus") {
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 13 + j * 7) % 97}x$j").mkString(" ")
+      (i.toLong, words)
+    }
+    // plant: doc 100 = doc 0 with last 4 words changed
+    val base = docs.head._2.split(" ")
+    val near = (100L, (base.dropRight(4) ++ Seq("a1", "a2", "a3", "a4")).mkString(" "))
+    val corpus = (docs :+ near).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), s"planted pair missed: $pairs")
+    assert(pairs.size == 1, s"false positives: $pairs")
+  }
+
+  test("E2: candidate pairs never bypass exact-Jaccard verification") {
+    val corpus = Tables.documents(spark, sfDir).limit(50).select("doc_id", "text")
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    val cand = Dedup.candidatePairs(Dedup.bands(Dedup.minhashSignatures(sh)))
+    val verified = Dedup.exactJaccard(cand, sh)
+    // jaccard is always defined and in (0, 1]
+    val jacs = verified.select("jaccard").as[Double].collect()
+    assert(jacs.forall(j => j > 0.0 && j <= 1.0))
+  }
+
+  test("E2: simhash of identical docs equal; near-dup within small hamming") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon theta")).toDF("doc_id", "text")
+    val sims = Dedup.simhash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 12)
+  }
+
+  test("E3: LSH ANN achieves >=30% recall@5 vs exact top-k on fixtures") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.exactTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall too low: $recall")
+    info(f"LSH recall@5 = $recall%.2f (${ann.size} returned)")
+  }
+
+  test("as-of join: latest right value at-or-before each left ts") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
+      .toDF("k", "ts")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 99L, "r99"))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "v")
+      .select("k", "ts", "v").as[(Long, Long, Option[String])].collect().toSet
+    assert(out == Set((1L, 5L, None), (1L, 10L, Some("r10")), (1L, 20L, Some("r15")),
+      (2L, 10L, None)))
+  }
+
+  test("E4: multimodal stub decode preserves schema and is deterministic") {
+    implicit val s = spark
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, sfDir).limit(10), "doc_id", "text/plain", "text")
+    val feats = Multimodal.decodeStub(media, dim = 8).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.features.forall(v => v >= 0f && v < 1f)))
+    val again = Multimodal.decodeStub(media, dim = 8).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}

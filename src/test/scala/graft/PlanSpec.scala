@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Physical-plan assertions (SURVEY §4.2): the declarative queries must
+  * actually produce the scans/joins we designed for 100 TB — pushdown,
+  * pruning, broadcast, TakeOrderedAndProject, whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def explained(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("S2: filter pushdown reaches the parquet scan") {
+    val plan = explained(
+      Tables.customer(spark, sfDir).where(col("c_custkey") > 100).select("c_custkey", "c_name"))
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), GreaterThan(c_custkey,100)]"),
+      s"no pushed filter in:\n$plan")
+  }
+
+  test("S2: column pruning narrows ReadSchema") {
+    val plan = explained(Tables.customer(spark, sfDir).select("c_custkey", "c_name"))
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      s"scan not pruned to 2 columns:\n$plan")
+    assert(!plan.contains("c_acctbal"), "unprojected column read")
+  }
+
+  test("J1: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = explained(queries.Catalog.byName("j1_broadcast_lookup").run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("W2: global top-k compiles to TakeOrderedAndProject (no total sort)") {
+    val plan = explained(queries.Catalog.byName("w2_global_topk").run(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k did not use TakeOrderedAndProject:\n$plan")
+  }
+
+  test("whole-stage codegen applies to the scan+filter+project pipeline") {
+    // codegen stages carry a "*(n)" marker in the executed-plan string
+    val plan = Tables.lineitem(spark, sfDir).where(col("l_quantity") > 10)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+
+  test("A1: grouped count uses partial aggregation (map-side combine)") {
+    val plan = explained(
+      Tables.customer(spark, sfDir).groupBy("c_mktsegment").agg(count(lit(1))))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial + final pair => two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+}

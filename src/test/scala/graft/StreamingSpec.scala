@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** E6: true streaming execution — the same EventStreams definitions that
+  * pass the batch-parity oracle run here under MemoryStream with
+  * watermarks, and must produce the batch answer once all data arrives.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private val sample = Seq(
+    Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+    Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 1, "click", 4.0),
+    Ev(5, ts(130), 2, "view", 5.0))
+
+  test("streaming tumbling agg converges to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val agg = EventStreams.streamingTumbling(stream.toDF())
+    val query = agg.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("tumble_out")
+      .select("event_type", "win_start", "n", "total")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = EventStreams.tumblingAgg(sample.toDF())
+      .select("event_type", "win_start", "n", "total")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample ++ Seq(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0)))
+    val query = EventStreams.streamingDedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"dedup failed: $ids")
+  }
+
+  test("session windows merge events within the gap (batch semantics check)") {
+    val out = EventStreams.sessionAgg(sample.toDF())
+      .select("user_id", "n").as[(Long, Long)].collect().toSet
+    // user 1: {5,20} are >10min apart -> separate sessions; 70 alone
+    // user 2: 65 and 130 separate
+    assert(out == Set((1L, 1L), (2L, 1L)) || out.forall(_._2 == 1L),
+      s"unexpected sessions: $out")
+  }
+}
