@@ -31,18 +31,27 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * plane `p`, dimension `i`, derived from md5 — no RNG, no seed drift.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): plane `p`,
+    * dimension `i`, derived from an md5 prefix — no RNG, no seed drift.
+    * Computed driver-side so planes embed as literal arrays (a column-side
+    * formulation would explode into dim x planes codegen terms per row).
     */
-  private def planeComponent(p: Int, i: Int) =
-    hash32(concat_ws("_", lit("plane"), lit(p), lit(i))).cast("double") / 2147483648.0 - 1.0
+  private def planeComponent(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${p}_$i".getBytes("UTF-8"))
+    val h = digest.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xff))
+    h.toDouble / 2147483648.0 - 1.0
+  }
 
-  /** Sign-bit LSH signature under planes [p0, p0+numPlanes). */
+  /** Sign-bit LSH signature under planes [p0, p0+numPlanes): one zip_with
+    * dot product per plane against a literal plane vector.
+    */
   def lshSignature(emb: org.apache.spark.sql.Column, dim: Int, numPlanes: Int,
                    p0: Int = 0) = {
     val bits = (0 until numPlanes).map { p =>
-      val dot = (0 until dim).map(i =>
-        element_at(emb, i + 1).cast("double") * planeComponent(p0 + p, i)).reduce(_ + _)
+      val plane = array((0 until dim).map(i => lit(planeComponent(p0 + p, i))): _*)
+      val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

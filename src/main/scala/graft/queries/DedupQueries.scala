@@ -18,7 +18,7 @@ import graft.sources.Tables
 object DedupQueries {
 
   private val NumHashes = 16
-  private val RowsPerBand = 2
+  private val RowsPerBand = 4
 
   /** DuckDB twin of the planted-duplicate corpora. */
   private def duckCorpus(copies: Boolean): String = {
@@ -161,6 +161,7 @@ object DedupQueries {
          |ORDER BY a_id""".stripMargin) { (s, d) =>
       val corpus = corpusDF(s, d, copies = false)
       val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Tables.documents(s, d).where(col("doc_id") < 20)
         .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
       Dedup.exactJaccard(pairs, sh)
