@@ -27,11 +27,17 @@ object GraftSession {
       // fixture `events.ts` is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.events (Spark has no nanosecond timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
   def getOrCreate(cores: Int = 32): SparkSession = {
     val spark = builder(cores).getOrCreate()
+    // getOrCreate silently reuses any pre-existing session, ignoring the
+    // builder's configs — fail loudly if that session disagrees on the
+    // settings correctness depends on (see ADVICE.md round 1).
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "reused SparkSession has non-UTC session timezone; oracle comparisons would drift")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

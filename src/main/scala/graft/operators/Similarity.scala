@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.hash32
 import graft.functions.VectorFunctions._
 
 /** Similarity search over embedding columns (SURVEY E3).
@@ -79,6 +80,42 @@ object Similarity {
     val q = withBuckets(queries, "q_id", "q_emb")
     val cand = c.join(q, Seq("table", "sig")).where(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id", "q_emb", "n_emb").distinct()
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** ANN via IVF (inverted-file) index: a KMeans coarse quantizer assigns
+    * every corpus vector to one of `nCells` cells; each query probes its
+    * `nProbe` nearest cells and exact-reranks only those vectors. At 100 TB
+    * the assignment is one broadcast-scored scan (centroids are tiny), the
+    * probe join shuffles on cell id, and per-query work is corpus/nCells x
+    * nProbe. Centroids come from a seeded fit on a corpus sample.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("prediction").as("cell"))
+    // tiny centroid table, broadcast against the query side
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "c_emb")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy("q_id").orderBy(col("c_dist"), col("cell"))
+    val probed = q.join(broadcast(cents))
+      .withColumn("c_dist",
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => {
+          val dd = x.cast("double") - y.cast("double"); dd * dd
+        }), lit(0.0), (a, v) => a + v))
+      .withColumn("cr", row_number().over(wCell)).where(col("cr") <= nProbe)
+      .select("q_id", "q_emb", "cell")
+    val cand = probed.join(assigned, "cell").where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

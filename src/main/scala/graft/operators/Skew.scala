@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot keys at 100 TB.
+  *
+  * AQE's skew-join splitting handles most cases at runtime; these are the
+  * explicit tools for the two shapes AQE can't fix:
+  *  - saltedAggregate: a grouped aggregate where one key holds a large
+  *    fraction of all rows — pre-aggregate on (key, salt) so the hot key's
+  *    rows spread over `salts` reducers, then combine the partials.
+  *  - saltedBroadcastLeft: a join where the build side is small but the
+  *    probe side's key distribution is degenerate — replicate the small
+  *    side per salt so no single reducer owns the hot key.
+  */
+object Skew {
+
+  /** Two-phase grouped sum with salting. `agg` must be an associative,
+    * commutative aggregate (sum/count/min/max) expressed over `valueCol`.
+    */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+                salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val partial = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__partial"))
+    partial.groupBy(keyCols.map(col): _*).agg(sum("__partial").as("total"))
+  }
+
+  /** Join a skewed fact to a small dim with explicit salt replication:
+    * fact rows get a random-ish salt, the (broadcast) dim is exploded over
+    * all salts, and the join key becomes (key, salt).
+    */
+  def saltedBroadcastLeft(fact: DataFrame, dim: DataFrame, key: String,
+                          salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(broadcast(replicatedDim), Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -79,6 +79,28 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // W5b: the same as-of lookup through the AsOfJoin operator (union +
+    // single window pass — no range cross-join; see operators.AsOfJoin),
+    // checked against a correlated-subquery oracle.
+    QueryDef.sql(
+      "w5_asof_join_op",
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+        |       epoch_ms((SELECT max(s.ts) FROM events s
+        |                 WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |                   AND s.ts <= e.ts)) AS signup_ms
+        |FROM events e WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val left = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val right = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin.backward(left, right, "user_id", "ts", "signup_ts")
+        .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+          unix_millis(col("signup_ts")).as("signup_ms"))
+        .orderBy("event_id")
+    },
+
     // E6a: tumbling 1-hour windows (batch parity of the streaming agg).
     QueryDef.sql(
       "e6_tumbling_window",

@@ -116,6 +116,31 @@ object MLQueries {
       Seq(acc).toDF("train_accuracy")
     },
 
+    // M3: multiclass classification on pixel-style vectors via MLP
+    // (capability match for the CNN of chapter_4/MnistClassification.java:90-137;
+    // no conv layers in MLlib — documented fidelity gap in SURVEY §2.9).
+    QueryDef.rowsOnly("m3_mlp_classifier") { (s, d) =>
+      import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+      val data = Tables.embeddings(s, d)
+        .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
+          array_to_vector(col("embedding")).as("features")).cache()
+      val mlp = new MultilayerPerceptronClassifier()
+        .setLayers(Array(64, 16, 2)).setSeed(42).setMaxIter(30).fit(data)
+      val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+        .evaluate(mlp.transform(data))
+      val spark = s
+      import spark.implicits._
+      Seq(acc).toDF("train_accuracy")
+    },
+
+    // E3 (IVF scale path): KMeans-cell inverted-file ANN; recall asserted
+    // vs exact top-k in OperatorsSpec.
+    QueryDef.rowsOnly("e3_ann_ivf") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
     // A8/M2 hybrid: per-example MSE between each vector and its label's
     // mean vector (reconstruction against the class centroid) — exact
     // relational computation, oracle-checked.

@@ -220,6 +220,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // S8/J1: embedding-model source as a broadcast dimension table — the
+    // word→vector lookup of the reference's Word2Vec path
+    // (chapter2/PredictCommentsUsingRNNAndWord2Vec.java:55): tokens map to
+    // a vector id (portable hash mod table size) and join the broadcast
+    // embedding table; per-doc mean pooling of the looked-up vectors.
+    QueryDef.sql(
+      "s8_embedding_lookup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) AS token FROM documents WHERE doc_id < 100
+         |), keyed AS (
+         |  SELECT doc_id, token,
+         |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) %
+         |           (SELECT count(*) FROM embeddings) AS vec_id
+         |  FROM toks
+         |)
+         |SELECT k.doc_id, count(*) AS n_tokens,
+         |       round(avg(CAST(e.embedding[1] AS DOUBLE)), 6) AS mean_e1
+         |FROM keyed k JOIN embeddings e USING (vec_id)
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFunctions.hash32
+      val nVecs = Tables.embeddings(s, d).count()
+      val keyed = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id"), explode(tokenize(col("text"))).as("token"))
+        .withColumn("vec_id", hash32(col("token")) % nVecs)
+      keyed.join(broadcast(Tables.embeddings(s, d)), "vec_id")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(element_at(col("embedding"), 1).cast("double")), 6).as("mean_e1"))
+        .orderBy("doc_id")
+    },
+
     // E4: multimodal column plumbing — text treated as an opaque binary
     // payload with typed metadata; byte length + a deterministic stub
     // "decode" feature. (Real decode is operators.Multimodal.decodeStub,

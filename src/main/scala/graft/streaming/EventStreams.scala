@@ -47,4 +47,31 @@ object EventStreams {
   def streamingDedup(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  final case class UserRunning(user_id: Long, events: Long, total: Double)
+
+  /** Custom keyed state (flatMapGroupsWithState surface): cumulative
+    * per-user counters maintained across micro-batches — the shape every
+    * "custom state machine" streaming op takes. Works identically over a
+    * bounded Dataset (one group pass) for batch parity.
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+  : org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.events
+          var t = prev.total
+          rows.foreach { case (_, v) => n += 1; t += v }
+          val next = UserRunning(uid, n, t)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, Skew}
+import graft.sources.{Sink, Tables}
+
+/** Scale-path operators: IVF ANN recall, skew salting equivalence,
+  * partitioned/bucketed output layout behavior.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  test("E3: IVF ANN achieves >=30% recall@5 vs exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.exactTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    info(f"IVF recall@5 = $recall%.2f")
+  }
+
+  test("skew: saltedSum equals the plain grouped sum") {
+    val df = Tables.lineitem(spark, sfDir)
+    val plain = df.groupBy("l_returnflag").agg(sum("l_quantity").as("total"))
+      .as[(String, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, Seq("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)].collect().toMap
+    assert(plain.keySet == salted.keySet)
+    for ((k, v) <- plain) assert(math.abs(salted(k) - v) < 1e-6, s"key $k: $v vs ${salted(k)}")
+  }
+
+  test("skew: saltedBroadcastLeft equals the plain broadcast join") {
+    val fact = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = fact.join(broadcast(dim), "o_custkey")
+      .select("o_orderkey", "c_mktsegment").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedBroadcastLeft(fact, dim, "o_custkey")
+      .select("o_orderkey", "c_mktsegment").as[(Long, String)].collect().toSet
+    assert(plain == salted)
+  }
+
+  test("sink: partitioned write enables partition pruning on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val df = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+    Sink.writePartitioned(df, dir, Seq("order_year"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    val pruned = back.where(col("order_year") === 1996)
+    val expected = df.where(col("order_year") === 1996).count()
+    assert(pruned.count() == expected)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"no partition filter in:\n$plan")
+  }
+
+  test("sink: same-bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    info(s"warehouse: $wh")
+    Sink.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "g_orders_b", "o_custkey", 8)
+    Sink.writeBucketed(
+      Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "g_cust_b", "o_custkey", 8)
+    val joined = spark.table("g_orders_b").join(spark.table("g_cust_b"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("streaming: flatMapGroupsWithState running totals match batch aggregation") {
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.streaming.EventStreams.runningUserTotals(ev)
+      .collect().map(u => u.user_id -> (u.events, math.round(u.total * 100) / 100.0)).toMap
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("t"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (u, n, t) => u -> (n, t) }.toMap
+    assert(out == expected)
+  }
+}
