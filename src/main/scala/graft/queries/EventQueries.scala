@@ -101,6 +101,26 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // W5c: the reference's literal learning-rate step schedule
+    // (MapSchedule ITERATION {0->.06, 200->.05, 600->.028, 800->.006,
+    // 1000->.001} — chapter_4/MnistClassification.java:92-102) as a
+    // piecewise as-of lookup over an iteration domain.
+    QueryDef.sql(
+      "w5_step_schedule",
+      """WITH iters AS (SELECT unnest(generate_series(0, 1199)) AS iter),
+        |bp AS (SELECT start_iter, CAST(rate AS DOUBLE) AS rate FROM (VALUES
+        |  (0, 0.06), (200, 0.05), (600, 0.028), (800, 0.006), (1000, 0.001)) t(start_iter, rate))
+        |SELECT iter, (SELECT rate FROM bp WHERE start_iter <= iter
+        |              ORDER BY start_iter DESC LIMIT 1) AS rate
+        |FROM iters ORDER BY iter""".stripMargin) { (s, _) =>
+      // ascending fold => the highest matching bound ends up outermost
+      val schedule = Seq(200 -> 0.05, 600 -> 0.028, 800 -> 0.006, 1000 -> 0.001)
+      val rate = schedule.foldLeft(lit(0.06)) { case (acc, (bound, r)) =>
+        when(col("iter") >= bound, r).otherwise(acc)
+      }
+      s.range(0, 1200).toDF("iter").select(col("iter"), rate.as("rate")).orderBy("iter")
+    },
+
     // E6a: tumbling 1-hour windows (batch parity of the streaming agg).
     QueryDef.sql(
       "e6_tumbling_window",

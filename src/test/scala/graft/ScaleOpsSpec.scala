@@ -61,8 +61,16 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("sink: same-bucketed tables join without a shuffle") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    info(s"warehouse: $wh")
+    // clean both the metastore entry and any orphaned location from a
+    // previous JVM (fresh derby + surviving /tmp dir => LOCATION_ALREADY_EXISTS)
+    for (t <- Seq("g_orders_b", "g_cust_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File("/tmp/graft-warehouse", t)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Sink.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
       "g_orders_b", "o_custkey", 8)
