@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * expressions so they are callable from SQL (`graft_cosine(a, b)`) and via
+  * `call_function` from the DataFrame API. Installed by GraftSession via
+  * builder.withExtensions; third-party sessions can install it with
+  * spark.sql.extensions=graft.plans.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      CosineSimilarity.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_cosine takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

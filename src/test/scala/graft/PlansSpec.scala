@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Native expression layer (graft.plans): the codegen'd cosine must agree
+  * bit-for-bit with the composed higher-order-function form and be
+  * registered through SparkSessionExtensions.
+  */
+class PlansSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  test("graft_cosine is registered via SparkSessionExtensions and callable from SQL") {
+    val r = spark.sql("SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))").as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("native cosine equals the composed form bit-for-bit on fixtures") {
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    val q = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")).limit(5)
+    val both = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(
+        VectorFunctions.cosine(col("q_emb"), col("embedding")).as("composed"),
+        call_function("graft_cosine", col("q_emb"), col("embedding")).as("native"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    for ((c, n) <- both) assert(c == n, s"composed=$c native=$n")
+  }
+
+  test("native cosine null semantics: zero vector and length mismatch") {
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS z,
+        |       graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS m,
+        |       graft_cosine(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS nl""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("native cosine stays inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = emb.select(call_function("graft_cosine", col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+
+  test("native cosine is at least as fast as the composed form (informational)") {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    emb.count()
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val composed = time(emb.select(VectorFunctions.cosine(col("embedding"), col("embedding"))).count())
+    val native = time(emb.select(call_function("graft_cosine", col("embedding"), col("embedding"))).count())
+    info(f"composed=$composed%.3f s native=$native%.3f s")
+    emb.unpersist()
+  }
+}
