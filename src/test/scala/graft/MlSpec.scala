@@ -84,6 +84,23 @@ class MlSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("X4/M6: CrossValidator sweeps a param grid and picks the best model") {
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    import org.apache.spark.ml.evaluation.RegressionEvaluator
+    val lr = new LinearRegression()
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.0, 0.5))
+      .addGrid(lr.maxIter, Array(5, 20))
+      .build()
+    val cv = new CrossValidator().setEstimator(lr)
+      .setEvaluator(new RegressionEvaluator().setMetricName("rmse"))
+      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(42)
+    val model = cv.fit(sumData(1000))
+    assert(model.avgMetrics.length == 4)
+    val best = model.bestModel.asInstanceOf[LinearRegressionModel]
+    assert(best.getRegParam == 0.0, "unregularized fit must win on an exact linear target")
+  }
+
   test("M5: Word2Vec trains on fixture tokens and exposes a vector table") {
     import graft.functions.TextFunctions.tokenize
     val docs = Tables.documents(spark, sfDir).limit(200)

@@ -55,6 +55,25 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L, 5L), s"dedup failed: $ids")
   }
 
+  test("file stream: replayed event files aggregate to the batch answer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // replay the sample as two parquet "arrivals"
+    sample.take(3).toDF().write.parquet(s"$dir/batch0")
+    sample.drop(3).toDF().write.parquet(s"$dir/batch1")
+    val flat = spark.read.parquet(s"$dir/*")
+    val stream = spark.readStream.schema(flat.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*")
+    val query = EventStreams.streamingTumbling(stream)
+      .writeStream.format("memory").queryName("file_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("file_out").collect().map(_.toString).sorted.toSeq
+    val batch = EventStreams.tumblingAgg(flat).collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
