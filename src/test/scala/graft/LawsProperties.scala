@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Algebraic-law property suite (SURVEY §5.2 item 3), run by sbt's native
+  * ScalaCheck framework. Laws execute real Spark jobs, so sample counts are
+  * kept small; inputs are generated, not fixed.
+  */
+object LawsProperties extends Properties("graft.laws") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Int, String)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(-50, 50), Gen.oneOf("a", "b", "c", "dd")))
+
+  property("filter fusion: filter(p).filter(q) == filter(p && q)") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "s")
+      val p = col("x") > 0
+      val q = col("s") =!= "dd"
+      val chained = df.filter(p).filter(q).collect().map(_.toString).sorted.toSeq
+      val fused = df.filter(p && q).collect().map(_.toString).sorted.toSeq
+      chained == fused
+    }
+
+  property("union is commutative under sorted comparison") =
+    Prop.forAll(rowsGen, rowsGen) { (r1, r2) =>
+      val a = r1.toDF("x", "s")
+      val b = r2.toDF("x", "s")
+      val ab = a.union(b).collect().map(_.toString).sorted.toSeq
+      val ba = b.union(a).collect().map(_.toString).sorted.toSeq
+      ab == ba
+    }
+
+  property("projection pushes through filter: select.filter == filter.select") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "s")
+      val a = df.select("x").filter(col("x") % 2 === 0).as[Int].collect().sorted.toSeq
+      val b = df.filter(col("x") % 2 === 0).select("x").as[Int].collect().sorted.toSeq
+      a == b
+    }
+
+  property("tokenizer output only contains [a-z0-9] tokens and is idempotent") =
+    Prop.forAll(Gen.listOfN(5, Gen.asciiPrintableStr)) { texts =>
+      val toks = texts.toDF("text").select(TF.tokenize(col("text")).as("t"))
+        .as[Seq[String]].collect().flatten
+      toks.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")) && {
+        val re = toks.mkString(" ")
+        Seq(re).toDF("text").select(TF.tokenize(col("text"))).as[Seq[String]].head() ==
+          toks.toSeq
+      }
+    }
+
+  property("min-max scale maps extremes to 0 and 1, everything into [0,1]") =
+    Prop.forAll(Gen.listOfN(8, Gen.chooseNum(-1e4, 1e4)).suchThat(xs => xs.max > xs.min)) { xs =>
+      val out = xs.toDF("x")
+        .select(VF.minMaxScale(col("x"), lit(xs.min), lit(xs.max)).as("s"))
+        .as[Double].collect().toSeq
+      out.forall(s => s >= 0.0 && s <= 1.0) &&
+        out.contains(0.0) && out.contains(1.0)
+    }
+
+  property("cosine is symmetric and scale-invariant (positive scaling)") =
+    Prop.forAll(Gen.listOfN(6, Gen.chooseNum(-10f, 10f)).suchThat(_.exists(_ != 0f))) { v =>
+      val scaled = v.map(x => x * 2.0f)
+      val df = Seq((v, scaled)).toDF("a", "b")
+      val r = df.select(VF.cosine(col("a"), col("b")), VF.cosine(col("b"), col("a"))).head()
+      math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getDouble(0) == r.getDouble(1)
+    }
+
+  property("exactDedup output has unique keys and only input rows") =
+    Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("x", "s")
+      val out = graft.operators.Dedup.exactDedup(df, Seq("s"), "x")
+        .as[(Int, String)].collect().toSeq
+      out.map(_._2).distinct.size == out.size &&
+        out.forall(rows.contains) &&
+        out.map(_._2).toSet == rows.map(_._2).toSet
+    }
+}
