@@ -286,6 +286,77 @@ object RelationalQueries {
         .orderBy("label", "pred")
     },
 
+    // A10-flagship: the TPC-H Q1 pricing summary — the canonical wide
+    // aggregate. Money flows through DECIMAL (18,2 raw / 18,6 for the
+    // 2- and 3-factor products, which have at most 6 exact decimals) so
+    // partial/final order never perturbs results; averages divide the
+    // exact decimal sum as double and round to 6 dp.
+    QueryDef.sql(
+      "q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        |       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |       round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = disc * (lit(1) + col("l_tax"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+          sum(disc.cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+          sum(charge.cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+          round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6).as("avg_price"),
+          round(sum(col("l_discount").cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // A10c: cube — all grouping-set combinations with exact sums.
+    QueryDef.sql(
+      "a10_cube",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("graft_orders_cube")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+          |FROM graft_orders_cube
+          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // W6b: range-frame window — sum over a VALUE range (all orders within
+    // 5000 of the current price for the same customer), not a row count.
+    QueryDef.sql(
+      "w6_range_frame",
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_totalprice
+        |          RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS DOUBLE) AS near_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-5000, 5000)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double").as("near_total"))
+        .orderBy("o_orderkey")
+    },
+
     // A10a: rollup with exact decimal money sums.
     QueryDef.sql(
       "a10_rollup",

@@ -103,6 +103,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r >= 0 && r < (1L << 32))
   }
 
+  test("VectorMean aggregator: per-group centroid equals the exploded mean") {
+    import org.apache.spark.sql.functions.udaf
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val viaUdaf = emb.groupBy("label")
+      .agg(udaf(graft.functions.VectorMean).apply(col("embedding")).as("centroid"))
+      .select(col("label"), element_at(col("centroid"), 1).as("c1"))
+      .as[(Int, Double)].collect().toMap
+    val viaExplode = emb
+      .select(col("label"), element_at(col("embedding"), 1).cast("double").as("v"))
+      .groupBy("label").agg(avg("v").as("c1"))
+      .as[(Int, Double)].collect().toMap
+    assert(viaUdaf.keySet == viaExplode.keySet)
+    for ((k, v) <- viaExplode) assert(math.abs(viaUdaf(k) - v) < 1e-9, s"label $k")
+  }
+
   test("langId picks the list with most hits, 'und' when none") {
     val preds = Seq("the cat and the dog", "der hund und die katze ist", "xyzzy qwerty")
       .toDF("text").select(TF.langId(TF.tokenize(col("text"))).as("l"))
