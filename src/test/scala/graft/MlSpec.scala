@@ -76,6 +76,29 @@ class MlSpec extends SparkSpec {
     assert(acc > math.max(majority, 0.9), s"acc=$acc majority=$majority")
   }
 
+  test("M1: full ml.Pipeline (tokenize -> Word2Vec -> LogisticRegression) separates vocabularies") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{RegexTokenizer, Word2Vec}
+    val rnd = new scala.util.Random(7)
+    val vocabA = (0 until 30).map(i => s"alpha$i")
+    val vocabB = (0 until 30).map(i => s"beta$i")
+    val docs = (0 until 200).map { i =>
+      val v = if (i % 2 == 0) vocabA else vocabB
+      val text = Seq.fill(20)(v(rnd.nextInt(v.size))).mkString(" ")
+      (text, (i % 2).toDouble)
+    }.toDF("text", "label")
+    val pipeline = new Pipeline().setStages(Array(
+      new RegexTokenizer().setInputCol("text").setOutputCol("tokens").setPattern("\\s+"),
+      new Word2Vec().setInputCol("tokens").setOutputCol("features")
+        .setVectorSize(8).setMinCount(1).setSeed(42).setMaxIter(2),
+      new LogisticRegression().setMaxIter(20)))
+    val model = pipeline.fit(docs)
+    val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(docs))
+    assert(acc > 0.9, s"pipeline accuracy $acc")
+  }
+
   test("M2: PCA anomaly scores are non-negative and ranking is stable") {
     val q = queries.Catalog.byName("m2_pca_anomaly")
     val a = q.run(spark, sfDir).select("vec_id").as[Long].collect().toSeq
