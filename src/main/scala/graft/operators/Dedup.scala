@@ -125,6 +125,19 @@ object Dedup {
     exactJaccard(cand, sh).where(col("jaccard") >= threshold)
   }
 
+  /** E2 end-to-end corpus cleaner: detect near-dup pairs, then drop the
+    * higher-id member of each pair (greedy keep-min survivor — for
+    * transitive clusters every non-minimal member pairs with a smaller id
+    * at detection thresholds, so the minimal doc survives). Returns the
+    * cleaned corpus with original columns.
+    */
+  def removeNearDups(corpus: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val drop = nearDupPairs(corpus, idCol, textCol, threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** E2 (SimHash variant): 32-bit SimHash over the distinct-token set.
     * Near-dups land within a small Hamming distance; bit_count(xor) compares.
     */
