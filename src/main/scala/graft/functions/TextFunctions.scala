@@ -76,6 +76,30 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Character-trigram profile language id: counts hits of each language's
+    * characteristic trigrams in the lowercased text, argmax wins (ties in
+    * fixed order, 'und' when nothing matches). Complements the token-level
+    * [[langId]] — n-grams survive texts where stopwords are absent
+    * (headlines, fragments).
+    */
+  def langIdNgram(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("th", "he", "ing", "ion", " the ", " and "),
+      "de" -> Seq("sch", "ein", "ich", "der ", " und ", "che"),
+      "fr" -> Seq(" le ", " les ", "eau", "oux", " est ", "que "),
+      "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
+    val t = lower(text)
+    val hits = profiles.map { case (lang, grams) =>
+      lang -> grams.map(g => when(t.contains(g),
+        size(split(t, java.util.regex.Pattern.quote(g), -1)) - 1).otherwise(lit(0)))
+        .reduce(_ + _)
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
+      when(h === best && h > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
   /** Stopword-list hit counts per language → argmax language id. N-gram-free
     * heuristic; ties resolve in fixed list order (en, de, fr, es).
     */

@@ -124,4 +124,16 @@ class FunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(preds == Seq("en", "de", "und"))
   }
+
+  test("langIdNgram classifies real-language samples via character trigrams") {
+    val preds = Seq(
+      "the thing is heating up and the ion engine is working",
+      "ich habe einen schnellen hund und der ist schoen",
+      "le renard est dans les bois et il est beau",
+      "el perro es uno de los animales una maravilla",
+      "0123 9988 7766")
+      .toDF("text").select(TF.langIdNgram(col("text")).as("l"))
+      .as[String].collect().toSeq
+    assert(preds == Seq("en", "de", "fr", "es", "und"), s"got $preds")
+  }
 }

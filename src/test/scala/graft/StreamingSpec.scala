@@ -74,6 +74,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark: events older than the watermark are dropped in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = EventStreams.tumblingAgg(stream.toDF().withWatermark("ts", "10 minutes"))
+    val query = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // batch 1: events up to 02:10 => watermark advances to 02:00
+    stream.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(130), 1, "click", 2.0))
+    query.processAllAvailable()
+    // batch 2: a straggler at 00:40 — far below the 02:00 watermark; its
+    // hour-0 window is closed, so it must never surface
+    stream.addData(Ev(3, ts(40), 1, "click", 99.0))
+    query.processAllAvailable()
+    // batch 3: push watermark past every window end so all windows emit
+    stream.addData(Ev(4, ts(400), 1, "click", 4.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("late_out")
+      .select("win_start", "n", "total").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // hour-0 window emitted with ONLY event 1 (the late 99.0 never counted)
+    assert(out.contains(("2024-01-01 00:00:00.0", 1L, 1.0)), s"got $out")
+    assert(!out.exists(_._3 == 99.0) && !out.exists(_._3 == 100.0), s"late event leaked: $out")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
