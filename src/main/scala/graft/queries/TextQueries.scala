@@ -209,6 +209,75 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // E5b2: character-trigram language id (n-gram heuristic variant —
+    // occurrence counts are non-overlapping left-to-right on both engines).
+    QueryDef.sql(
+      "e5_lang_id_ngram",
+      {
+        val profiles = Seq(
+          "en" -> Seq("th", "he", "ing", "ion", " the ", " and "),
+          "de" -> Seq("sch", "ein", "ich", "der ", " und ", "che"),
+          "fr" -> Seq(" le ", " les ", "eau", "oux", " est ", "que "),
+          "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
+        val hitCols = profiles.map { case (lang, grams) =>
+          val terms = grams.map(g =>
+            s"CAST((length(t) - length(replace(t, '$g', ''))) / ${g.length} AS INT)")
+          s"${terms.mkString(" + ")} AS ${lang}_h"
+        }.mkString(",\n         ")
+        s"""WITH lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
+           |hits AS (
+           |  SELECT doc_id,
+           |         $hitCols
+           |  FROM lowered
+           |)
+           |SELECT doc_id,
+           |       CASE WHEN en_h = greatest(en_h, de_h, fr_h, es_h) AND en_h > 0 THEN 'en'
+           |            WHEN de_h = greatest(en_h, de_h, fr_h, es_h) AND de_h > 0 THEN 'de'
+           |            WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) AND fr_h > 0 THEN 'fr'
+           |            WHEN es_h = greatest(en_h, de_h, fr_h, es_h) AND es_h > 0 THEN 'es'
+           |            ELSE 'und' END AS pred_lang
+           |FROM hits ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), langIdNgram(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // E7: the composed LLM-data-pipeline — dedup (exact, keep-min) then
+    // quality-gate then per-language corpus stats, as ONE oracle-checked
+    // query; the shape a real cleaning job takes end to end.
+    QueryDef.sql(
+      "e7_clean_corpus_stats",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id < 50
+         |),
+         |deduped AS (
+         |  SELECT min(doc_id) AS doc_id, any_value(text) AS text, any_value(lang) AS lang
+         |  FROM corpus GROUP BY text
+         |),
+         |scored AS (
+         |  SELECT doc_id, lang, len($duckToks) AS n_tokens FROM deduped
+         |)
+         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |       max(n_tokens) AS max_tokens
+         |FROM scored WHERE n_tokens >= 20
+         |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val base = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val corpus = base.union(
+        Tables.documents(s, d).where(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("lang")))
+      val deduped = graft.operators.Dedup.exactDedup(corpus, Seq("text"), "doc_id")
+      deduped
+        .select(col("lang"), size(tokenize(col("text"))).cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= 20)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("lang")
+    },
+
     // E5c: document fingerprint over normalized tokens (md5 — portable
     // across engines, collapses formatting variants).
     QueryDef.sql(
