@@ -43,6 +43,14 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(concat_ws(" ", tokenize(text)))
 
+  /** Rolling polynomial fingerprint over the token sequence:
+    * h = fold((acc * 31 + hash32(token)) mod 1e9+7). Order-sensitive (unlike
+    * a bag-of-words md5), cheap to maintain incrementally, and portable —
+    * the md5-derived per-token hash makes it engine-reproducible.
+    */
+  def rollingFingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => (acc * 31L + hash32(t)) % 1000000007L)
+
   /** Fraction of characters outside [a-z0-9 ] after lowercasing. */
   def punctRatio(text: Column): Column = {
     val n = length(text)

@@ -55,4 +55,42 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize a feature vector to `outDim` by mean-pooling equal buckets —
+    * the downsample step of an image/audio pipeline (deterministic, no
+    * codec needed; a real bilinear resize plugs in the same slot).
+    */
+  def resizeFeatures(features: Array[Float], outDim: Int): Array[Float] = {
+    require(outDim > 0)
+    val in = features.length
+    Array.tabulate(outDim) { o =>
+      val lo = (o.toLong * in / outDim).toInt
+      val hi = math.max(((o + 1).toLong * in / outDim).toInt, lo + 1)
+      var s = 0.0f
+      var i = lo
+      while (i < hi && i < in) { s += features(i); i += 1 }
+      if (hi > lo) s / (hi - lo) else 0f
+    }
+  }
+
+  final case class MediaFrame(path: String, frameIdx: Int, frame: Array[Byte])
+
+  /** Frame sampling over an opaque "video" payload: fixed-size frames,
+    * keep every `everyK`-th — the partition-wise shape of a real frame
+    * extractor (ffmpeg et al. plug into the same loop).
+    */
+  def frameSample(media: Dataset[MediaRecord], frameSize: Int,
+                  everyK: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    require(frameSize > 0 && everyK > 0)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val nFrames = m.content.length / frameSize
+        (0 until nFrames).iterator.filter(_ % everyK == 0).map { f =>
+          MediaFrame(m.path, f,
+            java.util.Arrays.copyOfRange(m.content, f * frameSize, (f + 1) * frameSize))
+        }
+      }
+    }
+  }
 }

@@ -278,6 +278,20 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // E5d: rolling polynomial fingerprint (order-sensitive, incremental).
+    QueryDef.sql(
+      "e5_rolling_fingerprint",
+      s"""SELECT doc_id,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform($duckToks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), rollingFingerprint(tokenize(col("text"))).as("rolling_fp"))
+        .orderBy("doc_id")
+    },
+
     // E5c: document fingerprint over normalized tokens (md5 — portable
     // across engines, collapses formatting variants).
     QueryDef.sql(

@@ -76,6 +76,34 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, None)))
   }
 
+  test("E4: resizeFeatures mean-pools buckets; frameSample keeps every k-th frame") {
+    val resized = Multimodal.resizeFeatures(Array(1f, 3f, 5f, 7f), 2)
+    assert(resized.toSeq == Seq(2f, 6f))
+    assert(Multimodal.resizeFeatures(Array(1f, 2f, 3f), 3).toSeq == Seq(1f, 2f, 3f))
+
+    implicit val s = spark
+    import s.implicits._
+    val payload = (0 until 40).map(_.toByte).toArray // 10 frames of 4 bytes
+    val media = Seq(Multimodal.MediaRecord("v.bin", "video/raw", payload)).toDS()
+    val frames = Multimodal.frameSample(media, frameSize = 4, everyK = 3).collect()
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.head.frame.toSeq == Seq[Byte](0, 1, 2, 3))
+    assert(frames.last.frame.toSeq == Seq[Byte](36, 37, 38, 39))
+  }
+
+  test("E5: rolling fingerprint is order-sensitive, md5 fingerprint is not") {
+    import graft.functions.TextFunctions._
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(rollingFingerprint(tokenize(col("text"))).as("rfp"),
+        fingerprint(col("text")).as("mfp"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) != rows(1).getLong(0), "rolling fp must see order")
+    assert(rows(0).getString(1) != rows(1).getString(1)) // different token seq => different md5 too
+    val same = Seq("Alpha, beta! gamma", "alpha beta gamma").toDF("text")
+      .select(fingerprint(col("text"))).collect()
+    assert(same(0) == same(1), "md5 fp must collapse punctuation/case variants")
+  }
+
   test("E4: multimodal stub decode preserves schema and is deterministic") {
     implicit val s = spark
     val media = Multimodal.asMedia(
