@@ -67,6 +67,35 @@ object MLQueries {
       }.reduce(_ union _).orderBy("param")
     },
 
+    // M6b/A7: per-class precision/recall/F1 from the confusion matrix —
+    // exact integer ratios, fully oracle-checked (complements the
+    // evaluator-based m6_eval_accuracy).
+    QueryDef.sql(
+      "m6_per_class_metrics",
+      """WITH preds AS (
+        |  SELECT label, CAST(vec_id % 10 AS INT) AS pred FROM embeddings
+        |), tp AS (
+        |  SELECT label AS cls, count(*) AS tp FROM preds WHERE label = pred GROUP BY label
+        |), per_label AS (SELECT label AS cls, count(*) AS n_true FROM preds GROUP BY label),
+        |per_pred AS (SELECT pred AS cls, count(*) AS n_pred FROM preds GROUP BY pred)
+        |SELECT l.cls,
+        |       round(CAST(coalesce(t.tp, 0) AS DOUBLE) / p.n_pred, 6) AS precision,
+        |       round(CAST(coalesce(t.tp, 0) AS DOUBLE) / l.n_true, 6) AS recall
+        |FROM per_label l JOIN per_pred p USING (cls) LEFT JOIN tp t USING (cls)
+        |ORDER BY cls""".stripMargin) { (s, d) =>
+      val preds = Tables.embeddings(s, d)
+        .select(col("label"), pmod(col("vec_id"), lit(10)).cast("int").as("pred"))
+      val tp = preds.where(col("label") === col("pred"))
+        .groupBy(col("label").as("cls")).agg(count(lit(1)).as("tp"))
+      val perLabel = preds.groupBy(col("label").as("cls")).agg(count(lit(1)).as("n_true"))
+      val perPred = preds.groupBy(col("pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+      perLabel.join(perPred, "cls").join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          round(coalesce(col("tp"), lit(0)).cast("double") / col("n_pred"), 6).as("precision"),
+          round(coalesce(col("tp"), lit(0)).cast("double") / col("n_true"), 6).as("recall"))
+        .orderBy("cls")
+    },
+
     // M4: regression learns a+b (LinearRegression — exact for the additive
     // target; chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:87-101).
     QueryDef.rowsOnly("m4_regression_sum") { (s, d) =>

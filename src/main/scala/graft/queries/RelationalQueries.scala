@@ -507,6 +507,77 @@ object RelationalQueries {
       a.union(b).distinct().orderBy("c_custkey")
     },
 
+    // J6c: TPC-H Q3 shape — shipping-priority top-10 (join + agg + top-k).
+    QueryDef.sql(
+      "q3_shipping_priority",
+      """SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       epoch_ms(o_orderdate) AS orderdate_ms, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = broadcast(Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          // the parquet column reads as TIMESTAMP_NTZ; under the UTC session
+          // the LTZ cast is instant-preserving and matches epoch_ms
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+
+    // A10d: TPC-H Q6 shape — pure pushdown filter + single aggregate.
+    QueryDef.sql(
+      "q6_forecast_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 6)))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // O7d/e: bag-semantics set ops (EXCEPT ALL / INTERSECT ALL preserve
+    // duplicate multiplicity, unlike their DISTINCT forms).
+    QueryDef.sql(
+      "o7_except_all",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def side(p: String) = Tables.orders(s, d)
+        .where(col("o_orderpriority") === p).select("o_custkey")
+      side("1-URGENT").exceptAll(side("2-HIGH")).orderBy("o_custkey")
+    },
+
+    QueryDef.sql(
+      "o7_intersect_all",
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      def side(p: String) = Tables.orders(s, d)
+        .where(col("o_orderpriority") === p).select("o_custkey")
+      side("1-URGENT").intersectAll(side("2-HIGH")).orderBy("o_custkey")
+    },
+
     // X1: cache/persist parity (chapter1/SparkRDDAPITest.scala:63) — a cached
     // aggregate consumed twice must equal its recomputed twin.
     QueryDef.sql(
