@@ -99,6 +99,21 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._3 == 99.0) && !out.exists(_._3 == 100.0), s"late event leaked: $out")
   }
 
+  test("streaming session windows converge to the batch session aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val agg = EventStreams.sessionAgg(stream.toDF().withWatermark("ts", "10 minutes"))
+    val query = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("sess_out").collect().map(_.toString).sorted.toSeq
+    val batch = EventStreams.sessionAgg(sample.toDF()).collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
