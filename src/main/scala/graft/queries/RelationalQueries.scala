@@ -383,6 +383,38 @@ object RelationalQueries {
           |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
     },
 
+    // A10e: explicit GROUPING SETS (the general form behind rollup/cube).
+    QueryDef.sql(
+      "a10_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
+        .createOrReplaceTempView("graft_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          |FROM graft_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // A10f: exact percentiles (median + p90, linear interpolation — both
+    // engines interpolate identically over the same doubles).
+    QueryDef.sql(
+      "a10_percentiles",
+      """SELECT c_mktsegment,
+        |       round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+        |       round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+        |       count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).groupBy("c_mktsegment")
+        .agg(round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
     // A10b: grouped distinct count.
     QueryDef.sql(
       "a10_count_distinct",

@@ -85,6 +85,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("A10: approx_count_distinct (HLL++) lands within 5% of exact") {
+    val o = Tables.orders(spark, sfDir)
+    val exact = o.select(countDistinct("o_custkey")).as[Long].head().toDouble
+    val approx = o.select(approx_count_distinct("o_custkey", 0.02)).as[Long].head().toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("streaming: flatMapGroupsWithState running totals match batch aggregation") {
     val ev = Tables.events(spark, sfDir)
     val out = graft.streaming.EventStreams.runningUserTotals(ev)
