@@ -177,8 +177,9 @@ object RelationalQueries {
           .orderBy("label")
     },
 
-    // J5: zip/positional join via explicit row_number (stable, unlike
-    // monotonically_increasing_id) — parallel-array semantics of
+    // J5: zip/positional join via a scalable total-order index (range
+    // partition + zipWithIndex — NOT a single-partition window, and stable
+    // unlike monotonically_increasing_id) — parallel-array semantics of
     // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:87-94.
     QueryDef.sql(
       "j5_zip_join",
@@ -186,10 +187,10 @@ object RelationalQueries {
         |FROM (SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) a
         |JOIN (SELECT s_suppkey, row_number() OVER (ORDER BY s_suppkey) AS rn FROM supplier) b
         |  USING (rn) ORDER BY rn""".stripMargin) { (s, d) =>
-      val a = Tables.customer(s, d).select(col("c_custkey"),
-        row_number().over(Window.orderBy("c_custkey")).cast("long").as("rn"))
-      val b = Tables.supplier(s, d).select(col("s_suppkey"),
-        row_number().over(Window.orderBy("s_suppkey")).cast("long").as("rn"))
+      val a = graft.operators.Ranking.stableRowNumber(
+        Tables.customer(s, d).select("c_custkey"), Seq(col("c_custkey")), "rn")
+      val b = graft.operators.Ranking.stableRowNumber(
+        Tables.supplier(s, d).select("s_suppkey"), Seq(col("s_suppkey")), "rn")
       a.join(b, "rn").select("rn", "c_custkey", "s_suppkey").orderBy("rn")
     },
 
@@ -469,14 +470,17 @@ object RelationalQueries {
 
     // O1: total sort, with the order materialized as a rank column so the
     // oracle checks the order itself (chapter3/MNISTAnomalyDetector.java:201-206).
+    // Rank comes from the scalable range-partitioned index, not a
+    // single-partition window.
     QueryDef.sql(
       "o1_total_sort",
       """SELECT c_custkey, c_acctbal,
         |       row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pos
         |FROM customer ORDER BY pos""".stripMargin) { (s, d) =>
-      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"),
-        row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
-          .cast("long").as("pos"))
+      graft.operators.Ranking.stableRowNumber(
+        Tables.customer(s, d).select("c_custkey", "c_acctbal"),
+        Seq(col("c_acctbal").desc, col("c_custkey")), "pos")
+        .select("c_custkey", "c_acctbal", "pos")
         .orderBy("pos")
     },
 

@@ -85,6 +85,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("O1: stableRowNumber equals the single-partition window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(spark, sfDir)
+    val viaWindow = c.select(col("c_custkey"),
+      row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+        .cast("long").as("pos"))
+      .as[(Long, Long)].collect().toSet
+    val viaStable = graft.operators.Ranking.stableRowNumber(
+      c.select("c_custkey", "c_acctbal"), Seq(col("c_acctbal").desc, col("c_custkey")), "pos")
+      .select("c_custkey", "pos").as[(Long, Long)].collect().toSet
+    assert(viaStable == viaWindow)
+  }
+
   test("A10: approx_count_distinct (HLL++) lands within 5% of exact") {
     val o = Tables.orders(spark, sfDir)
     val exact = o.select(countDistinct("o_custkey")).as[Long].head().toDouble
