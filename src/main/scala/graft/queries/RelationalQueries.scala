@@ -497,8 +497,9 @@ object RelationalQueries {
         |   FROM customer WHERE c_mktsegment = 'MACHINERY')
         |ORDER BY pos""".stripMargin) { (s, d) =>
       def ranked(seg: String, off: Int) =
-        Tables.customer(s, d).where(col("c_mktsegment") === seg)
-          .select(col("c_custkey"), row_number().over(Window.orderBy("c_custkey")).as("rn"))
+        graft.operators.Ranking.stableRowNumber(
+          Tables.customer(s, d).where(col("c_mktsegment") === seg).select("c_custkey"),
+          Seq(col("c_custkey")), "rn")
           .select((lit(2) * (col("rn") - 1) + off).cast("long").as("pos"), col("c_custkey"))
       ranked("BUILDING", 0).union(ranked("MACHINERY", 1)).orderBy("pos")
     },
