@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_cosine takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }
