@@ -416,6 +416,60 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // A10g: summary statistics with ORDER-INVARIANT moments: mean/std/var
+    // derive from exact decimal sums (x and x^2 have <= 2/4 decimals), so
+    // unlike naive float stddev the result is identical at any parallelism
+    // — and matches the oracle bit-for-bit after rounding.
+    QueryDef.sql(
+      "a10_summary_stats",
+      """SELECT c_mktsegment, count(*) AS n,
+        |       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_bal,
+        |       round(sqrt((CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE)
+        |                   - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |                     * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |                  / (count(*) - 1)), 6) AS std_bal,
+        |       min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val sumB = sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+      val sumSq = sum((col("c_acctbal") * col("c_acctbal")).cast(DecimalType(24, 4))).cast("double")
+      val n = count(lit(1))
+      Tables.customer(s, d).groupBy("c_mktsegment")
+        .agg(n.as("n"),
+          round(sumB / n, 6).as("mean_bal"),
+          round(sqrt((sumSq - sumB * sumB / n) / (n - 1)), 6).as("std_bal"),
+          min("c_acctbal").as("min_bal"), max("c_acctbal").as("max_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // A10h: correlation from exact decimal cross-moments (same
+    // order-invariance trick applied to cov/corr).
+    QueryDef.sql(
+      "a10_correlation",
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |)
+        |SELECT n, round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM m""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val agg = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(24, 4))).cast("double").as("sxx"),
+        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4))).cast("double").as("syy"),
+        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(24, 4))).cast("double").as("sxy"))
+      agg.select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+    },
+
     // A10b: grouped distinct count.
     QueryDef.sql(
       "a10_count_distinct",
