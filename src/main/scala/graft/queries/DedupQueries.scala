@@ -194,6 +194,31 @@ object DedupQueries {
         .orderBy("a_id")
     },
 
+    // E2f: edit-distance near-dup measure — levenshtein between each planted
+    // pair (classic DP, identical integers in both engines). The gating to
+    // known pairs mirrors production use: edit distance is a VERIFY-stage
+    // metric over candidates, never an all-pairs primitive.
+    QueryDef.sql(
+      "e2_edit_distance",
+      s"""WITH corpus AS ${duckCorpus(copies = false)},
+         |pairs AS (SELECT doc_id AS a_id, doc_id + 1000000 AS b_id FROM documents WHERE doc_id < 20)
+         |SELECT p.a_id, p.b_id,
+         |       CAST(levenshtein(substr(a.text, 1, 500), substr(b.text, 1, 500)) AS BIGINT) AS edit_dist
+         |FROM pairs p
+         |JOIN corpus a ON a.doc_id = p.a_id
+         |JOIN corpus b ON b.doc_id = p.b_id
+         |ORDER BY p.a_id""".stripMargin) { (s, d) =>
+      val corpus = corpusDF(s, d, copies = false)
+      val pairs = Tables.documents(s, d).where(col("doc_id") < 20)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
+      val a = corpus.select(col("doc_id").as("a_id"), substring(col("text"), 1, 500).as("a_text"))
+      val b = corpus.select(col("doc_id").as("b_id"), substring(col("text"), 1, 500).as("b_text"))
+      pairs.join(a, "a_id").join(b, "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
+        .orderBy("a_id")
+    },
+
     // E3 (scale path): LSH-bucketed ANN — not oracle-expressible compactly;
     // rows-only here, recall-vs-exact asserted in SimilaritySpec.
     QueryDef.rowsOnly("e3_ann_lsh") { (s, d) =>

@@ -470,6 +470,22 @@ object RelationalQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
     },
 
+    // A10i: histogram via explicit floor-bucketing (portable: identical
+    // arithmetic both engines, no width_bucket dialect differences).
+    QueryDef.sql(
+      "a10_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS bucket_mean
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1)), 6)
+            .as("bucket_mean"))
+        .orderBy("bucket")
+    },
+
     // A10b: grouped distinct count.
     QueryDef.sql(
       "a10_count_distinct",

@@ -19,6 +19,15 @@ object SeededQueries {
         .select("c_custkey", "c_name")
     },
 
+    // O2b: stratified sample — per-class fractions (the class-balanced
+    // sampling a training-data pipeline uses; structural assertions in
+    // SeededOpsSpec).
+    QueryDef.rowsOnly("o2_stratified_sample") { (s, d) =>
+      Tables.customer(s, d).stat.sampleBy("c_mktsegment",
+        Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2, "AUTOMOBILE" -> 0.1), seed = 42L)
+        .select("c_custkey", "c_mktsegment")
+    },
+
     // O3: seeded shuffle (Collections.shuffle seed 1244 —
     // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:101).
     QueryDef.rowsOnly("o3_shuffle_seeded") { (s, d) =>

@@ -40,6 +40,24 @@ class SeededOpsSpec extends SparkSpec {
     assert(tr.size > n * 0.6 && tr.size < n * 0.95, s"train fraction ${tr.size.toDouble / n}")
   }
 
+  test("O2b: stratified sample respects per-stratum fractions and drops unlisted strata") {
+    val c = Tables.customer(spark, sfDir)
+    val fractions = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2)
+    val sampled = c.stat.sampleBy("c_mktsegment", fractions, seed = 42L)
+    val bySeg = sampled.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    assert(bySeg.keySet.subsetOf(fractions.keySet), s"unlisted strata leaked: $bySeg")
+    val totals = c.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    for ((seg, frac) <- fractions; n <- bySeg.get(seg)) {
+      val expected = totals(seg) * frac
+      assert(n > expected * 0.3 && n < expected * 2.0,
+        s"$seg: sampled $n of ${totals(seg)} (target frac $frac)")
+    }
+    // reproducible under the same seed
+    val again = c.stat.sampleBy("c_mktsegment", fractions, seed = 42L)
+      .select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(again == sampled.select("c_custkey").as[Long].collect().sorted.toSeq)
+  }
+
   test("F5: rand in [0,1), scaled rand in [0,3), randn roughly centered") {
     val df = Tables.embeddings(spark, sfDir)
       .select((rand(42) * 3.0).as("u"), randn(42).as("g"))
