@@ -51,6 +51,26 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // F14b: typed JSON parsing — map-typed and struct-typed from_json plus
+    // a normalized to_json rebuild (both engines emit {"k":N}).
+    QueryDef.sql(
+      "f14_json_typed",
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS rebuilt
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val asMap = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val asStruct = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      Tables.events(s, d).select(col("event_id"),
+        element_at(asMap, "k").cast("long").as("k_map"),
+        asStruct.getField("k").as("k_struct"),
+        to_json(struct(asStruct.getField("k").as("k"))).as("rebuilt"))
+        .orderBy("event_id")
+    },
+
     QueryDef.sql(
       "f14_json_agg",
       """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
