@@ -251,6 +251,21 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
     },
 
+    // A1b: conditional aggregates (filtered count, boolean any/all).
+    QueryDef.sql(
+      "a1_conditional_agg",
+      """SELECT c_mktsegment,
+        |       count(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+        |       bool_or(c_acctbal < 0) AS has_debtor,
+        |       bool_and(c_acctbal > -1000) AS all_above_floor
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).groupBy("c_mktsegment")
+        .agg(count(when(col("c_acctbal") > 5000, 1)).as("n_rich"),
+          expr("bool_or(c_acctbal < 0)").as("has_debtor"),
+          expr("bool_and(c_acctbal > -1000)").as("all_above_floor"))
+        .orderBy("c_mktsegment")
+    },
+
     // A2: max/min (chapter1/SparkRDDAPITest.scala:36-37) per nation.
     QueryDef.sql(
       "a2_max_min",

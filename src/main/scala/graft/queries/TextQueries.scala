@@ -303,6 +303,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // F6b: array set operations — distinct-token overlap/difference between
+    // consecutive documents (array_intersect/except with order-insensitive
+    // size comparison).
+    QueryDef.sql(
+      "f6_token_setops",
+      s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents WHERE doc_id < 50)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS BIGINT) AS n_common,
+         |       CAST(len(list_filter(a.toks, x -> NOT list_contains(b.toks, x))) AS BIGINT) AS n_only_a
+         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a_id""".stripMargin) { (s, d) =>
+      val t = Tables.documents(s, d).where(col("doc_id") < 50)
+        .select(col("doc_id"), array_distinct(tokenize(col("text"))).as("toks"))
+      val a = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      val b = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("n_common"),
+          size(array_except(col("a_toks"), col("b_toks"))).cast("long").as("n_only_a"))
+        .orderBy("a_id")
+    },
+
     // S8/J1: embedding-model source as a broadcast dimension table — the
     // word→vector lookup of the reference's Word2Vec path
     // (chapter2/PredictCommentsUsingRNNAndWord2Vec.java:55): tokens map to
