@@ -14,6 +14,9 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
+        // queries persist/cache intermediates; drop them so 100+ sequential
+        // queries don't accumulate blocks and skew later timings
+        spark.catalog.clearCache()
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
@@ -24,8 +27,10 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
                   case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would break the JSON line
+    val qs = results.map { case (k, v) =>
+      "\"" + esc(k) + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -15,9 +15,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        spark.catalog.clearCache() // per-query persists must not accumulate
+      } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** lower → strip non-[a-z0-9 ] → split on runs of spaces → drop empties.
-    * Lowercasing happens BEFORE the strip (as DL4J's CommonPreprocessor
-    * does) so "Hello" tokenizes to "hello", not "ello".
+  /** lower → normalize ALL whitespace to spaces → strip non-[a-z0-9 ] →
+    * split on runs of spaces → drop empties. Lowercasing happens BEFORE the
+    * strip (as DL4J's CommonPreprocessor does) so "Hello" tokenizes to
+    * "hello"; the whitespace normalization keeps newlines/tabs as
+    * separators ("end.\nStart" → [end, start], never "endstart").
     */
   def tokenize(text: Column): Column =
-    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +"), t => t =!= "")
+    filter(split(regexp_replace(regexp_replace(lower(text), "\\s", " "), "[^a-z0-9 ]", ""),
+      " +"), t => t =!= "")
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as an unsigned long.
     * Identical in any engine with md5 (DuckDB: CAST('0x'||substr(md5(x),1,8) AS BIGINT)),

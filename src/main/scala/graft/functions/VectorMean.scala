@@ -14,21 +14,31 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  /** Grow-to-max buffer combine: ragged inputs (vectors of differing
+    * lengths) are treated as zero-padded to the longest seen, instead of
+    * crashing mid-aggregation on the first mismatch.
+    */
+  private def addInto(base: Array[Double], extra: IndexedSeq[Double]): Array[Double] = {
+    val out = if (extra.length > base.length) {
+      val grown = new Array[Double](extra.length)
+      System.arraycopy(base, 0, grown, 0, base.length)
+      grown
+    } else base
+    var i = 0
+    while (i < extra.length) { out(i) += extra(i); i += 1 }
+    out
+  }
+
   override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
     if (a == null) return b
-    val sums = if (b._1.isEmpty) new Array[Double](a.length) else b._1
-    var i = 0
-    while (i < a.length) { sums(i) += a(i); i += 1 }
-    (sums, b._2 + 1)
+    (addInto(if (b._1.isEmpty) new Array[Double](a.length) else b._1,
+      a.toIndexedSeq.map(_.toDouble)), b._2 + 1)
   }
 
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
     if (x._1.isEmpty) return y
     if (y._1.isEmpty) return x
-    val sums = x._1.clone()
-    var i = 0
-    while (i < sums.length) { sums(i) += y._1(i); i += 1 }
-    (sums, x._2 + y._2)
+    (addInto(x._1.clone(), y._1.toIndexedSeq), x._2 + y._2)
   }
 
   override def finish(r: (Array[Double], Long)): Seq[Double] =

@@ -21,15 +21,19 @@ object AsOfJoin {
     * @param right    right table; must contain `key`, `ts` and `valueCol`
     * @param valueCol carried value; must not collide with a left column
     * @return all left rows plus `valueCol` from the most recent right row
-    *         with the same key and right.ts <= left.ts (null if none)
+    *         with the same key and right.ts <= left.ts (null if none).
+    *         If several right rows share a (key, ts), the one with the
+    *         greatest `valueCol` wins — a documented deterministic tiebreak
+    *         rather than partition-order luck.
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
     require(!left.columns.contains(valueCol), s"left already has column $valueCol")
     val l = left.withColumn("__side", lit(1))
     val r = right.select(col(key), col(ts), col(valueCol)).withColumn("__side", lit(0))
-    // right rows sort before left rows at equal ts => "at or before" semantics
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    // right rows sort before left rows at equal ts => "at or before"
+    // semantics; valueCol breaks ties among equal-ts right rows
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof", last(col(valueCol), ignoreNulls = true).over(w))

@@ -90,7 +90,8 @@ object Similarity {
     * `nProbe` nearest cells and exact-reranks only those vectors. At 100 TB
     * the assignment is one broadcast-scored scan (centroids are tiny), the
     * probe join shuffles on cell id, and per-query work is corpus/nCells x
-    * nProbe. Centroids come from a seeded fit on a corpus sample.
+    * nProbe. The quantizer fits on the full corpus here (fine at catalog
+    * scale); at 100 TB fit on a sample — assignment quality is insensitive.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase grouped sum with salting. `agg` must be an associative,
-    * commutative aggregate (sum/count/min/max) expressed over `valueCol`.
+  /** Two-phase grouped sum with salting (sum is associative+commutative, so
+    * the partial-per-salt then combine plan is exact).
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                 salts: Int = 16): DataFrame = {

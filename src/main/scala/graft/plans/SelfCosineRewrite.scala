@@ -1,22 +1,26 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{GreaterThan, If, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Divide, EqualTo, If, Literal, Multiply, Sqrt}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-/** Optimizer rule: cosine(x, x) == 1 whenever x has positive norm, and null
-  * otherwise (matching CosineSimilarity's zero-norm/null semantics) — so a
-  * self-similarity collapses from dot+two norms to one squared-norm pass.
-  * Algebraic rewrites like this are exactly what Rule[LogicalPlan]
-  * injection is for: callers write the natural expression, the optimizer
-  * removes the redundancy everywhere it appears.
+/** Optimizer rule: cosine(x, x) needs only ONE squared-norm accumulation —
+  * for self-similarity, dot == |x|^2 bit-for-bit (identical accumulation
+  * sequence), so the rewrite substitutes s = graft_norm_sq(x) and computes
+  * `if (s == 0) null else s / (sqrt(s) * sqrt(s))`. This reproduces
+  * CosineSimilarity's EXACT semantics for every input — finite (bitwise
+  * equal result), zero norm (null), NaN elements (NaN), overflow to Inf
+  * (NaN) — while replacing three accumulators with one; an optimizer rule
+  * must never change observable results, only cost.
   */
 object SelfCosineRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CosineSimilarity(l, r) if l.deterministic && l.canonicalized == r.canonicalized =>
-        If(GreaterThan(ArrayNormSq(l), Literal(0.0, DoubleType)),
-          Literal(1.0, DoubleType), Literal(null, DoubleType))
+        val s = ArrayNormSq(l)
+        If(EqualTo(s, Literal(0.0, DoubleType)),
+          Literal(null, DoubleType),
+          Divide(s, Multiply(Sqrt(s), Sqrt(s))))
     }
 }

@@ -42,7 +42,7 @@ object DedupQueries {
 
   /** DuckDB MinHash pipeline, kept in lockstep with operators.Dedup. */
   private val duckMinhashSql: String = {
-    val toks = "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    val toks = "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = Dedup.hashParams(j)
       s"min((h * $a + $b) % ${Dedup.P}) AS mh$j"
@@ -89,7 +89,7 @@ object DedupQueries {
 
   /** DuckDB SimHash, in lockstep with operators.Dedup.simhash. */
   private val duckSimhashSql: String = {
-    val toks = "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    val toks = "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
     val bitSums = (0 until 32).map(i => s"sum((h >> $i) % 2 * 2 - 1) AS s$i").mkString(", ")
     val value = (0 until 32)
       .map(i => s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -122,9 +122,11 @@ object DedupQueries {
     },
 
     // E2a: MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
+    // The 0.5 cut applies to the ROUNDED value only (threshold=0 below) so
+    // the boundary behaves identically to the oracle's rounded filter.
     QueryDef.sql("e2_minhash_lsh", duckMinhashSql) { (s, d) =>
       Dedup.nearDupPairs(corpusDF(s, d, copies = false), "doc_id", "text",
-        threshold = 0.5, NumHashes, RowsPerBand)
+        threshold = 0.0, NumHashes, RowsPerBand)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .where(round(col("jaccard"), 6) >= 0.5)
         .orderBy("a_id", "b_id")
@@ -136,7 +138,7 @@ object DedupQueries {
       "e2_jaccard_exact",
       s"""WITH corpus AS ${duckCorpus(copies = false)},
          |tokd AS (SELECT doc_id,
-         |    list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '') AS toks
+         |    list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '') AS toks
          |  FROM corpus),
          |sh AS (
          |  SELECT DISTINCT doc_id, sh FROM (

@@ -198,7 +198,9 @@ object TensorQueries {
     QueryDef.sql(
       "f10_minmax_norm",
       """SELECT vec_id, label,
-        |       round((CAST(embedding[1] AS DOUBLE) - mn) / (mx - mn), 6) AS scaled
+        |       CASE WHEN mx > mn
+        |            THEN round((CAST(embedding[1] AS DOUBLE) - mn) / (mx - mn), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS scaled
         |FROM (
         |  SELECT vec_id, label, embedding,
         |         min(CAST(embedding[1] AS DOUBLE)) OVER (PARTITION BY label) AS mn,

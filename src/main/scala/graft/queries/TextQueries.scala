@@ -17,11 +17,11 @@ import graft.sources.Tables
   */
 object TextQueries {
 
-  /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec,
-    * lower applied before the strip like the engine side).
+  /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec:
+    * lower → whitespace→space → strip → split → drop empties).
     */
   private val duckToks =
-    "list_filter(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
 
   /** Exploded (doc_id, token) stream, shared by several oracles. */
   private val duckTokenStream =

@@ -17,9 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object IdxSource {
 
+  /** Global record index: shard ordinal (files sorted by path) in the high
+    * 32 bits, in-file position in the low 32. Image and label sources shard
+    * identically in the standard layout, so the ids line up for the join.
+    */
+  private def shardedIdx(shard: Long, i: Long): Long = (shard << 32) | i
+
+  /** Sorted-path → shard-ordinal map for a glob (driver-side, tiny). */
+  private def shardOrdinals(spark: SparkSession, path: String): Map[String, Long] =
+    spark.sparkContext.binaryFiles(path).keys.collect().sorted
+      .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
+
   def readImages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+    val ordinals = spark.sparkContext.broadcast(shardOrdinals(spark, path))
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+      val shard = ordinals.value(file)
       val in = new DataInputStream(pds.open())
       try {
         val magic = in.readInt()
@@ -30,7 +43,7 @@ object IdxSource {
         (0 until n).iterator.map { i =>
           val buf = new Array[Byte](recLen)
           in.readFully(buf)
-          (i.toLong, buf.map(b => (b & 0xff) / 255.0f))
+          (shardedIdx(shard, i.toLong), buf.map(b => (b & 0xff) / 255.0f))
         }.toVector
       } finally in.close()
     }
@@ -39,7 +52,9 @@ object IdxSource {
 
   def readLabels(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (_, pds) =>
+    val ordinals = spark.sparkContext.broadcast(shardOrdinals(spark, path))
+    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+      val shard = ordinals.value(file)
       val in = new DataInputStream(pds.open())
       try {
         val magic = in.readInt()
@@ -47,7 +62,8 @@ object IdxSource {
         val n = in.readInt()
         val buf = new Array[Byte](n)
         in.readFully(buf)
-        buf.iterator.zipWithIndex.map { case (b, i) => (i.toLong, (b & 0xff)) }.toVector
+        buf.iterator.zipWithIndex
+          .map { case (b, i) => (shardedIdx(shard, i.toLong), (b & 0xff)) }.toVector
       } finally in.close()
     }
     rows.toDF("idx", "label")

@@ -21,6 +21,8 @@ class FunctionsSpec extends SparkSpec {
     assert(tok1("  a   b  ") == Seq("a", "b"))
     assert(tok1("...") == Seq.empty)
     assert(tok1("don't STOP-me now") == Seq("dont", "stopme", "now"))
+    // newlines/tabs are separators, never deleted into word-merges
+    assert(tok1("end.\nStart\tnow") == Seq("end", "start", "now"))
   }
 
   test("F1: tokenizer is idempotent on its own output (20 random cases)") {
@@ -101,6 +103,15 @@ class FunctionsSpec extends SparkSpec {
         .digest("hello".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
     assert(r == expected)
     assert(r >= 0 && r < (1L << 32))
+  }
+
+  test("VectorMean aggregator: ragged vector lengths zero-pad instead of crashing") {
+    import org.apache.spark.sql.functions.udaf
+    val df = Seq((1, Seq(2.0f, 4.0f)), (1, Seq(6.0f)), (1, Seq(1.0f, 1.0f, 9.0f)))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(udaf(graft.functions.VectorMean).apply(col("v")).as("c"))
+      .select("c").as[Seq[Double]].head()
+    assert(out == Seq(3.0, 5.0 / 3, 3.0)) // sums (9,5,9)/3
   }
 
   test("VectorMean aggregator: per-group centroid equals the exploded mean") {

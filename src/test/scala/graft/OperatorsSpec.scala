@@ -65,6 +65,14 @@ class OperatorsSpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${ann.size} returned)")
   }
 
+  test("as-of join: equal-ts right duplicates resolve to the max value deterministically") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, "rA"), (1L, 10L, "rZ"), (1L, 10L, "rM")).toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "v")
+      .select("v").as[String].head()
+    assert(out == "rZ") // documented tiebreak: greatest value wins
+  }
+
   test("as-of join: latest right value at-or-before each left ts") {
     val left = Seq((1L, 10L), (1L, 20L), (1L, 5L), (2L, 10L))
       .toDF("k", "ts")

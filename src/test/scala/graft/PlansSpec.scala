@@ -46,18 +46,23 @@ class PlansSpec extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
 
-  test("SelfCosineRewrite: cosine(x,x) optimizes to a norm check, same results") {
+  test("SelfCosineRewrite: cosine(x,x) optimizes to a norm form, exact semantics") {
     val emb = Tables.embeddings(spark, sfDir).limit(50)
     val df = emb.select(call_function("graft_cosine", col("embedding"), col("embedding")).as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("graft_cosine"), s"self-cosine not rewritten:\n$optimized")
-    assert(optimized.contains("graft_norm_sq"), s"norm check missing:\n$optimized")
+    assert(optimized.contains("graft_norm_sq"), s"norm form missing:\n$optimized")
     val vals = df.as[Double].collect()
-    assert(vals.nonEmpty && vals.forall(_ == 1.0))
+    assert(vals.nonEmpty && vals.forall(v => math.abs(v - 1.0) < 1e-12))
     // zero vector keeps its null, via SQL to exercise the same path
     val z = spark.sql(
       "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT)))").head()
     assert(z.isNullAt(0))
+    // NaN elements must keep producing NaN (the rewrite may not change it)
+    val nan = spark.sql(
+      "SELECT graft_cosine(array(CAST('NaN' AS FLOAT)), array(CAST('NaN' AS FLOAT)))")
+      .head()
+    assert(java.lang.Double.isNaN(nan.getDouble(0)), s"NaN semantics changed: $nan")
     // distinct arguments are untouched by the rule
     val two = emb.select(call_function("graft_cosine",
       col("embedding"), reverse(col("embedding"))).as("c"))
