@@ -37,6 +37,15 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
+  /** E1 at document scale: dedup on the md5 of the payload instead of the
+    * payload itself — the shuffle moves 32-char digests, not megabyte
+    * documents (the SCALE.md design). Collision risk at 128 bits is
+    * negligible against any corpus size.
+    */
+  def exactDedupByFingerprint(df: DataFrame, textCol: String, tiebreak: String): DataFrame =
+    exactDedup(df.withColumn("__fp", md5(col(textCol).cast("binary"))), Seq("__fp"), tiebreak)
+      .drop("__fp")
+
   /** Distinct (id, shingle) pairs for a corpus of (id, text). The corpus is
     * repartitioned to full parallelism first: tokenize+shingle+explode is
     * the CPU-heavy stage, and a single-row-group parquet file (or any

@@ -11,6 +11,18 @@ class OperatorsSpec extends SparkSpec {
 
   import SharedSpark.spark.implicits._
 
+  test("E1: fingerprint dedup equals full-text dedup (digest shuffle, same survivors)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val corpus = docs.union(docs.where(col("doc_id") < 30)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text")))
+    val byText = Dedup.exactDedup(corpus, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val byFp = Dedup.exactDedupByFingerprint(corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(byFp == byText)
+    assert(byFp.forall(_ < 5000), "a planted copy survived")
+  }
+
   test("E1: exactDedup keeps the min-tiebreak row deterministically") {
     val df = Seq(("x", 3L, "c"), ("x", 1L, "a"), ("x", 2L, "b"), ("y", 9L, "z"))
       .toDF("k", "id", "payload")

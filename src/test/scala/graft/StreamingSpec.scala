@@ -114,6 +114,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch sink: micro-batches land as parquet and sum to the input") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val stream = MemoryStream[Ev]
+    stream.addData(sample)
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/data")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val written = spark.read.parquet(s"$outDir/data")
+    assert(written.count() == sample.size)
+    assert(written.select("event_id").as[Long].collect().sorted.toSeq ==
+      sample.map(_.event_id).sorted)
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
