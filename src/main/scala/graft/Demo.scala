@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** End-to-end demo: the full training-data cleaning pipeline over the
+  * fixture corpus, start to finish — what a user of the reference's
+  * capabilities runs after switching to this library.
+  *
+  *   tools/run.sh graft.Demo [sfDir]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.getOrCreate(8)
+
+    // 1. ingest + text analysis
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokenize(col("text"))
+    val analyzed = docs.select(
+      col("doc_id"), col("text"),
+      size(toks).as("n_tokens"),
+      round(qualityScore(col("text"), toks), 4).as("quality"),
+      langIdNgram(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fp"))
+    println(s"corpus: ${analyzed.count()} docs")
+
+    // 2. dedup: exact (fingerprint-keyed) then near-dup (MinHash-LSH)
+    val exact = Dedup.exactDedupByFingerprint(analyzed, "text", "doc_id")
+    val cleaned = Dedup.removeNearDups(exact, "doc_id", "text", threshold = 0.8)
+    println(s"after dedup: ${cleaned.count()} docs")
+
+    // 3. quality gate + per-language stats
+    val kept = cleaned.where(col("quality") >= 0.3 && col("n_tokens") >= 10)
+    kept.groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("lang_pred").show()
+
+    // 4. similarity search over embeddings (exact + IVF ANN)
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < 3)
+    println("exact top-3 cosine neighbors:")
+    Similarity.exactTopK(emb, queries, 3)
+      .select("q_id", "n_id", "cos_sim").orderBy("q_id", "cos_sim").show()
+    println("IVF ANN top-3 (scale path):")
+    Similarity.ivfTopK(emb, queries, 3)
+      .select("q_id", "n_id", "cos_sim").orderBy("q_id", "cos_sim").show()
+
+    // 5. flagship analytics: per-label best/worst by anomaly score
+    println("per-label top/bottom anomalies (flagship W1):")
+    SparkEntry.entry(spark).show(10)
+
+    spark.stop()
+  }
+}
