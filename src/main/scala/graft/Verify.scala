@@ -41,5 +41,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")
     spark.stop()
+    // Nonzero exit so any harness gating on the exit code sees a partial
+    // dump as failure rather than success (ADVICE round 2).
+    if (failed > 0) sys.exit(1)
   }
 }

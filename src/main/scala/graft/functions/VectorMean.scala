@@ -36,8 +36,11 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
   }
 
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
-    if (x._1.isEmpty) return y
-    if (y._1.isEmpty) return x
+    // An empty sum array can still carry a nonzero count (a partial that saw
+    // only zero-length vectors) — counts must always add or the divisor
+    // would depend on partitioning (ADVICE round 2).
+    if (x._1.isEmpty) return (y._1, x._2 + y._2)
+    if (y._1.isEmpty) return (x._1, x._2 + y._2)
     (addInto(x._1.clone(), y._1.toIndexedSeq), x._2 + y._2)
   }
 

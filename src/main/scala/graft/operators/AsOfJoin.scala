@@ -22,9 +22,12 @@ object AsOfJoin {
     * @param valueCol carried value; must not collide with a left column
     * @return all left rows plus `valueCol` from the most recent right row
     *         with the same key and right.ts <= left.ts (null if none).
-    *         If several right rows share a (key, ts), the one with the
-    *         greatest `valueCol` wins — a documented deterministic tiebreak
-    *         rather than partition-order luck.
+    *         A newer right row always supersedes older ones, including when
+    *         its `valueCol` is NULL — row presence, not value presence,
+    *         drives the lookup (ADVICE round 2). If several right rows share
+    *         a (key, ts), the greatest non-null `valueCol` wins ties (nulls
+    *         sort first) — a documented deterministic tiebreak rather than
+    *         partition-order luck.
     */
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
@@ -32,13 +35,17 @@ object AsOfJoin {
     val l = left.withColumn("__side", lit(1))
     val r = right.select(col(key), col(ts), col(valueCol)).withColumn("__side", lit(0))
     // right rows sort before left rows at equal ts => "at or before"
-    // semantics; valueCol breaks ties among equal-ts right rows
+    // semantics; valueCol breaks ties among equal-ts right rows. The carried
+    // payload is a struct that is non-null for every RIGHT row (even when
+    // valueCol itself is null), so last(ignoreNulls) keys on row presence.
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("__asof", last(col(valueCol), ignoreNulls = true).over(w))
+      .withColumn("__asof",
+        last(when(col("__side") === 0, struct(col(valueCol))), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .drop("__side", valueCol)
-      .withColumnRenamed("__asof", valueCol)
+      .withColumn(valueCol, col("__asof")(valueCol))
+      .drop("__asof")
   }
 }

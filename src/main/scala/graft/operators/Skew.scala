@@ -18,10 +18,17 @@ object Skew {
 
   /** Two-phase grouped sum with salting (sum is associative+commutative, so
     * the partial-per-salt then combine plan is exact).
+    *
+    * The salt is derived from row content (hash of every column), never from
+    * spark_partition_id/monotonically_increasing_id: nondeterministic salts
+    * recomputed on task retry could disagree with partials already fetched
+    * (the SPARK-23207 class of bug). Identical rows share a salt — that only
+    * re-skews if one key's rows are also near-identical, which callers with
+    * a stable row id can avoid by including it in `df` before calling.
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                 salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__partial"))
@@ -35,7 +42,7 @@ object Skew {
   def saltedBroadcastLeft(fact: DataFrame, dim: DataFrame, key: String,
                           salts: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()), lit(salts)))
+      pmod(hash(fact.columns.map(col): _*), lit(salts)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(broadcast(replicatedDim), Seq(key, "__salt")).drop("__salt")

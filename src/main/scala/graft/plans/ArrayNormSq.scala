@@ -34,11 +34,12 @@ case class ArrayNormSq(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
       s"""
          |double $s = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  final double v = (double) $a.getFloat($i);
-         |  $s += v * v;
+         |  final double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
          |}
          |${ev.value} = $s;
        """.stripMargin

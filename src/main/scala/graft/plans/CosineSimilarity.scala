@@ -13,8 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * this expression is a single fused primitive loop emitted directly into
   * whole-stage codegen — the shape the E3 hot path wants when reranking
   * billions of candidate pairs. Semantics match VectorFunctions.cosine
-  * bit-for-bit: products/accumulation in double, left-to-right, null when
-  * either vector has zero norm or lengths differ.
+  * bit-for-bit on finite inputs: products/accumulation in double,
+  * left-to-right, null when either vector has zero norm or lengths differ.
+  * On NaN/Inf elements the two forms diverge (this expression propagates
+  * NaN; the composed form's `when(norm > 0)` guard follows Spark's NaN
+  * ordering) — embeddings are finite by construction, so the parity claim
+  * is scoped to finite inputs rather than paying an isnan guard per row.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -58,6 +62,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -65,9 +71,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double x = (double) $a.getFloat($i);
-         |    final double y = (double) $b.getFloat($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    final double $x = (double) $a.getFloat($i);
+         |    final double $y = (double) $b.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if ($na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;

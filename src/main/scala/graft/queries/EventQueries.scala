@@ -73,7 +73,8 @@ object EventQueries {
 
     QueryDef.sql(
       "f14_json_agg",
-      """SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)

@@ -254,13 +254,15 @@ object TextQueries {
          |  SELECT doc_id + 1000000 AS doc_id, text, lang FROM documents WHERE doc_id < 50
          |),
          |deduped AS (
-         |  SELECT min(doc_id) AS doc_id, any_value(text) AS text, any_value(lang) AS lang
+         |  SELECT min(doc_id) AS doc_id, any_value(text) AS text,
+         |         min_by(lang, doc_id) AS lang
          |  FROM corpus GROUP BY text
          |),
          |scored AS (
          |  SELECT doc_id, lang, len($duckToks) AS n_tokens FROM deduped
          |)
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |       max(n_tokens) AS max_tokens
          |FROM scored WHERE n_tokens >= 20
          |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>

@@ -114,6 +114,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out == Seq(3.0, 5.0 / 3, 3.0)) // sums (9,5,9)/3
   }
 
+  test("VectorMean aggregator: merge preserves counts from empty-sum partials") {
+    // A partial that saw only zero-length vectors has an empty sum but a
+    // nonzero count; merging it must still add that count, so the mean
+    // divisor is partitioning-independent (ADVICE round 2).
+    val VM = graft.functions.VectorMean
+    val emptyWithCount = VM.reduce(VM.zero, Seq.empty[Float]) // (empty, 1)
+    assert(emptyWithCount._1.isEmpty && emptyWithCount._2 == 1L)
+    val nonEmpty = VM.reduce(VM.zero, Seq(6.0f)) // (Array(6.0), 1)
+    val m1 = VM.merge(emptyWithCount, nonEmpty)
+    val m2 = VM.merge(nonEmpty, emptyWithCount)
+    assert(m1._2 == 2L && m2._2 == 2L)
+    assert(VM.finish(m1) == Seq(3.0) && VM.finish(m2) == Seq(3.0))
+    // and a distributed check: mixing empty and non-empty vectors across
+    // many partitions still divides by the total row count
+    val df = spark.range(0, 8, 1, 8).selectExpr("id % 4 as g",
+      "CASE WHEN id < 4 THEN array(CAST(8.0 AS FLOAT)) ELSE array() END AS v")
+    import org.apache.spark.sql.functions.udaf
+    val out = df.groupBy("g").agg(udaf(VM).apply(col("v")).as("c"))
+      .select("c").as[Seq[Double]].collect()
+    assert(out.forall(_ == Seq(4.0)), out.mkString(",")) // 8.0 / 2 rows
+  }
+
   test("VectorMean aggregator: per-group centroid equals the exploded mean") {
     import org.apache.spark.sql.functions.udaf
     val emb = graft.sources.Tables.embeddings(spark, sfDir)

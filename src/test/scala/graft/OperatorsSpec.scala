@@ -96,6 +96,15 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, None)))
   }
 
+  test("as-of join: a newer right row with null value supersedes an older non-null one") {
+    val left = Seq((1L, 20L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, Some("r10")), (1L, 15L, None: Option[String]))
+      .toDF("k", "ts", "v")
+    val out = AsOfJoin.backward(left, right, "k", "ts", "v")
+      .select("v").as[Option[String]].head()
+    assert(out.isEmpty, "the newest right row carries null — lookup must return null, not the stale r10")
+  }
+
   test("E4: resizeFeatures mean-pools buckets; frameSample keeps every k-th frame") {
     val resized = Multimodal.resizeFeatures(Array(1f, 3f, 5f, 7f), 2)
     assert(resized.toSeq == Seq(2f, 6f))
