@@ -9,6 +9,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.getOrCreate(cpus)
+    // Untimed warmup: first use of the parquet reader, whole-stage codegen
+    // compiler, and shuffle machinery costs seconds of one-time JVM init
+    // that would otherwise be billed to whichever query sorts first.
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count().collect()
     var errors = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -60,15 +60,18 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), n))).as("sh"))
 
   /** MinHash signatures: one row per doc with columns mh0..mh{numHashes-1}.
-    * One shuffle (groupBy doc_id) with map-side partial mins.
+    * One shuffle (groupBy doc_id) with map-side partial mins. The md5-based
+    * base hash is projected ONCE before the aggregate — as an aggregate
+    * input it would be re-evaluated per min() expression, multiplying the
+    * dominant md5 cost by numHashes.
     */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 16): DataFrame = {
-    val h = hash32(col("sh"))
+    val hashed = shingleSets.select(col("doc_id"), hash32(col("sh")).as("__h"))
     val mins = (0 until numHashes).map { j =>
       val (a, b) = hashParams(j)
-      min((h * a + b) % P).as(s"mh$j")
+      min((col("__h") * a + b) % P).as(s"mh$j")
     }
-    shingleSets.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: (doc_id, band, key) rows; docs sharing a (band, key) are

@@ -2,10 +2,9 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
 
 /** Similarity search over embedding columns (SURVEY E3).
   *
@@ -21,6 +20,14 @@ import graft.functions.VectorFunctions._
   *    Hyperplanes are derived from md5 (portable, seed-free determinism).
   */
 object Similarity {
+
+  /** Fused native cosine (plans.CosineSimilarity, registered by
+    * GraftExtensions): one primitive loop inside whole-stage codegen vs the
+    * composed zip_with+aggregate form's three generic array passes — same
+    * result bit-for-bit on finite float vectors, measured severalfold faster
+    * on the reranking hot path where it runs per candidate pair.
+    */
+  private def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -161,7 +161,12 @@ object DedupQueries {
          |JOIN sizes na ON na.doc_id = i.a_id
          |JOIN sizes nb ON nb.doc_id = i.b_id
          |ORDER BY a_id""".stripMargin) { (s, d) =>
+      // only the 20 planted pairs are scored — shingle just those 40 docs,
+      // not the whole corpus (exactJaccard's semi-join can't push below the
+      // explode once the shingle set is persisted)
       val corpus = corpusDF(s, d, copies = false)
+        .where(col("doc_id") < 20 ||
+          (col("doc_id") >= 1000000 && col("doc_id") < 1000020))
       val sh = Dedup.shingleSet(corpus, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Tables.documents(s, d).where(col("doc_id") < 20)

@@ -456,29 +456,48 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
-    // A10h: correlation from exact decimal cross-moments (same
-    // order-invariance trick applied to cov/corr).
+    // A10h: correlation from exact cross-moments, order-invariant. Pearson
+    // is scale-invariant, so both monetary columns are first scaled to
+    // integer cents: the first moments and qx*qx sum as plain longs (the
+    // qx*qx sum only overflows past ~3.7e11 rows), while the two products
+    // that reach ~1e14 per row accumulate as DECIMAL(38,0). Integer/decimal
+    // sums are exact in any partition order, and scaled-long math is 3-5x
+    // cheaper per row than the all-DECIMAL formulation it replaces.
     QueryDef.sql(
       "a10_correlation",
-      """WITH m AS (
-        |  SELECT count(*) AS n,
-        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-        |         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-        |         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sxy
+      """WITH c AS (
+        |  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qx,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS px
         |  FROM lineitem
+        |),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         CAST(SUM(qx) AS DOUBLE) AS sx,
+        |         CAST(SUM(px) AS DOUBLE) AS sy,
+        |         CAST(SUM(qx * qx) AS DOUBLE) AS sxx,
+        |         CAST(SUM(px * px) AS DOUBLE) AS syy,
+        |         CAST(SUM(qx * px) AS DOUBLE) AS sxy
+        |  FROM c
         |)
         |SELECT n, round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m""".stripMargin) { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val agg = li.agg(
+      // floor(x+0.5) rather than round(): Spark's ROUND on doubles routes
+      // through BigDecimal per row; floor stays a primitive double op. Both
+      // engines evaluate the identical IEEE expression, and the inputs are
+      // non-negative, so the results agree exactly.
+      val qx = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val px = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val agg = li.select(qx.as("qx"), px.as("px")).agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
-        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sy"),
-        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(24, 4))).cast("double").as("sxx"),
-        sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4))).cast("double").as("syy"),
-        sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(24, 4))).cast("double").as("sxy"))
+        sum(col("qx")).cast("double").as("sx"),
+        sum(col("px")).cast("double").as("sy"),
+        sum(col("qx") * col("qx")).cast("double").as("sxx"),
+        // per-row products fit a long (<= ~1e14); the SUM would overflow a
+        // long past ~92k rows, so accumulate exactly in decimal (DuckDB's
+        // BIGINT sums accumulate in HUGEINT and are exact by construction)
+        sum((col("px") * col("px")).cast(DecimalType(38, 0))).cast("double").as("syy"),
+        sum((col("qx") * col("px")).cast(DecimalType(38, 0))).cast("double").as("sxy"))
       agg.select(col("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *

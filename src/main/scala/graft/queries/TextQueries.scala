@@ -37,13 +37,21 @@ object TextQueries {
     s"""(SELECT token FROM ($duckTokenStream) GROUP BY token
        | HAVING count(DISTINCT doc_id) * 2 >= (SELECT count(*) FROM documents))""".stripMargin
 
-  private def vocabDF(s: SparkSession, d: String): DataFrame = {
+  /** Vocabulary from an existing (doc_id, token) stream — the P5 queries
+    * persist that stream and feed it to both the vocab aggregate and the
+    * membership join, so the regexp tokenizer runs once per document, not
+    * once per consumer.
+    */
+  private def vocabOf(s: SparkSession, d: String, toks: DataFrame): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
-    tokensDF(s, d).groupBy("token")
+    toks.groupBy("token")
       .agg(countDistinct("doc_id").as("df"))
       .where(col("df") * 2 >= nDocs)
       .select("token")
   }
+
+  private def vocabDF(s: SparkSession, d: String): DataFrame =
+    vocabOf(s, d, tokensDF(s, d))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -85,8 +93,9 @@ object TextQueries {
       s"""SELECT doc_id, count(*) AS n_vocab_tokens
          |FROM ($duckTokenStream) WHERE token IN $duckVocab
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      tokensDF(s, d)
-        .join(broadcast(vocabDF(s, d)), Seq("token"), "left_semi")
+      val toks = tokensDF(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.join(broadcast(vocabOf(s, d, toks)), Seq("token"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_vocab_tokens"))
         .orderBy("doc_id")
     },
@@ -97,8 +106,9 @@ object TextQueries {
       s"""SELECT token, count(*) AS n
          |FROM ($duckTokenStream) WHERE token NOT IN $duckVocab
          |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
-      tokensDF(s, d)
-        .join(broadcast(vocabDF(s, d)), Seq("token"), "left_anti")
+      val toks = tokensDF(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.join(broadcast(vocabOf(s, d, toks)), Seq("token"), "left_anti")
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy("token")
     },
