@@ -98,7 +98,16 @@ object MLQueries {
 
     // M4: regression learns a+b (LinearRegression — exact for the additive
     // target; chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:87-101).
-    QueryDef.rowsOnly("m4_regression_sum") { (s, d) =>
+    // Oracle-checked: the training data is noise-free y = a + b, so the OLS
+    // optimum is analytically coef=[1,1], intercept=0, R^2=1; the normal-
+    // equation solver recovers it to machine precision and the 4-decimal
+    // rounding absorbs that. pred_111_333 is the reference's own acceptance
+    // probe (0.111 + 0.333 -> 0.444, java:45-53).
+    QueryDef.sql(
+      "m4_regression_sum",
+      """SELECT CAST(1.0 AS DOUBLE) AS coef_a, CAST(1.0 AS DOUBLE) AS coef_b,
+        |       CAST(0.0 AS DOUBLE) AS intercept, CAST(1.0 AS DOUBLE) AS r2,
+        |       CAST(0.444 AS DOUBLE) AS pred_111_333""".stripMargin) { (s, d) =>
       val spark = s
       import spark.implicits._
       val data = (0 until 2000).map { i =>
@@ -109,8 +118,13 @@ object MLQueries {
       val feat = data.select(array_to_vector(array(col("a"), col("b"))).as("features"),
         col("y").as("label"))
       val model = new LinearRegression().setMaxIter(20).fit(feat)
+      val pred = model.coefficients(0) * 0.111 + model.coefficients(1) * 0.333 +
+        model.intercept
       Seq((model.coefficients(0), model.coefficients(1), model.intercept,
-        model.summary.r2)).toDF("coef_a", "coef_b", "intercept", "r2")
+        model.summary.r2, pred)).toDF("coef_a", "coef_b", "intercept", "r2", "pred_111_333")
+        .select(round(col("coef_a"), 4).as("coef_a"), round(col("coef_b"), 4).as("coef_b"),
+          round(col("intercept"), 4).as("intercept"), round(col("r2"), 4).as("r2"),
+          round(col("pred_111_333"), 4).as("pred_111_333"))
     },
 
     // M2: anomaly scoring — PCA reconstruction error feeding the W1

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
@@ -288,6 +289,71 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
           max("n_tokens").as("max_tokens"))
         .orderBy("lang")
+    },
+
+    // E8: sequence packing — concatenate documents per language in doc_id
+    // order and cut into fixed token-budget chunks (the standard LLM
+    // pretraining shard/pack step). One window pass per language: chunk id
+    // is the token-budget bucket of each doc's preceding cumulative count.
+    // At 100 TB the partitionBy(lang) window shuffles once on lang; with a
+    // skewed language mix, pre-bucket by (lang, doc_id range) instead.
+    QueryDef.sql(
+      "e8_pack_chunks",
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, len($duckToks) AS n_tokens FROM documents
+         |),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |  FROM toks
+         |)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(floor(cum_before / 2000) AS BIGINT) AS chunk
+         |FROM packed ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokenize(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          floor(col("cum_before") / 2000).cast("long").as("chunk"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // E5e: PII-style redaction — scrub synthetic emails and long digit runs
+    // with portable regexes (same pattern dialect in both engines), then
+    // fingerprint the redacted text so the oracle compares outcomes without
+    // hauling full documents through the harness.
+    QueryDef.sql(
+      "e5_redact",
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com ref ' ||
+        |           (doc_id * 7919 + 1000000) AS text
+        |  FROM documents
+        |),
+        |red AS (
+        |  SELECT doc_id,
+        |         regexp_replace(
+        |           regexp_replace(text, '[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |           '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |  FROM salted
+        |)
+        |SELECT doc_id, md5(redacted) AS red_fp,
+        |       CAST(length(redacted) AS BIGINT) AS red_len
+        |FROM red ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val salted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ref "), col("doc_id") * 7919 + 1000000).as("text"))
+      val redacted = regexp_replace(
+        regexp_replace(col("text"), "[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        "[0-9]{6,}", "<NUM>")
+      salted
+        .select(col("doc_id"), md5(redacted.cast("binary")).as("red_fp"),
+          length(redacted).cast("long").as("red_len"))
+        .orderBy("doc_id")
     },
 
     // E5d: rolling polynomial fingerprint (order-sensitive, incremental).
