@@ -47,6 +47,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
 
+  test("Q5: every dimension side broadcasts — the fact tables never shuffle for the dims") {
+    val plan = explained(queries.Catalog.byName("q5_local_supplier").run(spark, sfDir))
+    // region->nation, customer, supplier all ride broadcast joins; the only
+    // exchanges are the lineitem<->orders equi-join and the final aggregate
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected >=3 broadcast joins in Q5:\n$plan")
+  }
+
   test("A1: grouped count uses partial aggregation (map-side combine)") {
     val plan = explained(
       Tables.customer(spark, sfDir).groupBy("c_mktsegment").agg(count(lit(1))))
