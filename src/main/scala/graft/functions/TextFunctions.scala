@@ -18,8 +18,19 @@ object TextFunctions {
     * strip (as DL4J's CommonPreprocessor does) so "Hello" tokenizes to
     * "hello"; the whitespace normalization keeps newlines/tabs as
     * separators ("end.\nStart" → [end, start], never "endstart").
+    *
+    * Implemented by the native single-pass plans.Tokenize expression
+    * (registered as `graft_tokenize` by GraftExtensions) — semantically
+    * identical to [[tokenizeComposed]] (asserted in FunctionsSpec) but one
+    * fused char scan instead of two regex passes plus a split.
     */
-  def tokenize(text: Column): Column =
+  def tokenize(text: Column): Column = call_function("graft_tokenize", text)
+
+  /** The built-in-expression formulation of the same tokenizer spec; the
+    * parity reference for [[tokenize]] and the fallback for sessions without
+    * GraftExtensions installed.
+    */
+  def tokenizeComposed(text: Column): Column =
     filter(split(regexp_replace(regexp_replace(lower(text), "\\s", " "), "[^a-z0-9 ]", ""),
       " +"), t => t =!= "")
 

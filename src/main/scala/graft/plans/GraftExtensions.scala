@@ -18,6 +18,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_cosine takes exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      Tokenize.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_tokenize takes exactly 1 argument")
+        Tokenize(children.head)
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
 }

@@ -33,6 +33,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("F1: native graft_tokenize matches the composed regex form exactly") {
+    // adversarial inputs: every \s class member, unicode case folding,
+    // removed-char joins, unicode whitespace (NBSP is NOT Java \s — it is
+    // removed, joining neighbors), empties everywhere
+    val nasty = Seq(
+      "Hello, World! 123", "  a   b  ", "...", "don't STOP-me now",
+      "end.\nStart\tnow", "ab", "a\fb", "a\rb", "a b", "ÀÉÎ öü ß",
+      "x9y", "", " ", "\t\n", "a--b  c__d", "ＡＢＣ", "１２３", "Ω≈ç√∫",
+      "tab\tsep", "mixed   \r\n\t   runs")
+    val df = nasty.toDF("text")
+      .select(TF.tokenize(col("text")).as("nat"), TF.tokenizeComposed(col("text")).as("com"))
+      .as[(Seq[String], Seq[String])].collect()
+    for (((n, c), s) <- df.zip(nasty)) assert(n == c, s"diverged on ${s.map(_.toInt)}: $n vs $c")
+    // and over the real fixture corpus
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(TF.tokenize(col("text")).as("nat"), TF.tokenizeComposed(col("text")).as("com"))
+    assert(docs.where(not(col("nat") === col("com"))).count() == 0)
+  }
+
   test("shingles: short docs yield empty, others n-2 shingles") {
     val rows = Seq("a b", "a b c d").toDF("text")
       .select(TF.shingles(TF.tokenize(col("text")), 3).as("sh"))
