@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fluent entry point for the whole engine: `import graft.api._` gives every
+  * DataFrame the text/dedup/similarity/ranking verbs, so the reference's
+  * pipelines read as one chain (tokenize → vocab filter → truncate → embed;
+  * dedup → quality gate → pack) without reaching into the operator objects.
+  * Thin forwarding only — each verb delegates to the tested operator, so the
+  * scale/plan properties documented in SCALE.md carry over verbatim.
+  */
+package object api {
+
+  implicit class TextOps(private val df: DataFrame) {
+
+    /** Canonical tokenization (native `graft_tokenize`) of `textCol` into
+      * `tokens` (SURVEY F1).
+      */
+    def tokenized(textCol: String = "text", as: String = "tokens"): DataFrame =
+      df.withColumn(as, functions.TextFunctions.tokenize(col(textCol)))
+
+    /** Heuristic quality score in [0,1] (E5) as column `quality`. */
+    def qualityScored(textCol: String = "text"): DataFrame = {
+      val toks = functions.TextFunctions.tokenize(col(textCol))
+      df.withColumn("quality", functions.TextFunctions.qualityScore(col(textCol), toks))
+    }
+
+    /** Exact dedup keeping the min-tiebreak row per duplicate group (E1). */
+    def dedupExact(key: Seq[String], tiebreak: String): DataFrame =
+      operators.Dedup.exactDedup(df, key, tiebreak)
+
+    /** Near-duplicate removal via MinHash-LSH banding + exact-Jaccard
+      * verification (E2); keeps the min-id member of each detected pair.
+      */
+    def dedupNear(idCol: String, textCol: String = "text",
+                  threshold: Double = 0.5): DataFrame =
+      operators.Dedup.removeNearDups(df, idCol, textCol, threshold)
+
+    /** Sequence packing (E8): assign docs to fixed token-budget chunks per
+      * `partitionCol` in `orderCol` order; adds `n_tokens` and `chunk`.
+      */
+    def packed(budget: Int, partitionCol: String = "lang",
+               orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("n_tokens",
+          size(functions.TextFunctions.tokenize(col(textCol))).cast("long"))
+        .withColumn("chunk",
+          floor((sum("n_tokens").over(w) - col("n_tokens")) / budget).cast("long"))
+    }
+  }
+
+  implicit class EmbeddingOps(private val corpus: DataFrame) {
+
+    /** Exact top-k cosine neighbors of `queries` (E3 oracle path; small |Q|). */
+    def topKExact(queries: DataFrame, k: Int): DataFrame =
+      operators.Similarity.exactTopK(corpus, queries, k)
+
+    /** ANN top-k via multi-table sign-bit LSH (E3 scale path). */
+    def topKLsh(queries: DataFrame, k: Int): DataFrame =
+      operators.Similarity.lshTopK(corpus, queries, k)
+
+    /** ANN top-k via IVF coarse quantization (E3 scale path). */
+    def topKIvf(queries: DataFrame, k: Int): DataFrame =
+      operators.Similarity.ivfTopK(corpus, queries, k)
+  }
+
+  implicit class RelationalOps(private val left: DataFrame) {
+
+    /** Backward as-of join (J6/W5): latest right `valueCol` at-or-before
+      * each left `ts` within `key`.
+      */
+    def asofBackward(right: DataFrame, key: String, ts: String,
+                     valueCol: String): DataFrame =
+      operators.AsOfJoin.backward(left, right, key, ts, valueCol)
+
+    /** Per-group top-n by `scoreCol` (W1): deterministic rank tiebreak. */
+    def topNPerGroup(groupCol: String, scoreCol: String, n: Int,
+                     tiebreak: String): DataFrame = {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(col(scoreCol).desc, col(tiebreak))
+      left.withColumn("rnk", row_number().over(w)).where(col("rnk") <= n)
+    }
+
+    /** Two-phase salted grouped sum for degenerate key skew. */
+    def saltedSum(keyCols: Seq[String], valueCol: Column, salts: Int = 16): DataFrame =
+      operators.Skew.saltedSum(left, keyCols, valueCol, salts)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.api._
+import graft.sources.Tables
+
+/** The fluent façade (`import graft.api._`) must forward to the tested
+  * operators unchanged — each verb is checked against the operator it wraps
+  * or an independent formulation.
+  */
+class ApiSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  test("text verbs: tokenized + qualityScored + dedupExact chain") {
+    val docs = Seq((1L, "Hello, World! the of and a to in one"),
+      (2L, "Hello, World! the of and a to in one"), (3L, "short")).toDF("doc_id", "text")
+    val out = docs.dedupExact(Seq("text"), "doc_id").tokenized().qualityScored()
+    val rows = out.orderBy("doc_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // dup 2 dropped, min id kept
+    assert(rows(0).getAs[scala.collection.Seq[String]]("tokens").take(2).toSeq == Seq("hello", "world"))
+    val q = rows(0).getAs[Double]("quality")
+    assert(q > 0 && q <= 1.0)
+  }
+
+  test("packed matches the catalogued e8 chunk assignment") {
+    val viaApi = Tables.documents(spark, sfDir)
+      .packed(budget = 2000)
+      .select(col("doc_id"), col("chunk"))
+    val viaCatalog = queries.Catalog.byName("e8_pack_chunks").run(spark, sfDir)
+      .select(col("doc_id"), col("chunk").as("chunk_cat"))
+    assert(viaApi.join(viaCatalog, "doc_id")
+      .where(col("chunk") =!= col("chunk_cat")).count() == 0)
+  }
+
+  test("embedding verbs forward to Similarity (same top-1 as exactTopK)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 3)
+    val viaApi = emb.topKExact(q, 1).select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val direct = operators.Similarity.exactTopK(emb, q, 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(viaApi == direct && viaApi.size == 3)
+  }
+
+  test("asofBackward + topNPerGroup verbs") {
+    val left = Seq((1L, 10L), (1L, 30L)).toDF("k", "ts")
+    val right = Seq((1L, 5L, "v5"), (1L, 20L, "v20")).toDF("k", "ts", "v")
+    val asof = left.asofBackward(right, "k", "ts", "v")
+      .orderBy("ts").select("v").as[String].collect().toSeq
+    assert(asof == Seq("v5", "v20"))
+
+    val scored = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("a", 2.0, 3L), ("b", 9.0, 4L))
+      .toDF("g", "score", "id")
+    val top = scored.topNPerGroup("g", "score", 1, "id")
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(top == Set(("a", 2L), ("b", 4L)))
+  }
+}
