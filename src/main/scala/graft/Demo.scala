@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.Dedup
 import graft.sources.Tables
 
 /** End-to-end demo: the full training-data cleaning pipeline over the
@@ -27,25 +27,29 @@ object Demo {
       fingerprint(col("text")).as("fp"))
     println(s"corpus: ${analyzed.count()} docs")
 
-    // 2. dedup: exact (fingerprint-keyed) then near-dup (MinHash-LSH)
+    // 2. dedup: exact (fingerprint-keyed) then near-dup (MinHash-LSH),
+    //    via the fluent api (graft.api._) — each verb forwards to operators
+    import graft.api._
     val exact = Dedup.exactDedupByFingerprint(analyzed, "text", "doc_id")
-    val cleaned = Dedup.removeNearDups(exact, "doc_id", "text", threshold = 0.8)
+    val cleaned = exact.dedupNear("doc_id", threshold = 0.8)
     println(s"after dedup: ${cleaned.count()} docs")
 
-    // 3. quality gate + per-language stats
+    // 3. quality gate + per-language stats + token-budget packing
     val kept = cleaned.where(col("quality") >= 0.3 && col("n_tokens") >= 10)
     kept.groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
       .orderBy("lang_pred").show()
+    val packed = kept.withColumn("lang", col("lang_pred")).packed(budget = 2048)
+    println(s"packed into ${packed.agg(countDistinct("lang", "chunk")).head().getLong(0)} chunks")
 
     // 4. similarity search over embeddings (exact + IVF ANN)
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.where(col("vec_id") < 3)
     println("exact top-3 cosine neighbors:")
-    Similarity.exactTopK(emb, queries, 3)
+    emb.topKExact(queries, 3)
       .select("q_id", "n_id", "cos_sim").orderBy("q_id", "cos_sim").show()
     println("IVF ANN top-3 (scale path):")
-    Similarity.ivfTopK(emb, queries, 3)
+    emb.topKIvf(queries, 3)
       .select("q_id", "n_id", "cos_sim").orderBy("q_id", "cos_sim").show()
 
     // 5. flagship analytics: per-label best/worst by anomaly score
