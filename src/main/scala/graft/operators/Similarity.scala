@@ -107,9 +107,11 @@ object Similarity {
     val feat = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     // a coarse quantizer only needs rough cells — recall comes from nProbe,
-    // not centroid polish, so few iterations suffice (and at 100 TB the fit
-    // runs on a sample anyway)
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4).fit(feat)
+    // not centroid polish, so random init + few iterations suffice (the
+    // k-means|| init alone is several passes; at 100 TB the fit runs on a
+    // sample anyway)
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
+      .setInitMode("random").fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("prediction").as("cell"))

@@ -678,46 +678,39 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
     },
 
-    // J6d: TPC-H Q5 shape — six-table join (region -> nation -> customer/
-    // supplier co-location + orders/lineitem facts). The dimension chain
-    // (region, nation, filtered customers, suppliers) broadcasts; only the
-    // two fact tables shuffle, on their join keys. Revenue accumulates in
-    // decimal (order-invariant) and converts to double at the end.
+    // J6d: TPC-H Q10 shape — returned-item reporting. Distinct from the Q5
+    // shape (j6_multiway_join): the group key is HIGH-cardinality
+    // (customer), so the aggregate genuinely shuffles on it and the top-20
+    // rides TakeOrderedAndProject over a customer-sized intermediate; the
+    // date window prunes orders before the fact-fact join and the returnflag
+    // filter pushes into the lineitem scan.
     QueryDef.sql(
-      "q5_local_supplier",
-      """SELECT n_name,
+      "q10_returned_items",
+      """SELECT c_custkey, c_name, n_name,
         |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
+        |FROM customer, orders, lineitem, nation
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'ASIA'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
-      val asiaNations = broadcast(Tables.nation(s, d)
-        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
-          col("n_regionkey") === col("r_regionkey"))
-        .select("n_nationkey", "n_name"))
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
       val cust = broadcast(Tables.customer(s, d)
-        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
-        .select("c_custkey", "c_nationkey"))
-      val supp = broadcast(Tables.supplier(s, d)
-        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name"))
       val ord = Tables.orders(s, d)
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
       Tables.lineitem(s, d)
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .groupBy("n_name")
+        .groupBy("c_custkey", "c_name", "n_name")
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(18, 6))).cast("double").as("revenue"))
-        .orderBy("n_name")
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     },
 
     // A10d: TPC-H Q6 shape — pure pushdown filter + single aggregate.

@@ -47,12 +47,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
 
-  test("Q5: every dimension side broadcasts — the fact tables never shuffle for the dims") {
-    val plan = explained(queries.Catalog.byName("q5_local_supplier").run(spark, sfDir))
-    // region->nation, customer, supplier all ride broadcast joins; the only
-    // exchanges are the lineitem<->orders equi-join and the final aggregate
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
-      s"expected >=3 broadcast joins in Q5:\n$plan")
+  test("star joins: every dimension side broadcasts — facts never shuffle for the dims") {
+    val q5 = explained(queries.Catalog.byName("j6_multiway_join").run(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(q5).size >= 2,
+      s"expected broadcast dimension chain in the Q5 shape:\n$q5")
+    val q10 = explained(queries.Catalog.byName("q10_returned_items").run(spark, sfDir))
+    assert(q10.contains("BroadcastHashJoin"), s"no broadcast join in Q10:\n$q10")
+    assert(q10.contains("TakeOrderedAndProject"), s"Q10 top-20 must not total-sort:\n$q10")
   }
 
   test("A1: grouped count uses partial aggregation (map-side combine)") {
