@@ -71,7 +71,10 @@ object Dedup {
       val (a, b) = hashParams(j)
       min((col("__h") * a + b) % P).as(s"mh$j")
     }
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // n_sh rides along for free (the input is already distinct (doc, sh)
+    // pairs), so downstream Jaccard never re-aggregates the shingle table
+    // for sizes
+    hashed.groupBy("doc_id").agg(mins.head, (mins.tail :+ count(lit(1)).as("n_sh")): _*)
   }
 
   /** LSH banding: (doc_id, band, key) rows; docs sharing a (band, key) are
@@ -105,18 +108,28 @@ object Dedup {
     * not the corpus — at 100 TB the pairs side is orders of magnitude
     * smaller than the corpus and the semi-join is the whole ballgame.
     */
-  def exactJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame = {
+  def exactJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame =
+    exactJaccard(pairs, shingleSets, sizes = None)
+
+  /** As above, with precomputed per-doc shingle counts (e.g. the `n_sh`
+    * column minhashSignatures emits) so the corpus-sized size aggregate is
+    * skipped.
+    */
+  def exactJaccard(pairs: DataFrame, shingleSets: DataFrame,
+                   sizes: Option[DataFrame]): DataFrame = {
+    // left_semi dedups its right side itself — no distinct needed
     val docsInPairs = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      .union(pairs.select(col("b_id").as("doc_id")))
     val sh = shingleSets.join(docsInPairs, Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val szs = sizes.getOrElse(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
+      .select("doc_id", "n_sh")
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
     pairs
       .join(sa, "a_id").join(sb, Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+      .join(szs.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(szs.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
@@ -127,14 +140,18 @@ object Dedup {
   def nearDupPairs(corpus: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, numHashes: Int = 16,
                    rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
-    // the shingle set feeds 4 consumers (signatures, both jaccard sides,
-    // sizes) and the candidate set feeds 2 (doc filter, pair join) —
-    // persist both so each pipeline stage computes exactly once
+    // the shingle set feeds 3 consumers (signatures, both jaccard sides)
+    // and the candidate set feeds 2 (doc filter, pair join) — persist both
+    // so each pipeline stage computes exactly once; per-doc sizes ride the
+    // signature aggregate instead of re-scanning the shingle table
     val sh = shingleSet(corpus, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands(minhashSignatures(sh, numHashes), numHashes, rowsPerBand))
+    val sig = minhashSignatures(sh, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    exactJaccard(cand, sh).where(col("jaccard") >= threshold)
+    val cand = candidatePairs(bands(sig, numHashes, rowsPerBand))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exactJaccard(cand, sh, sizes = Some(sig.select("doc_id", "n_sh")))
+      .where(col("jaccard") >= threshold)
   }
 
   /** E2 end-to-end corpus cleaner: detect near-dup pairs, then drop the
