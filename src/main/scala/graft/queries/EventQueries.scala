@@ -83,6 +83,55 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // E9: funnel analysis — the composed event-analytics shape: per-user
+    // first signup (window min), purchases within 7 days of it (as-of-style
+    // range condition pushed into a pre-grouped join, never row-by-row),
+    // conversion aggregated per cohort week. Two shuffles total: the
+    // per-user window and the final aggregate.
+    QueryDef.sql(
+      "e9_funnel",
+      """WITH first_signup AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |conv AS (
+        |  SELECT f.user_id, f.signup_ts,
+        |         (SELECT count(*) FROM events p
+        |          WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+        |            AND p.ts >= f.signup_ts
+        |            AND p.ts < f.signup_ts + INTERVAL 7 DAY) AS n_purchases_7d
+        |  FROM first_signup f
+        |)
+        |SELECT epoch_ms(date_trunc('week', signup_ts)) AS cohort_week_ms,
+        |       count(*) AS n_users,
+        |       CAST(sum(CASE WHEN n_purchases_7d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |       CAST(sum(n_purchases_7d) AS BIGINT) AS total_purchases
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSignup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      // purchases pre-grouped per user BEFORE the join keeps the join input
+      // small; the 7-day window is a filter on the joined pair, not a range
+      // scan per row
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      // the 7-day window belongs in the JOIN condition: a user whose
+      // purchases all fall outside the window must still surface with a
+      // zero count, which a post-join filter would silently drop
+      val conv = firstSignup.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("signup_ts") &&
+            col("p_ts") < col("signup_ts") + expr("INTERVAL 7 DAY"),
+          "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(count(col("p_ts")).as("n_purchases_7d"))
+      conv.groupBy(unix_millis(date_trunc("week", col("signup_ts"))).as("cohort_week_ms"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_purchases_7d") > 0, 1L).otherwise(0L)).as("n_converted"),
+          sum("n_purchases_7d").as("total_purchases"))
+        .orderBy("cohort_week_ms")
+    },
+
     // W5: as-of lookup — last signup at-or-before each event, per user
     // (the step-schedule pattern of chapter_4/MnistClassification.java:92-102).
     QueryDef.sql(
