@@ -33,6 +33,25 @@ class ApiSpec extends SparkSpec {
       .where(col("chunk") =!= col("chunk_cat")).count() == 0)
   }
 
+  test("packed: chunks respect the budget under concat-and-cut semantics") {
+    // a chunk's preceding cumulative count stays < budget + the straddling
+    // doc's tokens: no chunk starts past the budget boundary, and every doc
+    // lands in exactly one chunk (docs are never split)
+    val budget = 500
+    val packed = Tables.documents(spark, sfDir).packed(budget = budget)
+      .select("lang", "chunk", "n_tokens", "doc_id").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    for (((lang, chunk), rows) <- packed) {
+      val total = rows.map(_.getLong(2)).sum
+      val maxDoc = rows.map(_.getLong(2)).max
+      // concat-and-cut: a chunk only exceeds the budget by less than its
+      // last straddling document
+      assert(total < budget + maxDoc, s"chunk ($lang,$chunk) total=$total")
+    }
+    val perDoc = packed.values.flatten.groupBy(_.getLong(3)).values.map(_.size)
+    assert(perDoc.forall(_ == 1), "a doc appeared in two chunks")
+  }
+
   test("embedding verbs forward to Similarity (same top-1 as exactTopK)") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 3)

@@ -56,6 +56,17 @@ class PlanSpec extends SparkSpec {
     assert(q10.contains("TakeOrderedAndProject"), s"Q10 top-20 must not total-sort:\n$q10")
   }
 
+  test("native expressions stay inside whole-stage codegen spans") {
+    val plan = Tables.documents(spark, sfDir)
+      .select(functions.TextFunctions.tokenize(col("text")).as("toks"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"graft_tokenize broke the codegen span:\n$plan")
+    val emb = Tables.embeddings(spark, sfDir)
+    val cos = emb.select(call_function("graft_cosine", col("embedding"), col("embedding"))
+      .as("c")).queryExecution.executedPlan.toString
+    assert(cos.contains("*("), s"graft cosine path broke the codegen span:\n$cos")
+  }
+
   test("A1: grouped count uses partial aggregation (map-side combine)") {
     val plan = explained(
       Tables.customer(spark, sfDir).groupBy("c_mktsegment").agg(count(lit(1))))
