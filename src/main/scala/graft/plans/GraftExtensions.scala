@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_tokenize takes exactly 1 argument")
         Tokenize(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      TokenCount.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "graft_token_count takes exactly 1 argument")
+        TokenCount(children.head)
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
+    ext.injectOptimizerRule(_ => TokenCountRewrite)
   }
 }

@@ -69,6 +69,27 @@ class PlansSpec extends SparkSpec {
     assert(two.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
   }
 
+  test("graft_tokenize / graft_token_count agree, and size(tokenize) rewrites") {
+    import graft.functions.{TextFunctions => TF}
+    // SQL registration
+    val n = spark.sql("SELECT graft_token_count('Hello, wor-ld 42')").as[Int].head()
+    assert(n == 3) // [hello, world, 42]
+    // rewrite fires: size(graft_tokenize(x)) -> graft_token_count(x)
+    val df = Tables.documents(spark, sfDir)
+      .select(size(TF.tokenize(col("text"))).as("n_tokens"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_token_count"), s"rewrite did not fire:\n$optimized")
+    assert(!optimized.contains("graft_tokenize"), s"tokenize array survived:\n$optimized")
+    // equality against the un-rewritten composed form over the corpus
+    val viaCount = df.as[Int].collect().toSeq
+    val viaArray = Tables.documents(spark, sfDir)
+      .select(size(TF.tokenizeComposed(col("text")))).as[Int].collect().toSeq
+    assert(viaCount == viaArray)
+    // null input stays null (non-legacy size semantics)
+    val nul = spark.sql("SELECT size(graft_tokenize(CAST(NULL AS STRING)))").head()
+    assert(nul.isNullAt(0))
+  }
+
   test("native cosine is at least as fast as the composed form (informational)") {
     val emb = Tables.embeddings(spark, sfDir).cache()
     emb.count()
