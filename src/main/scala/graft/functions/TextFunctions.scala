@@ -19,16 +19,16 @@ object TextFunctions {
     * "hello"; the whitespace normalization keeps newlines/tabs as
     * separators ("end.\nStart" → [end, start], never "endstart").
     *
-    * Implemented by the native single-pass plans.Tokenize expression
-    * (registered as `graft_tokenize` by GraftExtensions) — semantically
-    * identical to [[tokenizeComposed]] (asserted in FunctionsSpec) but one
-    * fused char scan instead of two regex passes plus a split.
+    * Implemented by the native single-pass plans.Tokenize expression —
+    * semantically identical to [[tokenizeComposed]] (asserted in
+    * FunctionsSpec) but one fused char scan instead of two regex passes
+    * plus a split. Constructed registry-independently (plans.NativeColumns)
+    * so it works under any SparkSession, extensions installed or not.
     */
-  def tokenize(text: Column): Column = call_function("graft_tokenize", text)
+  def tokenize(text: Column): Column = graft.plans.NativeColumns.tokenize(text)
 
   /** The built-in-expression formulation of the same tokenizer spec; the
-    * parity reference for [[tokenize]] and the fallback for sessions without
-    * GraftExtensions installed.
+    * parity reference for [[tokenize]].
     */
   def tokenizeComposed(text: Column): Column =
     filter(split(regexp_replace(regexp_replace(lower(text), "\\s", " "), "[^a-z0-9 ]", ""),

@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Fused native cosine (plans.CosineSimilarity, registered by
-    * GraftExtensions): one primitive loop inside whole-stage codegen vs the
-    * composed zip_with+aggregate form's three generic array passes — same
-    * result bit-for-bit on finite float vectors, measured severalfold faster
-    * on the reranking hot path where it runs per candidate pair.
+  /** Fused native cosine (plans.CosineSimilarity): one primitive loop inside
+    * whole-stage codegen vs the composed zip_with+aggregate form's three
+    * generic array passes — same result bit-for-bit on finite float vectors,
+    * measured severalfold faster on the reranking hot path where it runs per
+    * candidate pair. Registry-independent construction (NativeColumns), so
+    * it works under sessions without GraftExtensions.
     */
-  private def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  private def cosine(a: Column, b: Column): Column = graft.plans.NativeColumns.cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** Registry-independent Column constructors for the native expressions.
+  *
+  * `call_function("graft_...")` resolves through the session's function
+  * registry, which only has our functions when GraftExtensions is
+  * installed. Building the Column from the catalyst Expression directly
+  * removes that coupling, so library callers get the fused kernels under
+  * ANY SparkSession; the extension registration remains for the SQL string
+  * surface and the optimizer rules.
+  */
+object NativeColumns {
+
+  private def expr(c: Column) = ColumnShim.expression(c)
+
+  def tokenize(text: Column): Column =
+    ColumnShim.column(Tokenize(expr(text)))
+
+  def tokenCount(text: Column): Column =
+    ColumnShim.column(TokenCount(expr(text)))
+
+  def cosine(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimilarity(expr(a), expr(b)))
+}

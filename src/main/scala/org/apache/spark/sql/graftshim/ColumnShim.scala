@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column<->Expression converters. Living in a
+  * subpackage of org.apache.spark.sql grants the access — the established
+  * technique for Spark extension libraries that construct Columns from
+  * custom catalyst Expressions without going through the function registry
+  * (which would tie every call site to an installed SparkSessionExtensions).
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

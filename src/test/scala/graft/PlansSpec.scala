@@ -90,6 +90,20 @@ class PlansSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("native expressions work without the function registry (NativeColumns)") {
+    import graft.plans.NativeColumns
+    // bypasses call_function entirely — the path extension-less sessions use
+    val toks = Seq("Hello, World 42").toDF("t")
+      .select(NativeColumns.tokenize(col("t"))).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world", "42"))
+    val n = Seq("a b c").toDF("t")
+      .select(NativeColumns.tokenCount(col("t"))).as[Int].head()
+    assert(n == 3)
+    val c = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))).toDF("a", "b")
+      .select(NativeColumns.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
   test("native cosine is at least as fast as the composed form (informational)") {
     val emb = Tables.embeddings(spark, sfDir).cache()
     emb.count()
