@@ -1,0 +1,39 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Catalog-wide physical-plan lint: the one undebatable 100 TB rule is that
+  * no query may plan a Cartesian product, and a BroadcastNestedLoopJoin is
+  * tolerable ONLY as a deliberate broadcast-scoring scan (tiny broadcast
+  * side streamed against the corpus). Every catalogued query is planned and
+  * checked — a new query that accidentally cross-joins fails here, not in
+  * production.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries that train MLlib models during construction — planned shapes
+    * are owned by MLlib and the fits cost seconds even at sf0.001.
+    */
+  private val skip = Set(
+    "m1_classification_pipeline", "m2_pca_anomaly", "m3_mlp_classifier",
+    "m4_regression_sum", "e3_ann_ivf")
+
+  /** Deliberate broadcast-NL scoring scans: a handful of query vectors
+    * broadcast against the corpus with a non-equi (id inequality)
+    * condition. The corpus side streams exactly once; this is the designed
+    * exact-topk shape, not an accident (SCALE.md E3).
+    */
+  private val bnljAllowed = Set("e3_cosine_topk", "e2_embedding_neardup")
+
+  test("no catalogued query plans a CartesianProduct; BNLJ only where designed") {
+    val offenders = Catalog.all.filterNot(q => skip(q.name)).flatMap { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val bad =
+        (if (plan.contains("CartesianProduct")) Seq(s"${q.name}: CartesianProduct") else Nil) ++
+        (if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(q.name))
+          Seq(s"${q.name}: unexpected BroadcastNestedLoopJoin") else Nil)
+      bad
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}
