@@ -167,6 +167,53 @@ object Dedup {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair list: every doc in a
+    * transitive duplicate cluster gets the cluster's minimal id as its
+    * `component`. Iterative min-label propagation — each round joins labels
+    * across edges and keeps the elementwise min; rounds needed = cluster
+    * diameter, which for dedup graphs (dense LSH cliques, short chains) is
+    * tiny. Each round is one shuffle join + aggregate over the EDGE list —
+    * corpus-size-independent, since only docs that appear in a pair
+    * participate. For adversarial long-path graphs switch to the
+    * large-star/small-star pointer-jumping formulation (O(log n) rounds);
+    * dedup workloads do not need it.
+    *
+    * @param pairs (a_id, b_id) near-dup pairs (undirected)
+    * @return (id, component) — one row per doc appearing in any pair
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist(lvl)
+    // labels only ever decrease elementwise, so the label sum strictly
+    // decreases iff any label changed — convergence costs one aggregate per
+    // round instead of a join+count (sum of n ids fits a long up to ~1e9
+    // nodes with 1e9-scale ids; beyond that switch this probe to a decimal)
+    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("component").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist(lvl)
+      val nextSum = next.agg(sum("component")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** E2 (SimHash variant): 32-bit SimHash over the distinct-token set.
     * Near-dups land within a small Hamming distance; bit_count(xor) compares.
     */

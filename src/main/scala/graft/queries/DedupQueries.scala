@@ -226,6 +226,33 @@ object DedupQueries {
         .orderBy("a_id")
     },
 
+    // E2g: transitive dedup clusters — connected components over an edge
+    // list with planted 3-chains (i ~ i+1M ~ i+2M for i<10) and plain pairs
+    // (i ~ i+1M for 10<=i<30). The Spark side is the iterative min-label
+    // operator; the oracle replays the closure with a recursive CTE.
+    QueryDef.sql(
+      "e2_components",
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id < 10
+        |),
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON reach.id = u.b
+        |)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(col("doc_id") < 30)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
+        .union(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("a_id"), (col("doc_id") + 2000000).as("b_id")))
+      Dedup.connectedComponents(pairs).orderBy("id")
+    },
+
     // E3 (scale path): LSH-bucketed ANN — not oracle-expressible compactly;
     // rows-only here, recall-vs-exact asserted in SimilaritySpec.
     QueryDef.rowsOnly("e3_ann_lsh") { (s, d) =>

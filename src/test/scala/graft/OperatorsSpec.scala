@@ -96,6 +96,18 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, None)))
   }
 
+  test("connectedComponents: chains, cycles and disjoint pairs resolve to min-id clusters") {
+    // component {1,2,3,4,5} via a chain with a cycle edge; {10,11}; {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), // cycle
+      (10L, 11L), (21L, 20L), (21L, 22L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L), comp.toString)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    assert(comp.size == 10)
+  }
+
   test("as-of join: a newer right row with null value supersedes an older non-null one") {
     val left = Seq((1L, 20L)).toDF("k", "ts")
     val right = Seq((1L, 10L, Some("r10")), (1L, 15L, None: Option[String]))
