@@ -167,6 +167,22 @@ object Dedup {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** E2: transitive near-dup removal — detect pairs, resolve transitive
+    * clusters via [[connectedComponents]], and keep exactly the minimal-id
+    * member of every cluster. Stricter than [[removeNearDups]] (which drops
+    * only the larger member of each DETECTED pair and so keeps cluster
+    * members that were never directly compared) — use this when clusters
+    * should collapse to one exemplar even across similarity chains.
+    */
+  def removeNearDupsTransitive(corpus: DataFrame, idCol: String, textCol: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(corpus, idCol, textCol, threshold)
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: every doc in a
     * transitive duplicate cluster gets the cluster's minimal id as its
     * `component`. Iterative min-label propagation — each round joins labels

@@ -96,6 +96,20 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, None)))
   }
 
+  test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
+    // A and C share no 3-shingles directly but both overlap B heavily; the
+    // transitive variant must keep only A, the pairwise variant keeps A
+    // (B and C each lose a detected pair)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b = base + "lambda mu nu xi omicron pi rho sigma"
+    val c = b + " tau upsilon phi chi psi omega one two"
+    val corpus = Seq((1L, base), (2L, b), (3L, c), (9L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.removeNearDupsTransitive(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 9L), s"kept=$kept")
+  }
+
   test("connectedComponents: chains, cycles and disjoint pairs resolve to min-id clusters") {
     // component {1,2,3,4,5} via a chain with a cycle edge; {10,11}; {20,21,22}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), // cycle
