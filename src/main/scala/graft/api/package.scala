@@ -38,6 +38,13 @@ package object api {
                   threshold: Double = 0.5): DataFrame =
       operators.Dedup.removeNearDups(df, idCol, textCol, threshold)
 
+    /** Transitive near-dup removal: similarity chains collapse to one
+      * exemplar per connected cluster (min id survives).
+      */
+    def dedupNearTransitive(idCol: String, textCol: String = "text",
+                            threshold: Double = 0.5): DataFrame =
+      operators.Dedup.removeNearDupsTransitive(df, idCol, textCol, threshold)
+
     /** Sequence packing (E8): assign docs to fixed token-budget chunks per
       * `partitionCol` in `orderCol` order; adds `n_tokens` and `chunk`.
       */
