@@ -83,12 +83,15 @@ package object api {
                      valueCol: String): DataFrame =
       operators.AsOfJoin.backward(left, right, key, ts, valueCol)
 
-    /** Per-group top-n by `scoreCol` (W1): deterministic rank tiebreak. */
+    /** Per-group top-n by `scoreCol` (W1): deterministic rank tiebreak.
+      * Output schema equals the input schema (the rank helper is dropped).
+      */
     def topNPerGroup(groupCol: String, scoreCol: String, n: Int,
                      tiebreak: String): DataFrame = {
       val w = Window.partitionBy(groupCol)
         .orderBy(col(scoreCol).desc, col(tiebreak))
-      left.withColumn("rnk", row_number().over(w)).where(col("rnk") <= n)
+      left.withColumn("__rnk", row_number().over(w)).where(col("__rnk") <= n)
+        .drop("__rnk")
     }
 
     /** Two-phase salted grouped sum for degenerate key skew. */

@@ -194,8 +194,12 @@ object Dedup {
     * large-star/small-star pointer-jumping formulation (O(log n) rounds);
     * dedup workloads do not need it.
     *
-    * @param pairs (a_id, b_id) near-dup pairs (undirected)
+    * @param pairs (a_id, b_id) near-dup pairs (undirected); ids may be any
+    *              orderable type (numeric, string, ...)
     * @return (id, component) — one row per doc appearing in any pair
+    * @throws IllegalStateException if maxRounds passes without convergence
+    *         (a silently split cluster would dedup wrong); raise maxRounds
+    *         for path-like graphs of diameter > maxRounds
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -204,11 +208,23 @@ object Dedup {
       .persist(lvl)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist(lvl)
-    // labels only ever decrease elementwise, so the label sum strictly
-    // decreases iff any label changed — convergence costs one aggregate per
-    // round instead of a join+count (sum of n ids fits a long up to ~1e9
-    // nodes with 1e9-scale ids; beyond that switch this probe to a decimal)
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    // convergence probe: labels only ever decrease elementwise, so for
+    // numeric ids the label sum strictly decreases iff any label changed —
+    // one aggregate per round instead of a join+count (sum of n ids fits a
+    // long to ~1e9 nodes of 1e9-scale ids). Non-numeric ids fall back to
+    // the exact changed-row join. Empty inputs read as sum NULL -> 0.
+    // integral only: a fractional id could change below the cast-to-long
+    // resolution and leave the probe's sum unchanged
+    val numericIds = labels.schema("component").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("component").cast("long"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var prevSum = if (numericIds) labelSum(labels) else 0L
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -219,14 +235,26 @@ object Dedup {
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .persist(lvl)
-      val nextSum = next.agg(sum("component")).head().getLong(0)
-      labels.unpersist()
+      if (numericIds) {
+        val nextSum = labelSum(next)
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        labels.unpersist()
+      } else {
+        val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+          .where(col("component") =!= col("prev")).count()
+        converged = changed == 0
+        labels.unpersist()
+      }
       labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
       round += 1
     }
     edges.unpersist()
+    if (!converged && round >= maxRounds)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "graph diameter exceeds maxRounds; raise it (or use a " +
+          "pointer-jumping formulation for path-like graphs)")
     labels
   }
 

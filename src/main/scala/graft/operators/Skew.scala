@@ -16,19 +16,37 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Columns usable as deterministic salt input: hash() rejects MapType
+    * (at any nesting depth), so map-bearing columns are excluded.
+    */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => mapFree(f.dataType)).map(f => col(f.name)).toSeq
+    require(cols.nonEmpty,
+      "no hashable (map-free) columns to derive a deterministic salt from — " +
+        "add a stable row-id column before salting")
+    cols
+  }
+
   /** Two-phase grouped sum with salting (sum is associative+commutative, so
     * the partial-per-salt then combine plan is exact).
     *
-    * The salt is derived from row content (hash of every column), never from
-    * spark_partition_id/monotonically_increasing_id: nondeterministic salts
-    * recomputed on task retry could disagree with partials already fetched
-    * (the SPARK-23207 class of bug). Identical rows share a salt — that only
-    * re-skews if one key's rows are also near-identical, which callers with
-    * a stable row id can avoid by including it in `df` before calling.
+    * The salt is derived from row content (hash of every map-free column),
+    * never from spark_partition_id/monotonically_increasing_id:
+    * nondeterministic salts recomputed on task retry could disagree with
+    * partials already fetched (the SPARK-23207 class of bug). Identical
+    * rows share a salt — a hot key whose rows are byte-identical would
+    * re-skew, so callers in that regime must include a stable row id in
+    * `df` (it feeds the salt automatically).
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                 salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salts)))
+    val salted = df.withColumn("__salt", pmod(hash(hashableCols(df): _*), lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__partial"))
@@ -42,7 +60,7 @@ object Skew {
   def saltedBroadcastLeft(fact: DataFrame, dim: DataFrame, key: String,
                           salts: Int = 16): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(salts)))
+      pmod(hash(hashableCols(fact): _*), lit(salts)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(broadcast(replicatedDim), Seq(key, "__salt")).drop("__salt")

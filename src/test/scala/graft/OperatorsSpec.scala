@@ -110,6 +110,19 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Seq(1L, 9L), s"kept=$kept")
   }
 
+  test("connectedComponents: empty pair list and string ids are handled") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+    val clean = Seq((7L, "distinct doc one"), (8L, "distinct doc two"))
+      .toDF("doc_id", "text")
+    // no near-dups -> transitive removal returns the corpus unchanged
+    assert(Dedup.removeNearDupsTransitive(clean, "doc_id", "text").count() == 2)
+    // string ids use the exact changed-row probe
+    val strPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(strPairs).as[(String, String)].collect().toMap
+    assert(Seq("a", "b", "c").forall(comp(_) == "a") && comp("x") == "x" && comp("y") == "x")
+  }
+
   test("connectedComponents: chains, cycles and disjoint pairs resolve to min-id clusters") {
     // component {1,2,3,4,5} via a chain with a cycle edge; {10,11}; {20,21,22}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L), // cycle

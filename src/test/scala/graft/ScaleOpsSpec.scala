@@ -34,6 +34,18 @@ class ScaleOpsSpec extends SparkSpec {
     for ((k, v) <- plain) assert(math.abs(salted(k) - v) < 1e-6, s"key $k: $v vs ${salted(k)}")
   }
 
+  test("skew: saltedSum works when the frame carries a map column") {
+    // hash() rejects MapType — the salt must derive from the map-free columns
+    val df = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "value", "map('k', props) AS m")
+    val plain = df.groupBy("event_type").agg(sum("value").as("total"))
+      .as[(String, Double)].collect().toMap
+    val salted = Skew.saltedSum(df, Seq("event_type"), col("value"))
+      .as[(String, Double)].collect().toMap
+    assert(plain.keySet == salted.keySet)
+    for ((k, v) <- plain) assert(math.abs(salted(k) - v) < 1e-6)
+  }
+
   test("skew: saltedBroadcastLeft equals the plain broadcast join") {
     val fact = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val dim = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
