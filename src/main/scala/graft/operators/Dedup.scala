@@ -206,8 +206,13 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist(lvl)
+    // seed with min(self, direct neighbors): same cost as the identity
+    // init's distinct (one grouped pass over edges) but already one
+    // propagation hop ahead, saving a full iteration on most graphs
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min("dst").as("__mn"))
+      .select(col("id"), least(col("__mn"), col("id")).as("component"))
+      .persist(lvl)
     // convergence probe: labels only ever decrease elementwise, so for
     // numeric ids the label sum strictly decreases iff any label changed —
     // one aggregate per round instead of a join+count (sum of n ids fits a
