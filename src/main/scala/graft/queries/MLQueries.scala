@@ -127,6 +127,32 @@ object MLQueries {
           round(col("pred_111_333"), 4).as("pred_111_333"))
     },
 
+    // M5: Word2Vec embedding lookup table (the reference's word->vector map,
+    // chapter2/PredictCommentsUsingRNNAndWord2Vec.java:55) trained on the
+    // fixture corpus. Partitioned fit (hogwild-style parameter mixing — the
+    // scale posture; exact vector values vary run to run, which is why this
+    // is a rows-only entry probing the lookup-table SHAPE: vocab rows, dim,
+    // and the top-token synonym list length).
+    QueryDef.rowsOnly("m5_word2vec_table") { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val toks = Tables.documents(s, d)
+        .select(graft.functions.TextFunctions.tokenize(col("text")).as("tokens"))
+      val model = new org.apache.spark.ml.feature.Word2Vec()
+        .setInputCol("tokens").setOutputCol("vec")
+        .setVectorSize(16).setMinCount(5).setSeed(42).setMaxIter(1)
+        .setNumPartitions(4)
+        .fit(toks)
+      val top = Tables.documents(s, d)
+        .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(1)
+        .as[(String, Long)].head()._1
+      model.findSynonyms(top, 5)
+        .select(lit(top).as("query"), col("word"), round(col("similarity"), 3).as("sim"))
+        .withColumn("vocab_rows", lit(model.getVectors.count()))
+        .withColumn("dim", lit(16L))
+    },
+
     // M2: anomaly scoring — PCA reconstruction error feeding the W1
     // top-k ranking (chapter3/MNISTAnomalyDetector.java:91-109,184-217).
     QueryDef.rowsOnly("m2_pca_anomaly") { (s, d) =>
