@@ -39,7 +39,8 @@ object Demo {
     kept.groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
       .orderBy("lang_pred").show()
-    val packed = kept.withColumn("lang", col("lang_pred")).packed(budget = 2048)
+    val packed = kept.withColumn("lang", col("lang_pred"))
+      .packed(budget = 2048, nTokensCol = Some("n_tokens")) // reuse step-1 counts
     println(s"packed into ${packed.agg(countDistinct("lang", "chunk")).head().getLong(0)} chunks")
 
     // 4. similarity search over embeddings (exact + IVF ANN)

@@ -47,15 +47,21 @@ package object api {
 
     /** Sequence packing (E8): assign docs to fixed token-budget chunks per
       * `partitionCol` in `orderCol` order; adds `n_tokens` and `chunk`.
+      * Pass `nTokensCol` to reuse an already-computed token count instead
+      * of re-tokenizing the corpus.
       */
     def packed(budget: Int, partitionCol: String = "lang",
-               orderCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+               orderCol: String = "doc_id", textCol: String = "text",
+               nTokensCol: Option[String] = None): DataFrame = {
       val w = Window.partitionBy(partitionCol).orderBy(orderCol)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.withColumn("n_tokens",
+      val counted = nTokensCol match {
+        case Some(c) => df.withColumn("n_tokens", col(c).cast("long"))
+        case None => df.withColumn("n_tokens",
           size(functions.TextFunctions.tokenize(col(textCol))).cast("long"))
-        .withColumn("chunk",
-          floor((sum("n_tokens").over(w) - col("n_tokens")) / budget).cast("long"))
+      }
+      counted.withColumn("chunk",
+        floor((sum("n_tokens").over(w) - col("n_tokens")) / budget).cast("long"))
     }
   }
 

@@ -59,11 +59,13 @@ object Dedup {
       .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), n))).as("sh"))
 
-  /** MinHash signatures: one row per doc with columns mh0..mh{numHashes-1}.
-    * One shuffle (groupBy doc_id) with map-side partial mins. The md5-based
-    * base hash is projected ONCE before the aggregate — as an aggregate
-    * input it would be re-evaluated per min() expression, multiplying the
-    * dominant md5 cost by numHashes.
+  /** MinHash signatures: one row per doc with columns mh0..mh{numHashes-1}
+    * plus `n_sh`, the doc's distinct-shingle count (free here since the
+    * input is distinct (doc, sh) pairs; downstream Jaccard uses it without
+    * re-aggregating the shingle table). One shuffle (groupBy doc_id) with
+    * map-side partial mins. The md5-based base hash is projected ONCE
+    * before the aggregate — as an aggregate input it would be re-evaluated
+    * per min() expression, multiplying the dominant md5 cost by numHashes.
     */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 16): DataFrame = {
     val hashed = shingleSets.select(col("doc_id"), hash32(col("sh")).as("__h"))
@@ -143,7 +145,10 @@ object Dedup {
     // the shingle set feeds 3 consumers (signatures, both jaccard sides)
     // and the candidate set feeds 2 (doc filter, pair join) — persist both
     // so each pipeline stage computes exactly once; per-doc sizes ride the
-    // signature aggregate instead of re-scanning the shingle table
+    // signature aggregate instead of re-scanning the shingle table. The
+    // persists back the RETURNED lazy frame, so they stay cached until the
+    // caller finishes consuming it (unpersist via spark.catalog.clearCache()
+    // or job end — the Verify/Bench harnesses clear between queries)
     val sh = shingleSet(corpus, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, numHashes)
@@ -214,22 +219,22 @@ object Dedup {
       .select(col("id"), least(col("__mn"), col("id")).as("component"))
       .persist(lvl)
     // convergence probe: labels only ever decrease elementwise, so for
-    // numeric ids the label sum strictly decreases iff any label changed —
-    // one aggregate per round instead of a join+count (sum of n ids fits a
-    // long to ~1e9 nodes of 1e9-scale ids). Non-numeric ids fall back to
-    // the exact changed-row join. Empty inputs read as sum NULL -> 0.
-    // integral only: a fractional id could change below the cast-to-long
-    // resolution and leave the probe's sum unchanged
+    // integral ids the label sum strictly decreases iff any label changed —
+    // one aggregate per round instead of a join+count. The sum accumulates
+    // in DECIMAL(38,0): exact for any count of full-range 64-bit ids, so a
+    // wrap-around false-convergence cannot occur. Non-integral ids fall
+    // back to the exact changed-row join. Empty inputs read as NULL -> 0.
     val numericIds = labels.schema("component").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("component").cast("long"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("component")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
-    var prevSum = if (numericIds) labelSum(labels) else 0L
+    var prevSum = if (numericIds) labelSum(labels) else java.math.BigDecimal.ZERO
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -242,7 +247,7 @@ object Dedup {
         .persist(lvl)
       if (numericIds) {
         val nextSum = labelSum(next)
-        converged = nextSum == prevSum
+        converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         labels.unpersist()
       } else {

@@ -39,14 +39,18 @@ object Skew {
     * The salt is derived from row content (hash of every map-free column),
     * never from spark_partition_id/monotonically_increasing_id:
     * nondeterministic salts recomputed on task retry could disagree with
-    * partials already fetched (the SPARK-23207 class of bug). Identical
-    * rows share a salt — a hot key whose rows are byte-identical would
-    * re-skew, so callers in that regime must include a stable row id in
-    * `df` (it feeds the salt automatically).
+    * partials already fetched (the SPARK-23207 class of bug).
+    *
+    * Deterministic salting needs a high-entropy deterministic source: if
+    * the hot key's rows have low content entropy (tiny value domains,
+    * byte-identical or near-identical rows), the content hash concentrates
+    * on few salts and the mitigation silently degrades — pass the table's
+    * stable row id as `saltSource` in that regime.
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
-                salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(hashableCols(df): _*), lit(salts)))
+                salts: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    val src = saltSource.map(c => hash(c)).getOrElse(hash(hashableCols(df): _*))
+    val salted = df.withColumn("__salt", pmod(src, lit(salts)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__partial"))
@@ -54,13 +58,15 @@ object Skew {
   }
 
   /** Join a skewed fact to a small dim with explicit salt replication:
-    * fact rows get a random-ish salt, the (broadcast) dim is exploded over
-    * all salts, and the join key becomes (key, salt).
+    * fact rows get a deterministic content-derived salt, the (broadcast)
+    * dim is exploded over all salts, and the join key becomes (key, salt).
+    * Same low-entropy caveat as [[saltedSum]] — pass `saltSource` (a stable
+    * row id) when the hot key's rows are near-identical.
     */
   def saltedBroadcastLeft(fact: DataFrame, dim: DataFrame, key: String,
-                          salts: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(hash(hashableCols(fact): _*), lit(salts)))
+                          salts: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    val src = saltSource.map(c => hash(c)).getOrElse(hash(hashableCols(fact): _*))
+    val saltedFact = fact.withColumn("__salt", pmod(src, lit(salts)))
     val replicatedDim = dim.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     saltedFact.join(broadcast(replicatedDim), Seq(key, "__salt")).drop("__salt")

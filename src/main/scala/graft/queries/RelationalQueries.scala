@@ -695,9 +695,12 @@ object RelationalQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
       val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
-      val cust = broadcast(Tables.customer(s, d)
+      // no broadcast hint on customer: it is SF-proportional, so at scale
+      // this join must be free to shuffle — AQE broadcasts it at small SF
+      // on its own
+      val cust = Tables.customer(s, d)
         .join(nat, col("c_nationkey") === col("n_nationkey"))
-        .select("c_custkey", "c_name", "n_name"))
+        .select("c_custkey", "c_name", "n_name")
       val ord = Tables.orders(s, d)
         .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
