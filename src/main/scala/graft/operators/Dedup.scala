@@ -172,6 +172,34 @@ object Dedup {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
+    * md5 fingerprint) or near-duplicate (MinHash-LSH vs the union corpus)
+    * any EXISTING document — the continual-ingest shape, where yesterday's
+    * corpus is already clean and only the new batch needs vetting. Exact
+    * phase is a fingerprint anti-join (shuffles digests, not documents);
+    * near phase reuses [[nearDupPairs]] over existing+batch but keeps only
+    * pairs that cross the boundary or live inside the batch, so existing
+    * docs are never re-deduped against each other.
+    *
+    * Ids of `existing` and `batch` must be disjoint, with batch ids sorting
+    * AFTER existing ids (so the keep-min convention preserves existing docs).
+    */
+  def dedupIncremental(existing: DataFrame, batch: DataFrame, idCol: String,
+                       textCol: String, threshold: Double = 0.5): DataFrame = {
+    val exFp = existing.select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
+    val fresh = batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .join(exFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val union = existing.select(col(idCol), col(textCol))
+      .union(fresh.select(col(idCol), col(textCol)))
+    val batchIds = fresh.select(col(idCol).as("b_id"))
+    val drop = nearDupPairs(union, idCol, textCol, threshold)
+      .join(batchIds, Seq("b_id"), "left_semi") // only batch rows can drop
+      .select(col("b_id").as(idCol)).distinct()
+    fresh.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** E2: transitive near-dup removal — detect pairs, resolve transitive
     * clusters via [[connectedComponents]], and keep exactly the minimal-id
     * member of every cluster. Stricter than [[removeNearDups]] (which drops

@@ -322,6 +322,46 @@ object TextQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // E5f: quantile quality gate — keep each language's top-half documents
+    // by heuristic quality score (the relative-threshold variant of the e7
+    // absolute gate; real pipelines budget per language, not globally).
+    // One window pass per language; rank ties broken by doc_id so the cut
+    // is deterministic.
+    QueryDef.sql(
+      "e5_quality_gate",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |         round(CAST(0.4 AS DOUBLE) * (CASE WHEN len($duckToks) > 0
+         |                 THEN CAST(len(list_filter($duckToks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) AS DOUBLE) / len($duckToks)
+         |                 ELSE CAST(0.0 AS DOUBLE) END)
+         |               + CAST(0.3 AS DOUBLE) * least(CAST(len($duckToks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - (CASE WHEN length(text) > 0
+         |                 THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
+         |                 ELSE CAST(0.0 AS DOUBLE) END)), 6) AS quality
+         |  FROM documents
+         |),
+         |ranked AS (
+         |  SELECT doc_id, lang, quality,
+         |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM scored
+         |)
+         |SELECT doc_id, lang, quality FROM ranked
+         |WHERE rn * 2 <= n_lang ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          round(qualityScore(col("text"), toks), 6).as("quality"))
+      val wRank = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+      val wAll = Window.partitionBy("lang")
+      scored
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_lang", count(lit(1)).over(wAll))
+        .where(col("rn") * 2 <= col("n_lang"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    },
+
     // E5e: PII-style redaction — scrub synthetic emails and long digit runs
     // with portable regexes (same pattern dialect in both engines), then
     // fingerprint the redacted text so the oracle compares outcomes without

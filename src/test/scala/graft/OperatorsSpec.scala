@@ -96,6 +96,19 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, None)))
   }
 
+  test("dedupIncremental vets only the new batch against the existing corpus") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val existing = Seq((1L, base), (2L, "some other existing document body here with words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base),                                  // exact dup of doc 1 -> dropped
+      (101L, base + "lambda mu nu"),                 // near-dup of doc 1 -> dropped
+      (102L, "a genuinely new document about entirely different topics altogether")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(existing, batch, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(102L), s"kept=$kept")
+  }
+
   test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
     // A and C share no 3-shingles directly but both overlap B heavily; the
     // transitive variant must keep only A, the pairwise variant keeps A
