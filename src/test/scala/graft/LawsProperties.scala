@@ -74,6 +74,32 @@ object LawsProperties extends Properties("graft.laws") {
       math.abs(r.getDouble(0) - 1.0) < 1e-9 && r.getDouble(0) == r.getDouble(1)
     }
 
+  property("connectedComponents is idempotent: re-clustering the star edges is a fixpoint") =
+    Prop.forAll(Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))).suchThat(_.exists(p => p._1 != p._2))) { pairs =>
+      val df = pairs.filter(p => p._1 != p._2).toDF("a_id", "b_id")
+      val comp = graft.operators.Dedup.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      // star edges (id -> component) re-clustered give the same assignment
+      val star = comp.toSeq.filter { case (id, c) => id != c }
+      star.isEmpty || {
+        val again = graft.operators.Dedup.connectedComponents(star.toDF("a_id", "b_id"))
+          .as[(Long, Long)].collect().toMap
+        star.forall { case (id, c) => again(id) == c && again.getOrElse(c, c) == c }
+      }
+    }
+
+  property("redaction fixpoint: redacting already-redacted text changes nothing") =
+    Prop.forAll(Gen.listOfN(4, Gen.asciiPrintableStr)) { texts =>
+      def redact(c: org.apache.spark.sql.Column) = regexp_replace(
+        regexp_replace(c, "[a-zA-Z0-9.%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"), "[0-9]{6,}", "<NUM>")
+      val rows = texts.map(t => s"$t contact x$t@y.com ref 12345678").toDF("text")
+        .select(redact(col("text")).as("once"))
+        .select(col("once"), redact(col("once")).as("twice"))
+        .as[(String, String)].collect()
+      rows.forall { case (a, b) => a == b }
+    }
+
   property("exactDedup output has unique keys and only input rows") =
     Prop.forAll(rowsGen) { rows =>
       val df = rows.toDF("x", "s")
