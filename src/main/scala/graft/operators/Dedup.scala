@@ -173,30 +173,52 @@ object Dedup {
   }
 
   /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
-    * md5 fingerprint) or near-duplicate (MinHash-LSH vs the union corpus)
-    * any EXISTING document — the continual-ingest shape, where yesterday's
-    * corpus is already clean and only the new batch needs vetting. Exact
-    * phase is a fingerprint anti-join (shuffles digests, not documents);
-    * near phase reuses [[nearDupPairs]] over existing+batch but keeps only
-    * pairs that cross the boundary or live inside the batch, so existing
-    * docs are never re-deduped against each other.
-    *
-    * Ids of `existing` and `batch` must be disjoint, with batch ids sorting
-    * AFTER existing ids (so the keep-min convention preserves existing docs).
+    * md5 fingerprint) or near-duplicate (MinHash-LSH) any EXISTING document
+    * or an earlier batch document — the continual-ingest shape, where
+    * yesterday's corpus is already clean and only the new batch needs
+    * vetting. Phases:
+    *  1. batch-internal exact dedup (fingerprint-keyed, keep-min) — catches
+    *     identical short docs the shingle phase cannot see;
+    *  2. fingerprint anti-join against existing (digests shuffle, not
+    *     documents);
+    *  3. MinHash candidates over existing+batch, FILTERED to pairs touching
+    *     a batch doc BEFORE exact-Jaccard verification, so verification
+    *     cost scales with the batch, not with existing-x-existing
+    *     collisions. A batch doc paired with an existing doc is dropped
+    *     regardless of id orientation; of a batch-batch pair the larger id
+    *     drops. Ids of the two frames must be disjoint.
     */
   def dedupIncremental(existing: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, threshold: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exFp = existing.select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
-    val fresh = batch
+    // feeds the union, the batch-flag table and the final anti-join —
+    // persist or the whole exact phase re-runs per consumer
+    val fresh = exactDedupByFingerprint(batch, textCol, idCol)
       .withColumn("__fp", md5(col(textCol).cast("binary")))
       .join(exFp, Seq("__fp"), "left_anti")
       .drop("__fp")
+      .persist(lvl)
     val union = existing.select(col(idCol), col(textCol))
       .union(fresh.select(col(idCol), col(textCol)))
-    val batchIds = fresh.select(col(idCol).as("b_id"))
-    val drop = nearDupPairs(union, idCol, textCol, threshold)
-      .join(batchIds, Seq("b_id"), "left_semi") // only batch rows can drop
-      .select(col("b_id").as(idCol)).distinct()
+    val sh = shingleSet(union, idCol, textCol).persist(lvl)
+    val sig = minhashSignatures(sh).persist(lvl)
+    val isBatch = fresh.select(col(idCol).as("__bid"), lit(true).as("__in_batch"))
+    val cand = candidatePairs(bands(sig))
+      .join(isBatch.select(col("__bid").as("a_id"), col("__in_batch").as("__a_b")), Seq("a_id"), "left")
+      .join(isBatch.select(col("__bid").as("b_id"), col("__in_batch").as("__b_b")), Seq("b_id"), "left")
+      .where(coalesce(col("__a_b"), lit(false)) || coalesce(col("__b_b"), lit(false)))
+      .persist(lvl)
+    val verified = exactJaccard(cand.select("a_id", "b_id"), sh,
+      sizes = Some(sig.select("doc_id", "n_sh")))
+      .where(col("jaccard") >= threshold)
+    // drop the batch-side member: cross pairs drop their batch doc in
+    // either orientation; batch-batch pairs (a_id < b_id) drop the larger
+    val drop = verified
+      .join(cand.select("a_id", "b_id", "__a_b", "__b_b"), Seq("a_id", "b_id"))
+      .select(when(coalesce(col("__a_b"), lit(false)) && !coalesce(col("__b_b"), lit(false)),
+        col("a_id")).otherwise(col("b_id")).as(idCol))
+      .distinct()
     fresh.join(drop, Seq(idCol), "left_anti")
   }
 

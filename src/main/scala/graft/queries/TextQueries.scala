@@ -28,6 +28,26 @@ object TextQueries {
   private val duckTokenStream =
     s"SELECT doc_id, unnest($duckToks) AS token FROM documents"
 
+  /** Single-sourced DuckDB twins of TextFunctions.punctRatio /
+    * stopwordRatio / qualityScore, shared by every oracle that scores
+    * quality (a second hand-maintained copy of the formula could silently
+    * desync from the Spark side).
+    */
+  private val duckStops = "['the','a','of','to','and','in','is','it','for','on']"
+  private def duckPunctRatio(text: String): String =
+    s"""CASE WHEN length($text) > 0
+       |     THEN CAST(length(regexp_replace(lower($text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length($text)
+       |     ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+  private def duckStopRatio(toks: String): String =
+    s"""CASE WHEN len($toks) > 0
+       |     THEN CAST(len(list_filter($toks, t -> list_contains($duckStops, t))) AS DOUBLE) / len($toks)
+       |     ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+  /** Quality from precomputed stop_ratio / n_tokens / punct_ratio columns. */
+  private def duckQuality(stopRatio: String, nTokens: String, punctRatio: String): String =
+    s"""CAST(0.4 AS DOUBLE) * $stopRatio
+       |             + CAST(0.3 AS DOUBLE) * least(CAST($nTokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+       |             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - $punctRatio)""".stripMargin
+
   private def tokensDF(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), explode(tokenize(col("text"))).as("token"))
 
@@ -168,20 +188,14 @@ object TextQueries {
          |  SELECT doc_id,
          |         len(toks) AS n_tokens,
          |         length(text) AS n_chars,
-         |         CASE WHEN length(text) > 0
-         |              THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
-         |         CASE WHEN len(toks) > 0
-         |              THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) AS DOUBLE) / len(toks)
-         |              ELSE CAST(0.0 AS DOUBLE) END AS stop_ratio,
+         |         ${duckPunctRatio("text")} AS punct_ratio,
+         |         ${duckStopRatio("toks")} AS stop_ratio,
          |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
          |  FROM base
          |)
          |SELECT doc_id, n_tokens, n_chars, bpe_tokens,
          |       round(punct_ratio, 6) AS punct_ratio, round(stop_ratio, 6) AS stop_ratio,
-         |       round(CAST(0.4 AS DOUBLE) * stop_ratio
-         |             + CAST(0.3 AS DOUBLE) * least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-         |             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio), 6) AS quality
+         |       round(${duckQuality("stop_ratio", "n_tokens", "punct_ratio")}, 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toks = tokenize(col("text"))
       Tables.documents(s, d)
@@ -329,16 +343,13 @@ object TextQueries {
     // is deterministic.
     QueryDef.sql(
       "e5_quality_gate",
-      s"""WITH scored AS (
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, $duckToks AS toks FROM documents
+         |),
+         |scored AS (
          |  SELECT doc_id, lang,
-         |         round(CAST(0.4 AS DOUBLE) * (CASE WHEN len($duckToks) > 0
-         |                 THEN CAST(len(list_filter($duckToks, t -> list_contains(['the','a','of','to','and','in','is','it','for','on'], t))) AS DOUBLE) / len($duckToks)
-         |                 ELSE CAST(0.0 AS DOUBLE) END)
-         |               + CAST(0.3 AS DOUBLE) * least(CAST(len($duckToks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-         |               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - (CASE WHEN length(text) > 0
-         |                 THEN CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)
-         |                 ELSE CAST(0.0 AS DOUBLE) END)), 6) AS quality
-         |  FROM documents
+         |         round(${duckQuality(duckStopRatio("toks"), "len(toks)", duckPunctRatio("text"))}, 6) AS quality
+         |  FROM base
          |),
          |ranked AS (
          |  SELECT doc_id, lang, quality,

@@ -107,6 +107,21 @@ class OperatorsSpec extends SparkSpec {
     val kept = Dedup.dedupIncremental(existing, batch, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(102L), s"kept=$kept")
+
+    // orientation robustness: batch ids sort BEFORE existing ids — the
+    // batch near-dup must still drop (cross pairs drop the batch side in
+    // either orientation)
+    val existingHi = Seq((500L, base)).toDF("doc_id", "text")
+    val batchLo = Seq((1L, base + "lambda mu nu"), (2L, "fresh unique content words")).toDF("doc_id", "text")
+    val keptLo = Dedup.dedupIncremental(existingHi, batchLo, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptLo == Seq(2L), s"keptLo=$keptLo")
+
+    // batch-internal exact dups of SHORT docs (no 3-shingles) still dedup
+    val shortBatch = Seq((200L, "hi there"), (201L, "hi there")).toDF("doc_id", "text")
+    val keptShort = Dedup.dedupIncremental(existing, shortBatch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptShort == Seq(200L), s"keptShort=$keptShort")
   }
 
   test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
