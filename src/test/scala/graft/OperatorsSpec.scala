@@ -122,6 +122,13 @@ class OperatorsSpec extends SparkSpec {
     val keptShort = Dedup.dedupIncremental(existing, shortBatch, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keptShort == Seq(200L), s"keptShort=$keptShort")
+
+    // the stored signature-index path returns the same answer as inline
+    val idx = Dedup.signatureIndex(existing, "doc_id", "text")
+    val keptIdx = Dedup.dedupIncremental(existing, batch, "doc_id", "text",
+      threshold = 0.5, existingIndex = Some(idx))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIdx == kept, s"index path diverged: $keptIdx vs $kept")
   }
 
   test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
