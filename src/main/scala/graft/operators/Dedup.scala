@@ -179,9 +179,13 @@ object Dedup {
     */
   def signatureIndex(corpus: DataFrame, idCol: String, textCol: String,
                      numHashes: Int = 16): DataFrame =
-    minhashSignatures(shingleSet(corpus, idCol, textCol), numHashes)
-      .join(corpus.select(col(idCol).as("doc_id"),
-        md5(col(textCol).cast("binary")).as("fp")), "doc_id")
+    // LEFT join from the fingerprints: a doc too short to shingle (under n
+    // tokens) still carries its exact fingerprint in the index — only its
+    // mh*/n_sh columns are null
+    corpus.select(col(idCol).as("doc_id"),
+        md5(col(textCol).cast("binary")).as("fp"))
+      .join(minhashSignatures(shingleSet(corpus, idCol, textCol), numHashes),
+        Seq("doc_id"), "left")
 
   /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
     * md5 fingerprint) or near-duplicate (MinHash-LSH) any EXISTING document
@@ -211,9 +215,11 @@ object Dedup {
     */
   def dedupIncremental(existing: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, threshold: Double = 0.5,
-                       existingIndex: Option[DataFrame] = None): DataFrame = {
+                       existingIndex: Option[DataFrame] = None,
+                       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val index = existingIndex.getOrElse(signatureIndex(existing, idCol, textCol))
+    val index = existingIndex
+      .getOrElse(signatureIndex(existing, idCol, textCol, numHashes))
       .persist(lvl)
     // feeds the signature build, the batch-flag table and the final
     // anti-join — persist or the whole exact phase re-runs per consumer
@@ -223,15 +229,17 @@ object Dedup {
       .drop("__fp")
       .persist(lvl)
     val batchSh = shingleSet(fresh, idCol, textCol).persist(lvl)
-    val batchSig = minhashSignatures(batchSh).persist(lvl)
-    val allSig = index.drop("fp").unionByName(batchSig)
+    val batchSig = minhashSignatures(batchSh, numHashes).persist(lvl)
+    // shingle-less index rows (null signature) carry only a fingerprint —
+    // they cannot near-dup and must not enter the band tables
+    val allSig = index.drop("fp").where(col("mh0").isNotNull).unionByName(batchSig)
     val isBatch = fresh.select(col(idCol).as("__bid"), lit(true).as("__in_batch"))
     // candidates: BATCH bands probe the full band table — existing docs
     // never band-join each other, so this stage is batch x collisions, not
     // corpus x corpus
-    val batchBands = bands(batchSig)
+    val batchBands = bands(batchSig, numHashes, rowsPerBand)
       .select(col("band"), col("key"), col("doc_id").as("q_id"))
-    val allBands = bands(allSig)
+    val allBands = bands(allSig, numHashes, rowsPerBand)
       .select(col("band"), col("key"), col("doc_id").as("c_id"))
     val cand = batchBands.join(allBands, Seq("band", "key"))
       .where(col("q_id") =!= col("c_id"))

@@ -123,6 +123,15 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keptShort == Seq(200L), s"keptShort=$keptShort")
 
+    // a short batch doc exactly duplicating a short EXISTING doc is caught
+    // too: the signature index keeps fingerprints of shingle-less docs
+    val shortExisting = Seq((50L, "hi there"), (51L, "unrelated long document body of many words")).toDF("doc_id", "text")
+    val keptCross = Dedup.dedupIncremental(shortExisting,
+      Seq((300L, "hi there"), (301L, "brand new words nobody wrote before today")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptCross == Seq(301L), s"keptCross=$keptCross")
+
     // the stored signature-index path returns the same answer as inline
     val idx = Dedup.signatureIndex(existing, "doc_id", "text")
     val keptIdx = Dedup.dedupIncremental(existing, batch, "doc_id", "text",
