@@ -187,6 +187,28 @@ object Dedup {
       .join(minhashSignatures(shingleSet(corpus, idCol, textCol), numHashes),
         Seq("doc_id"), "left")
 
+  /** Storable LSH band table of a [[signatureIndex]]: one row per
+    * (bkey, doc_id), where `bkey = "band:key"` is a single composite
+    * bucket column. Persist with [[writeBandIndex]] (bucketed BY bkey) and
+    * hand the read-back table to [[dedupIncremental]] — a batch probe then
+    * prunes its scan to the buckets the batch's own bands touch, instead of
+    * re-emitting and scanning every stored doc's bands per ingest.
+    * Shingle-less index rows (null signature) carry no bands, matching the
+    * inline path.
+    */
+  def bandIndexTable(index: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bands(index.where(col("mh0").isNotNull), numHashes, rowsPerBand)
+      .select(concat_ws(":", col("band"), col("key")).as("bkey"), col("doc_id"))
+
+  /** Persist the band table of `index` as a parquet table bucketed+sorted
+    * by `bkey`; read back with `spark.table(table)`. Bucketing is what buys
+    * the probe-side scan pruning AND a shuffle-free join on bkey.
+    */
+  def writeBandIndex(index: DataFrame, table: String, buckets: Int = 64,
+                     numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    graft.sources.Sink.writeBucketed(
+      bandIndexTable(index, numHashes, rowsPerBand), table, "bkey", buckets)
+
   /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
     * md5 fingerprint) or near-duplicate (MinHash-LSH) any EXISTING document
     * or an earlier batch document — the continual-ingest shape, where
@@ -205,18 +227,33 @@ object Dedup {
     *     regardless of id orientation; of a batch-batch pair the larger id
     *     drops. Ids of the two frames must be disjoint.
     *
-    * Next step at extreme scale: persist the BAND table alongside the
-    * index, bucketed by (band, key) — the candidate join then reads only
-    * the buckets the batch's bands touch and shuffles nothing. Measured at
-    * sf0.1 (template-heavy fixture corpus, worst case for collision count):
-    * index build 5.8 s one-time, 50-doc batch vetted in ~12 s, with the
-    * cost concentrated in re-shingling collided existing docs — a term that
-    * scales with the batch's collision count, not the corpus.
+    * At extreme scale pass `bandIndex` = the stored [[writeBandIndex]]
+    * table (built from the SAME `existingIndex`, numHashes and rowsPerBand):
+    * phase 3 then probes only the buckets the batch's bands touch — the
+    * batch's distinct bucket keys become an IN filter on the bucket column
+    * (bucket pruning cuts the scan) and the batch side broadcasts, so the
+    * stored band table is never shuffled OR fully scanned. Without it, the
+    * band table of the whole index is re-emitted per batch — an O(corpus)
+    * pass per ingest that the stored variant exists to remove.
+    *
+    * Measured at sf0.1 (template-heavy fixture corpus, worst case for
+    * collision count): index build 5.8 s one-time, 50-doc batch vetted in
+    * ~12 s, with the cost concentrated in re-shingling collided existing
+    * docs — a term that scales with the batch's collision count, not the
+    * corpus.
+    *
+    * @param maxProbeKeys largest batch bucket-key count still pushed down
+    *        as an IN filter (the key list is collected to the driver —
+    *        bounded by batch x numBands, so this caps driver memory);
+    *        above it the probe is a plain join against the bucketed table,
+    *        which still avoids a stored-side exchange but scans all buckets
     */
   def dedupIncremental(existing: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, threshold: Double = 0.5,
                        existingIndex: Option[DataFrame] = None,
-                       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                       numHashes: Int = 16, rowsPerBand: Int = 4,
+                       bandIndex: Option[DataFrame] = None,
+                       maxProbeKeys: Int = 50000): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val index = existingIndex
       .getOrElse(signatureIndex(existing, idCol, textCol, numHashes))
@@ -234,14 +271,39 @@ object Dedup {
     // they cannot near-dup and must not enter the band tables
     val allSig = index.drop("fp").where(col("mh0").isNotNull).unionByName(batchSig)
     val isBatch = fresh.select(col(idCol).as("__bid"), lit(true).as("__in_batch"))
-    // candidates: BATCH bands probe the full band table — existing docs
-    // never band-join each other, so this stage is batch x collisions, not
+    // candidates: BATCH bands probe the band table — existing docs never
+    // band-join each other, so this stage is batch x collisions, not
     // corpus x corpus
-    val batchBands = bands(batchSig, numHashes, rowsPerBand)
-      .select(col("band"), col("key"), col("doc_id").as("q_id"))
-    val allBands = bands(allSig, numHashes, rowsPerBand)
-      .select(col("band"), col("key"), col("doc_id").as("c_id"))
-    val cand = batchBands.join(allBands, Seq("band", "key"))
+    val rawCand = bandIndex match {
+      case Some(stored) =>
+        // stored-band probe: batch buckets -> IN filter (bucket pruning) +
+        // broadcast batch side (stored table neither shuffles nor fully
+        // scans); batch-batch pairs come from a tiny self-join
+        val batchB = bands(batchSig, numHashes, rowsPerBand)
+          .select(concat_ws(":", col("band"), col("key")).as("bkey"),
+            col("doc_id").as("q_id"))
+          .persist(lvl)
+        val keys = batchB.select("bkey").distinct().limit(maxProbeKeys + 1)
+          .collect().map(_.getString(0)).toSeq
+        // a batch small enough to enumerate is small enough to broadcast;
+        // above the cap fall back to plain joins (AQE decides the strategy,
+        // the bucketed layout still spares the stored side its exchange)
+        val small = keys.size <= maxProbeKeys
+        val pruned =
+          if (small) stored.where(col("bkey").isin(keys: _*)) else stored
+        val batchC = batchB.select(col("bkey"), col("q_id").as("c_id"))
+        val cross = (if (small) broadcast(batchB) else batchB)
+          .join(pruned.select(col("bkey"), col("doc_id").as("c_id")), "bkey")
+        val self = batchB.join(if (small) broadcast(batchC) else batchC, "bkey")
+        cross.unionByName(self).select("q_id", "c_id")
+      case None =>
+        val batchBands = bands(batchSig, numHashes, rowsPerBand)
+          .select(col("band"), col("key"), col("doc_id").as("q_id"))
+        val allBands = bands(allSig, numHashes, rowsPerBand)
+          .select(col("band"), col("key"), col("doc_id").as("c_id"))
+        batchBands.join(allBands, Seq("band", "key")).select("q_id", "c_id")
+    }
+    val cand = rawCand
       .where(col("q_id") =!= col("c_id"))
       .select(least(col("q_id"), col("c_id")).as("a_id"),
         greatest(col("q_id"), col("c_id")).as("b_id"))

@@ -140,6 +140,47 @@ class OperatorsSpec extends SparkSpec {
     assert(keptIdx == kept, s"index path diverged: $keptIdx vs $kept")
   }
 
+  test("dedupIncremental stored band index: bucket-pruned probe, no stored-side shuffle, same survivors") {
+    val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val someText = existing.where(col("doc_id") === 7L).select("text").as[String].head()
+    val batch = Seq(
+      (900001L, someText),                               // exact dup -> dropped
+      (900002L, someText + " with a small appended tail"), // near-dup -> dropped
+      (900003L, "entirely novel words that no fixture document contains anywhere")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.signatureIndex(existing, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // fresh metastore entry + location (same hygiene as ScaleOpsSpec)
+    spark.sql("DROP TABLE IF EXISTS g_band_idx")
+    val loc = new java.io.File("/tmp/graft-warehouse", "g_band_idx")
+    if (loc.exists()) { import scala.reflect.io.Directory; new Directory(loc).deleteRecursively() }
+    Dedup.writeBandIndex(idx, "g_band_idx", buckets = 32)
+    val stored = spark.table("g_band_idx")
+
+    val inline = Dedup.dedupIncremental(existing, batch, "doc_id", "text",
+      existingIndex = Some(idx))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val probed = Dedup.dedupIncremental(existing, batch, "doc_id", "text",
+      existingIndex = Some(idx), bandIndex = Some(stored))
+    val probedKept = probed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probedKept == inline, s"stored-band path diverged: $probedKept vs $inline")
+    assert(probedKept == Seq(900003L), s"kept=$probedKept")
+
+    // the probe must READ only touched buckets (bucket pruning from the IN
+    // filter) and must never shuffle the stored band table
+    val plan = probed.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning on the stored band index:\n$plan")
+    val (selected, total) = (sel.get.group(1).toInt, sel.get.group(2).toInt)
+    assert(selected < total,
+      s"probe scanned every bucket ($selected of $total):\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(bkey"),
+      s"stored band table was shuffled:\n$plan")
+    idx.unpersist()
+  }
+
   test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
     // A and C share no 3-shingles directly but both overlap B heavily; the
     // transitive variant must keep only A, the pairwise variant keeps A
