@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Deterministic, engine-portable "randomness" (SURVEY §7.3 — the O2-O4
+  * sampling surface of chapter1/SparkRDDAPITest.scala:39 and
+  * chapter3/MNISTAnomalyDetector.java:71-76, made reproducible).
+  *
+  * Spark's rand(seed) / sample(seed) / randomSplit(seed) are per-partition
+  * pseudo-random streams: which rows land in the sample depends on the
+  * partition layout, so results change under repartitioning and cannot be
+  * replayed in another engine. These variants derive each row's fate from a
+  * portable md5 hash of its key plus a salt string instead — same rows in,
+  * same rows out, under any partitioning, on any engine with md5 (the
+  * DuckDB oracle replays them exactly). Selection is a plain per-row
+  * predicate: no shuffle, no RNG state, pushdown-friendly — the right
+  * sampling primitive at 100 TB, where a "seeded" sample that silently
+  * changes with file splits is a correctness bug.
+  *
+  * The trade: draws are keyed, so two rows with equal keys draw alike —
+  * callers must pass a unique key (every fixture table has one).
+  */
+object Sampling {
+
+  /** Portable per-row draw in [0, 2^32): hash32 of "key:salt". */
+  def drawOn(key: Column, salt: String): Column =
+    hash32(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Keep ~pct% of rows (0-100), deterministically by key. */
+  def hashSample(df: DataFrame, key: Column, salt: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0-100, got $pct")
+    df.where(drawOn(key, salt) % 100 < pct)
+  }
+
+  /** Stratified sample with per-stratum keep rates in permille (0-1000);
+    * strata absent from the map are dropped entirely (sampleBy semantics).
+    */
+  def hashStratifiedSample(df: DataFrame, key: Column, strata: Column,
+                           permille: Map[String, Int], salt: String): DataFrame = {
+    require(permille.values.forall(p => p >= 0 && p <= 1000),
+      "permille rates must be 0-1000")
+    val rate = permille.foldRight(lit(0): Column) { case ((s, p), acc) =>
+      when(strata === s, lit(p)).otherwise(acc)
+    }
+    df.where(drawOn(key, salt) % 1000 < rate)
+  }
+
+  /** Deterministic permutation: every row gets a global 1-based position
+    * ordered by its draw (key as tiebreak). Scale-safe total order via
+    * [[Ranking.stableRowNumber]] (range partition + zipWithIndex), never a
+    * single-partition window.
+    */
+  def hashShuffle(df: DataFrame, key: Column, salt: String,
+                  outCol: String = "pos"): DataFrame =
+    Ranking.stableRowNumber(df.withColumn("__draw", drawOn(key, salt)),
+      Seq(col("__draw"), key), outCol).drop("__draw")
+
+  /** 'train'/'test' split label with ~trainPct% train, deterministic by key
+    * — disjoint and exhaustive by construction (one draw decides).
+    */
+  def splitLabel(key: Column, salt: String, trainPct: Int): Column = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct must be 0-100, got $trainPct")
+    when(drawOn(key, salt) % 100 < trainPct, lit("train")).otherwise(lit("test"))
+  }
+}

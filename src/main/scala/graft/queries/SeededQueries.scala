@@ -1,50 +1,76 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.Sampling
 import graft.sources.Tables
 
-/** Seeded / nondeterministic operators (SURVEY O2-O4, F5, S4) — excluded
-  * from hash-matching per FIXTURES.md; the driver records rows-only checks
-  * and SeededOpsSpec asserts the structural properties (sizes, multiset
-  * equality, value bounds).
+/** Sampling / randomness operators (SURVEY O2-O4, F5, S4). O2-O4 use the
+  * hash-based deterministic draws of [[graft.operators.Sampling]] (SURVEY
+  * §7.3): partitioning-independent and md5-portable, so unlike Spark's
+  * per-partition rand(seed) streams they are fully DuckDB-replayable and
+  * hash-checked by the oracle. F5 (genuinely random columns) and S4
+  * (binary scan) stay rows-only; SeededOpsSpec asserts their structure.
   */
 object SeededQueries {
 
+  /** DuckDB twin of Sampling.drawOn — single-sourced here so the Spark and
+    * oracle formulas cannot desync.
+    */
+  private def duckDraw(keyExpr: String, salt: String): String =
+    s"CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || ':$salt'), 1, 8) AS BIGINT)"
+
   val defs: Seq[QueryDef] = Seq(
 
-    // O2: random sample without replacement (takeSample —
-    // chapter1/SparkRDDAPITest.scala:39).
-    QueryDef.rowsOnly("o2_sample_seeded") { (s, d) =>
-      Tables.customer(s, d).sample(withReplacement = false, 0.1, seed = 42)
+    // O2: ~10% sample without replacement (takeSample —
+    // chapter1/SparkRDDAPITest.scala:39), deterministic by key.
+    QueryDef.sql("o2_sample_seeded",
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE ${duckDraw("c_custkey", "o2s42")} % 100 < 10""".stripMargin) { (s, d) =>
+      Sampling.hashSample(Tables.customer(s, d), col("c_custkey"), "o2s42", 10)
         .select("c_custkey", "c_name")
     },
 
-    // O2b: stratified sample — per-class fractions (the class-balanced
-    // sampling a training-data pipeline uses; structural assertions in
-    // SeededOpsSpec).
-    QueryDef.rowsOnly("o2_stratified_sample") { (s, d) =>
-      Tables.customer(s, d).stat.sampleBy("c_mktsegment",
-        Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2, "AUTOMOBILE" -> 0.1), seed = 42L)
+    // O2b: stratified sample — per-class keep rates (the class-balanced
+    // sampling a training-data pipeline uses); unlisted strata drop.
+    QueryDef.sql("o2_stratified_sample",
+      s"""SELECT c_custkey, c_mktsegment FROM customer
+         |WHERE ${duckDraw("c_custkey", "o2b42")} % 1000 <
+         |  CASE c_mktsegment WHEN 'BUILDING' THEN 500 WHEN 'MACHINERY' THEN 200
+         |       WHEN 'AUTOMOBILE' THEN 100 ELSE 0 END""".stripMargin) { (s, d) =>
+      Sampling.hashStratifiedSample(Tables.customer(s, d), col("c_custkey"),
+        col("c_mktsegment"),
+        Map("BUILDING" -> 500, "MACHINERY" -> 200, "AUTOMOBILE" -> 100), "o2b42")
         .select("c_custkey", "c_mktsegment")
     },
 
-    // O3: seeded shuffle (Collections.shuffle seed 1244 —
-    // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:101).
-    QueryDef.rowsOnly("o3_shuffle_seeded") { (s, d) =>
-      Tables.customer(s, d).orderBy(rand(1244)).select("c_custkey", "c_mktsegment")
+    // O3: deterministic shuffle (Collections.shuffle seed 1244 —
+    // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:101): a
+    // reproducible permutation with an explicit position column, ranked by
+    // the scale-safe stableRowNumber (never a single-partition window).
+    QueryDef.sql("o3_shuffle_seeded",
+      s"""SELECT c_custkey, c_mktsegment,
+         |  row_number() OVER (ORDER BY ${duckDraw("c_custkey", "o3s1244")}, c_custkey) AS pos
+         |FROM customer""".stripMargin) { (s, d) =>
+      Sampling.hashShuffle(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("c_custkey"), "o3s1244", "pos")
     },
 
     // O4: train/test split (splitTestAndTrain 80/20 —
-    // chapter3/MNISTAnomalyDetector.java:71-76): emits the split sizes.
-    QueryDef.rowsOnly("o4_train_test_split") { (s, d) =>
-      val Array(train, test) = Tables.embeddings(s, d).randomSplit(Array(0.8, 0.2), seed = 42)
-      val spark = s
-      import spark.implicits._
-      Seq(("train", train.count()), ("test", test.count())).toDF("split", "n")
+    // chapter3/MNISTAnomalyDetector.java:71-76): one draw labels each row,
+    // so the split is disjoint+exhaustive by construction; emits the sizes.
+    QueryDef.sql("o4_train_test_split",
+      s"""SELECT CASE WHEN ${duckDraw("vec_id", "o4s42")} % 100 < 80
+         |            THEN 'train' ELSE 'test' END AS split, count(*) AS n
+         |FROM embeddings GROUP BY 1""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(Sampling.splitLabel(col("vec_id"), "o4s42", 80).as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
     },
 
     // F5: uniform/gaussian random columns (Nd4j.rand/randn — ND4JTest.java:32,37),
-    // range-scaled to [0, 3) like the regression generators.
+    // range-scaled to [0, 3) like the regression generators. Genuinely
+    // random by contract — stays rows-only (bounds/moments in SeededOpsSpec).
     QueryDef.rowsOnly("f5_random_columns") { (s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
         (rand(42) * 3.0).as("u"), randn(42).as("g"))

@@ -1,59 +1,76 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.operators.Sampling
 import graft.sources.Tables
 
-/** Structural assertions for the seeded operators (FIXTURES.md: excluded
-  * from hash-matching; sizes, multiset equality and value bounds instead).
+/** Structural assertions for the sampling operators. O2-O4 are the
+  * hash-deterministic variants (also oracle-checked); the decisive property
+  * tested here is PARTITIONING INVARIANCE — the thing Spark's per-partition
+  * rand(seed) streams do not give you. F5 stays genuinely random (bounds
+  * and moments only).
   */
 class SeededOpsSpec extends SparkSpec {
 
   import SharedSpark.spark.implicits._
 
-  test("O2: seeded sample is reproducible and close to the target fraction") {
+  test("O2: hash sample is partitioning-invariant and close to the target fraction") {
     val c = Tables.customer(spark, sfDir)
     val n = c.count()
-    val s1 = c.sample(false, 0.2, 42).select("c_custkey").as[Long].collect().sorted.toSeq
-    val s2 = c.sample(false, 0.2, 42).select("c_custkey").as[Long].collect().sorted.toSeq
-    assert(s1 == s2, "same seed must give the same sample")
-    assert(s1.size > n * 0.05 && s1.size < n * 0.5, s"sample size ${s1.size} of $n")
+    val s1 = Sampling.hashSample(c, col("c_custkey"), "o2s42", 10)
+      .select("c_custkey").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.hashSample(c.repartition(7), col("c_custkey"), "o2s42", 10)
+      .select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "sample must not depend on partition layout")
+    assert(s1.size > n * 0.03 && s1.size < n * 0.25, s"sample size ${s1.size} of $n")
     assert(s1.distinct.size == s1.size, "without replacement => no duplicates")
+    // a different salt draws a different sample
+    val other = Sampling.hashSample(c, col("c_custkey"), "other", 10)
+      .select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(other != s1, "independent salts must give independent draws")
   }
 
-  test("O3: seeded shuffle is a permutation (same multiset, same seed same order)") {
-    val c = Tables.customer(spark, sfDir).select("c_custkey")
-    val base = c.as[Long].collect().sorted.toSeq
-    val sh1 = c.orderBy(rand(1244)).as[Long].collect().toSeq
-    val sh2 = c.orderBy(rand(1244)).as[Long].collect().toSeq
-    assert(sh1.sorted == base, "shuffle must preserve the multiset")
-    assert(sh1 == sh2, "same seed must give the same order")
+  test("O3: hash shuffle is a dense 1..n permutation, stable under repartitioning") {
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment")
+    val base = c.select("c_custkey").as[Long].collect().sorted.toSeq
+    val sh1 = Sampling.hashShuffle(c, col("c_custkey"), "o3s1244")
+      .select("c_custkey", "pos").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    val sh2 = Sampling.hashShuffle(c.repartition(5), col("c_custkey"), "o3s1244")
+      .select("c_custkey", "pos").as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(sh1.map(_._1).sorted == base, "shuffle must preserve the multiset")
+    assert(sh1 == sh2, "same salt must give the same permutation under any layout")
+    assert(sh1.map(_._2) == (1L to base.size).toSeq, "positions must be dense 1..n")
+    assert(sh1.map(_._1) != base, "a shuffle should not be the identity order")
   }
 
-  test("O4: randomSplit partitions the dataset disjointly near 80/20") {
+  test("O4: split labels partition the dataset disjointly near 80/20") {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
-    val Array(train, test) = e.randomSplit(Array(0.8, 0.2), seed = 42)
-    val tr = train.select("vec_id").as[Long].collect().toSet
-    val te = test.select("vec_id").as[Long].collect().toSet
+    val labeled = e.select(col("vec_id"),
+      Sampling.splitLabel(col("vec_id"), "o4s42", 80).as("split"))
+    val tr = labeled.where(col("split") === "train").select("vec_id").as[Long].collect().toSet
+    val te = labeled.where(col("split") === "test").select("vec_id").as[Long].collect().toSet
     assert(tr.size + te.size == n, "split must cover every row exactly once")
     assert((tr & te).isEmpty, "splits must be disjoint")
-    assert(tr.size > n * 0.6 && tr.size < n * 0.95, s"train fraction ${tr.size.toDouble / n}")
+    assert(tr.size > n * 0.7 && tr.size < n * 0.9, s"train fraction ${tr.size.toDouble / n}")
   }
 
-  test("O2b: stratified sample respects per-stratum fractions and drops unlisted strata") {
+  test("O2b: stratified hash sample respects per-stratum rates and drops unlisted strata") {
     val c = Tables.customer(spark, sfDir)
-    val fractions = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2)
-    val sampled = c.stat.sampleBy("c_mktsegment", fractions, seed = 42L)
+    val permille = Map("BUILDING" -> 500, "MACHINERY" -> 200)
+    val sampled = Sampling.hashStratifiedSample(c, col("c_custkey"),
+      col("c_mktsegment"), permille, "o2b42")
     val bySeg = sampled.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
-    assert(bySeg.keySet.subsetOf(fractions.keySet), s"unlisted strata leaked: $bySeg")
+    assert(bySeg.keySet.subsetOf(permille.keySet), s"unlisted strata leaked: $bySeg")
     val totals = c.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
-    for ((seg, frac) <- fractions; n <- bySeg.get(seg)) {
-      val expected = totals(seg) * frac
+    for ((seg, pm) <- permille; n <- bySeg.get(seg)) {
+      val expected = totals(seg) * pm / 1000.0
       assert(n > expected * 0.3 && n < expected * 2.0,
-        s"$seg: sampled $n of ${totals(seg)} (target frac $frac)")
+        s"$seg: sampled $n of ${totals(seg)} (target $pm permille)")
     }
-    // reproducible under the same seed
-    val again = c.stat.sampleBy("c_mktsegment", fractions, seed = 42L)
+    // partitioning-invariant
+    val again = Sampling.hashStratifiedSample(c.repartition(9), col("c_custkey"),
+      col("c_mktsegment"), permille, "o2b42")
       .select("c_custkey").as[Long].collect().sorted.toSeq
     assert(again == sampled.select("c_custkey").as[Long].collect().sorted.toSeq)
   }
