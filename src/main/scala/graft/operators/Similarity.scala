@@ -98,21 +98,34 @@ object Similarity {
     * `nProbe` nearest cells and exact-reranks only those vectors. At 100 TB
     * the assignment is one broadcast-scored scan (centroids are tiny), the
     * probe join shuffles on cell id, and per-query work is corpus/nCells x
-    * nProbe. The quantizer fits on the full corpus here (fine at catalog
-    * scale); at 100 TB fit on a sample — assignment quality is insensitive.
+    * nProbe.
+    *
+    * @param fitSampleFraction fraction of the corpus the quantizer fits on
+    *        (deterministic hash sample, so the cells are reproducible).
+    *        At 100 TB pass ~0.001-0.01: a coarse quantizer only needs the
+    *        density shape, which a sample carries — recall comes from
+    *        nProbe, not centroid polish (gate held at 10% fit in
+    *        ScaleOpsSpec). Every corpus vector is still ASSIGNED to a cell;
+    *        only the fit is sampled.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              fitSampleFraction: Double = 1.0): DataFrame = {
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
     val feat = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     // a coarse quantizer only needs rough cells — recall comes from nProbe,
     // not centroid polish, so random init + few iterations suffice (the
-    // k-means|| init alone is several passes; at 100 TB the fit runs on a
-    // sample anyway)
+    // k-means|| init alone is several passes)
+    val fitInput =
+      if (fitSampleFraction >= 1.0) feat
+      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
+        math.round(fitSampleFraction * 1000000).toInt)
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(feat)
+      .setInitMode("random").fit(fitInput)
     val assigned = model.transform(feat)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("prediction").as("cell"))

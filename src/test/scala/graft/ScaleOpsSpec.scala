@@ -22,6 +22,15 @@ class ScaleOpsSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"IVF recall too low: $recall")
     info(f"IVF recall@5 = $recall%.2f")
+
+    // the 100 TB posture: quantizer fitted on a 10% hash-sample of the
+    // corpus must hold the same recall gate (cells only need the density
+    // shape; every vector is still assigned)
+    val ivfSampled = Similarity.ivfTopK(emb, q, 5, fitSampleFraction = 0.1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (exact & ivfSampled).size.toDouble / exact.size
+    assert(recallSampled >= 0.3, s"sampled-fit IVF recall too low: $recallSampled")
+    info(f"IVF recall@5 (10%% fit sample) = $recallSampled%.2f")
   }
 
   test("skew: saltedSum equals the plain grouped sum") {
