@@ -31,6 +31,7 @@ object Bench {
         fn(spark, sfDir).count()
         // queries persist/cache intermediates; drop them so 100+ sequential
         // queries don't accumulate blocks and skew later timings
+        graft.operators.Pinned.release()
         spark.catalog.clearCache()
         Some(name -> (System.nanoTime() - t0) / 1e9)
       } catch {

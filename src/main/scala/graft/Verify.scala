@@ -18,7 +18,10 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // per-query persists must not accumulate
+        // per-query persists must not accumulate: release the operator
+        // library's pinned intermediates, then drop any remaining cache
+        graft.operators.Pinned.release()
+        spark.catalog.clearCache()
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

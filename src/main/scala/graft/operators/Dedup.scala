@@ -147,14 +147,11 @@ object Dedup {
     // so each pipeline stage computes exactly once; per-doc sizes ride the
     // signature aggregate instead of re-scanning the shingle table. The
     // persists back the RETURNED lazy frame, so they stay cached until the
-    // caller finishes consuming it (unpersist via spark.catalog.clearCache()
-    // or job end — the Verify/Bench harnesses clear between queries)
-    val sh = shingleSet(corpus, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sh, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands(sig, numHashes, rowsPerBand))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // caller finishes consuming it; consumers then call Pinned.release()
+    // (the Verify/Bench harnesses do so between queries)
+    val sh = Pinned.pin(shingleSet(corpus, idCol, textCol, shingleN))
+    val sig = Pinned.pin(minhashSignatures(sh, numHashes))
+    val cand = Pinned.pin(candidatePairs(bands(sig, numHashes, rowsPerBand)))
     exactJaccard(cand, sh, sizes = Some(sig.select("doc_id", "n_sh")))
       .where(col("jaccard") >= threshold)
   }
@@ -254,19 +251,22 @@ object Dedup {
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        bandIndex: Option[DataFrame] = None,
                        maxProbeKeys: Int = 50000): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val index = existingIndex
-      .getOrElse(signatureIndex(existing, idCol, textCol, numHashes))
-      .persist(lvl)
+    // a caller-persisted index is the caller's to unpersist; anything we
+    // persist ourselves is pinned for the caller's Pinned.release()
+    val index = existingIndex match {
+      case Some(idx)
+        if idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE => idx
+      case Some(idx) => Pinned.pin(idx)
+      case None => Pinned.pin(signatureIndex(existing, idCol, textCol, numHashes))
+    }
     // feeds the signature build, the batch-flag table and the final
     // anti-join — persist or the whole exact phase re-runs per consumer
-    val fresh = exactDedupByFingerprint(batch, textCol, idCol)
+    val fresh = Pinned.pin(exactDedupByFingerprint(batch, textCol, idCol)
       .withColumn("__fp", md5(col(textCol).cast("binary")))
       .join(index.select(col("fp").as("__fp")).distinct(), Seq("__fp"), "left_anti")
-      .drop("__fp")
-      .persist(lvl)
-    val batchSh = shingleSet(fresh, idCol, textCol).persist(lvl)
-    val batchSig = minhashSignatures(batchSh, numHashes).persist(lvl)
+      .drop("__fp"))
+    val batchSh = Pinned.pin(shingleSet(fresh, idCol, textCol))
+    val batchSig = Pinned.pin(minhashSignatures(batchSh, numHashes))
     // shingle-less index rows (null signature) carry only a fingerprint —
     // they cannot near-dup and must not enter the band tables
     val allSig = index.drop("fp").where(col("mh0").isNotNull).unionByName(batchSig)
@@ -279,10 +279,9 @@ object Dedup {
         // stored-band probe: batch buckets -> IN filter (bucket pruning) +
         // broadcast batch side (stored table neither shuffles nor fully
         // scans); batch-batch pairs come from a tiny self-join
-        val batchB = bands(batchSig, numHashes, rowsPerBand)
+        val batchB = Pinned.pin(bands(batchSig, numHashes, rowsPerBand)
           .select(concat_ws(":", col("band"), col("key")).as("bkey"),
-            col("doc_id").as("q_id"))
-          .persist(lvl)
+            col("doc_id").as("q_id")))
         val keys = batchB.select("bkey").distinct().limit(maxProbeKeys + 1)
           .collect().map(_.getString(0)).toSeq
         // a batch small enough to enumerate is small enough to broadcast;
@@ -303,14 +302,13 @@ object Dedup {
           .select(col("band"), col("key"), col("doc_id").as("c_id"))
         batchBands.join(allBands, Seq("band", "key")).select("q_id", "c_id")
     }
-    val cand = rawCand
+    val cand = Pinned.pin(rawCand
       .where(col("q_id") =!= col("c_id"))
       .select(least(col("q_id"), col("c_id")).as("a_id"),
         greatest(col("q_id"), col("c_id")).as("b_id"))
       .distinct()
       .join(isBatch.select(col("__bid").as("a_id"), col("__in_batch").as("__a_b")), Seq("a_id"), "left")
-      .join(isBatch.select(col("__bid").as("b_id"), col("__in_batch").as("__b_b")), Seq("b_id"), "left")
-      .persist(lvl)
+      .join(isBatch.select(col("__bid").as("b_id"), col("__in_batch").as("__b_b")), Seq("b_id"), "left"))
     // shingles for verification: batch side is already computed; existing
     // side re-shingles ONLY the candidate docs (semi-join cut on the text)
     val candExisting = cand.where(!coalesce(col("__a_b"), lit(false)))
@@ -318,7 +316,7 @@ object Dedup {
       .union(cand.where(!coalesce(col("__b_b"), lit(false))).select(col("b_id").as(idCol)))
     val existingSh = shingleSet(
       existing.join(candExisting, Seq(idCol), "left_semi"), idCol, textCol)
-    val verifySh = batchSh.unionByName(existingSh).persist(lvl)
+    val verifySh = Pinned.pin(batchSh.unionByName(existingSh))
     val verified = exactJaccard(cand.select("a_id", "b_id"), verifySh,
       sizes = Some(allSig.select("doc_id", "n_sh")))
       .where(col("jaccard") >= threshold)
@@ -425,7 +423,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "graph diameter exceeds maxRounds; raise it (or use a " +
           "pointer-jumping formulation for path-like graphs)")
-    labels
+    // the final labels stay persisted (the result IS this frame, already
+    // materialized by the convergence probe) — registered so the caller's
+    // Pinned.release() reclaims the storage after consumption
+    Pinned.register(labels)
   }
 
   /** E2 (SimHash variant): 32-bit SimHash over the distinct-token set.

@@ -268,4 +268,25 @@ class OperatorsSpec extends SparkSpec {
     val again = Multimodal.decodeStub(media, dim = 8).collect()
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
+
+  test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {
+    import graft.operators.Pinned
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = (Seq((0L, base), (1L, base + "lambda"), (2L, base + "lambda mu")) ++
+      (3 until 20).map(i => (i.toLong, s"unique document number $i with its own words ${i * 7}")))
+      .toDF("doc_id", "text")
+    // exercise every persisting operator, consuming each result fully
+    val pairs = Dedup.nearDupPairs(corpus, "doc_id", "text", 0.5)
+    assert(pairs.count() >= 2)
+    assert(Dedup.connectedComponents(pairs).count() >= 3)
+    val batch = Seq((100L, base), (101L, "novel content nobody wrote")).toDF("doc_id", "text")
+    assert(Dedup.dedupIncremental(corpus, batch, "doc_id", "text").count() == 1)
+    assert(Pinned.pinnedCount > 0, "operators should have pinned intermediates")
+    Pinned.release(blocking = true)
+    assert(Pinned.pinnedCount == 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked cached RDDs: ${(after -- before).mkString(",")}")
+  }
 }
