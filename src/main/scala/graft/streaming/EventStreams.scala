@@ -48,6 +48,41 @@ object EventStreams {
     stream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Continual-ingest dedup sink: each micro-batch of documents is vetted
+    * against the clean corpus accumulated so far (Dedup.dedupIncremental —
+    * exact fingerprints + MinHash-LSH) and only survivors append to
+    * `outDir` — the streaming composition the incremental signature-index
+    * story exists for. Earlier batches always win against later ones, so
+    * with ingest-ordered ids the result equals running the batch dedup over
+    * the full corpus at once (asserted in StreamingSpec).
+    *
+    * Exactly-once caveat: parquet append in foreachBatch is not
+    * transactional — a batch replayed after a crash between write and
+    * checkpoint would re-append. At scale back this with a transactional
+    * table format or an idempotent (batch-id-keyed) sink.
+    */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                           outDir: String, checkpointDir: String,
+                           threshold: Double = 0.5)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val incoming = batch.select(idCol, textCol)
+        val existing =
+          try spark.read.parquet(s"$outDir/docs").select(idCol, textCol)
+          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              incoming.schema)
+          }
+        graft.operators.Dedup
+          .dedupIncremental(existing, incoming, idCol, textCol, threshold)
+          .write.mode("append").parquet(s"$outDir/docs")
+        graft.operators.Pinned.release()
+      }
+      .start()
+
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 
   /** Custom keyed state (flatMapGroupsWithState surface): cumulative

@@ -132,6 +132,37 @@ class StreamingSpec extends SparkSpec {
       sample.map(_.event_id).sorted)
   }
 
+  test("incremental dedup sink: two micro-batches equal the one-shot batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-incdedup-ck").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b1 = Seq((1L, base), (2L, base + "lambda mu"),
+      (3L, "first unique document about other things entirely"))
+    val b2 = Seq((10L, base + "nu xi omicron"),
+      (11L, "second unique document with fresh content words"),
+      (12L, "first unique document about other things entirely")) // exact dup of 3
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(b1)
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch path: the whole corpus vetted at once against nothing
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], all.schema)
+    val batchKept = graft.operators.Dedup
+      .dedupIncremental(empty, all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
+    assert(streamed == Seq(1L, 3L, 11L), s"survivors=$streamed")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
