@@ -353,9 +353,12 @@ object Dedup {
     * diameter, which for dedup graphs (dense LSH cliques, short chains) is
     * tiny. Each round is one shuffle join + aggregate over the EDGE list —
     * corpus-size-independent, since only docs that appear in a pair
-    * participate. For adversarial long-path graphs switch to the
-    * large-star/small-star pointer-jumping formulation (O(log n) rounds);
-    * dedup workloads do not need it.
+    * participate. Each round also applies a path-halving shortcut
+    * (component := component's component — one extra join over the LABEL
+    * table, which is paired-doc-sized, not edge-sized), so even
+    * adversarial path graphs converge in O(log diameter) rounds instead
+    * of O(diameter); dedup graphs (dense LSH cliques) converge in 2-3
+    * either way.
     *
     * @param pairs (a_id, b_id) near-dup pairs (undirected); ids may be any
     *              orderable type (numeric, string, ...)
@@ -365,6 +368,7 @@ object Dedup {
     *         for path-like graphs of diameter > maxRounds
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -399,10 +403,25 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min("component").as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
-        .persist(lvl)
+      // path-halving shortcut: a label is always the id of some node in the
+      // graph, so look its own label up and jump to it — turns O(diameter)
+      // convergence into O(log diameter) on chain-shaped graphs for one
+      // label-table-sized join per round
+      val shortcut = propagated
+        .join(propagated.select(col("id").as("__cid"), col("component").as("__cc")),
+          propagated("component") === col("__cid"), "left")
+        .select(propagated("id"),
+          least(propagated("component"),
+            coalesce(col("__cc"), propagated("component"))).as("component"))
+      // truncate lineage: the self-join above references the round's plan
+      // TWICE, so carrying the logical plan across rounds would double it
+      // per round (exponential analysis cost — OOMs around round 12).
+      // Rebasing on the materialized RDD keeps every round's plan
+      // constant-size, the same checkpointing discipline GraphX applies.
+      val next = spark.createDataFrame(shortcut.rdd, shortcut.schema).persist(lvl)
       if (numericIds) {
         val nextSum = labelSum(next)
         converged = nextSum.compareTo(prevSum) == 0

@@ -220,6 +220,16 @@ class OperatorsSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("connectedComponents: a 200-node path converges within O(log n) rounds") {
+    // diameter 199 — plain min-label propagation would need ~200 rounds and
+    // throw at maxRounds=12; the path-halving shortcut must get there
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(pairs, maxRounds = 12)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every node must label to the minimum id 0")
+  }
+
   test("as-of join: a newer right row with null value supersedes an older non-null one") {
     val left = Seq((1L, 20L)).toDF("k", "ts")
     val right = Seq((1L, 10L, Some("r10")), (1L, 15L, None: Option[String]))
