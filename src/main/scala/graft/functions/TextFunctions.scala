@@ -98,6 +98,19 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Gopher-style repetition signal: the fraction of n-gram occurrences
+    * that repeat an earlier occurrence within the document —
+    * (total - distinct) / total n-grams, 0 for docs too short to have one.
+    * High values mark boilerplate/looping text that LLM-corpus quality
+    * filters cut. Per-row expression: no shuffle, no UDF.
+    */
+  def repetitionRatio(tokens: Column, n: Int): Column = {
+    val grams = shingles(tokens, n)
+    when(size(grams) > 0,
+      (size(grams) - size(array_distinct(grams))).cast("double") / size(grams))
+      .otherwise(lit(0.0))
+  }
+
   /** Character-trigram profile language id: counts hits of each language's
     * characteristic trigrams in the lowercased text, argmax wins (ties in
     * fixed order, 'und' when nothing matches). Complements the token-level

@@ -209,6 +209,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // E5a2: Gopher-style repetition ratio — the duplicated-bigram fraction
+    // an LLM-corpus quality filter cuts on (boilerplate/looping text).
+    QueryDef.sql(
+      "e5_repetition",
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS grams
+         |      FROM base)
+         |SELECT doc_id, len(grams) AS n_bigrams,
+         |       round(CASE WHEN len(grams) > 0
+         |                  THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS rep_ratio
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = tokenize(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(shingles(toks, 2)).cast("long").as("n_bigrams"),
+          round(repetitionRatio(toks, 2), 6).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+
     // E5b: heuristic language ID by stopword-list hits (argmax, fixed
     // tie order en→de→fr→es, 'und' = undetermined).
     QueryDef.sql(

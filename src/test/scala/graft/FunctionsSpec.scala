@@ -188,4 +188,15 @@ class FunctionsSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(preds == Seq("en", "de", "fr", "es", "und"), s"got $preds")
   }
+
+  test("E5: repetitionRatio measures the duplicated n-gram fraction") {
+    def rep(s: String, n: Int): Double =
+      Seq(s).toDF("text")
+        .select(TF.repetitionRatio(TF.tokenize(col("text")), n)).as[Double].head()
+    // "a b a b a": bigrams [a b, b a, a b, b a] -> 4 total, 2 distinct
+    assert(rep("a b a b a", 2) == 0.5)
+    assert(rep("all words here are different", 2) == 0.0)
+    assert(rep("spam spam spam spam", 1) == 0.75) // 4 unigrams, 1 distinct
+    assert(rep("short", 2) == 0.0) // no bigram exists -> 0, not null/NaN
+  }
 }
