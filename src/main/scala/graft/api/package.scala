@@ -45,6 +45,25 @@ package object api {
                             threshold: Double = 0.5): DataFrame =
       operators.Dedup.removeNearDupsTransitive(df, idCol, textCol, threshold)
 
+    /** Incremental vetting (E2): treat THIS frame as the new batch and drop
+      * rows duplicating `existing` (or an earlier batch row). Pass the
+      * stored signature/band indexes for the probe-only-touched-buckets
+      * plan at scale.
+      */
+    def dedupIncrementalAgainst(existing: DataFrame, idCol: String,
+                                textCol: String = "text", threshold: Double = 0.5,
+                                existingIndex: Option[DataFrame] = None,
+                                bandIndex: Option[DataFrame] = None): DataFrame =
+      operators.Dedup.dedupIncremental(existing, df, idCol, textCol, threshold,
+        existingIndex, bandIndex = bandIndex)
+
+    /** Gopher-style repetition signal (E5): duplicated n-gram fraction as
+      * column `rep_ratio`.
+      */
+    def repetitionScored(textCol: String = "text", n: Int = 2): DataFrame =
+      df.withColumn("rep_ratio", functions.TextFunctions.repetitionRatio(
+        functions.TextFunctions.tokenize(col(textCol)), n))
+
     /** Sequence packing (E8): assign docs to fixed token-budget chunks per
       * `partitionCol` in `orderCol` order; adds `n_tokens` and `chunk`.
       * Pass `nTokensCol` to reuse an already-computed token count instead
@@ -103,5 +122,19 @@ package object api {
     /** Two-phase salted grouped sum for degenerate key skew. */
     def saltedSum(keyCols: Seq[String], valueCol: Column, salts: Int = 16): DataFrame =
       operators.Skew.saltedSum(left, keyCols, valueCol, salts)
+
+    /** Deterministic ~pct% sample by key (O2) — partitioning-invariant,
+      * pushdown-friendly, engine-portable (md5 draw).
+      */
+    def hashSampled(key: String, salt: String, pct: Int): DataFrame =
+      operators.Sampling.hashSample(left, col(key), salt, pct)
+
+    /** Deterministic permutation (O3): adds a dense 1-based `pos` column. */
+    def hashShuffled(key: String, salt: String, outCol: String = "pos"): DataFrame =
+      operators.Sampling.hashShuffle(left, col(key), salt, outCol)
+
+    /** Deterministic train/test split label (O4) as column `split`. */
+    def splitLabeled(key: String, salt: String, trainPct: Int = 80): DataFrame =
+      left.withColumn("split", operators.Sampling.splitLabel(col(key), salt, trainPct))
   }
 }

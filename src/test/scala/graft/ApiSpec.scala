@@ -74,4 +74,28 @@ class ApiSpec extends SparkSpec {
       .select("g", "id").as[(String, Long)].collect().toSet
     assert(top == Set(("a", 2L), ("b", 4L)))
   }
+
+  test("sampling + repetition + incremental-dedup verbs forward to their operators") {
+    val c = graft.sources.Tables.customer(spark, sfDir)
+    val s1 = c.hashSampled("c_custkey", "s", 10).select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(s1 == graft.operators.Sampling.hashSample(c, col("c_custkey"), "s", 10)
+      .select("c_custkey").as[Long].collect().sorted.toSeq)
+    val sh = c.hashShuffled("c_custkey", "s")
+    assert(sh.where(col("pos") === 1).count() == 1)
+    val sp = c.splitLabeled("c_custkey", "s")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(sp.keySet == Set("train", "test") && sp("train") > sp("test"))
+
+    val rep = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+      .repetitionScored().select("rep_ratio").as[Double].head()
+    assert(rep == 0.5)
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val kept = Seq((10L, base), (11L, "totally new words"))
+      .toDF("doc_id", "text")
+      .dedupIncrementalAgainst(existing, "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(11L))
+  }
 }
