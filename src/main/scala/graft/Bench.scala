@@ -37,6 +37,10 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          // a FAILED query must not leave its blocks in the next query's
+          // timed window either
+          graft.operators.Pinned.release()
+          spark.catalog.clearCache()
           None
       }
     }
@@ -51,9 +55,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = os.getSystemLoadAverage
-    // pre-existing load above half the cores means the run shared the box
-    // with substantial other work — flag it
-    val contaminated = loadStart > hostCpus / 2.0
+    // pre-existing load above half the cores is unambiguously external;
+    // end load is checked against 1.5x cores (this JVM alone can drive
+    // ~cores of load, so a lower end-threshold would false-positive on the
+    // bench's own work) to catch jobs that landed mid-run
+    val contaminated = loadStart > hostCpus / 2.0 || loadEnd > hostCpus * 1.5
     if (contaminated)
       System.err.println(f"[bench] WARNING: start load avg $loadStart%.1f on " +
         f"$hostCpus CPUs — timings are contaminated by concurrent machine load")

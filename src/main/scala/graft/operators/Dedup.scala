@@ -437,11 +437,13 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
-    if (!converged && round >= maxRounds)
+    if (!converged && round >= maxRounds) {
+      labels.unpersist() // don't strand the last round's blocks on the throw path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "graph diameter exceeds maxRounds; raise it (or use a " +
           "pointer-jumping formulation for path-like graphs)")
+    }
     // the final labels stay persisted (the result IS this frame, already
     // materialized by the convergence probe) — registered so the caller's
     // Pinned.release() reclaims the storage after consumption

@@ -21,29 +21,54 @@ object Pinned {
 
   private val pins = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` and register it for the next [[release]]. */
+  // a thread-local scope (see [[scoped]]) collects pins made on this thread
+  // so concurrent consumers don't release each other's intermediates
+  private val scope = new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
+
+  /** Persist `df` and register it for the enclosing [[scoped]] block (if
+    * any on this thread) or the next global [[release]].
+    */
   private[graft] def pin(df: DataFrame,
       lvl: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     df.persist(lvl)
-    pins.add(df)
-    df
+    register(df)
   }
 
-  /** Register an already-persisted frame for the next [[release]]. */
+  /** Register an already-persisted frame for release. */
   private[graft] def register(df: DataFrame): DataFrame = {
-    pins.add(df)
+    val s = scope.get()
+    if (s != null) s.add(df) else pins.add(df)
     df
   }
 
-  /** Unpersist every intermediate pinned since the last release. Safe to
-    * call at any time — results already materialized stay correct; lazy
-    * results not yet consumed recompute without the cache.
+  /** Run `f`, then unpersist every intermediate the graft operators pinned
+    * DURING it (on this thread). Use when the result is fully consumed
+    * inside the block — e.g. a foreachBatch body or a per-query harness
+    * loop — and other queries may be in flight: unlike the global
+    * [[release]], a scope never touches another consumer's pins.
+    */
+  def scoped[T](f: => T): T = {
+    val prev = scope.get()
+    val mine = new java.util.ArrayDeque[DataFrame]()
+    scope.set(mine)
+    try f
+    finally {
+      scope.set(prev)
+      mine.forEach(d => d.unpersist(false))
+    }
+  }
+
+  /** Unpersist every GLOBALLY pinned intermediate (pins made outside any
+    * [[scoped]] block) since the last release. Safe to call at any time —
+    * results already materialized stay correct; lazy results not yet
+    * consumed recompute without the cache. Single-consumer pattern: in an
+    * application with concurrent graft queries, prefer [[scoped]].
     */
   def release(blocking: Boolean = false): Unit = {
     var d = pins.poll()
     while (d != null) { d.unpersist(blocking); d = pins.poll() }
   }
 
-  /** Number of currently-pinned intermediates (diagnostics). */
+  /** Number of currently-pinned global intermediates (diagnostics). */
   def pinnedCount: Int = pins.size()
 }

@@ -70,16 +70,22 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val incoming = batch.select(idCol, textCol)
+        // explicit existence probe for the first batch: catching
+        // AnalysisException here would also swallow real read failures
+        // (schema drift, listing errors) and silently disable dedup
+        val out = new org.apache.hadoop.fs.Path(s"$outDir/docs")
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          try spark.read.parquet(s"$outDir/docs").select(idCol, textCol)
-          catch { case _: org.apache.spark.sql.AnalysisException => // first batch
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              incoming.schema)
-          }
-        graft.operators.Dedup
-          .dedupIncremental(existing, incoming, idCol, textCol, threshold)
-          .write.mode("append").parquet(s"$outDir/docs")
-        graft.operators.Pinned.release()
+          if (fs.exists(out)) spark.read.parquet(s"$outDir/docs").select(idCol, textCol)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+        // scoped: concurrent streams/queries in the same session must not
+        // release each other's pinned intermediates
+        graft.operators.Pinned.scoped {
+          graft.operators.Dedup
+            .dedupIncremental(existing, incoming, idCol, textCol, threshold)
+            .write.mode("append").parquet(s"$outDir/docs")
+        }
       }
       .start()
 

@@ -299,4 +299,21 @@ class OperatorsSpec extends SparkSpec {
     assert((after -- before).isEmpty,
       s"leaked cached RDDs: ${(after -- before).mkString(",")}")
   }
+
+  test("cache lifecycle: Pinned.scoped releases its own pins and never another consumer's") {
+    import graft.operators.Pinned
+    val outer = Seq((1L, "outer pinned frame")).toDF("doc_id", "text")
+    val outerPinned = Dedup.exactDedupByFingerprint(outer, "text", "doc_id") // no pin — just data
+    val globalBefore = Pinned.pinnedCount
+    val existing = Seq((1L, "some existing document body with words")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a brand new batch document")).toDF("doc_id", "text")
+    Pinned.scoped {
+      // pins made here must go to the scope, not the global queue...
+      assert(Dedup.dedupIncremental(existing, batch, "doc_id", "text").count() == 1)
+      assert(Pinned.pinnedCount == globalBefore, "scoped pins leaked into the global queue")
+    }
+    // ...and must be unpersisted when the scope closes
+    assert(Pinned.pinnedCount == globalBefore)
+    assert(outerPinned.count() == 1)
+  }
 }
