@@ -109,4 +109,32 @@ object LawsProperties extends Properties("graft.laws") {
         out.forall(rows.contains) &&
         out.map(_._2).toSet == rows.map(_._2).toSet
     }
+
+  property("hash sampling laws: subset, split partition, shuffle permutation") =
+    Prop.forAll(Gen.listOfN(25, Gen.chooseNum(0L, 100000L)), Gen.identifier) { (ids0, salt) =>
+      import graft.operators.Sampling
+      val ids = ids0.distinct
+      val df = ids.toDF("id")
+      val sampled = Sampling.hashSample(df, col("id"), salt, 40)
+        .as[Long].collect().toSet
+      val labeled = df.select(col("id"), Sampling.splitLabel(col("id"), salt, 80).as("l"))
+        .as[(Long, String)].collect()
+      val shuffled = Sampling.hashShuffle(df, col("id"), salt)
+        .select("id", "pos").as[(Long, Long)].collect()
+      sampled.subsetOf(ids.toSet) &&                         // sample ⊆ input
+        labeled.length == ids.size &&                        // split is exhaustive...
+        labeled.forall(r => r._2 == "train" || r._2 == "test") && // ...and binary
+        shuffled.map(_._1).sorted.toSeq == ids.sorted &&     // shuffle is a permutation
+        shuffled.map(_._2).sorted.toSeq == (1L to ids.size).toSeq // with dense positions
+    }
+
+  property("repetitionRatio is in [0, 1) and 0 for all-distinct token streams") =
+    Prop.forAll(Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))) { words =>
+      val r = Seq(words.mkString(" ")).toDF("text")
+        .select(TF.repetitionRatio(TF.tokenize(col("text")), 2)).as[Double].head()
+      val distinctWords = words.distinct.mkString(" ")
+      val rDistinct = Seq(distinctWords).toDF("text")
+        .select(TF.repetitionRatio(TF.tokenize(col("text")), 2)).as[Double].head()
+      r >= 0.0 && r < 1.0 && rDistinct == 0.0
+    }
 }
