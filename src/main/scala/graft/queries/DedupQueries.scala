@@ -167,8 +167,7 @@ object DedupQueries {
       val corpus = corpusDF(s, d, copies = false)
         .where(col("doc_id") < 20 ||
           (col("doc_id") >= 1000000 && col("doc_id") < 1000020))
-      val sh = Dedup.shingleSet(corpus, "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = graft.operators.Pinned.pin(Dedup.shingleSet(corpus, "doc_id", "text"))
       val pairs = Tables.documents(s, d).where(col("doc_id") < 20)
         .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
       Dedup.exactJaccard(pairs, sh)

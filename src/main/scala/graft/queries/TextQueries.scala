@@ -114,8 +114,7 @@ object TextQueries {
       s"""SELECT doc_id, count(*) AS n_vocab_tokens
          |FROM ($duckTokenStream) WHERE token IN $duckVocab
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = tokensDF(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = graft.operators.Pinned.pin(tokensDF(s, d))
       toks.join(broadcast(vocabOf(s, d, toks)), Seq("token"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_vocab_tokens"))
         .orderBy("doc_id")
@@ -127,8 +126,7 @@ object TextQueries {
       s"""SELECT token, count(*) AS n
          |FROM ($duckTokenStream) WHERE token NOT IN $duckVocab
          |GROUP BY token ORDER BY token""".stripMargin) { (s, d) =>
-      val toks = tokensDF(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = graft.operators.Pinned.pin(tokensDF(s, d))
       toks.join(broadcast(vocabOf(s, d, toks)), Seq("token"), "left_anti")
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy("token")
