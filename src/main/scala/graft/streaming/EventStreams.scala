@@ -51,15 +51,20 @@ object EventStreams {
   /** Continual-ingest dedup sink: each micro-batch of documents is vetted
     * against the clean corpus accumulated so far (Dedup.dedupIncremental —
     * exact fingerprints + MinHash-LSH) and only survivors append to
-    * `outDir` — the streaming composition the incremental signature-index
-    * story exists for. Earlier batches always win against later ones, so
-    * with ingest-ordered ids the result equals running the batch dedup over
-    * the full corpus at once (asserted in StreamingSpec).
+    * `outDir/docs` — the streaming composition the incremental
+    * signature-index story exists for. The signature index itself is
+    * MAINTAINED incrementally at `outDir/index`: each batch appends its
+    * survivors' signatures, so no round ever re-tokenizes or re-hashes the
+    * accumulated corpus (the stored docs are touched only to re-shingle
+    * LSH-collided candidates). Earlier batches always win against later
+    * ones, so with ingest-ordered ids the result equals running the batch
+    * dedup over the full corpus at once (asserted in StreamingSpec).
     *
     * Exactly-once caveat: parquet append in foreachBatch is not
     * transactional — a batch replayed after a crash between write and
-    * checkpoint would re-append. At scale back this with a transactional
-    * table format or an idempotent (batch-id-keyed) sink.
+    * checkpoint would re-append (to both docs and index). At scale back
+    * this with a transactional table format or an idempotent
+    * (batch-id-keyed) sink.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            outDir: String, checkpointDir: String,
@@ -79,12 +84,19 @@ object EventStreams {
           if (fs.exists(out)) spark.read.parquet(s"$outDir/docs").select(idCol, textCol)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+        val storedIndex =
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/index")))
+            Some(spark.read.parquet(s"$outDir/index"))
+          else None
         // scoped: concurrent streams/queries in the same session must not
         // release each other's pinned intermediates
         graft.operators.Pinned.scoped {
-          graft.operators.Dedup
-            .dedupIncremental(existing, incoming, idCol, textCol, threshold)
-            .write.mode("append").parquet(s"$outDir/docs")
+          val kept = graft.operators.Pinned.pin(graft.operators.Dedup
+            .dedupIncremental(existing, incoming, idCol, textCol, threshold,
+              existingIndex = storedIndex))
+          kept.write.mode("append").parquet(s"$outDir/docs")
+          graft.operators.Dedup.signatureIndex(kept, idCol, textCol)
+            .write.mode("append").parquet(s"$outDir/index")
         }
       }
       .start()

@@ -161,6 +161,11 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
     assert(streamed == Seq(1L, 3L, 11L), s"survivors=$streamed")
+    // the incrementally-maintained signature index stays in lockstep with
+    // the survivor set (so later batches never re-hash the corpus)
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == streamed, s"index=$idx survivors=$streamed")
   }
 
   test("session windows merge events within the gap (batch semantics check)") {
