@@ -140,6 +140,17 @@ class OperatorsSpec extends SparkSpec {
     assert(keptIdx == kept, s"index path diverged: $keptIdx vs $kept")
   }
 
+  test("dedupIncremental: an empty batch (streaming delivers those) yields empty, on both probe paths") {
+    val existing = Seq((1L, "some existing document body here with words")).toDF("doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], existing.schema)
+    assert(Dedup.dedupIncremental(existing, empty, "doc_id", "text").count() == 0)
+    val idx = Dedup.signatureIndex(existing, "doc_id", "text")
+    val bandIdx = Dedup.bandIndexTable(idx)
+    assert(Dedup.dedupIncremental(existing, empty, "doc_id", "text",
+      existingIndex = Some(idx), bandIndex = Some(bandIdx)).count() == 0)
+  }
+
   test("dedupIncremental stored band index: bucket-pruned probe, no stored-side shuffle, same survivors") {
     val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
     val someText = existing.where(col("doc_id") === 7L).select("text").as[String].head()
