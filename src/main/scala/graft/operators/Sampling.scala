@@ -53,9 +53,12 @@ object Sampling {
     * single-partition window.
     */
   def hashShuffle(df: DataFrame, key: Column, salt: String,
-                  outCol: String = "pos"): DataFrame =
+                  outCol: String = "pos"): DataFrame = {
+    require(!df.columns.contains("__draw"), "input already has a __draw column")
+    require(!df.columns.contains(outCol), s"input already has a $outCol column")
     Ranking.stableRowNumber(df.withColumn("__draw", drawOn(key, salt)),
       Seq(col("__draw"), key), outCol).drop("__draw")
+  }
 
   /** 'train'/'test' split label with ~trainPct% train, deterministic by key
     * — disjoint and exhaustive by construction (one draw decides).
