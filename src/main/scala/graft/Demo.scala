@@ -34,14 +34,31 @@ object Demo {
     val cleaned = exact.dedupNear("doc_id", threshold = 0.8)
     println(s"after dedup: ${cleaned.count()} docs")
 
-    // 3. quality gate + per-language stats + token-budget packing
+    // 3. quality + repetition gates, per-language stats, token-budget packing
     val kept = cleaned.where(col("quality") >= 0.3 && col("n_tokens") >= 10)
+      .repetitionScored().where(col("rep_ratio") < 0.5) // Gopher-style boilerplate cut
     kept.groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"), round(avg("quality"), 4).as("avg_quality"))
       .orderBy("lang_pred").show()
     val packed = kept.withColumn("lang", col("lang_pred"))
       .packed(budget = 2048, nTokensCol = Some("n_tokens")) // reuse step-1 counts
     println(s"packed into ${packed.agg(countDistinct("lang", "chunk")).head().getLong(0)} chunks")
+
+    // 3b. deterministic train/test split (md5 draw — same rows on any
+    //     partitioning, replayable in any engine)
+    kept.splitLabeled("doc_id", "demo", trainPct = 90)
+      .groupBy("split").count().orderBy("split").show()
+
+    // 3c. continual ingest: vet tomorrow's batch against today's corpus —
+    //     one exact dup and one genuinely new doc
+    import spark.implicits._
+    val corpus = cleaned.select("doc_id", "text")
+    val batch = corpus.limit(1).select((col("doc_id") + 900000).as("doc_id"), col("text"))
+      .union(Seq((900001L, "a genuinely new document about nothing seen before"))
+        .toDF("doc_id", "text"))
+    val vetted = batch.dedupIncrementalAgainst(corpus, "doc_id")
+    println(s"incremental vetting kept ${vetted.count()} of 2 batch docs")
+    graft.operators.Pinned.release() // reclaim dedup intermediates
 
     // 4. similarity search over embeddings (exact + IVF ANN)
     val emb = Tables.embeddings(spark, sfDir)
