@@ -250,13 +250,51 @@ object Dedup {
                        existingIndex: Option[DataFrame] = None,
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        bandIndex: Option[DataFrame] = None,
-                       maxProbeKeys: Int = 50000): DataFrame = {
+                       maxProbeKeys: Int = 50000): DataFrame =
+    dedupIncrementalCore(existing, batch, idCol, textCol, threshold,
+      existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys)._2
+
+  /** As [[dedupIncremental]], but ALSO returns the survivors' signature-
+    * index rows (doc_id, fp, mh*, n_sh — the [[signatureIndex]] schema),
+    * derived from the batch signatures already computed during vetting:
+    * one extra md5 per survivor instead of a second tokenize/shingle/
+    * minhash pass. Append the second frame to the stored index to maintain
+    * it across ingests (the streaming sink does). The kept frame is
+    * pinned, since both returned frames share its lineage.
+    */
+  def dedupIncrementalWithIndex(existing: DataFrame, batch: DataFrame, idCol: String,
+                                textCol: String, threshold: Double = 0.5,
+                                existingIndex: Option[DataFrame] = None,
+                                numHashes: Int = 16, rowsPerBand: Int = 4,
+                                bandIndex: Option[DataFrame] = None,
+                                maxProbeKeys: Int = 50000): (DataFrame, DataFrame) = {
+    val (batchSig, kept0) = dedupIncrementalCore(existing, batch, idCol, textCol,
+      threshold, existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys)
+    val kept = Pinned.pin(kept0)
+    val keptIndex = kept
+      .select(col(idCol).as("doc_id"), md5(col(textCol).cast("binary")).as("fp"))
+      .join(batchSig, Seq("doc_id"), "left")
+    (kept, keptIndex)
+  }
+
+  private def dedupIncrementalCore(existing: DataFrame, batch: DataFrame, idCol: String,
+                                   textCol: String, threshold: Double,
+                                   existingIndex: Option[DataFrame],
+                                   numHashes: Int, rowsPerBand: Int,
+                                   bandIndex: Option[DataFrame],
+                                   maxProbeKeys: Int): (DataFrame, DataFrame) = {
+    // project the stored index to exactly the columns this code consumes:
+    // a table read back from parquet may carry extras (e.g. a batch
+    // partition column) that would poison the unionByName below
+    val indexCols = (Seq("doc_id", "fp") ++
+      (0 until numHashes).map(i => s"mh$i") :+ "n_sh").map(col)
     // a caller-persisted index is the caller's to unpersist; anything we
     // persist ourselves is pinned for the caller's Pinned.release()
     val index = existingIndex match {
       case Some(idx)
-        if idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE => idx
-      case Some(idx) => Pinned.pin(idx)
+        if idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        idx.select(indexCols: _*)
+      case Some(idx) => Pinned.pin(idx.select(indexCols: _*))
       case None => Pinned.pin(signatureIndex(existing, idCol, textCol, numHashes))
     }
     // feeds the signature build, the batch-flag table and the final
@@ -327,7 +365,7 @@ object Dedup {
       .select(when(coalesce(col("__a_b"), lit(false)) && !coalesce(col("__b_b"), lit(false)),
         col("a_id")).otherwise(col("b_id")).as(idCol))
       .distinct()
-    fresh.join(drop, Seq(idCol), "left_anti")
+    (batchSig, fresh.join(drop, Seq(idCol), "left_anti"))
   }
 
   /** E2: transitive near-dup removal — detect pairs, resolve transitive

@@ -50,21 +50,26 @@ object EventStreams {
 
   /** Continual-ingest dedup sink: each micro-batch of documents is vetted
     * against the clean corpus accumulated so far (Dedup.dedupIncremental —
-    * exact fingerprints + MinHash-LSH) and only survivors append to
+    * exact fingerprints + MinHash-LSH) and only survivors land in
     * `outDir/docs` — the streaming composition the incremental
-    * signature-index story exists for. The signature index itself is
-    * MAINTAINED incrementally at `outDir/index`: each batch appends its
-    * survivors' signatures, so no round ever re-tokenizes or re-hashes the
-    * accumulated corpus (the stored docs are touched only to re-shingle
-    * LSH-collided candidates). Earlier batches always win against later
+    * signature-index story exists for. The signature index is MAINTAINED
+    * at `outDir/index` from the signatures already computed during vetting
+    * (dedupIncrementalWithIndex), so no round re-tokenizes or re-hashes
+    * the accumulated corpus. Earlier batches always win against later
     * ones, so with ingest-ordered ids the result equals running the batch
     * dedup over the full corpus at once (asserted in StreamingSpec).
     *
-    * Exactly-once caveat: parquet append in foreachBatch is not
-    * transactional — a batch replayed after a crash between write and
-    * checkpoint would re-append (to both docs and index). At scale back
-    * this with a transactional table format or an idempotent
-    * (batch-id-keyed) sink.
+    * Replay-idempotent by construction: every write goes to a
+    * `batch=<id>` partition directory in OVERWRITE mode, and both reads
+    * exclude the current batch id — so a batch replayed after a crash at
+    * ANY point (between the two writes, or after both but before the
+    * checkpoint commit) recomputes against exactly the state its first
+    * attempt saw and overwrites the same directories with the same rows.
+    * A pre-existing external corpus at outDir/docs (no index yet) is
+    * bootstrapped once: its files move into the sink's `batch=-1`
+    * partition directory (a metadata-only rename) and a full index builds
+    * under `index/batch=-1` — after that, every batch is index-only. The
+    * sink owns outDir's layout from then on.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            outDir: String, checkpointDir: String,
@@ -72,31 +77,53 @@ object EventStreams {
   : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
         val incoming = batch.select(idCol, textCol)
-        // explicit existence probe for the first batch: catching
-        // AnalysisException here would also swallow real read failures
-        // (schema drift, listing errors) and silently disable dedup
-        val out = new org.apache.hadoop.fs.Path(s"$outDir/docs")
-        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // explicit existence probes: catching AnalysisException instead
+        // would also swallow real read failures (schema drift, listing
+        // errors) and silently disable dedup
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val docsPath = new org.apache.hadoop.fs.Path(s"$outDir/docs")
+        val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/index")
+        val fs = docsPath.getFileSystem(hconf)
+        // bootstrap an externally-created corpus: loose files would break
+        // partition discovery next to batch=N dirs, so move them (metadata-
+        // only rename) into the sink's batch=-1 partition first
+        if (fs.exists(docsPath)) {
+          val loose = fs.listStatus(docsPath)
+            .filterNot(_.getPath.getName.startsWith("batch="))
+          if (loose.nonEmpty) {
+            val boot = new org.apache.hadoop.fs.Path(docsPath, "batch=-1")
+            fs.mkdirs(boot)
+            loose.foreach(e => fs.rename(e.getPath,
+              new org.apache.hadoop.fs.Path(boot, e.getPath.getName)))
+          }
+        }
+        def withoutThisBatch(df: org.apache.spark.sql.DataFrame) =
+          if (df.columns.contains("batch")) df.where(col("batch") =!= bid) else df
         val existing =
-          if (fs.exists(out)) spark.read.parquet(s"$outDir/docs").select(idCol, textCol)
+          if (fs.exists(docsPath))
+            withoutThisBatch(spark.read.parquet(s"$outDir/docs")).select(idCol, textCol)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+        if (fs.exists(docsPath) && !fs.exists(idxPath)) {
+          // one-time O(corpus) index build for the bootstrapped corpus;
+          // every later batch maintains the index incrementally
+          graft.operators.Dedup.signatureIndex(existing, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outDir/index/batch=-1")
+        }
         val storedIndex =
-          if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/index")))
-            Some(spark.read.parquet(s"$outDir/index"))
+          if (fs.exists(idxPath))
+            Some(withoutThisBatch(spark.read.parquet(s"$outDir/index")))
           else None
         // scoped: concurrent streams/queries in the same session must not
         // release each other's pinned intermediates
         graft.operators.Pinned.scoped {
-          val kept = graft.operators.Pinned.pin(graft.operators.Dedup
-            .dedupIncremental(existing, incoming, idCol, textCol, threshold,
-              existingIndex = storedIndex))
-          kept.write.mode("append").parquet(s"$outDir/docs")
-          graft.operators.Dedup.signatureIndex(kept, idCol, textCol)
-            .write.mode("append").parquet(s"$outDir/index")
+          val (kept, keptIndex) = graft.operators.Dedup.dedupIncrementalWithIndex(
+            existing, incoming, idCol, textCol, threshold, existingIndex = storedIndex)
+          kept.write.mode("overwrite").parquet(s"$outDir/docs/batch=$bid")
+          keptIndex.write.mode("overwrite").parquet(s"$outDir/index/batch=$bid")
         }
       }
       .start()

@@ -168,6 +168,29 @@ class StreamingSpec extends SparkSpec {
     assert(idx == streamed, s"index=$idx survivors=$streamed")
   }
 
+  test("incremental dedup sink bootstraps over a pre-existing external corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incboot").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-incboot-ck").toString
+    val corpusText = "the original corpus document body with many distinctive words inside"
+    // an externally-written corpus: plain parquet, no batch layout, no index
+    Seq((1L, corpusText)).toDF("doc_id", "text").write.parquet(s"$outDir/docs")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((50L, corpusText), // exact dup of the external corpus -> dropped
+      (51L, "a completely fresh incoming streaming document")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    q.processAllAvailable()
+    q.stop()
+    val docs = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(1L, 51L), s"docs=$docs — the external corpus must survive " +
+      "the layout bootstrap and its duplicate must be caught via the bootstrapped index")
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == Seq(1L, 51L), s"index=$idx")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
