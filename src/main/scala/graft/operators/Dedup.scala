@@ -352,8 +352,18 @@ object Dedup {
     val candExisting = cand.where(!coalesce(col("__a_b"), lit(false)))
       .select(col("a_id").as(idCol))
       .union(cand.where(!coalesce(col("__b_b"), lit(false))).select(col("b_id").as(idCol)))
-    val existingSh = shingleSet(
-      existing.join(candExisting, Seq(idCol), "left_semi"), idCol, textCol)
+    // the candidate-id set is collision-bounded (small); pushing it down as
+    // an IN filter reaches the parquet scan's row-group stats, so the
+    // existing TEXT column is read only where candidates can live — a
+    // semi-join would still scan the whole corpus's text per batch. Above
+    // the cap (or for an oversized candidate set) fall back to the
+    // semi-join, which is always correct.
+    val candIds = candExisting.distinct().limit(maxProbeKeys + 1).collect().map(_.get(0))
+    val candExistingDocs =
+      if (candIds.length <= maxProbeKeys)
+        existing.where(col(idCol).isin(candIds.toSeq: _*))
+      else existing.join(candExisting, Seq(idCol), "left_semi")
+    val existingSh = shingleSet(candExistingDocs, idCol, textCol)
     val verifySh = Pinned.pin(batchSh.unionByName(existingSh))
     val verified = exactJaccard(cand.select("a_id", "b_id"), verifySh,
       sizes = Some(allSig.select("doc_id", "n_sh")))

@@ -189,6 +189,13 @@ class OperatorsSpec extends SparkSpec {
       s"probe scanned every bucket ($selected of $total):\n$plan")
     assert(!plan.contains("Exchange hashpartitioning(bkey"),
       s"stored band table was shuffled:\n$plan")
+    // candidate re-shingling pushes the collision-bounded id set down as an
+    // IN predicate — shown as In/INSET, or EqualTo when Catalyst collapses
+    // a single-candidate list — reaching the parquet scan's row-group
+    // stats, instead of a corpus-wide text scan behind a semi-join
+    assert(plan.contains("In(doc_id") || plan.contains("EqualTo(doc_id") ||
+        "doc_id#\\d+L? (IN|INSET|= )".r.findFirstIn(plan).isDefined,
+      s"candidate ids not pushed into the existing scan:\n$plan")
     idx.unpersist()
   }
 
