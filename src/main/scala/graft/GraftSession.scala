@@ -28,6 +28,11 @@ object GraftSession {
       // fixture `events.ts` is parquet TIMESTAMP(NANOS); read as long and
       // convert in Tables.events (Spark has no nanosecond timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // above this many IN values, parquet pushdown degrades to a min/max
+      // range that spans most row groups; the engine pushes candidate-id
+      // sets of up to ~1000 (dedupIncremental's verification cut), so raise
+      // the default (10) to keep those point-lookups row-group-skippable
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -355,12 +355,19 @@ object Dedup {
     // the candidate-id set is collision-bounded (small); pushing it down as
     // an IN filter reaches the parquet scan's row-group stats, so the
     // existing TEXT column is read only where candidates can live — a
-    // semi-join would still scan the whole corpus's text per batch. Above
-    // the cap (or for an oversized candidate set) fall back to the
-    // semi-join, which is always correct.
-    val candIds = candExisting.distinct().limit(maxProbeKeys + 1).collect().map(_.get(0))
+    // semi-join would still scan the whole corpus's text per batch. The cap
+    // follows spark.sql.parquet.pushdown.inFilterThreshold (GraftSession
+    // raises it to 1000): above it parquet degrades the IN to a min/max
+    // range that spans most row groups, so larger sets fall back to the
+    // semi-join instead of bloating the plan with a dead literal list.
+    // NOTE this collect makes the call eager: candidate generation (and the
+    // inline index build, when existingIndex is None) runs at call time,
+    // not first-action time.
+    val idPushdownCap = math.min(existing.sparkSession.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt, maxProbeKeys)
+    val candIds = candExisting.distinct().limit(idPushdownCap + 1).collect().map(_.get(0))
     val candExistingDocs =
-      if (candIds.length <= maxProbeKeys)
+      if (candIds.length <= idPushdownCap)
         existing.where(col(idCol).isin(candIds.toSeq: _*))
       else existing.join(candExisting, Seq(idCol), "left_semi")
     val existingSh = shingleSet(candExistingDocs, idCol, textCol)

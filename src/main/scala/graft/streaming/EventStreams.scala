@@ -59,17 +59,37 @@ object EventStreams {
     * ones, so with ingest-ordered ids the result equals running the batch
     * dedup over the full corpus at once (asserted in StreamingSpec).
     *
-    * Replay-idempotent by construction: every write goes to a
-    * `batch=<id>` partition directory in OVERWRITE mode, and both reads
-    * exclude the current batch id — so a batch replayed after a crash at
-    * ANY point (between the two writes, or after both but before the
-    * checkpoint commit) recomputes against exactly the state its first
-    * attempt saw and overwrites the same directories with the same rows.
+    * Replay-idempotent for the realistic failure modes: every write goes
+    * to a `batch=<id>` partition directory in OVERWRITE mode, and both
+    * reads exclude the current batch id — so a batch replayed after a
+    * crash between the two writes (or after both, before the checkpoint
+    * commit) recomputes against exactly the state its first attempt saw
+    * and overwrites the same directories with the same rows. A crash in
+    * the MIDDLE of a write heals when the committer leaves only staging
+    * debris (`_temporary`; FileOutputCommitter v1): directories without
+    * committed data files are treated as ABSENT, so the replay's
+    * overwrite — or the one-time index rebuild — repairs them instead of
+    * wedging on an unreadable directory. What a plain-parquet layout
+    * cannot survive is a committer that exposes partial task output as
+    * committed files (v2 semantics on object stores): crash-mid-write
+    * there needs a transactional table format underneath, not this sink.
+    *
+    * outDir is coupled to the checkpoint's batch-id sequence. Resuming
+    * against a populated outDir with a fresh/reset checkpoint would
+    * renumber batches from 0, silently exclude earlier batches from the
+    * dedup corpus and then overwrite them — so the sink refuses to run a
+    * batch id below one already committed. (A reset that collides exactly
+    * at the maximum committed id is indistinguishable from a legitimate
+    * replay of that batch and cannot be caught here; keep checkpoint and
+    * outDir lifecycles together.)
+    *
     * A pre-existing external corpus at outDir/docs (no index yet) is
-    * bootstrapped once: its files move into the sink's `batch=-1`
-    * partition directory (a metadata-only rename) and a full index builds
-    * under `index/batch=-1` — after that, every batch is index-only. The
-    * sink owns outDir's layout from then on.
+    * bootstrapped once: its loose files move into the sink's `batch=-1`
+    * partition directory (a metadata-only rename, result-checked) and a
+    * full index builds under `index/batch=-1` — after that, every batch
+    * is index-only. The same migration covers a user-prebuilt
+    * [[graft.operators.Dedup.signatureIndex]] at outDir/index. The sink
+    * owns outDir's layout from then on.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            outDir: String, checkpointDir: String,
@@ -87,34 +107,77 @@ object EventStreams {
         val docsPath = new org.apache.hadoop.fs.Path(s"$outDir/docs")
         val idxPath = new org.apache.hadoop.fs.Path(s"$outDir/index")
         val fs = docsPath.getFileSystem(hconf)
-        // bootstrap an externally-created corpus: loose files would break
+        // a dir that exists but holds no committed data file (only
+        // _temporary/_SUCCESS debris from a crashed write) must read as
+        // ABSENT: treating it as present would wedge every replay on an
+        // unreadable directory and block the overwrite that repairs it
+        def hasCommitted(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.exists(p) && {
+            val it = fs.listFiles(p, true)
+            var found = false
+            while (!found && it.hasNext) {
+              val rel = it.next().getPath.toUri.getPath.stripPrefix(p.toUri.getPath)
+              found = !rel.split("/")
+                .exists(s => s.startsWith("_") || s.startsWith("."))
+            }
+            found
+          }
+        // bootstrap externally-created data: loose files would break
         // partition discovery next to batch=N dirs, so move them (metadata-
-        // only rename) into the sink's batch=-1 partition first
-        if (fs.exists(docsPath)) {
-          val loose = fs.listStatus(docsPath)
+        // only rename) into the sink's batch=-1 partition first — for the
+        // corpus AND a user-prebuilt index alike
+        def migrateLoose(p: org.apache.hadoop.fs.Path): Unit = if (fs.exists(p)) {
+          val loose = fs.listStatus(p)
             .filterNot(_.getPath.getName.startsWith("batch="))
           if (loose.nonEmpty) {
-            val boot = new org.apache.hadoop.fs.Path(docsPath, "batch=-1")
+            val boot = new org.apache.hadoop.fs.Path(p, "batch=-1")
             fs.mkdirs(boot)
-            loose.foreach(e => fs.rename(e.getPath,
-              new org.apache.hadoop.fs.Path(boot, e.getPath.getName)))
+            loose.foreach { e =>
+              val dest = new org.apache.hadoop.fs.Path(boot, e.getPath.getName)
+              // Hadoop reports most rename failures (permissions, quota,
+              // cross-mount) by returning false, not by throwing
+              if (!fs.rename(e.getPath, dest))
+                throw new java.io.IOException(
+                  s"bootstrap migration: rename ${e.getPath} -> $dest returned " +
+                    "false; refusing to continue with a mixed loose/partitioned " +
+                    "layout that would break every later read of " + p)
+            }
           }
+        }
+        migrateLoose(docsPath)
+        migrateLoose(idxPath)
+        // a committed batch id ABOVE the current one means the checkpoint
+        // was reset or re-pointed against this outDir: running would
+        // exclude those batches from the corpus and overwrite them later
+        if (fs.exists(docsPath)) {
+          val committed = fs.listStatus(docsPath).map(_.getPath.getName)
+            .collect { case n if n.startsWith("batch=") =>
+              n.stripPrefix("batch=").toLong }
+            .filter(_ >= 0)
+          if (committed.exists(_ > bid))
+            throw new IllegalStateException(
+              s"outDir $outDir already holds batch=${committed.max} but this " +
+                s"stream is running batch=$bid: its checkpoint ($checkpointDir) " +
+                "does not match outDir (reset or re-pointed). Resume with the " +
+                "original checkpoint or start a fresh outDir; refusing to " +
+                "destroy committed batches.")
         }
         def withoutThisBatch(df: org.apache.spark.sql.DataFrame) =
           if (df.columns.contains("batch")) df.where(col("batch") =!= bid) else df
+        val docsReadable = hasCommitted(docsPath)
         val existing =
-          if (fs.exists(docsPath))
+          if (docsReadable)
             withoutThisBatch(spark.read.parquet(s"$outDir/docs")).select(idCol, textCol)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-        if (fs.exists(docsPath) && !fs.exists(idxPath)) {
+        if (docsReadable && !hasCommitted(idxPath)) {
           // one-time O(corpus) index build for the bootstrapped corpus;
           // every later batch maintains the index incrementally
           graft.operators.Dedup.signatureIndex(existing, idCol, textCol)
             .write.mode("overwrite").parquet(s"$outDir/index/batch=-1")
         }
         val storedIndex =
-          if (fs.exists(idxPath))
+          if (hasCommitted(idxPath))
             Some(withoutThisBatch(spark.read.parquet(s"$outDir/index")))
           else None
         // scoped: concurrent streams/queries in the same session must not

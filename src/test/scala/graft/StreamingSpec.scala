@@ -191,6 +191,84 @@ class StreamingSpec extends SparkSpec {
     assert(idx == Seq(1L, 51L), s"index=$idx")
   }
 
+  test("incremental dedup sink heals staging debris from a crashed first-batch write") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incheal").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-incheal-ck").toString
+    // simulate a v1-committer crash mid first batch: the batch dirs exist
+    // but hold only _temporary staging — no committed data files
+    for (sub <- Seq("docs/batch=0/_temporary", "index/batch=0/_temporary")) {
+      val d = java.nio.file.Paths.get(outDir, sub.split("/"): _*)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-00000"), Array[Byte](1, 2, 3))
+    }
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((1L, "a document that must land despite the debris"),
+      (2L, "a second distinct document with other words")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    q.processAllAvailable()
+    q.stop()
+    // the replayed batch 0 must treat the debris dirs as absent and
+    // overwrite them — not wedge on an unreadable parquet directory
+    val docs = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(1L, 2L), s"docs=$docs")
+  }
+
+  test("incremental dedup sink refuses a reset checkpoint against a populated outDir") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-increset").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-increset-ck").toString
+    // a previous run committed batch=5; a fresh checkpoint restarts ids at 0
+    Seq((1L, "a previously accepted document")).toDF("doc_id", "text")
+      .write.parquet(s"$outDir/docs/batch=5")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((9L, "an incoming document")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("checkpoint")), s"unexpected failure: $ex")
+    // and the previously committed batch is untouched
+    val docs = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(docs == Seq(1L), s"committed batch was modified: $docs")
+  }
+
+  test("incremental dedup sink adopts a user-prebuilt loose signature index") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-incidx-ck").toString
+    val corpusText = "the original corpus document body with many distinctive words inside"
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    // old-layout output: loose parquet in BOTH docs and index, no batch dirs
+    corpus.write.parquet(s"$outDir/docs")
+    graft.operators.Dedup.signatureIndex(corpus, "doc_id", "text")
+      .write.parquet(s"$outDir/index")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((50L, corpusText), // exact dup of the corpus -> dropped
+      (51L, "a completely fresh incoming streaming document")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    q.processAllAvailable()
+    q.stop()
+    val docs = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(1L, 51L), s"docs=$docs — both loose dirs must migrate " +
+      "into batch=-1 so partition discovery keeps working")
+    // the loose index migrated rather than being rebuilt beside itself
+    assert(new java.io.File(s"$outDir/index/batch=-1").isDirectory)
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == Seq(1L, 51L), s"index=$idx")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
