@@ -57,6 +57,23 @@ package object api {
       operators.Dedup.dedupIncremental(existing, df, idCol, textCol, threshold,
         existingIndex, bandIndex = bandIndex)
 
+    /** Benchmark decontamination (E10): drop every row of THIS frame that
+      * shares an n-token shingle with `evalSet` (the held-out benchmark).
+      * The eval side broadcasts; this corpus streams once, unshuffled.
+      */
+    def decontaminatedAgainst(evalSet: DataFrame, idCol: String,
+                              textCol: String = "text", n: Int = 4): DataFrame =
+      operators.Dedup.decontaminate(df, evalSet, idCol, textCol, n)
+
+    /** Token-budget curation (E11): per `groupCol`, keep rows in
+      * deterministic draw order while the group's running count of
+      * `tokensCol` stays within `budget` (bucketed scale-safe plan).
+      */
+    def tokenBudgeted(groupCol: String, key: String, tokensCol: String,
+                      salt: String, budget: Long): DataFrame =
+      operators.Sampling.tokenBudget(df, groupCol, col(key), col(tokensCol),
+        salt, budget)
+
     /** Gopher-style repetition signal (E5): duplicated n-gram fraction as
       * column `rep_ratio`.
       */

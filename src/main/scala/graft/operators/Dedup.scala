@@ -46,18 +46,27 @@ object Dedup {
     exactDedup(df.withColumn("__fp", md5(col(textCol).cast("binary"))), Seq("__fp"), tiebreak)
       .drop("__fp")
 
-  /** Distinct (id, shingle) pairs for a corpus of (id, text). The corpus is
-    * repartitioned to full parallelism first: tokenize+shingle+explode is
-    * the CPU-heavy stage, and a single-row-group parquet file (or any
-    * skewed file layout) would otherwise pin it to a handful of tasks.
+  /** Distinct (id, shingle) pairs for a corpus of (id, text). By default
+    * the input is repartitioned to full parallelism first:
+    * tokenize+shingle+explode is the CPU-heavy stage, and a single-row-group
+    * parquet file (or any skewed file layout) would otherwise pin it to a
+    * handful of tasks. Pass repartitionFirst=false when the input is
+    * corpus-sized and well-split (a 100 TB scan already yields thousands of
+    * tasks) — there the round-robin exchange would move every byte of text
+    * for no parallelism gain.
     */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+                 repartitionFirst: Boolean = true): DataFrame = {
+    val spread =
+      if (repartitionFirst) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    spread
       // project tokens first: shingling reads the token array 3x per
       // position, and without this boundary each read would re-run the
       // whole regexp tokenizer (O(doc^2) work per document)
       .select(col(idCol).as("doc_id"), tokenize(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), n))).as("sh"))
+  }
 
   /** MinHash signatures: one row per doc with columns mh0..mh{numHashes-1}
     * plus `n_sh`, the doc's distinct-shingle count (free here since the
@@ -521,5 +530,45 @@ object Dedup {
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     agg.select(col("doc_id"), value.as("simhash"))
+  }
+
+  /** E10: benchmark decontamination report — per training doc that shares
+    * at least one distinct n-token shingle with the eval corpus, the count
+    * of shared shingles. The standard pre-training hygiene step: any doc
+    * overlapping a held-out benchmark at n-gram granularity is suspect.
+    *
+    * 100 TB shape: the asymmetry is the whole design. Eval suites are tiny
+    * (10^3-10^5 docs) next to the training corpus, so the eval side
+    * collapses to a distinct shingle set that BROADCASTS (~30 bytes/gram:
+    * a 100k-doc suite is a few GB — within executor memory; the hint is
+    * load-bearing because the eval side arrives via explode+distinct, whose
+    * size estimate is too pessimistic for auto-broadcast). The corpus then
+    * streams through the hash join exactly once — no corpus shuffle, no
+    * all-pairs term, and the per-doc groupBy aggregates only the HITS
+    * (corpus-size-independent). Pass broadcastEval=false above driver
+    * memory to fall back to a shuffle join of the two shingle sets.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
+                          textCol: String, n: Int = 4,
+                          broadcastEval: Boolean = true): DataFrame = {
+    val evalSh = shingleSet(eval, idCol, textCol, n).select("sh").distinct()
+    // corpus side: NO repartition — shingling parallelism comes from the
+    // scan's file splits; a round-robin exchange here would shuffle the
+    // whole corpus's text before a join that never needed it moved
+    shingleSet(train, idCol, textCol, n, repartitionFirst = false)
+      .join(if (broadcastEval) broadcast(evalSh) else evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** E10: the training corpus with every contaminated doc removed. The
+    * flagged-id set is report-sized (small), so it broadcasts into a
+    * left-anti join against the corpus — again a single corpus pass.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 4,
+                    broadcastEval: Boolean = true): DataFrame = {
+    val hit = contaminationReport(train, eval, idCol, textCol, n, broadcastEval)
+      .select(col("doc_id").as(idCol))
+    train.join(broadcast(hit), Seq(idCol), "left_anti")
   }
 }

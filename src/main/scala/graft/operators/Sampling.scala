@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.hash32
 
@@ -66,5 +67,52 @@ object Sampling {
   def splitLabel(key: Column, salt: String, trainPct: Int): Column = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct must be 0-100, got $trainPct")
     when(drawOn(key, salt) % 100 < trainPct, lit("train")).otherwise(lit("test"))
+  }
+
+  /** E11: token-budget curation — per group (source/domain/language), keep
+    * rows in deterministic draw order while the group's running token total
+    * stays within `budget`. The corpus-mixing step of a pre-training
+    * pipeline: "at most N tokens from each source, chosen reproducibly".
+    *
+    * Semantically this is one cumulative-sum window per group
+    * (`ORDER BY draw, key`), which is exactly the oracle formulation — but
+    * a group at 100 TB is terabytes, and a per-group window is a
+    * single-task sort of the whole group. So the plan splits the draw space
+    * into `buckets` draw-ordered slices and runs two phases:
+    *
+    *  1. per-(group, bucket) token sums — a map-side-combined aggregate to
+    *     a tiny frame (|groups| x buckets rows); its per-group running sum
+    *     gives every bucket the tokens preceding it (`__cumprev`);
+    *  2. broadcast those offsets back and window WITHIN each (group,
+    *     bucket) slice only — parallelism |groups| x buckets instead of
+    *     |groups|, with each sort 1/buckets of the group.
+    *
+    * Because the bucket index is `draw div width` (order-preserving in the
+    * draw), offset + within-bucket running sum equals the single-window
+    * cumulative exactly — asserted against the naive formulation in
+    * SeededOpsSpec, and DuckDB-replayed via the plain window. Buckets whose
+    * offset already exceeds the budget are pruned BEFORE their window: the
+    * expensive sort touches ~budget-sized data, not corpus-sized.
+    */
+  def tokenBudget(df: DataFrame, group: String, key: Column, tokens: Column,
+                  salt: String, budget: Long, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    for (c <- Seq("__draw", "__b", "__bsum", "__cumprev", "__run"))
+      require(!df.columns.contains(c), s"input already has a $c column")
+    val width = (4294967296L + buckets - 1) / buckets
+    // integer `div`, not double '/': a double quotient can round across the
+    // bucket boundary for draws near a multiple of width
+    val base = df.withColumn("__draw", drawOn(key, salt))
+      .withColumn("__b", expr(s"__draw div $width"))
+    val wB = Window.partitionBy(group).orderBy("__b")
+    val offsets = base.groupBy(group, "__b").agg(sum(tokens).as("__bsum"))
+      .withColumn("__cumprev", sum(col("__bsum")).over(wB) - col("__bsum"))
+      .where(col("__cumprev") < budget) // prune: no row in a later bucket can fit
+      .select(group, "__b", "__cumprev")
+    val wIn = Window.partitionBy(col(group), col("__b")).orderBy(col("__draw"), key)
+    base.join(broadcast(offsets), Seq(group, "__b"))
+      .withColumn("__run", col("__cumprev") + sum(tokens).over(wIn))
+      .where(col("__run") <= budget)
+      .drop("__draw", "__b", "__cumprev", "__run")
   }
 }

@@ -395,6 +395,56 @@ object DedupQueries {
         .where(col("rnk") === 1)
         .select("q_id", "n_id", "rnk")
         .orderBy("q_id")
+    },
+
+    // E10: benchmark decontamination (the pre-training hygiene step): the
+    // fixture corpus is split into a small "eval suite" (doc_id % 43 = 0)
+    // and the training rest; any training doc sharing a 4-gram with the
+    // eval side is flagged with its shared-gram count. The eval shingle
+    // set broadcasts — the training corpus streams once, never shuffles
+    // (see Dedup.contaminationReport scaladoc for the 100 TB shape).
+    QueryDef.sql("e10_contamination_report",
+      s"""${duckContamHits()}
+         |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Dedup.contaminationReport(
+        docs.where(col("doc_id") % 43 =!= 0),
+        docs.where(col("doc_id") % 43 === 0), "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+
+    // E10b: the decontaminated corpus itself — training docs minus every
+    // flagged id (broadcast anti-join; survivors keep their metadata).
+    QueryDef.sql("e10_decontaminate",
+      s"""${duckContamHits()}
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 43 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 43 =!= 0),
+        docs.where(col("doc_id") % 43 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 4)
+        .select("doc_id", "lang", "source").orderBy("doc_id")
     }
   )
+
+  /** DuckDB twin of the E10 contamination pipeline (4-gram shingles over
+    * the canonical tokenizer, eval = doc_id % 43 = 0), kept in lockstep
+    * with Dedup.contaminationReport.
+    */
+  private def duckContamHits(): String =
+    s"""WITH tokd AS (SELECT doc_id, ${TextQueries.duckToks} AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 3),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS sh
+       |    FROM tokd)
+       |),
+       |evalsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 43 = 0),
+       |hits AS (
+       |  SELECT s.doc_id, count(*) AS n_hits
+       |  FROM sh s JOIN evalsh e USING (sh)
+       |  WHERE s.doc_id % 43 <> 0 GROUP BY s.doc_id
+       |)""".stripMargin
 }

@@ -84,6 +84,27 @@ object SeededQueries {
         .select(regexp_extract(col("path"), "/([^/]+)$", 1).as("file_name"),
           col("length"))
         .orderBy("file_name")
+    },
+
+    // E11: token-budget curation — keep at most 800 tokens per source,
+    // chosen in deterministic draw order (the corpus-mixing step of a
+    // pre-training pipeline). The oracle replays the single-window
+    // formulation; the Spark side runs the bucketed two-phase plan
+    // (buckets=8 here so multi-bucket offsets are exercised) — identical
+    // results by construction, see Sampling.tokenBudget.
+    QueryDef.sql("e11_token_budget",
+      s"""WITH toks AS (SELECT doc_id, source,
+         |  CAST(len(${TextQueries.duckToks}) AS BIGINT) AS n_toks FROM documents),
+         |run AS (SELECT doc_id, source, n_toks,
+         |  sum(n_toks) OVER (PARTITION BY source
+         |    ORDER BY ${duckDraw("doc_id", "e11s7")}, doc_id) AS cum FROM toks)
+         |SELECT doc_id, source, n_toks FROM run WHERE cum <= 800
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_toks"))
+      Sampling.tokenBudget(docs, "source", col("doc_id"), col("n_toks"),
+        "e11s7", budget = 800L, buckets = 8)
+        .orderBy("doc_id")
     }
   )
 }

@@ -21,7 +21,7 @@ object TextQueries {
   /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec:
     * lower → whitespace→space → strip → split → drop empties).
     */
-  private val duckToks =
+  private[queries] val duckToks =
     "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
 
   /** Exploded (doc_id, token) stream, shared by several oracles. */

@@ -98,4 +98,26 @@ class ApiSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(11L))
   }
+
+  test("decontamination + token-budget verbs forward to their operators") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val clean = Seq(
+      (1L, "we saw a quick brown fox jumps right past us"),
+      (2L, "completely unrelated words fill this document body"))
+      .toDF("doc_id", "text")
+      .decontaminatedAgainst(evalSet, "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_toks"))
+    val viaVerb = docs.tokenBudgeted("source", "doc_id", "n_toks", "apiTb", 700L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaOp = graft.operators.Sampling.tokenBudget(docs, "source", col("doc_id"),
+      col("n_toks"), "apiTb", 700L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaVerb == viaOp && viaVerb.nonEmpty)
+  }
 }

@@ -334,4 +334,29 @@ class OperatorsSpec extends SparkSpec {
     assert(Pinned.pinnedCount == globalBefore)
     assert(outerPinned.count() == 1)
   }
+
+  test("E10: decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "colorless green ideas sleep furiously tonight")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains eval 4-gram "quick brown fox jumps" mid-sentence
+      (1L, "we saw a quick brown fox jumps right past us"),
+      // shares only a trigram ("green ideas sleep" — below n=4) => clean
+      (2L, "green ideas sleep rarely in papers"),
+      // no overlap at all
+      (3L, "completely unrelated words fill this document body"),
+      // contains TWO eval 4-grams (overlapping window of 5 shared tokens)
+      (4L, "listen colorless green ideas sleep furiously every night")).toDF("doc_id", "text")
+    val report = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(report == Map(1L -> 1L, 4L -> 2L), s"report=$report")
+    val clean = Dedup.decontaminate(train, eval, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(clean == Seq(2L, 3L), s"clean=$clean")
+    // shuffle-join fallback agrees with the broadcast path
+    val cleanNoBc = Dedup.decontaminate(train, eval, "doc_id", "text", n = 4,
+      broadcastEval = false).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(cleanNoBc == clean)
+  }
 }

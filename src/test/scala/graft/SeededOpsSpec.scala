@@ -83,4 +83,51 @@ class SeededOpsSpec extends SparkSpec {
     val gMean = rows.map(_._2).sum / rows.length
     assert(math.abs(gMean) < 0.2, s"randn mean $gMean")
   }
+
+  test("E11: bucketed tokenBudget equals the single-window formulation for any bucket count") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_toks"))
+    // the semantic reference: one cumulative window per source
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.drawOn(col("doc_id"), "tbX"), col("doc_id"))
+    val reference = docs.withColumn("__cum", sum("n_toks").over(w))
+      .where(col("__cum") <= 700).drop("__cum")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(reference.nonEmpty && reference.size < docs.count(),
+      s"budget gate not exercised: ${reference.size} of ${docs.count()}")
+    for (buckets <- Seq(1, 8, 1024)) {
+      val got = Sampling.tokenBudget(docs, "source", col("doc_id"), col("n_toks"),
+        "tbX", budget = 700L, buckets = buckets)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got == reference, s"buckets=$buckets diverged from single-window")
+    }
+    // partitioning-invariant, like every draw-based operator here
+    val again = Sampling.tokenBudget(docs.repartition(9), "source", col("doc_id"),
+      col("n_toks"), "tbX", budget = 700L, buckets = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == reference)
+  }
+
+  test("E11: per-source totals respect the budget and survivors are draw-prefixes") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
+      size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_toks"))
+    val kept = Sampling.tokenBudget(docs, "source", col("doc_id"), col("n_toks"),
+      "tbY", budget = 900L, buckets = 16)
+    val totals = kept.groupBy("source").agg(sum("n_toks").as("t"))
+      .select("t").as[Long].collect()
+    assert(totals.nonEmpty && totals.forall(_ <= 900L), s"budget exceeded: ${totals.toSeq}")
+    // prefix property: every kept row's draw precedes every dropped row's
+    // draw within its source (cut happens at one point in draw order)
+    val draws = docs.withColumn("__d", Sampling.drawOn(col("doc_id"), "tbY"))
+      .join(kept.select(col("doc_id"), lit(1).as("__k")), Seq("doc_id"), "left")
+      .select(col("source"), col("__d"), coalesce(col("__k"), lit(0)).as("__k"))
+      .as[(String, Long, Int)].collect().groupBy(_._1)
+    for ((src, rows) <- draws) {
+      val keptMax = rows.filter(_._3 == 1).map(_._2)
+      val dropMin = rows.filter(_._3 == 0).map(_._2)
+      if (keptMax.nonEmpty && dropMin.nonEmpty)
+        assert(keptMax.max < dropMin.min, s"$src: kept draw after a dropped draw")
+    }
+  }
 }
