@@ -17,6 +17,8 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val hostCpus = Runtime.getRuntime.availableProcessors
     val loadStart = os.getSystemLoadAverage
+    val statStart = procStat()
+    val calibStart = calibrate()
     val spark = GraftSession.getOrCreate(cpus)
     // Untimed warmup: first use of the parquet reader, whole-stage codegen
     // compiler, and shuffle machinery costs seconds of one-time JVM init
@@ -65,7 +67,47 @@ object Bench {
         f"$hostCpus CPUs — timings are contaminated by concurrent machine load")
     def f2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated}""")
+    // host-speed evidence beyond load average: a shared host can run this
+    // box 1.4x slower with an IDLE load average (hypervisor steal and
+    // per-core frequency variance are invisible to it — measured on this
+    // very box, see BASELINE.md round-4 note). calib_sec times a fixed
+    // single-thread LCG loop before and after the run (code-independent:
+    // two runs of ANY revision are comparable through it); steal_pct is
+    // the /proc/stat steal share across the whole run (Linux only, -1.0
+    // when unavailable).
+    val calibEnd = calibrate()
+    val stealPct = (for {
+      a <- statStart; b <- procStat()
+      d = b.zip(a).map { case (y, x) => y - x }
+      tot = d.sum.toDouble
+      if tot > 0 && d.length > 7
+    } yield 100.0 * d(7) / tot).getOrElse(-1.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)}}""")
     spark.stop()
+  }
+
+  /** First cpu line of /proc/stat as counters (None off-Linux). */
+  private def procStat(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Fixed single-thread CPU probe: 2x10^8 LCG steps, ~0.2-0.5 s. Measures
+    * effective per-core speed (frequency + steal) independent of any
+    * engine code, so totals from different machine conditions can be
+    * normalized by the calib ratio.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 1234567891L
+    var i = 0
+    while (i < 200000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      i += 1
+    }
+    if (x == 42L) System.err.print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e9
   }
 }
