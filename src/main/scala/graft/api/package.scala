@@ -153,5 +153,12 @@ package object api {
     /** Deterministic train/test split label (O4) as column `split`. */
     def splitLabeled(key: String, salt: String, trainPct: Int = 80): DataFrame =
       left.withColumn("split", operators.Sampling.splitLabel(col(key), salt, trainPct))
+
+    /** Source-weighted mixing (E12): replicate rows per-stratum `weights`
+      * (fractional epochs drawn deterministically); adds `epoch`.
+      */
+    def weightedMixed(strataCol: String, weights: Map[String, Double],
+                      key: String, salt: String): DataFrame =
+      operators.Sampling.weightedMix(left, col(strataCol), weights, col(key), salt)
   }
 }

@@ -69,6 +69,39 @@ object Sampling {
     when(drawOn(key, salt) % 100 < trainPct, lit("train")).otherwise(lit("test"))
   }
 
+  /** E12: source-weighted mixing — replicate each row `weight(stratum)`
+    * times, where fractional weights resolve per-row by a deterministic
+    * draw (weight 2.5: every row twice, plus a hash-chosen half of them a
+    * third time). The pre-training mix step ("2 epochs of wiki, 0.3 of
+    * web"); copies are labeled 1..n in `epochCol` so a downstream
+    * [[hashShuffle]] can interleave them. Strata absent from the map drop
+    * (same contract as [[hashStratifiedSample]]).
+    *
+    * 100 TB shape: entirely map-side — a per-row expression computes the
+    * copy count and `explode(sequence(...))` emits the copies. No shuffle,
+    * no skew sensitivity, output size = sum of weights x stratum sizes by
+    * construction. The fractional draw threshold uses floor(w * 10^6)
+    * micro-units so the same arithmetic replays exactly in DuckDB
+    * (truncation semantics differ between engines for a bare cast).
+    */
+  def weightedMix(df: DataFrame, strata: Column, weights: Map[String, Double],
+                  key: Column, salt: String, epochCol: String = "epoch"): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    for (c <- Seq("__n", epochCol))
+      require(!df.columns.contains(c), s"input already has a $c column")
+    val w = weights.foldRight(lit(0.0): Column) { case ((s, wt), acc) =>
+      when(strata === s, lit(wt)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    val fracMicros = floor(w * 1000000d).cast("long") - whole * 1000000L
+    val extra = when(drawOn(key, salt) % 1000000L < fracMicros, 1L).otherwise(0L)
+    // the n > 0 guard runs BEFORE the explode: Spark's sequence(1, 0)
+    // counts DOWN ([1, 0]) instead of yielding an empty array
+    df.withColumn("__n", whole + extra).where(col("__n") > 0)
+      .withColumn(epochCol, explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** E11: token-budget curation — per group (source/domain/language), keep
     * rows in deterministic draw order while the group's running token total
     * stays within `budget`. The corpus-mixing step of a pre-training

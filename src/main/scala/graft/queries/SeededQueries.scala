@@ -105,6 +105,31 @@ object SeededQueries {
       Sampling.tokenBudget(docs, "source", col("doc_id"), col("n_toks"),
         "e11s7", budget = 800L, buckets = 8)
         .orderBy("doc_id")
+    },
+
+    // E12: source-weighted mixing — 2.5 epochs of src0, 0.25 of src1, one
+    // of src2 (others drop). Fractional epochs resolve per-row by the
+    // deterministic draw; copies carry an epoch index. Entirely map-side
+    // (see Sampling.weightedMix) and exactly replayable: the oracle runs
+    // the identical micro-unit arithmetic.
+    QueryDef.sql("e12_weighted_mix",
+      s"""WITH w AS (SELECT doc_id, source,
+         |  CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+         |       WHEN 'src2' THEN 1.0 ELSE 0.0 END AS wt FROM documents),
+         |n AS (SELECT doc_id, source,
+         |  CAST(floor(wt) AS BIGINT) +
+         |  CASE WHEN ${duckDraw("doc_id", "e12mix")} % 1000000 <
+         |            CAST(floor(wt * 1000000) AS BIGINT) - CAST(floor(wt) AS BIGINT) * 1000000
+         |       THEN 1 ELSE 0 END AS n_copies
+         |  FROM w),
+         |mixed AS (SELECT doc_id, source, unnest(generate_series(1, n_copies)) AS epoch
+         |          FROM n WHERE n_copies > 0)
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM mixed
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+      Sampling.weightedMix(Tables.documents(s, d).select("doc_id", "source"),
+        col("source"), Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
+        col("doc_id"), "e12mix")
+        .orderBy("doc_id", "epoch")
     }
   )
 }

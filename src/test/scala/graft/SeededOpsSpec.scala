@@ -109,6 +109,34 @@ class SeededOpsSpec extends SparkSpec {
     assert(again == reference)
   }
 
+  test("E12: weightedMix replicates by integer part, draws the fraction, drops unlisted strata") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0)
+    val mixed = Sampling.weightedMix(docs, col("source"), weights, col("doc_id"), "mixT")
+    val bySrc = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc.keySet == Set("src0", "src1", "src2"), s"strata: ${bySrc.keySet}")
+    val sizes = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    // src0: every row 2x or 3x; src1: 0 or 1 copies; src2: exactly 1x
+    assert(bySrc("src0") >= 2 * sizes("src0") && bySrc("src0") <= 3 * sizes("src0"))
+    assert(bySrc("src1") <= sizes("src1"))
+    assert(bySrc("src2") == sizes("src2"))
+    // fractional draws land near the target rate (loose: small strata)
+    assert(bySrc("src1") > 0, "0.25 weight drew nothing — draw wiring broken")
+    // epoch labels are dense 1..n per doc
+    val epochs = mixed.where(col("source") === "src0").groupBy("doc_id")
+      .agg(collect_list("epoch").as("es"))
+      .select("es").as[Seq[Long]].collect()
+    assert(epochs.forall(es => es.sorted == (1L to es.size).toSeq))
+    // partitioning-invariant
+    val again = Sampling.weightedMix(docs.repartition(9), col("source"), weights,
+      col("doc_id"), "mixT").select("doc_id", "epoch")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(again == mixed.select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq)
+    // map-side only: the physical plan has no exchange before the explode
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"weightedMix shuffled:\n$plan")
+  }
+
   test("E11: per-source totals respect the budget and survivors are draw-prefixes") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"),
       size(graft.functions.TextFunctions.tokenize(col("text"))).cast("long").as("n_toks"))
