@@ -44,7 +44,9 @@ object PlanAudit {
     "e10_decontaminate" ->
       "Benchmark decontamination: the eval side's distinct shingle set BROADCASTS (eval suites are tiny next to the corpus), so the training corpus streams through one BroadcastHashJoin and is never shuffled; flagged ids broadcast again into the left-anti join. No corpus-sized exchange anywhere.",
     "e11_token_budget" ->
-      "Token-budget curation: phase 1 is a map-side-combined aggregate to a (source x bucket) frame; its per-source running sum broadcasts back, so the only corpus-wide exchange is the (source, bucket) window partitioning — parallelism sources x buckets, each sort 1/buckets of a source, with over-budget buckets pruned BEFORE the sort."
+      "Token-budget curation: phase 1 is a map-side-combined aggregate to a (source x bucket) frame; its per-source running sum broadcasts back, so the only corpus-wide exchange is the (source, bucket) window partitioning — parallelism sources x buckets, each sort 1/buckets of a source, with over-budget buckets pruned BEFORE the sort.",
+    "e12_weighted_mix" ->
+      "Source-weighted mixing: copy count is a per-row expression, copies come from explode(sequence) — scan, project, generate; ZERO exchanges in the whole plan (the trailing sort is the test harness's deterministic dump order, not the operator)."
   )
 
   def main(args: Array[String]): Unit = {
