@@ -90,16 +90,26 @@ object EventStreams {
     * is index-only. The same migration covers a user-prebuilt
     * [[graft.operators.Dedup.signatureIndex]] at outDir/index. The sink
     * owns outDir's layout from then on.
+    *
+    * @param curate per-batch pre-vetting transform applied to the incoming
+    *               rows BEFORE dedup (default identity). The composition
+    *               point for ingest hygiene: pass e.g.
+    *               `_.decontaminatedAgainst(benchmarks, idCol)` or a
+    *               quality-score gate. Must be deterministic — a replayed
+    *               batch re-runs it and must reproduce the same survivors
+    *               (same contract as the dedup itself); it may filter or
+    *               rewrite columns but must keep idCol and textCol.
     */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
                            outDir: String, checkpointDir: String,
-                           threshold: Double = 0.5)
+                           threshold: Double = 0.5,
+                           curate: DataFrame => DataFrame = identity)
   : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        val incoming = batch.select(idCol, textCol)
+        val incoming = curate(batch).select(idCol, textCol)
         // explicit existence probes: catching AnalysisException instead
         // would also swallow real read failures (schema drift, listing
         // errors) and silently disable dedup

@@ -269,6 +269,32 @@ class StreamingSpec extends SparkSpec {
     assert(idx == Seq(1L, 51L), s"index=$idx")
   }
 
+  test("incremental dedup sink composes a curation transform before vetting") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-inccur").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-inccur-ck").toString
+    val benchmarks = Seq((900L, "the held out benchmark question answer pair text"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq(
+      // contains a benchmark 4-gram -> curated away BEFORE dedup
+      (1L, "a doc leaking the held out benchmark question verbatim"),
+      (2L, "a perfectly clean incoming document with original words")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck,
+      curate = _.decontaminatedAgainst(benchmarks, "doc_id"))
+    q.processAllAvailable()
+    q.stop()
+    val docs = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(2L), s"docs=$docs — the contaminated doc must be " +
+      "curated out before vetting and never enter the corpus or index")
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == Seq(2L), s"index=$idx")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
