@@ -137,4 +137,52 @@ object LawsProperties extends Properties("graft.laws") {
         .select(TF.repetitionRatio(TF.tokenize(col("text")), 2)).as[Double].head()
       r >= 0.0 && r < 1.0 && rDistinct == 0.0
     }
+
+  private val docGen: Gen[List[(Long, String)]] =
+    Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.listOfN(8, Gen.oneOf("red", "green", "blue", "ochre", "teal", "umber"))
+        .map(_.mkString(" ")))).map(_.distinctBy(_._1))
+
+  property("tokenBudget monotone: survivors under a smaller budget ⊆ survivors under a larger") =
+    Prop.forAll(docGen, Gen.identifier) { (docs, salt) =>
+      import graft.operators.Sampling
+      val df = docs.toDF("id", "text")
+        .withColumn("grp", (col("id") % 2).cast("string"))
+        .withColumn("n", size(TF.tokenize(col("text"))).cast("long"))
+      def kept(budget: Long) =
+        Sampling.tokenBudget(df, "grp", col("id"), col("n"), salt, budget, buckets = 4)
+          .select("id").as[Long].collect().toSet
+      val small = kept(16)
+      val large = kept(40)
+      small.subsetOf(large) && large.subsetOf(docs.map(_._1).toSet)
+    }
+
+  property("decontaminate laws: eval rows never survive self-decon; bigger eval ⊆ fewer survivors") =
+    Prop.forAll(docGen, docGen) { (train0, eval0) =>
+      import graft.operators.Dedup
+      val train = train0.toDF("id", "text")
+      val evalSmall = eval0.take(3).toDF("id", "text")
+      val evalBig = (eval0 ++ train0.take(2)).toDF("id", "text")
+      def survivors(ev: org.apache.spark.sql.DataFrame) =
+        Dedup.decontaminate(train, ev, "id", "text", n = 4)
+          .select("id").as[Long].collect().toSet
+      // a corpus decontaminated against itself keeps only docs shorter
+      // than one shingle (n=4 needs 4 tokens; our docs have 8)
+      val self = Dedup.decontaminate(train, train, "id", "text", n = 4).count()
+      self == 0 && survivors(evalBig).subsetOf(survivors(evalSmall))
+    }
+
+  property("weightedMix counts: every row appears floor(w) or floor(w)+1 times, labels dense") =
+    Prop.forAll(docGen, Gen.identifier) { (docs, salt) =>
+      import graft.operators.Sampling
+      val df = docs.toDF("id", "text")
+        .withColumn("grp", (col("id") % 2).cast("string"))
+      val w = Map("0" -> 1.5, "1" -> 0.25)
+      val mixed = Sampling.weightedMix(df, col("grp"), w, col("id"), salt)
+        .groupBy("id", "grp").agg(count(lit(1)).as("n"), max("epoch").as("mx"))
+        .as[(Long, String, Long, Long)].collect()
+      mixed.forall { case (_, g, n, mx) =>
+        val wt = w(g); n == mx && (n == wt.toLong || n == wt.toLong + 1)
+      }
+    }
 }
