@@ -25,7 +25,14 @@ import graft.functions.TextFunctions.hash32
   */
 object Sampling {
 
-  /** Portable per-row draw in [0, 2^32): hash32 of "key:salt". */
+  /** Portable per-row draw in [0, 2^32): hash32 of "key:salt".
+    *
+    * NULL keys draw NULL, and every comparison against a NULL draw is
+    * false — so rows with a null key silently vanish from any hash-based
+    * sample/split/budget. That is deliberate (a null key is not unique,
+    * violating the keyed-draw contract) but easy to miss: filter or
+    * coalesce null keys explicitly before sampling if they must survive.
+    */
   def drawOn(key: Column, salt: String): Column =
     hash32(concat(key.cast("string"), lit(":" + salt)))
 

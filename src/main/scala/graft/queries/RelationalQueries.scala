@@ -530,6 +530,20 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // A10 (sketch variant): HyperLogLog++ approximate distinct — the form
+    // you actually run at 100 TB. Exact count(DISTINCT) shuffles every
+    // distinct key; the sketch shuffles a few KB per group at a declared
+    // relative error. Rows-only (DuckDB's approx_count_distinct is a
+    // different HLL implementation, so values legitimately differ); the
+    // ≤5% relative-error gate vs the exact counts is asserted in
+    // FunctionsSpec.
+    QueryDef.rowsOnly("a10_approx_distinct") { (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
     // W2: global top-k as orderBy+limit → TakeOrderedAndProject (no global
     // sort) — chapter1/SparkRDDAPITest.scala:38 takeOrdered.
     QueryDef.sql(

@@ -199,4 +199,16 @@ class FunctionsSpec extends SparkSpec {
     assert(rep("spam spam spam spam", 1) == 0.75) // 4 unigrams, 1 distinct
     assert(rep("short", 2) == 0.0) // no bigram exists -> 0, not null/NaN
   }
+
+  test("A10 sketch: approx_count_distinct within 5% of exact per group") {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val both = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("exact"),
+        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("approx"))
+      .as[(String, Long, Long)].collect()
+    assert(both.nonEmpty)
+    for ((grp, exact, approx) <- both)
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"$grp: approx $approx vs exact $exact drifts beyond 5%")
+  }
 }
