@@ -46,7 +46,13 @@ object PlanAudit {
     "e11_token_budget" ->
       "Token-budget curation: phase 1 is a map-side-combined aggregate to a (source x bucket) frame; its per-source running sum broadcasts back, so the only corpus-wide exchange is the (source, bucket) window partitioning — parallelism sources x buckets, each sort 1/buckets of a source, with over-budget buckets pruned BEFORE the sort.",
     "e12_weighted_mix" ->
-      "Source-weighted mixing: copy count is a per-row expression, copies come from explode(sequence) — scan, project, generate; ZERO exchanges in the whole plan (the trailing sort is the test harness's deterministic dump order, not the operator)."
+      "Source-weighted mixing: copy count is a per-row expression, copies come from explode(sequence) — scan, project, generate; ZERO exchanges in the whole plan (the trailing sort is the test harness's deterministic dump order, not the operator).",
+    "q18_large_orders" ->
+      "TPC-H Q18 shape: the lineitem aggregate partial-aggregates map-side before its one exchange; the selective HAVING output joins orders/customer (AQE broadcasts it at small SF, free to shuffle at scale); top-100 via TakeOrderedAndProject.",
+    "q19_disjunctive_revenue" ->
+      "TPC-H Q19 shape: Catalyst extracts the per-side implications of the OR-of-ANDs — the part scan keeps only rows inside some brand/size window and the lineitem scan only rows inside some quantity window (visible as pushed scan filters) — so the disjunction never forces an unfiltered fact-dim join.",
+    "e5_bigram_fluency" ->
+      "Bigram-LM fluency: the model is a gram-type-sized aggregate (one shuffle over exploded grams + a prefix-total join); scoring joins doc grams to the model on the gram string and partial-aggregates per doc. No corpus-text shuffle, no UDFs — every stage is codegen."
   )
 
   def main(args: Array[String]): Unit = {

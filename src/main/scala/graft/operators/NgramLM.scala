@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Count-based n-gram language model for corpus fluency scoring (SURVEY E5
+  * extension) — the declarative form of the KenLM-style perplexity filter
+  * every LLM data pipeline runs: fit n-gram statistics on a reference
+  * corpus, score each document by how predictable its token transitions
+  * are, cut the tail.
+  *
+  * Scale: the fitted model is gram-type-sized (vocabulary-bounded, ≪
+  * corpus), built in one shuffle over exploded grams with map-side partial
+  * counts. Scoring joins each doc's gram occurrences to the model on the
+  * gram string — a plain equi-join AQE broadcasts whenever the model fits
+  * (typical: a few GB for web-scale vocabularies), so the 100 TB corpus
+  * streams through without shuffling text. No driver state, no UDFs.
+  *
+  * Two scores:
+  *  - [[scoreMeanProb]] — mean/min MLE conditional probability
+  *    P(w_i | w_{i-n+1..i-1}) = c(gram)/c(prefix). Transcendental-free by
+  *    design (exactly-rounded ops only: integer counts, one double divide,
+  *    scaled-integer sums), so the DuckDB oracle reproduces it bit-for-bit
+  *    — same policy as TextFunctions.qualityScore.
+  *  - [[scoreLogProb]] — the conventional average log-probability
+  *    (ln-based, unit-tested rather than oracle-hashed: ln is not an
+  *    exactly-rounded operation, so cross-engine bitwise parity is not
+  *    guaranteed).
+  */
+object NgramLM {
+
+  /** Fit n-gram counts over a corpus: one row per distinct gram with its
+    * occurrence count and its prefix's total count — the MLE conditional
+    * probability is c_gram / c_prefix. Gram occurrences count with
+    * multiplicity (a language model is frequency-weighted, unlike the
+    * dedup shingle sets). One shuffle on the gram; the prefix totals are a
+    * second aggregate over the already-gram-type-sized counts, joined back
+    * on the prefix.
+    */
+  def fit(corpus: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2 for conditional probabilities, got $n")
+    val grams = corpus
+      .select(explode(shingles(tokenize(col(textCol)), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_gram"))
+    // prefix = the first n-1 tokens of the space-joined gram
+    val withPrefix = grams.withColumn("prefix", substring_index(col("gram"), " ", n - 1))
+    val prefixTotals = withPrefix.groupBy("prefix").agg(sum("c_gram").as("c_prefix"))
+    withPrefix.join(prefixTotals, "prefix").select("gram", "c_gram", "c_prefix")
+  }
+
+  /** Per-doc fluency from MLE conditional probabilities, oracle-exact:
+    *  - n_grams: the doc's gram occurrence count;
+    *  - mean_cond_prob: mean of c_gram/c_prefix over occurrences. Each
+    *    ratio is scaled to an integer (×1e9, exactly representable) before
+    *    summing, so the cross-row sum is order-invariant — the same
+    *    scaled-integer-moment trick a10_summary_stats uses;
+    *  - min_cond_prob: the least predictable transition (min is
+    *    order-invariant for free).
+    * Docs with fewer than n tokens have no grams and drop out (as they do
+    * from any perplexity filter). Grams absent from the model score
+    * `unseenProb` (default 0.0 — the MLE value; fit-on-self never hits it).
+    */
+  def scoreMeanProb(docs: DataFrame, model: DataFrame, idCol: String,
+                    textCol: String, n: Int = 2,
+                    unseenProb: Double = 0.0): DataFrame = {
+    val ratio = coalesce(
+      col("c_gram").cast("double") / col("c_prefix"), lit(unseenProb))
+    docGrams(docs, idCol, textCol, n)
+      .join(model.select("gram", "c_gram", "c_prefix"), Seq("gram"), "left")
+      .select(col(idCol), ratio.as("r"),
+        round(ratio * lit(1e9)).cast("long").as("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum("s").cast("double") / count(lit(1)) / lit(1e9), 6).as("mean_cond_prob"),
+        round(min("r"), 6).as("min_cond_prob"))
+  }
+
+  /** Conventional average log-probability (natural log of the MLE
+    * conditional probability, averaged over the doc's gram occurrences) —
+    * the score whose negative exponential is per-token perplexity. Unseen
+    * grams floor at ln(unseenProb). Unit-tested, not oracle-hashed (ln).
+    */
+  def scoreLogProb(docs: DataFrame, model: DataFrame, idCol: String,
+                   textCol: String, n: Int = 2,
+                   unseenProb: Double = 1e-9): DataFrame = {
+    val lp = coalesce(
+      log(col("c_gram").cast("double") / col("c_prefix")), lit(math.log(unseenProb)))
+    docGrams(docs, idCol, textCol, n)
+      .join(model.select("gram", "c_gram", "c_prefix"), Seq("gram"), "left")
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), avg("lp").as("avg_logprob"))
+  }
+
+  /** Fluency gate: fit on the corpus itself and keep docs whose mean
+    * conditional probability clears `minMeanProb` — the composable
+    * filter-shaped form (garbled/templated-tail removal).
+    */
+  def fluencyGate(corpus: DataFrame, idCol: String, textCol: String,
+                  minMeanProb: Double, n: Int = 2): DataFrame = {
+    val keep = scoreMeanProb(corpus, fit(corpus, textCol, n), idCol, textCol, n)
+      .where(col("mean_cond_prob") >= minMeanProb)
+      .select(idCol)
+    corpus.join(keep, Seq(idCol), "left_semi")
+  }
+
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(shingles(tokenize(col(textCol)), n)).as("gram"))
+}

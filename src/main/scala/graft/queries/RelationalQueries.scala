@@ -784,6 +784,118 @@ object RelationalQueries {
       agg.select(lit("a").as("branch"), col("c_mktsegment"), col("n"))
         .union(agg.select(lit("b").as("branch"), col("c_mktsegment"), col("n")))
         .orderBy("branch", "c_mktsegment")
+    },
+
+    // J2b: TPC-H Q4 shape — EXISTS-driven priority report. The subquery is
+    // a left-semi join: the quarter window prunes orders before the probe,
+    // and the lineitem side never projects more than the join key, so at
+    // 100 TB the semi-join shuffles (orderkey, nothing else) and the
+    // aggregate runs over the quarter's orders only.
+    QueryDef.sql(
+      "q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val flagged = Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R").select("l_orderkey")
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // A10e: TPC-H Q14 shape — conditional aggregate ratio over a fact-dim
+    // join (promo revenue share). part is the broadcast dimension; both
+    // sums run in DECIMAL so partial-aggregation order is immaterial, and
+    // the ratio surfaces as a rounded double.
+    QueryDef.sql(
+      "q14_promo_revenue",
+      """SELECT round((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE))
+        |             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS promo_pct,
+        |       count(*) AS n
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin) { (s, d) =>
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 6))
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(DecimalType(18, 6)))).cast("double"))
+            / sum(rev).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n"))
+    },
+
+    // J6e/A10f: TPC-H Q18 shape — large-order customers: a HAVING filter on
+    // a fact-wide aggregate feeds a join chain. The lineitem aggregate
+    // pre-reduces map-side (sum of per-order quantities), the surviving
+    // "big orders" set is selective so AQE broadcasts it into the orders
+    // join, and the top-100 rides TakeOrderedAndProject. l_quantity values
+    // are integral, so the double sum is exact in any order.
+    QueryDef.sql(
+      "q18_large_orders",
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 140
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+        |       o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))
+        .where(col("sum_qty") > 140)
+      big
+        .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // J6f: TPC-H Q19 shape — disjunctive join predicate (OR of brand/size/
+    // quantity conjunctions). Catalyst extracts the per-side implications of
+    // the DNF (part rows outside every brand/size window, and lineitem rows
+    // outside every quantity window, are filtered BEFORE the join), so the
+    // disjunction does not force a full fact-dim product even though no
+    // single conjunct is a join-wide filter.
+    QueryDef.sql(
+      "q19_disjunctive_revenue",
+      """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND (
+        |      (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, d) =>
+      val disj =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .where(disj)
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
     }
   )
 }

@@ -518,6 +518,69 @@ object TextQueries {
         .select(col("doc_id"), length(bin).cast("long").as("n_bytes"),
           (length(bin) % 256).cast("int").as("feature0"))
         .orderBy("doc_id")
+    },
+
+    // E5c: bigram-LM fluency scoring (operators.NgramLM) — the KenLM-style
+    // perplexity filter in its oracle-exact form: fit bigram counts on the
+    // corpus, score each doc by the mean/min MLE conditional probability of
+    // its transitions. Transcendental-free (scaled-integer sums, exact
+    // divisions) so DuckDB replays it bit-for-bit; the ln-based
+    // scoreLogProb twin is unit-tested instead.
+    QueryDef.sql(
+      "e5_bigram_fluency",
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |      FROM base),
+         |bg AS (SELECT gram, count(*) AS c_gram FROM g GROUP BY gram),
+         |pf AS (SELECT split_part(gram, ' ', 1) AS prefix, sum(c_gram) AS c_prefix
+         |       FROM bg GROUP BY 1),
+         |model AS (SELECT gram, c_gram, c_prefix
+         |          FROM bg JOIN pf ON split_part(bg.gram, ' ', 1) = pf.prefix),
+         |scored AS (SELECT doc_id,
+         |             CAST(c_gram AS DOUBLE) / c_prefix AS r,
+         |             CAST(round(CAST(c_gram AS DOUBLE) / c_prefix * 1e9) AS BIGINT) AS s
+         |           FROM g JOIN model USING (gram))
+         |SELECT doc_id, count(*) AS n_grams,
+         |       round(CAST(sum(s) AS DOUBLE) / count(*) / 1e9, 6) AS mean_cond_prob,
+         |       round(min(r), 6) AS min_cond_prob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.NgramLM.fit(docs, "text", n = 2)
+      graft.operators.NgramLM.scoreMeanProb(docs, model, "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
+    // E5d: TF-IDF keyword extraction — top-3 terms per document. The idf
+    // damping is sqrt(N/df) rather than ln(N/df): sqrt is an
+    // exactly-rounded IEEE op, so scores (and therefore the per-doc
+    // ranking) are bit-identical across engines. df comes from the
+    // (doc, term) aggregate, so it is a distinct-doc count by construction.
+    QueryDef.sql(
+      "e5_tfidf_terms",
+      s"""WITH t AS ($duckTokenStream),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+         |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, token,
+         |        round(tf * sqrt(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+         |        CAST(row_number() OVER (
+         |          PARTITION BY doc_id
+         |          ORDER BY tf * sqrt(CAST(n_docs AS DOUBLE) / df) DESC, token) AS BIGINT) AS rank
+         |      FROM tf JOIN idf USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tfidf, rank FROM s WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val nDocs = Tables.documents(s, d).count()
+      val tf = tokensDF(s, d).groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val score = col("tf") * sqrt(lit(nDocs).cast("double") / col("df"))
+      val w = Window.partitionBy("doc_id").orderBy(score.desc, col("token"))
+      tf.join(idf, "token")
+        .withColumn("tfidf", round(score, 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
     }
   )
 }

@@ -201,6 +201,32 @@ object EventStreams {
       }
       .start()
 
+  /** Stream-stream interval join: each purchase joins every view by the
+    * same user in the preceding `horizonMinutes` — the attribution shape
+    * (which impressions preceded this conversion). Both sides carry
+    * watermarks so Spark bounds the join state: a buffered view can be
+    * evicted once the purchase-side watermark passes view.ts + horizon.
+    * The same definition runs in batch for parity (watermarks are no-ops
+    * there), which is how StreamingSpec asserts correctness.
+    *
+    * Scale: stream-stream joins shuffle both sides on user_id; state size
+    * is bounded by horizon × per-user event rate, independent of stream
+    * length — the property that lets it run forever.
+    */
+  def viewPurchaseAttribution(views: DataFrame, purchases: DataFrame,
+                              horizonMinutes: Int = 30): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"interval $horizonMinutes minutes"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 
   /** Custom keyed state (flatMapGroupsWithState surface): cumulative

@@ -359,4 +359,54 @@ class OperatorsSpec extends SparkSpec {
       broadcastEval = false).select("doc_id").as[Long].collect().sorted.toSeq
     assert(cleanNoBc == clean)
   }
+
+  test("E5: bigram LM — hand-computed MLE conditional probabilities") {
+    import graft.operators.NgramLM
+    // grams: doc1 = [a b, b a, a b], doc2 = [a c]
+    // counts: c(a b)=2, c(b a)=1, c(a c)=1; prefixes: a->3, b->1
+    // ratios: a b = 2/3, b a = 1, a c = 1/3
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLM.fit(corpus, "text", n = 2)
+    val m = model.select("gram", "c_gram", "c_prefix")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m == Map("a b" -> ((2L, 3L)), "b a" -> ((1L, 1L)), "a c" -> ((1L, 3L))), s"model=$m")
+    val scored = NgramLM.scoreMeanProb(corpus, model, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // doc1 mean = (2/3 + 1 + 2/3)/3 = 7/9; doc2 mean = min = 1/3
+    assert(scored == Seq((1L, 3L, 0.777778, 0.666667), (2L, 1L, 0.333333, 0.333333)),
+      s"scored=$scored")
+  }
+
+  test("E5: bigram LM — log-prob scoring and the unseen-gram floor") {
+    import graft.operators.NgramLM
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val model = NgramLM.fit(corpus, "text", n = 2)
+    val lp = NgramLM.scoreLogProb(corpus, model, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    val expected1 = (math.log(2.0 / 3) + math.log(1.0) + math.log(2.0 / 3)) / 3
+    assert(lp.head._1 == 1L && math.abs(lp.head._3 - expected1) < 1e-12, s"lp=$lp")
+    // a doc whose grams were never fitted floors at ln(unseenProb)
+    val alien = Seq((9L, "z q z q")).toDF("doc_id", "text")
+    val alienLp = NgramLM.scoreLogProb(alien, model, "doc_id", "text", unseenProb = 1e-9)
+      .as[(Long, Long, Double)].collect().head
+    assert(math.abs(alienLp._3 - math.log(1e-9)) < 1e-12, s"alien=$alienLp")
+    // docs shorter than n have no grams and drop out of scoring
+    val shorty = Seq((7L, "solo")).toDF("doc_id", "text")
+    assert(NgramLM.scoreMeanProb(shorty, model, "doc_id", "text").count() == 0)
+  }
+
+  test("E5: fluencyGate keeps docs whose transitions clear the threshold") {
+    import graft.operators.NgramLM
+    val corpus = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // doc1 mean 7/9 ≈ 0.78, doc2 mean 1/3 — a 0.5 gate keeps only doc1
+    val kept = NgramLM.fluencyGate(corpus, "doc_id", "text", minMeanProb = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L), s"kept=$kept")
+    // fit-on-self scores are valid probabilities on the real fixture
+    val docs = Tables.documents(spark, sfDir).limit(100).select("doc_id", "text")
+    val probs = NgramLM.scoreMeanProb(docs, NgramLM.fit(docs, "text"), "doc_id", "text")
+      .select("mean_cond_prob").as[Double].collect()
+    assert(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0))
+  }
 }

@@ -303,4 +303,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (2L, 1L)) || out.forall(_._2 == 1L),
       s"unexpected sessions: $out")
   }
+
+  test("stream-stream interval join: purchases attribute to in-horizon views, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val viewEvs = Seq(Ev(1, ts(5), 1, "view", 0.0), Ev(2, ts(65), 2, "view", 0.0))
+    val buyEvs = Seq(
+      Ev(3, ts(20), 1, "purchase", 9.0),  // 15 min after user 1's view -> match
+      Ev(4, ts(50), 1, "purchase", 7.0),  // 45 min after -> outside horizon
+      Ev(5, ts(80), 2, "purchase", 5.0),  // 15 min after user 2's view -> match
+      Ev(6, ts(10), 3, "purchase", 1.0))  // user with no view at all
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    views.addData(viewEvs)
+    buys.addData(buyEvs)
+    val query = EventStreams.viewPurchaseAttribution(views.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("attr_out").collect().map(_.toString).sorted.toSeq
+    // watermarks are no-ops in batch mode: same definition, same answer
+    val batch = EventStreams.viewPurchaseAttribution(viewEvs.toDF(), buyEvs.toDF())
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.size == 2, s"expected the two in-horizon attributions: $streamed")
+  }
 }
