@@ -7,14 +7,20 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: regex over query names (dev iteration on a few
+    // queries without dumping the whole catalog); driver passes two args
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o) => (s, o, ".*")
+      case Array(s, o, f) => (s, o, f)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // Same GraftSession config (AQE, UTC, shuffle partitions) the engine is
     // designed around — see ADVICE.md round 1.
     val spark = GraftSession.getOrCreate(cpus)
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -40,6 +46,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(_._1.matches(nameFilter))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for embedding columns (SURVEY E3, the
+  * memory-compression half of the ANN story; the classic IVFADC layout from
+  * the public FAISS/Jégou et al. literature — companion to
+  * [[Similarity.ivfTopK]], which prunes compute but still stores full
+  * vectors).
+  *
+  * The embedding dimension D is split into `m` subspaces of D/m dims; each
+  * subspace gets its own small KMeans codebook of `kCodes` centroids, and a
+  * vector is stored as its m nearest-centroid ids — m bytes (kCodes <= 256)
+  * instead of 4*D. At D=64/m=8 that is a 32x reduction of the bytes the ANN
+  * scan reads: the asymmetric-distance (ADC) pass touches ONLY the code
+  * table (per query: one (m x kCodes) lookup table built from the full-
+  * precision query, then m array lookups per corpus row), and full vectors
+  * are fetched just for the final exact re-rank of the few surviving
+  * candidates — an equi-join on vec_id, never a second corpus scan pattern.
+  *
+  * Everything is expression-only (codegen-friendly): codebooks embed as
+  * literal arrays exactly like [[Similarity.lshSignature]]'s hyperplanes,
+  * so encode/ADC run inside whole-stage codegen with no UDF. At 100 TB the
+  * codebooks are fit on a deterministic hash sample (a few MB of state —
+  * m*kCodes*(D/m) floats — regardless of corpus size), the code table is
+  * written once at ingest, and each query costs one scan of the 32x-smaller
+  * code table plus rerank*k full-vector fetches.
+  */
+object ProductQuantization {
+
+  /** Per-subspace codebooks: m x (<=kCodes) x (dim/m) floats, fit with one
+    * small KMeans per subspace (seeded, random init — like the IVF coarse
+    * quantizer, cell SHAPE is what matters; recall comes from re-ranking).
+    *
+    * @param fitSampleFraction deterministic hash-sample fraction for the
+    *        fit (the assignment/encode step still covers every vector).
+    *        At 100 TB pass ~0.001: codebooks need the density shape only.
+    */
+  def fitCodebooks(corpus: DataFrame, dim: Int, m: Int, kCodes: Int,
+                   fitSampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(kCodes >= 2 && kCodes <= 256,
+      s"kCodes must be in [2, 256] (one byte per code), got $kCodes")
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
+    val d = dim / m
+    val fitInput =
+      (if (fitSampleFraction >= 1.0) corpus
+       else corpus.where(Sampling.drawOn(col("vec_id"), "pq_fit") % 1000000 <
+         math.round(fitSampleFraction * 1000000).toInt))
+        .select(col("embedding"))
+    // one cached pass feeds all m sub-fits; each fit sees only its d-dim slice
+    val sliced = fitInput.select(
+      (0 until m).map(s =>
+        array_to_vector(slice(col("embedding"), s * d + 1, d)).as(s"sub_$s")): _*)
+      .cache()
+    try {
+      (0 until m).map { s =>
+        new KMeans().setK(kCodes).setSeed(42 + s).setMaxIter(4)
+          .setInitMode("random").setFeaturesCol(s"sub_$s")
+          .fit(sliced)
+          .clusterCenters.map(_.toArray.map(_.toFloat))
+      }.toArray
+    } finally sliced.unpersist()
+  }
+
+  /** Sum of squared differences between a d-dim slice and a literal
+    * centroid — the primitive both encode and the ADC table build on.
+    */
+  private def sqDist(sub: Column, centroid: Array[Float]): Column =
+    aggregate(
+      zip_with(sub, array(centroid.map(c => lit(c.toDouble)): _*),
+        (x, c) => { val diff = x.cast("double") - c; diff * diff }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codes for an embedding column: array<int> of length m, code s =
+    * index of the nearest subspace-s centroid (first-min tie-break via
+    * array_position, so encoding is deterministic under any partitioning).
+    */
+  def encode(emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val d = codebooks(0)(0).length
+    val codes = codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(emb, s * d + 1, d)
+      val dists = array(book.map(c => sqDist(sub, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    array(codes: _*)
+  }
+
+  /** Per-query ADC lookup table: array<array<double>>, entry [s][j] =
+    * squared distance from the query's subspace-s slice to centroid j.
+    * Built once per query row from the FULL-precision query vector — the
+    * "asymmetric" in ADC (only the corpus side is quantized).
+    */
+  def adcTable(qEmb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val d = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (book, s) =>
+      val sub = slice(qEmb, s * d + 1, d)
+      array(book.map(c => sqDist(sub, c)): _*)
+    }: _*)
+  }
+
+  /** ADC distance of a code row against a query's lookup table:
+    * sum_s table[s][code_s] — m array lookups, no arithmetic on vectors.
+    */
+  def adcDistance(codes: Column, table: Column): Column =
+    aggregate(
+      zip_with(codes, table, (c, row) => element_at(row, c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ANN top-k via PQ: encode corpus once, ADC-scan the code table per
+    * query, exact-cosine re-rank the best `rerank`*k candidates.
+    *
+    * The scan side reads (vec_id, codes) only — at 100 TB the code table
+    * is the persisted index (32x smaller than the vectors at D=64/m=8);
+    * full embeddings are fetched by equi-join for just the re-rank set.
+    * Compose with [[Similarity.ivfTopK]]'s cell assignment for IVF-PQ
+    * (assign + encode in the same ingest pass; probe prunes cells, ADC
+    * prunes bytes).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             dim: Int = 64, m: Int = 8, kCodes: Int = 16, rerank: Int = 4,
+             fitSampleFraction: Double = 1.0): DataFrame = {
+    val books = fitCodebooks(corpus, dim, m, kCodes, fitSampleFraction)
+    // the compressed index: the only thing the per-query scan touches
+    val codeTable = corpus.select(col("vec_id").as("n_id"),
+      encode(col("embedding"), books).as("codes"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      adcTable(col("embedding"), books).as("dtable"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
+    val shortlist = codeTable.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"),
+        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
+      .withColumn("ar", row_number().over(wAdc)).where(col("ar") <= k * rerank)
+      .select("q_id", "q_emb", "n_id")
+    // full vectors for the survivors only: equi-join on id, never a rescan
+    val full = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    shortlist.join(full, "n_id")
+      .select(col("q_id"), col("n_id"),
+        graft.plans.NativeColumns.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

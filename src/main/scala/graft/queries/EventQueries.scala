@@ -251,6 +251,104 @@ object EventQueries {
           .agg(count(lit(1)).as("n"))
           .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"), col("n"))
           .orderBy("user_id", "session_start_ms")
+    },
+
+    // E9b: cohort retention matrix — per signup-cohort week, how many users
+    // are active 0..3 weeks later. Cohort and activity weeks are both
+    // Monday-truncated, so the offset is an exact integer division of the
+    // day difference; one distinct-activity aggregate, one join, one count.
+    QueryDef.sql(
+      "e9_retention",
+      """WITH first_signup AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+        |), joined AS (
+        |  SELECT f.user_id, f.cw,
+        |         CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.aw AS DATE)) // 7 AS BIGINT) AS week_offset
+        |  FROM first_signup f JOIN act a ON a.user_id = f.user_id AND a.aw >= f.cw
+        |), counts AS (
+        |  SELECT cw, week_offset, count(DISTINCT user_id) AS n_active
+        |  FROM joined WHERE week_offset <= 3 GROUP BY cw, week_offset
+        |), sizes AS (
+        |  SELECT cw, count(DISTINCT user_id) AS n_cohort FROM first_signup GROUP BY cw
+        |)
+        |SELECT epoch_ms(c.cw) AS cohort_week_ms, c.week_offset, c.n_active, s.n_cohort,
+        |       round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM counts c JOIN sizes s ON s.cw = c.cw
+        |ORDER BY cohort_week_ms, week_offset""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val firstSignup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(date_trunc("week", min("ts")).as("cw"))
+      // distinct (user, week) BEFORE the join: the join input shrinks from
+      // every event to at most users x weeks
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("aw")).distinct()
+      val joined = firstSignup.join(act, "user_id").where(col("aw") >= col("cw"))
+        .select(col("user_id"), col("cw"),
+          floor(datediff(col("aw"), col("cw")) / 7).cast("long").as("week_offset"))
+        .where(col("week_offset") <= 3)
+      val counts = joined.groupBy("cw", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+      val sizes = firstSignup.groupBy("cw").agg(countDistinct("user_id").as("n_cohort"))
+      counts.join(sizes, "cw")
+        .select(unix_millis(col("cw")).as("cohort_week_ms"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+        .orderBy("cohort_week_ms", "week_offset")
+    },
+
+    // O8a: latest-wins upsert — a base snapshot (per-user state as of a
+    // cutoff) plus a change feed (every later event) merge to exactly the
+    // per-user latest event overall; a winner of type 'error' is a
+    // tombstone and drops the user from serving state. One window pass
+    // over the union (operators.Merge.upsertLatest).
+    QueryDef.sql(
+      "o8_upsert",
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, value, ts, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT user_id, event_type, round(value, 6) AS value, epoch_ms(ts) AS ts_ms
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select("user_id", "event_type", "value", "ts", "event_id")
+      // cutoff = median-ish fixed date inside the fixture's range; rows at
+      // or before it form the base snapshot, the rest are the change feed
+      val cutoff = lit("2024-01-15").cast("timestamp")
+      val wBase = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val base = ev.where(col("ts") <= cutoff)
+        .withColumn("__rn", row_number().over(wBase))
+        .where(col("__rn") === 1).drop("__rn")
+      val changes = ev.where(col("ts") > cutoff)
+      graft.operators.Merge.upsertLatest(base, changes,
+          keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"),
+          isDelete = Some(col("event_type") === "error"))
+        .select(col("user_id"), col("event_type"), round(col("value"), 6).as("value"),
+          unix_millis(col("ts")).as("ts_ms"))
+        .orderBy("user_id")
+    },
+
+    // O8b: SCD2 historize — each user's event feed becomes validity
+    // intervals: effective at its ts, expiring when the next event of that
+    // user arrives (null = current). One lead() window
+    // (operators.Merge.scd2History).
+    QueryDef.sql(
+      "o8_scd2_history",
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS valid_from_ms,
+        |       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_ms
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val hist = graft.operators.Merge.scd2History(
+        Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+        keyCols = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      hist.select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"))
+        .orderBy("user_id", "event_id")
     }
   )
 }

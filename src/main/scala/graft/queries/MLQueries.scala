@@ -210,6 +210,16 @@ object MLQueries {
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },
 
+    // E3 (PQ memory path): product-quantized ADC scan + exact re-rank —
+    // the scan reads 8-byte codes instead of 256-byte vectors; recall
+    // asserted vs exact top-k in ScaleOpsSpec.
+    QueryDef.rowsOnly("e3_ann_pq") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.ProductQuantization.pqTopK(
+          emb, emb.where(col("vec_id") < 10), k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
     // A8/M2 hybrid: per-example MSE between each vector and its label's
     // mean vector (reconstruction against the class centroid) — exact
     // relational computation, oracle-checked.

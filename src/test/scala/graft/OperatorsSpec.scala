@@ -409,4 +409,51 @@ class OperatorsSpec extends SparkSpec {
       .select("mean_cond_prob").as[Double].collect()
     assert(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0))
   }
+
+  test("O8: upsertLatest — newer wins, changes beat base at equal version, tombstone deletes") {
+    import graft.operators.Merge
+    val base = Seq(
+      (1L, "old", 10L),   // superseded by a newer change
+      (2L, "keep", 10L),  // no change row: survives as-is
+      (3L, "tie", 10L),   // equal-version change must win
+      (4L, "gone", 10L))  // tombstoned by a change
+      .toDF("k", "v", "ver")
+    val changes = Seq(
+      (1L, "new", 20L),
+      (3L, "tie2", 10L),
+      (4L, "DEL", 20L),
+      (5L, "ins", 5L))    // brand-new key inserts
+      .toDF("k", "v", "ver")
+    val out = Merge.upsertLatest(base, changes, Seq("k"), Seq("ver"),
+        isDelete = Some(col("v") === "DEL"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "new", 20L), (2L, "keep", 10L),
+      (3L, "tie2", 10L), (5L, "ins", 5L)), s"got $out")
+    // a stale tombstone must NOT delete a newer live row
+    val lateDel = Seq((1L, "DEL", 15L)).toDF("k", "v", "ver")
+    val out2 = Merge.upsertLatest(base, changes.union(lateDel), Seq("k"), Seq("ver"),
+        isDelete = Some(col("v") === "DEL"))
+      .where(col("k") === 1L).as[(Long, String, Long)].collect().toSeq
+    assert(out2 == Seq((1L, "new", 20L)), s"stale tombstone won: $out2")
+  }
+
+  test("O8: scd2History — validity intervals chain, current row open-ended") {
+    import graft.operators.Merge
+    val feed = Seq((1L, "a", 10L, 100L), (1L, "b", 20L, 101L), (1L, "c", 30L, 102L),
+      (2L, "x", 5L, 103L)).toDF("k", "v", "ver", "id")
+    val hist = Merge.scd2History(feed, Seq("k"), Seq("ver", "id"))
+      .select("k", "v", "valid_from", "valid_to").orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(hist == Seq(
+      (1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)), (1L, "c", 30L, None),
+      (2L, "x", 5L, None)), s"got $hist")
+    // every non-current interval's valid_to equals the successor's valid_from
+    // and intervals never overlap — the invariant a time-travel join relies on
+    hist.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._3).sliding(2).foreach {
+        case Seq((_, _, _, Some(to)), (_, _, from, _)) => assert(to == from)
+        case _ => ()
+      }
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, Skew}
+import graft.operators.{ProductQuantization, Similarity, Skew}
 import graft.sources.{Sink, Tables}
 
 /** Scale-path operators: IVF ANN recall, skew salting equivalence,
@@ -31,6 +31,54 @@ class ScaleOpsSpec extends SparkSpec {
     val recallSampled = (exact & ivfSampled).size.toDouble / exact.size
     assert(recallSampled >= 0.3, s"sampled-fit IVF recall too low: $recallSampled")
     info(f"IVF recall@5 (10%% fit sample) = $recallSampled%.2f")
+  }
+
+  test("E3: PQ ANN achieves >=30% recall@5 vs exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.exactTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = ProductQuantization.pqTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ recall too low: $recall")
+    info(f"PQ recall@5 = $recall%.2f")
+
+    // 100 TB posture: codebooks fitted on a 10% hash-sample hold the gate
+    val pqSampled = ProductQuantization.pqTopK(emb, q, 5, fitSampleFraction = 0.1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (exact & pqSampled).size.toDouble / exact.size
+    assert(recallSampled >= 0.3, s"sampled-fit PQ recall too low: $recallSampled")
+    info(f"PQ recall@5 (10%% fit sample) = $recallSampled%.2f")
+  }
+
+  test("E3: PQ codes are the compressed contract — m small ints, partition-invariant") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val books = ProductQuantization.fitCodebooks(emb, dim = 64, m = 8, kCodes = 16)
+    assert(books.length == 8 && books.forall(_.forall(_.length == 8)))
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), ProductQuantization.encode(col("embedding"), books).as("codes"))
+        .as[(Long, Seq[Int])].collect().toMap
+    val codes = codesOf(emb)
+    assert(codes.values.forall(c => c.length == 8 && c.forall(v => v >= 0 && v < 16)),
+      "every code must be one of kCodes=16 byte-sized ids")
+    // deterministic under any partition layout (argmin ties break by index)
+    assert(codesOf(emb.repartition(3)) == codes)
+    // ADC distance of a vector against its own table must not exceed that
+    // of a random other vector on average (sanity: quantization preserves
+    // the coarse geometry ADC ranks on)
+    val dtable = ProductQuantization.adcTable(col("embedding"), books)
+    val self = emb.select(
+      ProductQuantization.adcDistance(
+        ProductQuantization.encode(col("embedding"), books), dtable).as("d"))
+      .agg(avg("d")).as[Double].head()
+    val cross = emb.limit(50).select(col("embedding").as("a"))
+      .crossJoin(emb.orderBy(col("vec_id").desc).limit(50).select(col("embedding").as("b")))
+      .select(ProductQuantization.adcDistance(
+        ProductQuantization.encode(col("a"), books),
+        ProductQuantization.adcTable(col("b"), books)).as("d"))
+      .agg(avg("d")).as[Double].head()
+    assert(self < cross, s"self ADC $self should undercut cross ADC $cross")
   }
 
   test("skew: saltedSum equals the plain grouped sum") {
