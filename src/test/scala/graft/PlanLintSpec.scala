@@ -23,7 +23,10 @@ class PlanLintSpec extends SparkSpec {
     * condition. The corpus side streams exactly once; this is the designed
     * exact-topk shape, not an accident (SCALE.md E3).
     */
-  private val bnljAllowed = Set("e3_cosine_topk", "e2_embedding_neardup")
+  private val bnljAllowed = Set("e3_cosine_topk", "e2_embedding_neardup",
+    // PQ ADC scan: broadcast query rows stream once against the (vec_id,
+    // codes) table with the n_id =!= q_id guard — same designed shape
+    "e3_ann_pq")
 
   test("no catalogued query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = Catalog.all.filterNot(q => skip(q.name)).flatMap { q =>
