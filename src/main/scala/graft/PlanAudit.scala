@@ -52,7 +52,23 @@ object PlanAudit {
     "q19_disjunctive_revenue" ->
       "TPC-H Q19 shape: Catalyst extracts the per-side implications of the OR-of-ANDs — the part scan keeps only rows inside some brand/size window and the lineitem scan only rows inside some quantity window (visible as pushed scan filters) — so the disjunction never forces an unfiltered fact-dim join.",
     "e5_bigram_fluency" ->
-      "Bigram-LM fluency: the model is a gram-type-sized aggregate (one shuffle over exploded grams + a prefix-total join); scoring joins doc grams to the model on the gram string and partial-aggregates per doc. No corpus-text shuffle, no UDFs — every stage is codegen."
+      "Bigram-LM fluency: the model is a gram-type-sized aggregate (one shuffle over exploded grams + a prefix-total join); scoring joins doc grams to the model on the gram string and partial-aggregates per doc. No corpus-text shuffle, no UDFs — every stage is codegen.",
+    "q2_min_cost_supplier" ->
+      "TPC-H Q2 shape: the correlated per-part MIN subquery decorrelates to ONE window pass over the candidate set (single exchange on p_partkey) — never a per-row subquery and never a candidates-vs-candidates self-join; nation broadcasts.",
+    "q7_volume_shipping" ->
+      "TPC-H Q7 shape: both nation lookups ride broadcasts (the filtered supplier side is broadcast-hinted — 12% of an already-small table even at scale), so the only fact-fact exchange is lineitem<->orders; the nation-pair disjunction filters rows after the joins provide the labels.",
+    "q9_product_profit" ->
+      "TPC-H Q9 shape: part (name-filtered) and supplier->nation collapse to broadcasts; the profit expression is computed narrow before the orders join so the fact exchange carries (orderkey, nation, amount), not full rows.",
+    "q11_important_parts" ->
+      "TPC-H Q11 shape: the global threshold is a 1-row broadcast nested-loop feedback — the grouped values stream against one scalar row with no shuffle; the only exchanges are the two grouped aggregations the query inherently needs.",
+    "q13_cust_order_counts" ->
+      "TPC-H Q13 shape: the ON-clause priority predicate pre-filters orders BEFORE the outer join; per-customer counts shuffle on the high-cardinality customer key, the count histogram re-aggregates a customer-sized frame into ~20 rows.",
+    "q17_small_qty_revenue" ->
+      "TPC-H Q17 shape: the correlated per-part AVG decorrelates to a grouped threshold joined back on the part key, with the brand filter applied BEFORE both passes (equivalent under the equi-join, shrinks both); the final aggregate is a scalar.",
+    "q21_sole_blame" ->
+      "TPC-H Q21 shape: EXISTS/NOT EXISTS self-joins become a left-semi + left-anti pair hashing on l_orderkey with the supplier-inequality as a non-equi residual — lineitem is probed with 2-column projections, never re-scanned wide.",
+    "e1_segment_dedup" ->
+      "C4-style segment dedup: segmentation is a narrow in-place slice of the token array (tokens never explode); the plan's only wide stages are the keep-first window exchange on the segment and the reassembly exchange on doc_id — the same two-shuffle cost as production line-dedup."
   )
 
   def main(args: Array[String]): Unit = {

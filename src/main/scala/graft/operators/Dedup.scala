@@ -571,4 +571,41 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     train.join(broadcast(hit), Seq(idCol), "left_anti")
   }
+
+  /** E1 at sub-document granularity (the C4-style line/paragraph dedup):
+    * split every document into fixed `segTokens`-token segments, drop every
+    * CORPUS-WIDE repeat of a segment (survivor = minimal (id, position)),
+    * and reassemble each document from its surviving segments in order.
+    * Documents whose every segment was seen earlier vanish entirely.
+    *
+    * 100 TB shape: segmentation is a narrow per-row transform (tokens are
+    * never exploded — segments are built by slicing the token array
+    * in-place); the only wide stages are one shuffle on the segment for
+    * the global keep-first window and one shuffle back on the doc id for
+    * reassembly — the same two-exchange cost as C4's production line-dedup.
+    * The window key could hash the segment text at no semantic cost
+    * (collisions aside); the row must carry the text anyway for
+    * reassembly, so partitioning by the text itself adds nothing to the
+    * shuffle volume.
+    */
+  def segmentDedup(corpus: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val segs = corpus
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), expr(
+        s"""transform(sequence(0, cast(ceil(size(__toks) / ${segTokens}.0) as int) - 1),
+           |          i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))"""
+          .stripMargin).as("__segarr"))
+      .select(col(idCol), posexplode(col("__segarr")).as(Seq("seg", "segment")))
+    val keepFirst = Window.partitionBy("segment").orderBy(col(idCol), col("seg"))
+    segs
+      .withColumn("__rn", row_number().over(keepFirst))
+      .where(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(transform(array_sort(collect_list(struct(col("seg"), col("segment")))),
+          x => x.getField("segment")), " ").as("cleaned_text"))
+  }
 }

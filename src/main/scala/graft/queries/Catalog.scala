@@ -7,6 +7,7 @@ package graft.queries
 object Catalog {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++
+      TpchQueries.defs ++
       TensorQueries.defs ++
       TextQueries.defs ++
       EventQueries.defs ++

@@ -121,6 +121,33 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // E1b: C4-style segment-level dedup over the planted-copies corpus —
+    // every 10-token segment survives only at its first (doc_id, position)
+    // occurrence corpus-wide, docs reassemble from their survivors (the
+    // planted full copies lose every segment and vanish). Narrow
+    // segmentation + two exchanges; see Dedup.segmentDedup scaladoc.
+    QueryDef.sql(
+      "e1_segment_dedup",
+      s"""WITH corpus AS ${duckCorpus(copies = true)},
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM corpus WHERE length(text) > 0),
+         |segs AS (
+         |  SELECT doc_id, CAST(floor((pos - 1) / 10) AS INT) AS seg,
+         |         string_agg(tok, ' ' ORDER BY pos) AS segment
+         |  FROM toks GROUP BY doc_id, floor((pos - 1) / 10)),
+         |keep AS (
+         |  SELECT doc_id, seg, segment,
+         |         row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg) AS rn
+         |  FROM segs)
+         |SELECT doc_id, count(*) AS n_segments, string_agg(segment, ' ' ORDER BY seg) AS cleaned_text
+         |FROM keep WHERE rn = 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.segmentDedup(corpusDF(s, d, copies = true), "doc_id", "text", segTokens = 10)
+        .orderBy("doc_id")
+    },
+
     // E2a: MinHash + LSH banding near-dup pairs, exact-Jaccard verified.
     // The 0.5 cut applies to the ROUNDED value only (threshold=0 below) so
     // the boundary behaves identically to the oracle's rounded filter.

@@ -31,6 +31,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(("x", 1L, "a"), ("y", 9L, "z")))
   }
 
+  test("E1: segmentDedup — unique docs reassemble verbatim, full copies vanish, cross-doc repeats keep first") {
+    // doc 1 and 2 share no 3-token segment; doc 10 is a verbatim copy of 1;
+    // doc 20 starts with doc 1's first segment then diverges
+    val d1 = "a b c d e f"          // segments: "a b c", "d e f"
+    val d2 = "g h i j k l"          // segments: "g h i", "j k l"
+    val d20 = "a b c x y z"         // first segment collides with d1's
+    val corpus = Seq((1L, d1), (2L, d2), (10L, d1), (20L, d20))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 2L, d1), (2L, 2L, d2), (20L, 1L, "x y z")))
+    // determinism under partitioning: same survivors at parallelism 1
+    val out1 = Dedup.segmentDedup(corpus.repartition(1), "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out1 == out)
+  }
+
+  test("E1: segmentDedup handles ragged tails and single-token docs") {
+    val corpus = Seq((1L, "a b c d"), (2L, "z")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    // doc 1 = "a b c" + tail "d"; doc 2 = its single token
+    assert(out == Seq((1L, 2L, "a b c d"), (2L, 1L, "z")))
+  }
+
   test("E2: MinHash-LSH finds planted near-dups and no false positives on tiny corpus") {
     val docs = (0 until 30).map { i =>
       val words = (0 until 40).map(j => s"w${(i * 13 + j * 7) % 97}x$j").mkString(" ")

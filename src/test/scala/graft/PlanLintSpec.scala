@@ -26,7 +26,12 @@ class PlanLintSpec extends SparkSpec {
   private val bnljAllowed = Set("e3_cosine_topk", "e2_embedding_neardup",
     // PQ ADC scan: broadcast query rows stream once against the (vec_id,
     // codes) table with the n_id =!= q_id guard — same designed shape
-    "e3_ann_pq")
+    "e3_ann_pq",
+    // Scalar feedback: a 1-row broadcast aggregate (global threshold /
+    // mean) cross-joined into the stream — O(corpus) with no shuffle, the
+    // scale-safe decorrelation of TPC-H's scalar subqueries (Q11/Q20/Q22).
+    // The BNLJ side is exactly one row by construction.
+    "q11_important_parts", "q20_excess_shippers", "q22_idle_customers")
 
   test("no catalogued query plans a CartesianProduct; BNLJ only where designed") {
     val offenders = Catalog.all.filterNot(q => skip(q.name)).flatMap { q =>
