@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * Parquet readers skip files/row-groups whose min/max statistics exclude a
+  * predicate. A linear sort gives tight bounds on ONE column only — every
+  * file spans the full range of every other column, so a second-dimension
+  * filter prunes nothing. Interleaving the bits of several columns into one
+  * sort key (the classic Z-order curve used by Delta/Iceberg OPTIMIZE and
+  * the UB-tree literature) keeps each file's bounding box small in ALL
+  * interleaved dimensions at once — at 100 TB this is the difference
+  * between scanning every file and touching only the few whose hyper-
+  * rectangle intersects the predicate. The curve value is plain integer
+  * bit arithmetic, so it is portable (DuckDB-replayable) and codegen-
+  * friendly (no UDF).
+  *
+  * Reference anchor: the reference has no layout control at all (its demos
+  * read single local files — e.g. chapter1/SparkRDDAPITest.scala loads a
+  * 5-row in-memory list); this operator is part of the 100 TB extension
+  * surface (SURVEY §2.10).
+  */
+object Layout {
+
+  /** Morton z-value of the given non-negative integer dimensions, taking
+    * the low `bits` bits of each. Bit `j` of dimension `d` lands at
+    * interleaved position `j * n + d` (n = number of dimensions), so
+    * dimensions alternate bit-by-bit and the curve weights them equally.
+    * Values above 2^bits - 1 are masked to their low bits (both here and
+    * in the DuckDB twin). Requires `bits * n <= 63` (result fits a long).
+    */
+  def zValue(dims: Seq[Column], bits: Int = 16): Column = {
+    val n = dims.size
+    require(n >= 1 && bits >= 1 && bits * n <= 63,
+      s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + d)
+    terms.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[zValue]] — the identical bit arithmetic rendered as
+    * SQL, kept adjacent so the two formulas cannot silently desync.
+    */
+  def duckZValue(dims: Seq[String], bits: Int = 16): String = {
+    val n = dims.size
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      j <- 0 until bits
+    } yield s"(((CAST($c AS BIGINT) >> $j) & 1) << ${j * n + d})"
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Range-partition and sort `df` along the z-curve of `dims`, so a
+    * subsequent parquet write yields files whose min/max stats are tight
+    * in every interleaved dimension. The helper column never escapes.
+    */
+  def zOrder(df: DataFrame, dims: Seq[Column], partitions: Int,
+             bits: Int = 16): DataFrame = {
+    val z = "__graft_z"
+    df.withColumn(z, zValue(dims, bits))
+      .repartitionByRange(partitions, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+  }
+}

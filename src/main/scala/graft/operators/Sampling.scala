@@ -68,6 +68,23 @@ object Sampling {
       Seq(col("__draw"), key), outCol).drop("__draw")
   }
 
+  /** Exactly-k-per-group deterministic sample: each group keeps its k
+    * smallest-draw rows (key as tiebreak). Rate-based sampling scales output
+    * with group size; this bounds it — the "k examples per class" primitive
+    * (balanced eval sets, per-source probes), reproducible under any
+    * partitioning. One shuffle on the group key; the rank filter is a
+    * `row_number <= k` that Catalyst executes as a WindowGroupLimit
+    * (per-partition top-k heap pushed below the shuffle), so no group is
+    * ever fully sorted — safe on skewed groups at 100 TB.
+    */
+  def hashFixedK(df: DataFrame, group: Column, key: Column, salt: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("__rk"), "input already has a __rk column")
+    val w = Window.partitionBy(group).orderBy(drawOn(key, salt), key)
+    df.withColumn("__rk", row_number().over(w)).where(col("__rk") <= k).drop("__rk")
+  }
+
   /** 'train'/'test' split label with ~trainPct% train, deterministic by key
     * — disjoint and exhaustive by construction (one draw decides).
     */

@@ -771,6 +771,21 @@ object RelationalQueries {
       side("1-URGENT").intersectAll(side("2-HIGH")).orderBy("o_custkey")
     },
 
+    // O9: Z-order (Morton) clustering key — the multi-dimensional layout
+    // story (see operators.Layout): interleaving (l_partkey, l_suppkey)
+    // bits into one sort key keeps parquet min/max stats tight in BOTH
+    // columns, so two-dimensional predicates skip files. The curve value
+    // is pure integer bit arithmetic — fully oracle-replayable; the
+    // file-skipping effect itself is asserted in ScaleOpsSpec.
+    QueryDef.sql(
+      "o9_zorder_curve",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${graft.operators.Layout.duckZValue(Seq("l_partkey", "l_suppkey"))} AS z
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue(Seq(col("l_partkey"), col("l_suppkey"))).as("z"))
+    },
+
     // X1: cache/persist parity (chapter1/SparkRDDAPITest.scala:63) — a cached
     // aggregate consumed twice must equal its recomputed twin.
     QueryDef.sql(

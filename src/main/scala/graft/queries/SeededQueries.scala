@@ -43,6 +43,21 @@ object SeededQueries {
         .select("c_custkey", "c_mktsegment")
     },
 
+    // O2c: exactly-k-per-group sample — bounded output per class no matter
+    // how skewed the class sizes are (the balanced-eval-set primitive).
+    // Catalyst runs the rank filter as a WindowGroupLimit (top-k heap below
+    // the shuffle), so no group is ever fully sorted.
+    QueryDef.sql("o2_fixed_k_per_group",
+      s"""SELECT c_custkey, c_mktsegment FROM (
+         |  SELECT c_custkey, c_mktsegment,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY ${duckDraw("c_custkey", "o2c42")}, c_custkey) AS rk
+         |  FROM customer) WHERE rk <= 20""".stripMargin) { (s, d) =>
+      Sampling.hashFixedK(Tables.customer(s, d), col("c_mktsegment"),
+        col("c_custkey"), "o2c42", 20)
+        .select("c_custkey", "c_mktsegment")
+    },
+
     // O3: deterministic shuffle (Collections.shuffle seed 1244 —
     // chapter_5/NetworkTrainedToSumNumbersUsingRegression.java:101): a
     // reproducible permutation with an explicit position column, ranked by

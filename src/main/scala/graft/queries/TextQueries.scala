@@ -581,6 +581,55 @@ object TextQueries {
         .where(col("rank") <= 3)
         .select("doc_id", "token", "tfidf", "rank")
         .orderBy("doc_id", "rank")
+    },
+
+    // E13: robust outlier scoring — rank documents by how many robust
+    // z-scores (median / MAD, the standard robust location/scale pair)
+    // their token count sits from their source's center, and surface the
+    // 20 most extreme. Mean/stddev outlier cuts are circular at curation
+    // time — the outliers being hunted drag the mean toward themselves;
+    // median/MAD have a 50% breakdown point. The query emits SCORES plus a
+    // rank rather than thresholding (the fixture's synthetic lengths are
+    // near-uniform, so any fixed textbook cut like |z| > 3 matches nothing
+    // at some sf — a real corpus applies its own cut to the score).
+    // Plan shape: two tiny per-source aggregates (exact percentile is fine
+    // per GROUP — the state is per-source, not per-corpus) broadcast back
+    // to the row stream, then one global top-20
+    // (TakeOrderedAndProject-shaped); the corpus never shuffles. mad > 0
+    // guards the degenerate all-equal-lengths source (z undefined there);
+    // 1.4826 rescales MAD to sigma-equivalent units (normal consistency).
+    QueryDef.sql(
+      "e13_outlier_mad",
+      s"""WITH toks AS (SELECT doc_id, source,
+         |  CAST(len($duckToks) AS DOUBLE) AS n_toks FROM documents),
+         |med AS (SELECT source, quantile_cont(n_toks, 0.5) AS med
+         |        FROM toks GROUP BY source),
+         |dev AS (SELECT doc_id, source, n_toks, abs(n_toks - med) AS absdev
+         |        FROM toks JOIN med USING (source)),
+         |scored AS (SELECT doc_id, source, n_toks,
+         |             round(absdev / (1.4826 * mad), 6) AS robust_z
+         |           FROM dev JOIN (SELECT source, quantile_cont(absdev, 0.5) AS mad
+         |                          FROM dev GROUP BY source) USING (source)
+         |           WHERE mad > 0)
+         |SELECT doc_id, source, n_toks, robust_z,
+         |  CAST(row_number() OVER (ORDER BY robust_z DESC, doc_id) AS BIGINT) AS rk
+         |FROM scored ORDER BY rk LIMIT 20""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(tokenize(col("text"))).cast("double").as("n_toks"))
+      val med = toks.groupBy("source")
+        .agg(expr("percentile(n_toks, 0.5)").as("med"))
+      val dev = toks.join(broadcast(med), "source")
+        .withColumn("absdev", abs(col("n_toks") - col("med")))
+      val madt = dev.groupBy("source")
+        .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      val scored = dev.join(broadcast(madt), "source")
+        .where(col("mad") > 0)
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          round(col("absdev") / (lit(1.4826) * col("mad")), 6).as("robust_z"))
+      val w = Window.orderBy(col("robust_z").desc, col("doc_id"))
+      scored.orderBy(col("robust_z").desc, col("doc_id")).limit(20)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .orderBy("rk")
     }
   )
 }

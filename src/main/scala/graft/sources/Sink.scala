@@ -24,4 +24,15 @@ object Sink {
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+
+  /** Write parquet clustered along the Z-order curve of `dims`, so min/max
+    * file statistics stay tight in EVERY listed dimension and multi-column
+    * predicates skip files (see [[graft.operators.Layout]]). `files` bounds
+    * the output file count (one per range partition).
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+                    dims: Seq[org.apache.spark.sql.Column],
+                    files: Int, bits: Int = 16): Unit =
+    graft.operators.Layout.zOrder(df, dims, files, bits)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -174,6 +174,64 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("Layout: zValue matches a reference Morton implementation (incl. masking)") {
+    def morton(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      var j = 0
+      while (j < bits) {
+        z |= ((x >> j) & 1L) << (2 * j)
+        z |= ((y >> j) & 1L) << (2 * j + 1)
+        j += 1
+      }
+      z
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L),
+      (123L, 456L), (65535L, 1L), (70000L, 2L)) // last one exceeds 16 bits -> masked
+    val got = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zValue(Seq(col("x"), col("y"))).as("z"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == morton(x & 0xffffL, y & 0xffffL, 16),
+        s"z mismatch at ($x, $y)")
+    }
+  }
+
+  test("Layout: z-ordered files are tight in BOTH dimensions; a linear sort is not") {
+    import org.apache.spark.sql.DataFrame
+    // 128x128 uniform grid: every (x, y) in [0,128)^2 exactly once
+    val n = 128L
+    val grid = spark.range(n * n)
+      .select((col("id") % n).as("x"), expr(s"id div $n").as("y"))
+    def meanExtent(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      assert(files.size >= 8, s"expected several files, got ${files.size}")
+      val exts = files.map { p =>
+        val (lo, hi) = spark.read.parquet(p)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+          .as[(Double, Double)].head()
+        hi - lo
+      }
+      exts.sum / exts.size
+    }
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    Sink.writeZOrdered(grid, zDir, Seq(col("x"), col("y")), files = 16, bits = 8)
+    val linDir = Files.createTempDirectory("graft_linsort").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    // round trip preserves the data
+    assert(spark.read.parquet(zDir).count() == n * n)
+    val (zx, zy) = (meanExtent(zDir, "x"), meanExtent(zDir, "y"))
+    val linY = meanExtent(linDir, "y")
+    // linear sort on x leaves every file spanning ~the full y range; the
+    // z-curve keeps BOTH extents near the tile size (~32 for 16 files)
+    assert(linY > 100, s"linear-sort y extent should span the range, got $linY")
+    assert(zx < 96 && zy < 96, s"z-order extents should be tile-sized, got ($zx, $zy)")
+    assert(zy < linY * 0.6, s"z-order must beat linear sort on the non-sort dim: $zy vs $linY")
+  }
+
   test("streaming: flatMapGroupsWithState running totals match batch aggregation") {
     val ev = Tables.events(spark, sfDir)
     val out = graft.streaming.EventStreams.runningUserTotals(ev)

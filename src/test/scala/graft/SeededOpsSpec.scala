@@ -75,6 +75,23 @@ class SeededOpsSpec extends SparkSpec {
     assert(again == sampled.select("c_custkey").as[Long].collect().sorted.toSeq)
   }
 
+  test("O2c: fixed-k sample keeps min(k, group size) rows per group, invariant to layout") {
+    val c = Tables.customer(spark, sfDir)
+    val k = 20
+    val out = Sampling.hashFixedK(c, col("c_mktsegment"), col("c_custkey"), "o2c42", k)
+    val perGroup = out.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    val totals = c.groupBy("c_mktsegment").count().as[(String, Long)].collect().toMap
+    assert(perGroup.keySet == totals.keySet, "every group must be represented")
+    for ((seg, n) <- perGroup)
+      assert(n == math.min(k.toLong, totals(seg)), s"$seg kept $n of ${totals(seg)}")
+    // survivors are input rows, and the pick is partitioning-invariant
+    val picked = out.select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(picked.distinct.size == picked.size)
+    val again = Sampling.hashFixedK(c.repartition(11), col("c_mktsegment"),
+      col("c_custkey"), "o2c42", k).select("c_custkey").as[Long].collect().sorted.toSeq
+    assert(again == picked, "fixed-k pick must not depend on partition layout")
+  }
+
   test("F5: rand in [0,1), scaled rand in [0,3), randn roughly centered") {
     val df = Tables.embeddings(spark, sfDir)
       .select((rand(42) * 3.0).as("u"), randn(42).as("g"))
