@@ -111,11 +111,53 @@ object Sampling {
   def weightedMix(df: DataFrame, strata: Column, weights: Map[String, Double],
                   key: Column, salt: String, epochCol: String = "epoch"): DataFrame = {
     require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
-    for (c <- Seq("__n", epochCol))
-      require(!df.columns.contains(c), s"input already has a $c column")
     val w = weights.foldRight(lit(0.0): Column) { case ((s, wt), acc) =>
       when(strata === s, lit(wt)).otherwise(acc)
     }
+    replicateByWeight(df, w, key, salt, epochCol)
+  }
+
+  /** E12b: temperature-based source mixing — the multilingual-pretraining
+    * reweight (Conneau & Lample's p_i ∝ (n_i/N)^α) at α = 0.5: each
+    * stratum's epoch weight is sqrt(n_max / n_i), so the largest stratum
+    * runs one epoch and low-resource strata are upsampled toward (never
+    * to) parity. Weights DERIVE from the data — one tiny per-stratum count
+    * aggregate, broadcast back — rather than arriving as caller constants
+    * like [[weightedMix]].
+    *
+    * α is fixed at 0.5 deliberately: the reweight is then `sqrt`, an
+    * exactly-rounded IEEE op, so the fractional-epoch draw threshold is
+    * bit-identical in any engine and the operator stays oracle-replayable
+    * (a general pow(x, α) is correctly-rounded on neither JVM nor C libm,
+    * and a one-ULP difference at a draw boundary flips which rows copy).
+    *
+    * The unpartitioned max() window below runs over the per-stratum COUNT
+    * aggregate — |strata| rows, never the corpus — so its single-partition
+    * execution is a no-op cost (the corpus itself only sees a broadcast
+    * join plus map-side replication, same as [[weightedMix]]).
+    */
+  def temperatureMix(df: DataFrame, strata: Column, key: Column, salt: String,
+                     epochCol: String = "epoch"): DataFrame = {
+    require(!df.columns.contains("__wt"), "input already has a __wt column")
+    val counts = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n_s"))
+    val weights = counts
+      .withColumn("__wt", sqrt(max(col("__n_s")).over(Window.partitionBy()) /
+        col("__n_s").cast("double")))
+      .select(col("__s"), col("__wt"))
+    val joined = df.join(broadcast(weights), strata === col("__s")).drop("__s")
+    replicateByWeight(joined, col("__wt"), key, salt, epochCol).drop("__wt")
+  }
+
+  /** Shared replicate step of the mixing operators: `floor(w)` whole copies
+    * plus one more when the row's draw lands under the fractional part
+    * (micro-unit arithmetic — see [[weightedMix]]'s scaladoc). Map-side
+    * only: a per-row expression computes the copy count and
+    * `explode(sequence(...))` emits the copies.
+    */
+  private def replicateByWeight(df: DataFrame, w: Column, key: Column,
+                                salt: String, epochCol: String): DataFrame = {
+    for (c <- Seq("__n", epochCol))
+      require(!df.columns.contains(c), s"input already has a $c column")
     val whole = floor(w).cast("long")
     val fracMicros = floor(w * 1000000d).cast("long") - whole * 1000000L
     val extra = when(drawOn(key, salt) % 1000000L < fracMicros, 1L).otherwise(0L)

@@ -145,6 +145,31 @@ object SeededQueries {
         col("source"), Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0),
         col("doc_id"), "e12mix")
         .orderBy("doc_id", "epoch")
+    },
+
+    // E12b: temperature mixing — epoch weights DERIVED from the data
+    // (sqrt(n_max/n_lang), the α=0.5 multilingual upsampling curve), so
+    // the dominant language runs one epoch and low-resource languages are
+    // pulled toward parity. sqrt is exactly-rounded IEEE on every engine,
+    // which is what keeps the fractional-epoch draw replayable (see
+    // Sampling.temperatureMix).
+    QueryDef.sql("e12_temperature_mix",
+      s"""WITH cnt AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+         |w AS (SELECT lang, sqrt(CAST((SELECT max(n_s) FROM cnt) AS DOUBLE) / n_s) AS wt
+         |      FROM cnt),
+         |n AS (SELECT doc_id, lang,
+         |  CAST(floor(wt) AS BIGINT) +
+         |  CASE WHEN ${duckDraw("doc_id", "e12temp")} % 1000000 <
+         |            CAST(floor(wt * 1000000) AS BIGINT) - CAST(floor(wt) AS BIGINT) * 1000000
+         |       THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents JOIN w USING (lang)),
+         |mixed AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch
+         |          FROM n WHERE n_copies > 0)
+         |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM mixed
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d).select("doc_id", "lang"),
+        col("lang"), col("doc_id"), "e12temp")
+        .orderBy("doc_id", "epoch")
     }
   )
 }

@@ -630,6 +630,43 @@ object TextQueries {
       scored.orderBy(col("robust_z").desc, col("doc_id")).limit(20)
         .withColumn("rk", row_number().over(w).cast("long"))
         .orderBy("rk")
+    },
+
+    // E8b: length-bucketed batch assignment — group documents of similar
+    // token length into fixed-size batches (bucket = 64-token length band,
+    // 16 docs per batch, length-sorted within the bucket) and report each
+    // batch's padding overhead: pad_tokens = what a pad-to-longest batch
+    // wastes. THE standard throughput trick for sequence-model training —
+    // random batching pads most sequences to the batch max; length-sorted
+    // batching makes max ~= min within a batch. Integer-only arithmetic,
+    // so the oracle replays it exactly. Scale: the window partitions by
+    // length band (parallelism = #bands); a corpus whose single band
+    // outgrows a task takes the same two-phase draw-bucket split as
+    // Sampling.tokenBudget.
+    QueryDef.sql(
+      "e8_length_batches",
+      s"""WITH toks AS (SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_toks
+         |              FROM documents),
+         |r AS (SELECT doc_id, n_toks, n_toks // 64 AS bucket,
+         |        row_number() OVER (PARTITION BY n_toks // 64
+         |                           ORDER BY n_toks, doc_id) AS rn
+         |      FROM toks)
+         |SELECT bucket, CAST((rn - 1) // 16 AS BIGINT) AS batch_id,
+         |  count(*) AS n_docs, min(n_toks) AS min_toks, max(n_toks) AS max_toks,
+         |  CAST(max(n_toks) * count(*) - sum(n_toks) AS BIGINT) AS pad_tokens
+         |FROM r GROUP BY bucket, batch_id
+         |ORDER BY bucket, batch_id""".stripMargin) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), size(tokenize(col("text"))).cast("long").as("n_toks"))
+        .withColumn("bucket", expr("n_toks div 64"))
+      val w = Window.partitionBy("bucket").orderBy("n_toks", "doc_id")
+      toks.withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", expr("(rn - 1) div 16").cast("long"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), min("n_toks").as("min_toks"),
+          max("n_toks").as("max_toks"),
+          (max("n_toks") * count(lit(1)) - sum("n_toks")).as("pad_tokens"))
+        .orderBy("bucket", "batch_id")
     }
   )
 }

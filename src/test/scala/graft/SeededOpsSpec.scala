@@ -92,6 +92,46 @@ class SeededOpsSpec extends SparkSpec {
     assert(again == picked, "fixed-k pick must not depend on partition layout")
   }
 
+  test("E12b: temperatureMix upsamples small strata toward sqrt-parity, largest stays at 1 epoch") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nMax = sizes.values.max
+    val mixed = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), "tmixT")
+    val outSizes = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, n) <- sizes) {
+      val expected = math.sqrt(nMax.toDouble / n) * n
+      val got = outSizes(lang).toDouble
+      // the fractional-epoch draw is binomial(n, frac): allow 4 sigma
+      val tol = 4 * math.sqrt(n.toDouble) / 2 + 1
+      assert(math.abs(got - expected) <= tol,
+        s"$lang: got $got copies, expected ~$expected +- $tol from ${n} docs")
+    }
+    // the largest stratum's weight is exactly 1.0 -> exactly one copy each
+    val maxLang = sizes.maxBy(_._2)._1
+    assert(outSizes(maxLang) == sizes(maxLang), "largest stratum must run exactly 1 epoch")
+    // partitioning invariance of the full (doc_id, epoch) multiset
+    val a = mixed.select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val b = Sampling.temperatureMix(docs.repartition(13), col("lang"), col("doc_id"), "tmixT")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b, "temperature mix must not depend on partition layout")
+  }
+
+  test("E8b: length batches are full (16) except per-bucket tails, and tight (< 64 spread)") {
+    val out = graft.queries.Catalog.byName("e8_length_batches").run(spark, sfDir)
+      .select("bucket", "batch_id", "n_docs", "min_toks", "max_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    val byBucket = out.groupBy(_._1)
+    for ((bucket, batches) <- byBucket) {
+      val lastId = batches.map(_._2).max
+      for ((_, id, n, lo, hi) <- batches) {
+        assert(hi - lo < 64, s"bucket $bucket batch $id spread ${hi - lo} exceeds the band")
+        assert(hi >= lo && n >= 1 && n <= 16)
+        if (id != lastId) assert(n == 16, s"non-tail batch $id in bucket $bucket has $n docs")
+      }
+    }
+  }
+
   test("F5: rand in [0,1), scaled rand in [0,3), randn roughly centered") {
     val df = Tables.embeddings(spark, sfDir)
       .select((rand(42) * 3.0).as("u"), randn(42).as("g"))
