@@ -39,6 +39,33 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k did not use TakeOrderedAndProject:\n$plan")
   }
 
+  test("O2c: fixed-k sampling pushes a partial WindowGroupLimit below the exchange") {
+    val plan = explained(queries.Catalog.byName("o2_fixed_k_per_group").run(spark, sfDir))
+    // two WindowGroupLimit nodes: Partial (pre-shuffle heap) + Final
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"fixed-k must use pre-shuffle WindowGroupLimit heaps:\n$plan")
+    assert(plan.contains("Partial"), s"no partial (map-side) group limit:\n$plan")
+  }
+
+  test("E13: outlier scoring broadcasts the per-source stats and top-ks via TakeOrderedAndProject") {
+    val plan = explained(queries.Catalog.byName("e13_outlier_mad").run(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"median/MAD frames must broadcast back to the row stream:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"E13 top-20 must not total-sort the corpus:\n$plan")
+  }
+
+  test("O9: the z-order curve value is a pure scan+project (zero exchanges)") {
+    val plan = explained(queries.Catalog.byName("o9_zorder_curve").run(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"curve computation must not shuffle:\n$plan")
+  }
+
+  test("E12b: temperature mix keeps the corpus unshuffled (broadcast weights + map-side explode)") {
+    val plan = explained(queries.Catalog.byName("e12_temperature_mix").run(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
+    assert(plan.contains("Generate"), s"copies must come from explode:\n$plan")
+  }
+
   test("whole-stage codegen applies to the scan+filter+project pipeline") {
     // codegen stages carry a "*(n)" marker in the executed-plan string
     val plan = Tables.lineitem(spark, sfDir).where(col("l_quantity") > 10)
