@@ -47,6 +47,8 @@ object Layout {
     */
   def duckZValue(dims: Seq[String], bits: Int = 16): String = {
     val n = dims.size
+    require(n >= 1 && bits >= 1 && bits * n <= 63,
+      s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
     val terms = for {
       (c, d) <- dims.zipWithIndex
       j <- 0 until bits
@@ -61,6 +63,7 @@ object Layout {
   def zOrder(df: DataFrame, dims: Seq[Column], partitions: Int,
              bits: Int = 16): DataFrame = {
     val z = "__graft_z"
+    require(!df.columns.contains(z), s"input already has a $z column")
     df.withColumn(z, zValue(dims, bits))
       .repartitionByRange(partitions, col(z))
       .sortWithinPartitions(z)

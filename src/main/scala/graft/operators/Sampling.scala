@@ -138,7 +138,8 @@ object Sampling {
     */
   def temperatureMix(df: DataFrame, strata: Column, key: Column, salt: String,
                      epochCol: String = "epoch"): DataFrame = {
-    require(!df.columns.contains("__wt"), "input already has a __wt column")
+    for (c <- Seq("__wt", "__s", "__n_s"))
+      require(!df.columns.contains(c), s"input already has a $c column")
     val counts = df.groupBy(strata.as("__s")).agg(count(lit(1)).as("__n_s"))
     val weights = counts
       .withColumn("__wt", sqrt(max(col("__n_s")).over(Window.partitionBy()) /

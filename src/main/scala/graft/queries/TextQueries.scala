@@ -595,8 +595,12 @@ object TextQueries {
     // Plan shape: two tiny per-source aggregates (exact percentile is fine
     // per GROUP — the state is per-source, not per-corpus) broadcast back
     // to the row stream, then one global top-20
-    // (TakeOrderedAndProject-shaped); the corpus never shuffles. mad > 0
-    // guards the degenerate all-equal-lengths source (z undefined there);
+    // (TakeOrderedAndProject-shaped); the corpus never shuffles.
+    // Contract: a source with MAD = 0 — i.e. at least half its docs sit
+    // exactly at the median length (templated/boilerplate sources) — is
+    // EXCLUDED from scoring entirely, outliers included: the robust scale
+    // is undefined there, and a caller who wants such sources scored
+    // should substitute a fallback scale (mean absolute deviation) first.
     // 1.4826 rescales MAD to sigma-equivalent units (normal consistency).
     QueryDef.sql(
       "e13_outlier_mad",

@@ -198,7 +198,6 @@ class ScaleOpsSpec extends SparkSpec {
   }
 
   test("Layout: z-ordered files are tight in BOTH dimensions; a linear sort is not") {
-    import org.apache.spark.sql.DataFrame
     // 128x128 uniform grid: every (x, y) in [0,128)^2 exactly once
     val n = 128L
     val grid = spark.range(n * n)
