@@ -40,9 +40,13 @@ object NgramLM {
     */
   def fit(corpus: DataFrame, textCol: String, n: Int = 2): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 for conditional probabilities, got $n")
-    val grams = corpus
+    // pinned: BOTH the prefix aggregate and the final join consume this
+    // frame — without the pin the corpus-wide explode+groupBy runs twice
+    // (Spark does not share subplans across join branches). Gram-type-
+    // sized, so the pin is vocabulary-bounded, never corpus-bounded.
+    val grams = Pinned.pin(corpus
       .select(explode(shingles(tokenize(col(textCol)), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("c_gram"))
+      .groupBy("gram").agg(count(lit(1)).as("c_gram")))
     // prefix = the first n-1 tokens of the space-joined gram
     val withPrefix = grams.withColumn("prefix", substring_index(col("gram"), " ", n - 1))
     val prefixTotals = withPrefix.groupBy("prefix").agg(sum("c_gram").as("c_prefix"))

@@ -212,11 +212,13 @@ object MLQueries {
 
     // E3 (PQ memory path): product-quantized ADC scan + exact re-rank —
     // the scan reads 8-byte codes instead of 256-byte vectors; recall
-    // asserted vs exact top-k in ScaleOpsSpec.
+    // asserted vs exact top-k in ScaleOpsSpec (incl. at sampled fit).
+    // Codebooks fit on a 25% deterministic sample — the 100 TB posture
+    // (density shape is all a codebook needs; at scale pass ~0.001).
     QueryDef.rowsOnly("e3_ann_pq") { (s, d) =>
       val emb = Tables.embeddings(s, d)
       graft.operators.ProductQuantization.pqTopK(
-          emb, emb.where(col("vec_id") < 10), k = 5)
+          emb, emb.where(col("vec_id") < 10), k = 5, fitSampleFraction = 0.25)
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },
 
