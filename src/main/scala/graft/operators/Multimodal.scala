@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata; decode/feature-extract runs partition-wise
   * so batch-oriented decoders amortize setup per partition, not per row.
   *
-  * The actual image/audio decode is STUBBED (no media libraries in this
-  * container): decodeStub derives a deterministic fake feature vector from
-  * the bytes. The Spark-side contract — schema, partition-wise batching,
-  * binary hygiene — is real and tested; swap `stubFeatures` for a JNI/
-  * library decoder without touching the plumbing.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — no external deps; mirrors the
+  * reference's ImageRecordReader(28,28,1) pixel ingestion,
+  * 13486_Code/src/main/scala/chapter_4/MnistClassification.java:61-63).
+  * `decode` resizes to a fixed grayscale grid and emits pixels in [0,1].
+  * Audio/video decode stays stubbed (no codecs in the JDK): `decodeStub`
+  * derives a deterministic fake feature vector from the bytes, and `decode`
+  * falls back to it for undecodable payloads so a mixed corpus never throws.
   */
 object Multimodal {
 
@@ -52,6 +55,56 @@ object Multimodal {
       it.map { m =>
         MediaFeatures(m.path, m.mediaType, m.content.length.toLong,
           stubFeatures(m.content, dim))
+      }
+    }
+  }
+
+  /** Decode an image payload with the JDK's ImageIO (PNG/BMP/GIF/JPEG),
+    * resample to `width`×`height` grayscale, and return row-major pixels
+    * scaled to [0,1]. Returns None when the bytes are not a decodable image
+    * (wrong magic, truncated stream, unsupported format) — callers decide
+    * the fallback; `decode` substitutes `stubFeatures`.
+    */
+  def decodeImage(bytes: Array[Byte], width: Int, height: Int): Option[Array[Float]] = {
+    require(width > 0 && height > 0)
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val gray = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = gray.createGraphics()
+        try g.drawImage(img, 0, 0, width, height, null) finally g.dispose()
+        val raster = gray.getRaster
+        val out = new Array[Float](width * height)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            out(y * width + x) = raster.getSample(x, y, 0) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise real decode: ImageIO pixels for decodable images,
+    * `stubFeatures` fallback otherwise (feature dim stays width*height
+    * either way, so downstream schema is uniform across a mixed corpus).
+    */
+  def decode(media: Dataset[MediaRecord], width: Int = 28,
+             height: Int = 28): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val dim = width * height
+    media.mapPartitions { it =>
+      // ImageIO readers are looked up once per JVM; nothing per-row to init
+      it.map { m =>
+        val feats = decodeImage(m.content, width, height)
+          .getOrElse(stubFeatures(m.content, dim))
+        MediaFeatures(m.path, m.mediaType, m.content.length.toLong, feats)
       }
     }
   }

@@ -323,6 +323,38 @@ class OperatorsSpec extends SparkSpec {
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("E4: decodeImage reads a real PNG into [0,1] grayscale pixels; decode falls back to stub for non-images") {
+    // render a deterministic 8x8 PNG in memory: left half black, right half white
+    val src = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) src.getRaster.setSample(x, y, 0, if (x < 4) 0 else 255)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(src, "png", baos))
+    val png = baos.toByteArray
+
+    val px = Multimodal.decodeImage(png, 8, 8).get
+    assert(px.length == 64)
+    assert(px.forall(v => v >= 0f && v <= 1f))
+    assert(px(0) == 0f && px(7) == 1f, "left column black, right column white")
+
+    // resample 8x8 -> 4x4 still splits black/white halves
+    val small = Multimodal.decodeImage(png, 4, 4).get
+    assert(small.length == 16 && small(0) == 0f && small(3) == 1f)
+
+    assert(Multimodal.decodeImage("not an image".getBytes, 4, 4).isEmpty)
+
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord("a.png", "image/png", png),
+      Multimodal.MediaRecord("b.txt", "text/plain", "plain bytes, no magic".getBytes))
+      .toDS()
+    val feats = Multimodal.decode(media, width = 8, height = 8).collect()
+      .map(f => f.path -> f.features).toMap
+    assert(feats("a.png").toSeq == px.toSeq, "PNG goes through the real ImageIO path")
+    assert(feats("b.txt").length == 64, "undecodable payload falls back to stub at the same dim")
+    assert(feats("b.txt").toSeq == Multimodal.stubFeatures("plain bytes, no magic".getBytes, 64).toSeq)
+  }
+
   test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {
     import graft.operators.Pinned
     val before = spark.sparkContext.getPersistentRDDs.keySet
