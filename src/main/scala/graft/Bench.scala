@@ -82,9 +82,45 @@ object Bench {
       tot = d.sum.toDouble
       if tot > 0 && d.length > 7
     } yield 100.0 * d(7) / tot).getOrElse(-1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)}}""")
+    // Self-normalization against BASELINE.md (VERDICT rounds 3+4: raw
+    // totals from a shared box read as 2-4x regressions that evaporate on
+    // an idle re-run). Execute the normalization rule BASELINE.md states in
+    // prose: per-query ratio vs the recorded base, shared-query median as
+    // the machine-condition estimate, and the over-2x lists both raw and
+    // median-normalized — so a noisy run self-reports "uniformly slow box"
+    // instead of per-query ghosts.
+    val base = baselineTimes()
+    val shared = results.collect { case (n, t) if base.contains(n) && base(n) > 0 =>
+      (n, t / base(n)) }
+    val medianRatio =
+      if (shared.isEmpty) -1.0
+      else {
+        val s = shared.map(_._2).sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+    def names(xs: Seq[String]): String = xs.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
+    val over2xRaw = shared.filter(_._2 > 2.0).map(_._1)
+    val over2xNorm =
+      if (medianRatio > 0) shared.filter(_._2 / medianRatio > 2.0).map(_._1) else Nil
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)},"n_shared_with_baseline":${shared.size},"shared_median_vs_baseline":${f2(medianRatio)},"over_2x_raw":${names(over2xRaw)},"over_2x_normalized":${names(over2xNorm)}}""")
     spark.stop()
   }
+
+  /** Per-query base times parsed from BASELINE.md's measurement table
+    * (`| <catalog_name> | <seconds> | ...`). Catalog names are bare
+    * [a-z0-9_]+ tokens, so the prose tables (multi-word metric cells)
+    * never match. Empty map when the file is absent — every derived field
+    * then reports its -1/[] sentinel rather than failing the bench.
+    */
+  private def baselineTimes(): Map[String, Double] =
+    try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+      val src = scala.io.Source.fromFile(path)
+      try {
+        val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|.*""".r
+        src.getLines().collect { case row(n, t) => n -> t.toDouble }.toMap
+      } finally src.close()
+    } catch { case _: Throwable => Map.empty }
 
   /** First cpu line of /proc/stat as counters (None off-Linux). */
   private def procStat(): Option[Array[Long]] =

@@ -215,6 +215,27 @@ object Dedup {
     graft.sources.Sink.writeBucketed(
       bandIndexTable(index, numHashes, rowsPerBand), table, "bkey", buckets)
 
+  /** How [[dedupIncremental]] probes the stored index (VERDICT r4 #6: the
+    * default IN-pushdown collects bounded key sets at CALL time, which
+    * surprises callers composing lazy frames).
+    *
+    *  - Auto: collect-and-push when under the caps (bucket keys under
+    *    `maxProbeKeys`; candidate ids under the parquet
+    *    inFilterThreshold) — buys row-group pruning at the cost of two
+    *    bounded driver-side collects at call time.
+    *  - InFilter: like Auto but candidate ids push down up to
+    *    `maxProbeKeys` even past the parquet inFilterThreshold — for
+    *    stores where the IN list prunes regardless (e.g. a bucketed or
+    *    z-ordered corpus).
+    *  - SemiJoin: never collects — every probe is a join, the whole call
+    *    stays lazy until the caller's first action. Same result (parity
+    *    asserted in OperatorsSpec); trades scan pruning for laziness.
+    */
+  sealed trait ProbeStrategy
+  case object Auto extends ProbeStrategy
+  case object InFilter extends ProbeStrategy
+  case object SemiJoin extends ProbeStrategy
+
   /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
     * md5 fingerprint) or near-duplicate (MinHash-LSH) any EXISTING document
     * or an earlier batch document — the continual-ingest shape, where
@@ -259,9 +280,11 @@ object Dedup {
                        existingIndex: Option[DataFrame] = None,
                        numHashes: Int = 16, rowsPerBand: Int = 4,
                        bandIndex: Option[DataFrame] = None,
-                       maxProbeKeys: Int = 50000): DataFrame =
+                       maxProbeKeys: Int = 50000,
+                       probeStrategy: ProbeStrategy = Auto): DataFrame =
     dedupIncrementalCore(existing, batch, idCol, textCol, threshold,
-      existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys)._2
+      existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys,
+      probeStrategy)._2
 
   /** As [[dedupIncremental]], but ALSO returns the survivors' signature-
     * index rows (doc_id, fp, mh*, n_sh — the [[signatureIndex]] schema),
@@ -276,9 +299,11 @@ object Dedup {
                                 existingIndex: Option[DataFrame] = None,
                                 numHashes: Int = 16, rowsPerBand: Int = 4,
                                 bandIndex: Option[DataFrame] = None,
-                                maxProbeKeys: Int = 50000): (DataFrame, DataFrame) = {
+                                maxProbeKeys: Int = 50000,
+                                probeStrategy: ProbeStrategy = Auto): (DataFrame, DataFrame) = {
     val (batchSig, kept0) = dedupIncrementalCore(existing, batch, idCol, textCol,
-      threshold, existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys)
+      threshold, existingIndex, numHashes, rowsPerBand, bandIndex, maxProbeKeys,
+      probeStrategy)
     val kept = Pinned.pin(kept0)
     val keptIndex = kept
       .select(col(idCol).as("doc_id"), md5(col(textCol).cast("binary")).as("fp"))
@@ -291,7 +316,8 @@ object Dedup {
                                    existingIndex: Option[DataFrame],
                                    numHashes: Int, rowsPerBand: Int,
                                    bandIndex: Option[DataFrame],
-                                   maxProbeKeys: Int): (DataFrame, DataFrame) = {
+                                   maxProbeKeys: Int,
+                                   probeStrategy: ProbeStrategy): (DataFrame, DataFrame) = {
     // project the stored index to exactly the columns this code consumes:
     // a table read back from parquet may carry extras (e.g. a batch
     // partition column) that would poison the unionByName below
@@ -329,12 +355,15 @@ object Dedup {
         val batchB = Pinned.pin(bands(batchSig, numHashes, rowsPerBand)
           .select(concat_ws(":", col("band"), col("key")).as("bkey"),
             col("doc_id").as("q_id")))
-        val keys = batchB.select("bkey").distinct().limit(maxProbeKeys + 1)
-          .collect().map(_.getString(0)).toSeq
+        val keys =
+          if (probeStrategy == SemiJoin) Seq.empty[String]
+          else batchB.select("bkey").distinct().limit(maxProbeKeys + 1)
+            .collect().map(_.getString(0)).toSeq
         // a batch small enough to enumerate is small enough to broadcast;
-        // above the cap fall back to plain joins (AQE decides the strategy,
-        // the bucketed layout still spares the stored side its exchange)
-        val small = keys.size <= maxProbeKeys
+        // above the cap — or under SemiJoin, which never enumerates — fall
+        // back to plain joins (AQE decides the strategy, the bucketed
+        // layout still spares the stored side its exchange)
+        val small = probeStrategy != SemiJoin && keys.size <= maxProbeKeys
         val pruned =
           if (small) stored.where(col("bkey").isin(keys: _*)) else stored
         val batchC = batchB.select(col("bkey"), col("q_id").as("c_id"))
@@ -369,14 +398,21 @@ object Dedup {
     // raises it to 1000): above it parquet degrades the IN to a min/max
     // range that spans most row groups, so larger sets fall back to the
     // semi-join instead of bloating the plan with a dead literal list.
-    // NOTE this collect makes the call eager: candidate generation (and the
-    // inline index build, when existingIndex is None) runs at call time,
-    // not first-action time.
-    val idPushdownCap = math.min(existing.sparkSession.conf
-      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt, maxProbeKeys)
-    val candIds = candExisting.distinct().limit(idPushdownCap + 1).collect().map(_.get(0))
+    // NOTE this collect makes the call eager under Auto/InFilter: candidate
+    // generation (and the inline index build, when existingIndex is None)
+    // runs at call time, not first-action time. Pass probeStrategy=SemiJoin
+    // to keep the whole call lazy (no collect anywhere).
+    val idPushdownCap = probeStrategy match {
+      case SemiJoin => -1
+      case InFilter => maxProbeKeys
+      case Auto => math.min(existing.sparkSession.conf
+        .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt, maxProbeKeys)
+    }
+    val candIds =
+      if (idPushdownCap < 0) Array.empty[Any]
+      else candExisting.distinct().limit(idPushdownCap + 1).collect().map(_.get(0))
     val candExistingDocs =
-      if (candIds.length <= idPushdownCap)
+      if (idPushdownCap >= 0 && candIds.length <= idPushdownCap)
         existing.where(col(idCol).isin(candIds.toSeq: _*))
       else existing.join(candExisting, Seq(idCol), "left_semi")
     val existingSh = shingleSet(candExistingDocs, idCol, textCol)

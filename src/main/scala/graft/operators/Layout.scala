@@ -24,21 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton z-value of the given non-negative integer dimensions, taking
-    * the low `bits` bits of each. Bit `j` of dimension `d` lands at
-    * interleaved position `j * n + d` (n = number of dimensions), so
-    * dimensions alternate bit-by-bit and the curve weights them equally.
-    * Values above 2^bits - 1 are masked to their low bits (both here and
-    * in the DuckDB twin). Requires `bits * n <= 63` (result fits a long).
+  /** Morton z-value of the given integer dimensions, taking the low `bits`
+    * bits of each. Bit `j` of dimension `d` lands at interleaved position
+    * `j * n + d` (n = number of dimensions), so dimensions alternate
+    * bit-by-bit and the curve weights them equally. Each dimension is
+    * masked to `value mod 2^bits` up front — an explicit bitwiseAND, not
+    * an implicit property of shift semantics — so out-of-range values
+    * (including negatives, via their two's-complement low bits) map the
+    * same way here and in the DuckDB twin by construction. Callers who
+    * need an error on negatives should validate before calling. Requires
+    * `bits * n <= 63` (result fits a long).
     */
   def zValue(dims: Seq[Column], bits: Int = 16): Column = {
     val n = dims.size
     require(n >= 1 && bits >= 1 && bits * n <= 63,
       s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
+    val mask = (1L << bits) - 1
     val terms = for {
       (c, d) <- dims.zipWithIndex
+      masked = c.cast("long").bitwiseAND(lit(mask))
       j <- 0 until bits
-    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + d)
+    } yield shiftleft(shiftright(masked, j).bitwiseAND(lit(1L)), j * n + d)
     terms.reduce(_ + _)
   }
 
@@ -49,10 +55,11 @@ object Layout {
     val n = dims.size
     require(n >= 1 && bits >= 1 && bits * n <= 63,
       s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
+    val mask = (1L << bits) - 1
     val terms = for {
       (c, d) <- dims.zipWithIndex
       j <- 0 until bits
-    } yield s"(((CAST($c AS BIGINT) >> $j) & 1) << ${j * n + d})"
+    } yield s"((((CAST($c AS BIGINT) & $mask) >> $j) & 1) << ${j * n + d})"
     terms.mkString("(", " + ", ")")
   }
 

@@ -129,8 +129,20 @@ object ProductQuantization {
     // the compressed index: the only thing the per-query scan touches
     val codeTable = corpus.select(col("vec_id").as("n_id"),
       encode(col("embedding"), books).as("codes"))
+    pqTopKPrebuilt(codeTable, corpus, queries, books, k, rerank)
+  }
+
+  /** The per-query (probe) half of [[pqTopK]] alone: ADC-scan a PRE-BUILT
+    * code table, exact-cosine re-rank via equi-join. This is what a
+    * production pipeline pays per query once codebooks + codes are
+    * persisted at ingest ([[writeIndex]]); the catalog's `_probe` entry
+    * times exactly this path.
+    */
+  def pqTopKPrebuilt(codeTable: DataFrame, corpus: DataFrame, queries: DataFrame,
+                     codebooks: Array[Array[Array[Float]]], k: Int,
+                     rerank: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      adcTable(col("embedding"), books).as("dtable"))
+      adcTable(col("embedding"), codebooks).as("dtable"))
     val wAdc = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
     val shortlist = codeTable.join(broadcast(q), col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("n_id"),
@@ -138,6 +150,112 @@ object ProductQuantization {
       .withColumn("ar", row_number().over(wAdc)).where(col("ar") <= k * rerank)
       .select("q_id", "q_emb", "n_id")
     // full vectors for the survivors only: equi-join on id, never a rescan
+    val full = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    shortlist.join(full, "n_id")
+      .select(col("q_id"), col("n_id"),
+        graft.plans.NativeColumns.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Persist the PQ index (the one-time ingest cost): codebooks as a tiny
+    * (s, j, centroid) parquet, the code table as (n_id, codes) parquet —
+    * 32x smaller than the vectors at D=64/m=8, and the ONLY thing the
+    * per-query ADC scan reads back. Returns the fitted codebooks so a
+    * build-and-query caller skips the read-back.
+    */
+  def writeIndex(corpus: DataFrame, dir: String, dim: Int = 64, m: Int = 8,
+                 kCodes: Int = 16,
+                 fitSampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = fitCodebooks(corpus, dim, m, kCodes, fitSampleFraction)
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid")
+      .coalesce(1) // m*kCodes rows — one file, not 32 shards
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    corpus.select(col("vec_id").as("n_id"), encode(col("embedding"), books).as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+    books
+  }
+
+  /** Read back [[writeIndex]]'s codebooks (driver-side: m*kCodes rows). */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+      .toArray
+
+  /** IVF-PQ (the classic IVFADC composition, public FAISS/Jégou et al.
+    * layout): a KMeans coarse quantizer prunes CELLS (each query touches
+    * corpus/nCells x nProbe vectors) and product quantization prunes BYTES
+    * within them (the scan reads m-byte codes, not 4*dim-byte vectors).
+    * Codes quantize the RESIDUAL vector - cell centroid — residuals
+    * cluster far tighter than raw vectors, so the same kCodes buys more
+    * precision — and the ADC table is rebuilt per (query, probed cell)
+    * from the query's residual against that cell.
+    *
+    * At 100 TB: assignment + encoding happen once at ingest (cell id +
+    * codes persisted next to vec_id); a query broadcasts against the tiny
+    * centroid table, probes nProbe cells (partition-prunable when the code
+    * table is written partitioned by cell), ADC-scans only those cells'
+    * codes, and fetches full vectors for the rerank set by equi-join.
+    * Recall is gated vs exact top-k in OperatorsSpec (≥0.8, like the
+    * other ANN paths).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                dim: Int = 64, m: Int = 8, kCodes: Int = 16, rerank: Int = 4,
+                fitSampleFraction: Double = 1.0): DataFrame = {
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val fitInput =
+      if (fitSampleFraction >= 1.0) feat
+      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
+        math.round(fitSampleFraction * 1000000).toInt)
+    val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
+      .setInitMode("random").fit(fitInput)
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "c_emb")
+    // ingest half: assign cells, PQ-encode the residuals
+    val assigned = coarse.transform(feat)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("prediction").as("cell"))
+      .join(broadcast(cents), "cell")
+      .withColumn("res",
+        zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c))
+    val residuals = assigned.select(col("n_id").as("vec_id"), col("res").as("embedding"))
+    val books = fitCodebooks(residuals, dim, m, kCodes, fitSampleFraction)
+    val codeTable = assigned.select(col("cell"), col("n_id"),
+      encode(col("res"), books).as("codes"))
+    // query half: probe nProbe nearest cells, ADC against the per-cell
+    // residual table, exact re-rank of the union of survivors
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy("q_id").orderBy(col("c_dist"), col("cell"))
+    val probed = q.join(broadcast(cents))
+      .withColumn("c_dist",
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => {
+          val dd = x.cast("double") - y.cast("double"); dd * dd
+        }), lit(0.0), (a, v) => a + v))
+      .withColumn("cr", row_number().over(wCell)).where(col("cr") <= nProbe)
+      .withColumn("q_res", zip_with(col("q_emb"), col("c_emb"), (x, c) => x - c))
+      .select(col("q_id"), col("q_emb"), col("cell"),
+        adcTable(col("q_res"), books).as("dtable"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
+    val shortlist = codeTable.join(broadcast(probed), Seq("cell"))
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("n_id"),
+        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
+      .withColumn("ar", row_number().over(wAdc)).where(col("ar") <= k * rerank)
+      .select("q_id", "q_emb", "n_id")
     val full = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     shortlist.join(full, "n_id")

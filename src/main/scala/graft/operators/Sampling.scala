@@ -135,6 +135,11 @@ object Sampling {
     * aggregate — |strata| rows, never the corpus — so its single-partition
     * execution is a no-op cost (the corpus itself only sees a broadcast
     * join plus map-side replication, same as [[weightedMix]]).
+    *
+    * NULL strata are a stratum like any other: weights derive from the
+    * data, so every input row must stay represented — the weights join is
+    * null-safe (`<=>`), unlike [[weightedMix]]'s documented absent-strata
+    * drop (there the caller's map simply has no NULL entry).
     */
   def temperatureMix(df: DataFrame, strata: Column, key: Column, salt: String,
                      epochCol: String = "epoch"): DataFrame = {
@@ -145,7 +150,7 @@ object Sampling {
       .withColumn("__wt", sqrt(max(col("__n_s")).over(Window.partitionBy()) /
         col("__n_s").cast("double")))
       .select(col("__s"), col("__wt"))
-    val joined = df.join(broadcast(weights), strata === col("__s")).drop("__s")
+    val joined = df.join(broadcast(weights), strata <=> col("__s")).drop("__s")
     replicateByWeight(joined, col("__wt"), key, salt, epochCol).drop("__wt")
   }
 

@@ -210,14 +210,48 @@ object MLQueries {
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },
 
-    // E3 (PQ memory path): product-quantized ADC scan + exact re-rank —
-    // the scan reads 8-byte codes instead of 256-byte vectors; recall
-    // asserted vs exact top-k in ScaleOpsSpec (incl. at sampled fit).
-    // Codebooks fit on a 25% deterministic sample — the 100 TB posture
-    // (density shape is all a codebook needs; at scale pass ~0.001).
+    // E3 (PQ memory path) — BUILD entry: fit codebooks (25% deterministic
+    // sample — the 100 TB posture; at scale pass ~0.001), persist
+    // codebooks + code table to the IndexStore (the one-time ingest cost a
+    // production pipeline pays once), then answer the query from the
+    // written index. Recall asserted vs exact top-k in ScaleOpsSpec.
+    // e3_ann_pq_probe below times the per-query half alone.
     QueryDef.rowsOnly("e3_ann_pq") { (s, d) =>
+      import graft.operators.ProductQuantization
       val emb = Tables.embeddings(s, d)
-      graft.operators.ProductQuantization.pqTopK(
+      val dir = s"${graft.sources.IndexStore.root(d)}/pq"
+      val books = ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
+      ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
+          emb.where(col("vec_id") < 10), books, k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
+    // E3 PQ — PROBE entry: read the pre-built codebooks + code table and
+    // run only the ADC scan + exact re-rank. This is the recurring
+    // per-query production cost (the _build entry above is the one-time
+    // ingest cost); identical output to e3_ann_pq by construction since
+    // encode() is deterministic. Builds-if-absent so it runs standalone.
+    QueryDef.rowsOnly("e3_ann_pq_probe") { (s, d) =>
+      import graft.operators.ProductQuantization
+      import graft.sources.IndexStore
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${IndexStore.root(d)}/pq"
+      val books =
+        if (IndexStore.exists(s, s"$dir/codebooks")) ProductQuantization.readCodebooks(s, dir)
+        else ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
+      ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
+          emb.where(col("vec_id") < 10), books, k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
+    // E3 (IVF-PQ composition, the classic IVFADC): coarse cells prune
+    // COMPUTE (nProbe of nCells cells per query), residual-PQ codes prune
+    // BYTES (the scan reads m-byte codes); exact re-rank on the survivors.
+    // Recall gated vs exact top-k in OperatorsSpec like the other ANN
+    // paths.
+    QueryDef.rowsOnly("e3_ann_ivfpq") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.ProductQuantization.ivfPqTopK(
           emb, emb.where(col("vec_id") < 10), k = 5, fitSampleFraction = 0.25)
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },

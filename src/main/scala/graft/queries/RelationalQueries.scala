@@ -786,6 +786,26 @@ object RelationalQueries {
         graft.operators.Layout.zValue(Seq(col("l_partkey"), col("l_suppkey"))).as("z"))
     },
 
+    // O10: skew-mitigated aggregate (operators.Skew) — lineitem's
+    // l_returnflag holds 3 values over the whole table, the degenerate
+    // hot-key shape where every row of a 100 TB fact lands on 3 reducers.
+    // saltedSum pre-aggregates on (key, salt-from-row-content) so the hot
+    // keys spread across `salts` reducers, then combines the partials —
+    // exact for sums (associative + commutative), and exactly replayable
+    // because the value is summed as DECIMAL (FP addition order would
+    // otherwise differ between the salted and plain plans). Plan shape
+    // (two-phase partial on (key, __salt)) pinned in PlanSpec.
+    QueryDef.sql(
+      "o10_salted_agg",
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.operators.Skew.saltedSum(Tables.lineitem(s, d), Seq("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)))
+        .select(col("l_returnflag"), col("total").cast("double").as("total_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // X1: cache/persist parity (chapter1/SparkRDDAPITest.scala:63) — a cached
     // aggregate consumed twice must equal its recomputed twin.
     QueryDef.sql(

@@ -152,17 +152,19 @@ object SeededQueries {
     // the dominant language runs one epoch and low-resource languages are
     // pulled toward parity. sqrt is exactly-rounded IEEE on every engine,
     // which is what keeps the fractional-epoch draw replayable (see
-    // Sampling.temperatureMix).
+    // Sampling.temperatureMix). The weights join is null-safe in BOTH
+    // twins (<=> / IS NOT DISTINCT FROM): a NULL stratum is data-derived
+    // like any other and must stay represented.
     QueryDef.sql("e12_temperature_mix",
       s"""WITH cnt AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
          |w AS (SELECT lang, sqrt(CAST((SELECT max(n_s) FROM cnt) AS DOUBLE) / n_s) AS wt
          |      FROM cnt),
-         |n AS (SELECT doc_id, lang,
+         |n AS (SELECT doc_id, d.lang AS lang,
          |  CAST(floor(wt) AS BIGINT) +
          |  CASE WHEN ${duckDraw("doc_id", "e12temp")} % 1000000 <
          |            CAST(floor(wt * 1000000) AS BIGINT) - CAST(floor(wt) AS BIGINT) * 1000000
          |       THEN 1 ELSE 0 END AS n_copies
-         |  FROM documents JOIN w USING (lang)),
+         |  FROM documents d JOIN w ON d.lang IS NOT DISTINCT FROM w.lang),
          |mixed AS (SELECT doc_id, lang, unnest(generate_series(1, n_copies)) AS epoch
          |          FROM n WHERE n_copies > 0)
          |SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch FROM mixed

@@ -51,4 +51,80 @@ object Embeddings {
     df.select(concat_ws(" ", col(wordCol),
         transform(col(vecCol), v => v.cast("string"))).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  /** Read the word2vec BINARY interchange format (the original C tool's
+    * layout, what GoogleNews-vectors ships as — the reference's
+    * loadStaticModel input, chapter2/PredictCommentsUsingRNNAndWord2Vec
+    * .java:55): ASCII header "vocab dim\n", then per word the token bytes
+    * up to a space followed by dim little-endian float32s and an optional
+    * newline. Yields the same (word: string, vec: array<float>) schema as
+    * [[readWordVectors]], so it feeds the identical broadcast lookup-join
+    * path (s8).
+    *
+    * The format is not line-splittable (binary payloads contain every
+    * byte value), so the file parses as ONE stream on the driver — fine
+    * by design: a vocabulary table is dimension-small next to a corpus
+    * (3M x 300 floats for GoogleNews), and it broadcasts afterwards
+    * anyway. Opens through the Hadoop FileSystem, so any configured
+    * scheme (file:/hdfs:/s3a:) works. Non-finite components drop the
+    * word, matching the text reader's hygiene contract.
+    */
+  def readWordVectorsBinary(spark: SparkSession, path: String,
+                            dim: Option[Int] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    val rows = try {
+      def readToken(stop: Byte, skipLeadingWs: Boolean): String = {
+        val sb = new java.lang.StringBuilder
+        var b = in.read()
+        while (skipLeadingWs && (b == '\n' || b == '\r' || b == ' ')) b = in.read()
+        while (b != -1 && b != stop && b != '\n') { sb.append(b.toChar); b = in.read() }
+        if (b == -1 && sb.length == 0)
+          throw new java.io.EOFException(s"truncated word2vec binary file: $path")
+        sb.toString
+      }
+      val vocab = readToken(' ', skipLeadingWs = false).toInt
+      val d = readToken('\n', skipLeadingWs = true).trim.toInt
+      require(vocab >= 0 && d >= 1, s"implausible word2vec header: vocab=$vocab dim=$d")
+      val buf = new Array[Byte](4 * d)
+      (0 until vocab).iterator.map { _ =>
+        val word = readToken(' ', skipLeadingWs = true)
+        in.readFully(buf)
+        val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val vec = Array.fill(d)(bb.getFloat)
+        (word, vec.toSeq)
+      }.filter(_._2.forall(v => !v.isNaN && !v.isInfinite)).toSeq
+    } finally in.close()
+    import spark.implicits._
+    val parsed = rows.toDF("word", "vec")
+    dim.map(d => parsed.where(size(col("vec")) === d)).getOrElse(parsed)
+  }
+
+  /** Write (word, vec) rows as a word2vec binary model file ([[
+    * readWordVectorsBinary]]'s format). Driver-side single file by the
+    * format's nature; vectors must share one dimension.
+    */
+  def writeWordVectorsBinary(df: DataFrame, wordCol: String, vecCol: String,
+                             path: String): Unit = {
+    val rows = df.select(col(wordCol).cast("string"),
+      col(vecCol).cast("array<float>")).collect()
+    val dims = rows.map(_.getSeq[Float](1).size).distinct
+    require(dims.length <= 1, s"mixed vector dims ${dims.toSeq} cannot serialize")
+    val d = dims.headOption.getOrElse(0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedOutputStream(fs.create(p, true))
+    try {
+      out.write(s"${rows.length} $d\n".getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.allocate(4 * d).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      rows.foreach { r =>
+        out.write((r.getString(0) + " ").getBytes("UTF-8"))
+        bb.clear()
+        r.getSeq[Float](1).foreach(bb.putFloat)
+        out.write(bb.array())
+        out.write('\n')
+      }
+    } finally out.close()
+  }
 }

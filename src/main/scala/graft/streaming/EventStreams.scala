@@ -201,6 +201,23 @@ object EventStreams {
       }
       .start()
 
+  /** Curate hook for [[incrementalDedupSink]]: per-batch benchmark
+    * decontamination — every incoming doc sharing an n-gram with the eval
+    * suite drops BEFORE dedup vetting, so contaminated docs never enter
+    * the corpus or its signature index. The eval shingle set broadcasts
+    * (Dedup.contaminationReport's 100 TB shape: the batch streams once,
+    * never shuffles), and the hook is deterministic as the sink's curate
+    * contract requires — a replayed batch re-flags exactly the same docs.
+    *
+    * Usage: `incrementalDedupSink(docs, "doc_id", "text", out, ck,
+    *   curate = EventStreams.decontaminatingCurate(evalDocs, "doc_id", "text"))`
+    * Two micro-batches match the batch-path decontaminate + dedup
+    * composition exactly (asserted in StreamingSpec).
+    */
+  def decontaminatingCurate(evalDocs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 4): DataFrame => DataFrame =
+    batch => graft.operators.Dedup.decontaminate(batch, evalDocs, idCol, textCol, n)
+
   /** Stream-stream interval join: each purchase joins every view by the
     * same user in the preceding `horizonMinutes` — the attribution shape
     * (which impressions preceded this conversion). Both sides carry

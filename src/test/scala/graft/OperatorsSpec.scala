@@ -225,6 +225,37 @@ class OperatorsSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("dedupIncremental probe strategies (Auto/InFilter/SemiJoin) agree; SemiJoin never collects at call time") {
+    val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val someText = existing.where(col("doc_id") === 11L).select("text").as[String].head()
+    val batch = Seq(
+      (910001L, someText),                                  // exact dup -> dropped
+      (910002L, someText + " plus an appended tail here"),  // near-dup -> dropped
+      (910003L, "wholly original content unseen in any fixture document body")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.signatureIndex(existing, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandIdx = Dedup.bandIndexTable(idx)
+    def run(strategy: Dedup.ProbeStrategy) =
+      Dedup.dedupIncremental(existing, batch, "doc_id", "text",
+        existingIndex = Some(idx), bandIndex = Some(bandIdx),
+        probeStrategy = strategy)
+    // SemiJoin keeps the call lazy: no Spark job may run while composing.
+    // (Auto/InFilter collect bucket keys + candidate ids at call time.)
+    val tracker = spark.sparkContext.statusTracker
+    val jobsBefore = tracker.getJobIdsForGroup(null).length
+    val lazyFrame = run(Dedup.SemiJoin)
+    assert(tracker.getJobIdsForGroup(null).length == jobsBefore,
+      "SemiJoin strategy ran Spark jobs during composition — it must stay lazy")
+    val semi = lazyFrame.select("doc_id").as[Long].collect().sorted.toSeq
+    val auto = run(Dedup.Auto).select("doc_id").as[Long].collect().sorted.toSeq
+    val inF = run(Dedup.InFilter).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(semi == Seq(910003L), s"kept=$semi")
+    assert(auto == semi && inF == semi,
+      s"probe strategies diverged: auto=$auto inFilter=$inF semiJoin=$semi")
+    idx.unpersist()
+  }
+
   test("removeNearDupsTransitive collapses a similarity chain to its min exemplar") {
     // A and C share no 3-shingles directly but both overlap B heavily; the
     // transitive variant must keep only A, the pairwise variant keeps A

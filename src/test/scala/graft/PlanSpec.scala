@@ -40,11 +40,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("O2c: fixed-k sampling pushes a partial WindowGroupLimit below the exchange") {
-    val plan = explained(queries.Catalog.byName("o2_fixed_k_per_group").run(spark, sfDir))
-    // two WindowGroupLimit nodes: Partial (pre-shuffle heap) + Final
-    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
-      s"fixed-k must use pre-shuffle WindowGroupLimit heaps:\n$plan")
-    assert(plan.contains("Partial"), s"no partial (map-side) group limit:\n$plan")
+    // the simple plan string keeps each node's mode on the node's own line,
+    // so the Partial/Final assertions bind to the WindowGroupLimit itself
+    val plan = queries.Catalog.byName("o2_fixed_k_per_group").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"no partial (map-side, pre-shuffle) WindowGroupLimit heap:\n$plan")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined,
+      s"no final WindowGroupLimit after the exchange:\n$plan")
   }
 
   test("E13: outlier scoring broadcasts the per-source stats and top-ks via TakeOrderedAndProject") {
@@ -64,6 +67,19 @@ class PlanSpec extends SparkSpec {
     val plan = explained(queries.Catalog.byName("e12_temperature_mix").run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"weights must broadcast:\n$plan")
     assert(plan.contains("Generate"), s"copies must come from explode:\n$plan")
+  }
+
+  test("O10: salted aggregate runs two grouping phases — (key, salt) partials, then key combine") {
+    val df = queries.Catalog.byName("o10_salted_agg").run(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"no salted pre-aggregate phase in:\n$plan")
+    // the combine phase groups by the key alone — a HashAggregate keyed on
+    // l_returnflag WITHOUT the salt must exist above the salted phase
+    assert("HashAggregate\\(keys=\\[l_returnflag[^\\]]*\\]".r.findAllIn(plan)
+        .exists(!_.contains("__salt")),
+      s"no salt-free combine phase in:\n$plan")
+    assert(!df.columns.contains("__salt"), "salt must not escape the operator")
   }
 
   test("whole-stage codegen applies to the scan+filter+project pipeline") {

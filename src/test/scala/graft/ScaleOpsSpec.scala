@@ -52,6 +52,42 @@ class ScaleOpsSpec extends SparkSpec {
     info(f"PQ recall@5 (10%% fit sample) = $recallSampled%.2f")
   }
 
+  test("E3: IVF-PQ composition achieves >=30% recall@5 vs exact top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Similarity.exactTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfpq = ProductQuantization.ivfPqTopK(emb, q, 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF-PQ recall too low: $recall")
+    info(f"IVF-PQ recall@5 = $recall%.2f")
+    // 100 TB posture: both quantizers fitted on a 25% hash-sample hold the gate
+    val sampled = ProductQuantization.ivfPqTopK(emb, q, 5, fitSampleFraction = 0.25)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recallSampled = (exact & sampled).size.toDouble / exact.size
+    assert(recallSampled >= 0.3, s"sampled-fit IVF-PQ recall too low: $recallSampled")
+    info(f"IVF-PQ recall@5 (25%% fit sample) = $recallSampled%.2f")
+  }
+
+  test("E3: PQ index round-trips through the store; prebuilt probe equals inline pqTopK") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 10)
+    val dir = Files.createTempDirectory("graft_pq_idx").toString
+    val written = ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
+    val read = ProductQuantization.readCodebooks(spark, dir)
+    assert(read.length == written.length &&
+      read.zip(written).forall { case (a, b) =>
+        a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "codebooks must survive the parquet round-trip exactly")
+    val inline = ProductQuantization.pqTopK(emb, q, 5, fitSampleFraction = 0.25)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val probed = ProductQuantization.pqTopKPrebuilt(
+        spark.read.parquet(s"$dir/codes"), emb, q, read, 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(probed == inline, "probe from the stored index must equal the inline build+query")
+  }
+
   test("E3: PQ codes are the compressed contract — m small ints, partition-invariant") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = ProductQuantization.fitCodebooks(emb, dim = 64, m = 8, kCodes = 16)

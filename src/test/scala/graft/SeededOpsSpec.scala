@@ -116,6 +116,19 @@ class SeededOpsSpec extends SparkSpec {
     assert(a == b, "temperature mix must not depend on partition layout")
   }
 
+  test("E12b: temperatureMix keeps NULL-stratum rows represented (null-safe weights join)") {
+    // weights DERIVE from the data, so a NULL stratum is a stratum like any
+    // other — it must upsample, not vanish (ADVICE r4)
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "en"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "lang")
+    val mixed = Sampling.temperatureMix(docs, col("lang"), col("doc_id"), "tnull")
+    val nullCopies = mixed.where(col("lang").isNull).count()
+    // weight = sqrt(4/1) = 2.0 exactly -> the NULL doc appears exactly twice
+    assert(nullCopies == 2L, s"NULL-stratum doc got $nullCopies copies, expected 2")
+    assert(mixed.where(col("lang") === "en").count() == 4L,
+      "largest stratum must stay at exactly 1 epoch")
+  }
+
   test("E8b: length batches are full (16) except per-bucket tails, and tight (< 64 spread)") {
     val out = graft.queries.Catalog.byName("e8_length_batches").run(spark, sfDir)
       .select("bucket", "batch_id", "n_docs", "min_toks", "max_toks")

@@ -168,6 +168,46 @@ class StreamingSpec extends SparkSpec {
     assert(idx == streamed, s"index=$idx survivors=$streamed")
   }
 
+  test("incremental dedup sink with decontaminating curate: two micro-batches equal batch-path decontaminate + dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-incdecon").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-incdecon-ck").toString
+    val evalText = "the canary evaluation passage nobody may train on ever"
+    val evalDocs = Seq((9000L, evalText)).toDF("doc_id", "text")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b1 = Seq((1L, base),
+      (2L, s"prefix words then $evalText and a suffix"), // contaminated -> dropped pre-dedup
+      (3L, "first clean unique document about other things entirely"))
+    val b2 = Seq((10L, base + "lambda mu"), // near-dup of 1 -> dropped by dedup
+      (11L, evalText),                      // contaminated -> dropped pre-dedup
+      (12L, "second clean unique document with fresh content words"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(b1)
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck,
+      curate = EventStreams.decontaminatingCurate(evalDocs, "doc_id", "text"))
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // batch path: decontaminate the whole corpus first, then dedup at once
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val decon = graft.operators.Dedup.decontaminate(all, evalDocs, "doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], all.schema)
+    val batchKept = graft.operators.Dedup
+      .dedupIncremental(empty, decon.select("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
+    assert(streamed == Seq(1L, 3L, 12L), s"survivors=$streamed")
+    // contaminated docs must not have entered the signature index either
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == streamed, s"index=$idx survivors=$streamed")
+  }
+
   test("incremental dedup sink bootstraps over a pre-existing external corpus") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-incboot").toString
