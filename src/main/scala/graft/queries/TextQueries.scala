@@ -671,6 +671,84 @@ object TextQueries {
           max("n_toks").as("max_toks"),
           (max("n_toks") * count(lit(1)) - sum("n_toks")).as("pad_tokens"))
         .orderBy("bucket", "batch_id")
+    },
+
+    // E8c: sliding-window chunking (window 128 tokens, stride 96 — 32-token
+    // overlap), the retrieval/RAG ingestion shape: every document becomes
+    // chunk rows carrying (start offset, actual length, content signature).
+    // Starts are 0, S, 2S, ... < n, so the tail chunk may be short and a
+    // doc shorter than one window still yields its single chunk.
+    // Scale: pure per-row expression work (sequence + explode + slice) —
+    // the corpus never shuffles; output order is the only exchange and
+    // exists for the oracle, not the pipeline.
+    QueryDef.sql(
+      "e8_overlap_chunks",
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 96)) AS start FROM s)
+         |SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_id,
+         |       CAST(start AS BIGINT) AS start_tok,
+         |       CAST(len(toks[start + 1 : least(start + 128, n)]) AS BIGINT) AS chunk_len,
+         |       md5(array_to_string(toks[start + 1 : least(start + 128, n)], ' ')) AS chunk_sig
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      val win = 128
+      val stride = 96
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokenize(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .where(col("n") > 0)
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+        .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(win)))
+        .select(col("doc_id"),
+          expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
+          col("start").cast("long").as("start_tok"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_sig"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // E5l: cross-document duplicate n-gram coverage — for each document,
+    // the fraction of its DISTINCT 3-gram shingles that occur in at least
+    // one other document (the Gopher/C4-style "duplicate n-gram fraction"
+    // quality signal; high values mark boilerplate and template spam that
+    // exact/near dedup keeps because the documents differ overall).
+    // Scale: shingles are md5-hashed before any exchange, so 16-byte
+    // digests shuffle, never text (the e1 discipline); the doc-frequency
+    // aggregate is bounded by distinct-shingle cardinality, and the
+    // exploded stream is pinned so tokenization runs once, not twice
+    // (aggregate input + join probe).
+    QueryDef.sql(
+      "e5_dup_ngram_coverage",
+      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_distinct(list_transform(range(1, len(toks) - 1),
+         |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+         |      FROM base),
+         |e AS (SELECT doc_id, md5(unnest(grams)) AS gh FROM g WHERE len(grams) > 0),
+         |dfreq AS (SELECT gh, count(*) AS df FROM e GROUP BY gh)
+         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS BIGINT) AS n_dup,
+         |       round(CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS DOUBLE)
+         |             / count(*), 6) AS dup_frac
+         |FROM e JOIN dfreq USING (gh)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+      val grams = graft.operators.Pinned.pin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(shingles(tokenize(col("text")), 3)).as("grams"))
+          .where(size(col("grams")) > 0)
+          .select(col("doc_id"), explode(col("grams")).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("gh")))
+      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") >= 2, 1)).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
     }
   )
 }

@@ -200,6 +200,52 @@ class FunctionsSpec extends SparkSpec {
     assert(rep("short", 2) == 0.0) // no bigram exists -> 0, not null/NaN
   }
 
+  test("E8c: overlapping chunks reproduce the brute-force chunking exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TF.tokenize(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val expected = toks.filter(_._2.nonEmpty).flatMap { case (id, ts) =>
+      val n = ts.length
+      (0 until n by 96).zipWithIndex.map { case (st, ci) =>
+        val chunk = ts.slice(st, math.min(st + 128, n))
+        (id, ci.toLong, st.toLong, chunk.length.toLong, md5hex(chunk.mkString(" ")))
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = graft.queries.Catalog.byName("e8_overlap_chunks").run(spark, sfDir)
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == expected, s"chunking drifted: got ${got.size} vs ${expected.size} rows")
+    // consecutive full chunks overlap by exactly window - stride = 32 tokens
+    for (Seq((id1, _, s1, l1, _), (id2, _, s2, _, _)) <- got.sliding(2)
+         if id1 == id2 && l1 == 128L)
+      assert(s1 + l1 - s2 == 32L, s"doc $id1: overlap ${s1 + l1 - s2} != 32")
+  }
+
+  test("E5l: duplicate n-gram coverage matches a brute-force recompute") {
+    val toks = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TF.tokenize(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val grams = toks.map { case (id, ts) =>
+      id -> ts.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val dfreq = grams.flatMap { case (id, g) => g.iterator.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expected = grams.map { case (id, g) =>
+      (id, g.size.toLong, g.count(dfreq(_) >= 2).toLong)
+    }.sortBy(_._1).toSeq
+    val got = graft.queries.Catalog.byName("e5_dup_ngram_coverage")
+      .run(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    graft.operators.Pinned.release()
+    assert(got.map(r => (r._1, r._2, r._3)) == expected)
+    for ((id, ng, nd, frac) <- got)
+      assert(math.abs(frac - nd.toDouble / ng) < 1e-6, s"doc $id frac $frac")
+    // the fixture contains exact duplicate documents; their coverage is 1.0
+    assert(got.exists(_._4 == 1.0), "no fully-duplicated doc found in fixture")
+  }
+
   test("A10 sketch: approx_count_distinct within 5% of exact per group") {
     val orders = graft.sources.Tables.orders(spark, sfDir)
     val both = orders.groupBy("o_orderpriority")

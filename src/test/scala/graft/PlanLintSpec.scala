@@ -25,8 +25,9 @@ class PlanLintSpec extends SparkSpec {
     */
   private val bnljAllowed = Set("e3_cosine_topk", "e2_embedding_neardup",
     // PQ ADC scan: broadcast query rows stream once against the (vec_id,
-    // codes) table with the n_id =!= q_id guard — same designed shape
-    "e3_ann_pq",
+    // codes) table with the n_id =!= q_id guard — same designed shape,
+    // shared by the build entry, its probe twin, and the IVFADC composition
+    "e3_ann_pq", "e3_ann_pq_probe", "e3_ann_ivfpq",
     // Scalar feedback: a 1-row broadcast aggregate (global threshold /
     // mean) cross-joined into the stream — O(corpus) with no shuffle, the
     // scale-safe decorrelation of TPC-H's scalar subqueries (Q11/Q20/Q22).
