@@ -644,4 +644,113 @@ object Dedup {
         array_join(transform(array_sort(collect_list(struct(col("seg"), col("segment")))),
           x => x.getField("segment")), " ").as("cleaned_text"))
   }
+
+  /** E10 (sketch path): [[contaminationReport]] with a Bloom-filter
+    * prefilter. Semantics are IDENTICAL to the exact report — the Bloom
+    * pass only prunes, an exact join on the surviving shingles kills the
+    * false positives — so the two share one oracle.
+    *
+    * 100 TB shape: the exact path must broadcast the eval shingle STRINGS
+    * (~30 bytes/gram). A Bloom filter at `fpp` = 1% costs ~9.6 BITS per
+    * gram — ~25x smaller — so eval suites beyond exact-broadcast reach
+    * still fit in every executor, and the corpus still streams through
+    * the prefilter exactly once with no shuffle. The confirm join then
+    * moves only `fpp x corpus-shingles + true hits` rows (the Bloom
+    * guarantee: no false negatives, so no contamination is missed), which
+    * is why `broadcastConfirm = false` is the honest default: at the scale
+    * where you reach for the sketch, the exact set does NOT broadcast,
+    * and the point is that the post-filter shuffle is negligible. The one
+    * driver-side action is eval-sized (a count + sketch build over the
+    * eval shingles — bounded by the same contract that makes eval suites
+    * broadcastable in the exact path).
+    */
+  def contaminationReportBloom(train: DataFrame, eval: DataFrame,
+                               idCol: String, textCol: String, n: Int = 4,
+                               fpp: Double = 0.01,
+                               broadcastConfirm: Boolean = false): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val evalSh = Pinned.pin(
+      shingleSet(eval, idCol, textCol, n).select("sh").distinct())
+    val nEval = evalSh.count() // eval-sized action, reuses the pinned frame
+    val bf = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), fpp)
+    val bcast = train.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((sh: String) => sh != null && bcast.value.mightContainString(sh))
+    val confirm = if (broadcastConfirm) broadcast(evalSh) else evalSh
+    shingleSet(train, idCol, textCol, n, repartitionFirst = false)
+      .where(mightContain(col("sh")))
+      .join(confirm, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** E1c (C4-style boilerplate removal): drop every LINE that occurs in at
+    * least `minDocs` distinct documents (nav bars, cookie banners,
+    * footers), reassemble each document from its surviving lines in
+    * order. Unlike [[segmentDedup]] — which keeps a segment's FIRST
+    * occurrence — boilerplate removal drops ALL occurrences once a line
+    * crosses the document-frequency threshold: a footer on 10k pages is
+    * noise on every one of them, including the first. Documents whose
+    * every line is boilerplate survive with `cleaned_text = ""` (callers
+    * chain a length filter to drop them).
+    *
+    * `sep` is a Java regex (default newline).
+    *
+    * 100 TB shape: two wide stages — a line-frequency aggregate (map-side
+    * partial `countDistinct` on the line hash-partitions only distinct
+    * (line, doc) pairs) and the per-doc reassembly groupBy. The
+    * boilerplate set itself is threshold-filtered and therefore tiny
+    * (only lines repeated across >= minDocs docs survive the HAVING), so
+    * it broadcasts into the anti-style NULL-mark join — the corpus is
+    * never shuffled on the line key for the marking pass.
+    */
+  def removeBoilerplate(corpus: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = corpus
+      .where(length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select(col("line"), lit(1).as("__bp"))
+    lines.join(broadcast(boiler), Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__bp").isNull, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), sep).as("cleaned_text"))
+  }
+
+  /** E2i (cluster canonicalization): given near-dup edges and a per-member
+    * quality score, keep exactly one representative per transitive
+    * cluster — the member with the highest score, ties broken by minimal
+    * id. The standard final step of fuzzy dedup: [[nearDupPairs]] finds
+    * the edges, [[connectedComponents]] closes them transitively, and the
+    * curator keeps the best-quality member of each cluster rather than an
+    * arbitrary one.
+    *
+    * `members` must carry one row per node id appearing in `pairs`
+    * (members absent from it silently drop — same contract as a lookup
+    * join). Returns (component, canonical_id, score, n_members).
+    *
+    * 100 TB shape: inherits [[connectedComponents]]'s edge-list-sized
+    * iteration; the scoring join and the per-component argmax window both
+    * hash on the component id — one shuffle each, sized by the MEMBER
+    * list (cluster members only, not the corpus).
+    */
+  def canonicalPerCluster(pairs: DataFrame, members: DataFrame,
+                          idCol: String, scoreCol: String): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val scored = comp.join(
+      members.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+    val best = Window.partitionBy("component")
+      .orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("__rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy("component")))
+      .where(col("__rn") === 1)
+      .select(col("component"), col("id").as("canonical_id"), col("score"),
+        col("n_members"))
+  }
 }

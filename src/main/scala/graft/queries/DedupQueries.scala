@@ -511,6 +511,114 @@ object DedupQueries {
         docs.where(col("doc_id") % 43 === 0).select(col("doc_id"), col("text")),
         "doc_id", "text", n = 4)
         .select("doc_id", "lang", "source").orderBy("doc_id")
+    },
+
+    // E10c: the SKETCH path of the same report — Bloom-filter prefilter
+    // (eval grams at ~9.6 bits each instead of ~30-byte strings), exact
+    // confirm join on the survivors. Identical hits by construction (the
+    // Bloom pass only prunes; no false negatives), so it shares the exact
+    // path's oracle — the 100 TB variant for eval suites beyond exact
+    // broadcast reach. See Dedup.contaminationReportBloom scaladoc.
+    QueryDef.sql("e10_contamination_bloom",
+      s"""${duckContamHits()}
+         |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      Dedup.contaminationReportBloom(
+        docs.where(col("doc_id") % 43 =!= 0),
+        docs.where(col("doc_id") % 43 === 0), "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    },
+
+    // E1c: C4-style boilerplate-line removal. The fixture plants two
+    // footer lines (on every 3rd and every 5th doc); any line present in
+    // >= 50 distinct docs is boilerplate and is dropped from ALL its
+    // occurrences (unlike segment dedup's keep-first), docs reassemble
+    // from surviving lines. At sf0.01 both footers cross the threshold
+    // (167 and 100 docs); the bodies (one line each, unique) survive.
+    QueryDef.sql(
+      "e1_boilerplate_lines",
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please subscribe to our newsletter today' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'all rights reserved example footer' ELSE '' END AS text
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+         |         generate_subscripts(str_split(text, chr(10)), 1) AS pos
+         |  FROM corpus WHERE length(text) > 0),
+         |bp AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+         |m AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS isbp
+         |      FROM l LEFT JOIN bp b USING (line))
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN NOT isbp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+         |       CAST(sum(CASE WHEN isbp THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_dropped,
+         |       coalesce(string_agg(CASE WHEN NOT isbp THEN line END, chr(10) ORDER BY pos), '') AS cleaned_text
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val corpus = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nplease subscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nall rights reserved example footer")).otherwise(lit(""))).as("text"))
+      Dedup.removeBoilerplate(corpus, "doc_id", "text", minDocs = 50)
+        .orderBy("doc_id")
+    },
+
+    // E2i: cluster canonicalization — the final step of fuzzy dedup: over
+    // the same planted 3-chains/pairs as e2_components, keep the
+    // highest-quality member of each transitive cluster (quality = member
+    // text length; the 1M/2M copies are 90%/80% prefixes, so the base doc
+    // wins through the score path, not by id accident). The oracle replays
+    // the recursive closure + per-component argmax.
+    QueryDef.sql(
+      "e2_cluster_canonical",
+      """WITH RECURSIVE edges AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS a, doc_id + 2000000 AS b FROM documents WHERE doc_id < 10
+        |),
+        |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+        |nodes AS (SELECT DISTINCT a AS id FROM und),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT u.a AS id, reach.r FROM und u JOIN reach ON reach.id = u.b
+        |),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |members AS (
+        |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS score
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id,
+        |         CAST(length(substr(text, 1, CAST(floor(length(text) * 0.9) AS INT))) AS BIGINT) AS score
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS id,
+        |         CAST(length(substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))) AS BIGINT) AS score
+        |  FROM documents WHERE doc_id < 10
+        |),
+        |scored AS (SELECT c.component, m.id, m.score FROM comp c JOIN members m USING (id)),
+        |ranked AS (
+        |  SELECT component, id, score,
+        |         row_number() OVER (PARTITION BY component ORDER BY score DESC, id) AS rn,
+        |         count(*) OVER (PARTITION BY component) AS n_members
+        |  FROM scored)
+        |SELECT component, id AS canonical_id, score, CAST(n_members AS BIGINT) AS n_members
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(col("doc_id") < 30)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1000000).as("b_id"))
+        .union(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000).as("a_id"), (col("doc_id") + 2000000).as("b_id")))
+      val trunc = (frac: Double) =>
+        expr(s"substring(text, 1, CAST(floor(length(text) * $frac) AS INT))")
+      val members = docs.where(col("doc_id") < 30)
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("q"))
+        .union(docs.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000).as("id"), length(trunc(0.9)).cast("long").as("q")))
+        .union(docs.where(col("doc_id") < 10)
+          .select((col("doc_id") + 2000000).as("id"), length(trunc(0.8)).cast("long").as("q")))
+      Dedup.canonicalPerCluster(pairs, members, "id", "q").orderBy("component")
     }
   )
 

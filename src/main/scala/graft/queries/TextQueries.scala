@@ -749,6 +749,40 @@ object TextQueries {
         .withColumn("dup_frac",
           round(col("n_dup").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")
+    },
+
+    // E5m: exact heavy hitters — the corpus's top-25 tokens by total
+    // occurrences, deterministic tie-break on the token. Plan shape:
+    // partial (map-side) count per token, one shuffle sized by the
+    // DISTINCT vocabulary, then TakeOrderedAndProject for the global
+    // top-k — the full counts never sort globally.
+    QueryDef.sql(
+      "e5_heavy_hitters",
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS n
+         |FROM ($duckTokenStream) GROUP BY token
+         |ORDER BY n DESC, token LIMIT 25""".stripMargin) { (s, d) =>
+      tokensDF(s, d).groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(25)
+    },
+
+    // E5n: the SKETCH path — count-min-sketch frequency estimates for the
+    // same top-25 tokens. At 100 TB the exact path's shuffle carries the
+    // full distinct vocabulary; the sketch pass reduces to ONE constant-
+    // size counter grid (map-side merge, ~KBs at eps = 1e-3) regardless
+    // of corpus or vocabulary size. Estimates are deterministic but
+    // DuckDB cannot replay the sketch → rows-only here; the one-sided
+    // error bound (exact <= est <= exact + eps * N) is gated in
+    // OperatorsSpec.
+    QueryDef.rowsOnly("e5_heavy_hitters_cms") { (s, d) =>
+      import graft.operators.{Pinned, Sketches}
+      val toks = Pinned.pin(tokensDF(s, d))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token")).limit(25)
+      val cms = Sketches.countMinSketchOf(toks, "token",
+        eps = 1e-3, confidence = 0.99, seed = 1)
+      Sketches.withEstimate(top, "token", cms, "est_n")
+        .select("token", "exact_n", "est_n")
+        .orderBy(col("exact_n").desc, col("token"))
     }
   )
 }

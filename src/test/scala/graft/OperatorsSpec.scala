@@ -449,6 +449,85 @@ class OperatorsSpec extends SparkSpec {
     assert(cleanNoBc == clean)
   }
 
+  test("E10: bloom-prefiltered contamination report matches the exact report") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val train = docs.where(col("doc_id") % 43 =!= 0)
+    val eval = docs.where(col("doc_id") % 43 === 0)
+    val exact = Dedup.contaminationReport(train, eval, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.contaminationReportBloom(train, eval, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact, "bloom path diverged from exact on the fixture corpus")
+    // broadcast-confirm variant agrees too, and the hand fixture from the
+    // exact test gives the same known hit counts through the sketch path
+    val evalS = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val trainS = Seq(
+      (1L, "we saw a quick brown fox jumps right past us"),
+      (3L, "completely unrelated words fill this document body")).toDF("doc_id", "text")
+    val small = Dedup.contaminationReportBloom(trainS, evalS, "doc_id", "text",
+      n = 4, broadcastConfirm = true).as[(Long, Long)].collect().toMap
+    assert(small == Map(1L -> 1L), s"small=$small")
+  }
+
+  test("E1: removeBoilerplate drops ALL occurrences of frequent lines, keeps line order") {
+    val corpus = Seq(
+      (1L, "alpha body one\nsubscribe now"),
+      (2L, "beta body two\nsubscribe now"),
+      (3L, "gamma body three\nsubscribe now"),
+      (4L, "delta body four"),
+      (5L, "subscribe now"),
+      (6L, "keep a\nsubscribe now\nkeep b")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(corpus, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "alpha body one"),
+      (2L, 1L, 1L, "beta body two"),
+      (3L, 1L, 1L, "gamma body three"),
+      (4L, 1L, 0L, "delta body four"),
+      (5L, 0L, 1L, ""), // all-boilerplate doc survives with empty text
+      (6L, 2L, 1L, "keep a\nkeep b")), s"out=$out")
+    // below threshold nothing is boilerplate — docs reassemble verbatim
+    val loose = Dedup.removeBoilerplate(corpus, "doc_id", "text", minDocs = 6)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(loose.map(_._4) == corpus.orderBy("doc_id").as[(Long, String)]
+      .collect().toSeq.map(_._2))
+  }
+
+  test("E2: canonicalPerCluster keeps the best-scored member, ties to min id") {
+    // cluster {1,2,3} via chain 1-2, 2-3: scores 5, 9, 9 → canonical 2 (tie 2<3)
+    // cluster {10,11}: scores 1, 7 → canonical 11 (score wins over id)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val members = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 7L))
+      .toDF("id", "score")
+    val out = Dedup.canonicalPerCluster(pairs, members, "id", "score")
+      .orderBy("component").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 9L, 3L), (10L, 11L, 7L, 2L)), s"out=$out")
+  }
+
+  test("Sketches: count-min estimates are one-sided and within eps * N") {
+    import graft.operators.Sketches
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val total = exact.map(_._2).sum
+    val cms = Sketches.countMinSketchOf(toks, "token", eps = 1e-3,
+      confidence = 0.99, seed = 1)
+    val slack = math.ceil(1e-3 * total).toLong
+    exact.foreach { case (t, n) =>
+      val est = cms.estimateCount(t)
+      assert(est >= n, s"CMS underestimated '$t': $est < $n")
+      assert(est <= n + slack, s"CMS overshoot beyond eps*N for '$t': $est > $n + $slack")
+    }
+    // withEstimate annotates without shuffling and agrees with the sketch
+    val annotated = Sketches.withEstimate(
+      toks.groupBy("token").agg(count(lit(1)).as("n")), "token", cms, "est")
+      .as[(String, Long, Long)].collect()
+    annotated.foreach { case (t, n, est) =>
+      assert(est == cms.estimateCount(t) && est >= n)
+    }
+  }
+
   test("E5: bigram LM — hand-computed MLE conditional probabilities") {
     import graft.operators.NgramLM
     // grams: doc1 = [a b, b a, a b], doc2 = [a c]
