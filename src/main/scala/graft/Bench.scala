@@ -8,6 +8,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // optional arg: regex over query names (dev iteration on a subset —
+    // the driver passes none and times the whole catalog)
+    val nameFilter = args.headOption.getOrElse(".*")
     // contamination evidence (VERDICT.md round 3): a bench sharing the box
     // with other work inflates every query uniformly and is not a valid
     // measurement. Record the 1-min load average before/after plus the host
@@ -27,7 +30,8 @@ object Bench {
       .groupBy("r_regionkey").count().collect()
     catch { case _: Throwable => () } // warmup only — never fail the run
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(nameFilter)).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -115,7 +119,10 @@ object Bench {
   private def baselineTimes(): Map[String, Double] =
     try {
       val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
-      val src = scala.io.Source.fromFile(path)
+      // explicit UTF-8: BASELINE.md contains non-ASCII prose; under a POSIX
+      // locale (empty LANG) Java 17's default charset is ASCII and the lazy
+      // decode throws mid-iteration, silently zeroing the whole table
+      val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       try {
         val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|.*""".r
         src.getLines().collect { case row(n, t) => n -> t.toDouble }.toMap
