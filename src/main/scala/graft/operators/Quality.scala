@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compression-ratio quality signal: deflate(text).bytes / utf8(text).bytes.
+  *
+  * The classic cheap proxy for boilerplate and degenerate repetition used
+  * by large-corpus curation pipelines (Gopher's quality filters, RefinedWeb):
+  * machine-generated / templated text compresses far below prose, random
+  * noise compresses above ~1.0. Thresholds are corpus-specific; this
+  * operator only annotates.
+  *
+  * One of the few deliberate UDFs in the engine: deflate has no Spark SQL
+  * expression, and a JNI-free Deflater call per row is still a pure
+  * map-side transform. Deterministic for a fixed (level, nowrap) on a given
+  * zlib build — the JDK bundles its own zlib, so results are stable across
+  * executors of one Spark version — but NOT replayable in DuckDB, hence the
+  * catalog entry is rows-only with the semantics pinned by a unit test.
+  *
+  * 100 TB shape: per-row expression work only — no shuffle, no state, no
+  * driver participation; cost is one deflate pass over each document,
+  * CPU-bound and embarrassingly parallel.
+  */
+object Quality {
+
+  /** Deflated byte length of a string's UTF-8 encoding (raw deflate,
+    * fixed level 6, no zlib header so tiny inputs aren't dominated by
+    * framing). Null → null (Spark's null-in/null-out UDF contract).
+    */
+  private val deflatedLen = udf { (s: String) =>
+    if (s == null) null.asInstanceOf[java.lang.Integer]
+    else {
+      val in = s.getBytes(StandardCharsets.UTF_8)
+      val d = new Deflater(6, true)
+      try {
+        d.setInput(in)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf)
+        Int.box(n)
+      } finally d.end()
+    }
+  }
+
+  /** Compression ratio column: deflated bytes / raw UTF-8 bytes, null for
+    * null text and 1.0 for empty text (nothing to compress — callers
+    * filtering `ratio < t` then keep empties, which is the conservative
+    * default; chain a length filter to drop them).
+    */
+  def compressionRatio(text: Column): Column =
+    when(text.isNull, lit(null).cast("double"))
+      .when(octet_length(text) === 0, lit(1.0))
+      .otherwise(deflatedLen(text).cast("double") / octet_length(text).cast("double"))
+
+  /** Annotate `df` with [[compressionRatio]] of `textCol` as column `as`. */
+  def withCompressionRatio(df: DataFrame, textCol: String, as: String): DataFrame =
+    df.withColumn(as, compressionRatio(col(textCol)))
+}

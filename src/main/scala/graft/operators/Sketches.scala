@@ -3,8 +3,11 @@ package graft.operators
 import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.functions.TextFunctions
 
 /** Count-min-sketch frequency estimation (the heavy-hitters companion to
   * the HLL++ distinct sketch already catalogued as a10_approx_distinct).
@@ -47,5 +50,74 @@ object Sketches {
     val bcast = df.sparkSession.sparkContext.broadcast(cms)
     val est = udf((v: String) => if (v == null) 0L else bcast.value.estimateCount(v))
     df.withColumn(as, est(col(colName)))
+  }
+
+  /** KMV (k-minimum-values) signature per stratum: the `k` smallest
+    * DISTINCT portable 32-bit hashes of the corpus's n-token shingles,
+    * one (stratum, h) row each. The classic dataset-level overlap sketch
+    * (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD'07): because [[TextFunctions.hash32]]
+    * is md5-derived, the signature — and therefore every estimate built
+    * from it — is deterministic and replayable bit-for-bit by a DuckDB
+    * oracle, unlike seeded-RNG sketches.
+    *
+    * 100 TB shape: the corpus streams once (tokenize → shingle →
+    * hash, all expression work); the only exchange is the distinct on
+    * (stratum, h) — 12-byte digests move, never text — and the k-smallest
+    * window runs over per-stratum DISTINCT HASHES, not rows. Output is
+    * `k x |strata|` rows: constant-size per stratum regardless of corpus
+    * size, which is the entire point vs computing pairwise overlap on raw
+    * shingle sets (corpus x corpus shuffle).
+    */
+  def kmvSignatures(corpus: DataFrame, strataCol: String, textCol: String,
+                    n: Int, k: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sh = corpus
+      .select(col(strataCol).as("stratum"),
+        explode(TextFunctions.shingles(TextFunctions.tokenize(col(textCol)), n)).as("sh"))
+      .select(col("stratum"), TextFunctions.hash32(col("sh")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("stratum").orderBy("h")
+    sh.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select("stratum", "h")
+  }
+
+  /** Pairwise Jaccard estimates between strata from a [[kmvSignatures]]
+    * table: for each stratum pair (a < b), take the k smallest hashes of
+    * the UNION of the two signatures and count how many sit in BOTH —
+    * the KMV estimator J ≈ |S_k(A ∪ B) ∩ A ∩ B| / min(k, |union|).
+    * Exact (not an estimate) whenever a pair's union of distinct shingle
+    * hashes fits within k — asserted as a law in OperatorsSpec.
+    *
+    * Returns (source_a, source_b, shared, denom, est_jaccard), one row
+    * per unordered pair, including zero-overlap pairs.
+    *
+    * 100 TB shape: operates ONLY on the signature table (`k x |strata|`
+    * rows) — every join here is on frames that fit in one task; corpus
+    * scale is paid once, in [[kmvSignatures]].
+    */
+  def kmvJaccard(sig: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val strata = sig.select(col("stratum")).distinct()
+    val prs = strata.select(col("stratum").as("source_a"))
+      .crossJoin(strata.select(col("stratum").as("source_b")))
+      .where(col("source_a") < col("source_b"))
+    val ua = prs.join(sig.withColumnRenamed("stratum", "source_a"), "source_a")
+    val ub = prs.join(sig.withColumnRenamed("stratum", "source_b"), "source_b")
+    val u = ua.select("source_a", "source_b", "h")
+      .union(ub.select("source_a", "source_b", "h"))
+      .groupBy("source_a", "source_b", "h")
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("source_a", "source_b").orderBy("h")
+    val topk = u.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+    // every pair has union rows (each stratum contributes >= 1 signature
+    // hash), so zero-overlap pairs surface naturally with shared = 0
+    topk.groupBy("source_a", "source_b")
+      .agg(sum(when(col("__c") === 2, 1L).otherwise(0L)).as("shared"),
+        count(lit(1)).as("denom"))
+      .withColumn("est_jaccard",
+        col("shared").cast("double") / col("denom").cast("double"))
   }
 }

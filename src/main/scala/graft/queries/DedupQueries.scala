@@ -619,6 +619,58 @@ object DedupQueries {
         .union(docs.where(col("doc_id") < 10)
           .select((col("doc_id") + 2000000).as("id"), length(trunc(0.8)).cast("long").as("q")))
       Dedup.canonicalPerCluster(pairs, members, "id", "q").orderBy("component")
+    },
+
+    // E2j: dataset-level overlap — pairwise Jaccard between SOURCES via
+    // KMV signatures (k = 64 smallest distinct 3-gram shingle hashes per
+    // source). The md5-derived hash makes the sketch deterministic, so
+    // unlike most sketches this one IS hash-exact against the oracle.
+    // The 'mirror' stratum (every 7th doc relabeled) plants guaranteed
+    // cross-source overlap. See Sketches.kmvSignatures scaladoc for the
+    // 100 TB shape (constant-size signatures; corpus streams once).
+    QueryDef.sql(
+      "e2_source_overlap_kmv",
+      s"""WITH corpus AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 7 = 0),
+         |tokd AS (SELECT source, ${TextQueries.duckToks} AS toks FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT source AS stratum,
+         |         CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM (
+         |    SELECT source, unnest(list_transform(generate_series(1, len(toks) - 2),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |    FROM tokd)),
+         |sig AS (SELECT stratum, h FROM (
+         |    SELECT stratum, h, row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn
+         |    FROM sh)
+         |  WHERE rn <= 64),
+         |prs AS (SELECT a.stratum AS source_a, b.stratum AS source_b
+         |        FROM (SELECT DISTINCT stratum FROM sig) a
+         |        JOIN (SELECT DISTINCT stratum FROM sig) b ON a.stratum < b.stratum),
+         |u AS (SELECT source_a, source_b, h, count(*) AS c FROM (
+         |    SELECT p.source_a, p.source_b, s.h FROM prs p JOIN sig s ON s.stratum = p.source_a
+         |    UNION ALL
+         |    SELECT p.source_a, p.source_b, s.h FROM prs p JOIN sig s ON s.stratum = p.source_b) z
+         |  GROUP BY source_a, source_b, h),
+         |topk AS (SELECT * FROM (
+         |    SELECT source_a, source_b, h, c,
+         |           row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn
+         |    FROM u)
+         |  WHERE rn <= 64)
+         |SELECT source_a, source_b,
+         |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared,
+         |       CAST(count(*) AS BIGINT) AS denom,
+         |       CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS est_jaccard
+         |FROM topk GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+      import graft.operators.Sketches
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("source"), col("text"))
+        .union(docs.where(col("doc_id") % 7 === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      val sig = Sketches.kmvSignatures(corpus, "source", "text", n = 3, k = 64)
+      Sketches.kmvJaccard(sig, k = 64).orderBy("source_a", "source_b")
     }
   )
 

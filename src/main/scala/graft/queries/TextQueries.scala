@@ -783,6 +783,26 @@ object TextQueries {
       Sketches.withEstimate(top, "token", cms, "est_n")
         .select("token", "exact_n", "est_n")
         .orderBy(col("exact_n").desc, col("token"))
+    },
+
+    // E5o: deflate-compression-ratio quality signal (Gopher/RefinedWeb's
+    // boilerplate/repetition proxy) — per-source distribution stats plus
+    // the count of suspiciously-compressible docs (ratio < 0.35).
+    // Deterministic (fixed deflate level on the JDK's bundled zlib) but
+    // not expressible in DuckDB → rows-only; the ratio's semantics
+    // (repetition compresses below prose, ordering, null/empty contract)
+    // are pinned in FunctionsSpec. Map-side only: one deflate pass per
+    // doc, the aggregate is the lone exchange (|sources| rows out).
+    QueryDef.rowsOnly("e5_compression_ratio") { (s, d) =>
+      import graft.operators.Quality
+      Quality.withCompressionRatio(
+        Tables.documents(s, d).select(col("source"), col("text")), "text", "ratio")
+        .groupBy("source")
+        .agg(round(avg(col("ratio")), 4).as("avg_ratio"),
+          round(min(col("ratio")), 4).as("min_ratio"),
+          round(max(col("ratio")), 4).as("max_ratio"),
+          sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_suspicious"))
+        .orderBy("source")
     }
   )
 }

@@ -21,10 +21,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) — surfaced as a microsecond
-    * TimestampType column (integer `div` keeps the conversion exact; a
-    * double division would lose precision on epoch-nanos magnitudes).
-    * Requires spark.sql.legacy.parquet.nanosAsLong=true (GraftSession).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and plain microsecond TIMESTAMP (no timezone flag →
+    * TIMESTAMP_NTZ in Spark) in others; normalize both to a session-UTC
+    * TimestampType column so every downstream `unix_millis`/window call
+    * sees one type. The nanos path needs
+    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession) and integer
+    * `div` (a double division would lose precision on epoch-nanos
+    * magnitudes); the NTZ path is an exact reinterpret because the
+    * session timezone is pinned to UTC, which is also how the DuckDB
+    * oracle reads the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
@@ -32,6 +38,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

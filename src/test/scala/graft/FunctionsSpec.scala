@@ -257,4 +257,29 @@ class FunctionsSpec extends SparkSpec {
       assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
         s"$grp: approx $approx vs exact $exact drifts beyond 5%")
   }
+
+  test("E5o: compression ratio — repetition compresses below prose, contract on null/empty") {
+    import graft.operators.Quality
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog while reading a short novel about entropy"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, ""),
+      (4L, null)
+    ).toDF("id", "text")
+    val out = Quality.withCompressionRatio(rows, "text", "ratio")
+      .orderBy("id").select("ratio").as[java.lang.Double].collect().toSeq
+    assert(out(3) == null, "null text must stay null")
+    assert(out(2) == 1.0, "empty text pins ratio = 1.0")
+    assert(out(1) < out(0), s"repetition (${out(1)}) must compress below prose (${out(0)})")
+    // parity with a direct JDK Deflater call (the exact semantics the
+    // operator documents: raw deflate, level 6, UTF-8 bytes)
+    val s = "the quick brown fox jumps over the lazy dog while reading a short novel about entropy"
+    val in = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(in); d.finish()
+    val buf = new Array[Byte](8192); var n = 0
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    assert(out(0) == n.toDouble / in.length, s"udf ratio ${out(0)} != direct ${n.toDouble / in.length}")
+  }
 }

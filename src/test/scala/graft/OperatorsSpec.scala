@@ -624,4 +624,46 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("E2: KMV overlap — identical strata read 1.0, disjoint strata 0.0, at any k") {
+    import graft.operators.Sketches
+    val a = Seq("alpha beta gamma delta epsilon zeta", "eta theta iota kappa lambda mu")
+    val c = Seq("one two three four five six", "seven eight nine ten eleven twelve")
+    val corpus = (a.map(("A", _)) ++ a.map(("B", _)) ++ c.map(("C", _)))
+      .toDF("source", "text")
+    for (k <- Seq(1, 3, 64)) {
+      val est = Sketches.kmvJaccard(
+        Sketches.kmvSignatures(corpus, "source", "text", n = 3, k = k), k = k)
+        .orderBy("source_a", "source_b")
+        .as[(String, String, Long, Long, Double)].collect().toSeq
+      assert(est.map(e => (e._1, e._2, e._5)) ==
+        Seq(("A", "B", 1.0), ("A", "C", 0.0), ("B", "C", 0.0)), s"k=$k: $est")
+    }
+  }
+
+  test("E2: KMV overlap is EXACT when k covers the union (the estimator law)") {
+    import graft.operators.Sketches
+    import graft.functions.TextFunctions
+    val corpus = Tables.documents(spark, sfDir).where(col("doc_id") < 60)
+      .select(col("source"), col("text"))
+    // exact pairwise Jaccard over the full distinct shingle-hash sets
+    val sets = corpus
+      .select(col("source"),
+        explode(TextFunctions.shingles(TextFunctions.tokenize(col("text")), 3)).as("sh"))
+      .select(col("source"), TextFunctions.hash32(col("sh")).as("h"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val exact = for {
+      (sa, ha) <- sets.toSeq.sortBy(_._1)
+      (sb, hb) <- sets.toSeq.sortBy(_._1) if sa < sb
+    } yield (sa, sb, (ha & hb).size.toDouble / (ha | hb).size)
+    // with k >= |union| the sketch degrades to the exact computation
+    val k = sets.values.map(_.size).sum + 1
+    val est = Sketches.kmvJaccard(
+      Sketches.kmvSignatures(corpus, "source", "text", n = 3, k = k), k = k)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+      .map(e => (e._1, e._2, e._5))
+    assert(est == exact, s"est $est\nexact $exact")
+  }
 }
