@@ -74,7 +74,11 @@ object PlanAudit {
     "e13_outlier_mad" ->
       "Robust outlier scoring: both per-source median/MAD aggregates reduce to source-cardinality frames and broadcast back, so the corpus streams through two BroadcastHashJoins with no corpus-wide exchange; the 20 most extreme rows come from TakeOrderedAndProject (per-partition heaps), and the trailing rank window runs on those 20 rows only.",
     "o9_zorder_curve" ->
-      "Z-order curve value: pure scan + whole-stage-codegen projection — zero exchanges; the payoff is at WRITE time (Sink.writeZOrdered range-partitions on the curve so parquet min/max stats stay tight in every interleaved dimension — file-skipping asserted in ScaleOpsSpec)."
+      "Z-order curve value: pure scan + whole-stage-codegen projection — zero exchanges; the payoff is at WRITE time (Sink.writeZOrdered range-partitions on the curve so parquet min/max stats stay tight in every interleaved dimension — file-skipping asserted in ScaleOpsSpec).",
+    "e2_source_overlap_kmv" ->
+      "KMV dataset-overlap sketch: the corpus streams once through tokenize/shingle/hash codegen; the dense_rank <= k filter compiles to a PARTIAL WindowGroupLimit below the stratum exchange, so each task ships only its local k smallest distinct hashes — the shuffle is ~tasks x k rows, not the corpus's distinct shingle set. Everything after (pairwise union/top-k/estimate) runs on k x |strata| rows.",
+    "e5_dup_ngram_coverage" ->
+      "Duplicate n-gram coverage: shingle digests shuffle as 8-byte hash60 longs, never 32-char md5 strings; per-doc totals come from a map-side partial count (no join), and only the df >= 2 digest subset joins back against the gram stream — the corpus-wide equi-join carries the narrow dup set, not every gram's document frequency."
   )
 
   def main(args: Array[String]): Unit = {

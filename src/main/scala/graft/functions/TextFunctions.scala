@@ -41,6 +41,17 @@ object TextFunctions {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a (positive) long.
+    * DuckDB twin: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT). Use when
+    * a digest stands in for string identity at corpus scale — at 10^12
+    * distinct keys the expected collision count is ~10^24/2^61 ≈ a few
+    * hundred thousand (fraction 4e-7), vs ~10^8 colliding PAIRS for
+    * [[hash32]] — while still shuffling 8 bytes instead of a 32-char md5
+    * string.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** n-token shingles ("w1 w2 w3" strings). Empty array when the doc is
     * shorter than n (guard: sequence(1, k) with k<1 would count down).
     */

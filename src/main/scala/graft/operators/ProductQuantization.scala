@@ -236,8 +236,77 @@ object ProductQuantization {
     val books = fitCodebooks(residuals, dim, m, kCodes, fitSampleFraction)
     val codeTable = assigned.select(col("cell"), col("n_id"),
       encode(col("res"), books).as("codes"))
-    // query half: probe nProbe nearest cells, ADC against the per-cell
-    // residual table, exact re-rank of the union of survivors
+    ivfPqProbePrebuilt(codeTable, cents, books, corpus, queries, k, nProbe, rerank)
+  }
+
+  /** Persist the IVF-PQ index (the one-time ingest cost): cell centroids
+    * (`dir/cells`, nCells rows), residual codebooks (`dir/codebooks`,
+    * same layout as [[writeIndex]]) and the code table written
+    * PARTITIONED BY cell (`dir/codes`) so a probe's nProbe cell filter
+    * prunes at the directory level and the ADC scan never opens the other
+    * nCells - nProbe partitions' files.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, dir: String,
+                      nCells: Int = 16, dim: Int = 64, m: Int = 8,
+                      kCodes: Int = 16, fitSampleFraction: Double = 1.0): Unit = {
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val fitInput =
+      if (fitSampleFraction >= 1.0) feat
+      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
+        math.round(fitSampleFraction * 1000000).toInt)
+    val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
+      .setInitMode("random").fit(fitInput)
+    val cents = coarse.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cell", "c_emb")
+    val assigned = coarse.transform(feat)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col("prediction").as("cell"))
+      .join(broadcast(cents), "cell")
+      .withColumn("res", zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c))
+    val books = fitCodebooks(
+      assigned.select(col("n_id").as("vec_id"), col("res").as("embedding")),
+      dim, m, kCodes, fitSampleFraction)
+    cents.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cells")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    assigned.select(col("cell"), col("n_id"), encode(col("res"), books).as("codes"))
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+  }
+
+  /** Probe a persisted [[writeIvfPqIndex]] — the recurring per-query
+    * production cost: read centroids + codebooks (driver-side, tiny),
+    * probe nProbe cells against the partition-pruned code table, exact
+    * re-rank via equi-join on the survivors.
+    */
+  def ivfPqProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 corpus: DataFrame, queries: DataFrame, k: Int,
+                 nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/cells")
+    val books = readCodebooks(spark, dir)
+    val codeTable = spark.read.parquet(s"$dir/codes")
+      .select(col("cell"), col("n_id"), col("codes"))
+    ivfPqProbePrebuilt(codeTable, cents, books, corpus, queries, k, nProbe, rerank)
+  }
+
+  /** Query half shared by [[ivfPqTopK]] (inline build) and [[ivfPqProbe]]
+    * (stored index): probe nProbe nearest cells, ADC against the per-cell
+    * residual code table, exact re-rank of the union of survivors.
+    */
+  private def ivfPqProbePrebuilt(codeTable: DataFrame, cents: DataFrame,
+                                 books: Array[Array[Array[Float]]],
+                                 corpus: DataFrame, queries: DataFrame,
+                                 k: Int, nProbe: Int, rerank: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wCell = Window.partitionBy("q_id").orderBy(col("c_dist"), col("cell"))
     val probed = q.join(broadcast(cents))

@@ -73,15 +73,30 @@ object Sketches {
                     n: Int, k: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    val sh = corpus
-      .select(col(strataCol).as("stratum"),
-        explode(TextFunctions.shingles(TextFunctions.tokenize(col(textCol)), n)).as("sh"))
+    // project tokens behind a named attribute before shingling (shingling
+    // reads the array 3x per position — inlined, each read would re-run
+    // the regexp tokenizer, O(doc^2) per document), and spread the corpus
+    // first: a small parquet arrives as one input split, which would
+    // otherwise serialize the whole expression pipeline on a single task
+    val spread = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread
+      .select(col(strataCol).as("stratum"), TextFunctions.tokenize(col(textCol)).as("toks"))
+      .select(col("stratum"),
+        explode(array_distinct(TextFunctions.shingles(col("toks"), n))).as("sh"))
       .select(col("stratum"), TextFunctions.hash32(col("sh")).as("h"))
-      .distinct()
+    // dense_rank <= k over the RAW (duplicated) hash stream, dedup after:
+    // dense_rank admits a map-side partial WindowGroupLimit (each task
+    // keeps only its local k smallest DISTINCT values pre-shuffle — a
+    // per-task k-smallest-distinct set provably covers the global one),
+    // so the lone exchange moves ~tasks x k surviving rows instead of the
+    // corpus's full distinct hash set. A distinct() + row_number
+    // formulation reads the same but costs two full-width shuffles.
     val w = Window.partitionBy("stratum").orderBy("h")
-    sh.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= k)
+    sh.withColumn("__rk", dense_rank().over(w))
+      .where(col("__rk") <= k)
       .select("stratum", "h")
+      .distinct()
   }
 
   /** Pairwise Jaccard estimates between strata from a [[kmvSignatures]]
@@ -98,8 +113,12 @@ object Sketches {
     * rows) — every join here is on frames that fit in one task; corpus
     * scale is paid once, in [[kmvSignatures]].
     */
-  def kmvJaccard(sig: DataFrame, k: Int): DataFrame = {
+  def kmvJaccard(sigRaw: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the signature is structurally consumed four times below (strata
+    // list x2, union sides x2) — pin the k x |strata|-row frame once
+    // instead of re-running the corpus pipeline per consumer
+    val sig = Pinned.pin(sigRaw)
     val strata = sig.select(col("stratum")).distinct()
     val prs = strata.select(col("stratum").as("source_a"))
       .crossJoin(strata.select(col("stratum").as("source_b")))

@@ -244,15 +244,35 @@ object MLQueries {
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },
 
-    // E3 (IVF-PQ composition, the classic IVFADC): coarse cells prune
-    // COMPUTE (nProbe of nCells cells per query), residual-PQ codes prune
-    // BYTES (the scan reads m-byte codes); exact re-rank on the survivors.
-    // Recall gated vs exact top-k in OperatorsSpec like the other ANN
-    // paths.
+    // E3 (IVF-PQ composition, the classic IVFADC) — BUILD entry: fit the
+    // coarse quantizer + residual codebooks, persist cells/codebooks/codes
+    // (the code table partitioned BY cell so probes directory-prune), then
+    // answer from the written index. Coarse cells prune COMPUTE (nProbe of
+    // nCells cells per query), residual-PQ codes prune BYTES; exact
+    // re-rank on the survivors. Recall gated vs exact top-k in
+    // OperatorsSpec like the other ANN paths. e3_ann_ivfpq_probe below
+    // times the per-query half alone.
     QueryDef.rowsOnly("e3_ann_ivfpq") { (s, d) =>
+      import graft.operators.ProductQuantization
       val emb = Tables.embeddings(s, d)
-      graft.operators.ProductQuantization.ivfPqTopK(
-          emb, emb.where(col("vec_id") < 10), k = 5, fitSampleFraction = 0.25)
+      val dir = s"${graft.sources.IndexStore.root(d)}/ivfpq"
+      ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+      ProductQuantization.ivfPqProbe(s, dir, emb, emb.where(col("vec_id") < 10), k = 5)
+        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+    },
+
+    // E3 IVF-PQ — PROBE entry: read the pre-built index and run only the
+    // cell probe + partition-pruned ADC scan + exact re-rank (the
+    // recurring per-query production cost; the _build entry above is the
+    // one-time ingest cost). Builds-if-absent so it runs standalone.
+    QueryDef.rowsOnly("e3_ann_ivfpq_probe") { (s, d) =>
+      import graft.operators.ProductQuantization
+      import graft.sources.IndexStore
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${IndexStore.root(d)}/ivfpq"
+      if (!IndexStore.exists(s, s"$dir/codes"))
+        ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+      ProductQuantization.ivfPqProbe(s, dir, emb, emb.where(col("vec_id") < 10), k = 5)
         .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
     },
 

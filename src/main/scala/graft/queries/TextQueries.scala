@@ -726,28 +726,38 @@ object TextQueries {
          |        list_distinct(list_transform(range(1, len(toks) - 1),
          |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
          |      FROM base),
-         |e AS (SELECT doc_id, md5(unnest(grams)) AS gh FROM g WHERE len(grams) > 0),
-         |dfreq AS (SELECT gh, count(*) AS df FROM e GROUP BY gh)
-         |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-         |       CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS BIGINT) AS n_dup,
-         |       round(CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS DOUBLE)
-         |             / count(*), 6) AS dup_frac
-         |FROM e JOIN dfreq USING (gh)
-         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin) { (s, d) =>
+         |e AS (SELECT doc_id,
+         |        CAST('0x' || substr(md5(unnest(grams)), 1, 15) AS BIGINT) AS gh
+         |      FROM g WHERE len(grams) > 0),
+         |dup AS (SELECT gh FROM e GROUP BY gh HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM e GROUP BY doc_id),
+         |nd AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |       FROM e JOIN dup USING (gh) GROUP BY e.doc_id)
+         |SELECT tot.doc_id, tot.n_grams,
+         |       coalesce(nd.n_dup, 0) AS n_dup,
+         |       round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / tot.n_grams, 6) AS dup_frac
+         |FROM tot LEFT JOIN nd USING (doc_id) ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+      // digests shuffle as 8-byte truncated-md5 longs (hash60), never
+      // 32-char md5 strings, and only the df >= 2 subset joins back —
+      // per-doc totals come from a separate cheap partial aggregate
+      // instead of carrying df through a corpus-wide equi-join. The
+      // truncation is applied identically in the oracle, so collision
+      // behavior (and therefore every count) stays hash-exact.
+      // shingleSet handles the two shingling perf traps (token projection
+      // boundary; repartition of the single-split parquet).
       val grams = graft.operators.Pinned.pin(
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            array_distinct(shingles(tokenize(col("text")), 3)).as("grams"))
-          .where(size(col("grams")) > 0)
-          .select(col("doc_id"), explode(col("grams")).as("gram"))
-          .select(col("doc_id"), md5(col("gram")).as("gh")))
-      val dfreq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
-      grams.join(dfreq, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          count(when(col("df") >= 2, 1)).as("n_dup"))
-        .withColumn("dup_frac",
-          round(col("n_dup").cast("double") / col("n_grams"), 6))
+        graft.operators.Dedup.shingleSet(
+            Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id", "text", n = 3)
+          .select(col("doc_id"), graft.functions.TextFunctions.hash60(col("sh")).as("gh")))
+      val dup = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2).select("gh")
+      val tot = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val nd = grams.join(dup, "gh").groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+            .as("dup_frac"))
         .orderBy("doc_id")
     },
 

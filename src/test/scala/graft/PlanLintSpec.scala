@@ -27,7 +27,11 @@ class PlanLintSpec extends SparkSpec {
     // PQ ADC scan: broadcast query rows stream once against the (vec_id,
     // codes) table with the n_id =!= q_id guard — same designed shape,
     // shared by the build entry, its probe twin, and the IVFADC composition
-    "e3_ann_pq", "e3_ann_pq_probe", "e3_ann_ivfpq",
+    "e3_ann_pq", "e3_ann_pq_probe", "e3_ann_ivfpq", "e3_ann_ivfpq_probe",
+    // KMV pairwise: the |strata| x |strata| pair frame (a few hundred rows
+    // of source names) built by an inequality cross — both sides are
+    // signature-derived, never the corpus
+    "e2_source_overlap_kmv",
     // Scalar feedback: a 1-row broadcast aggregate (global threshold /
     // mean) cross-joined into the stream — O(corpus) with no shuffle, the
     // scale-safe decorrelation of TPC-H's scalar subqueries (Q11/Q20/Q22).
