@@ -147,4 +147,53 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    * arXiv:2303.09540 recipe): cluster the embedding space with a coarse
+    * KMeans, compute cosine pairs ONLY within each cluster, and drop every
+    * vector that has a kept lower-id neighbor with cosine >= `threshold`.
+    * The keep rule is the standard greedy-by-id sweep, made transitive-
+    * safe: a doc is dropped only against a SURVIVING earlier neighbor
+    * (computed via [[Dedup.connectedComponents]] over the above-threshold
+    * edge graph + per-component min id), so chains A~B~C with A~C below
+    * threshold still keep exactly one representative per component —
+    * deterministic regardless of partitioning.
+    *
+    * Returns (id, cell, component, kept) — one row per input vector.
+    *
+    * 100 TB shape: the quadratic term is per-CELL, not per-corpus
+    * (corpus/nCells average cell size; nCells scales with corpus so cells
+    * stay bounded); the edge graph that feeds the component step holds
+    * only above-threshold pairs (near-dups are rare by definition), so
+    * the iterative min-label closure runs on edge-list-sized frames. The
+    * KMeans fit samples via `fitSampleFraction` exactly like [[ivfTopK]].
+    */
+  def semDedup(corpus: DataFrame, threshold: Double,
+               nCells: Int = 16, fitSampleFraction: Double = 1.0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val fitInput =
+      if (fitSampleFraction >= 1.0) feat
+      else feat.where(Sampling.drawOn(col("vec_id"), "semdedup_fit") % 1000000 <
+        math.round(fitSampleFraction * 1000000).toInt)
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
+      .setInitMode("random").fit(fitInput)
+    val assigned = Pinned.pin(model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val edges = a.join(b, "cell").where(col("a_id") < col("b_id"))
+      .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(edges) // (id, component)
+    assigned.select(col("vec_id").as("id"), col("cell"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("component"), col("id")).as("component"),
+        (coalesce(col("component"), col("id")) === col("id")).as("kept"))
+  }
 }

@@ -435,6 +435,21 @@ object DedupQueries {
       "e2_incremental_probe",
       duckIncrementalSql) { (s, d) => incrementalFromStore(s, d, rebuild = false) },
 
+    // E2k: SemDeDup-style semantic dedup (arXiv:2303.09540 recipe) —
+    // KMeans cells bound the quadratic cosine term per-cell, one kept
+    // representative per above-threshold component (min-label closure, so
+    // the keep set is partition-invariant, unlike a naive greedy sweep).
+    // KMeans-clustered → rows-only; keep/drop laws on planted exact copies
+    // in OperatorsSpec.
+    QueryDef.rowsOnly("e2_semdedup") { (s, d) =>
+      val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = base.union(base.where(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Similarity.semDedup(corpus, threshold = 0.999, nCells = 16,
+          fitSampleFraction = 0.5)
+        .orderBy("id")
+    },
+
     // E3 (scale path): LSH-bucketed ANN — not oracle-expressible compactly;
     // rows-only here, recall-vs-exact asserted in SimilaritySpec.
     QueryDef.rowsOnly("e3_ann_lsh") { (s, d) =>

@@ -625,6 +625,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("E2: semDedup drops planted exact copies, keeps one representative per component") {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val copies = base.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val out = Similarity.semDedup(base.union(copies), threshold = 0.999,
+        nCells = 4, fitSampleFraction = 1.0)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(out.size == base.count() + 5, "one row per input vector")
+    // every planted copy is an exact duplicate of its base: same cell,
+    // above-threshold edge, higher id -> dropped, base id labels the component
+    for ((id, _, comp, kept) <- out if id >= 1000000) {
+      assert(!kept, s"exact copy $id survived")
+      assert(comp <= id - 1000000, s"copy $id not linked to its base (component $comp)")
+    }
+    // exactly one kept member per component, and it is the min id
+    out.groupBy(_._3).foreach { case (comp, rows) =>
+      val keptRows = rows.filter(_._4)
+      assert(keptRows.map(_._1) == Seq(rows.map(_._1).min),
+        s"component $comp kept ${keptRows.map(_._1)} of ${rows.map(_._1).sorted}")
+      assert(comp == rows.map(_._1).min)
+    }
+  }
+
   test("E2: KMV overlap — identical strata read 1.0, disjoint strata 0.0, at any k") {
     import graft.operators.Sketches
     val a = Seq("alpha beta gamma delta epsilon zeta", "eta theta iota kappa lambda mu")

@@ -16,7 +16,7 @@ class PlanLintSpec extends SparkSpec {
     */
   private val skip = Set(
     "m1_classification_pipeline", "m2_pca_anomaly", "m3_mlp_classifier",
-    "m4_regression_sum", "m5_word2vec_table", "e3_ann_ivf")
+    "m4_regression_sum", "m5_word2vec_table", "e3_ann_ivf", "e2_semdedup")
 
   /** Deliberate broadcast-NL scoring scans: a handful of query vectors
     * broadcast against the corpus with a non-equi (id inequality)
