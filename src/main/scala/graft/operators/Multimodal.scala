@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * reference's ImageRecordReader(28,28,1) pixel ingestion,
   * 13486_Code/src/main/scala/chapter_4/MnistClassification.java:61-63).
   * `decode` resizes to a fixed grayscale grid and emits pixels in [0,1].
-  * Audio/video decode stays stubbed (no codecs in the JDK): `decodeStub`
-  * derives a deterministic fake feature vector from the bytes, and `decode`
-  * falls back to it for undecodable payloads so a mixed corpus never throws.
+  * Audio decode is REAL for WAV/PCM (`javax.sound.sampled` ships the
+  * parser): `decodeAudio` downmixes to mono and emits per-window RMS
+  * energy envelopes. Video decode stays stubbed (genuinely no JDK codec):
+  * `decodeStub` derives a deterministic fake feature vector from the
+  * bytes, and both real decoders fall back to it for undecodable payloads
+  * so a mixed corpus never throws.
   */
 object Multimodal {
 
@@ -104,6 +107,73 @@ object Multimodal {
       it.map { m =>
         val feats = decodeImage(m.content, width, height)
           .getOrElse(stubFeatures(m.content, dim))
+        MediaFeatures(m.path, m.mediaType, m.content.length.toLong, feats)
+      }
+    }
+  }
+
+  /** Decode a WAV/PCM audio payload with the JDK's sampled-sound stack
+    * (`javax.sound.sampled` ships a WAV parser — no external codecs),
+    * downmix to mono, and summarize as `dim` per-window RMS energies in
+    * [0, 1] (the classic energy-envelope feature). Any sample rate; input
+    * is converted to 16-bit signed PCM first. Returns None when the bytes
+    * are not parseable audio (wrong magic, truncated header, compressed
+    * encoding without a JDK codec) — same contract as [[decodeImage]].
+    */
+  def decodeAudio(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    require(dim > 0)
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val src = ais.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+        src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, ais)
+      val raw = try pcm.readAllBytes() finally { pcm.close(); ais.close() }
+      val ch = target.getChannels
+      val nSamples = raw.length / (2 * ch)
+      if (nSamples == 0) None
+      else {
+        // mono samples in [-1, 1): average channels, little-endian shorts
+        val mono = new Array[Double](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            s += ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort / 32768.0
+            c += 1
+          }
+          mono(i) = s / ch
+          i += 1
+        }
+        val out = new Array[Float](dim)
+        var o = 0
+        while (o < dim) {
+          val lo = (o.toLong * nSamples / dim).toInt
+          val hi = math.max((((o + 1).toLong * nSamples) / dim).toInt, lo + 1)
+          var acc = 0.0
+          var j = lo
+          while (j < hi && j < nSamples) { acc += mono(j) * mono(j); j += 1 }
+          out(o) = math.sqrt(acc / math.max(hi - lo, 1)).toFloat
+          o += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-wise real audio decode: WAV/PCM energy envelopes for
+    * parseable payloads, `stubFeatures` fallback otherwise (uniform
+    * feature dim across a mixed corpus, like [[decode]]).
+    */
+  def decodeAudioFeatures(media: Dataset[MediaRecord], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val feats = decodeAudio(m.content, dim).getOrElse(stubFeatures(m.content, dim))
         MediaFeatures(m.path, m.mediaType, m.content.length.toLong, feats)
       }
     }

@@ -95,7 +95,10 @@ object SeededQueries {
     // ParentPathLabelGenerator — chapter_4/MnistClassification.java:59-63):
     // reads the fixture directory itself as opaque binaries.
     QueryDef.rowsOnly("s4_binary_scan") { (s, d) =>
-      s.read.format("binaryFile").load(s"$d/*.parquet")
+      // pathGlobFilter instead of a glob-in-path: same files, but the
+      // reader's streaming-metadata probe gets a real directory (a glob
+      // path makes it log a spurious FileNotFoundException WARN per run)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(d)
         .select(regexp_extract(col("path"), "/([^/]+)$", 1).as("file_name"),
           col("length"))
         .orderBy("file_name")

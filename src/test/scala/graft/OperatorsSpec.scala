@@ -386,6 +386,47 @@ class OperatorsSpec extends SparkSpec {
     assert(feats("b.txt").toSeq == Multimodal.stubFeatures("plain bytes, no magic".getBytes, 64).toSeq)
   }
 
+  test("E4: decodeAudio reads a real WAV into RMS energy envelopes; falls back to stub for non-audio") {
+    // synthesize a deterministic WAV in memory: 0.5 s of a 440 Hz sine at
+    // amplitude 0.5 followed by 0.5 s of silence, 16-bit mono PCM, 8 kHz
+    val rate = 8000
+    val half = rate / 2
+    val samples = new Array[Byte](2 * rate)
+    for (i <- 0 until half) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 0.5 * 32767).toInt
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, rate.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val env = Multimodal.decodeAudio(wav, 8).get
+    assert(env.length == 8 && env.forall(v => v >= 0f && v <= 1f))
+    // first half: sine at amplitude 0.5 -> RMS ~ 0.5/sqrt(2) = 0.354
+    for (i <- 0 until 4)
+      assert(math.abs(env(i) - 0.3535f) < 0.01f, s"window $i RMS ${env(i)}")
+    // second half: silence
+    for (i <- 4 until 8) assert(env(i) == 0f, s"window $i not silent: ${env(i)}")
+
+    assert(Multimodal.decodeAudio("not audio".getBytes, 8).isEmpty)
+
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord("a.wav", "audio/wav", wav),
+      Multimodal.MediaRecord("b.bin", "application/octet-stream", "no riff magic".getBytes))
+      .toDS()
+    val feats = Multimodal.decodeAudioFeatures(media, dim = 8).collect()
+      .map(f => f.path -> f.features).toMap
+    assert(feats("a.wav").toSeq == env.toSeq, "WAV goes through the real sampled-sound path")
+    assert(feats("b.bin").toSeq == Multimodal.stubFeatures("no riff magic".getBytes, 8).toSeq)
+  }
+
   test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {
     import graft.operators.Pinned
     val before = spark.sparkContext.getPersistentRDDs.keySet
