@@ -44,9 +44,9 @@ object NgramLM {
     // frame — without the pin the corpus-wide explode+groupBy runs twice
     // (Spark does not share subplans across join branches). Gram-type-
     // sized, so the pin is vocabulary-bounded, never corpus-bounded.
-    val grams = Pinned.pin(corpus
-      .select(explode(shingles(tokenize(col(textCol)), n)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("c_gram")))
+    val grams = Pinned.pin(
+      gramStream(corpus, Seq.empty, textCol, n)
+        .groupBy("gram").agg(count(lit(1)).as("c_gram")))
     // prefix = the first n-1 tokens of the space-joined gram
     val withPrefix = grams.withColumn("prefix", substring_index(col("gram"), " ", n - 1))
     val prefixTotals = withPrefix.groupBy("prefix").agg(sum("c_gram").as("c_prefix"))
@@ -110,5 +110,19 @@ object NgramLM {
   }
 
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), explode(shingles(tokenize(col(textCol)), n)).as("gram"))
+    gramStream(docs, Seq(idCol), textCol, n)
+
+  /** (keep..., gram) occurrence stream. Tokens are projected behind a
+    * named attribute BEFORE shingling — inlined, every element_at in the
+    * shingle lambda re-runs the regexp tokenizer (O(doc^2) per document,
+    * measured ~10x on the corpus-wide gram aggregate) — and the corpus is
+    * spread first so a small single-split parquet doesn't shingle on one
+    * task (same two traps Dedup.shingleSet documents).
+    */
+  private def gramStream(df: DataFrame, keep: Seq[String], textCol: String,
+                         n: Int): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread.select(keep.map(col) :+ tokenize(col(textCol)).as("__toks"): _*)
+      .select(keep.map(col) :+ explode(shingles(col("__toks"), n)).as("gram"): _*)
+  }
 }
