@@ -99,6 +99,28 @@ package object api {
       counted.withColumn("chunk",
         floor((sum("n_tokens").over(w) - col("n_tokens")) / budget).cast("long"))
     }
+
+    /** Deflate-compression-ratio quality signal (E5) as column `as` —
+      * the Gopher/RefinedWeb boilerplate/repetition proxy.
+      */
+    def compressionScored(textCol: String = "text",
+                          as: String = "compression_ratio"): DataFrame =
+      operators.Quality.withCompressionRatio(df, textCol, as)
+
+    /** C4-style boilerplate-line removal (E1): drop every line occurring
+      * in >= `minDocs` distinct docs, reassemble documents in order.
+      */
+    def boilerplateRemoved(idCol: String, textCol: String = "text",
+                           minDocs: Int = 50): DataFrame =
+      operators.Dedup.removeBoilerplate(df, idCol, textCol, minDocs)
+
+    /** Pairwise Jaccard overlap between strata via KMV signatures (E2):
+      * returns (source_a, source_b, shared, denom, est_jaccard).
+      */
+    def sourceOverlapKmv(strataCol: String, textCol: String = "text",
+                         n: Int = 3, k: Int = 64): DataFrame =
+      operators.Sketches.kmvJaccard(
+        operators.Sketches.kmvSignatures(df, strataCol, textCol, n, k), k)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) {
@@ -114,6 +136,14 @@ package object api {
     /** ANN top-k via IVF coarse quantization (E3 scale path). */
     def topKIvf(queries: DataFrame, k: Int): DataFrame =
       operators.Similarity.ivfTopK(corpus, queries, k)
+
+    /** SemDeDup-style semantic dedup (E2): one kept representative per
+      * above-`threshold` cosine component within each KMeans cell.
+      * Returns (id, cell, component, kept).
+      */
+    def semDeduped(threshold: Double, nCells: Int = 16,
+                   fitSampleFraction: Double = 1.0): DataFrame =
+      operators.Similarity.semDedup(corpus, threshold, nCells, fitSampleFraction)
   }
 
   implicit class RelationalOps(private val left: DataFrame) {

@@ -61,4 +61,27 @@ class TypedApiSpec extends SparkSpec {
     assert(variants.map(_._1).forall(v => !cleaned.contains(v)),
       s"variant survived: ${cleaned.filter(_ >= 1000)}")
   }
+
+  test("fluent verbs delegate: compressionScored / boilerplateRemoved / sourceOverlapKmv / semDeduped") {
+    import graft.api._
+    val docs = graft.sources.Tables.documents(spark, sfDir).limit(40)
+    val scored = docs.compressionScored()
+    assert(scored.columns.contains("compression_ratio") &&
+      scored.where(col("compression_ratio").isNull).count() == 0)
+    val withFooter = docs.select(col("doc_id"),
+      concat(col("text"), lit("\nshared footer line")).as("text"))
+    val bp = withFooter.boilerplateRemoved("doc_id", minDocs = 2)
+    assert(bp.where(col("n_lines_dropped") =!= 1L).count() == 0,
+      "every doc drops exactly the planted footer")
+    val overlap = docs.select(col("source"), col("text"))
+      .sourceOverlapKmv("source", k = 16)
+    assert(overlap.columns.toSeq ==
+      Seq("source_a", "source_b", "shared", "denom", "est_jaccard"))
+    graft.operators.Pinned.release()
+    val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val sd = emb.semDeduped(threshold = 0.999, nCells = 2)
+    assert(sd.count() == 50 && sd.where(col("kept")).count() > 0)
+    graft.operators.Pinned.release()
+  }
 }
