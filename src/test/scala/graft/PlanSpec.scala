@@ -50,6 +50,18 @@ class PlanSpec extends SparkSpec {
       s"no final WindowGroupLimit after the exchange:\n$plan")
   }
 
+  test("E2k: KMV signatures push a partial WindowGroupLimit below the stratum exchange") {
+    // same map-side-heap property as O2c, for the dense_rank <= k filter:
+    // each task ships only its local k smallest distinct hashes
+    val plan = queries.Catalog.byName("e2_source_overlap_kmv").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    graft.operators.Pinned.release()
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined,
+      s"no partial (map-side, pre-shuffle) WindowGroupLimit in the KMV signature stage:\n$plan")
+    assert("WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined,
+      s"no final WindowGroupLimit after the stratum exchange:\n$plan")
+  }
+
   test("E13: outlier scoring broadcasts the per-source stats and top-ks via TakeOrderedAndProject") {
     val plan = explained(queries.Catalog.byName("e13_outlier_mad").run(spark, sfDir))
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
