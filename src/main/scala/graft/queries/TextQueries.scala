@@ -795,6 +795,30 @@ object TextQueries {
         .orderBy(col("exact_n").desc, col("token"))
     },
 
+    // E5p: BPE first-merge pair counts — the inner loop of byte-pair-
+    // encoding tokenizer training: corpus-weighted frequencies of adjacent
+    // character pairs, top-30 (the candidates for the first merge). The
+    // 100 TB trick is the two-level aggregate: the corpus reduces to WORD
+    // COUNTS first (one shuffle with map-side combine), then the char-pair
+    // explode runs over the DISTINCT VOCABULARY weighted by those counts —
+    // vocabulary-sized work independent of corpus size, where the naive
+    // formulation explodes character pairs over every token occurrence.
+    QueryDef.sql(
+      "e5_bpe_pairs",
+      s"""WITH wc AS (SELECT token, count(*) AS wn FROM ($duckTokenStream) GROUP BY token),
+         |p AS (SELECT wn, unnest(list_transform(range(1, length(token)),
+         |        i -> substr(token, i, 2))) AS pair
+         |      FROM wc WHERE length(token) >= 2)
+         |SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin) { (s, d) =>
+      val wc = tokensDF(s, d).groupBy("token").agg(count(lit(1)).as("wn"))
+      wc.where(length(col("token")) >= 2)
+        .select(col("wn"), explode(expr(
+          "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")).as("pair"))
+        .groupBy("pair").agg(sum("wn").as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(30)
+    },
+
     // E5o: deflate-compression-ratio quality signal (Gopher/RefinedWeb's
     // boilerplate/repetition proxy) — per-source distribution stats plus
     // the count of suspiciously-compressible docs (ratio < 0.35).
