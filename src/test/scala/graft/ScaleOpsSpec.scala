@@ -88,6 +88,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(probed == inline, "probe from the stored index must equal the inline build+query")
   }
 
+  test("E3: IVF-PQ index round-trips through the store; stored probe equals inline ivfPqTopK") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 10)
+    val dir = Files.createTempDirectory("graft_ivfpq_idx").toString
+    ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+    val inline = ProductQuantization.ivfPqTopK(emb, q, 5, fitSampleFraction = 0.25)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // guards the partitioned-by-cell write round-trip: the partition
+    // column must come back join-compatible and no cell may be lost
+    val probed = ProductQuantization.ivfPqProbe(spark, dir, emb, q, 5)
+      .select("q_id", "n_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(probed == inline,
+      "probe from the stored IVF-PQ index must equal the inline build+query")
+  }
+
   test("E3: PQ codes are the compressed contract — m small ints, partition-invariant") {
     val emb = Tables.embeddings(spark, sfDir)
     val books = ProductQuantization.fitCodebooks(emb, dim = 64, m = 8, kCodes = 16)
