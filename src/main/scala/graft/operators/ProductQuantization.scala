@@ -167,14 +167,8 @@ object ProductQuantization {
   def writeIndex(corpus: DataFrame, dir: String, dim: Int = 64, m: Int = 8,
                  kCodes: Int = 16,
                  fitSampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val books = fitCodebooks(corpus, dim, m, kCodes, fitSampleFraction)
-    books.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
-    }.toSeq.toDF("s", "j", "centroid")
-      .coalesce(1) // m*kCodes rows — one file, not 32 shards
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codebooks")
+    writeCodebooks(corpus.sparkSession, books, s"$dir/codebooks")
     corpus.select(col("vec_id").as("n_id"), encode(col("embedding"), books).as("codes"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
     books
@@ -210,6 +204,22 @@ object ProductQuantization {
                 nCells: Int = 16, nProbe: Int = 4,
                 dim: Int = 64, m: Int = 8, kCodes: Int = 16, rerank: Int = 4,
                 fitSampleFraction: Double = 1.0): DataFrame = {
+    val (codeTable, cents, books) =
+      buildIvfPq(corpus, nCells, dim, m, kCodes, fitSampleFraction)
+    ivfPqProbePrebuilt(codeTable, cents, books, corpus, queries, k, nProbe, rerank)
+  }
+
+  /** Ingest half shared by [[ivfPqTopK]] (inline) and [[writeIvfPqIndex]]
+    * (persisted) — ONE implementation so the build recipe (seed, init,
+    * sampling salt, residual arithmetic) cannot drift between the two and
+    * silently break the stored-probe-equals-inline invariant
+    * (ScaleOpsSpec). The assigned frame is pinned: fitCodebooks and the
+    * code-table projection both consume the corpus-wide
+    * transform+broadcast-join+residual pipeline.
+    */
+  private def buildIvfPq(corpus: DataFrame, nCells: Int, dim: Int, m: Int,
+                         kCodes: Int, fitSampleFraction: Double)
+      : (DataFrame, DataFrame, Array[Array[Array[Float]]]) = {
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
@@ -225,18 +235,17 @@ object ProductQuantization {
     val cents = coarse.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "c_emb")
-    // ingest half: assign cells, PQ-encode the residuals
-    val assigned = coarse.transform(feat)
+    val assigned = Pinned.pin(coarse.transform(feat)
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
         col("prediction").as("cell"))
       .join(broadcast(cents), "cell")
       .withColumn("res",
-        zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c))
+        zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c)))
     val residuals = assigned.select(col("n_id").as("vec_id"), col("res").as("embedding"))
     val books = fitCodebooks(residuals, dim, m, kCodes, fitSampleFraction)
     val codeTable = assigned.select(col("cell"), col("n_id"),
       encode(col("res"), books).as("codes"))
-    ivfPqProbePrebuilt(codeTable, cents, books, corpus, queries, k, nProbe, rerank)
+    (codeTable, cents, books)
   }
 
   /** Persist the IVF-PQ index (the one-time ingest cost): cell centroids
@@ -249,39 +258,28 @@ object ProductQuantization {
   def writeIvfPqIndex(corpus: DataFrame, dir: String,
                       nCells: Int = 16, dim: Int = 64, m: Int = 8,
                       kCodes: Int = 16, fitSampleFraction: Double = 1.0): Unit = {
-    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
-      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
+    val (codeTable, cents, books) =
+      buildIvfPq(corpus, nCells, dim, m, kCodes, fitSampleFraction)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feat = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    val fitInput =
-      if (fitSampleFraction >= 1.0) feat
-      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
-        math.round(fitSampleFraction * 1000000).toInt)
-    val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(fitInput)
-    val cents = coarse.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
-      .toSeq.toDF("cell", "c_emb")
-    val assigned = coarse.transform(feat)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("prediction").as("cell"))
-      .join(broadcast(cents), "cell")
-      .withColumn("res", zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c))
-    val books = fitCodebooks(
-      assigned.select(col("n_id").as("vec_id"), col("res").as("embedding")),
-      dim, m, kCodes, fitSampleFraction)
     cents.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cells")
+    writeCodebooks(spark, books, s"$dir/codebooks")
+    codeTable.write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+  }
+
+  /** Persist codebooks in the layout [[readCodebooks]] reads — shared by
+    * [[writeIndex]] and [[writeIvfPqIndex]].
+    */
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             books: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
     books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
     }.toSeq.toDF("s", "j", "centroid")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codebooks")
-    assigned.select(col("cell"), col("n_id"), encode(col("res"), books).as("codes"))
-      .write.partitionBy("cell")
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+      .coalesce(1) // m*kCodes rows — one file, not 32 shards
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
   /** Probe a persisted [[writeIvfPqIndex]] — the recurring per-query

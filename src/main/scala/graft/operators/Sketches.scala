@@ -53,13 +53,21 @@ object Sketches {
   }
 
   /** KMV (k-minimum-values) signature per stratum: the `k` smallest
-    * DISTINCT portable 32-bit hashes of the corpus's n-token shingles,
+    * DISTINCT portable 60-bit hashes of the corpus's n-token shingles,
     * one (stratum, h) row each. The classic dataset-level overlap sketch
     * (Beyer et al., "On synopses for distinct-value estimation under
-    * multiset operations", SIGMOD'07): because [[TextFunctions.hash32]]
+    * multiset operations", SIGMOD'07): because [[TextFunctions.hash60]]
     * is md5-derived, the signature — and therefore every estimate built
     * from it — is deterministic and replayable bit-for-bit by a DuckDB
-    * oracle, unlike seeded-RNG sketches.
+    * oracle, unlike seeded-RNG sketches. 60 bits matter at corpus scale:
+    * a 32-bit space saturates around 10^9-10^10 distinct shingles, at
+    * which point every large stratum's k-minimum signature converges to
+    * the same global minima and estimates bias toward 1.0.
+    *
+    * Strata whose documents yield no n-token shingles (every doc shorter
+    * than n tokens) have an EMPTY signature and therefore no output rows —
+    * and consequently no pairs in [[kmvJaccard]] (a Jaccard against an
+    * empty set is 0/0, not 0).
     *
     * 100 TB shape: the corpus streams once (tokenize → shingle →
     * hash, all expression work); the only exchange is the distinct on
@@ -73,18 +81,11 @@ object Sketches {
                     n: Int, k: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    // project tokens behind a named attribute before shingling (shingling
-    // reads the array 3x per position — inlined, each read would re-run
-    // the regexp tokenizer, O(doc^2) per document), and spread the corpus
-    // first: a small parquet arrives as one input split, which would
-    // otherwise serialize the whole expression pipeline on a single task
-    val spread = corpus.repartition(
-      corpus.sparkSession.sparkContext.defaultParallelism)
-    val sh = spread
-      .select(col(strataCol).as("stratum"), TextFunctions.tokenize(col(textCol)).as("toks"))
-      .select(col("stratum"),
-        explode(array_distinct(TextFunctions.shingles(col("toks"), n))).as("sh"))
-      .select(col("stratum"), TextFunctions.hash32(col("sh")).as("h"))
+    // Dedup.shingleSet owns the shingling pipeline (and its two perf
+    // traps: token projection before the shingle lambda, repartition of
+    // single-split inputs); its id column is the stratum here
+    val sh = Dedup.shingleSet(corpus, strataCol, textCol, n)
+      .select(col("doc_id").as("stratum"), TextFunctions.hash60(col("sh")).as("h"))
     // dense_rank <= k over the RAW (duplicated) hash stream, dedup after:
     // dense_rank admits a map-side partial WindowGroupLimit (each task
     // keeps only its local k smallest DISTINCT values pre-shuffle — a
@@ -107,7 +108,9 @@ object Sketches {
     * hashes fits within k — asserted as a law in OperatorsSpec.
     *
     * Returns (source_a, source_b, shared, denom, est_jaccard), one row
-    * per unordered pair, including zero-overlap pairs.
+    * per unordered pair of strata PRESENT IN THE SIGNATURE, including
+    * zero-overlap pairs (shared = 0). Strata absent from `sig` (empty
+    * signature — see [[kmvSignatures]]) have no pairs here.
     *
     * 100 TB shape: operates ONLY on the signature table (`k x |strata|`
     * rows) — every join here is on frames that fit in one task; corpus

@@ -652,7 +652,7 @@ object DedupQueries {
          |tokd AS (SELECT source, ${TextQueries.duckToks} AS toks FROM corpus),
          |sh AS (
          |  SELECT DISTINCT source AS stratum,
-         |         CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h FROM (
+         |         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM (
          |    SELECT source, unnest(list_transform(generate_series(1, len(toks) - 2),
          |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
          |    FROM tokd)),

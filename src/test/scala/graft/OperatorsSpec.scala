@@ -415,6 +415,41 @@ class OperatorsSpec extends SparkSpec {
 
     assert(Multimodal.decodeAudio("not audio".getBytes, 8).isEmpty)
 
+    // stereo downmix: L = the same sine, R = its negation -> mono averages
+    // to silence everywhere; a broken interleave/average would read as the
+    // sine's energy instead of 0
+    val stereo = new Array[Byte](4 * rate)
+    for (i <- 0 until rate) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 0.5 * 32767).toInt
+      stereo(4 * i) = (v & 0xff).toByte
+      stereo(4 * i + 1) = ((v >> 8) & 0xff).toByte
+      val nv = -v
+      stereo(4 * i + 2) = (nv & 0xff).toByte
+      stereo(4 * i + 3) = ((nv >> 8) & 0xff).toByte
+    }
+    val sFmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
+    val sAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereo), sFmt, rate.toLong)
+    val sBaos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(sAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sBaos)
+    val sEnv = Multimodal.decodeAudio(sBaos.toByteArray, 4).get
+    for (i <- 0 until 4)
+      assert(sEnv(i) < 0.001f, s"L/-R stereo must downmix to ~silence, window $i = ${sEnv(i)}")
+    // and a same-phase stereo sine downmixes to the mono RMS
+    for (i <- 0 until rate) {
+      stereo(4 * i + 2) = stereo(4 * i); stereo(4 * i + 3) = stereo(4 * i + 1)
+    }
+    val s2Ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereo), sFmt, rate.toLong)
+    val s2Baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(s2Ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, s2Baos)
+    val s2Env = Multimodal.decodeAudio(s2Baos.toByteArray, 4).get
+    for (i <- 0 until 4)
+      assert(math.abs(s2Env(i) - 0.3535f) < 0.01f,
+        s"same-phase stereo window $i RMS ${s2Env(i)} != mono sine RMS")
+
     implicit val s = spark
     import s.implicits._
     val media = Seq(
@@ -714,7 +749,7 @@ class OperatorsSpec extends SparkSpec {
     val sets = corpus
       .select(col("source"),
         explode(TextFunctions.shingles(TextFunctions.tokenize(col("text")), 3)).as("sh"))
-      .select(col("source"), TextFunctions.hash32(col("sh")).as("h"))
+      .select(col("source"), TextFunctions.hash60(col("sh")).as("h"))
       .distinct().as[(String, Long)].collect()
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
     val exact = for {
