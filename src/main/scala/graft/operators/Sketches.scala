@@ -69,13 +69,14 @@ object Sketches {
     * and consequently no pairs in [[kmvJaccard]] (a Jaccard against an
     * empty set is 0/0, not 0).
     *
-    * 100 TB shape: the corpus streams once (tokenize → shingle →
-    * hash, all expression work); the only exchange is the distinct on
-    * (stratum, h) — 12-byte digests move, never text — and the k-smallest
-    * window runs over per-stratum DISTINCT HASHES, not rows. Output is
-    * `k x |strata|` rows: constant-size per stratum regardless of corpus
-    * size, which is the entire point vs computing pairwise overlap on raw
-    * shingle sets (corpus x corpus shuffle).
+    * 100 TB shape: the corpus streams once (tokenize → shingle → hash,
+    * all expression work); 8-byte digests move, never text, and the
+    * dense_rank <= k filter compiles to a PARTIAL WindowGroupLimit below
+    * the stratum exchange (pinned in PlanSpec), so the lone corpus-wide
+    * shuffle carries only each task's local k smallest distinct hashes.
+    * Output is `k x |strata|` rows: constant-size per stratum regardless
+    * of corpus size, which is the entire point vs computing pairwise
+    * overlap on raw shingle sets (corpus x corpus shuffle).
     */
   def kmvSignatures(corpus: DataFrame, strataCol: String, textCol: String,
                     n: Int, k: Int): DataFrame = {
