@@ -324,6 +324,65 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // E7b: curation funnel — the observability face of a composed cleaning
+    // chain: per-stage surviving row counts for input → boilerplate-line
+    // removal (planted footer on every 3rd doc; all-boilerplate docs drop)
+    // → exact dedup (50 planted copies collapse) → token-count quality
+    // gate. The report every production curation run ships next to its
+    // output; each stage is the already-catalogued operator, so the funnel
+    // pins their COMPOSITION end-to-end against one oracle. Scale: each
+    // stage count is a map-side partial aggregate over the stage's frame;
+    // the stages themselves inherit their operators' documented shapes.
+    QueryDef.sql(
+      "e7_curation_funnel",
+      s"""WITH base AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'please subscribe to our newsletter today' ELSE '' END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id < 50),
+         |l AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS line,
+         |             generate_subscripts(str_split(text, chr(10)), 1) AS pos
+         |      FROM corpus WHERE length(text) > 0),
+         |bp AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+         |m AS (SELECT l.doc_id, l.pos, l.line, b.line IS NOT NULL AS isbp
+         |      FROM l LEFT JOIN bp b USING (line)),
+         |cleaned AS (
+         |  SELECT doc_id,
+         |         coalesce(string_agg(CASE WHEN NOT isbp THEN line END, chr(10) ORDER BY pos), '') AS text
+         |  FROM m GROUP BY doc_id),
+         |nonempty AS (SELECT doc_id, text FROM cleaned WHERE length(text) > 0),
+         |deduped AS (SELECT min(doc_id) AS doc_id, text FROM nonempty GROUP BY text),
+         |quality AS (SELECT doc_id FROM deduped WHERE len($duckToks) >= 20)
+         |SELECT '1_input' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM corpus
+         |UNION ALL SELECT '2_boilerplate', CAST(count(*) AS BIGINT) FROM nonempty
+         |UNION ALL SELECT '3_dedup', CAST(count(*) AS BIGINT) FROM deduped
+         |UNION ALL SELECT '4_quality', CAST(count(*) AS BIGINT) FROM quality
+         |ORDER BY stage""".stripMargin) { (s, d) =>
+      import graft.operators.{Dedup, Pinned}
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nplease subscribe to our newsletter today")).otherwise(lit(""))).as("text"))
+      val corpus = Pinned.pin(base.union(base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))))
+      val nonempty = Pinned.pin(
+        Dedup.removeBoilerplate(corpus, "doc_id", "text", minDocs = 50)
+          .where(length(col("cleaned_text")) > 0)
+          .select(col("doc_id"), col("cleaned_text").as("text")))
+      val deduped = Pinned.pin(Dedup.exactDedup(nonempty, Seq("text"), "doc_id"))
+      val quality = deduped.where(size(tokenize(col("text"))) >= 20)
+      def stage(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+      stage("1_input", corpus)
+        .union(stage("2_boilerplate", nonempty))
+        .union(stage("3_dedup", deduped))
+        .union(stage("4_quality", quality))
+        .orderBy("stage")
+    },
+
     // E8: sequence packing — concatenate documents per language in doc_id
     // order and cut into fixed token-budget chunks (the standard LLM
     // pretraining shard/pack step). One window pass per language: chunk id
