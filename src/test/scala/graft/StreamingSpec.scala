@@ -208,6 +208,33 @@ class StreamingSpec extends SparkSpec {
     assert(idx == streamed, s"index=$idx survivors=$streamed")
   }
 
+  test("incremental dedup sink with a compression-ratio quality curate gate") {
+    // the deflate quality signal composes into the same curate hook as
+    // decontamination: degenerate repetition is dropped BEFORE dedup and
+    // never reaches the corpus or the signature index
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-qualgate").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-qualgate-ck").toString
+    val prose = "a reasonably varied prose document about several distinct topics and ideas " * 3
+    val spamDoc = "spam " * 200 // compresses to a tiny fraction of its size
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((1L, prose), (2L, spamDoc),
+      (3L, "another genuinely distinct clean document with many different words")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck,
+      curate = df => graft.operators.Quality
+        .withCompressionRatio(df, "text", "__cr")
+        .where(org.apache.spark.sql.functions.col("__cr") >= 0.2).drop("__cr"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), s"quality gate failed: $kept")
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == kept, "the spam doc must not enter the signature index")
+  }
+
   test("incremental dedup sink bootstraps over a pre-existing external corpus") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-incboot").toString
