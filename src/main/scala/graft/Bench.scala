@@ -61,16 +61,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadEnd = os.getSystemLoadAverage
-    // pre-existing load above half the cores is unambiguously external;
-    // end load is checked against 1.5x cores (this JVM alone can drive
-    // ~cores of load, so a lower end-threshold would false-positive on the
-    // bench's own work) to catch jobs that landed mid-run
-    val contaminated = loadStart > hostCpus / 2.0 || loadEnd > hostCpus * 1.5
-    if (contaminated)
-      System.err.println(f"[bench] WARNING: start load avg $loadStart%.1f on " +
-        f"$hostCpus CPUs — timings are contaminated by concurrent machine load")
-    def f2(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     // host-speed evidence beyond load average: a shared host can run this
     // box 1.4x slower with an IDLE load average (hypervisor steal and
     // per-core frequency variance are invisible to it — measured on this
@@ -86,6 +76,24 @@ object Bench {
       tot = d.sum.toDouble
       if tot > 0 && d.length > 7
     } yield 100.0 * d(7) / tot).getOrElse(-1.0)
+    // single-thread slowdown DURING the run (VERDICT r5 #2: round 5's
+    // driver bench printed 31 false over-2x ghosts with contaminated=false
+    // while its own calib probe doubled mid-run — load average alone
+    // misses per-core degradation)
+    val hostDegraded = isHostDegraded(calibStart, calibEnd)
+    // pre-existing load above half the cores is unambiguously external;
+    // end load is checked against 1.5x cores (this JVM alone can drive
+    // ~cores of load, so a lower end-threshold would false-positive on the
+    // bench's own work) to catch jobs that landed mid-run; calib drift
+    // catches what neither load number can see
+    val contaminated =
+      loadStart > hostCpus / 2.0 || loadEnd > hostCpus * 1.5 || hostDegraded
+    if (contaminated)
+      System.err.println(f"[bench] WARNING: timings contaminated — start load " +
+        f"$loadStart%.1f, end load $loadEnd%.1f on $hostCpus CPUs, calib " +
+        f"$calibStart%.2fs -> $calibEnd%.2fs (degraded=$hostDegraded)")
+    def f2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     // Self-normalization against BASELINE.md (VERDICT rounds 3+4: raw
     // totals from a shared box read as 2-4x regressions that evaporate on
     // an idle re-run). Execute the normalization rule BASELINE.md states in
@@ -94,7 +102,29 @@ object Bench {
     // median-normalized — so a noisy run self-reports "uniformly slow box"
     // instead of per-query ghosts.
     val base = baselineTimes()
-    val shared = results.collect { case (n, t) if base.contains(n) && base(n) > 0 =>
+    // Re-time raw over-2x offenders ONCE before listing them (VERDICT r5
+    // #2): a transient host stall inflates whichever queries it lands on;
+    // a second measurement in the same warmed session separates a real
+    // regression (slow twice) from a ghost (fast on retry). The smaller
+    // of the two timings feeds every derived field; both are reported.
+    val firstPass = results.toMap
+    val suspects = firstPass.collect {
+      case (n, t) if base.get(n).exists(b => b > 0 && t / b > 2.0) => n
+    }.toSeq.sorted
+    val qmap = SparkEntry.queries
+    val retimed: Map[String, Double] = suspects.flatMap { n =>
+      qmap.get(n).flatMap { fn =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        graft.operators.Pinned.release()
+        spark.catalog.clearCache()
+        if (ok) Some(n -> (System.nanoTime() - t0) / 1e9) else None
+      }
+    }.toMap
+    val effective = results.map { case (n, t) =>
+      n -> math.min(t, retimed.getOrElse(n, t)) }
+    val shared = effective.collect { case (n, t) if base.contains(n) && base(n) > 0 =>
       (n, t / base(n)) }
     val medianRatio =
       if (shared.isEmpty) -1.0
@@ -106,9 +136,21 @@ object Bench {
     val over2xRaw = shared.filter(_._2 > 2.0).map(_._1)
     val over2xNorm =
       if (medianRatio > 0) shared.filter(_._2 / medianRatio > 2.0).map(_._1) else Nil
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)},"n_shared_with_baseline":${shared.size},"shared_median_vs_baseline":${f2(medianRatio)},"over_2x_raw":${names(over2xRaw)},"over_2x_normalized":${names(over2xNorm)}}""")
+    val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + esc(k) + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"host_degraded":$hostDegraded,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)},"n_shared_with_baseline":${shared.size},"shared_median_vs_baseline":${f2(medianRatio)},"queries_retimed":$retimedJson,"over_2x_raw":${names(over2xRaw)},"over_2x_normalized":${names(over2xNorm)}}""")
     spark.stop()
   }
+
+  /** Single-thread host degradation predicate: the post-run calibration
+    * loop running >1.3x slower than the pre-run one means per-core speed
+    * fell DURING the run (frequency scaling, steal, a co-tenant pinning a
+    * core) — every timing is suspect even if load average stayed flat.
+    * Pure and separately testable (BenchLogicSpec); guards calibStart=0.
+    */
+  private[graft] def isHostDegraded(calibStart: Double, calibEnd: Double): Boolean =
+    calibStart > 0 && calibEnd / calibStart > 1.3
 
   /** Per-query base times parsed from BASELINE.md's measurement table
     * (`| <catalog_name> | <seconds> | ...`). Catalog names are bare

@@ -116,6 +116,10 @@ package object api {
 
     /** Pairwise Jaccard overlap between strata via KMV signatures (E2):
       * returns (source_a, source_b, shared, denom, est_jaccard).
+      *
+      * Registers a pinned (persisted) signature frame internally; callers
+      * outside the query harness must call `operators.Pinned.release()`
+      * when done, or the cached blocks accumulate for the session.
       */
     def sourceOverlapKmv(strataCol: String, textCol: String = "text",
                          n: Int = 3, k: Int = 64): DataFrame =
@@ -140,6 +144,11 @@ package object api {
     /** SemDeDup-style semantic dedup (E2): one kept representative per
       * above-`threshold` cosine component within each KMeans cell.
       * Returns (id, cell, component, kept).
+      *
+      * Registers a pinned (persisted) cell-assignment frame internally;
+      * callers outside the query harness must call
+      * `operators.Pinned.release()` when done, or the cached blocks
+      * accumulate for the session.
       */
     def semDeduped(threshold: Double, nCells: Int = 16,
                    fitSampleFraction: Double = 1.0): DataFrame =

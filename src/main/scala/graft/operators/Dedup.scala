@@ -324,11 +324,20 @@ object Dedup {
     val indexCols = (Seq("doc_id", "fp") ++
       (0 until numHashes).map(i => s"mh$i") :+ "n_sh").map(col)
     // a caller-persisted index is the caller's to unpersist; anything we
-    // persist ourselves is pinned for the caller's Pinned.release()
+    // persist ourselves is pinned for the caller's Pinned.release().
+    // With a STORED band table the index is consumed only twice, through
+    // disjoint narrow projections (fp for the exact anti-join; doc_id+n_sh
+    // for verification sizes) — caching all numHashes+3 columns to serve
+    // two single-column scans costs a full-width materialization per probe
+    // (measured ~3s of the sf0.1 probe floor, VERDICT r5 #4), so leave it
+    // unpinned there and let column pruning reach the parquet scan. The
+    // inline-bands path reads the wide mh columns anyway and fans out to
+    // three consumers — pinning stays right for it.
     val index = existingIndex match {
       case Some(idx)
         if idx.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
         idx.select(indexCols: _*)
+      case Some(idx) if bandIndex.isDefined => idx.select(indexCols: _*)
       case Some(idx) => Pinned.pin(idx.select(indexCols: _*))
       case None => Pinned.pin(signatureIndex(existing, idCol, textCol, numHashes))
     }

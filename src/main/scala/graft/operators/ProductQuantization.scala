@@ -171,8 +171,54 @@ object ProductQuantization {
     writeCodebooks(corpus.sparkSession, books, s"$dir/codebooks")
     corpus.select(col("vec_id").as("n_id"), encode(col("embedding"), books).as("codes"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+    writeManifest(corpus.sparkSession, dir,
+      pqParams(dim, m, kCodes, fitSampleFraction))
     books
   }
+
+  /** Build-parameter manifests: every persisted index carries a one-file
+    * (name, value) parquet written LAST (after codes), so a probe can
+    * detect a directory left behind by a run with different parameters —
+    * or a build that died between codebooks and codes — and rebuild
+    * instead of silently probing a stale index (ADVICE r5). A missing or
+    * unreadable manifest (including any pre-manifest index) reads as a
+    * mismatch.
+    */
+  private def pqParams(dim: Int, m: Int, kCodes: Int, fit: Double) =
+    Map("dim" -> dim.toDouble, "m" -> m.toDouble, "kCodes" -> kCodes.toDouble,
+      "fitSampleFraction" -> fit)
+
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, params: Map[String, Double]): Unit = {
+    import spark.implicits._
+    params.toSeq.sortBy(_._1).toDF("name", "value")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/params")
+  }
+
+  private def manifestMatches(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, params: Map[String, Double]): Boolean =
+    try {
+      spark.read.parquet(s"$dir/params").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap == params
+    } catch { case _: Throwable => false }
+
+  /** True iff a [[writeIndex]] PQ index at `dir` is present AND was built
+    * with exactly these parameters — the `_probe` staleness gate.
+    */
+  def pqIndexMatches(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     dim: Int = 64, m: Int = 8, kCodes: Int = 16,
+                     fitSampleFraction: Double = 1.0): Boolean =
+    manifestMatches(spark, dir, pqParams(dim, m, kCodes, fitSampleFraction))
+
+  /** True iff a [[writeIvfPqIndex]] index at `dir` is present AND was
+    * built with exactly these parameters — the `_probe` staleness gate.
+    */
+  def ivfPqIndexMatches(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        nCells: Int = 16, dim: Int = 64, m: Int = 8,
+                        kCodes: Int = 16, fitSampleFraction: Double = 1.0): Boolean =
+    manifestMatches(spark, dir,
+      pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
 
   /** Read back [[writeIndex]]'s codebooks (driver-side: m*kCodes rows). */
   def readCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -267,6 +313,8 @@ object ProductQuantization {
     writeCodebooks(spark, books, s"$dir/codebooks")
     codeTable.write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
+    writeManifest(spark, dir,
+      pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
   }
 
   /** Persist codebooks in the layout [[readCodebooks]] reads — shared by

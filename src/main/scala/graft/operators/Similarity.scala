@@ -148,6 +148,36 @@ object Similarity {
     cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Aggregate recall@k of an ANN result against the exact result over the
+    * same query set: one row `(n_queries, recall_ok)` where `recall_ok` is
+    * mean per-query recall >= `minMeanRecall`. The catalog's `e3_ann_*`
+    * entries append this so every CORRECTNESS round RECORDS the ANN quality
+    * number as a hash-checked oracle row (VERDICT r5 #3) instead of burying
+    * it in a test log: the oracle pins `(|Q|, true)`, so a recall
+    * regression below the floor breaks the round's correctness gate, not
+    * just a spec. A boolean against a floor — not the raw mean — is pinned
+    * because fixtures regenerate between rounds and the exact mean moves
+    * with them; the floor carries a measured >= 0.08 margin per entry.
+    *
+    * Queries with NO exact neighbors (corpus of 1) are absent from both
+    * sides and don't count; recall of an ANN path returning zero rows for
+    * a query counts as 0 via the left join.
+    */
+  def recallSummary(ann: DataFrame, exact: DataFrame,
+                    minMeanRecall: Double): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val hits = ann.select(col("q_id"), col("n_id"))
+      .join(e, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    e.groupBy("q_id").agg(count(lit(1)).as("k_actual"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          col("k_actual").cast("double")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= minMeanRecall).as("recall_ok"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     * arXiv:2303.09540 recipe): cluster the embedding space with a coarse
     * KMeans, compute cosine pairs ONLY within each cluster, and drop every
@@ -172,6 +202,8 @@ object Similarity {
                nCells: Int = 16, fitSampleFraction: Double = 1.0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
+      s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
     val feat = corpus.select(col("vec_id"), col("embedding"),

@@ -116,6 +116,14 @@ object Sketches {
     * 100 TB shape: operates ONLY on the signature table (`k x |strata|`
     * rows) — every join here is on frames that fit in one task; corpus
     * scale is paid once, in [[kmvSignatures]].
+    *
+    * `k` must be <= the k the signatures were built with: the KMV prefix
+    * property makes any SMALLER k valid (the k smallest of a k'-minimum
+    * signature are exact for k <= k'), but a LARGER k inflates `denom`
+    * past the signature's resolution and biases every estimate low.
+    * Callers that hold the build-time k (the catalog entries, the
+    * [[graft.api]] verb) pass it through; when consuming a foreign
+    * signature table, derive it as the max per-stratum row count.
     */
   def kmvJaccard(sigRaw: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

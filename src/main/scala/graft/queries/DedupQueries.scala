@@ -68,11 +68,35 @@ object DedupQueries {
       wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
       Dedup.writeBandIndex(sig, bandTable, buckets = 16, NumHashes, RowsPerBand)
     }
-    Dedup.dedupIncremental(existing, batch, "doc_id", "text", threshold = 0.5,
+    def vet(): DataFrame = Dedup.dedupIncremental(existing, batch, "doc_id", "text",
+      threshold = 0.5,
       existingIndex = Some(sig), numHashes = NumHashes, rowsPerBand = RowsPerBand,
       bandIndex = Some(s.table(bandTable)))
       .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       .orderBy("doc_id")
+    if (rebuild) vet()
+    else {
+      // PROBE floor fix (VERDICT r5 #4): the vetting DAG over a tiny batch
+      // is fully known, and most of its measured ~5.5 s sf0.1 floor was
+      // scheduling, not data — under AQE each exchange becomes its own
+      // stage-job, and the probe's eager phases (bucket-key and
+      // candidate-id collects, each materializing its pinned upstream)
+      // multiply that by the number of pinned frames. Scope AQE off and
+      // shuffle parallelism 4 around the ENTIRE vetting call — the eager
+      // collects happen at call time, so the scope must open before it —
+      // and materialize eagerly (localCheckpoint) before restoring conf.
+      // Data cost is unchanged and the survivors identical; at production
+      // batch sizes AQE stays on via the _build entry's path.
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      val prevPart = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try vet().localCheckpoint(true)
+      finally {
+        s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        s.conf.set("spark.sql.shuffle.partitions", prevPart)
+      }
+    }
   }
 
   /** DuckDB twin of the incremental-dedup fixture (shared by the _build
@@ -450,12 +474,19 @@ object DedupQueries {
         .orderBy("id")
     },
 
-    // E3 (scale path): LSH-bucketed ANN — not oracle-expressible compactly;
-    // rows-only here, recall-vs-exact asserted in SimilaritySpec.
-    QueryDef.rowsOnly("e3_ann_lsh") { (s, d) =>
+    // E3 (scale path): LSH-bucketed ANN. Output is the recall@5-vs-exact
+    // summary row (VERDICT r5 #3): the oracle pins (|Q|, recall_ok=true)
+    // so the ANN quality number is hash-checked every round. 16 tables x 4
+    // bits measures 0.96 mean recall at sf0.01 vs the 0.8 floor (recall
+    // rises with L at linear cost; candidates stay bucket-bounded).
+    QueryDef.sql(
+      "e3_ann_lsh",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5)
-        .select("q_id", "n_id", "cos_sim", "rnk").orderBy("q_id", "rnk")
+      val q = emb.where(col("vec_id") < 10)
+      val ann = Similarity.lshTopK(emb, q, k = 5, numTables = 16)
+      Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
     // E2e (embedding-space near-dup): planted perturbed vectors must be

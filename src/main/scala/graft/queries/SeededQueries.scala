@@ -93,8 +93,18 @@ object SeededQueries {
 
     // S4: binary-file scan with path metadata (ImageRecordReader +
     // ParentPathLabelGenerator — chapter_4/MnistClassification.java:59-63):
-    // reads the fixture directory itself as opaque binaries.
-    QueryDef.rowsOnly("s4_binary_scan") { (s, d) =>
+    // reads the fixture directory itself as opaque binaries. Oracle-checked
+    // (VERDICT r5 #6): DuckDB's read_blob stats the same files live, so
+    // name+size match hash-exactly with no stored golden. The oracle path
+    // is the t2 contract's fixed correctness dir (TESTDATA.md: the driver
+    // always verifies at sf0.01) — the one place the static oracle string
+    // must name a directory the Spark side receives as a parameter.
+    QueryDef.sql(
+      "s4_binary_scan",
+      """SELECT regexp_extract(filename, '/([^/]+)$', 1) AS file_name,
+        |       CAST(size AS BIGINT) AS length
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin) { (s, d) =>
       // pathGlobFilter instead of a glob-in-path: same files, but the
       // reader's streaming-metadata probe gets a real directory (a glob
       // path makes it log a spurious FileNotFoundException WARN per run)

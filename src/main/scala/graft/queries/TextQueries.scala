@@ -882,11 +882,21 @@ object TextQueries {
     // boilerplate/repetition proxy) — per-source distribution stats plus
     // the count of suspiciously-compressible docs (ratio < 0.35).
     // Deterministic (fixed deflate level on the JDK's bundled zlib) but
-    // not expressible in DuckDB → rows-only; the ratio's semantics
-    // (repetition compresses below prose, ordering, null/empty contract)
-    // are pinned in FunctionsSpec. Map-side only: one deflate pass per
-    // doc, the aggregate is the lone exchange (|sources| rows out).
-    QueryDef.rowsOnly("e5_compression_ratio") { (s, d) =>
+    // not COMPUTABLE in DuckDB, so the oracle reads a stored golden table
+    // (VERDICT r5 #6) generated by `Test/runMain graft.GoldenGen` from
+    // this very query: the pin catches deflate/JDK drift, code
+    // regressions, and fixture-text drift between rounds (regenerate the
+    // golden after the driver regenerates fixtures — see GoldenGen).
+    // Semantics (repetition compresses below prose, ordering, null/empty
+    // contract) stay pinned in FunctionsSpec. Map-side only: one deflate
+    // pass per doc, the aggregate is the lone exchange (|sources| rows
+    // out). Golden path follows the t2 contract's fixed sf0.01
+    // correctness dir, like s4_binary_scan's oracle.
+    QueryDef.sql(
+      "e5_compression_ratio",
+      """SELECT source, avg_ratio, min_ratio, max_ratio, n_suspicious
+        |FROM read_parquet('/root/repo/tools/golden/e5_compression_ratio_sf0.01/*.parquet')
+        |ORDER BY source""".stripMargin) { (s, d) =>
       import graft.operators.Quality
       Quality.withCompressionRatio(
         Tables.documents(s, d).select(col("source"), col("text")), "text", "ratio")

@@ -425,6 +425,39 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"),
           sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double").as("totacctbal"))
         .orderBy("cntrycode")
+    },
+
+    // Q12: ship-mode line-priority distribution (the last of the 22 shapes
+    // to get a NAMED twin — VERDICT r5 #9; previously covered piecewise by
+    // q14_promo_revenue + a1_conditional_agg). Adapted: l_returnflag plays
+    // ship mode (two modes selected, like MAIL/SHIP), the commit-vs-receipt
+    // lateness filter becomes shipped >= 60 days after order date, and the
+    // priority split is the original's URGENT/HIGH vs rest conditional
+    // count. Shape under test: fact-fact equi-join (lineitem<->orders on
+    // the orderkey they both shuffle on once) + conditional aggregation —
+    // no dimension, no window, the one pattern no other named twin times.
+    QueryDef.sql(
+      "q12_shipmode_priority",
+      """SELECT l_returnflag AS mode,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'N')
+        |  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY mode""".stripMargin) { (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag").isin("A", "N"))
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("l_returnflag").as("mode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("mode")
     }
   )
 }

@@ -30,7 +30,10 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("oracle-checked queries are deterministic across re-runs") {
-    for (name <- Seq("w1_top_bottom_per_group", "j6_multiway_join", "e2_minhash_lsh")) {
+    // m5_word2vec_table: previously the lone partition-variant entry
+    // (hogwild fit); pinned here since the single-partition-fit fix
+    for (name <- Seq("w1_top_bottom_per_group", "j6_multiway_join", "e2_minhash_lsh",
+                     "m5_word2vec_table")) {
       val q = Catalog.byName(name)
       val a = q.run(spark, sfDir).collect().map(_.toString).sorted
       val b = q.run(spark, sfDir).collect().map(_.toString).sorted

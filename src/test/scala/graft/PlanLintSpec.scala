@@ -28,6 +28,9 @@ class PlanLintSpec extends SparkSpec {
     // codes) table with the n_id =!= q_id guard — same designed shape,
     // shared by the build entry, its probe twin, and the IVFADC composition
     "e3_ann_pq", "e3_ann_pq_probe", "e3_ann_ivfpq", "e3_ann_ivfpq_probe",
+    // every e3_ann_* entry now appends recallSummary vs exactTopK (VERDICT
+    // r5 #3), so the exact-topk broadcast-scoring scan rides along
+    "e3_ann_lsh",
     // KMV pairwise: the |strata| x |strata| pair frame (a few hundred rows
     // of source names) built by an inequality cross — both sides are
     // signature-derived, never the corpus

@@ -362,6 +362,76 @@ class StreamingSpec extends SparkSpec {
     assert(idx == Seq(2L), s"index=$idx")
   }
 
+  test("incremental dedup sink survives a stop/restart between micro-batches with no dups or loss") {
+    // VERDICT r5 #7: the exactly-once claim a 100 TB ingest depends on —
+    // kill the query between micro-batches, restart from the SAME
+    // checkpoint, and the sink must neither re-admit what batch 0 kept
+    // nor lose what arrived while it was down.
+    val outDir = java.nio.file.Files.createTempDirectory("graft-increstart").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-increstart-ck").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-increstart-in").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    Seq((1L, base), (2L, "first unique document about other things entirely"))
+      .toDF("doc_id", "text").write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def start() = EventStreams.incrementalDedupSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*"),
+      "doc_id", "text", outDir, ck)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // arrivals while the stream is DOWN: a near-dup of doc 1 (caught only
+    // if the restarted query still sees batch 0's corpus + index) and a
+    // fresh doc (lost only if the restart skips past unprocessed input)
+    Seq((10L, base + "lambda mu"),
+      (11L, "second unique document with fresh content words"))
+      .toDF("doc_id", "text").write.parquet(s"$in/f1")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$outDir/docs").select("doc_id").as[Long].collect().toSeq
+    assert(rows.size == rows.distinct.size, s"duplicate rows after restart: $rows")
+    assert(rows.sorted == Seq(1L, 2L, 11L), s"survivors=${rows.sorted}")
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == rows.sorted, s"index=$idx diverged from corpus after restart")
+  }
+
+  test("incremental dedup sink replays a crash-before-commit batch idempotently") {
+    // the harder half of exactly-once: the batch's data writes completed
+    // but the CHECKPOINT commit did not (crash in between), so the
+    // restarted query re-runs the same batch id. The sink's
+    // exclude-current-batch reads + overwrite writes must make the replay
+    // byte-identical instead of doubling the batch.
+    val outDir = java.nio.file.Files.createTempDirectory("graft-increplay").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-increplay-ck").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-increplay-in").toString
+    Seq((1L, "a document that will be replayed after the crash"),
+      (2L, "a second distinct document with other words"))
+      .toDF("doc_id", "text").write.parquet(s"$in/f0")
+    val schema = spark.read.parquet(s"$in/f0").schema
+    def start() = EventStreams.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(s"$in/*"), "doc_id", "text", outDir, ck)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val firstRun = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(firstRun == Seq(1L, 2L), s"first run: $firstRun")
+    // simulate the crash window: offsets/0 exists (batch planned), data
+    // landed, but the commit record is gone — Structured Streaming's
+    // restart contract is to re-run batch 0. The CRC sibling must go with
+    // it: the local FS is checksummed, and a stale .0.crc makes the
+    // replay's commit rename fail as a phantom concurrent-use error.
+    val commit0 = java.nio.file.Paths.get(ck, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0),
+      "checkpoint commit file missing — test setup no longer matches " +
+        "Structured Streaming's checkpoint layout")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ck, "commits", ".0.crc"))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(s"$outDir/docs").select("doc_id").as[Long].collect().toSeq
+    assert(rows.size == rows.distinct.size, s"replay doubled the batch: $rows")
+    assert(rows.sorted == firstRun, s"replay changed survivors: ${rows.sorted}")
+    val idx = spark.read.parquet(s"$outDir/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == firstRun, s"index=$idx diverged after replay")
+  }
+
   test("session windows merge events within the gap (batch semantics check)") {
     val out = EventStreams.sessionAgg(sample.toDF())
       .select("user_id", "n").as[(Long, Long)].collect().toSet
