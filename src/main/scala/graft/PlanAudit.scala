@@ -78,7 +78,9 @@ object PlanAudit {
     "e2_source_overlap_kmv" ->
       "KMV dataset-overlap sketch: the corpus streams once through tokenize/shingle/hash codegen; the dense_rank <= k filter compiles to a PARTIAL WindowGroupLimit below the stratum exchange, so each task ships only its local k smallest distinct hashes — the shuffle is ~tasks x k rows, not the corpus's distinct shingle set. Everything after (pairwise union/top-k/estimate) runs on k x |strata| rows.",
     "e5_dup_ngram_coverage" ->
-      "Duplicate n-gram coverage: shingle digests shuffle as 8-byte hash60 longs, never 32-char md5 strings; per-doc totals come from a map-side partial count (no join), and only the df >= 2 digest subset joins back against the gram stream — the corpus-wide equi-join carries the narrow dup set, not every gram's document frequency."
+      "Duplicate n-gram coverage: shingle digests shuffle as 8-byte hash60 longs, never 32-char md5 strings; per-doc totals come from a map-side partial count (no join), and only the df >= 2 digest subset joins back against the gram stream — the corpus-wide equi-join carries the narrow dup set, not every gram's document frequency.",
+    "q12_shipmode_priority" ->
+      "TPC-H Q12 shape: both fact scans project to the 3 columns the query touches (visible in ReadSchema) and the returnflag filter pushes into the lineitem scan; the one exchange pair is the l_orderkey equi-join both facts inherently need, the lateness range predicate rides as a post-join filter, and the priority split partial-aggregates to 2 rows before the final exchange."
   )
 
   def main(args: Array[String]): Unit = {
