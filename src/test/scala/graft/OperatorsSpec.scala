@@ -103,6 +103,53 @@ class OperatorsSpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.2f (${ann.size} returned)")
   }
 
+  test("E3: recallSummary — mean recall over per-query hit fractions, floor gates the boolean") {
+    // exact: q1 -> {10, 11}, q2 -> {20, 21}; ann hits 1/2 for q1 and 2/2
+    // for q2 (plus a non-neighbor that must not count) -> mean 0.75
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
+    val ann = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L)).toDF("q_id", "n_id")
+    val ok = Similarity.recallSummary(ann, exact, 0.7)
+      .as[(Long, Boolean)].head()
+    assert(ok == ((2L, true)))
+    val notOk = Similarity.recallSummary(ann, exact, 0.8)
+      .as[(Long, Boolean)].head()
+    assert(notOk == ((2L, false)))
+  }
+
+  test("E3: recallSummary — a query the ANN returns nothing for counts as zero recall") {
+    val exact = Seq((1L, 10L), (2L, 20L)).toDF("q_id", "n_id")
+    val ann = Seq((1L, 10L)).toDF("q_id", "n_id") // q2 entirely missed
+    val (n, ok) = Similarity.recallSummary(ann, exact, 0.6)
+      .as[(Long, Boolean)].head()
+    assert(n == 2L) // q2 still counted (denominator from the exact side)
+    assert(!ok)     // mean = (1 + 0)/2 = 0.5 < 0.6
+  }
+
+  test("E3: PQ index params manifest — probe gate rejects a stale or mismatched index") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqman").toString
+    ProductQuantization.writeIndex(emb, dir, kCodes = 8, fitSampleFraction = 0.5)
+    assert(ProductQuantization.pqIndexMatches(spark, dir,
+      kCodes = 8, fitSampleFraction = 0.5))
+    // any differing build parameter must read as a mismatch -> rebuild
+    assert(!ProductQuantization.pqIndexMatches(spark, dir,
+      kCodes = 16, fitSampleFraction = 0.5))
+    assert(!ProductQuantization.pqIndexMatches(spark, dir,
+      kCodes = 8, fitSampleFraction = 0.25))
+    // a pre-manifest index (params dir missing) must also mismatch
+    val bare = java.nio.file.Files.createTempDirectory("graft-pqbare").toString
+    assert(!ProductQuantization.pqIndexMatches(spark, bare, kCodes = 8))
+    // IVF-PQ manifests carry nCells on top of the PQ params
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivfman").toString
+    ProductQuantization.writeIvfPqIndex(emb, ivfDir, nCells = 4, kCodes = 8,
+      fitSampleFraction = 0.5)
+    assert(ProductQuantization.ivfPqIndexMatches(spark, ivfDir, nCells = 4,
+      kCodes = 8, fitSampleFraction = 0.5))
+    assert(!ProductQuantization.ivfPqIndexMatches(spark, ivfDir, nCells = 8,
+      kCodes = 8, fitSampleFraction = 0.5))
+  }
+
   test("as-of join: equal-ts right duplicates resolve to the max value deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, "rA"), (1L, 10L, "rZ"), (1L, 10L, "rM")).toDF("k", "ts", "v")
