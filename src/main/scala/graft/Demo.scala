@@ -69,6 +69,10 @@ object Demo {
     println("IVF ANN top-3 (scale path):")
     emb.topKIvf(queries, 3)
       .select("q_id", "n_id", "cos_sim").orderBy("q_id", "cos_sim").show()
+    println("IVF-PQ ANN (cells prune compute, codes prune bytes) + recall gate:")
+    emb.topKIvfPq(queries, 3, nProbe = 8, rerank = 32)
+      .recallAgainst(emb.topKExact(queries, 3), minMeanRecall = 0.5).show()
+    graft.operators.Pinned.release() // topKIvfPq pins its cell assignment
 
     // 5. flagship analytics: per-label best/worst by anomaly score
     println("per-label top/bottom anomalies (flagship W1):")

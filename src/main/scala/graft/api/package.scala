@@ -141,6 +141,33 @@ package object api {
     def topKIvf(queries: DataFrame, k: Int): DataFrame =
       operators.Similarity.ivfTopK(corpus, queries, k)
 
+    /** ANN top-k via product quantization (E3 memory path): ADC scan over
+      * m-byte codes, exact re-rank of the shortlist. For a persisted index
+      * use `ProductQuantization.writeIndex` + `pqTopKPrebuilt` directly.
+      */
+    def topKPq(queries: DataFrame, k: Int, rerank: Int = 4): DataFrame =
+      operators.ProductQuantization.pqTopK(corpus, queries, k, rerank = rerank)
+
+    /** ANN top-k via the IVF-PQ (IVFADC) composition (E3): coarse cells
+      * prune compute, residual-PQ codes prune bytes.
+      *
+      * Registers a pinned (persisted) cell-assignment frame internally;
+      * callers outside the query harness must call
+      * `operators.Pinned.release()` when done, or the cached blocks
+      * accumulate for the session.
+      */
+    def topKIvfPq(queries: DataFrame, k: Int, nProbe: Int = 4,
+                  rerank: Int = 4): DataFrame =
+      operators.ProductQuantization.ivfPqTopK(corpus, queries, k,
+        nProbe = nProbe, rerank = rerank)
+
+    /** Aggregate recall@k of THIS frame (an ANN result with q_id/n_id
+      * columns) against `exact`: one row (n_queries, recall_ok) — the
+      * quality gate the catalog's e3_ann_* entries pin per round.
+      */
+    def recallAgainst(exact: DataFrame, minMeanRecall: Double): DataFrame =
+      operators.Similarity.recallSummary(corpus, exact, minMeanRecall)
+
     /** SemDeDup-style semantic dedup (E2): one kept representative per
       * above-`threshold` cosine component within each KMeans cell.
       * Returns (id, cell, component, kept).

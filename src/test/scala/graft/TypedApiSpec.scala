@@ -84,4 +84,21 @@ class TypedApiSpec extends SparkSpec {
     assert(sd.count() == 50 && sd.where(col("kept")).count() > 0)
     graft.operators.Pinned.release()
   }
+
+  test("fluent verbs delegate: topKPq / topKIvfPq / recallAgainst") {
+    import graft.api._
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") < 3)
+    val exact = emb.topKExact(q, k = 3)
+    // wide rerank at tiny corpus should recover the exact set comfortably
+    val pq = emb.topKPq(q, k = 3, rerank = 32)
+    assert(pq.columns.contains("cos_sim") && pq.count() == exact.count())
+    val pqOk = pq.recallAgainst(exact, 0.5).as[(Long, Boolean)].head()
+    assert(pqOk._1 == 3L && pqOk._2, s"pq recall below 0.5: $pqOk")
+    val ivfpq = emb.topKIvfPq(q, k = 3, nProbe = 8, rerank = 32)
+    val ivfOk = ivfpq.recallAgainst(exact, 0.5).as[(Long, Boolean)].head()
+    assert(ivfOk._1 == 3L && ivfOk._2, s"ivfpq recall below 0.5: $ivfOk")
+    graft.operators.Pinned.release() // topKIvfPq pins its cell assignment
+  }
 }
