@@ -29,6 +29,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("c_acctbal"), "unprojected column read")
   }
 
+  test("Q12: returnflag filter pushes into the lineitem scan; priority split partial-aggregates") {
+    val plan = explained(queries.Catalog.byName("q12_shipmode_priority").run(spark, sfDir))
+    assert(plan.contains("In(l_returnflag, [A,N])"),
+      s"mode filter not pushed into the lineitem scan:\n$plan")
+    // 3-column fact projections must reach both scans (timestamp flavor —
+    // ntz vs ltz — varies with the fixture generation, so match the prefix)
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string,l_shipdate:timestamp"),
+      s"lineitem scan not pruned to the 3 touched columns:\n$plan")
+    // partial + final HashAggregate pair around the group-by exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("J1: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = explained(queries.Catalog.byName("j1_broadcast_lookup").run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
