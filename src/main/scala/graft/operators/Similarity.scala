@@ -157,7 +157,8 @@ object Similarity {
     * regression below the floor breaks the round's correctness gate, not
     * just a spec. A boolean against a floor — not the raw mean — is pinned
     * because fixtures regenerate between rounds and the exact mean moves
-    * with them; the floor carries a measured >= 0.08 margin per entry.
+    * with them; the floor carries a measured >= 0.10 margin per entry
+    * (0.90-0.98 mean recall at sf0.01 vs the 0.8 floor).
     *
     * Queries with NO exact neighbors (corpus of 1) are absent from both
     * sides and don't count; recall of an ANN path returning zero rows for
