@@ -108,9 +108,12 @@ object Bench {
     // regression (slow twice) from a ghost (fast on retry). The smaller
     // of the two timings feeds every derived field; both are reported.
     val firstPass = results.toMap
-    val suspects = firstPass.collect {
-      case (n, t) if base.get(n).exists(b => b > 0 && t / b > 2.0) => n
-    }.toSeq.sorted
+    val firstRatios = firstPass.collect {
+      case (n, t) if base.get(n).exists(_ > 0) => n -> t / base(n) }
+    val (suspects, nSuspectsTotal) = selectSuspects(firstRatios)
+    if (nSuspectsTotal > suspects.size)
+      System.err.println(s"[bench] WARNING: $nSuspectsTotal over-2x suspects, " +
+        s"re-timing only the first ${suspects.size}")
     val qmap = SparkEntry.queries
     val retimed: Map[String, Double] = suspects.flatMap { n =>
       qmap.get(n).flatMap { fn =>
@@ -126,12 +129,7 @@ object Bench {
       n -> math.min(t, retimed.getOrElse(n, t)) }
     val shared = effective.collect { case (n, t) if base.contains(n) && base(n) > 0 =>
       (n, t / base(n)) }
-    val medianRatio =
-      if (shared.isEmpty) -1.0
-      else {
-        val s = shared.map(_._2).sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
+    val medianRatio = med(shared.map(_._2).toSeq)
     def names(xs: Seq[String]): String = xs.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val over2xRaw = shared.filter(_._2 > 2.0).map(_._1)
     val over2xNorm =
@@ -151,6 +149,35 @@ object Bench {
     */
   private[graft] def isHostDegraded(calibStart: Double, calibEnd: Double): Boolean =
     calibStart > 0 && calibEnd / calibStart > 1.3
+
+  /** Median of a sample; -1.0 sentinel when empty (matches the JSON
+    * line's "no baseline" convention).
+    */
+  private[graft] def med(s: Seq[Double]): Double =
+    if (s.isEmpty) -1.0
+    else {
+      val v = s.sorted
+      if (v.size % 2 == 1) v(v.size / 2) else (v(v.size / 2 - 1) + v(v.size / 2)) / 2
+    }
+
+  /** Which queries the one-shot retimer should re-run, given first-pass
+    * per-query ratios vs baseline. Suspects are gated on the ratio
+    * NORMALIZED by the first-pass median (floored at 1.0 so a fast box
+    * never inflates ratios): a uniformly slow box — rounds 3-4 measured
+    * every raw ratio at 2-4x — must produce ZERO suspects, because that
+    * condition is the median's to report, not the retimer's to re-run.
+    * The set is capped so a pathological run can at most re-time a
+    * bounded slice of the catalog (with a warning), never double the
+    * whole bench. Returns (capped suspects, total suspect count). Pure
+    * and separately testable (BenchLogicSpec).
+    */
+  private[graft] def selectSuspects(firstRatios: Map[String, Double],
+                                    maxRetimes: Int = 25): (Seq[String], Int) = {
+    val m = math.max(med(firstRatios.values.toSeq), 1.0)
+    val all = firstRatios.collect {
+      case (n, r) if r > 2.0 && r / m > 2.0 => n }.toSeq.sorted
+    (all.take(maxRetimes), all.size)
+  }
 
   /** Per-query base times parsed from BASELINE.md's measurement table
     * (`| <catalog_name> | <seconds> | ...`). Catalog names are bare

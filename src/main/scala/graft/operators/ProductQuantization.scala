@@ -167,6 +167,7 @@ object ProductQuantization {
   def writeIndex(corpus: DataFrame, dir: String, dim: Int = 64, m: Int = 8,
                  kCodes: Int = 16,
                  fitSampleFraction: Double = 1.0): Array[Array[Array[Float]]] = {
+    invalidateManifest(corpus.sparkSession, dir)
     val books = fitCodebooks(corpus, dim, m, kCodes, fitSampleFraction)
     writeCodebooks(corpus.sparkSession, books, s"$dir/codebooks")
     corpus.select(col("vec_id").as("n_id"), encode(col("embedding"), books).as("codes"))
@@ -177,9 +178,10 @@ object ProductQuantization {
   }
 
   /** Build-parameter manifests: every persisted index carries a one-file
-    * (name, value) parquet written LAST (after codes), so a probe can
-    * detect a directory left behind by a run with different parameters —
-    * or a build that died between codebooks and codes — and rebuild
+    * (name, value) parquet written LAST (after codes) and deleted FIRST
+    * on any rebuild, so a probe can detect a directory left behind by a
+    * run with different parameters — or a build that died at any point,
+    * including mid-overwrite of a previously valid index — and rebuild
     * instead of silently probing a stale index (ADVICE r5). A missing or
     * unreadable manifest (including any pre-manifest index) reads as a
     * mismatch.
@@ -187,6 +189,17 @@ object ProductQuantization {
   private def pqParams(dim: Int, m: Int, kCodes: Int, fit: Double) =
     Map("dim" -> dim.toDouble, "m" -> m.toDouble, "kCodes" -> kCodes.toDouble,
       "fitSampleFraction" -> fit)
+
+  /** Delete `dir`/params before touching any index file: the manifest is
+    * a COMPLETION marker, so a rebuild over an existing same-params index
+    * must not leave the old manifest validating half-overwritten codes if
+    * the build dies mid-write.
+    */
+  private def invalidateManifest(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/params")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
                             dir: String, params: Map[String, Double]): Unit = {
@@ -304,6 +317,7 @@ object ProductQuantization {
   def writeIvfPqIndex(corpus: DataFrame, dir: String,
                       nCells: Int = 16, dim: Int = 64, m: Int = 8,
                       kCodes: Int = 16, fitSampleFraction: Double = 1.0): Unit = {
+    invalidateManifest(corpus.sparkSession, dir)
     val (codeTable, cents, books) =
       buildIvfPq(corpus, nCells, dim, m, kCodes, fitSampleFraction)
     val spark = corpus.sparkSession

@@ -22,9 +22,11 @@ object DedupQueries {
 
   /** Shared fixture of the incremental-dedup entries: the clean corpus and
     * a batch planting exact dups (2M ids), near-dups (3M), fresh docs (4.0M)
-    * and batch-internal dups of those (4.1M).
+    * and batch-internal dups of those (4.1M). `private[graft]` so
+    * ProbeProfile times exactly this workload — a copy would silently
+    * drift when the fixture next changes.
     */
-  private def incrementalFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def incrementalFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
     val existing = docs.select(col("doc_id"), col("text"))
     val batch = docs.where(col("doc_id") < 10)
@@ -91,8 +93,19 @@ object DedupQueries {
       val prevPart = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try vet().localCheckpoint(true)
-      finally {
+      // spark.graft.probe.materialize=false (PlanLintSpec only) skips the
+      // checkpoint so the VETTING plan stays inspectable — a checkpointed
+      // frame reads back as Scan ExistingRDD, which would hide a future
+      // cross-join regression in this AQE-off configuration from the
+      // catalog-wide lint. Planning is still forced INSIDE the conf scope
+      // so the linted plan is the one the probe actually runs.
+      val materialize =
+        s.conf.get("spark.graft.probe.materialize", "true").toBoolean
+      try {
+        val df = vet()
+        if (materialize) df.localCheckpoint(true)
+        else { df.queryExecution.executedPlan; df }
+      } finally {
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
         s.conf.set("spark.sql.shuffle.partitions", prevPart)
       }

@@ -29,4 +29,42 @@ class BenchLogicSpec extends AnyFunSuite {
   test("a FASTER end probe (warmed host) never flags") {
     assert(!Bench.isHostDegraded(0.56, 0.25))
   }
+
+  test("retimer suspects: a uniformly slow box produces ZERO suspects") {
+    // rounds 3-4 condition: every raw ratio 2-4x — the median captures it,
+    // so re-running the whole catalog would just measure the same slow box
+    val uniform = (1 to 100).map(i => s"q$i" -> 2.8).toMap
+    val (suspects, total) = Bench.selectSuspects(uniform)
+    assert(suspects.isEmpty && total == 0)
+  }
+
+  test("retimer suspects: an isolated per-query ghost IS selected") {
+    // round-5 condition: calm catalog, one query hit by a transient stall
+    val ratios = (1 to 100).map(i => s"q$i" -> 1.1).toMap + ("ghost" -> 3.5)
+    val (suspects, total) = Bench.selectSuspects(ratios)
+    assert(suspects == Seq("ghost") && total == 1)
+  }
+
+  test("retimer suspects: the set is capped and the total reported") {
+    // a calm median with 40 ghosts: only maxRetimes re-run, all 40 counted
+    val ratios = (1 to 100).map(i => s"q$i" -> 1.0).toMap ++
+      (1 to 40).map(i => f"ghost$i%02d" -> 5.0)
+    val (suspects, total) = Bench.selectSuspects(ratios, maxRetimes = 25)
+    assert(suspects.size == 25 && total == 40)
+    assert(suspects.forall(_.startsWith("ghost")))
+  }
+
+  test("retimer suspects: a FAST box (median < 1) does not inflate ratios") {
+    // median 0.5 would double every normalized ratio without the 1.0 floor;
+    // a query at 1.9x raw is within budget and must not be re-timed
+    val ratios = (1 to 100).map(i => s"q$i" -> 0.5).toMap + ("edge" -> 1.9)
+    val (suspects, _) = Bench.selectSuspects(ratios)
+    assert(suspects.isEmpty)
+  }
+
+  test("median: empty sample reports the -1 sentinel; odd/even are exact") {
+    assert(Bench.med(Nil) == -1.0)
+    assert(Bench.med(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.med(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
 }

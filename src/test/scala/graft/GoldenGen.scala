@@ -16,10 +16,14 @@ import graft.queries.Catalog
 object GoldenGen {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // output dir is derived from the fixture dir's basename so running at
+    // another scale writes a NEW golden (e.g. ..._sf0.1) instead of
+    // silently poisoning the sf0.01 one the committed oracle SQL pins
+    val sfName = new java.io.File(sfDir).getName
     val spark = GraftSession.getOrCreate(8)
     Catalog.byName("e5_compression_ratio").run(spark, sfDir)
       .coalesce(1).write.mode("overwrite")
-      .parquet("/root/repo/tools/golden/e5_compression_ratio_sf0.01")
+      .parquet(s"/root/repo/tools/golden/e5_compression_ratio_$sfName")
     spark.stop()
   }
 }

@@ -150,6 +150,37 @@ class OperatorsSpec extends SparkSpec {
       kCodes = 8, fitSampleFraction = 0.5))
   }
 
+  test("E3: PQ manifest is a COMPLETION marker — a rebuild that dies leaves no valid manifest") {
+    // a rebuild over an existing same-params index must invalidate the old
+    // manifest BEFORE touching index files: if the build dies mid-write,
+    // the next probe must see a mismatch and rebuild, not ADC-scan a
+    // half-overwritten codes table
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqcrash").toString
+    ProductQuantization.writeIndex(emb, dir, kCodes = 8, fitSampleFraction = 0.5)
+    assert(ProductQuantization.pqIndexMatches(spark, dir,
+      kCodes = 8, fitSampleFraction = 0.5))
+    // a rebuild attempt that fails at ANY point (here: the earliest
+    // possible one, the fit-fraction validation) must already have
+    // invalidated the previous manifest
+    intercept[IllegalArgumentException] {
+      ProductQuantization.writeIndex(emb, dir, kCodes = 8, fitSampleFraction = -1.0)
+    }
+    assert(!ProductQuantization.pqIndexMatches(spark, dir,
+      kCodes = 8, fitSampleFraction = 0.5))
+    // same contract for the IVF-PQ writer
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-ivfcrash").toString
+    ProductQuantization.writeIvfPqIndex(emb, ivfDir, nCells = 4, kCodes = 8,
+      fitSampleFraction = 0.5)
+    intercept[IllegalArgumentException] {
+      ProductQuantization.writeIvfPqIndex(emb, ivfDir, nCells = 4, kCodes = 8,
+        fitSampleFraction = -1.0)
+    }
+    assert(!ProductQuantization.ivfPqIndexMatches(spark, ivfDir, nCells = 4,
+      kCodes = 8, fitSampleFraction = 0.5))
+  }
+
   test("as-of join: equal-ts right duplicates resolve to the max value deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, "rA"), (1L, 10L, "rZ"), (1L, 10L, "rM")).toDF("k", "ts", "v")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
-import graft.sources.{IndexStore, Tables}
+import graft.sources.IndexStore
 
 /** Dev profiler for the e2_incremental_probe floor (VERDICT r5 #4): times
   * each phase of a stored-index probe separately so the fixed cost can be
@@ -19,17 +19,10 @@ object ProbeProfile {
     }
     // warmup parquet reader
     spark.read.parquet(s"$d/region.parquet").count()
-    val docs = Tables.documents(spark, d)
-    val existing = docs.select(col("doc_id"), col("text"))
-    val batch = docs.where(col("doc_id") < 10)
-      .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
-      .union(docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
-        .select((col("doc_id") + 3000000).as("doc_id"),
-          expr("substring(text, 1, CAST(floor(length(text) * 0.9) AS INT))").as("text")))
-      .union(docs.where(col("doc_id") < 5)
-        .select((col("doc_id") + 4000000).as("doc_id"), reverse(col("text")).as("text")))
-      .union(docs.where(col("doc_id") < 3)
-        .select((col("doc_id") + 4100000).as("doc_id"), reverse(col("text")).as("text")))
+    // the EXACT workload of the catalog entries — shared, not copied, so
+    // a fixture change cannot silently decouple the profiler from what
+    // e2_incremental_probe actually runs
+    val (existing, batch) = graft.queries.DedupQueries.incrementalFixture(spark, d)
     val sigPath = s"${IndexStore.root(d)}/dedup_sig"
     val bandTable = s"graft_band_index_${IndexStore.tableTag(d)}"
     val sig = t("read_sig")(spark.read.parquet(sigPath))
