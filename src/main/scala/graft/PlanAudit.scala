@@ -80,7 +80,9 @@ object PlanAudit {
     "e5_dup_ngram_coverage" ->
       "Duplicate n-gram coverage: shingle digests shuffle as 8-byte hash60 longs, never 32-char md5 strings; per-doc totals come from a map-side partial count (no join), and only the df >= 2 digest subset joins back against the gram stream — the corpus-wide equi-join carries the narrow dup set, not every gram's document frequency.",
     "q12_shipmode_priority" ->
-      "TPC-H Q12 shape: both fact scans project to the 3 columns the query touches (visible in ReadSchema) and the returnflag filter pushes into the lineitem scan; the one exchange pair is the l_orderkey equi-join both facts inherently need, the lateness range predicate rides as a post-join filter, and the priority split partial-aggregates to 2 rows before the final exchange."
+      "TPC-H Q12 shape: both fact scans project to the 3 columns the query touches (visible in ReadSchema) and the returnflag filter pushes into the lineitem scan; the one exchange pair is the l_orderkey equi-join both facts inherently need, the lateness range predicate rides as a post-join filter, and the priority split partial-aggregates to 2 rows before the final exchange.",
+    "e5_bpe_encode" ->
+      "Full BPE tokenizer: training's only corpus cost is the exact word-count aggregate (map-side partial combine) capped by a TakeOrderedAndProject vocab cut — the merge loop runs driver-side on that bounded table, corpus-independent; encoding is a broadcast-rank UDF fused into the document scan's map stage (ZERO text shuffles), and the lone remaining exchange is the |sources|-row fertility aggregate."
   )
 
   def main(args: Array[String]): Unit = {

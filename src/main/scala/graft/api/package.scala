@@ -125,6 +125,22 @@ package object api {
                          n: Int = 3, k: Int = 64): DataFrame =
       operators.Sketches.kmvJaccard(
         operators.Sketches.kmvSignatures(df, strataCol, textCol, n, k), k)
+
+    /** Train BPE merge rules on a token column (E5): one word-count
+      * shuffle + bounded vocab cut, then the driver-side merge loop —
+      * see operators/Bpe.scala for the 100 TB split.
+      */
+    def bpeMerges(tokenCol: String = "token", numMerges: Int = 1000,
+                  maxVocab: Int = 65536): Seq[(String, String)] =
+      operators.Bpe.trainOn(df, tokenCol, numMerges, maxVocab)
+
+    /** Segment an array-of-words column into BPE pieces (E5): ranks
+      * broadcast, zero-shuffle map-side encode.
+      */
+    def bpeEncoded(merges: Seq[(String, String)],
+                   tokensCol: String = "tokens",
+                   as: String = "pieces"): DataFrame =
+      operators.Bpe.withPieces(df, tokensCol, merges, as)
   }
 
   implicit class EmbeddingOps(private val corpus: DataFrame) {

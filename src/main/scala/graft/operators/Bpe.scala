@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: learn merge rules from a corpus and
+  * segment text into subword pieces — the Sennrich/Haddow/Birch 2016
+  * algorithm ("Neural Machine Translation of Rare Words with Subword
+  * Units") that GPT-2/RoBERTa-style tokenizers implement. Extends the
+  * catalogued `e5_bpe_pairs` inner loop (first-merge pair counts) to the
+  * full train + encode cycle a training-data pipeline needs for REAL
+  * token counting and budget accounting (reference scope: the course
+  * repo's Word2VecModel vocabulary handling, e.g.
+  * chapter2/PredictCommentsUsingRNNAndWord2Vec.java:55-63, stops at
+  * whitespace words; subword segmentation is the E-series extension).
+  *
+  * Scale split (how every production tokenizer pipeline works —
+  * SentencePiece and HF tokenizers train the same way):
+  *
+  *  - TRAIN is corpus-wide only in its FIRST step: one exact word-count
+  *    shuffle with map-side partial aggregation, then top-`maxVocab`
+  *    words via TakeOrderedAndProject — a BOUNDED driver materialization
+  *    (≤ maxVocab rows, like the PQ codebooks and the S8 vocab table),
+  *    deterministic under ties (count desc, word asc). The merge loop
+  *    itself runs on that in-memory word-frequency table: numMerges
+  *    iterations over ≤ maxVocab short strings, microseconds per merge,
+  *    corpus-size-INDEPENDENT. Training never iterates over the corpus —
+  *    at 100 TB the only corpus cost is the one word-count pass.
+  *  - ENCODE is pure map-side: merge ranks broadcast (a few hundred KB
+  *    for a 50k-merge tokenizer), each document segmented row-local by a
+  *    UDF (sanctioned: no built-in applies ranked rewrites; same policy
+  *    as the sketch-lookup UDFs) — zero shuffles over text.
+  *
+  * Determinism: word counts are exact, the vocab cut and every merge
+  * tie-break are totally ordered (pair count desc, then lexicographic
+  * pair), and greedy encoding always merges the lowest-ranked pair,
+  * leftmost first — so trained merges and encodings are bitwise
+  * reproducible across partitionings and sessions, which is what lets
+  * the catalog entries pin against stored goldens.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended as a final symbol before training and
+    * encoding (the paper's `·` marker): it lets the model learn
+    * word-final pieces ("est</w>") distinct from word-internal ones, and
+    * makes detokenization lossless.
+    */
+  val EndOfWord = "</w>"
+
+  private def toSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Learn up to `numMerges` merge rules from a word-frequency table.
+    * Stops early when no adjacent pair occurs at least twice (merging a
+    * count-1 pair memorizes a single word — the paper's stopping rule).
+    * Pure and driver-side by design; see the scale note above.
+    */
+  def train(wordCounts: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    var vocab: Vector[(Vector[String], Long)] =
+      wordCounts.toVector.sortBy(_._1).map { case (w, n) => (toSymbols(w), n) }
+    val merges = Vector.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          j += 1
+        }
+      }
+      val best = counts.filter(_._2 >= 2L)
+      if (best.isEmpty) done = true
+      else {
+        // total order: count desc, then lexicographic (left, right)
+        val pair = best.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += pair
+        vocab = vocab.map { case (syms, n) => (mergeOnce(syms, pair), n) }
+        i += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Replace every adjacent occurrence of `pair`, leftmost-first (after a
+    * merge the scan resumes AFTER the new symbol, so "aaa" under (a,a)
+    * becomes ["aa","a"], never ["a","aa"]).
+    */
+  private def mergeOnce(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += syms(j) + syms(j + 1); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  /** Train on a token column: ONE corpus shuffle (exact word counts with
+    * map-side combine), a TakeOrderedAndProject vocab cut bounded by
+    * `maxVocab`, then the driver-side merge loop. Returns merges in rank
+    * order.
+    */
+  def trainOn(tokens: DataFrame, tokenCol: String, numMerges: Int,
+              maxVocab: Int = 65536): Seq[(String, String)] = {
+    require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
+    val wc = tokens.where(col(tokenCol).isNotNull && length(col(tokenCol)) > 0)
+      .groupBy(tokenCol).agg(count(lit(1)).as("wn"))
+      .orderBy(col("wn").desc, col(tokenCol).asc)
+      .limit(maxVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    train(wc, numMerges)
+  }
+
+  /** Segment one word with learned merge ranks: greedily apply the
+    * LOWEST-ranked applicable merge (leftmost occurrence first via
+    * [[mergeOnce]]) until none applies — the standard BPE inference rule,
+    * guaranteeing encode-time segmentation matches train-time merges.
+    * Unseen characters simply stay single-character pieces (BPE's
+    * graceful OOV story). Concatenating the pieces and dropping the
+    * [[EndOfWord]] sentinel always reproduces the word exactly.
+    */
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = toSymbols(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(j), syms(j + 1)) }
+        j += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = mergeOnce(syms, bestPair)
+    }
+    syms
+  }
+
+  /** Add a column of BPE pieces for an ARRAY-of-words column: ranks are
+    * broadcast once, each row segments locally (zero shuffle — the
+    * 100 TB path tokenizes in the same map stage that reads the text).
+    */
+  def withPieces(df: DataFrame, tokensCol: String, merges: Seq[(String, String)],
+                 out: String): DataFrame = {
+    val b = df.sparkSession.sparkContext.broadcast(ranksOf(merges))
+    val enc = udf { words: Seq[String] =>
+      if (words == null) null
+      else words.flatMap(w => encodeWord(w, b.value))
+    }
+    df.withColumn(out, enc(col(tokensCol)))
+  }
+
+  /** Merge list -> rank lookup (rank = training order, 0 is first). */
+  def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+}

@@ -134,11 +134,17 @@ object MLQueries {
     // order, making this the lone partition-variant catalog entry); the
     // distributed hogwild path — the 100 TB posture, where gradient mixing
     // noise is dwarfed by corpus size — stays available under
-    // spark.graft.w2v.numPartitions. Rows-only because no SQL oracle can
-    // replay SGD, but the output is now deterministic for a fixed fixture:
-    // seeded single-partition fit + sim rounded to 3dp + (sim, word)
-    // sort-stabilized synonym rows.
-    QueryDef.rowsOnly("m5_word2vec_table") { (s, d) =>
+    // spark.graft.w2v.numPartitions. No SQL oracle can replay SGD, but
+    // the default fit is deterministic for a fixed fixture (seeded
+    // single-partition fit + sim rounded to 3dp + (sim, word)
+    // sort-stabilized synonym rows — re-run equality pinned in
+    // CatalogSpec), so the oracle pins a committed golden
+    // (graft.GoldenGen), same contract as e5_compression_ratio.
+    QueryDef.sql(
+      "m5_word2vec_table",
+      """SELECT query, word, sim, vocab_rows, dim
+        |FROM read_parquet('/root/repo/tools/golden/m5_word2vec_table_sf0.01/*.parquet')
+        |ORDER BY sim DESC, word""".stripMargin) { (s, d) =>
       val spark = s
       import spark.implicits._
       val w2vParts = s.conf.getOption("spark.graft.w2v.numPartitions")

@@ -533,11 +533,17 @@ object RelationalQueries {
     // A10 (sketch variant): HyperLogLog++ approximate distinct — the form
     // you actually run at 100 TB. Exact count(DISTINCT) shuffles every
     // distinct key; the sketch shuffles a few KB per group at a declared
-    // relative error. Rows-only (DuckDB's approx_count_distinct is a
-    // different HLL implementation, so values legitimately differ); the
-    // ≤5% relative-error gate vs the exact counts is asserted in
-    // FunctionsSpec.
-    QueryDef.rowsOnly("a10_approx_distinct") { (s, d) =>
+    // relative error. DuckDB's approx_count_distinct is a DIFFERENT HLL
+    // implementation (values legitimately differ), but Spark's HLL++ is
+    // fully deterministic AND partition-invariant (register merge is a
+    // commutative max), so the oracle pins a committed golden
+    // (graft.GoldenGen) — the ≤5% relative-error gate vs the exact counts
+    // stays asserted in FunctionsSpec.
+    QueryDef.sql(
+      "a10_approx_distinct",
+      """SELECT o_orderpriority, n_cust_approx, n_orders
+        |FROM read_parquet('/root/repo/tools/golden/a10_approx_distinct_sf0.01/*.parquet')
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
       Tables.orders(s, d).groupBy("o_orderpriority")
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
           count(lit(1)).as("n_orders"))

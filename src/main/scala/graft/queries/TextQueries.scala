@@ -838,11 +838,16 @@ object TextQueries {
     // same top-25 tokens. At 100 TB the exact path's shuffle carries the
     // full distinct vocabulary; the sketch pass reduces to ONE constant-
     // size counter grid (map-side merge, ~KBs at eps = 1e-3) regardless
-    // of corpus or vocabulary size. Estimates are deterministic but
-    // DuckDB cannot replay the sketch → rows-only here; the one-sided
-    // error bound (exact <= est <= exact + eps * N) is gated in
-    // OperatorsSpec.
-    QueryDef.rowsOnly("e5_heavy_hitters_cms") { (s, d) =>
+    // of corpus or vocabulary size. DuckDB cannot replay the sketch, but
+    // the seeded CMS is deterministic AND partition-invariant (counter
+    // adds commute), so the oracle pins a committed golden
+    // (graft.GoldenGen); the one-sided error bound
+    // (exact <= est <= exact + eps * N) stays gated in OperatorsSpec.
+    QueryDef.sql(
+      "e5_heavy_hitters_cms",
+      """SELECT token, exact_n, est_n
+        |FROM read_parquet('/root/repo/tools/golden/e5_heavy_hitters_cms_sf0.01/*.parquet')
+        |ORDER BY exact_n DESC, token""".stripMargin) { (s, d) =>
       import graft.operators.{Pinned, Sketches}
       val toks = Pinned.pin(tokensDF(s, d))
       val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
@@ -905,6 +910,55 @@ object TextQueries {
           round(min(col("ratio")), 4).as("min_ratio"),
           round(max(col("ratio")), 4).as("max_ratio"),
           sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_suspicious"))
+        .orderBy("source")
+    },
+
+    // E5q: full BPE tokenizer TRAINING (the merge table e5_bpe_pairs only
+    // previews round 1 of) — Sennrich et al. 2016 over the canonical token
+    // stream. 100 TB: ONE corpus shuffle (exact word counts), a bounded
+    // TakeOrdered vocab cut, then a corpus-independent driver merge loop
+    // (operators/Bpe.scala scale note). Deterministic end to end (exact
+    // counts, total-order tie-breaks), so the oracle pins a stored golden
+    // like e5_compression_ratio — not SQL-expressible (iterative rewrite),
+    // regenerate via `Test/runMain graft.GoldenGen` after fixture drift.
+    QueryDef.sql(
+      "e5_bpe_merges",
+      """SELECT rank, left_sym, right_sym, merged
+        |FROM read_parquet('/root/repo/tools/golden/e5_bpe_merges_sf0.01/*.parquet')
+        |ORDER BY rank""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      val merges = Bpe.trainOn(tokensDF(s, d), "token",
+        numMerges = 64, maxVocab = 4096)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
+        .toDF("rank", "left_sym", "right_sym", "merged")
+        .orderBy("rank")
+    },
+
+    // E5q: BPE ENCODE — segment every document with the trained merges and
+    // report per-source subword fertility (pieces per word, the number a
+    // token-budget pipeline actually bills by). Encoding is pure map-side
+    // (ranks broadcast, zero text shuffle); the lone exchange is the
+    // |sources|-row aggregate. Same golden-pin oracle contract as above.
+    QueryDef.sql(
+      "e5_bpe_encode",
+      """SELECT source, n_docs, n_words, n_pieces, fertility
+        |FROM read_parquet('/root/repo/tools/golden/e5_bpe_encode_sf0.01/*.parquet')
+        |ORDER BY source""".stripMargin) { (s, d) =>
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokenize(col("text")).as("toks"))
+      val merges = Bpe.trainOn(
+        docs.select(explode(col("toks")).as("token")), "token",
+        numMerges = 64, maxVocab = 4096)
+      Bpe.withPieces(docs, "toks", merges, "pieces")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("n_words"),
+          sum(size(col("pieces"))).cast("long").as("n_pieces"),
+          round(sum(size(col("pieces"))).cast("double") /
+            sum(size(col("toks"))).cast("double"), 4).as("fertility"))
         .orderBy("source")
     }
   )

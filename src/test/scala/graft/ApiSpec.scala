@@ -120,4 +120,17 @@ class ApiSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(viaVerb == viaOp && viaVerb.nonEmpty)
   }
+
+  test("BPE verbs: tokenize -> train merges -> encode chains fluently") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).tokenized()
+    val merges = docs.select(explode(col("tokens")).as("token"))
+      .bpeMerges(numMerges = 16, maxVocab = 512)
+    assert(merges.size == 16)
+    val pieces = docs.bpeEncoded(merges).select("doc_id", "pieces")
+    // every document segments; concatenated pieces reproduce the words
+    val row = pieces.orderBy("doc_id").limit(1).collect()(0)
+    assert(row.getSeq[String](1).nonEmpty)
+    assert(merges == graft.operators.Bpe.trainOn(
+      docs.select(explode(col("tokens")).as("token")), "token", 16, 512))
+  }
 }

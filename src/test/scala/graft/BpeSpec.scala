@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+import graft.sources.Tables
+
+/** BPE tokenizer train + encode (E5): merge-rule learning on a
+  * word-frequency table, ranked greedy segmentation, losslessness, and
+  * partition-invariance of the distributed training path.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("train: hand-computed merges on a two-word vocab") {
+    // ab x3, ac x1 -> pairs (a,b)=3, (b,</w>)=3, (a,c)=1, (c,</w>)=1.
+    // count tie at 3 resolves lexicographically: (a,b) before (b,</w>).
+    // after merging: (ab,</w>)=3 wins round 2; every remaining pair has
+    // count 1, so training stops (paper rule: never merge count-1 pairs).
+    val merges = Bpe.train(Map("ab" -> 3L, "ac" -> 1L), numMerges = 10)
+    assert(merges == Seq(("a", "b"), ("ab", Bpe.EndOfWord)))
+  }
+
+  test("train: leftmost-first merging — 'aaa' under (a,a) becomes [aa, a]") {
+    // aaab x2: pairs (a,a)=4 (two per occurrence), (a,b)=2, (b,</w>)=2.
+    // merge (a,a): symbols become [aa, a, b, </w>] — NOT [a, aa, ...] —
+    // then (aa,a)=2 ties (a,b)=2 and (b,</w>)=2; (a,b) is lexicographic min.
+    val merges = Bpe.train(Map("aaab" -> 2L), numMerges = 2)
+    assert(merges.head == (("a", "a")))
+    assert(merges(1) == (("a", "b")))
+  }
+
+  test("train: stops early when no pair reaches count 2") {
+    assert(Bpe.train(Map("abc" -> 1L), numMerges = 5).isEmpty)
+    assert(Bpe.train(Map.empty, numMerges = 5).isEmpty)
+    assert(Bpe.train(Map("ab" -> 9L), numMerges = 0).isEmpty)
+  }
+
+  test("encode: applies merges by RANK (not text order) and leftmost-first") {
+    // ranks: (e,s) then (es,t) then (t,</w>) — "newest" must segment as
+    // n e w est </w> via the rank path, not greedily longest-first
+    val ranks = Bpe.ranksOf(Seq(("e", "s"), ("es", "t"), ("t", Bpe.EndOfWord)))
+    assert(Bpe.encodeWord("newest", ranks) ==
+      Seq("n", "e", "w", "est", Bpe.EndOfWord))
+    // a word without any learnable pair stays characters + sentinel
+    assert(Bpe.encodeWord("xy", ranks) == Seq("x", "y", Bpe.EndOfWord))
+    // unseen characters (OOV) degrade to single-char pieces, never fail
+    assert(Bpe.encodeWord("née", ranks) == Seq("n", "é", "e", Bpe.EndOfWord))
+  }
+
+  test("encode: training's own vocabulary round-trips through its merges") {
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.train(wc, numMerges = 10)
+    assert(merges.nonEmpty)
+    val ranks = Bpe.ranksOf(merges)
+    wc.keys.foreach { w =>
+      val pieces = Bpe.encodeWord(w, ranks)
+      assert(pieces.mkString.stripSuffix(Bpe.EndOfWord) == w,
+        s"lossless round-trip failed for $w: $pieces")
+    }
+    // the most frequent word must compress below its character count
+    assert(Bpe.encodeWord("newest", ranks).length < "newest".length + 1)
+  }
+
+  test("encode: lossless for arbitrary words under arbitrary trained merges") {
+    // seeded property sweep: random low-alphabet corpora (so pairs repeat
+    // and merges actually fire), random merge budgets — concatenating the
+    // pieces must always reproduce the word
+    val rnd = new scala.util.Random(42)
+    (1 to 60).foreach { _ =>
+      val ws = Vector.fill(1 + rnd.nextInt(20))(
+        Vector.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString)
+      val wc = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val ranks = Bpe.ranksOf(Bpe.train(wc, rnd.nextInt(13)))
+      ws.foreach { w =>
+        assert(Bpe.encodeWord(w, ranks).mkString.stripSuffix(Bpe.EndOfWord) == w)
+      }
+    }
+  }
+
+  test("trainOn: partition-invariant and deterministic on the documents corpus") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.plans.NativeColumns.tokenize(col("text"))).as("token"))
+    val a = Bpe.trainOn(toks.repartition(1), "token", numMerges = 24, maxVocab = 512)
+    val b = Bpe.trainOn(toks.repartition(13), "token", numMerges = 24, maxVocab = 512)
+    assert(a == b)
+    assert(a.size == 24)
+  }
+
+  test("withPieces: zero-shuffle map-side plan; null tokens stay null") {
+    import SharedSpark.spark.implicits._
+    val merges = Seq(("a", "b"), ("ab", Bpe.EndOfWord))
+    val df = Seq((1L, Seq("ab", "cd")), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "toks")
+    val out = Bpe.withPieces(df, "toks", merges, "pieces")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must not shuffle:\n$plan")
+    val rows = out.select("id", "pieces").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(rows(1L).get == Seq("ab</w>", "c", "d", Bpe.EndOfWord))
+    assert(rows(2L).isEmpty)
+  }
+}

@@ -2,9 +2,14 @@ package graft
 
 import graft.queries.Catalog
 
-/** Regenerates the stored golden tables that oracle SQL pins by path
-  * (currently `e5_compression_ratio` — deflate is deterministic but not
-  * computable in DuckDB, so its oracle reads a committed parquet instead).
+/** Regenerates the stored golden tables that oracle SQL pins by path —
+  * the deterministic-but-not-DuckDB-computable entries
+  * (`e5_compression_ratio`: deflate; `e5_bpe_merges` / `e5_bpe_encode`:
+  * iterative merge learning; `a10_approx_distinct`: Spark's HLL++;
+  * `e5_heavy_hitters_cms`: seeded count-min sketch; `m5_word2vec_table`:
+  * seeded single-partition Word2Vec fit). Pin eligibility = deterministic
+  * AND partition-invariant (sketches: commutative register/counter
+  * merges; m5: one-partition fit with re-run equality in CatalogSpec).
   *
   * Run `sbt "Test/runMain graft.GoldenGen"` AFTER any fixture
   * regeneration that changes document text, then commit the refreshed
@@ -14,6 +19,13 @@ import graft.queries.Catalog
   * and fixture drift, at the cost of this one regeneration step.
   */
 object GoldenGen {
+  /** Every golden-pinned catalog entry; oracle SQL in TextQueries reads
+    * `tools/golden/<name>_sf0.01` for each.
+    */
+  val pinned: Seq[String] =
+    Seq("e5_compression_ratio", "e5_bpe_merges", "e5_bpe_encode",
+      "a10_approx_distinct", "e5_heavy_hitters_cms", "m5_word2vec_table")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     // output dir is derived from the fixture dir's basename so running at
@@ -21,9 +33,12 @@ object GoldenGen {
     // silently poisoning the sf0.01 one the committed oracle SQL pins
     val sfName = new java.io.File(sfDir).getName
     val spark = GraftSession.getOrCreate(8)
-    Catalog.byName("e5_compression_ratio").run(spark, sfDir)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"/root/repo/tools/golden/e5_compression_ratio_$sfName")
+    pinned.foreach { name =>
+      Catalog.byName(name).run(spark, sfDir)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"/root/repo/tools/golden/${name}_$sfName")
+      println(s"[golden] wrote tools/golden/${name}_$sfName")
+    }
     spark.stop()
   }
 }
