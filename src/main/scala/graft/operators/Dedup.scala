@@ -364,15 +364,28 @@ object Dedup {
         val batchB = Pinned.pin(bands(batchSig, numHashes, rowsPerBand)
           .select(concat_ws(":", col("band"), col("key")).as("bkey"),
             col("doc_id").as("q_id")))
+        // Auto caps the enumeration at parquet's inFilterThreshold (like
+        // the candidate-id pushdown below): past it the scan degrades the
+        // IN to a min/max range and 16-way bucket hashing saturates, so a
+        // multi-thousand-literal isin buys NO pruning while its plan
+        // compile costs seconds (measured: a 2,800-doc batch = ~11k keys
+        // ran SLOWER than a 28,000-doc batch that fell back to the join —
+        // ProbeAmortize, round 6). InFilter honors maxProbeKeys verbatim
+        // as the explicit opt-in the scaladoc documents.
+        val enumCap = probeStrategy match {
+          case InFilter => maxProbeKeys
+          case _ => math.min(maxProbeKeys, existing.sparkSession.conf
+            .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+        }
         val keys =
           if (probeStrategy == SemiJoin) Seq.empty[String]
-          else batchB.select("bkey").distinct().limit(maxProbeKeys + 1)
+          else batchB.select("bkey").distinct().limit(enumCap + 1)
             .collect().map(_.getString(0)).toSeq
         // a batch small enough to enumerate is small enough to broadcast;
         // above the cap — or under SemiJoin, which never enumerates — fall
         // back to plain joins (AQE decides the strategy, the bucketed
         // layout still spares the stored side its exchange)
-        val small = probeStrategy != SemiJoin && keys.size <= maxProbeKeys
+        val small = probeStrategy != SemiJoin && keys.size <= enumCap
         val pruned =
           if (small) stored.where(col("bkey").isin(keys: _*)) else stored
         val batchC = batchB.select(col("bkey"), col("q_id").as("c_id"))
