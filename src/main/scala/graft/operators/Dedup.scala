@@ -694,7 +694,13 @@ object Dedup {
     val evalSh = Pinned.pin(
       shingleSet(eval, idCol, textCol, n).select("sh").distinct())
     val nEval = evalSh.count() // eval-sized action, reuses the pinned frame
-    val bf = evalSh.stat.bloomFilter("sh", math.max(nEval, 1L), fpp)
+    // empty eval set -> nothing can be contaminated; short-circuit with an
+    // empty report of the right shape (Spark's bloomFilter aggregate
+    // returns a null buffer over zero rows and readFrom NPEs on it)
+    if (nEval == 0)
+      return train.select(col(idCol).as("doc_id")).limit(0)
+        .withColumn("n_hits", lit(0L))
+    val bf = evalSh.stat.bloomFilter("sh", nEval, fpp)
     val bcast = train.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((sh: String) => sh != null && bcast.value.mightContainString(sh))
     val confirm = if (broadcastConfirm) broadcast(evalSh) else evalSh
