@@ -106,8 +106,19 @@ object ProductQuantization {
 
   /** ADC distance of a code row against a query's lookup table:
     * sum_s table[s][code_s] — m array lookups, no arithmetic on vectors.
+    * Delegates to the native codegen expression (plans.AdcDistance): the
+    * ADC scan touches |Q| x corpus/nCells x nProbe rows, and the composed
+    * higher-order-function form's interpreted lambdas + per-row array
+    * allocation dominated the probe's cost at fixture scale (AnnSweep).
     */
   def adcDistance(codes: Column, table: Column): Column =
+    graft.plans.NativeColumns.adcDistance(codes, table)
+
+  /** The pre-round-6 composed form, kept as the parity oracle for the
+    * native expression (PlansSpec asserts bitwise agreement, same policy
+    * as graft_cosine / graft_tokenize).
+    */
+  def adcDistanceComposed(codes: Column, table: Column): Column =
     aggregate(
       zip_with(codes, table, (c, row) => element_at(row, c + 1)),
       lit(0.0), (acc, v) => acc + v)

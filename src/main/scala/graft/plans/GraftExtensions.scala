@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "graft_token_count takes exactly 1 argument")
         TokenCount(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc_distance"),
+      AdcDistance.info,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "graft_adc_distance takes exactly 2 arguments")
+        AdcDistance(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectOptimizerRule(_ => TokenCountRewrite)
   }

@@ -24,4 +24,7 @@ object NativeColumns {
 
   def cosine(a: Column, b: Column): Column =
     ColumnShim.column(CosineSimilarity(expr(a), expr(b)))
+
+  def adcDistance(codes: Column, table: Column): Column =
+    ColumnShim.column(AdcDistance(expr(codes), expr(table)))
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pinned, ProductQuantization, Similarity}
+import graft.sources.{IndexStore, Tables}
+
+/** Query-count amortization sweep for the ANN paths: the catalog probes
+  * use |Q|=10, so this main checks the posture at |Q| = 8 / 800 / 8000
+  * against a stored IVF-PQ index — exact top-k (the |Q| x corpus
+  * baseline) vs the cell-pruned ADC probe. Both are linear in |Q| by
+  * design; the claim under test is that (a) the probe's per-query cost
+  * stays well under exact's as |Q| grows (the pruning constant survives
+  * the broadcast-side growth — 8k queries x 64 floats is ~2 MB, far
+  * under any broadcast limit), and (b) nothing cliffs.
+  *
+  * Run like ProbeAmortize: classes + test-classes + the Spark jars dir
+  * on the classpath, main graft.AnnSweep, arg = fixture dir.
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate(32)
+    spark.read.parquet(s"$d/region.parquet").count()
+    val emb = Tables.embeddings(spark, d)
+    val corpusN = emb.count()
+    val dir = s"${IndexStore.root(d)}/ivfpq"
+    if (!ProductQuantization.ivfPqIndexMatches(spark, dir, fitSampleFraction = 0.25))
+      ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+    for (nq <- Seq(8L, 800L, 8000L).map(math.min(_, corpusN)).distinct) {
+      val q = emb.where(col("vec_id") < nq)
+      def time(what: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"ANNSWEEP nq=$nq%5d corpus=$corpusN $what rows=$rows sec=$sec%.2f ms_per_q=${sec * 1000 / nq}%.2f")
+        Pinned.release(); spark.catalog.clearCache()
+      }
+      time("ivfpq_probe") {
+        ProductQuantization.ivfPqProbe(spark, dir, emb, q, k = 5,
+          nProbe = 12, rerank = 48).count()
+      }
+      time("exact      ") {
+        Similarity.exactTopK(emb, q, 5).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -104,6 +104,64 @@ class PlansSpec extends SparkSpec {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("native ADC distance equals the composed form bit-for-bit; null semantics; codegen") {
+    import graft.operators.ProductQuantization
+    // random (codes, table) rows at the real shape: m=8 subspaces,
+    // kCodes=16 centroids, plus the edge rows the null contract covers
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val codes = Seq.fill(8)(rnd.nextInt(16))
+      val table = Seq.fill(8)(Seq.fill(16)(rnd.nextDouble() * 4 - 2))
+      (codes, table)
+    }
+    val df = rows.toDF("codes", "table").cache()
+    val native = df.select(
+      ProductQuantization.adcDistance(col("codes"), col("table")).as("d"))
+      .as[Double].collect().toSeq
+    val composed = df.select(
+      ProductQuantization.adcDistanceComposed(col("codes"), col("table")).as("d"))
+      .as[Double].collect().toSeq
+    assert(native == composed) // bitwise: same doubles, same order of adds
+    df.unpersist()
+    // null contract: length mismatches -> null in BOTH forms
+    val edge = Seq(
+      (Seq(0, 1), Seq(Seq(1.0, 2.0))),          // codes longer than table
+      (Seq(0), Seq(Seq(1.0, 2.0), Seq(3.0)))    // table longer than codes
+    ).toDF("codes", "table")
+    val nativeEdge = edge.select(
+      ProductQuantization.adcDistance(col("codes"), col("table"))).collect().map(_.isNullAt(0))
+    val composedEdge = edge.select(
+      ProductQuantization.adcDistanceComposed(col("codes"), col("table"))).collect().map(_.isNullAt(0))
+    assert(nativeEdge.toSeq == Seq(true, true))
+    assert(composedEdge.toSeq == nativeEdge.toSeq)
+    // deliberate divergence on CORRUPT codes (unreachable from encode):
+    // the native form yields a row-local null; the composed form's ANSI
+    // element_at throws and would fail the whole scan
+    val corrupt = Seq((Seq(5), Seq(Seq(1.0, 2.0)))).toDF("codes", "table")
+    assert(corrupt.select(
+      ProductQuantization.adcDistance(col("codes"), col("table"))).head().isNullAt(0))
+    intercept[Exception] {
+      corrupt.select(
+        ProductQuantization.adcDistanceComposed(col("codes"), col("table"))).collect()
+    }
+    // SQL surface
+    val viaSql = Seq((Seq(1, 0), Seq(Seq(0.5, 1.5), Seq(2.5, 3.5))))
+      .toDF("codes", "table")
+      .selectExpr("graft_adc_distance(codes, table) AS d")
+    assert(viaSql.as[Double].head() == 1.5 + 2.5)
+    // whole-stage codegen: a literal frame constant-folds to
+    // LocalTableScan, so check over a parquet-backed source (same
+    // approach as the cosine codegen pin)
+    val emb = Tables.embeddings(spark, sfDir).limit(50)
+    val books = Array.fill(8)(Array.fill(16)(Array.fill(8)(0.1f)))
+    val planned = emb.select(
+      ProductQuantization.adcDistance(
+        ProductQuantization.encode(col("embedding"), books),
+        ProductQuantization.adcTable(col("embedding"), books)).as("d"))
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"ADC fell out of codegen:\n$plan")
+  }
+
   test("native cosine is at least as fast as the composed form (informational)") {
     val emb = Tables.embeddings(spark, sfDir).cache()
     emb.count()
