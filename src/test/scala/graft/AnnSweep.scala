@@ -26,6 +26,15 @@ object AnnSweep {
     val dir = s"${IndexStore.root(d)}/ivfpq"
     if (!ProductQuantization.ivfPqIndexMatches(spark, dir, fitSampleFraction = 0.25))
       ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+    // corpus-scaled variant: nCells=128 puts the probe fraction at
+    // nProbe/nCells = 6% instead of the catalog's 75% (nCells=16 is sized
+    // for sf0.01's 2k vectors) — the production posture, where cell
+    // pruning actually prunes
+    val dir128 = s"${IndexStore.root(d)}/ivfpq_c128"
+    if (!ProductQuantization.ivfPqIndexMatches(spark, dir128, nCells = 128,
+        fitSampleFraction = 0.25))
+      ProductQuantization.writeIvfPqIndex(emb, dir128, nCells = 128,
+        fitSampleFraction = 0.25)
     for (nq <- Seq(8L, 800L, 8000L).map(math.min(_, corpusN)).distinct) {
       val q = emb.where(col("vec_id") < nq)
       def time(what: String)(f: => Long): Unit = {
@@ -35,14 +44,27 @@ object AnnSweep {
         println(f"ANNSWEEP nq=$nq%5d corpus=$corpusN $what rows=$rows sec=$sec%.2f ms_per_q=${sec * 1000 / nq}%.2f")
         Pinned.release(); spark.catalog.clearCache()
       }
-      time("ivfpq_probe") {
+      time("ivfpq_probe     ") {
         ProductQuantization.ivfPqProbe(spark, dir, emb, q, k = 5,
           nProbe = 12, rerank = 48).count()
       }
-      time("exact      ") {
+      time("ivfpq_probe_c128") {
+        ProductQuantization.ivfPqProbe(spark, dir128, emb, q, k = 5,
+          nProbe = 8, rerank = 48).count()
+      }
+      time("exact           ") {
         Similarity.exactTopK(emb, q, 5).count()
       }
     }
+    // recall check for the scaled-cells config (one |Q|, the catalog gate
+    // shape): cell pruning must not silently trash quality
+    val q800 = emb.where(col("vec_id") < 800)
+    val rec = Similarity.recallSummary(
+      ProductQuantization.ivfPqProbe(spark, dir128, emb, q800, k = 5,
+        nProbe = 8, rerank = 48),
+      Similarity.exactTopK(emb, q800, 5), 0.8).collect()(0)
+    println(s"ANNSWEEP recall_c128 n=${rec.getLong(0)} ok=${rec.getBoolean(1)}")
+    Pinned.release()
     spark.stop()
   }
 }
