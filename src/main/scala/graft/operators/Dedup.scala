@@ -236,6 +236,25 @@ object Dedup {
   case object InFilter extends ProbeStrategy
   case object SemiJoin extends ProbeStrategy
 
+  /** How many literals a probe may enumerate into a pushed-down IN filter
+    * before falling back to a join — shared by the band-key probe and the
+    * candidate-id pushdown so the two sites cannot desynchronize. -1 means
+    * never enumerate (SemiJoin: the fully-lazy contract). Auto follows
+    * parquet's inFilterThreshold: past it the scan degrades the IN to a
+    * min/max range (and bucket hashing saturates), so a larger literal
+    * list buys no pruning while its plan compile costs seconds — measured
+    * on a ~11k-key band probe, see ProbeAmortize/SCALE.md. InFilter honors
+    * `maxProbeKeys` verbatim as the documented explicit opt-in.
+    */
+  private def pushdownCap(strategy: ProbeStrategy, maxProbeKeys: Int,
+                          spark: org.apache.spark.sql.SparkSession): Int =
+    strategy match {
+      case SemiJoin => -1
+      case InFilter => maxProbeKeys
+      case Auto => math.min(spark.conf
+        .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt, maxProbeKeys)
+    }
+
   /** Incremental dedup: drop rows of `batch` that duplicate (exactly, by
     * md5 fingerprint) or near-duplicate (MinHash-LSH) any EXISTING document
     * or an earlier batch document — the continual-ingest shape, where
@@ -364,21 +383,10 @@ object Dedup {
         val batchB = Pinned.pin(bands(batchSig, numHashes, rowsPerBand)
           .select(concat_ws(":", col("band"), col("key")).as("bkey"),
             col("doc_id").as("q_id")))
-        // Auto caps the enumeration at parquet's inFilterThreshold (like
-        // the candidate-id pushdown below): past it the scan degrades the
-        // IN to a min/max range and 16-way bucket hashing saturates, so a
-        // multi-thousand-literal isin buys NO pruning while its plan
-        // compile costs seconds (measured: a 2,800-doc batch = ~11k keys
-        // ran SLOWER than a 28,000-doc batch that fell back to the join —
-        // ProbeAmortize, round 6). InFilter honors maxProbeKeys verbatim
-        // as the explicit opt-in the scaladoc documents.
-        val enumCap = probeStrategy match {
-          case InFilter => maxProbeKeys
-          case _ => math.min(maxProbeKeys, existing.sparkSession.conf
-            .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
-        }
+        val enumCap = pushdownCap(probeStrategy, maxProbeKeys,
+          existing.sparkSession)
         val keys =
-          if (probeStrategy == SemiJoin) Seq.empty[String]
+          if (enumCap < 0) Seq.empty[String]
           else batchB.select("bkey").distinct().limit(enumCap + 1)
             .collect().map(_.getString(0)).toSeq
         // a batch small enough to enumerate is small enough to broadcast;
@@ -424,12 +432,8 @@ object Dedup {
     // generation (and the inline index build, when existingIndex is None)
     // runs at call time, not first-action time. Pass probeStrategy=SemiJoin
     // to keep the whole call lazy (no collect anywhere).
-    val idPushdownCap = probeStrategy match {
-      case SemiJoin => -1
-      case InFilter => maxProbeKeys
-      case Auto => math.min(existing.sparkSession.conf
-        .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt, maxProbeKeys)
-    }
+    val idPushdownCap = pushdownCap(probeStrategy, maxProbeKeys,
+      existing.sparkSession)
     val candIds =
       if (idPushdownCap < 0) Array.empty[Any]
       else candExisting.distinct().limit(idPushdownCap + 1).collect().map(_.get(0))

@@ -154,7 +154,12 @@ object ProductQuantization {
                      rerank: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       adcTable(col("embedding"), codebooks).as("dtable"))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
+    // asc_nulls_last: AdcDistance yields null for corrupt/param-mismatched
+    // codes (instead of the composed form's ANSI exception); ascending
+    // NULLS FIRST would rank exactly those rows at the top of the
+    // shortlist, so nulls must sort behind every real distance
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist").asc_nulls_last, col("n_id"))
     val shortlist = codeTable.join(broadcast(q), col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("n_id"),
         adcDistance(col("codes"), col("dtable")).as("adc_dist"))
@@ -389,7 +394,12 @@ object ProductQuantization {
       .withColumn("q_res", zip_with(col("q_emb"), col("c_emb"), (x, c) => x - c))
       .select(col("q_id"), col("q_emb"), col("cell"),
         adcTable(col("q_res"), books).as("dtable"))
-    val wAdc = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("n_id"))
+    // asc_nulls_last: AdcDistance yields null for corrupt/param-mismatched
+    // codes (instead of the composed form's ANSI exception); ascending
+    // NULLS FIRST would rank exactly those rows at the top of the
+    // shortlist, so nulls must sort behind every real distance
+    val wAdc = Window.partitionBy("q_id")
+      .orderBy(col("adc_dist").asc_nulls_last, col("n_id"))
     val shortlist = codeTable.join(broadcast(probed), Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("q_emb"), col("n_id"),

@@ -76,6 +76,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("train: incremental pair maintenance handles fluent-default scale (informational)") {
+    // ~50k synthetic words x 1000 merges — the bpeMerges() defaults'
+    // order of magnitude; the full-recount form took tens of seconds here
+    val rnd = new scala.util.Random(11)
+    val wc = (1 to 50000).map { _ =>
+      Vector.fill(3 + rnd.nextInt(8))(('a' + rnd.nextInt(12)).toChar).mkString
+    }.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(wc, numMerges = 1000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"50k words x ${merges.size} merges in $sec%.2f s")
+    assert(merges.nonEmpty)
+    assert(sec < 30.0, f"driver merge loop too slow: $sec%.1f s")
+  }
+
   test("trainOn: partition-invariant and deterministic on the documents corpus") {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(graft.plans.NativeColumns.tokenize(col("text"))).as("token"))
