@@ -211,4 +211,26 @@ object Bpe {
   /** Merge list -> rank lookup (rank = training order, 0 is first). */
   def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
+
+  /** Persist trained merges as a tiny (rank, left, right) parquet — the
+    * tokenizer ARTIFACT a production pipeline trains once at ingest and
+    * ships to every encode site (same posture as the PQ codebooks:
+    * kilobytes, written once, read everywhere). Rank order is explicit in
+    * the data, so a read-back survives any file/row reordering.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Read back [[saveMerges]]' artifact in rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).select("rank", "left_sym", "right_sym")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
 }

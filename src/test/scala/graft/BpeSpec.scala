@@ -100,6 +100,38 @@ class BpeSpec extends SparkSpec {
     assert(a.size == 24)
   }
 
+  test("saveMerges/loadMerges: the tokenizer artifact round-trips in rank order") {
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.train(wc, numMerges = 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.saveMerges(spark, merges, dir)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+    // a retrain overwrite replaces, not appends
+    Bpe.saveMerges(spark, merges.take(2), dir)
+    assert(Bpe.loadMerges(spark, dir) == merges.take(2))
+  }
+
+  test("unicode: surrogate pairs and combining marks survive encode losslessly") {
+    // word.map(_.toString) splits astral chars into lone surrogates; the
+    // contract is LOSSLESSNESS (concatenation restores the word), not
+    // codepoint-aligned pieces — pin that explicitly for emoji (surrogate
+    // pair), CJK, and combining diacritics
+    val words = Seq("café", "éclair", "日本語", "a😀b")
+    val wc = words.map(_ -> 3L).toMap
+    val ranks = Bpe.ranksOf(Bpe.train(wc, numMerges = 20))
+    words.foreach { w =>
+      val pieces = Bpe.encodeWord(w, ranks)
+      assert(pieces.mkString.stripSuffix(Bpe.EndOfWord) == w,
+        s"unicode round-trip failed for $w")
+    }
+    // and through the DataFrame encode path
+    import SharedSpark.spark.implicits._
+    val out = Bpe.withPieces(Seq((1L, words)).toDF("id", "toks"), "toks",
+      Bpe.train(wc, 20), "p")
+    val joined = out.select("p").as[Seq[String]].head().mkString
+    assert(joined == words.map(_ + Bpe.EndOfWord).mkString)
+  }
+
   test("withPieces: zero-shuffle map-side plan; null tokens stay null") {
     import SharedSpark.spark.implicits._
     val merges = Seq(("a", "b"), ("ab", Bpe.EndOfWord))
