@@ -112,15 +112,10 @@ object Bpe {
       // so a linear min scan per iteration is cheap; the total order
       // (count desc, then lexicographic pair) makes the choice
       // independent of map iteration order
-      var pair: (String, String) = null
-      var bestN = 1L
-      counts.foreach { case (p, n) =>
-        if (n > bestN || (n == bestN && pair != null &&
-            (p._1 < pair._1 || (p._1 == pair._1 && p._2 < pair._2))))
-          { pair = p; bestN = n }
-      }
-      if (pair == null) done = true
+      val candidates = counts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) done = true
       else {
+        val pair = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
         merges += pair
         val affected = occursIn.get(pair).map(_.toArray).getOrElse(Array.empty)
         affected.foreach { idx =>
@@ -132,6 +127,17 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Trained merges as a (rank, left_sym, right_sym) DataFrame — the one
+    * tabular shape shared by [[saveMerges]] and the catalog's
+    * `e5_bpe_merges` entry.
+    */
+  def mergesDF(spark: org.apache.spark.sql.SparkSession,
+               merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "left_sym", "right_sym")
   }
 
   /** Replace every adjacent occurrence of `pair`, leftmost-first (after a
@@ -219,18 +225,15 @@ object Bpe {
     * the data, so a read-back survives any file/row reordering.
     */
   def saveMerges(spark: org.apache.spark.sql.SparkSession,
-                 merges: Seq[(String, String)], dir: String): Unit = {
-    import spark.implicits._
-    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-      .toDF("rank", "left_sym", "right_sym")
+                 merges: Seq[(String, String)], dir: String): Unit =
+    mergesDF(spark, merges)
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-  }
 
   /** Read back [[saveMerges]]' artifact in rank order. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  dir: String): Seq[(String, String)] =
     spark.read.parquet(dir).select("rank", "left_sym", "right_sym")
-      .collect().sortBy(_.getInt(0))
+      .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
 }

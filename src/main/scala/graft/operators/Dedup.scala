@@ -393,7 +393,7 @@ object Dedup {
         // above the cap — or under SemiJoin, which never enumerates — fall
         // back to plain joins (AQE decides the strategy, the bucketed
         // layout still spares the stored side its exchange)
-        val small = probeStrategy != SemiJoin && keys.size <= enumCap
+        val small = enumCap >= 0 && keys.size <= enumCap
         val pruned =
           if (small) stored.where(col("bkey").isin(keys: _*)) else stored
         val batchC = batchB.select(col("bkey"), col("q_id").as("c_id"))

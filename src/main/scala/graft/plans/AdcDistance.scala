@@ -77,7 +77,7 @@ case class AdcDistance(left: Expression, right: Expression)
          |} else {
          |  double $sum = 0.0;
          |  boolean $bad = false;
-         |  for (int $s = 0; $s < $m && !$bad; $s++) {
+         |  for (int $s = 0; $s < $m; $s++) {
          |    if ($a.isNullAt($s) || $b.isNullAt($s)) { $bad = true; break; }
          |    final org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($s);
          |    final int $c = $a.getInt($s);

@@ -146,9 +146,8 @@ object MLQueries {
     // (graft.GoldenGen), same contract as e5_compression_ratio.
     QueryDef.sql(
       "m5_word2vec_table",
-      """SELECT query, word, sim, vocab_rows, dim
-        |FROM read_parquet('/root/repo/tools/golden/m5_word2vec_table_sf0.01/*.parquet')
-        |ORDER BY sim DESC, word""".stripMargin) { (s, d) =>
+      Golden.sql("m5_word2vec_table", "query, word, sim, vocab_rows, dim",
+        "sim DESC, word")) { (s, d) =>
       val spark = s
       import spark.implicits._
       val w2vParts = s.conf.getOption("spark.graft.w2v.numPartitions")

@@ -25,3 +25,22 @@ object QueryDef {
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
 }
+
+/** The committed-golden oracle contract (deterministic but not
+  * DuckDB-computable queries): ONE place owns the path layout that
+  * `graft.GoldenGen` writes and every pinned oracle reads, so the six
+  * pinned entries cannot drift from the regenerator. The sf0.01 suffix is
+  * the t2 contract's fixed correctness dir (TESTDATA.md).
+  */
+object Golden {
+  def dir(name: String): String =
+    s"/root/repo/tools/golden/${name}_sf0.01"
+
+  /** Oracle SQL reading the pinned golden: SELECT `cols` ... ORDER BY
+    * `orderBy` — the Spark entry must emit the same columns and order.
+    */
+  def sql(name: String, cols: String, orderBy: String): String =
+    s"""SELECT $cols
+       |FROM read_parquet('${dir(name)}/*.parquet')
+       |ORDER BY $orderBy""".stripMargin
+}

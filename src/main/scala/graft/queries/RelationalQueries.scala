@@ -541,9 +541,8 @@ object RelationalQueries {
     // stays asserted in FunctionsSpec.
     QueryDef.sql(
       "a10_approx_distinct",
-      """SELECT o_orderpriority, n_cust_approx, n_orders
-        |FROM read_parquet('/root/repo/tools/golden/a10_approx_distinct_sf0.01/*.parquet')
-        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      Golden.sql("a10_approx_distinct",
+        "o_orderpriority, n_cust_approx, n_orders", "o_orderpriority")) { (s, d) =>
       Tables.orders(s, d).groupBy("o_orderpriority")
         .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_approx"),
           count(lit(1)).as("n_orders"))

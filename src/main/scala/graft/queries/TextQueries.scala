@@ -845,9 +845,8 @@ object TextQueries {
     // (exact <= est <= exact + eps * N) stays gated in OperatorsSpec.
     QueryDef.sql(
       "e5_heavy_hitters_cms",
-      """SELECT token, exact_n, est_n
-        |FROM read_parquet('/root/repo/tools/golden/e5_heavy_hitters_cms_sf0.01/*.parquet')
-        |ORDER BY exact_n DESC, token""".stripMargin) { (s, d) =>
+      Golden.sql("e5_heavy_hitters_cms", "token, exact_n, est_n",
+        "exact_n DESC, token")) { (s, d) =>
       import graft.operators.{Pinned, Sketches}
       val toks = Pinned.pin(tokensDF(s, d))
       val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
@@ -899,9 +898,8 @@ object TextQueries {
     // correctness dir, like s4_binary_scan's oracle.
     QueryDef.sql(
       "e5_compression_ratio",
-      """SELECT source, avg_ratio, min_ratio, max_ratio, n_suspicious
-        |FROM read_parquet('/root/repo/tools/golden/e5_compression_ratio_sf0.01/*.parquet')
-        |ORDER BY source""".stripMargin) { (s, d) =>
+      Golden.sql("e5_compression_ratio",
+        "source, avg_ratio, min_ratio, max_ratio, n_suspicious", "source")) { (s, d) =>
       import graft.operators.Quality
       Quality.withCompressionRatio(
         Tables.documents(s, d).select(col("source"), col("text")), "text", "ratio")
@@ -923,16 +921,13 @@ object TextQueries {
     // regenerate via `Test/runMain graft.GoldenGen` after fixture drift.
     QueryDef.sql(
       "e5_bpe_merges",
-      """SELECT rank, left_sym, right_sym, merged
-        |FROM read_parquet('/root/repo/tools/golden/e5_bpe_merges_sf0.01/*.parquet')
-        |ORDER BY rank""".stripMargin) { (s, d) =>
+      Golden.sql("e5_bpe_merges", "rank, left_sym, right_sym, merged",
+        "rank")) { (s, d) =>
       import graft.operators.Bpe
       val merges = Bpe.trainOn(tokensDF(s, d), "token",
         numMerges = 64, maxVocab = 4096)
-      import s.implicits._
-      merges.zipWithIndex
-        .map { case ((a, b), r) => (r.toLong, a, b, a + b) }
-        .toDF("rank", "left_sym", "right_sym", "merged")
+      Bpe.mergesDF(s, merges)
+        .withColumn("merged", concat(col("left_sym"), col("right_sym")))
         .orderBy("rank")
     },
 
@@ -943,9 +938,8 @@ object TextQueries {
     // |sources|-row aggregate. Same golden-pin oracle contract as above.
     QueryDef.sql(
       "e5_bpe_encode",
-      """SELECT source, n_docs, n_words, n_pieces, fertility
-        |FROM read_parquet('/root/repo/tools/golden/e5_bpe_encode_sf0.01/*.parquet')
-        |ORDER BY source""".stripMargin) { (s, d) =>
+      Golden.sql("e5_bpe_encode",
+        "source, n_docs, n_words, n_pieces, fertility", "source")) { (s, d) =>
       import graft.operators.Bpe
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), tokenize(col("text")).as("toks"))
