@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, size, split}
 import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.EventStreams
 
@@ -130,6 +131,44 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == sample.size)
     assert(written.select("event_id").as[Long].collect().sorted.toSeq ==
       sample.map(_.event_id).sorted)
+  }
+
+  test("streaming BPE token accounting: per-micro-batch encode equals the batch answer") {
+    // a frozen tokenizer artifact billing a document stream by subword
+    // count — the train-once-at-ingest / encode-everywhere posture inside
+    // Structured Streaming: ranks broadcast per executor, encode is
+    // map-side, so it composes into any foreachBatch curate hook
+    import graft.operators.Bpe
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "lowest winter windows"), (2L, "new widest low"),
+      (3L, "newest newest lower"), (4L, "wide new lows"))
+    val merges = Bpe.train(
+      docs.flatMap(_._2.split(' ')).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }, numMerges = 12)
+    assert(merges.nonEmpty)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-bpestream").toString
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs.take(2)); stream.addData(docs.drop(2))
+    val query = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Bpe.withPieces(
+          batch.withColumn("toks", split(col("text"), " ")), "toks", merges, "pieces")
+          .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
+          .write.mode("append").parquet(s"$outDir/counts")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(s"$outDir/counts")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val batchAnswer = Bpe.withPieces(
+      docs.toDF("doc_id", "text").withColumn("toks", split(col("text"), " ")),
+      "toks", merges, "pieces")
+      .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed == batchAnswer)
+    assert(streamed.size == 4)
   }
 
   test("incremental dedup sink: two micro-batches equal the one-shot batch dedup") {
