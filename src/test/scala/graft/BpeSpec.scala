@@ -76,6 +76,52 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("train: incremental pair counts equal a brute-force recount on random corpora") {
+    // reference implementation: recount every pair from scratch per merge
+    // (the pre-optimization algorithm) — the incremental trainer must
+    // produce bit-identical merge sequences on arbitrary inputs
+    def bruteTrain(wc: Map[String, Long], numMerges: Int): Seq[(String, String)] = {
+      var vocab = wc.toVector.sortBy(_._1)
+        .map { case (w, n) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, n) }
+      val out = Vector.newBuilder[(String, String)]
+      var done = false
+      var i = 0
+      while (i < numMerges && !done) {
+        val counts = collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+        }
+        val cand = counts.filter(_._2 >= 2L)
+        if (cand.isEmpty) done = true
+        else {
+          val pair = cand.minBy { case ((a, b), n) => (-n, a, b) }._1
+          out += pair
+          // leftmost-first merge, identical to Bpe.mergeOnce
+          vocab = vocab.map { case (syms, n) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+                b += syms(j) + syms(j + 1); j += 2
+              } else { b += syms(j); j += 1 }
+            }
+            (b.result(), n)
+          }
+          i += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(23)
+    (1 to 100).foreach { _ =>
+      val wc = Vector.fill(1 + rnd.nextInt(30))(
+        Vector.fill(1 + rnd.nextInt(9))(('a' + rnd.nextInt(3)).toChar).mkString)
+        .groupBy(identity).map { case (w, g) => w -> (g.size.toLong + rnd.nextInt(4)) }
+      val nm = rnd.nextInt(15)
+      assert(Bpe.train(wc, nm) == bruteTrain(wc, nm), s"diverged on $wc nm=$nm")
+    }
+  }
+
   test("train: incremental pair maintenance handles fluent-default scale (informational)") {
     // ~50k synthetic words x 1000 merges — the bpeMerges() defaults'
     // order of magnitude; the full-recount form took tens of seconds here
