@@ -18,6 +18,24 @@ import graft.sources.Tables
   */
 object MLQueries {
 
+  /** Corpus-scaled ANN knobs for the PQ-based catalog entries, derived
+    * from |corpus| so the recall@5 >= 0.8 gate holds at every fixture SF
+    * with ONE rule (RecallTune measurements: sf0.01 n=500 -> (16,12,50)
+    * = today's hand-tuned values, recall 0.94-0.98; sf0.1 n=2000 ->
+    * (32,24,200), recall 0.98-1.00 where the fixed knobs fell to
+    * 0.72-0.80). The near-uniform random fixture is PQ's WORST case (no
+    * cluster structure), so recall is bought with rerank width ~ n/10 in
+    * this regime; production corpora with real cluster structure instead
+    * scale nCells ~ sqrt(N) at rerank O(k) — the AnnSweep nCells=128
+    * crossover demonstrates that posture.
+    */
+  private def annScaled(n: Long): (Int, Int, Int) = {
+    val nCells = math.max(16L, math.round(math.sqrt(n / 2.0))).toInt
+    val nProbe = math.max(12, nCells * 3 / 4)
+    val rerank = math.max(48L, n / 10).toInt
+    (nCells, nProbe, rerank)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // M6/A7: evaluation metrics — accuracy via MulticlassClassificationEvaluator
@@ -243,12 +261,12 @@ object MLQueries {
     // codebooks + code table to the IndexStore (the one-time ingest cost a
     // production pipeline pays once), then answer the query from the
     // written index. Output is the recall@5-vs-exact summary row (oracle
-    // pins (|Q|, true) — VERDICT r5 #3); rerank=48 widens the ADC
-    // shortlist to 240 candidates per query (0.98 measured mean recall at
-    // sf0.01 vs the 0.8 floor — near-uniform fixture vectors make ADC
-    // ranking noisy, so recall is bought with rerank width; the shortlist
-    // stays a constant per query, and the scan itself still reads only
-    // m-byte codes). e3_ann_pq_probe below times the per-query half alone.
+    // pins (|Q|, true) — VERDICT r5 #3); rerank comes from annScaled so
+    // the 0.8 floor holds at every fixture SF (0.98 at sf0.01, 1.00 at
+    // sf0.1 — near-uniform fixture vectors make ADC ranking noisy, so
+    // recall is bought with rerank width in this regime; the scan itself
+    // still reads only m-byte codes). e3_ann_pq_probe below times the
+    // per-query half alone.
     QueryDef.sql(
       "e3_ann_pq",
       """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
@@ -257,9 +275,10 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${graft.sources.IndexStore.root(d)}/pq"
+      val (_, _, rerank) = annScaled(emb.count())
       val books = ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
       val ann = ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
-        q, books, k = 5, rerank = 48)
+        q, books, k = 5, rerank = rerank)
       Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
@@ -277,6 +296,7 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/pq"
+      val (_, _, rerank) = annScaled(emb.count())
       // params-manifest gate (ADVICE r5): an index left behind by a run
       // with different build parameters rebuilds instead of being probed
       val books =
@@ -284,7 +304,7 @@ object MLQueries {
           ProductQuantization.readCodebooks(s, dir)
         else ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
       val ann = ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
-        q, books, k = 5, rerank = 48)
+        q, books, k = 5, rerank = rerank)
       Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
@@ -294,10 +314,10 @@ object MLQueries {
     // answer from the written index. Coarse cells prune COMPUTE (nProbe of
     // nCells cells per query), residual-PQ codes prune BYTES; exact
     // re-rank on the survivors. Output is the recall@5-vs-exact summary
-    // row (oracle pins (|Q|, true) — VERDICT r5 #3); nProbe=12/rerank=48
-    // measure 0.94 mean recall at sf0.01 vs the 0.8 floor while still
-    // pruning both cells and bytes (see the e3_ann_ivf note on why the
-    // near-uniform fixture needs a high probe fraction at nCells=16).
+    // row (oracle pins (|Q|, true) — VERDICT r5 #3); all three knobs come
+    // from annScaled, holding the 0.8 floor at every fixture SF (0.94 at
+    // sf0.01, 0.98 at sf0.1 — see the e3_ann_ivf note on why the
+    // near-uniform fixture needs a high probe fraction).
     // e3_ann_ivfpq_probe below times the per-query half alone.
     QueryDef.sql(
       "e3_ann_ivfpq",
@@ -307,9 +327,11 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${graft.sources.IndexStore.root(d)}/ivfpq"
-      ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+      val (nCells, nProbe, rerank) = annScaled(emb.count())
+      ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
+        fitSampleFraction = 0.25)
       val ann = ProductQuantization.ivfPqProbe(s, dir, emb, q, k = 5,
-        nProbe = 12, rerank = 48)
+        nProbe = nProbe, rerank = rerank)
       Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
@@ -326,11 +348,14 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/ivfpq"
+      val (nCells, nProbe, rerank) = annScaled(emb.count())
       // params-manifest gate (ADVICE r5): stale/mismatched index rebuilds
-      if (!ProductQuantization.ivfPqIndexMatches(s, dir, fitSampleFraction = 0.25))
-        ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+      if (!ProductQuantization.ivfPqIndexMatches(s, dir, nCells = nCells,
+          fitSampleFraction = 0.25))
+        ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
+          fitSampleFraction = 0.25)
       val ann = ProductQuantization.ivfPqProbe(s, dir, emb, q, k = 5,
-        nProbe = 12, rerank = 48)
+        nProbe = nProbe, rerank = rerank)
       Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
