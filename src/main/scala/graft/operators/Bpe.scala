@@ -112,10 +112,11 @@ object Bpe {
       // so a linear min scan per iteration is cheap; the total order
       // (count desc, then lexicographic pair) makes the choice
       // independent of map iteration order
-      val candidates = counts.filter(_._2 >= 2L)
-      if (candidates.isEmpty) done = true
+      val best = counts.iterator.filter(_._2 >= 2L)
+        .minByOption { case ((a, b), n) => (-n, a, b) }
+      if (best.isEmpty) done = true
       else {
-        val pair = candidates.minBy { case ((a, b), n) => (-n, a, b) }._1
+        val pair = best.get._1
         merges += pair
         val affected = occursIn.get(pair).map(_.toArray).getOrElse(Array.empty)
         affected.foreach { idx =>

@@ -27,12 +27,17 @@ object MLQueries {
     * cluster structure), so recall is bought with rerank width ~ n/10 in
     * this regime; production corpora with real cluster structure instead
     * scale nCells ~ sqrt(N) at rerank O(k) — the AnnSweep nCells=128
-    * crossover demonstrates that posture.
+    * crossover demonstrates that posture. rerank is capped at 100k so
+    * the rule stays overflow-safe and bounded on an arbitrary corpus
+    * (k * rerank feeds an Int rank filter); past the cap a caller is
+    * out of this fixture-difficulty regime and should be scaling
+    * quantization instead. private[graft] so RecallTune/AnnSweep
+    * measure EXACTLY the catalog's rule.
     */
-  private def annScaled(n: Long): (Int, Int, Int) = {
+  private[graft] def annScaled(n: Long): (Int, Int, Int) = {
     val nCells = math.max(16L, math.round(math.sqrt(n / 2.0))).toInt
     val nProbe = math.max(12, nCells * 3 / 4)
-    val rerank = math.max(48L, n / 10).toInt
+    val rerank = math.max(48L, math.min(n / 10, 100000L)).toInt
     (nCells, nProbe, rerank)
   }
 
@@ -296,6 +301,8 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/pq"
+      // knob derivation costs one parquet metadata count (~ms) — part of
+      // the recorded probe base, not a corpus data scan
       val (_, _, rerank) = annScaled(emb.count())
       // params-manifest gate (ADVICE r5): an index left behind by a run
       // with different build parameters rebuilds instead of being probed
@@ -348,6 +355,8 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/ivfpq"
+      // knob derivation costs one parquet metadata count (~ms) — part of
+      // the recorded probe base, not a corpus data scan
       val (nCells, nProbe, rerank) = annScaled(emb.count())
       // params-manifest gate (ADVICE r5): stale/mismatched index rebuilds
       if (!ProductQuantization.ivfPqIndexMatches(s, dir, nCells = nCells,

@@ -33,8 +33,8 @@ object QueryDef {
   * the t2 contract's fixed correctness dir (TESTDATA.md).
   */
 object Golden {
-  def dir(name: String): String =
-    s"/root/repo/tools/golden/${name}_sf0.01"
+  def dir(name: String, sfName: String = "sf0.01"): String =
+    s"/root/repo/tools/golden/${name}_$sfName"
 
   /** Oracle SQL reading the pinned golden: SELECT `cols` ... ORDER BY
     * `orderBy` — the Spark entry must emit the same columns and order.

@@ -24,8 +24,14 @@ object AnnSweep {
     val emb = Tables.embeddings(spark, d)
     val corpusN = emb.count()
     val dir = s"${IndexStore.root(d)}/ivfpq"
-    if (!ProductQuantization.ivfPqIndexMatches(spark, dir, fitSampleFraction = 0.25))
-      ProductQuantization.writeIvfPqIndex(emb, dir, fitSampleFraction = 0.25)
+    // the catalog's corpus-scaled knobs (shared rule — the sweep's
+    // "catalog config" rows must measure what the entries actually run,
+    // and the manifest gate must agree with the catalog's build)
+    val (nCells, nProbe, rerank) = graft.queries.MLQueries.annScaled(corpusN)
+    if (!ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = nCells,
+        fitSampleFraction = 0.25))
+      ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
+        fitSampleFraction = 0.25)
     // corpus-scaled variant: nCells=128 puts the probe fraction at
     // nProbe/nCells = 6% instead of the catalog's 75% (nCells=16 is sized
     // for sf0.01's 2k vectors) — the production posture, where cell
@@ -46,7 +52,7 @@ object AnnSweep {
       }
       time("ivfpq_probe     ") {
         ProductQuantization.ivfPqProbe(spark, dir, emb, q, k = 5,
-          nProbe = 12, rerank = 48).count()
+          nProbe = nProbe, rerank = rerank).count()
       }
       time("ivfpq_probe_c128") {
         ProductQuantization.ivfPqProbe(spark, dir128, emb, q, k = 5,

@@ -34,10 +34,12 @@ object GoldenGen {
     val sfName = new java.io.File(sfDir).getName
     val spark = GraftSession.getOrCreate(8)
     pinned.foreach { name =>
+      // path layout owned by queries.Golden (the same object the oracle
+      // SQL reads through), parameterized only by the sf suffix
+      val out = graft.queries.Golden.dir(name, sfName)
       Catalog.byName(name).run(spark, sfDir)
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"/root/repo/tools/golden/${name}_$sfName")
-      println(s"[golden] wrote tools/golden/${name}_$sfName")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      println(s"[golden] wrote $out")
     }
     spark.stop()
   }

@@ -35,11 +35,9 @@ object RecallTune {
       println(f"RECALL ivfpq   n=$n nProbe=$nProbe rerank=$rerank%4d -> ${recallOf(ann)}%.3f")
       Pinned.release(); spark.catalog.clearCache()
     }
-    // the corpus-scaled candidate rule (keeps today's sf0.01 values:
-    // n=500 -> nCells 16, nProbe 12, rerank 50)
-    val cells = math.max(16L, math.round(math.sqrt(n / 2.0))).toInt
-    val probe = math.max(12, cells * 3 / 4)
-    val rr = math.max(48L, n / 10).toInt
+    // the catalog's corpus-scaled rule — SHARED with the entries, so the
+    // printed rows measure exactly what the catalog runs
+    val (cells, probe, rr) = graft.queries.MLQueries.annScaled(n)
     val scaled = ProductQuantization.ivfPqTopK(emb, q, 5, nCells = cells,
       nProbe = probe, rerank = rr, fitSampleFraction = 0.25)
     println(f"RECALL ivfpq-scaled n=$n nCells=$cells nProbe=$probe rerank=$rr -> ${recallOf(scaled)}%.3f")
