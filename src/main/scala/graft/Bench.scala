@@ -115,7 +115,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: $nSuspectsTotal over-2x suspects, " +
         s"re-timing only the first ${suspects.size}")
     val qmap = SparkEntry.queries
-    val retimed: Map[String, Double] = suspects.flatMap { n =>
+    def retime(names: Seq[String]): Map[String, Double] = names.flatMap { n =>
       qmap.get(n).flatMap { fn =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -125,10 +125,21 @@ object Bench {
         if (ok) Some(n -> (System.nanoTime() - t0) / 1e9) else None
       }
     }.toMap
-    val effective = results.map { case (n, t) =>
-      n -> math.min(t, retimed.getOrElse(n, t)) }
-    val shared = effective.collect { case (n, t) if base.contains(n) && base(n) > 0 =>
-      (n, t / base(n)) }
+    def effectiveOf(rt: Map[String, Double]) = results.map { case (n, t) =>
+      n -> math.min(t, rt.getOrElse(n, t)) }
+    def sharedOf(eff: Seq[(String, Double)]) = eff.collect {
+      case (n, t) if base.contains(n) && base(n) > 0 => (n, t / base(n)) }
+    val retimedFirst = retime(suspects)
+    // Second retimer pass (VERDICT r6 #2): the suspect gate above uses the
+    // FIRST-PASS median, while the final over_2x_normalized list uses the
+    // post-retime effective median — a marginal query could be LISTED as
+    // over-2x-normalized without ever getting its second timing. Re-time
+    // any such member before publishing the list, under the same cap.
+    val normSuspects = selectNormSuspects(
+      sharedOf(effectiveOf(retimedFirst)).toMap, retimedFirst.keySet)
+    val retimed = retimedFirst ++ retime(normSuspects)
+    val effective = effectiveOf(retimed)
+    val shared = sharedOf(effective)
     val medianRatio = med(shared.map(_._2).toSeq)
     def names(xs: Seq[String]): String = xs.sorted.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val over2xRaw = shared.filter(_._2 > 2.0).map(_._1)
@@ -137,7 +148,15 @@ object Bench {
     val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"host_degraded":$hostDegraded,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)},"n_shared_with_baseline":${shared.size},"shared_median_vs_baseline":${f2(medianRatio)},"queries_retimed":$retimedJson,"over_2x_raw":${names(over2xRaw)},"over_2x_normalized":${names(over2xNorm)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir","load_avg_start":${f2(loadStart)},"load_avg_end":${f2(loadEnd)},"host_cpus":$hostCpus,"contaminated":$contaminated,"host_degraded":$hostDegraded,"calib_sec_start":${f2(calibStart)},"calib_sec_end":${f2(calibEnd)},"steal_pct":${f2(stealPct)},"n_shared_with_baseline":${shared.size},"shared_median_vs_baseline":${f2(medianRatio)},"queries_retimed":$retimedJson,"over_2x_raw":${names(over2xRaw)},"over_2x_normalized":${names(over2xNorm)}}"""
+    println(line)
+    // Also persist the line verbatim (VERDICT r6 #3): the driver's stdout
+    // capture truncates the 169-query JSON, losing the per-query map. Only
+    // full-catalog runs overwrite the artifact — a dev subset run must not
+    // clobber the round's record. Best-effort: never fail the bench on IO.
+    if (nameFilter == ".*") try
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 
@@ -177,6 +196,24 @@ object Bench {
     val all = firstRatios.collect {
       case (n, r) if r > 2.0 && r / m > 2.0 => n }.toSeq.sorted
     (all.take(maxRetimes), all.size)
+  }
+
+  /** Second-pass retimer gate (VERDICT r6 #2): queries whose EFFECTIVE
+    * (post-first-retime) ratio clears the normalized over-2x bar but were
+    * never re-timed — the exact population the first pass can miss, because
+    * its gate uses the first-pass median while the published list uses the
+    * effective one. Every name returned gets one more timing before the
+    * over_2x_normalized list ships. Pure and separately testable
+    * (BenchLogicSpec); same cap discipline as [[selectSuspects]].
+    */
+  private[graft] def selectNormSuspects(effectiveRatios: Map[String, Double],
+                                        alreadyRetimed: Set[String],
+                                        maxRetimes: Int = 25): Seq[String] = {
+    val m = med(effectiveRatios.values.toSeq)
+    if (m <= 0) Nil
+    else effectiveRatios.collect {
+      case (n, r) if r / m > 2.0 && !alreadyRetimed(n) => n
+    }.toSeq.sorted.take(maxRetimes)
   }
 
   /** Per-query base times parsed from BASELINE.md's measurement table

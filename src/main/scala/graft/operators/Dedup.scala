@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for corpus-scale pipelines (SURVEY E1/E2).
@@ -643,12 +644,23 @@ object Dedup {
     * 100 TB shape: segmentation is a narrow per-row transform (tokens are
     * never exploded — segments are built by slicing the token array
     * in-place); the only wide stages are one shuffle on the segment for
-    * the global keep-first window and one shuffle back on the doc id for
-    * reassembly — the same two-exchange cost as C4's production line-dedup.
-    * The window key could hash the segment text at no semantic cost
-    * (collisions aside); the row must carry the text anyway for
-    * reassembly, so partitioning by the text itself adds nothing to the
-    * shuffle volume.
+    * the global keep-first aggregate and one shuffle back on the doc id
+    * for reassembly — the same two-exchange cost as C4's production
+    * line-dedup. Keep-first is a partial-aggregable `min` grouped by the
+    * segment, NOT a row_number window: a window partitioned by segment
+    * text would shuffle and SORT every duplicate row on a long string
+    * key, while the min collapses duplicate segments map-side BEFORE the
+    * exchange — and duplicates are precisely what is abundant at scale,
+    * so the exchange carries ~distinct segments per task, not the
+    * corpus's full segment stream. For integral non-negative ids the
+    * (id, seg) pair packs into one BIGINT (id < 2^41, < 2^21 segments
+    * per doc — 20M tokens at segTokens=10 — out-of-range rows
+    * raise_error rather than mis-dedup), which keeps the aggregate in
+    * pure HashAggregate form: zero sorts in the whole keep-first stage.
+    * Other id types take a `min(struct(id, seg))` SortAggregate — same
+    * map-side collapse, plus the local sort hash aggregation avoids.
+    * The survivor's (id, seg) rides inside the min and the text is the
+    * grouping key, so no join-back is needed either.
     */
   def segmentDedup(corpus: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 10): DataFrame = {
@@ -661,10 +673,35 @@ object Dedup {
            |          i -> array_join(slice(__toks, i * $segTokens + 1, $segTokens), ' '))"""
           .stripMargin).as("__segarr"))
       .select(col(idCol), posexplode(col("__segarr")).as(Seq("seg", "segment")))
-    val keepFirst = Window.partitionBy("segment").orderBy(col(idCol), col("seg"))
-    segs
-      .withColumn("__rn", row_number().over(keepFirst))
-      .where(col("__rn") === 1)
+    val idType = segs.schema(idCol).dataType
+    val integral = idType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
+    val keep =
+      if (integral) {
+        val segBits = 21
+        val maxSeg = 1L << segBits
+        val maxId = 1L << (62 - segBits) // sign bit stays clear
+        val packed = when(
+          col(idCol).cast("long").between(0, maxId - 1) && col("seg") < maxSeg,
+          shiftleft(col(idCol).cast("long"), segBits) + col("seg"))
+          .otherwise(raise_error(lit(
+            s"segmentDedup packed keep-first needs 0 <= $idCol < 2^${62 - segBits} " +
+              s"and < 2^$segBits segments per doc")))
+        segs
+          .groupBy("segment")
+          .agg(min(packed).as("__p"))
+          .select(shiftright(col("__p"), segBits).cast(idType).as(idCol),
+            (col("__p") bitwiseAND (maxSeg - 1)).cast("int").as("seg"), col("segment"))
+      } else {
+        segs
+          .groupBy("segment")
+          .agg(min(struct(col(idCol), col("seg"))).as("__keep"))
+          .select(col("__keep").getField(idCol).as(idCol),
+            col("__keep").getField("seg").as("seg"), col("segment"))
+      }
+    keep
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_segments"),
         array_join(transform(array_sort(collect_list(struct(col("seg"), col("segment")))),

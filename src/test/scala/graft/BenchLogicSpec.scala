@@ -62,6 +62,30 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(suspects.isEmpty)
   }
 
+  test("second-pass retimer: a query over the FINAL normalized gate but under the first-pass gate gets re-timed") {
+    // the literal round-6 incident (VERDICT r6 #2): e1_segment_dedup's
+    // first-pass ratio 1.96 missed the r > 2 suspect gate, but after 16
+    // ghosts were re-timed the effective median dropped and it crossed the
+    // published over_2x_normalized bar WITHOUT a second timing
+    val ratios = (1 to 100).map(i => s"q$i" -> 0.9).toMap + ("marginal" -> 1.96)
+    val (firstPass, _) = Bench.selectSuspects(ratios)
+    assert(!firstPass.contains("marginal"), "premise: first pass must miss it")
+    // effective ratios after the first retime round (ghost-free here):
+    // median 0.9 -> 1.96 / 0.9 = 2.18 > 2 crosses the normalized gate
+    val extra = Bench.selectNormSuspects(ratios, alreadyRetimed = firstPass.toSet)
+    assert(extra == Seq("marginal"))
+  }
+
+  test("second-pass retimer: already-retimed members and calm catalogs produce no extra work") {
+    val calm = (1 to 50).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.selectNormSuspects(calm, Set.empty).isEmpty)
+    val ratios = calm + ("ghost" -> 3.0)
+    assert(Bench.selectNormSuspects(ratios, alreadyRetimed = Set("ghost")).isEmpty)
+    // cap discipline matches the first pass
+    val many = calm ++ (1 to 40).map(i => f"g$i%02d" -> 5.0)
+    assert(Bench.selectNormSuspects(many, Set.empty, maxRetimes = 25).size == 25)
+  }
+
   test("median: empty sample reports the -1 sentinel; odd/even are exact") {
     assert(Bench.med(Nil) == -1.0)
     assert(Bench.med(Seq(3.0, 1.0, 2.0)) == 2.0)

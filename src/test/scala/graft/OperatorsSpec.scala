@@ -57,6 +57,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, "a b c d"), (2L, 1L, "z")))
   }
 
+  test("E1: segmentDedup string-id fallback matches the packed-long path's survivors") {
+    // same corpus under long ids (packed hash-agg path) and their string
+    // twins (min(struct) fallback) — ids chosen so both orders agree
+    val longCorpus = Seq((1L, "a b c d e f"), (2L, "g h i j k l"),
+      (5L, "a b c d e f"), (7L, "a b c x y z")).toDF("doc_id", "text")
+    val strCorpus = longCorpus.select(
+      format_string("id%d", col("doc_id")).as("doc_id"), col("text"))
+    val viaLong = Dedup.segmentDedup(longCorpus, "doc_id", "text", segTokens = 3)
+      .select(format_string("id%d", col("doc_id")).as("doc_id"), col("n_segments"), col("cleaned_text"))
+      .orderBy("doc_id").as[(String, Long, String)].collect().toSeq
+    val viaStr = Dedup.segmentDedup(strCorpus, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id").as[(String, Long, String)].collect().toSeq
+    assert(viaStr == viaLong)
+    assert(viaStr.map(_._1) == Seq("id1", "id2", "id7"))
+  }
+
+  test("E1: segmentDedup raises on ids outside the packed-long range instead of mis-deduping") {
+    val corpus = Seq((1L << 50, "a b c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.segmentDedup(corpus, "doc_id", "text", segTokens = 3).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("E2: MinHash-LSH finds planted near-dups and no false positives on tiny corpus") {
     val docs = (0 until 30).map { i =>
       val words = (0 until 40).map(j => s"w${(i * 13 + j * 7) % 97}x$j").mkString(" ")

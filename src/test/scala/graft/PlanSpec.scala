@@ -62,6 +62,25 @@ class PlanSpec extends SparkSpec {
       s"no final WindowGroupLimit after the exchange:\n$plan")
   }
 
+  test("E1b: segment-dedup keep-first is a hash partial aggregate — no window, no sort on segment text") {
+    // VERDICT r6 #1: a row_number window partitioned by segment text shuffled
+    // and SORTED every duplicate row on a long string key. The packed-long
+    // min must (a) partial-aggregate map-side (duplicates collapse BEFORE
+    // the exchange) and (b) stay in pure HashAggregate form (no sort in the
+    // keep-first stage; the only Sort allowed is the catalog's output orderBy).
+    val plan = queries.Catalog.byName("e1_segment_dedup").run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[segment".r.findAllIn(plan).size >= 2,
+      s"no partial+final HashAggregate pair on the segment key:\n$plan")
+    assert(!plan.contains("Window"),
+      s"keep-first must not be a window over segment text:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"keep-first must hash-aggregate, not sort-aggregate:\n$plan")
+    // exactly one Sort: the final output orderBy(doc_id)
+    assert("Sort ".r.findAllIn(plan).size <= 1,
+      s"unexpected extra sort in the dedup pipeline:\n$plan")
+  }
+
   test("E2k: KMV signatures push a partial WindowGroupLimit below the stratum exchange") {
     // same map-side-heap property as O2c, for the dense_rank <= k filter:
     // each task ships only its local k smallest distinct hashes
