@@ -190,7 +190,12 @@ object Similarity {
     * threshold still keep exactly one representative per component —
     * deterministic regardless of partitioning.
     *
-    * Returns (id, cell, component, kept) — one row per input vector.
+    * Returns (id, cell, component, kept, witness_cos) — one row per input
+    * vector; `witness_cos` is the max above-threshold cosine among the
+    * vector's within-cell edges (null when it has none — every kept
+    * singleton), so a dropped row carries the evidence that justified
+    * dropping it and [[semDedupInvariants]] can gate on it without
+    * recomputing the quadratic edge pass.
     *
     * 100 TB shape: the quadratic term is per-CELL, not per-corpus
     * (corpus/nCells average cell size; nCells scales with corpus so cells
@@ -219,14 +224,54 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val edges = a.join(b, "cell").where(col("a_id") < col("b_id"))
-      .where(cosine(col("a_emb"), col("b_emb")) >= threshold)
-      .select("a_id", "b_id")
-    val comps = Dedup.connectedComponents(edges) // (id, component)
+    // edges carry their cosine so the witness survives to the output —
+    // pinned because both the component closure and the witness aggregate
+    // read them (the quadratic per-cell pass must run once, not twice)
+    val edges = Pinned.pin(
+      a.join(b, "cell").where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          cosine(col("a_emb"), col("b_emb")).as("cos"))
+        .where(col("cos") >= threshold))
+    val comps = Dedup.connectedComponents(edges.select("a_id", "b_id"))
+    val witness = edges.select(col("a_id").as("id"), col("cos"))
+      .union(edges.select(col("b_id").as("id"), col("cos")))
+      .groupBy("id").agg(max(col("cos")).as("witness_cos"))
     assigned.select(col("vec_id").as("id"), col("cell"))
       .join(comps, Seq("id"), "left")
+      .join(witness, Seq("id"), "left")
       .select(col("id"), col("cell"),
         coalesce(col("component"), col("id")).as("component"),
-        (coalesce(col("component"), col("id")) === col("id")).as("kept"))
+        (coalesce(col("component"), col("id")) === col("id")).as("kept"),
+        col("witness_cos"))
+  }
+
+  /** Partition-invariant invariants of a [[semDedup]] result as ONE
+    * hash-checkable row `(n_vectors, invariants_ok)` — the same pattern
+    * [[recallSummary]] gave the ANN entries (VERDICT r6 #7): the per-row
+    * output is KMeans-clustered and correctly NOT golden-pinned, but these
+    * properties hold for every valid run regardless of cell floats, so the
+    * oracle can pin them:
+    *  - every component keeps EXACTLY ONE member, and it is the component's
+    *    min id (which is also the component label);
+    *  - every dropped row carries an above-threshold witness cosine (it was
+    *    dropped because of real evidence, not a closure bug).
+    * A closure regression (two keepers, non-min keeper, evidence-free drop)
+    * flips the boolean and breaks the round's correctness gate.
+    */
+  def semDedupInvariants(result: DataFrame, threshold: Double): DataFrame = {
+    val r = Pinned.pin(result)
+    val compOk = r.groupBy("component").agg(
+        min(col("id")).as("min_id"),
+        min(when(col("kept"), col("id"))).as("kept_id"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_keep"))
+      .agg(bool_and(col("n_keep") === 1 && col("kept_id") === col("min_id") &&
+        col("min_id") === col("component")).as("comp_ok"))
+    val rowOk = r.agg(
+      count(lit(1)).as("n_vectors"),
+      bool_and(col("kept") || (col("witness_cos").isNotNull &&
+        col("witness_cos") >= threshold)).as("drop_ok"))
+    // two 1-row frames; the cross join is a broadcast of one scalar row
+    rowOk.crossJoin(compOk)
+      .select(col("n_vectors"), (col("comp_ok") && col("drop_ok")).as("invariants_ok"))
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Pinned, Similarity}
 import graft.sources.Tables
 
 /** LLM-data-pipeline dedup + similarity queries (SURVEY E1/E2/E3).
@@ -476,15 +476,28 @@ object DedupQueries {
     // KMeans cells bound the quadratic cosine term per-cell, one kept
     // representative per above-threshold component (min-label closure, so
     // the keep set is partition-invariant, unlike a naive greedy sweep).
-    // KMeans-clustered → rows-only; keep/drop laws on planted exact copies
-    // in OperatorsSpec.
-    QueryDef.rowsOnly("e2_semdedup") { (s, d) =>
+    // The per-row output is KMeans-clustered and correctly not golden-
+    // pinned; what the oracle CAN pin (VERDICT r6 #7) are the run's
+    // partition-invariant invariants as one hash-checked summary row:
+    // total rows, the closure laws (one min-id keeper per component,
+    // every drop witnessed by an above-threshold cosine), and that all 10
+    // planted exact copies dropped — exact copies share their original's
+    // cell under ANY quantizer (identical vectors), carry a cosine-1.0
+    // edge to a lower id, and so can never be a component min.
+    QueryDef.sql(
+      "e2_semdedup",
+      """SELECT CAST(count(*) + 10 AS BIGINT) AS n_vectors, true AS invariants_ok,
+        |       CAST(10 AS BIGINT) AS copies_dropped
+        |FROM embeddings""".stripMargin) { (s, d) =>
       val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val corpus = base.union(base.where(col("vec_id") < 10)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
-      Similarity.semDedup(corpus, threshold = 0.999, nCells = 16,
-          fitSampleFraction = 0.5)
-        .orderBy("id")
+      val res = Pinned.pin(Similarity.semDedup(corpus, threshold = 0.999,
+        nCells = 16, fitSampleFraction = 0.5))
+      val copies = res.agg(
+        sum(when(col("id") >= 1000000 && !col("kept"), lit(1L)).otherwise(lit(0L)))
+          .as("copies_dropped"))
+      Similarity.semDedupInvariants(res, 0.999).crossJoin(copies)
     },
 
     // E3 (scale path): LSH-bucketed ANN. Output is the recall@5-vs-exact

@@ -807,15 +807,22 @@ class OperatorsSpec extends SparkSpec {
     val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
     val copies = base.where(col("vec_id") < 5)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-    val out = Similarity.semDedup(base.union(copies), threshold = 0.999,
-        nCells = 4, fitSampleFraction = 1.0)
-      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    val result = Similarity.semDedup(base.union(copies), threshold = 0.999,
+      nCells = 4, fitSampleFraction = 1.0)
+    val out = result.as[(Long, Int, Long, Boolean, Option[Double])].collect().toSeq
     assert(out.size == base.count() + 5, "one row per input vector")
     // every planted copy is an exact duplicate of its base: same cell,
-    // above-threshold edge, higher id -> dropped, base id labels the component
-    for ((id, _, comp, kept) <- out if id >= 1000000) {
+    // above-threshold edge, higher id -> dropped, base id labels the
+    // component, and the cosine-1.0 edge is the recorded witness
+    for ((id, _, comp, kept, witness) <- out if id >= 1000000) {
       assert(!kept, s"exact copy $id survived")
       assert(comp <= id - 1000000, s"copy $id not linked to its base (component $comp)")
+      assert(witness.exists(_ >= 0.999), s"copy $id lacks its witness cosine: $witness")
+    }
+    // every dropped row carries an above-threshold witness; kept singletons carry none
+    for ((id, _, comp, kept, witness) <- out) {
+      if (!kept) assert(witness.exists(_ >= 0.999), s"evidence-free drop of $id")
+      if (kept && comp == id && witness.isEmpty) () // singleton — fine
     }
     // exactly one kept member per component, and it is the min id
     out.groupBy(_._3).foreach { case (comp, rows) =>
@@ -824,6 +831,32 @@ class OperatorsSpec extends SparkSpec {
         s"component $comp kept ${keptRows.map(_._1)} of ${rows.map(_._1).sorted}")
       assert(comp == rows.map(_._1).min)
     }
+    // the invariant summary distills exactly these laws into one row
+    val inv = Similarity.semDedupInvariants(result, 0.999)
+      .as[(Long, Boolean)].collect().head
+    assert(inv == ((out.size.toLong, true)), s"invariant row: $inv")
+    graft.operators.Pinned.release()
+  }
+
+  test("E2: semDedupInvariants flips on a broken closure (two keepers / evidence-free drop)") {
+    import org.apache.spark.sql.functions.{lit => flit}
+    // a valid 2-vector component, then corrupt it two ways
+    val good = Seq((1L, 0, 1L, true, None: Option[Double]),
+      (2L, 0, 1L, false, Some(0.9995)))
+      .toDF("id", "cell", "component", "kept", "witness_cos")
+    assert(Similarity.semDedupInvariants(good, 0.999)
+      .as[(Long, Boolean)].collect().head == ((2L, true)))
+    graft.operators.Pinned.release()
+    val twoKeepers = good.withColumn("kept", flit(true))
+    assert(!Similarity.semDedupInvariants(twoKeepers, 0.999)
+      .as[(Long, Boolean)].collect().head._2, "two keepers must flip the gate")
+    graft.operators.Pinned.release()
+    val evidenceFree = Seq((1L, 0, 1L, true, None: Option[Double]),
+      (2L, 0, 1L, false, None: Option[Double]))
+      .toDF("id", "cell", "component", "kept", "witness_cos")
+    assert(!Similarity.semDedupInvariants(evidenceFree, 0.999)
+      .as[(Long, Boolean)].collect().head._2, "an evidence-free drop must flip the gate")
+    graft.operators.Pinned.release()
   }
 
   test("E2: KMV overlap — identical strata read 1.0, disjoint strata 0.0, at any k") {
