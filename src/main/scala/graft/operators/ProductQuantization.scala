@@ -360,6 +360,83 @@ object ProductQuantization {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
+  /** Assign + residual-encode a batch against EXISTING IVF-PQ artifacts
+    * (no refit) — the encode half of [[appendToIvfPqIndex]], exposed so
+    * the append law (append(A,B)'s stored codes ≡ encoding A∪B against
+    * the same artifacts) is directly testable. Assignment is a map-only
+    * pass: the centroid table broadcasts into a UDF that scans all cells
+    * per row (sanctioned broadcast-state UDF — an explode-to-nCells +
+    * window argmin would shuffle |batch| x nCells rows, which at
+    * production nCells is a 10^3x blowup of the batch), ties break to the
+    * lowest cell id exactly like the quantizer's own predict. Residuals
+    * use the stored FLOAT centroids — the same arithmetic the build path
+    * applies after its join, so appended codes are bit-compatible.
+    */
+  def encodeAgainstIvfPq(batch: DataFrame, cents: DataFrame,
+                         books: Array[Array[Array[Float]]]): DataFrame = {
+    val spark = batch.sparkSession
+    val centArr: Array[(Int, Array[Float])] = cents.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    val assign = udf((emb: Seq[Float]) => {
+      var best = -1
+      var bestD = Double.MaxValue
+      for ((cell, c) <- bc.value) {
+        var dsum = 0.0
+        var i = 0
+        while (i < c.length) {
+          val dd = emb(i).toDouble - c(i); dsum += dd * dd; i += 1
+        }
+        if (dsum < bestD) { bestD = dsum; best = cell } // first (lowest) cell wins ties
+      }
+      best
+    })
+    batch.select(col("vec_id"), col("embedding"))
+      .withColumn("cell", assign(col("embedding")))
+      .join(broadcast(cents), "cell")
+      .withColumn("res", zip_with(col("embedding"), col("c_emb"), (x, c) => x - c))
+      .select(col("cell"), col("vec_id").as("n_id"), encode(col("res"), books).as("codes"))
+  }
+
+  /** Incremental ingest into a persisted [[writeIvfPqIndex]]: encode a new
+    * batch against the EXISTING cells + codebooks (never refits), append
+    * the codes partitioned-by-cell, and re-stamp the manifest. The
+    * continual-ingest twin of the dedup side's stored-band probe: corpus
+    * growth costs one batch-sized encode pass, not an index rebuild.
+    *
+    * Manifest discipline matches [[writeIvfPqIndex]]: the params manifest
+    * is deleted BEFORE the append and rewritten after, so an append that
+    * dies mid-write leaves a manifest-less (= invalid, rebuild-on-probe)
+    * index rather than a silently half-appended one. Refuses (IllegalState)
+    * when no valid same-params index exists — appending into a mismatched
+    * or half-built index would mix incompatible codes.
+    *
+    * Drift-refit policy: the codebooks stay frozen at build time, so a
+    * batch whose distribution has drifted from the build corpus encodes
+    * with higher quantization error (recall erodes, never corrupts —
+    * the exact re-rank still sees full vectors). Callers monitoring drift
+    * should periodically rebuild with [[writeIvfPqIndex]]; the classic
+    * IVFADC deployments do exactly this (index rebuilds are scheduled,
+    * appends are continuous).
+    */
+  def appendToIvfPqIndex(batch: DataFrame, dir: String,
+                         nCells: Int = 16, dim: Int = 64, m: Int = 8,
+                         kCodes: Int = 16, fitSampleFraction: Double = 1.0): Unit = {
+    val spark = batch.sparkSession
+    if (!ivfPqIndexMatches(spark, dir, nCells, dim, m, kCodes, fitSampleFraction))
+      throw new IllegalStateException(
+        s"appendToIvfPqIndex: no valid IVF-PQ index with these parameters at $dir — " +
+          "build with writeIvfPqIndex first (append never refits)")
+    val cents = spark.read.parquet(s"$dir/cells")
+    val books = readCodebooks(spark, dir)
+    invalidateManifest(spark, dir)
+    encodeAgainstIvfPq(batch, cents, books)
+      .write.partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/codes")
+    writeManifest(spark, dir,
+      pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
+  }
+
   /** Probe a persisted [[writeIvfPqIndex]] — the recurring per-query
     * production cost: read centroids + codebooks (driver-side, tiny),
     * probe nProbe cells against the partition-pruned code table, exact

@@ -368,6 +368,36 @@ object MLQueries {
       Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
     },
 
+    // E3 IVF-PQ — APPEND entry (continual ingest): build the index on 90%
+    // of the corpus, appendToIvfPqIndex the remaining 10% against the
+    // STORED cells/codebooks (no refit — the batch-sized encode pass a
+    // production pipeline pays per ingest instead of a rebuild), then
+    // probe the full corpus from the appended index. Output is the same
+    // recall@5-vs-exact summary row as the other e3 entries, so the oracle
+    // hash-checks that vectors ingested via append are exactly as findable
+    // as built-in ones. The 90% build uses Overwrite, so re-runs never
+    // double-append. Parity law (appended codes ≡ encoding the union
+    // against the same artifacts) is pinned in OperatorsSpec.
+    QueryDef.sql(
+      "e3_ann_ivfpq_append",
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin) { (s, d) =>
+      import graft.operators.{ProductQuantization, Similarity}
+      val emb = Tables.embeddings(s, d)
+      val q = emb.where(col("vec_id") < 10)
+      val dir = s"${graft.sources.IndexStore.root(d)}/ivfpq_append"
+      val (nCells, nProbe, rerank) = annScaled(emb.count())
+      val seed = emb.where(col("vec_id") % 10 =!= 0)
+      val batch = emb.where(col("vec_id") % 10 === 0)
+      ProductQuantization.writeIvfPqIndex(seed, dir, nCells = nCells,
+        fitSampleFraction = 0.25)
+      ProductQuantization.appendToIvfPqIndex(batch, dir, nCells = nCells,
+        fitSampleFraction = 0.25)
+      val ann = ProductQuantization.ivfPqProbe(s, dir, emb, q, k = 5,
+        nProbe = nProbe, rerank = rerank)
+      Similarity.recallSummary(ann, Similarity.exactTopK(emb, q, k = 5), 0.8)
+    },
+
     // A8/M2 hybrid: per-example MSE between each vector and its label's
     // mean vector (reconstruction against the class centroid) — exact
     // relational computation, oracle-checked.

@@ -205,6 +205,48 @@ class OperatorsSpec extends SparkSpec {
       kCodes = 8, fitSampleFraction = 0.5))
   }
 
+  test("E3: appendToIvfPqIndex — appended codes equal encoding the batch against the stored artifacts; probe finds them") {
+    import graft.operators.{ProductQuantization, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    val seed = emb.where(col("vec_id") % 10 =!= 0)
+    val batch = emb.where(col("vec_id") % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    ProductQuantization.writeIvfPqIndex(seed, dir, nCells = 4, kCodes = 8,
+      fitSampleFraction = 0.5)
+    ProductQuantization.appendToIvfPqIndex(batch, dir, nCells = 4, kCodes = 8,
+      fitSampleFraction = 0.5)
+    // manifest re-stamped after the append completes
+    assert(ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = 4,
+      kCodes = 8, fitSampleFraction = 0.5))
+    // the append law: stored batch codes == assign+encode of the batch
+    // against the STORED cells/codebooks (no refit anywhere)
+    val cents = spark.read.parquet(s"$dir/cells")
+    val books = ProductQuantization.readCodebooks(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("cell").cast("int"), col("n_id"), col("codes"))
+        .as[(Int, Long, Seq[Int])].collect().toSet
+    val stored = spark.read.parquet(s"$dir/codes")
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(rows(stored.where(col("n_id") % 10 === 0)) ==
+      rows(ProductQuantization.encodeAgainstIvfPq(batch, cents, books)))
+    assert(stored.count() == emb.count(), "index must cover seed + batch exactly once")
+    assert(rows(stored).map(_._2) == batchIds ++
+      seed.select("vec_id").as[Long].collect().toSet)
+    // appended vectors are as findable as built-in ones: probing with the
+    // batch as queries over the full corpus clears the same recall floor
+    val q = batch.where(col("vec_id") < 100)
+    val ann = ProductQuantization.ivfPqProbe(spark, dir, emb, q, k = 5,
+      nProbe = 3, rerank = 16)
+    val (nQ, ok) = Similarity.recallSummary(ann,
+      Similarity.exactTopK(emb, q, k = 5), 0.8).as[(Long, Boolean)].head()
+    assert(nQ == q.count() && ok, s"appended-vector recall below floor ($nQ queries)")
+    // refusal law: append into a missing/mismatched index must throw, not mix codes
+    intercept[IllegalStateException] {
+      ProductQuantization.appendToIvfPqIndex(batch, dir, nCells = 8, kCodes = 8,
+        fitSampleFraction = 0.5)
+    }
+  }
+
   test("as-of join: equal-ts right duplicates resolve to the max value deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, "rA"), (1L, 10L, "rZ"), (1L, 10L, "rM")).toDF("k", "ts", "v")
