@@ -106,12 +106,52 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Candidate pairs (a_id < b_id) from the band-bucket join. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("a_id"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("b_id"))
-    a.join(b, Seq("band", "key")).where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+  /** Candidate pairs (a_id < b_id) from the band-bucket join.
+    *
+    * `hubCap` is the giant-bucket skew guard: a bucket of m docs emits
+    * m(m-1)/2 pairs from ONE task, so a boilerplate cluster of 10^6
+    * members — routine at 100 TB — would emit 5x10^11 rows from a single
+    * straggler. With a cap, buckets over it emit HUB pairs only (bucket-min
+    * id vs each member): O(m) output, same single task. For the flows these
+    * buckets matter to (keep-min cleaning, canonical clustering) the
+    * survivor set is unchanged whenever the bucket is a near-clique — and a
+    * bucket whose members collided on EVERY minhash in a band is exactly
+    * that — because each non-min member still pairs with the minimum and
+    * the downstream exact-Jaccard verify still gates every emitted pair.
+    * The trade: chain-shaped clusters that happen to share one bucket lose
+    * their non-hub edges (pair RECALL, not precision) — so the cap is
+    * opt-in and pair-reporting callers keep the exact default. Measured in
+    * the round-7 skew rehearsal (SCALE.md): a planted 1001-member cluster's
+    * pair stage drops from ~500k to 1k rows.
+    */
+  def candidatePairs(bands: DataFrame): DataFrame = candidatePairs(bands, None)
+
+  /** See the one-arg overload; `hubCap = Some(cap)` enables the
+    * giant-bucket guard.
+    */
+  def candidatePairs(bands: DataFrame, hubCap: Option[Int]): DataFrame = {
+    val allOf = (bk: DataFrame) => {
+      val a = bk.select(col("band"), col("key"), col("doc_id").as("a_id"))
+      val b = bk.select(col("band"), col("key"), col("doc_id").as("b_id"))
+      a.join(b, Seq("band", "key")).where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
+    }
+    hubCap match {
+      case None => allOf(bands).distinct()
+      case Some(cap) =>
+        require(cap >= 2, s"hubCap must be >= 2, got $cap")
+        // bucket stats partial-aggregate map-side; the join back is on the
+        // same (band, key) the pair join needed anyway
+        val stats = bands.groupBy("band", "key")
+          .agg(count(lit(1)).as("__n"), min("doc_id").as("__hub"))
+        val tagged = bands.join(stats, Seq("band", "key"))
+        val small = tagged.where(col("__n") <= cap)
+          .select("band", "key", "doc_id")
+        val hubPairs = tagged
+          .where(col("__n") > cap && col("doc_id") =!= col("__hub"))
+          .select(col("__hub").as("a_id"), col("doc_id").as("b_id"))
+        allOf(small).union(hubPairs).distinct()
+    }
   }
 
   /** Exact shingle-Jaccard for a set of candidate pairs. The corpus-sized
@@ -151,7 +191,8 @@ object Dedup {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, numHashes: Int = 16,
-                   rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
+                   rowsPerBand: Int = 4, shingleN: Int = 3,
+                   hubCap: Option[Int] = None): DataFrame = {
     // the shingle set feeds 3 consumers (signatures, both jaccard sides)
     // and the candidate set feeds 2 (doc filter, pair join) — persist both
     // so each pipeline stage computes exactly once; per-doc sizes ride the
@@ -161,7 +202,7 @@ object Dedup {
     // (the Verify/Bench harnesses do so between queries)
     val sh = Pinned.pin(shingleSet(corpus, idCol, textCol, shingleN))
     val sig = Pinned.pin(minhashSignatures(sh, numHashes))
-    val cand = Pinned.pin(candidatePairs(bands(sig, numHashes, rowsPerBand)))
+    val cand = Pinned.pin(candidatePairs(bands(sig, numHashes, rowsPerBand), hubCap))
     exactJaccard(cand, sh, sizes = Some(sig.select("doc_id", "n_sh")))
       .where(col("jaccard") >= threshold)
   }

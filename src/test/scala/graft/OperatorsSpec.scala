@@ -81,6 +81,44 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("E2: candidatePairs hubCap — oversized buckets emit hub pairs only; small buckets are untouched; keep-min survivors agree") {
+    import graft.operators.Dedup
+    // one small bucket (3 docs -> 3 pairs) and one oversized bucket
+    // (6 docs -> 15 pairs uncapped, 5 hub pairs capped)
+    val bands = (Seq((0, "small", 1L), (0, "small", 2L), (0, "small", 3L)) ++
+      (10L to 15L).map(i => (1, "giant", i)))
+      .toDF("band", "key", "doc_id")
+    val uncapped = Dedup.candidatePairs(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 3 + 15)
+    val capped = Dedup.candidatePairs(bands, hubCap = Some(4))
+      .as[(Long, Long)].collect().toSet
+    val smallPairs = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    val hubPairs = (11L to 15L).map(b => (10L, b)).toSet
+    assert(capped == smallPairs ++ hubPairs,
+      s"capped pairs wrong: ${capped.toSeq.sorted}")
+    // a cap no bucket exceeds must reproduce the exact pair set
+    assert(Dedup.candidatePairs(bands, hubCap = Some(100))
+      .as[(Long, Long)].collect().toSet == uncapped)
+    // end-to-end: for a clique cluster, keep-min cleaning survives the cap
+    // unchanged — every non-min member still pairs with the minimum
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val cluster = (0 until 30).map(i => (100L + i, s"$base variant$i"))
+    val others = Seq((1L, "one two three four five six seven eight nine ten"),
+      (2L, "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"))
+    val corpus = (cluster ++ others).toDF("doc_id", "text")
+    val ref = Dedup.removeNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    graft.operators.Pinned.release()
+    val drop = Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5,
+      hubCap = Some(8)).select(col("b_id")).distinct()
+    val cappedSurv = corpus.join(drop.withColumnRenamed("b_id", "doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id").as[Long].collect().toSet
+    graft.operators.Pinned.release()
+    assert(cappedSurv == ref, s"capped survivors $cappedSurv != $ref")
+    assert(ref == Set(100L, 1L, 2L), "cluster must collapse to its min id")
+  }
+
   test("E2: MinHash-LSH finds planted near-dups and no false positives on tiny corpus") {
     val docs = (0 until 30).map { i =>
       val words = (0 until 40).map(j => s"w${(i * 13 + j * 7) % 97}x$j").mkString(" ")
