@@ -172,17 +172,32 @@ object Bpe {
     train(wc, numMerges)
   }
 
+  /** Words longer than this bypass [[encodeWord]]'s merge loop entirely
+    * (ADVICE r6): the loop is O(len^2) rank lookups, so one pathological
+    * unbroken token — a base64/DNA blob the tokenizer failed to split —
+    * would stall a task at corpus scale. Past the cap the word emits as
+    * single-character pieces plus the sentinel, which is still LOSSLESS
+    * (concatenation reproduces the word exactly — BPE's untrained-word
+    * degenerate case, applied deliberately). Real trained vocabularies
+    * never contain kilochar merges, so no legitimate segmentation is
+    * lost; 4096 chars is ~4x the longest word any natural corpus
+    * produces and caps the loop at ~16M lookups worst-case.
+    */
+  val MaxEncodeWordChars = 4096
+
   /** Segment one word with learned merge ranks: greedily apply the
     * LOWEST-ranked applicable merge (leftmost occurrence first via
     * [[mergeOnce]]) until none applies — the standard BPE inference rule,
     * guaranteeing encode-time segmentation matches train-time merges.
     * Unseen characters simply stay single-character pieces (BPE's
     * graceful OOV story). Concatenating the pieces and dropping the
-    * [[EndOfWord]] sentinel always reproduces the word exactly.
+    * [[EndOfWord]] sentinel always reproduces the word exactly —
+    * including past the [[MaxEncodeWordChars]] degenerate-blob guard.
     */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+  def encodeWord(word: String, ranks: Map[(String, String), Int],
+                 maxChars: Int = MaxEncodeWordChars): Seq[String] = {
     var syms = toSymbols(word)
-    var continue = syms.length > 1
+    var continue = syms.length > 1 && word.length <= maxChars
     while (continue) {
       var bestRank = Int.MaxValue
       var bestPair: (String, String) = null

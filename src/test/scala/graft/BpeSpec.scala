@@ -178,6 +178,25 @@ class BpeSpec extends SparkSpec {
     assert(joined == words.map(_ + Bpe.EndOfWord).mkString)
   }
 
+  test("encode: degenerate-blob guard — a kilochar unbroken token bypasses the O(len^2) loop losslessly") {
+    val ranks = Bpe.ranksOf(Seq(("a", "a"), ("aa", "aa")))
+    // a 100k-char blob would be ~10^10 rank lookups without the guard;
+    // with it the encode is instant and emits single-char pieces + sentinel
+    val blob = "a" * 100000
+    val t0 = System.nanoTime()
+    val pieces = Bpe.encodeWord(blob, ranks)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, f"guard failed to bound the loop: $ms%.0f ms")
+    assert(pieces.length == blob.length + 1 && pieces.last == Bpe.EndOfWord)
+    assert(pieces.dropRight(1).mkString == blob, "guard must stay lossless")
+    // words at/under the cap still merge normally
+    val short = Bpe.encodeWord("aaaa", ranks)
+    assert(short == Seq("aaaa", Bpe.EndOfWord))
+    // the cap is a parameter: a tiny cap forces the bypass on short words too
+    assert(Bpe.encodeWord("aaaa", ranks, maxChars = 3) ==
+      Seq("a", "a", "a", "a", Bpe.EndOfWord))
+  }
+
   test("withPieces: zero-shuffle map-side plan; null tokens stay null") {
     import SharedSpark.spark.implicits._
     val merges = Seq(("a", "b"), ("ab", Bpe.EndOfWord))
