@@ -28,6 +28,7 @@ class PlanLintSpec extends SparkSpec {
     // codes) table with the n_id =!= q_id guard — same designed shape,
     // shared by the build entry, its probe twin, and the IVFADC composition
     "e3_ann_pq", "e3_ann_pq_probe", "e3_ann_ivfpq", "e3_ann_ivfpq_probe",
+    "e3_ann_ivfpq_append",
     // every e3_ann_* entry now appends recallSummary vs exactTopK (VERDICT
     // r5 #3), so the exact-topk broadcast-scoring scan rides along
     "e3_ann_lsh",
@@ -40,6 +41,73 @@ class PlanLintSpec extends SparkSpec {
     // scale-safe decorrelation of TPC-H's scalar subqueries (Q11/Q20/Q22).
     // The BNLJ side is exactly one row by construction.
     "q11_important_parts", "q20_excess_shippers", "q22_idle_customers")
+
+  test("catalog-wide: no single-partition exchange except under a keyless global aggregate; no global sort feeding a limit") {
+    // VERDICT r6 #8: PlanSpec pins ~20 headline plans; a Catalyst upgrade
+    // could silently de-optimize the rest. These two invariants hold for
+    // every catalogued plan:
+    //  - an Exchange to SinglePartition is only ever the final hop of a
+    //    keyless (global) aggregate — one row per partial, unavoidable and
+    //    cheap. Anywhere else it serializes the whole stream through one
+    //    task (the accidental-coalesce(1) class of regression).
+    //  - a GlobalLimit/CollectLimit directly over a global Sort means the
+    //    sort-limit fusion into TakeOrderedAndProject (per-partition heaps)
+    //    regressed to a full cluster sort.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case other => other.children
+    }
+    // does this subtree hit a global Sort before any exchange/aggregate
+    // boundary (transparent nodes like Project/WholeStageCodegen skipped)?
+    @annotation.tailrec
+    def globalSortBelow(p: SparkPlan): Boolean = p match {
+      case s: SortExec => s.global
+      case _: ShuffleExchangeExec | _: AdaptiveSparkPlanExec => false
+      case p if p.children.size == 1 => globalSortBelow(p.children.head)
+      case _ => false
+    }
+    def keylessAgg(p: SparkPlan): Boolean = p match {
+      case h: aggregate.HashAggregateExec => h.groupingExpressions.isEmpty
+      case o: aggregate.ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+      case s: aggregate.SortAggregateExec => s.groupingExpressions.isEmpty
+      case p if p.children.size == 1 => keylessAgg(p.children.head)
+      case _ => false
+    }
+    def lint(name: String, root: SparkPlan): Seq[String] = {
+      val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(p: SparkPlan, parentChain: List[SparkPlan]): Unit = {
+        p match {
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+            // allowed iff some ancestor within the same stage is a keyless
+            // aggregate (the exchange feeds the global-agg final step)
+            val justified = parentChain.takeWhile {
+              case _: ShuffleExchangeExec => false
+              case _ => true
+            }.exists(keylessAgg)
+            if (!justified) bad += s"$name: Exchange SinglePartition outside a global aggregate"
+          case l: GlobalLimitExec if globalSortBelow(l.child) =>
+            bad += s"$name: GlobalLimit over a global Sort (TakeOrderedAndProject regressed)"
+          case l: CollectLimitExec if globalSortBelow(l.child) =>
+            bad += s"$name: CollectLimit over a global Sort (TakeOrderedAndProject regressed)"
+          case _ => ()
+        }
+        kids(p).foreach(walk(_, p :: parentChain))
+        p.subqueries.foreach(walk(_, p :: parentChain))
+      }
+      walk(root, Nil)
+      bad.toSeq
+    }
+    spark.conf.set("spark.graft.probe.materialize", "false")
+    val offenders = try Catalog.all.filterNot(q => skip(q.name)).flatMap { q =>
+      lint(q.name, q.run(spark, sfDir).queryExecution.executedPlan)
+    } finally spark.conf.set("spark.graft.probe.materialize", "true")
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.distinct.mkString("\n")}")
+  }
 
   test("no catalogued query plans a CartesianProduct; BNLJ only where designed") {
     // keep e2_incremental_probe's VETTING plan inspectable: with the
