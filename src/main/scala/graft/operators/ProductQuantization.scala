@@ -58,14 +58,33 @@ object ProductQuantization {
       (0 until m).map(s =>
         array_to_vector(slice(col("embedding"), s * d + 1, d)).as(s"sub_$s")): _*)
       .cache()
+    // the m sub-fits are independent (disjoint seeds, disjoint feature
+    // columns, shared read-only cache), so they run as CONCURRENT Spark
+    // jobs: each small KMeans leaves most of the cluster idle between its
+    // stages, and sequential fits stack that idle time m times. Result is
+    // bit-identical to the sequential loop — concurrency changes job
+    // scheduling, never each fit's input or seed. The cache is
+    // materialized once up front so the first wave doesn't race to build it.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
-      (0 until m).map { s =>
-        new KMeans().setK(kCodes).setSeed(42 + s).setMaxIter(4)
-          .setInitMode("random").setFeaturesCol(s"sub_$s")
-          .fit(sliced)
-          .clusterCenters.map(_.toArray.map(_.toFloat))
-      }.toArray
-    } finally sliced.unpersist()
+      sliced.count()
+      val fits = (0 until m).map { s =>
+        scala.concurrent.Future {
+          new KMeans().setK(kCodes).setSeed(42 + s).setMaxIter(4)
+            .setInitMode("random").setFeaturesCol(s"sub_$s")
+            .fit(sliced)
+            .clusterCenters.map(_.toArray.map(_.toFloat))
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fits),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally {
+      pool.shutdown()
+      sliced.unpersist()
+    }
   }
 
   /** Sum of squared differences between a d-dim slice and a literal
@@ -341,7 +360,13 @@ object ProductQuantization {
     cents.coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/cells")
     writeCodebooks(spark, books, s"$dir/codebooks")
-    codeTable.write.partitionBy("cell")
+    // align write tasks to cells before partitionBy: without it every task
+    // holds rows of every cell and the committer fans out tasks x nCells
+    // tiny files (1024 at fixture scale; at production nCells it is the
+    // classic small-files explosion). One exchange on the cell id makes it
+    // ~one file per cell, and the probe's directory-pruned scan opens one
+    // file instead of task-count shards.
+    codeTable.repartition(col("cell")).write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/codes")
     writeManifest(spark, dir,
       pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
@@ -431,6 +456,7 @@ object ProductQuantization {
     val books = readCodebooks(spark, dir)
     invalidateManifest(spark, dir)
     encodeAgainstIvfPq(batch, cents, books)
+      .repartition(col("cell")) // same task-to-cell alignment as the build path
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/codes")
     writeManifest(spark, dir,
