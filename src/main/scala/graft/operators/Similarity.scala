@@ -270,8 +270,12 @@ object Similarity {
       count(lit(1)).as("n_vectors"),
       bool_and(col("kept") || (col("witness_cos").isNotNull &&
         col("witness_cos") >= threshold)).as("drop_ok"))
-    // two 1-row frames; the cross join is a broadcast of one scalar row
+    // two 1-row frames; the cross join is a broadcast of one scalar row.
+    // bool_and over ZERO rows is null — an empty result satisfies every
+    // law vacuously, so null coalesces to true (both flags null together,
+    // only on empty input)
     rowOk.crossJoin(compOk)
-      .select(col("n_vectors"), (col("comp_ok") && col("drop_ok")).as("invariants_ok"))
+      .select(col("n_vectors"),
+        coalesce(col("comp_ok") && col("drop_ok"), lit(true)).as("invariants_ok"))
   }
 }

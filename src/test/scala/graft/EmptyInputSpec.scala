@@ -105,6 +105,34 @@ class EmptyInputSpec extends SparkSpec {
     Pinned.release()
   }
 
+  test("round-7 ops: empty inputs flow through hubCap pairs, invariant summary, and index append") {
+    // candidatePairs with the hub guard on an empty band table
+    val eBands = Seq.empty[(Int, String, Long)].toDF("band", "key", "doc_id")
+    assert(Dedup.candidatePairs(eBands, hubCap = Some(8)).count() == 0)
+    // invariant summary of an empty semDedup result: laws hold vacuously
+    val eRes = Seq.empty[(Long, Int, Long, Boolean, Option[Double])]
+      .toDF("id", "cell", "component", "kept", "witness_cos")
+    val (n, ok) = Similarity.semDedupInvariants(eRes, 0.999)
+      .as[(Long, Boolean)].head()
+    assert(n == 0L && ok, "empty result must satisfy the invariants vacuously")
+    Pinned.release()
+    // appending an EMPTY batch to a valid IVF-PQ index: no rows added,
+    // manifest re-stamped, index still valid
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfempty").toString
+    ProductQuantization.writeIvfPqIndex(emb, dir, nCells = 2, dim = 8, m = 2,
+      kCodes = 4, fitSampleFraction = 1.0)
+    val before = SharedSpark.spark.read.parquet(s"$dir/codes").count()
+    val eBatch = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    ProductQuantization.appendToIvfPqIndex(eBatch, dir, nCells = 2, dim = 8,
+      m = 2, kCodes = 4, fitSampleFraction = 1.0)
+    assert(ProductQuantization.ivfPqIndexMatches(SharedSpark.spark, dir,
+      nCells = 2, dim = 8, m = 2, kCodes = 4, fitSampleFraction = 1.0))
+    assert(SharedSpark.spark.read.parquet(s"$dir/codes").count() == before)
+  }
+
   test("bpe: empty token table trains zero merges; encode still lossless") {
     val merges = Bpe.trainOn(Seq.empty[String].toDF("token"), "token", 10)
     assert(merges.isEmpty)
