@@ -68,7 +68,7 @@ object PlanAudit {
     "q21_sole_blame" ->
       "TPC-H Q21 shape: EXISTS/NOT EXISTS self-joins become a left-semi + left-anti pair hashing on l_orderkey with the supplier-inequality as a non-equi residual — lineitem is probed with 2-column projections, never re-scanned wide.",
     "e1_segment_dedup" ->
-      "C4-style segment dedup: segmentation is a narrow in-place slice of the token array (tokens never explode); keep-first is a partial-aggregable min(struct(id,seg)) grouped by segment — duplicate segments collapse MAP-SIDE before the exchange and no long-string sort exists — so the plan's only wide stages are the keep-first aggregate exchange on the segment and the reassembly exchange on doc_id.",
+      "C4-style segment dedup: segmentation is a narrow in-place slice of the token array (tokens never explode); keep-first is min over a packed (id,seg) BIGINT grouped by segment — a pure HashAggregate pair, so duplicate segments collapse MAP-SIDE before the exchange and no sort exists anywhere in the keep-first stage (min(struct) would SortAggregate; the packed form is why PlanSpec can pin zero SortAggregate nodes) — leaving the keep-first aggregate exchange on the segment and the reassembly exchange on doc_id as the plan's only wide stages.",
     "o2_fixed_k_per_group" ->
       "Exactly-k-per-group sampling: the row_number <= k filter compiles to a PARTIAL WindowGroupLimit below the exchange — every task keeps a k-row heap per group before shuffling, so a skewed 100 TB group ships k rows per task, never its full contents, and no group is ever fully sorted.",
     "e13_outlier_mad" ->

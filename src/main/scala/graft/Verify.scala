@@ -50,12 +50,13 @@ object Verify {
     // driver's gate SF. At any other SF they would false-mismatch against
     // data they never described (ADVICE r6), so a non-gate run drops them
     // from oracle_sql.json and those queries fall back to the rows-only
-    // check. The marker is the literal "sf0.01" in the oracle's SQL: every
-    // pinned path carries it, no live-DuckDB oracle does.
+    // check. Membership is the STRUCTURAL QueryDef.pinnedSql flag, not a
+    // string convention on the SQL text.
     val atGateSf = sfDir.replaceAll("/+$", "").endsWith("sf0.01")
+    val pinned = graft.queries.Catalog.all.filter(_.pinnedAtGateSf).map(_.name).toSet
     val json = SparkEntry.oracleSql
       .filter(_._1.matches(nameFilter))
-      .filter { case (_, sql) => atGateSf || !sql.contains("sf0.01") }
+      .filter { case (name, _) => atGateSf || !pinned(name) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (failed > 0) System.err.println(s"[verify] $failed queries failed")

@@ -29,6 +29,15 @@ object Dedup {
   /** (a, b) parameters of the j-th universal hash h_j(x) = (a*x + b) mod P. */
   def hashParams(j: Int): (Long, Long) = (2L * j + 1L, 12289L * j + 1L)
 
+  /** One shared "is this an integral id type" rule — [[segmentDedup]]'s
+    * packed fast path and [[connectedComponents]]' sum-based convergence
+    * probe both dispatch on it; two hand-rolled copies could drift.
+    */
+  private def isIntegralType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+
   /** E1: exact dedup keeping, per duplicate group, the row with the minimal
     * tiebreak value. Deterministic (unlike dropDuplicates, whose survivor
     * depends on partitioning).
@@ -554,11 +563,7 @@ object Dedup {
     // in DECIMAL(38,0): exact for any count of full-range 64-bit ids, so a
     // wrap-around false-convergence cannot occur. Non-integral ids fall
     // back to the exact changed-row join. Empty inputs read as NULL -> 0.
-    val numericIds = labels.schema("component").dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    val numericIds = isIntegralType(labels.schema("component").dataType)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(sum(col("component")
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
@@ -693,18 +698,24 @@ object Dedup {
     * key, while the min collapses duplicate segments map-side BEFORE the
     * exchange — and duplicates are precisely what is abundant at scale,
     * so the exchange carries ~distinct segments per task, not the
-    * corpus's full segment stream. For integral non-negative ids the
-    * (id, seg) pair packs into one BIGINT (id < 2^41, < 2^21 segments
-    * per doc — 20M tokens at segTokens=10 — out-of-range rows
-    * raise_error rather than mis-dedup), which keeps the aggregate in
-    * pure HashAggregate form: zero sorts in the whole keep-first stage.
-    * Other id types take a `min(struct(id, seg))` SortAggregate — same
-    * map-side collapse, plus the local sort hash aggregation avoids.
-    * The survivor's (id, seg) rides inside the min and the text is the
-    * grouping key, so no join-back is needed either.
+    * corpus's full segment stream. For integral ids with
+    * `packedIds = true` (the default) the (id, seg) pair packs into one
+    * BIGINT (requires 0 <= id < 2^41 and < 2^21 segments per doc — 20M
+    * tokens at segTokens=10), which keeps the aggregate in pure
+    * HashAggregate form: zero sorts in the whole keep-first stage.
+    * Out-of-range rows raise_error rather than mis-dedup — fail loud,
+    * never corrupt. Corpora whose integral ids legitimately leave that
+    * range (hash-derived 64-bit ids, negative ids) pass
+    * `packedIds = false` to take the general `min(struct(id, seg))`
+    * path — same map-side collapse, correct for every orderable id,
+    * plus a local sort the packed form avoids (it compiles to a
+    * SortAggregate: struct buffers are not hash-mutable). Non-integral
+    * id types always take the general path. The survivor's (id, seg)
+    * rides inside the min and the text is the grouping key, so no
+    * join-back is needed either.
     */
   def segmentDedup(corpus: DataFrame, idCol: String, textCol: String,
-                   segTokens: Int = 10): DataFrame = {
+                   segTokens: Int = 10, packedIds: Boolean = true): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     val segs = corpus
       .where(length(col(textCol)) > 0)
@@ -715,12 +726,8 @@ object Dedup {
           .stripMargin).as("__segarr"))
       .select(col(idCol), posexplode(col("__segarr")).as(Seq("seg", "segment")))
     val idType = segs.schema(idCol).dataType
-    val integral = idType match {
-      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
-      case _ => false
-    }
     val keep =
-      if (integral) {
+      if (packedIds && isIntegralType(idType)) {
         val segBits = 21
         val maxSeg = 1L << segBits
         val maxId = 1L << (62 - segBits) // sign bit stays clear

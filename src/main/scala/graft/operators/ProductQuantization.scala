@@ -329,12 +329,16 @@ object ProductQuantization {
     val cents = coarse.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
       .toSeq.toDF("cell", "c_emb")
-    val assigned = Pinned.pin(coarse.transform(feat)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("prediction").as("cell"))
-      .join(broadcast(cents), "cell")
-      .withColumn("res",
-        zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c)))
+    // assignment goes through the SAME float-centroid rule appends use
+    // (withAssignedCell), NOT the model's double-precision transform: the
+    // persisted cells table is the single source of truth for which cell a
+    // vector lives in, so build-time and append-time codes agree bit-exactly
+    val assigned = Pinned.pin(
+      withAssignedCell(corpus.select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
+        .join(broadcast(cents), "cell")
+        .withColumn("res",
+          zip_with(col("n_emb"), col("c_emb"), (x, c) => x - c)))
     val residuals = assigned.select(col("n_id").as("vec_id"), col("res").as("embedding"))
     val books = fitCodebooks(residuals, dim, m, kCodes, fitSampleFraction)
     val codeTable = assigned.select(col("cell"), col("n_id"),
@@ -385,21 +389,19 @@ object ProductQuantization {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
-  /** Assign + residual-encode a batch against EXISTING IVF-PQ artifacts
-    * (no refit) — the encode half of [[appendToIvfPqIndex]], exposed so
-    * the append law (append(A,B)'s stored codes ≡ encoding A∪B against
-    * the same artifacts) is directly testable. Assignment is a map-only
-    * pass: the centroid table broadcasts into a UDF that scans all cells
-    * per row (sanctioned broadcast-state UDF — an explode-to-nCells +
-    * window argmin would shuffle |batch| x nCells rows, which at
-    * production nCells is a 10^3x blowup of the batch), ties break to the
-    * lowest cell id exactly like the quantizer's own predict. Residuals
-    * use the stored FLOAT centroids — the same arithmetic the build path
-    * applies after its join, so appended codes are bit-compatible.
+  /** Nearest-cell assignment against the persisted FLOAT centroid table —
+    * the ONE assignment rule shared by [[buildIvfPq]] and
+    * [[encodeAgainstIvfPq]], so build-time and append-time codes are
+    * bit-compatible by construction (a build assigning with the KMeans
+    * model's double-precision centers while appends assign with the
+    * float32 stored table could flip near-boundary vectors between the
+    * two ingest paths). Map-only: the centroid table broadcasts into a
+    * UDF that scans all cells per row (sanctioned broadcast-state UDF —
+    * an explode-to-nCells + window argmin would shuffle |rows| x nCells,
+    * a 10^3x blowup at production nCells); ties break to the lowest cell.
     */
-  def encodeAgainstIvfPq(batch: DataFrame, cents: DataFrame,
-                         books: Array[Array[Array[Float]]]): DataFrame = {
-    val spark = batch.sparkSession
+  private def withAssignedCell(df: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val centArr: Array[(Int, Array[Float])] = cents.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(centArr)
@@ -416,12 +418,24 @@ object ProductQuantization {
       }
       best
     })
-    batch.select(col("vec_id"), col("embedding"))
-      .withColumn("cell", assign(col("embedding")))
+    df.withColumn("cell", assign(col("embedding")))
+  }
+
+  /** Assign + residual-encode a batch against EXISTING IVF-PQ artifacts
+    * (no refit) — the encode half of [[appendToIvfPqIndex]], exposed so
+    * the append law (append(A,B)'s stored codes ≡ encoding A∪B against
+    * the same artifacts) is directly testable. Assignment and residuals
+    * both use the stored float centroids via [[withAssignedCell]] — the
+    * identical arithmetic the build path applies, so the law holds
+    * bit-exactly across ingest paths (cross-path equality pinned in
+    * OperatorsSpec).
+    */
+  def encodeAgainstIvfPq(batch: DataFrame, cents: DataFrame,
+                         books: Array[Array[Array[Float]]]): DataFrame =
+    withAssignedCell(batch.select(col("vec_id"), col("embedding")), cents)
       .join(broadcast(cents), "cell")
       .withColumn("res", zip_with(col("embedding"), col("c_emb"), (x, c) => x - c))
       .select(col("cell"), col("vec_id").as("n_id"), encode(col("res"), books).as("codes"))
-  }
 
   /** Incremental ingest into a persisted [[writeIvfPqIndex]]: encode a new
     * batch against the EXISTING cells + codebooks (never refits), append

@@ -167,7 +167,7 @@ object MLQueries {
     // sort-stabilized synonym rows — re-run equality pinned in
     // CatalogSpec), so the oracle pins a committed golden
     // (graft.GoldenGen), same contract as e5_compression_ratio.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "m5_word2vec_table",
       Golden.sql("m5_word2vec_table", "query, word, sim, vocab_rows, dim",
         "sim DESC, word")) { (s, d) =>

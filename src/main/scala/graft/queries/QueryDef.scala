@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    pinnedAtGateSf: Boolean = false)
 
 object QueryDef {
   /** Oracle-checked query. Callers apply `.stripMargin` themselves so SQL
@@ -18,6 +19,16 @@ object QueryDef {
     */
   def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, Some(oracle.trim))
+
+  /** Oracle pinned AT the gate SF (sf0.01): a committed [[Golden]] table
+    * or any other fixed-path oracle (s4's read_blob) that describes
+    * sf0.01 data specifically. Verify drops these from oracle_sql.json at
+    * any other SF (the query falls back to rows-only there) — a
+    * STRUCTURAL flag, not a string convention, so a future live oracle
+    * whose SQL merely mentions "sf0.01" can never be silently dropped.
+    */
+  def pinnedSql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(oracle.trim), pinnedAtGateSf = true)
 
   /** Non-SQL-expressible operator (seeded/ML/binary): driver records a
     * weaker rows-only check.

@@ -539,7 +539,7 @@ object RelationalQueries {
     // commutative max), so the oracle pins a committed golden
     // (graft.GoldenGen) — the ≤5% relative-error gate vs the exact counts
     // stays asserted in FunctionsSpec.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "a10_approx_distinct",
       Golden.sql("a10_approx_distinct",
         "o_orderpriority, n_cust_approx, n_orders", "o_orderpriority")) { (s, d) =>

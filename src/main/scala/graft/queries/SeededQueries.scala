@@ -99,7 +99,7 @@ object SeededQueries {
     // is the t2 contract's fixed correctness dir (TESTDATA.md: the driver
     // always verifies at sf0.01) — the one place the static oracle string
     // must name a directory the Spark side receives as a parameter.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "s4_binary_scan",
       """SELECT regexp_extract(filename, '/([^/]+)$', 1) AS file_name,
         |       CAST(size AS BIGINT) AS length

@@ -843,7 +843,7 @@ object TextQueries {
     // adds commute), so the oracle pins a committed golden
     // (graft.GoldenGen); the one-sided error bound
     // (exact <= est <= exact + eps * N) stays gated in OperatorsSpec.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "e5_heavy_hitters_cms",
       Golden.sql("e5_heavy_hitters_cms", "token, exact_n, est_n",
         "exact_n DESC, token")) { (s, d) =>
@@ -896,7 +896,7 @@ object TextQueries {
     // pass per doc, the aggregate is the lone exchange (|sources| rows
     // out). Golden path follows the t2 contract's fixed sf0.01
     // correctness dir, like s4_binary_scan's oracle.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "e5_compression_ratio",
       Golden.sql("e5_compression_ratio",
         "source, avg_ratio, min_ratio, max_ratio, n_suspicious", "source")) { (s, d) =>
@@ -919,7 +919,7 @@ object TextQueries {
     // counts, total-order tie-breaks), so the oracle pins a stored golden
     // like e5_compression_ratio — not SQL-expressible (iterative rewrite),
     // regenerate via `Test/runMain graft.GoldenGen` after fixture drift.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "e5_bpe_merges",
       Golden.sql("e5_bpe_merges", "rank, left_sym, right_sym, merged",
         "rank")) { (s, d) =>
@@ -936,7 +936,7 @@ object TextQueries {
     // token-budget pipeline actually bills by). Encoding is pure map-side
     // (ranks broadcast, zero text shuffle); the lone exchange is the
     // |sources|-row aggregate. Same golden-pin oracle contract as above.
-    QueryDef.sql(
+    QueryDef.pinnedSql(
       "e5_bpe_encode",
       Golden.sql("e5_bpe_encode",
         "source, n_docs, n_words, n_pieces, fertility", "source")) { (s, d) =>

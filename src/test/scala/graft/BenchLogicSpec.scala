@@ -72,18 +72,33 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!firstPass.contains("marginal"), "premise: first pass must miss it")
     // effective ratios after the first retime round (ghost-free here):
     // median 0.9 -> 1.96 / 0.9 = 2.18 > 2 crosses the normalized gate
-    val extra = Bench.selectNormSuspects(ratios, alreadyRetimed = firstPass.toSet)
-    assert(extra == Seq("marginal"))
+    val (extra, total) = Bench.selectNormSuspects(ratios, alreadyRetimed = firstPass.toSet)
+    assert(extra == Seq("marginal") && total == 1)
   }
 
   test("second-pass retimer: already-retimed members and calm catalogs produce no extra work") {
     val calm = (1 to 50).map(i => s"q$i" -> 1.0).toMap
-    assert(Bench.selectNormSuspects(calm, Set.empty).isEmpty)
+    assert(Bench.selectNormSuspects(calm, Set.empty)._1.isEmpty)
     val ratios = calm + ("ghost" -> 3.0)
-    assert(Bench.selectNormSuspects(ratios, alreadyRetimed = Set("ghost")).isEmpty)
-    // cap discipline matches the first pass
+    assert(Bench.selectNormSuspects(ratios, alreadyRetimed = Set("ghost"))._1.isEmpty)
+    // cap discipline matches the first pass: capped slice returned, total reported
     val many = calm ++ (1 to 40).map(i => f"g$i%02d" -> 5.0)
-    assert(Bench.selectNormSuspects(many, Set.empty, maxRetimes = 25).size == 25)
+    val (capped, totalMany) = Bench.selectNormSuspects(many, Set.empty, maxRetimes = 25)
+    assert(capped.size == 25 && totalMany == 40)
+  }
+
+  test("second-pass retimer: iterating with the grown retimed set reaches a fixpoint") {
+    // the one-iteration-deeper residual: after retiming the first wave, the
+    // median shift exposes a second marginal member; the loop must select
+    // it next round and then report nothing further
+    val ratios = (1 to 100).map(i => s"q$i" -> 0.9).toMap +
+      ("wave1" -> 3.0) + ("wave2" -> 1.9)
+    val (w1, _) = Bench.selectNormSuspects(ratios, Set.empty)
+    assert(w1.contains("wave1"))
+    val (w2, _) = Bench.selectNormSuspects(ratios, w1.toSet)
+    assert(w2 == Seq("wave2") || w2.isEmpty) // wave2 at 1.9/0.9 = 2.11 > 2
+    val (w3, _) = Bench.selectNormSuspects(ratios, w1.toSet ++ w2)
+    assert(w3.isEmpty, "fixpoint must terminate with nothing unretimed")
   }
 
   test("median: empty sample reports the -1 sentinel; odd/even are exact") {

@@ -81,6 +81,18 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("E1: segmentDedup packedIds=false handles hash-derived (negative / full-range) long ids") {
+    // the documented escape hatch for xxhash64-style ids: the general
+    // min(struct) path is correct for every orderable id value
+    val corpus = Seq((-42L, "a b c d e f"), (1L << 50, "a b c d e f"),
+      (-7L, "g h i j k l")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(corpus, "doc_id", "text", segTokens = 3,
+      packedIds = false).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // -42 < 2^50, so -42 keeps the shared text and 2^50 vanishes entirely
+    assert(out == Seq((-42L, 2L, "a b c d e f"), (-7L, 2L, "g h i j k l")))
+  }
+
   test("E2: candidatePairs hubCap — oversized buckets emit hub pairs only; small buckets are untouched; keep-min survivors agree") {
     import graft.operators.Dedup
     // one small bucket (3 docs -> 3 pairs) and one oversized bucket
@@ -267,6 +279,12 @@ class OperatorsSpec extends SparkSpec {
     val batchIds = batch.select("vec_id").as[Long].collect().toSet
     assert(rows(stored.where(col("n_id") % 10 === 0)) ==
       rows(ProductQuantization.encodeAgainstIvfPq(batch, cents, books)))
+    // CROSS-PATH law (the one that actually pins bit-compatibility): the
+    // BUILD-written seed codes equal the APPEND encoder's output for the
+    // same vectors — build and append share one assignment rule, so this
+    // is not a circular re-run of the same code path
+    assert(rows(stored.where(col("n_id") % 10 =!= 0)) ==
+      rows(ProductQuantization.encodeAgainstIvfPq(seed, cents, books)))
     assert(stored.count() == emb.count(), "index must cover seed + batch exactly once")
     assert(rows(stored).map(_._2) == batchIds ++
       seed.select("vec_id").as[Long].collect().toSet)

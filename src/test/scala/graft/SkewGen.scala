@@ -40,8 +40,8 @@ object SkewGen {
     val cluster = spark.range(clusterSize.toLong)
       .select((col("id") + 5000000L).as("doc_id"),
         concat(lit(seedText), lit(" zzvariant"), col("id").cast("string")).as("text"),
-        lit("en").as("lang"), lit("skewcluster").as("source"),
-        (length(lit(seedText)) + lit(11)).cast("long").as("n_chars"))
+        lit("en").as("lang"), lit("skewcluster").as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
     docs.unionByName(cluster).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // tables the rehearsal queries join against, copied unchanged
