@@ -41,6 +41,25 @@ object MLQueries {
     (nCells, nProbe, rerank)
   }
 
+  /** The M2 detail frame: per-label top-5 vectors by PCA reconstruction
+    * error (residual variance = |x|^2 - |proj|^2). Consumed by the
+    * m2_pca_anomaly catalog entry (which distills it to a hash-checked
+    * invariant row) and by MlSpec's ranking-stability gate.
+    */
+  private[graft] def pcaAnomalyTopK(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), array_to_vector(col("embedding")).as("features"))
+    val pca = new PCA().setK(8).setInputCol("features").setOutputCol("pc").fit(emb)
+    val scored = pca.transform(emb)
+      .select(col("vec_id"), col("label"),
+        (aggregate(vector_to_array(col("features")), lit(0.0), (a, x) => a + x * x) -
+          aggregate(vector_to_array(col("pc")), lit(0.0), (a, x) => a + x * x)).as("score"))
+    val w = Window.partitionBy("label").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .orderBy("label", "rnk")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // M6/A7: evaluation metrics — accuracy via MulticlassClassificationEvaluator
@@ -195,51 +214,89 @@ object MLQueries {
 
     // M2: anomaly scoring — PCA reconstruction error feeding the W1
     // top-k ranking (chapter3/MNISTAnomalyDetector.java:91-109,184-217).
-    QueryDef.rowsOnly("m2_pca_anomaly") { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), array_to_vector(col("embedding")).as("features"))
-      val pca = new PCA().setK(8).setInputCol("features").setOutputCol("pc").fit(emb)
-      // reconstruction error proxy: residual variance = |x|^2 - |proj|^2
-      val scored = pca.transform(emb)
-        .select(col("vec_id"), col("label"),
-          (aggregate(vector_to_array(col("features")), lit(0.0), (a, x) => a + x * x) -
-            aggregate(vector_to_array(col("pc")), lit(0.0), (a, x) => a + x * x)).as("score"))
-      val w = Window.partitionBy("label").orderBy(col("score").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
-        .orderBy("label", "rnk")
+    // The ranked rows themselves are PCA floats (correctly not pinned —
+    // near-tie order could flip across MLlib versions); the oracle pins
+    // the partition-invariant INVARIANTS as one hash-checked row (the
+    // VERDICT r6 #7 pattern, same as e2_semdedup): exactly min(5, |label|)
+    // rows per label, every label present, every residual non-negative.
+    // MlSpec keeps the ranking-stability gate on the detailed frame
+    // ([[pcaAnomalyTopK]]).
+    QueryDef.sql(
+      "m2_pca_anomaly",
+      """WITH per AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+        |SELECT CAST(sum(least(n, 5)) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_labels,
+        |       true AS five_per_label, true AS scores_nonneg
+        |FROM per""".stripMargin) { (s, d) =>
+      val top = graft.operators.Pinned.pin(pcaAnomalyTopK(s, d))
+      val perLabel = Tables.embeddings(s, d)
+        .groupBy("label").agg(count(lit(1)).as("n_all"))
+      val flags = top.groupBy("label").agg(count(lit(1)).as("n_top"))
+        .join(perLabel, "label")
+        .agg(sum("n_top").as("n_rows"), count(lit(1)).as("n_labels"),
+          bool_and(col("n_top") === least(lit(5L), col("n_all"))).as("five_per_label"))
+      // float tolerance: |x|^2 - |proj|^2 >= 0 mathematically; summation
+      // order can leave -1e-12-ish residue on a genuinely-zero score
+      val nonneg = top.agg(bool_and(col("score") >= -1e-6).as("scores_nonneg"))
+      flags.crossJoin(nonneg)
+        .select(col("n_rows"), col("n_labels"),
+          col("five_per_label"), col("scores_nonneg"))
     },
 
-    // M1: sequence/sentiment-style classification — mean-pooled embedding
-    // features → LogisticRegression (capability match for the LSTM pipeline,
-    // chapter2/PredictCommentsUsingRNNAndWord2Vec.java:94-107).
-    QueryDef.rowsOnly("m1_classification_pipeline") { (s, d) =>
+    // M1: sequence/sentiment-style classification — embedding features →
+    // LogisticRegression (capability match for the LSTM sentiment pipeline,
+    // chapter2/PredictCommentsUsingRNNAndWord2Vec.java:94-107). The target
+    // is binary and learnable by construction (sign of the first embedding
+    // component — derived from the features, like MlSpec's M1 gate), so
+    // "the pipeline learns it" is a partition-invariant fact the oracle
+    // can pin: train accuracy above BOTH the majority-class baseline and
+    // a 0.9 floor, with a wide margin (LR separates it at ~1.0). The raw
+    // accuracy float stays un-pinned (solver float order).
+    QueryDef.sql(
+      "m1_classification_pipeline",
+      """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
+        |FROM embeddings""".stripMargin) { (s, d) =>
       val data = Tables.embeddings(s, d)
-        .select((col("label") % 2).cast("double").as("label"),
-          array_to_vector(col("embedding")).as("features"))
-      val model = new LogisticRegression().setMaxIter(10).fit(data)
-      val preds = model.transform(data)
-      val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-        .evaluate(preds)
-      val spark = s
-      import spark.implicits._
-      Seq(acc).toDF("train_accuracy")
+        .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
+          array_to_vector(col("embedding")).as("features")).cache()
+      try {
+        val model = new LogisticRegression().setMaxIter(20).fit(data)
+        val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+          .evaluate(model.transform(data))
+        val n = data.count()
+        val majority = data.groupBy("label").count()
+          .agg(max("count")).head().getLong(0).toDouble / n
+        val spark = s
+        import spark.implicits._
+        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+      } finally data.unpersist()
     },
 
     // M3: multiclass classification on pixel-style vectors via MLP
     // (capability match for the CNN of chapter_4/MnistClassification.java:90-137;
     // no conv layers in MLlib — documented fidelity gap in SURVEY §2.9).
-    QueryDef.rowsOnly("m3_mlp_classifier") { (s, d) =>
+    // Same hash-checked learns-the-target floor as m1 (the MLP reaches
+    // ~1.0 on the separable target; raw float stays un-pinned).
+    QueryDef.sql(
+      "m3_mlp_classifier",
+      """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
+        |FROM embeddings""".stripMargin) { (s, d) =>
       import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
       val data = Tables.embeddings(s, d)
         .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
           array_to_vector(col("embedding")).as("features")).cache()
-      val mlp = new MultilayerPerceptronClassifier()
-        .setLayers(Array(64, 16, 2)).setSeed(42).setMaxIter(30).fit(data)
-      val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-        .evaluate(mlp.transform(data))
-      val spark = s
-      import spark.implicits._
-      Seq(acc).toDF("train_accuracy")
+      try {
+        val mlp = new MultilayerPerceptronClassifier()
+          .setLayers(Array(64, 16, 2)).setSeed(42).setMaxIter(30).fit(data)
+        val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+          .evaluate(mlp.transform(data))
+        val n = data.count()
+        val majority = data.groupBy("label").count()
+          .agg(max("count")).head().getLong(0).toDouble / n
+        val spark = s
+        import spark.implicits._
+        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+      } finally data.unpersist()
     },
 
     // E3 (IVF scale path): KMeans-cell inverted-file ANN. Output is the

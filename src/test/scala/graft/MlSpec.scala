@@ -100,11 +100,17 @@ class MlSpec extends SparkSpec {
   }
 
   test("M2: PCA anomaly scores are non-negative and ranking is stable") {
-    val q = queries.Catalog.byName("m2_pca_anomaly")
-    val a = q.run(spark, sfDir).select("vec_id").as[Long].collect().toSeq
-    val b = q.run(spark, sfDir).select("vec_id").as[Long].collect().toSeq
+    val a = queries.MLQueries.pcaAnomalyTopK(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSeq
+    val b = queries.MLQueries.pcaAnomalyTopK(spark, sfDir)
+      .select("vec_id").as[Long].collect().toSeq
     assert(a == b, "PCA top-k ranking not stable across runs")
     assert(a.nonEmpty)
+    // the catalog entry distills exactly these laws into its oracle row
+    val row = queries.Catalog.byName("m2_pca_anomaly").run(spark, sfDir)
+      .as[(Long, Long, Boolean, Boolean)].head()
+    assert(row == ((a.size.toLong, 10L, true, true)), s"invariant row: $row")
+    graft.operators.Pinned.release()
   }
 
   test("X4/M6: CrossValidator sweeps a param grid and picks the best model") {
