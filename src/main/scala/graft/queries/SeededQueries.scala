@@ -85,10 +85,26 @@ object SeededQueries {
 
     // F5: uniform/gaussian random columns (Nd4j.rand/randn — ND4JTest.java:32,37),
     // range-scaled to [0, 3) like the regression generators. Genuinely
-    // random by contract — stays rows-only (bounds/moments in SeededOpsSpec).
-    QueryDef.rowsOnly("f5_random_columns") { (s, d) =>
+    // random by contract, so the VALUES stay un-pinned — but the laws a
+    // correct RNG column must satisfy are exact booleans the oracle CAN
+    // pin (r7, same pattern as the ANN recall / ML floor rows): row
+    // count, hard bounds (u in [0,3), g finite), and distribution moments
+    // inside windows wide enough that a legitimate draw never flaps
+    // (>= 3.5 sigma even at the sf0.001 fixture's 50 rows). The detailed
+    // bounds/moments analysis stays in SeededOpsSpec.
+    QueryDef.sql(
+      "f5_random_columns",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS bounds_ok,
+        |       true AS moments_ok
+        |FROM embeddings""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
-        (rand(42) * 3.0).as("u"), randn(42).as("g"))
+          (rand(42) * 3.0).as("u"), randn(42).as("g"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          bool_and(col("u") >= 0.0 && col("u") < 3.0 &&
+            !isnan(col("g")) && abs(col("g")) < 100.0).as("bounds_ok"),
+          (abs(avg(col("u")) - 1.5) < 0.5 && abs(avg(col("g"))) < 0.5 &&
+            abs(stddev(col("g")) - 1.0) < 0.5).as("moments_ok"))
     },
 
     // S4: binary-file scan with path metadata (ImageRecordReader +
