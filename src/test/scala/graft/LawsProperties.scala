@@ -185,4 +185,24 @@ object LawsProperties extends Properties("graft.laws") {
         val wt = w(g); n == mx && (n == wt.toLong || n == wt.toLong + 1)
       }
     }
+
+  property("hubCap laws: capped pairs are a subset of exact pairs; every bucket member stays covered") =
+    Prop.forAll(
+      Gen.listOfN(24, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0L, 11L))),
+      Gen.chooseNum(2, 6)) { (memberships, cap) =>
+      import graft.operators.Dedup
+      // random band table: (band, key, doc_id) with duplicate memberships
+      // dropped (a doc appears once per bucket, as real banding guarantees)
+      val bands = memberships.distinct
+        .map { case (b, id) => (b, s"k$b", id) }.toDF("band", "key", "doc_id")
+      val exact = Dedup.candidatePairs(bands).as[(Long, Long)].collect().toSet
+      val capped = Dedup.candidatePairs(bands, Some(cap)).as[(Long, Long)].collect().toSet
+      val members = memberships.distinct.groupBy(_._1).values
+        .filter(_.size >= 2).flatMap(_.map(_._2)).toSet
+      // (1) the cap only ever REMOVES candidate pairs, never invents them;
+      // (2) every doc sharing a bucket with another doc still appears in at
+      //     least one surviving pair (the keep-min cleaning contract)
+      capped.subsetOf(exact) &&
+        members.forall(m => capped.exists(p => p._1 == m || p._2 == m))
+    }
 }
