@@ -32,10 +32,18 @@ object AnnSweep {
         fitSampleFraction = 0.25))
       ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
         fitSampleFraction = 0.25)
-    // corpus-scaled variant: nCells=128 puts the probe fraction at
-    // nProbe/nCells = 6% instead of the catalog's 75% (nCells=16 is sized
-    // for sf0.01's 2k vectors) — the production posture, where cell
-    // pruning actually prunes
+    // corpus-scaled variant: nCells=128 with nProbe=48 puts the probe
+    // fraction at 37.5% instead of the catalog's 75% — as far as cell
+    // pruning can go on the NEAR-UNIFORM fixture while holding the 0.8
+    // recall floor (r7 re-measure after a fixture regeneration: the
+    // original hand-fixed nProbe=8 — 6% — read 0.44 recall on the new
+    // generation; the C128-style grid gives 0.86 at 48/100 and 0.90 at
+    // 64/100). Uniform random vectors are IVF's worst case — no cluster
+    // structure means neighbors scatter across cells — so production
+    // corpora reach far smaller fractions at the same floor; the honest
+    // fixture-scale demonstration is bounded pruning WITH the floor
+    // held, knobs measured not guessed (the same lesson as the r6
+    // corpus-scaled catalog rule)
     val dir128 = s"${IndexStore.root(d)}/ivfpq_c128"
     if (!ProductQuantization.ivfPqIndexMatches(spark, dir128, nCells = 128,
         fitSampleFraction = 0.25))
@@ -56,7 +64,7 @@ object AnnSweep {
       }
       time("ivfpq_probe_c128") {
         ProductQuantization.ivfPqProbe(spark, dir128, emb, q, k = 5,
-          nProbe = 8, rerank = 48).count()
+          nProbe = 48, rerank = 100).count()
       }
       time("exact           ") {
         Similarity.exactTopK(emb, q, 5).count()
@@ -67,7 +75,7 @@ object AnnSweep {
     val q800 = emb.where(col("vec_id") < 800)
     val rec = Similarity.recallSummary(
       ProductQuantization.ivfPqProbe(spark, dir128, emb, q800, k = 5,
-        nProbe = 8, rerank = 48),
+        nProbe = 48, rerank = 100),
       Similarity.exactTopK(emb, q800, 5), 0.8).collect()(0)
     println(s"ANNSWEEP recall_c128 n=${rec.getLong(0)} ok=${rec.getBoolean(1)}")
     Pinned.release()
