@@ -268,6 +268,22 @@ object ProductQuantization {
     manifestMatches(spark, dir,
       pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
 
+  /** True iff the stored code table covers exactly `expected` vectors — a
+    * cheap (parquet footer metadata) staleness probe complementing the
+    * params manifest. The manifest sees build PARAMETERS only; an index
+    * stored outside the fixture dir (IndexStore roots under tmpdir)
+    * survives a fixture REGENERATION with matching params and would be
+    * silently probed against data it no longer describes (the round-7
+    * AnnSweep incident: a regenerated corpus read 0.44 recall against a
+    * 0.8-green stale gate). A count mismatch catches regeneration that
+    * changes cardinality; same-cardinality drift is caught downstream by
+    * the recall-floor gates every probe entry emits.
+    */
+  def indexCovers(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  expected: Long): Boolean =
+    try spark.read.parquet(s"$dir/codes").count() == expected
+    catch { case _: Throwable => false }
+
   /** Read back [[writeIndex]]'s codebooks (driver-side: m*kCodes rows). */
   def readCodebooks(spark: org.apache.spark.sql.SparkSession,
                     dir: String): Array[Array[Array[Float]]] =

@@ -55,7 +55,13 @@ object DedupQueries {
     val (existing, batch) = incrementalFixture(s, d)
     val sigPath = s"${IndexStore.root(d)}/dedup_sig"
     val bandTable = s"graft_band_index_${IndexStore.tableTag(d)}"
-    val needBuild = rebuild || !IndexStore.exists(s, sigPath)
+    // rebuild when forced, absent, or STALE — the stored index lives
+    // outside the fixture dir, so a fixture regeneration with one row per
+    // doc still present would otherwise be probed silently (r7; two
+    // footer-metadata counts, milliseconds)
+    val needBuild = rebuild || !IndexStore.exists(s, sigPath) ||
+      (try s.read.parquet(sigPath).count() != existing.count()
+       catch { case _: Throwable => true })
     if (needBuild)
       Dedup.signatureIndex(existing, "doc_id", "text", NumHashes)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(sigPath)

@@ -60,6 +60,32 @@ object MLQueries {
       .orderBy("label", "rnk")
   }
 
+  /** Shared learns-the-target floor row for the m1/m3 capability entries:
+    * a binary target derived from the features (sign of the first
+    * embedding component — learnable by construction), train with the
+    * given estimator, emit (n_train, acc_above_floor) where the floor is
+    * max(majority-class baseline, 0.9). The raw accuracy float stays
+    * un-pinned (solver float order); the wide-margin boolean is what the
+    * oracle hashes.
+    */
+  private def learnsTargetFloor(s: org.apache.spark.sql.SparkSession, d: String)
+      (fitPredict: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val data = Tables.embeddings(s, d)
+      .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
+        array_to_vector(col("embedding")).as("features")).cache()
+    try {
+      val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+        .evaluate(fitPredict(data))
+      val n = data.count()
+      val majority = data.groupBy("label").count()
+        .agg(max("count")).head().getLong(0).toDouble / n
+      val spark = s
+      import spark.implicits._
+      Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+    } finally data.unpersist()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // M6/A7: evaluation metrics — accuracy via MulticlassClassificationEvaluator
@@ -256,20 +282,9 @@ object MLQueries {
       "m1_classification_pipeline",
       """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
         |FROM embeddings""".stripMargin) { (s, d) =>
-      val data = Tables.embeddings(s, d)
-        .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
-          array_to_vector(col("embedding")).as("features")).cache()
-      try {
-        val model = new LogisticRegression().setMaxIter(20).fit(data)
-        val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-          .evaluate(model.transform(data))
-        val n = data.count()
-        val majority = data.groupBy("label").count()
-          .agg(max("count")).head().getLong(0).toDouble / n
-        val spark = s
-        import spark.implicits._
-        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
-      } finally data.unpersist()
+      learnsTargetFloor(s, d) { data =>
+        new LogisticRegression().setMaxIter(20).fit(data).transform(data)
+      }
     },
 
     // M3: multiclass classification on pixel-style vectors via MLP
@@ -282,21 +297,11 @@ object MLQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
         |FROM embeddings""".stripMargin) { (s, d) =>
       import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-      val data = Tables.embeddings(s, d)
-        .select(when(element_at(col("embedding"), 1) > 0, 1.0).otherwise(0.0).as("label"),
-          array_to_vector(col("embedding")).as("features")).cache()
-      try {
-        val mlp = new MultilayerPerceptronClassifier()
+      learnsTargetFloor(s, d) { data =>
+        new MultilayerPerceptronClassifier()
           .setLayers(Array(64, 16, 2)).setSeed(42).setMaxIter(30).fit(data)
-        val acc = new MulticlassClassificationEvaluator().setMetricName("accuracy")
-          .evaluate(mlp.transform(data))
-        val n = data.count()
-        val majority = data.groupBy("label").count()
-          .agg(max("count")).head().getLong(0).toDouble / n
-        val spark = s
-        import spark.implicits._
-        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
-      } finally data.unpersist()
+          .transform(data)
+      }
     },
 
     // E3 (IVF scale path): KMeans-cell inverted-file ANN. Output is the
@@ -361,10 +366,12 @@ object MLQueries {
       // knob derivation costs one parquet metadata count (~ms) — part of
       // the recorded probe base, not a corpus data scan
       val (_, _, rerank) = annScaled(emb.count())
-      // params-manifest gate (ADVICE r5): an index left behind by a run
-      // with different build parameters rebuilds instead of being probed
+      // params-manifest gate (ADVICE r5) + row-count coverage (r7): an
+      // index left behind by a run with different build parameters OR a
+      // regenerated fixture rebuilds instead of being probed stale
       val books =
-        if (ProductQuantization.pqIndexMatches(s, dir, fitSampleFraction = 0.25))
+        if (ProductQuantization.pqIndexMatches(s, dir, fitSampleFraction = 0.25) &&
+            ProductQuantization.indexCovers(s, dir, emb.count()))
           ProductQuantization.readCodebooks(s, dir)
         else ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
       val ann = ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
@@ -415,9 +422,11 @@ object MLQueries {
       // knob derivation costs one parquet metadata count (~ms) — part of
       // the recorded probe base, not a corpus data scan
       val (nCells, nProbe, rerank) = annScaled(emb.count())
-      // params-manifest gate (ADVICE r5): stale/mismatched index rebuilds
+      // params-manifest gate (ADVICE r5) + row-count coverage (r7):
+      // mismatched params or a regenerated fixture rebuilds
       if (!ProductQuantization.ivfPqIndexMatches(s, dir, nCells = nCells,
-          fitSampleFraction = 0.25))
+          fitSampleFraction = 0.25) ||
+          !ProductQuantization.indexCovers(s, dir, emb.count()))
         ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
           fitSampleFraction = 0.25)
       val ann = ProductQuantization.ivfPqProbe(s, dir, emb, q, k = 5,

@@ -89,9 +89,12 @@ object SeededQueries {
     // correct RNG column must satisfy are exact booleans the oracle CAN
     // pin (r7, same pattern as the ANN recall / ML floor rows): row
     // count, hard bounds (u in [0,3), g finite), and distribution moments
-    // inside windows wide enough that a legitimate draw never flaps
-    // (>= 3.5 sigma even at the sf0.001 fixture's 50 rows). The detailed
-    // bounds/moments analysis stays in SeededOpsSpec.
+    // inside windows wide enough that a legitimate draw never flaps: the
+    // embeddings fixture has 500 rows at sf0.001/sf0.01 (2000 at sf0.1),
+    // so the +-0.5 windows sit >= 11 sigma from a fair draw's mean (se of
+    // the gaussian mean = 1/sqrt(500) ~ 0.045); even a hypothetical
+    // 50-row fixture would keep >= 3.5 sigma. The detailed bounds/moments
+    // analysis stays in SeededOpsSpec.
     QueryDef.sql(
       "f5_random_columns",
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS bounds_ok,

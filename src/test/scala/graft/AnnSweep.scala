@@ -17,6 +17,25 @@ import graft.sources.{IndexStore, Tables}
   * on the classpath, main graft.AnnSweep, arg = fixture dir.
   */
 object AnnSweep {
+
+  /** Build-if-stale guard for the nCells=128 demo index — ONE definition
+    * shared with [[C128Probe]] so the two tools can never measure
+    * differently-parameterized indexes. Staleness = params mismatch OR
+    * row-count mismatch (a regenerated fixture leaves the tmpdir index
+    * params-valid but wrong — the r7 incident).
+    */
+  private[graft] def ensureC128Index(spark: org.apache.spark.sql.SparkSession,
+                                     d: String,
+                                     emb: org.apache.spark.sql.DataFrame): String = {
+    val dir128 = s"${IndexStore.root(d)}/ivfpq_c128"
+    if (!ProductQuantization.ivfPqIndexMatches(spark, dir128, nCells = 128,
+        fitSampleFraction = 0.25) ||
+        !ProductQuantization.indexCovers(spark, dir128, emb.count()))
+      ProductQuantization.writeIvfPqIndex(emb, dir128, nCells = 128,
+        fitSampleFraction = 0.25)
+    dir128
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate(32)
@@ -29,7 +48,8 @@ object AnnSweep {
     // and the manifest gate must agree with the catalog's build)
     val (nCells, nProbe, rerank) = graft.queries.MLQueries.annScaled(corpusN)
     if (!ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = nCells,
-        fitSampleFraction = 0.25))
+        fitSampleFraction = 0.25) ||
+        !ProductQuantization.indexCovers(spark, dir, corpusN))
       ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
         fitSampleFraction = 0.25)
     // corpus-scaled variant: nCells=128 with nProbe=48 puts the probe
@@ -44,11 +64,7 @@ object AnnSweep {
     // fixture-scale demonstration is bounded pruning WITH the floor
     // held, knobs measured not guessed (the same lesson as the r6
     // corpus-scaled catalog rule)
-    val dir128 = s"${IndexStore.root(d)}/ivfpq_c128"
-    if (!ProductQuantization.ivfPqIndexMatches(spark, dir128, nCells = 128,
-        fitSampleFraction = 0.25))
-      ProductQuantization.writeIvfPqIndex(emb, dir128, nCells = 128,
-        fitSampleFraction = 0.25)
+    val dir128 = ensureC128Index(spark, d, emb)
     for (nq <- Seq(8L, 800L, 8000L).map(math.min(_, corpusN)).distinct) {
       val q = emb.where(col("vec_id") < nq)
       def time(what: String)(f: => Long): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Pinned, ProductQuantization, Similarity}
-import graft.sources.{IndexStore, Tables}
+import graft.sources.Tables
 
 /** One-off dev probe: recall@5 of the nCells=128 production-posture index
   * across an (nProbe, rerank) grid, to re-margin the AnnSweep claim.
@@ -13,11 +13,9 @@ object C128Probe {
     val spark = GraftSession.getOrCreate(32)
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    val dir128 = s"${IndexStore.root(d)}/ivfpq_c128"
-    if (!ProductQuantization.ivfPqIndexMatches(spark, dir128, nCells = 128,
-        fitSampleFraction = 0.25))
-      ProductQuantization.writeIvfPqIndex(emb, dir128, nCells = 128,
-        fitSampleFraction = 0.25)
+    // shared guard — the probe must grid-measure the SAME index the
+    // sweep gates on (params + row-count staleness in one place)
+    val dir128 = AnnSweep.ensureC128Index(spark, d, emb)
     val q = emb.where(col("vec_id") < 800)
     val exact = Similarity.exactTopK(emb, q, 5)
       .select("q_id", "n_id").as[(Long, Long)].collect().toSet

@@ -303,6 +303,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("E3: indexCovers — the row-count staleness probe catches a regenerated corpus") {
+    import graft.operators.ProductQuantization
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 5 + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cover").toString
+    ProductQuantization.writeIvfPqIndex(emb, dir, nCells = 2, dim = 8, m = 2,
+      kCodes = 4, fitSampleFraction = 1.0)
+    // params still match after a simulated fixture regeneration that
+    // changes cardinality — only the row-count probe can catch it
+    assert(ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = 2,
+      dim = 8, m = 2, kCodes = 4, fitSampleFraction = 1.0))
+    assert(ProductQuantization.indexCovers(spark, dir, 40L))
+    assert(!ProductQuantization.indexCovers(spark, dir, 60L))
+    // absent/unreadable index reads as not-covering, never throws
+    assert(!ProductQuantization.indexCovers(spark, "/nonexistent/idx", 1L))
+  }
+
   test("as-of join: equal-ts right duplicates resolve to the max value deterministically") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 10L, "rA"), (1L, 10L, "rZ"), (1L, 10L, "rM")).toDF("k", "ts", "v")
