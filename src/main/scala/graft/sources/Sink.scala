@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output layout control (the write half of the 100 TB story):
   *
@@ -35,4 +36,60 @@ object Sink {
                     files: Int, bits: Int = 16): Unit =
     graft.operators.Layout.zOrder(df, dims, files, bits)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Compact a FLAT parquet directory of many small files into
+    * ~`targetFileBytes` outputs — the small-files problem: a day of
+    * micro-batch ingest (e.g. the streaming curate sink's per-batch appends)
+    * leaves thousands of KB-size files whose per-file open + footer-read cost
+    * comes to dominate every later scan. The output file count is derived
+    * from the directory's REAL on-disk byte total (both sides compressed, so
+    * the ratio carries over), not from plan estimates. Rewrites to a temp
+    * sibling then swaps, so a crash mid-compact leaves the original intact;
+    * the swap itself is two FS metadata ops, not atomic — production tables
+    * put this behind a transactional table format's commit.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = parts.length
+    if (before == 0) return (0, 0)
+    val bytes = parts.map(_.getLen).sum
+    val after = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new Path(path.stripSuffix("/") + "._compact_tmp")
+    spark.read.parquet(path).repartition(after)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dir, true)
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(s"compactParquet: rename $tmp -> $dir failed")
+    (before, after)
+  }
+
+  /** Compact every hive-style leaf partition under `root` independently
+    * (the production shape: compact yesterday's `date=.../` partition while
+    * today's keeps ingesting). Leaf directory names encode the partition
+    * values, so rewriting a leaf in place preserves the hive layout for
+    * partition-pruned readers. Returns leaf-relative path -> (before, after).
+    */
+  def compactPartitions(spark: SparkSession, root: String,
+                        targetFileBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new Path(root))
+    def leaves(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p)
+      val dirs = children.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.endsWith("._compact_tmp"))
+      if (children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) Seq(p)
+      else dirs.toIndexedSeq.flatMap(leaves)
+    }
+    leaves(rootPath).map { leaf =>
+      val rel = leaf.toString.stripPrefix(rootPath.toString).stripPrefix("/")
+      rel -> compactParquet(spark, leaf.toString, targetFileBytes)
+    }.toMap
+  }
 }

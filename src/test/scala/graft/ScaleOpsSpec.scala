@@ -205,6 +205,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("sink: compactParquet merges small files to the byte-derived count, losslessly") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val df = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    df.repartition(64).write.mode("overwrite").parquet(dir)
+    val checksum = df.agg(sum("o_orderkey"), count("*")).as[(Long, Long)].head()
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = files().map(_.getLen).sum
+    val target = bytes / 4 // expect ~4-5 output files
+    val (before, after) = Sink.compactParquet(spark, dir, target)
+
+    assert(before == 64)
+    assert(after == ((bytes + target - 1) / target).toInt)
+    assert(files().length == after, "on-disk file count != reported count")
+    val back = spark.read.parquet(dir).agg(sum("o_orderkey"), count("*"))
+      .as[(Long, Long)].head()
+    assert(back == checksum, "compaction changed the data")
+  }
+
+  test("sink: compactPartitions compacts each hive leaf in place, pruning intact") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString
+    val df = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .select("o_orderkey", "order_year")
+    df.repartition(16).write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val total = df.count()
+
+    val report = Sink.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.nonEmpty)
+    assert(report.keys.forall(_.startsWith("order_year=")), s"bad leaves: ${report.keys}")
+    assert(report.values.forall { case (b, a) => b >= a && a == 1 },
+      s"every leaf should collapse to 1 file under a 1 GiB target: $report")
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == total)
+    val pruned = back.where(col("order_year") === 1996)
+    assert(pruned.count() == df.where(col("order_year") === 1996).count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"),
+      s"partition pruning lost after compaction:\n$plan")
+  }
+
   test("O1: stableRowNumber equals the single-partition window rank") {
     import org.apache.spark.sql.expressions.Window
     val c = Tables.customer(spark, sfDir)
