@@ -493,6 +493,20 @@ object ProductQuantization {
       pqParams(dim, m, kCodes, fitSampleFraction) + ("nCells" -> nCells.toDouble))
   }
 
+  /** Maintenance companion to [[appendToIvfPqIndex]]: every append lands one
+    * more file set per touched cell leaf, so a long-running continual-ingest
+    * index accumulates small files exactly where probes read (the nProbe
+    * pruned cells). Compacts each `cell=…` leaf of `dir/codes` in place via
+    * [[graft.sources.Sink.compactPartitions]] — content-preserving and hive
+    * layout kept, so probe-side directory pruning, the params manifest, and
+    * the [[indexCovers]] row-count staleness probe are all unaffected
+    * (compaction changes file boundaries, not rows). Returns
+    * leaf -> (filesBefore, filesAfter).
+    */
+  def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetFileBytes: Long = 128L << 20): Map[String, (Int, Int)] =
+    graft.sources.Sink.compactPartitions(spark, s"$dir/codes", targetFileBytes)
+
   /** Probe a persisted [[writeIvfPqIndex]] — the recurring per-query
     * production cost: read centroids + codebooks (driver-side, tiny),
     * probe nProbe cells against the partition-pruned code table, exact

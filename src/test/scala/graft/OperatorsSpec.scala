@@ -301,6 +301,22 @@ class OperatorsSpec extends SparkSpec {
       ProductQuantization.appendToIvfPqIndex(batch, dir, nCells = 8, kCodes = 8,
         fitSampleFraction = 0.5)
     }
+    // maintenance: compacting the per-cell delta files left by the append is
+    // content-preserving — same code rows, same probe answer, manifest and
+    // staleness probe still valid, and every cell leaf collapses to 1 file
+    val preCompact = rows(stored)
+    val report = ProductQuantization.compactIvfPqCodes(spark, dir,
+      targetFileBytes = 1L << 30)
+    assert(report.nonEmpty && report.keys.forall(_.startsWith("cell=")), s"bad leaves: $report")
+    assert(report.values.exists(_._1 >= 2) && report.values.forall(_._2 == 1),
+      s"append should leave delta files, compaction exactly 1 per cell: $report")
+    assert(rows(spark.read.parquet(s"$dir/codes")) == preCompact)
+    assert(ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = 4,
+      kCodes = 8, fitSampleFraction = 0.5), "manifest invalidated by compaction")
+    val postAnn = ProductQuantization.ivfPqProbe(spark, dir, emb, q, k = 5,
+      nProbe = 3, rerank = 16)
+    assert(Similarity.recallSummary(postAnn, Similarity.exactTopK(emb, q, k = 5), 0.8)
+      .as[(Long, Boolean)].head() == ((nQ, ok)), "probe answer changed after compaction")
   }
 
   test("E3: indexCovers — the row-count staleness probe catches a regenerated corpus") {
