@@ -37,6 +37,36 @@ object Sink {
     graft.operators.Layout.zOrder(df, dims, files, bits)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Write parquet with per-column bloom filters — the data-skipping story
+    * for POINT lookups on high-cardinality columns with no friendly layout:
+    * min/max stats only skip when the column is clustered (sort/Z-order), but
+    * an id sprayed uniformly across files spans every file's min/max range.
+    * A bloom filter answers "definitely absent" per row group regardless of
+    * layout, so the reader (parquet-mr row-group filtering under Spark's
+    * pushed-down equality predicates) skips non-matching groups at footer
+    * time. Size the filter with `expectedNdv` ~ the per-row-group distinct
+    * count — undersizing inflates the false-positive rate and quietly turns
+    * skipping off.
+    *
+    * parquet-mr drops the bloom when a chunk stays FULLY dictionary-encoded
+    * (the dictionary is already an exact membership filter, so nothing is
+    * lost). A production high-cardinality id overflows the dictionary page
+    * and falls to plain encoding naturally; `disableDictionary` forces that
+    * path for small/test data so the filter's presence can be asserted.
+    */
+  def writeBloomFiltered(df: DataFrame, path: String, cols: Seq[String],
+                         expectedNdv: Long = 1L << 20,
+                         disableDictionary: Boolean = false): Unit = {
+    require(cols.nonEmpty, "writeBloomFiltered: no columns given")
+    val writer = cols.foldLeft(df.write.mode(SaveMode.Overwrite)) { (w, c) =>
+      val base = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+      if (disableDictionary) base.option(s"parquet.enable.dictionary#$c", "false")
+      else base
+    }
+    writer.parquet(path)
+  }
+
   /** Compact a FLAT parquet directory of many small files into
     * ~`targetFileBytes` outputs — the small-files problem: a day of
     * micro-batch ingest (e.g. the streaming curate sink's per-batch appends)

@@ -205,6 +205,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("sink: writeBloomFiltered lands a footer bloom filter with no false negatives") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val df = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    // disableDictionary: at this scale every column fits the dictionary page
+    // and parquet-mr correctly drops the bloom (the dictionary is already an
+    // exact filter); force the plain-encoding path a production
+    // high-cardinality id takes naturally.
+    Sink.writeBloomFiltered(df, dir, Seq("o_custkey"), expectedNdv = 10000,
+      disableDictionary = true)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val file = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val byName = block.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      // enabled column has a filter; the untouched one must not
+      assert(byName("o_custkey").getBloomFilterOffset >= 0, "no bloom on o_custkey")
+      assert(byName("o_orderkey").getBloomFilterOffset < 0, "stray bloom on o_orderkey")
+      val bf = reader.readBloomFilter(byName("o_custkey"))
+      assert(bf != null)
+      // bloom law: every present key answers "might be present"
+      val present = df.select("o_custkey").distinct().limit(20).as[Long].collect()
+      assert(present.forall(v => bf.findHash(bf.hash(v))), "false negative")
+    } finally reader.close()
+
+    // pushed-down point lookup stays correct through the bloom-filtered files
+    val key = df.select("o_custkey").as[Long].head()
+    assert(spark.read.parquet(dir).where(col("o_custkey") === key).count() ==
+      df.where(col("o_custkey") === key).count())
+  }
+
   test("sink: compactParquet merges small files to the byte-derived count, losslessly") {
     val dir = Files.createTempDirectory("graft-compact").toString
     val df = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
