@@ -131,6 +131,16 @@ class StreamingSpec extends SparkSpec {
     assert(written.count() == sample.size)
     assert(written.select("event_id").as[Long].collect().sorted.toSeq ==
       sample.map(_.event_id).sorted)
+
+    // maintenance loop: per-batch appends leave one file per task — the
+    // small-files accumulation the compaction sink exists for. Compacting
+    // the landing dir is lossless and collapses it to the byte-derived count.
+    val (before, after) =
+      graft.sources.Sink.compactParquet(spark, s"$outDir/data", 1L << 30)
+    assert(before >= 1 && after == 1, s"($before, $after)")
+    val compacted = spark.read.parquet(s"$outDir/data")
+    assert(compacted.select("event_id").as[Long].collect().sorted.toSeq ==
+      sample.map(_.event_id).sorted, "compaction changed the landed data")
   }
 
   test("streaming BPE token accounting: per-micro-batch encode equals the batch answer") {
