@@ -500,7 +500,10 @@ object ProductQuantization {
     * [[graft.sources.Sink.compactPartitions]] — content-preserving and hive
     * layout kept, so probe-side directory pruning, the params manifest, and
     * the [[indexCovers]] row-count staleness probe are all unaffected
-    * (compaction changes file boundaries, not rows). Returns
+    * (compaction changes file boundaries, not rows). Run it BETWEEN ingest
+    * cycles, not concurrent with an in-flight [[appendToIvfPqIndex]] (which
+    * invalidates the manifest until it completes — the same single-writer
+    * discipline the append path already requires). Returns
     * leaf -> (filesBefore, filesAfter).
     */
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession, dir: String,
