@@ -73,6 +73,59 @@ object Sink {
     */
   private def tmpFor(dir: Path) = new Path(dir.getParent, s".${dir.getName}._compact_tmp")
   private def oldFor(dir: Path) = new Path(dir.getParent, s".${dir.getName}._compact_old")
+  private val DebrisName = """^\.(.+)\._compact_(?:tmp|old)$""".r
+
+  /** One scoped session per compaction invocation (shared across the leaf
+    * pool — SparkSession is thread-safe for job submission): the packing
+    * knobs must not leak into concurrent queries on the caller's session.
+    */
+  private def scopedSession(spark: SparkSession, targetFileBytes: Long): SparkSession = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
+    // without this, totalBytes/defaultParallelism shrinks the split size and
+    // re-fragments small directories across `parallelism` output files
+    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
+    scoped
+  }
+
+  /** Crash-state recovery for one leaf. The (dir, old, tmp) existence triple
+    * is unambiguous because `old` is created only AFTER `tmp` is completely
+    * written, and deleted only AFTER `tmp` was renamed into `dir`:
+    *
+    *  - no dir, old present       → crash between rename-aside and rename-in:
+    *                                `old` is the complete original — restore it.
+    *  - dir, old and tmp present  → same crash, but a writer recreated the
+    *                                leaf since: `old` holds the only copy of
+    *                                the pre-crash rows — merge its files back
+    *                                into dir (tmp is a stale compaction of
+    *                                exactly old's content; drop it).
+    *  - dir and old, no tmp       → crash between rename-in and the old
+    *                                cleanup: dir already holds the compacted
+    *                                data — `old` is debris.
+    *  - tmp without old           → crash mid-write of tmp: dir untouched,
+    *                                tmp is garbage.
+    */
+  private def recoverLeaf(fs: FileSystem, dir: Path): Unit = {
+    val tmp = tmpFor(dir)
+    val old = oldFor(dir)
+    if (fs.exists(old)) {
+      if (!fs.exists(dir)) {
+        if (!fs.rename(old, dir))
+          throw new java.io.IOException(s"compaction recovery: rename $old -> $dir failed")
+      } else if (fs.exists(tmp)) {
+        for (f <- fs.listStatus(old) if f.isFile) {
+          val dest = new Path(dir, f.getPath.getName)
+          val target = if (fs.exists(dest))
+            new Path(dir, s"recovered-${f.getPath.getName}") else dest
+          if (!fs.rename(f.getPath, target))
+            throw new java.io.IOException(s"compaction recovery: rename ${f.getPath} -> $target failed")
+        }
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
+  }
 
   /** Compact a FLAT parquet directory of many small files into
     * ~`targetFileBytes` outputs — the small-files problem: a day of
@@ -90,15 +143,19 @@ object Sink {
     * via [[writeZOrdered]] instead, and parquet writer properties (e.g.
     * bloom filters) must be re-specified via `writerOptions`.
     *
-    * Crash safety: the new files land in a hidden temp sibling, the original
-    * is renamed aside, the temp renamed in, then the old copy dropped — every
-    * interruption point leaves a complete copy on disk, and the next call
-    * recovers an aborted swap before doing anything else. The swap is still
-    * two metadata ops, not one atomic commit: compaction assumes one logical
+    * Crash safety: new files land in a hidden temp sibling, the original is
+    * renamed aside, the temp renamed in, then the old copy dropped. `old` is
+    * created only after `tmp` is complete and deleted only after `tmp` was
+    * renamed in, so the (dir, old, tmp) existence triple identifies every
+    * crash state unambiguously and [[recoverLeaf]] repairs it at the start
+    * of the next call — including the case where a writer recreated the leaf
+    * after a mid-swap crash. Concurrency: compaction assumes one logical
     * writer per leaf (compact SEALED partitions — yesterday's `date=…`, a
-    * cell not being appended this cycle). A sweep adopts files that landed
-    * after the snapshot, which narrows but does not close the concurrent-
-    * append window; closing it is what a transactional table format's
+    * cell not being appended this cycle). If files land after the snapshot,
+    * the rewrite is retried from a fresh snapshot (bounded), then aborts
+    * cleanly with the directory untouched — a detected concurrent writer is
+    * an error, never silent loss; closing the residual window between the
+    * final check and the swap is what a transactional table format's
     * optimistic commit is for.
     *
     * Returns (filesBefore, filesAfter) — filesAfter is the real written
@@ -111,76 +168,108 @@ object Sink {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
+    compactLeaf(scopedSession(spark, targetFileBytes), fs, dir, writerOptions)
+  }
+
+  private def compactLeaf(scoped: SparkSession, fs: FileSystem, dir: Path,
+                          writerOptions: Map[String, String],
+                          maxRetries: Int = 3): (Int, Int) = {
+    recoverLeaf(fs, dir)
+    if (!fs.exists(dir)) return (0, 0)
     val tmp = tmpFor(dir)
     val old = oldFor(dir)
-    // recover a swap aborted between rename-aside and rename-in: the data is
-    // complete in `old`; restore it before touching anything else
-    if (!fs.exists(dir) && fs.exists(old) && !fs.rename(old, dir))
-      throw new java.io.IOException(s"compactParquet: recovery rename $old -> $dir failed")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
 
     def parquetFiles() = fs.listStatus(dir).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val snapshot = parquetFiles()
-    val before = snapshot.length
-    if (before == 0) return (0, 0)
 
-    // scoped session: packing knobs must not leak into concurrent queries
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
-    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
-    // without this, totalBytes/defaultParallelism shrinks the split size and
-    // re-fragments small directories across `parallelism` output files
-    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
-    val writer = writerOptions.foldLeft(
-      scoped.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
-        .write.mode(SaveMode.Overwrite)) { case (w, (k, v)) => w.option(k, v) }
-    writer.parquet(tmp.toString)
+    var attempt = 0
+    while (true) {
+      val snapshot = parquetFiles()
+      val before = snapshot.length
+      if (before == 0) return (0, 0)
 
-    // adopt any file that landed after the snapshot so the swap cannot drop
-    // it (belt-and-braces — see the single-writer note in the scaladoc)
-    val snapshotNames = snapshot.map(_.getPath.getName).toSet
-    for (late <- parquetFiles() if !snapshotNames.contains(late.getPath.getName))
-      if (!fs.rename(late.getPath, new Path(tmp, late.getPath.getName)))
-        throw new java.io.IOException(s"compactParquet: adopting ${late.getPath} failed")
+      val writer = writerOptions.foldLeft(
+        scoped.read.parquet(snapshot.map(_.getPath.toString).toIndexedSeq: _*)
+          .write.mode(SaveMode.Overwrite)) { case (w, (k, v)) => w.option(k, v) }
+      writer.parquet(tmp.toString)
 
-    if (!fs.rename(dir, old))
-      throw new java.io.IOException(s"compactParquet: rename-aside $dir -> $old failed")
-    if (!fs.rename(tmp, dir)) {
-      fs.rename(old, dir) // roll back so the directory never stays missing
-      throw new java.io.IOException(s"compactParquet: rename-in $tmp -> $dir failed")
+      // a file landed after the snapshot → this rewrite is stale; retry from
+      // a fresh snapshot, then abort cleanly (dir untouched) — a concurrent
+      // writer is an error, never silent loss
+      val snapshotNames = snapshot.map(_.getPath.getName).toSet
+      if (parquetFiles().exists(f => !snapshotNames.contains(f.getPath.getName))) {
+        fs.delete(tmp, true)
+        attempt += 1
+        if (attempt >= maxRetries)
+          throw new java.io.IOException(
+            s"compactParquet: concurrent writer detected on $dir after $attempt attempts — " +
+              "compact sealed partitions only")
+      } else {
+        if (!fs.rename(dir, old))
+          throw new java.io.IOException(s"compactParquet: rename-aside $dir -> $old failed")
+        if (!fs.rename(tmp, dir)) {
+          fs.rename(old, dir) // roll back so the directory never stays missing
+          throw new java.io.IOException(s"compactParquet: rename-in $tmp -> $dir failed")
+        }
+        val after = parquetFiles().length
+        fs.delete(old, true)
+        return (before, after)
+      }
     }
-    val after = parquetFiles().length
-    fs.delete(old, true)
-    (before, after)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Compact every hive-style leaf partition under `root` independently —
     * the production shape: compact yesterday's SEALED `date=.../` partition
     * while today's keeps ingesting into a different leaf. Leaf directory
     * names encode the partition values, so rewriting a leaf in place
-    * preserves the hive layout for partition-pruned readers. Leaves are
-    * compacted concurrently (job submission is thread-safe; each leaf is a
-    * small independent scan+write job, so serializing them would pay
-    * per-job scheduling latency hundreds of times on a dated table or a
-    * 128-cell ANN index). Returns leaf-relative path -> (before, after).
+    * preserves the hive layout for partition-pruned readers.
+    *
+    * Discovery also surfaces leaves that exist only as hidden compaction
+    * debris (a crash mid-swap can leave a leaf's sole copy in its
+    * `._compact_old` sibling with the visible dir gone): such leaves are
+    * recovered and compacted like any other, so no partition can be
+    * silently lost to an aborted earlier run.
+    *
+    * Leaves are compacted concurrently through a bounded pool (job
+    * submission is thread-safe; each leaf is a small independent scan+write
+    * job, so serializing them would pay per-job scheduling latency hundreds
+    * of times on a dated table or a 128-cell ANN index). All leaves are
+    * awaited even when one fails; failures are then reported together
+    * (leaf names + first cause) so the caller knows exactly which leaves
+    * completed. Returns leaf-relative path -> (before, after).
     */
   def compactPartitions(spark: SparkSession, root: String,
                         targetFileBytes: Long = 128L << 20,
                         writerOptions: Map[String, String] = Map.empty,
                         maxConcurrent: Int = 8): Map[String, (Int, Int)] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(new Path(root))
     def leaves(p: Path): Seq[Path] = {
       val children = fs.listStatus(p)
-      val dirs = children.filter(_.isDirectory).map(_.getPath)
-        .filterNot(_.getName.startsWith(".")) // skip in-flight compaction siblings
-      if (children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) Seq(p)
-      else dirs.toIndexedSeq.flatMap(leaves)
+      val visible = children.filter(_.isDirectory).map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+      // a `.X._compact_*` sibling marks leaf X even when X itself is missing
+      // (aborted swap) — recoverLeaf inside compactLeaf repairs it
+      val debris = children.collect {
+        case s if s.isDirectory && DebrisName.findFirstMatchIn(s.getPath.getName).isDefined =>
+          new Path(p, DebrisName.findFirstMatchIn(s.getPath.getName).get.group(1))
+      }
+      val debrisSet = debris.toSet
+      val here = (visible ++ debris).distinct
+      if (children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        Seq(p)
+      else here.toIndexedSeq.flatMap { d =>
+        // a debris-marked dir IS a leaf candidate even when missing or empty:
+        // its data may live only in the hidden sibling, which recoverLeaf
+        // repairs when compactLeaf visits it
+        if (debrisSet.contains(d) || !fs.exists(d)) Seq(d) else leaves(d)
+      }
     }
-    val found = leaves(rootPath)
+    val found = leaves(rootPath).distinct
     if (found.isEmpty) return Map.empty
+    val scoped = scopedSession(spark, targetFileBytes)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(maxConcurrent, found.size)))
     implicit val ec: scala.concurrent.ExecutionContext =
@@ -189,13 +278,19 @@ object Sink {
       val futures = found.map { leaf =>
         scala.concurrent.Future {
           val rel = leaf.toString.stripPrefix(rootPath.toString).stripPrefix("/")
-          rel -> compactParquet(spark, leaf.toString, targetFileBytes, writerOptions)
+          rel -> scala.util.Try(compactLeaf(scoped, fs, leaf, writerOptions))
         }
       }
-      scala.concurrent.Await
+      val results = scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(futures),
           scala.concurrent.duration.Duration.Inf)
-        .toMap
+      val failures = results.collect { case (rel, scala.util.Failure(e)) => (rel, e) }
+      if (failures.nonEmpty)
+        throw new java.io.IOException(
+          s"compactPartitions: ${failures.size}/${results.size} leaves failed " +
+            s"(${failures.map(_._1).mkString(", ")}); the rest completed",
+          failures.head._2)
+      results.collect { case (rel, scala.util.Success(r)) => rel -> r }.toMap
     } finally pool.shutdown()
   }
 }

@@ -230,15 +230,19 @@ class ScaleOpsSpec extends SparkSpec {
       // enabled column has a filter; the untouched one must not
       assert(byName("o_custkey").getBloomFilterOffset >= 0, "no bloom on o_custkey")
       assert(byName("o_orderkey").getBloomFilterOffset < 0, "stray bloom on o_orderkey")
-      val bf = reader.readBloomFilter(byName("o_custkey"))
-      assert(bf != null)
-      // bloom law: every present key answers "might be present". Keys must
-      // come from the INSPECTED file — a key living only in another file
-      // may legitimately answer "definitely absent" here.
+      // bloom law: every present key answers "might be present" in SOME row
+      // group's filter. Keys come from the inspected file, and filters are
+      // per-row-group, so the check is an exists-over-blocks — sound even
+      // when a larger fixture writes multiple row groups per file.
+      val blooms = reader.getFooter.getBlocks.asScala.map { b =>
+        val c = b.getColumns.asScala.find(_.getPath.toDotString == "o_custkey").get
+        reader.readBloomFilter(c)
+      }
+      assert(blooms.nonEmpty && blooms.forall(_ != null))
       val present = spark.read.parquet(file.toString)
         .select("o_custkey").distinct().limit(20).as[Long].collect()
-      assert(present.nonEmpty && present.forall(v => bf.findHash(bf.hash(v))),
-        "false negative")
+      assert(present.nonEmpty && present.forall(v =>
+        blooms.exists(bf => bf.findHash(bf.hash(v)))), "false negative")
     } finally reader.close()
 
     // pushed-down point lookup stays correct through the bloom-filtered files
@@ -292,6 +296,79 @@ class ScaleOpsSpec extends SparkSpec {
     assert(before == 8 && after == 1, s"($before, $after)")
     assert(spark.read.parquet(dir).count() == expected, "recovery lost rows")
     assert(!fs.exists(old) && !fs.exists(tmp), "compaction debris left behind")
+  }
+
+  test("sink: merge recovery — a writer recreated the leaf after a mid-swap crash") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-crash2").toString
+    val preCrash = Tables.nation(spark, sfDir).select("n_nationkey")
+    preCrash.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = fs.makeQualified(new Path(dir))
+    val old = new Path(qdir.getParent, s".${qdir.getName}._compact_old")
+    val tmp = new Path(qdir.getParent, s".${qdir.getName}._compact_tmp")
+    // crash between rename-aside and rename-in: old = sole copy of the
+    // pre-crash rows, tmp = their completed compaction
+    assert(fs.rename(qdir, old))
+    spark.read.parquet(old.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // ...then a writer recreates the leaf with NEW rows before any recovery
+    val recreated = spark.range(1000, 1010).select(col("id").cast("int").as("n_nationkey"))
+    recreated.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val (_, after) = Sink.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    val back = spark.read.parquet(dir).select("n_nationkey").as[Int].collect().toSet
+    val expected = preCrash.as[Int].collect().toSet ++ (1000 until 1010)
+    assert(back == expected, "merge recovery must keep BOTH pre-crash and recreated rows")
+    assert(after == 1)
+    assert(!fs.exists(old) && !fs.exists(tmp), "debris left behind")
+  }
+
+  test("sink: compactPartitions discovers and recovers a leaf that exists only as debris") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-crash3").toString
+    val df = Tables.orders(spark, sfDir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .select("o_orderkey", "order_year")
+    df.repartition(4).write.mode("overwrite").partitionBy("order_year").parquet(dir)
+    val total = df.count()
+
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = fs.makeQualified(new Path(dir, "order_year=1996"))
+    val old = new Path(leaf.getParent, s".${leaf.getName}._compact_old")
+    assert(fs.rename(leaf, old)) // aborted swap: visible leaf gone, data in old
+    assert(spark.read.parquet(dir).count() < total, "precondition: partition invisible")
+
+    val report = Sink.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.contains("order_year=1996"), s"debris leaf not discovered: ${report.keys}")
+    assert(spark.read.parquet(dir).count() == total, "recovered partition rows missing")
+    assert(!fs.exists(old))
+  }
+
+  test("sink: compactPartitions awaits all leaves and aggregates failures") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-crash4").toString
+    val df = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    df.repartition(4).write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)
+    // corrupt one leaf so its rewrite fails
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bad = new Path(fs.makeQualified(new Path(dir, "n_regionkey=0")), "part-corrupt.parquet")
+    val out = fs.create(bad); out.write("not parquet".getBytes); out.close()
+
+    val e = intercept[java.io.IOException] {
+      Sink.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    }
+    assert(e.getMessage.contains("n_regionkey=0"), e.getMessage)
+    assert(e.getMessage.contains("1/"), s"expected exactly one failed leaf: ${e.getMessage}")
+    // the healthy leaves were still compacted (work not discarded)
+    val healthy = fs.listStatus(new Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("n_regionkey="))
+      .filterNot(_.getPath.getName == "n_regionkey=0")
+    assert(healthy.nonEmpty && healthy.forall { leafDir =>
+      fs.listStatus(leafDir.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) == 1
+    }, "healthy leaves should have compacted to one file each")
   }
 
   test("sink: compactPartitions compacts each hive leaf in place, pruning intact") {
