@@ -105,6 +105,20 @@ class EmptyInputSpec extends SparkSpec {
     Pinned.release()
   }
 
+  test("compaction: empty/fresh directories are quiet no-ops") {
+    val spark2 = spark
+    // a dir with zero parquet files reports (0, 0) and touches nothing
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty-compact").toString
+    assert(graft.sources.Sink.compactParquet(spark2, emptyDir) == ((0, 0)))
+    // a partition root with no leaves reports an empty map
+    assert(graft.sources.Sink.compactPartitions(spark2, emptyDir).isEmpty)
+    // an empty DataFrame written then compacted stays readable
+    val written = java.nio.file.Files.createTempDirectory("graft-empty-write").toString
+    emptyDocs.write.mode("overwrite").parquet(written)
+    graft.sources.Sink.compactParquet(spark2, written)
+    assert(spark2.read.parquet(written).count() == 0)
+  }
+
   test("round-7 ops: empty inputs flow through hubCap pairs, invariant summary, and index append") {
     // candidatePairs with the hub guard on an empty band table
     val eBands = Seq.empty[(Int, String, Long)].toDF("band", "key", "doc_id")
