@@ -22,4 +22,41 @@ object TextCorpus {
     spark.read.format("binaryFile").load(s"$dir/*/*")
       .select(col("path"), col("length"), col("content"))
       .withColumn("label", regexp_extract(col("path"), "/([^/]+)/[^/]+$", 1))
+
+  /** Lenient JSONL ingest with a quarantine channel. Raw crawl/feed data
+    * always contains malformed records; FAILFAST turns one bad line into a
+    * dead 100 TB job, and default PERMISSIVE silently nulls the row's
+    * fields — the record is lost without a trace. This reads PERMISSIVE
+    * with an explicit corrupt-record column and splits the stream:
+    *
+    *  - `good`: rows that parsed against `schema` (corrupt column dropped);
+    *  - `quarantine`: the RAW malformed line (plus any fields that did
+    *    parse), preserved verbatim for later repair or audit — the same
+    *    dead-letter shape streaming systems use.
+    *
+    * Implementation: a TEXT scan + `from_json` with a corrupt-record
+    * column, not the json file source's internal `_corrupt_record` — the
+    * internal column forbids projections that read only it (Spark's
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction, which is exactly the
+    * shape a quarantine audit query takes), while `from_json` is a plain
+    * expression with no such limit, the raw line is verbatim by
+    * construction, and the same text→parse shape drops into `readStream`
+    * unchanged. Both sides stay lazy single-pass scans.
+    */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+                         schema: org.apache.spark.sql.types.StructType):
+      (DataFrame, DataFrame) = {
+    val corruptCol = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol), s"schema already has $corruptCol")
+    val parsed = spark.read.text(path).select(
+      col("value"),
+      from_json(col("value"), schema.add(corruptCol, org.apache.spark.sql.types.StringType),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+        .as("parsed"))
+    val good = parsed.where(col(s"parsed.$corruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"parsed.$f")).toIndexedSeq: _*)
+    val quarantine = parsed.where(col(s"parsed.$corruptCol").isNotNull)
+      .select(col("value").as("raw_record"))
+    (good, quarantine)
+  }
 }
