@@ -205,4 +205,17 @@ object LawsProperties extends Properties("graft.laws") {
       capped.subsetOf(exact) &&
         members.forall(m => capped.exists(p => p._1 == m || p._2 == m))
     }
+
+  property("compaction preserves the row multiset and never grows the file count") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-100L, 100L), Gen.alphaStr)),
+      Gen.chooseNum(2, 12)) { (rows, fragments) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-law-compact").toString
+      val df = rows.toDF("k", "s")
+      df.repartition(fragments).write.mode("overwrite").parquet(dir)
+      val (before, after) = graft.sources.Sink.compactParquet(spark, dir, 1L << 30)
+      val back = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      back == df.collect().map(_.toString).sorted.toSeq &&
+        after <= before && after >= 1
+    }
 }
