@@ -114,10 +114,13 @@ object Sink {
         if (!fs.rename(old, dir))
           throw new java.io.IOException(s"compaction recovery: rename $old -> $dir failed")
       } else if (fs.exists(tmp)) {
-        for (f <- fs.listStatus(old) if f.isFile) {
+        // move only data files back — old's _SUCCESS/hidden markers must not
+        // resurface as visible junk in the recreated leaf
+        for (f <- fs.listStatus(old)
+             if f.isFile && f.getPath.getName.endsWith(".parquet")) {
           val dest = new Path(dir, f.getPath.getName)
           val target = if (fs.exists(dest))
-            new Path(dir, s"recovered-${f.getPath.getName}") else dest
+            new Path(dir, s"part-recovered-${f.getPath.getName}") else dest
           if (!fs.rename(f.getPath, target))
             throw new java.io.IOException(s"compaction recovery: rename ${f.getPath} -> $target failed")
         }
@@ -168,14 +171,32 @@ object Sink {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = fs.makeQualified(new Path(path))
-    compactLeaf(scopedSession(spark, targetFileBytes), fs, dir, writerOptions)
+    compactLeaf(scopedSession(spark, targetFileBytes), fs, dir, writerOptions,
+      allowMissing = false)
   }
 
   private def compactLeaf(scoped: SparkSession, fs: FileSystem, dir: Path,
                           writerOptions: Map[String, String],
+                          allowMissing: Boolean,
                           maxRetries: Int = 3): (Int, Int) = {
     recoverLeaf(fs, dir)
-    if (!fs.exists(dir)) return (0, 0)
+    if (!fs.exists(dir)) {
+      // only the debris-discovery path may tolerate a still-missing dir
+      // (leaf existed purely as recovered debris); a direct call on a
+      // misspelled path must fail, not report success forever
+      if (allowMissing) return (0, 0)
+      throw new java.io.FileNotFoundException(s"compactParquet: no such directory $dir")
+    }
+    // refuse a dir that also has subdirectories: the whole-dir swap would
+    // destroy them (stray files above hive partitions, a streaming file
+    // sink's _spark_metadata log, an aborted child leaf's debris) — that
+    // layout is not a compactable flat leaf
+    val childDirs = fs.listStatus(dir).filter(_.isDirectory)
+    if (childDirs.nonEmpty)
+      throw new IllegalStateException(
+        s"compactParquet: $dir contains subdirectories " +
+          s"(${childDirs.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+          "not a flat leaf; compact its leaves via compactPartitions instead")
     val tmp = tmpFor(dir)
     val old = oldFor(dir)
 
@@ -252,19 +273,19 @@ object Sink {
         .filterNot(_.getName.startsWith("."))
       // a `.X._compact_*` sibling marks leaf X even when X itself is missing
       // (aborted swap) — recoverLeaf inside compactLeaf repairs it
-      val debris = children.collect {
-        case s if s.isDirectory && DebrisName.findFirstMatchIn(s.getPath.getName).isDefined =>
-          new Path(p, DebrisName.findFirstMatchIn(s.getPath.getName).get.group(1))
-      }
+      val debris = children.toIndexedSeq.flatMap(s =>
+        if (s.isDirectory)
+          DebrisName.findFirstMatchIn(s.getPath.getName).map(m => new Path(p, m.group(1)))
+        else None)
       val debrisSet = debris.toSet
-      val here = (visible ++ debris).distinct
       if (children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
         Seq(p)
-      else here.toIndexedSeq.flatMap { d =>
-        // a debris-marked dir IS a leaf candidate even when missing or empty:
-        // its data may live only in the hidden sibling, which recoverLeaf
-        // repairs when compactLeaf visits it
-        if (debrisSet.contains(d) || !fs.exists(d)) Seq(d) else leaves(d)
+      else (visible ++ debris).distinct.flatMap { d =>
+        // a debris-marked dir IS a leaf candidate even when missing or
+        // empty: its data may live only in the hidden sibling, which
+        // recoverLeaf repairs when compactLeaf visits it; every other
+        // listed dir exists by construction — recurse without re-probing
+        if (debrisSet.contains(d)) Seq(d) else leaves(d)
       }
     }
     val found = leaves(rootPath).distinct
@@ -278,7 +299,8 @@ object Sink {
       val futures = found.map { leaf =>
         scala.concurrent.Future {
           val rel = leaf.toString.stripPrefix(rootPath.toString).stripPrefix("/")
-          rel -> scala.util.Try(compactLeaf(scoped, fs, leaf, writerOptions))
+          rel -> scala.util.Try(
+            compactLeaf(scoped, fs, leaf, writerOptions, allowMissing = true))
         }
       }
       val results = scala.concurrent.Await

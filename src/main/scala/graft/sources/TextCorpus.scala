@@ -53,10 +53,16 @@ object TextCorpus {
       from_json(col("value"), schema.add(corruptCol, org.apache.spark.sql.types.StringType),
         Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
         .as("parsed"))
-    val good = parsed.where(col(s"parsed.$corruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"parsed.$f")).toIndexedSeq: _*)
-    val quarantine = parsed.where(col(s"parsed.$corruptCol").isNotNull)
-      .select(col("value").as("raw_record"))
+    // from_json returns a NULL struct (no corrupt record) for blank,
+    // whitespace-only and literal `null` lines — those must reach the
+    // quarantine too, or they'd pass as silent all-null "good" rows, the
+    // exact loss mode this channel exists to prevent. getField (not a
+    // dotted path) so schema field names containing dots resolve literally.
+    val isGood = col("parsed").isNotNull &&
+      col("parsed").getField(corruptCol).isNull
+    val good = parsed.where(isGood)
+      .select(schema.fieldNames.map(f => col("parsed").getField(f).as(f)).toIndexedSeq: _*)
+    val quarantine = parsed.where(!isGood).select(col("value").as("raw_record"))
     (good, quarantine)
   }
 }

@@ -371,6 +371,23 @@ class ScaleOpsSpec extends SparkSpec {
     }, "healthy leaves should have compacted to one file each")
   }
 
+  test("sink: compactParquet refuses a missing path and a dir with subdirectories") {
+    // a misspelled path must fail loudly, not report success forever
+    intercept[java.io.FileNotFoundException] {
+      Sink.compactParquet(spark, "/tmp/graft-no-such-dir-xyz")
+    }
+    // a dir with both files and child dirs is not a flat leaf: the swap
+    // would destroy the children (hive partitions, _spark_metadata, debris)
+    val dir = Files.createTempDirectory("graft-mixed").toString
+    Tables.nation(spark, sfDir).limit(5).coalesce(1).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "date=2026-01-01"))
+    val e = intercept[IllegalStateException] { Sink.compactParquet(spark, dir) }
+    assert(e.getMessage.contains("subdirectories"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 5, "refusal must leave the dir untouched")
+  }
+
   test("sink: compactPartitions compacts each hive leaf in place, pruning intact") {
     val dir = Files.createTempDirectory("graft-compact-part").toString
     val df = Tables.orders(spark, sfDir)
