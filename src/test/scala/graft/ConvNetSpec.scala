@@ -1,0 +1,99 @@
+package graft
+
+import graft.ml.{ConvNet, ConvNetConfig}
+
+/** From-scratch CNN (M3 fidelity gap): exact-gradient pin via central
+  * differences, then the reference's MNIST shapes — a conv net learning a
+  * spatial task an order-free model can't express as cheaply — through the
+  * distributed parameter-averaging fit.
+  */
+class ConvNetSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private val tiny = ConvNetConfig(inSize = 10, k = 3, conv1Maps = 2,
+    conv2Maps = 3, hidden = 5, classes = 3, pool = 2)
+
+  test("M3: analytic gradients match central differences on every layer") {
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(tiny.inSize * tiny.inSize)(rnd.nextDouble())
+    val y = 1
+    val p = ConvNet.init(tiny, seed = 11)
+    val grad = p.zeroed
+    ConvNet.lossAndGrad(tiny, p, x, y, grad)
+
+    val eps = 1e-6
+    var checked = 0
+    for ((arr, gArr) <- p.arrays.zip(grad.arrays)) {
+      // a spread of indices per array, ends included
+      val idxs = (Seq(0, arr.length - 1) ++ Seq.fill(6)(rnd.nextInt(arr.length))).distinct
+      for (i <- idxs) {
+        val orig = arr(i)
+        arr(i) = orig + eps
+        val up = ConvNet.lossAndGrad(tiny, p, x, y, p.zeroed)
+        arr(i) = orig - eps
+        val dn = ConvNet.lossAndGrad(tiny, p, x, y, p.zeroed)
+        arr(i) = orig
+        val numeric = (up - dn) / (2 * eps)
+        val analytic = gArr(i)
+        val denom = math.max(1e-8, math.abs(numeric) + math.abs(analytic))
+        assert(math.abs(numeric - analytic) / denom < 1e-5,
+          s"gradient mismatch at array len=${arr.length} idx=$i: " +
+            s"numeric=$numeric analytic=$analytic")
+        checked += 1
+      }
+    }
+    assert(checked >= 30)
+  }
+
+  test("M3: reference MNIST config wires up and runs one exact step") {
+    val cfg = ConvNetConfig() // 28x28, conv5x5x20, conv5x5x50, dense 500, 10 classes
+    assert(cfg.flat == 50 * 4 * 4) // 28->24->12->8->4, exactly LeNet's plumbing
+    val rnd = new scala.util.Random(3)
+    val p = ConvNet.init(cfg, seed = 1)
+    val x = Array.fill(28 * 28)(rnd.nextDouble())
+    val probs = ConvNet.predictProbs(cfg, p, x)
+    assert(probs.length == 10 && math.abs(probs.sum - 1.0) < 1e-9)
+    val loss = ConvNet.lossAndGrad(cfg, p, x, 4, p.zeroed)
+    assert(loss > 0 && loss < 10, s"fresh-init NLL should be ~ln(10): $loss")
+  }
+
+  /** 14x14 images, three spatial classes: horizontal bar, vertical bar,
+    * diagonal — position varies, pixels carry noise, so the task needs
+    * translation-tolerant local features (what convolution buys).
+    */
+  private def spatialData(n: Int, seed: Long): Seq[(Int, Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    val size = 14
+    (0 until n).map { i =>
+      val cls = i % 3
+      val img = Array.fill(size * size)(rnd.nextDouble() * 0.2)
+      val pos = 2 + rnd.nextInt(size - 4)
+      cls match {
+        case 0 => for (j <- 0 until size) img(pos * size + j) = 0.8 + rnd.nextDouble() * 0.2
+        case 1 => for (j <- 0 until size) img(j * size + pos) = 0.8 + rnd.nextDouble() * 0.2
+        case 2 => for (j <- 0 until size) img(j * size + j) = 0.8 + rnd.nextDouble() * 0.2
+      }
+      (cls, img)
+    }
+  }
+
+  test("M3: parameter-averaging fit learns the spatial task, deterministically") {
+    val cfg = ConvNetConfig(inSize = 14, k = 3, conv1Maps = 4, conv2Maps = 6,
+      hidden = 16, classes = 3, pool = 2)
+    val sc = spark.sparkContext
+    val train = spark.createDataset(sc.parallelize(spatialData(240, seed = 5), 4))
+    val test = spark.createDataset(sc.parallelize(spatialData(90, seed = 99), 4))
+
+    val p = ConvNet.fitParameterAveraging(train, cfg, epochs = 8, lr = 0.05,
+      batchSize = 16, seed = 42)
+    val acc = ConvNet.accuracy(test, cfg, p)
+    assert(acc >= 0.85, s"conv net should learn bars vs diagonal: acc=$acc")
+
+    // deterministic: same seed, same partitioning -> bit-identical weights
+    val p2 = ConvNet.fitParameterAveraging(train, cfg, epochs = 8, lr = 0.05,
+      batchSize = 16, seed = 42)
+    assert(p.wo.sameElements(p2.wo) && p.w1.sameElements(p2.w1),
+      "parameter-averaging fit must be deterministic under a fixed seed + partitioning")
+  }
+}
