@@ -304,6 +304,76 @@ object MLQueries {
       }
     },
 
+    // M3 (native): the from-scratch conv net (graft.ml.ConvNet) — the
+    // architecture of chapter_4/MnistClassification.java:99-131 itself, not
+    // the MLP capability substitute — trained on the 64-dim embeddings read
+    // as 8x8 single-channel images against the same learnable target as
+    // m1/m3. Single-partition seeded fit (the m5_word2vec precedent) keeps
+    // the entry partition-invariant; the distributed parameter-averaging
+    // path is exercised in ConvNetSpec. Fixed vec_id slice (500 rows)
+    // keeps the training cost constant across SF.
+    QueryDef.sql(
+      "m3_convnet",
+      """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
+        |FROM embeddings WHERE vec_id < 500""".stripMargin) { (s, d) =>
+      import graft.ml.{ConvNet, ConvNetConfig}
+      val spark = s
+      import spark.implicits._
+      val cfg = ConvNetConfig(inSize = 8, k = 3, conv1Maps = 4, conv2Maps = 6,
+        hidden = 16, classes = 2, pool = 1)
+      val data = Tables.embeddings(s, d).where(col("vec_id") < 500)
+        .select(col("vec_id"),
+          when(element_at(col("embedding"), 1) > 0, 1).otherwise(0).as("y"),
+          col("embedding").cast("array<double>").as("e"))
+        .repartition(1).sortWithinPartitions("vec_id")
+        .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
+        .cache()
+      try {
+        val n = data.count()
+        val majority = data.map(_._1).groupByKey(identity).count()
+          .map(_._2).reduce(math.max) .toDouble / n
+        val p = ConvNet.fitParameterAveraging(data, cfg, epochs = 25, lr = 0.05,
+          batchSize = 32, seed = 42)
+        val acc = ConvNet.accuracy(data, cfg, p)
+        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+      } finally data.unpersist()
+    },
+
+    // M1 (native): the from-scratch LSTM (graft.ml.Lstm) — the recurrent
+    // layer of chapter2/PredictCommentsUsingRNNAndWord2Vec.java:94-107
+    // itself, not the doc-averaging substitute. Each embedding row becomes
+    // an 8-step sequence of 8-dim chunks; the target reads the FINAL
+    // chunk, so the signal must flow through the recurrent path to the
+    // last hidden state. Same single-partition seeded fit; true
+    // order-sensitivity (A-before-B, identical bags) is pinned in LstmSpec.
+    QueryDef.sql(
+      "m1_lstm",
+      """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS acc_above_floor
+        |FROM embeddings WHERE vec_id < 500""".stripMargin) { (s, d) =>
+      import graft.ml.{Lstm, LstmConfig}
+      val spark = s
+      import spark.implicits._
+      val cfg = LstmConfig(inDim = 8, hidden = 16, classes = 2)
+      val data = Tables.embeddings(s, d).where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .repartition(1).sortWithinPartitions("vec_id")
+        .map { r =>
+          val chunks = r.getSeq[Double](1).grouped(8).map(_.toArray).toSeq
+          val y = if (chunks.last.head > 0) 1 else 0
+          (y, chunks)
+        }
+        .cache()
+      try {
+        val n = data.count()
+        val majority = data.map(_._1).groupByKey(identity).count()
+          .map(_._2).reduce(math.max).toDouble / n
+        val p = Lstm.fitParameterAveraging(data, cfg, epochs = 10, lr = 2e-2,
+          batchSize = 32, seed = 42)
+        val acc = Lstm.accuracy(data, cfg, p)
+        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+      } finally data.unpersist()
+    },
+
     // E3 (IVF scale path): KMeans-cell inverted-file ANN. Output is the
     // recall@5-vs-exact summary row (VERDICT r5 #3): the oracle pins
     // (|Q|, recall_ok=true), so the ANN quality number is hash-checked
