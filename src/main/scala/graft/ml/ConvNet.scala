@@ -79,19 +79,15 @@ object ConvNet {
   /** Xavier-uniform init, deterministic under `seed`. */
   def init(cfg: ConvNetConfig, seed: Long): ConvNetParams = {
     val rnd = new scala.util.Random(seed)
-    def xavier(n: Int, fanIn: Int, fanOut: Int): Array[Double] = {
-      val limit = math.sqrt(6.0 / (fanIn + fanOut))
-      Array.fill(n)((rnd.nextDouble() * 2 - 1) * limit)
-    }
     import cfg._
     ConvNetParams(
-      xavier(conv1Maps * k * k, k * k, conv1Maps * k * k),
+      NetOps.xavier(rnd, conv1Maps * k * k, k * k, conv1Maps * k * k),
       new Array(conv1Maps),
-      xavier(conv2Maps * conv1Maps * k * k, conv1Maps * k * k, conv2Maps * k * k),
+      NetOps.xavier(rnd, conv2Maps * conv1Maps * k * k, conv1Maps * k * k, conv2Maps * k * k),
       new Array(conv2Maps),
-      xavier(hidden * flat, flat, hidden),
+      NetOps.xavier(rnd, hidden * flat, flat, hidden),
       new Array(hidden),
-      xavier(classes * hidden, hidden, classes),
+      NetOps.xavier(rnd, classes * hidden, hidden, classes),
       new Array(classes))
   }
 
@@ -252,13 +248,6 @@ object ConvNet {
     dIn
   }
 
-  private def softmax(z: Array[Double]): Array[Double] = {
-    val m = z.max
-    val e = z.map(v => math.exp(v - m))
-    val s = e.sum
-    e.map(_ / s)
-  }
-
   /** Forward pass; returns class probabilities. */
   def predictProbs(cfg: ConvNetConfig, p: ConvNetParams, x: Array[Double]): Array[Double] = {
     import cfg._
@@ -267,7 +256,7 @@ object ConvNet {
     val c2 = conv(p1, conv1Maps, p1Size, p.w2, p.b2, conv2Maps, k)
     val (p2, _) = maxPool(c2, conv2Maps, c2Size, pool)
     val h = dense(p2, p.wh, p.bh, hidden).map(v => math.max(0.0, v))
-    softmax(dense(h, p.wo, p.bo, classes))
+    NetOps.softmax(dense(h, p.wo, p.bo, classes))
   }
 
   def predict(cfg: ConvNetConfig, p: ConvNetParams, x: Array[Double]): Int = {
@@ -292,7 +281,7 @@ object ConvNet {
     val hPre = dense(p2, p.wh, p.bh, hidden)
     val h = hPre.map(v => math.max(0.0, v))
     val logits = dense(h, p.wo, p.bo, classes)
-    val probs = softmax(logits)
+    val probs = NetOps.softmax(logits)
     val loss = -math.log(math.max(probs(y), 1e-300))
 
     // backward
@@ -338,52 +327,20 @@ object ConvNet {
     totalLoss / math.max(1, data.size)
   }
 
-  /** Distributed fit by per-epoch parameter averaging (the reference's DL4J
-    * ParameterAveragingTrainingMaster pattern): each partition runs local
-    * SGD from the broadcast weights, the partition results average into the
-    * next epoch's weights. Shuffle volume per epoch = one weight vector per
-    * partition — independent of corpus size. Momentum restarts each epoch
-    * (it is local state, like DL4J's default).
+  /** Distributed fit by per-epoch parameter averaging — the shared
+    * [[NetOps.averageEpochs]] driver loop (bit-deterministic under a fixed
+    * seed + partitioning; empty input returns the seeded init unchanged).
+    * Momentum restarts each epoch (local state, like DL4J's default).
     */
   def fitParameterAveraging(data: Dataset[(Int, Array[Double])], cfg: ConvNetConfig,
                             epochs: Int, lr: Double, batchSize: Int, seed: Long,
-                            momentum: Double = 0.9, l2: Double = 5e-4): ConvNetParams = {
-    val sc = data.sparkSession.sparkContext
-    val rdd = data.rdd.cache()
-    var params = init(cfg, seed)
-    for (epoch <- 1 to epochs) {
-      val bc = sc.broadcast(params)
-      // average on the driver in PARTITION ORDER: float addition is not
-      // associative, so a treeReduce (whose combine order follows task
-      // completion) would make the fit run-to-run nondeterministic. The
-      // driver receives one weight vector per non-empty partition — the
-      // same per-epoch volume a reduce would move.
-      val locals = rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          val rows = it.toVector
-          if (rows.isEmpty) Iterator.empty
-          else {
-            val local = bc.value.copyOf
-            val shuffled = new scala.util.Random(seed + epoch * 1013L + pid).shuffle(rows)
-            sgdPass(cfg, local, local.zeroed, shuffled, lr, batchSize, momentum, l2)
-            Iterator.single((pid, local))
-          }
-        }
-        .collect().sortBy(_._1).map(_._2)
-      params = locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length)
-      bc.destroy()
-    }
-    rdd.unpersist()
-    params
-  }
+                            momentum: Double = 0.9, l2: Double = 5e-4): ConvNetParams =
+    NetOps.averageEpochs(data, epochs, seed)(init(cfg, seed))(_.copyOf)(
+      (local, rows) => sgdPass(cfg, local, local.zeroed, rows, lr, batchSize, momentum, l2))(
+      locals => locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length))
 
-  /** Distributed accuracy of `p` over a labeled dataset. */
+  /** Distributed accuracy of `p` over a labeled dataset (NaN when empty). */
   def accuracy(data: Dataset[(Int, Array[Double])], cfg: ConvNetConfig,
-               p: ConvNetParams): Double = {
-    val bc = data.sparkSession.sparkContext.broadcast(p)
-    val (hit, n) = data.rdd
-      .map { case (y, x) => (if (predict(cfg, bc.value, x) == y) 1L else 0L, 1L) }
-      .reduce { case ((h1, n1), (h2, n2)) => (h1 + h2, n1 + n2) }
-    hit.toDouble / n
-  }
+               p: ConvNetParams): Double =
+    NetOps.accuracyOf(data, p) { case (w, (y, x)) => predict(cfg, w, x) == y }
 }

@@ -55,16 +55,12 @@ object Lstm {
 
   def init(cfg: LstmConfig, seed: Long): LstmParams = {
     val rnd = new scala.util.Random(seed)
-    def xavier(n: Int, fanIn: Int, fanOut: Int): Array[Double] = {
-      val limit = math.sqrt(6.0 / (fanIn + fanOut))
-      Array.fill(n)((rnd.nextDouble() * 2 - 1) * limit)
-    }
     import cfg._
     val p = LstmParams(
-      xavier(4 * hidden * inDim, inDim, hidden),
-      xavier(4 * hidden * hidden, hidden, hidden),
+      NetOps.xavier(rnd, 4 * hidden * inDim, inDim, hidden),
+      NetOps.xavier(rnd, 4 * hidden * hidden, hidden, hidden),
       new Array(4 * hidden),
-      xavier(classes * hidden, hidden, classes),
+      NetOps.xavier(rnd, classes * hidden, hidden, classes),
       new Array(classes))
     // forget-gate bias init to 1.0 (standard practice: remember by default)
     var i = hidden
@@ -73,13 +69,6 @@ object Lstm {
   }
 
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
-
-  private def softmax(z: Array[Double]): Array[Double] = {
-    val m = z.max
-    val e = z.map(v => math.exp(v - m))
-    val s = e.sum
-    e.map(_ / s)
-  }
 
   /** Forward over one sequence; returns class probabilities. */
   def predictProbs(cfg: LstmConfig, p: LstmParams, xs: Seq[Array[Double]]): Array[Double] = {
@@ -112,7 +101,7 @@ object Lstm {
       logits(o) = s
       o += 1
     }
-    softmax(logits)
+    NetOps.softmax(logits)
   }
 
   def predict(cfg: LstmConfig, p: LstmParams, xs: Seq[Array[Double]]): Int = {
@@ -192,7 +181,7 @@ object Lstm {
       logits(o) = s
       o += 1
     }
-    val probs = softmax(logits)
+    val probs = NetOps.softmax(logits)
     val loss = -math.log(math.max(probs(y), 1e-300))
 
     // backward: output layer
@@ -296,44 +285,20 @@ object Lstm {
     totalLoss / math.max(1, data.size)
   }
 
-  /** Distributed fit by per-epoch parameter averaging, bit-deterministic
-    * under a fixed seed + partitioning (driver averages in partition order —
-    * see [[ConvNet.fitParameterAveraging]]).
+  /** Distributed fit by per-epoch parameter averaging — the shared
+    * [[NetOps.averageEpochs]] driver loop (bit-deterministic under a fixed
+    * seed + partitioning; empty input returns the seeded init unchanged).
+    * Adam moments restart each epoch (local state, like DL4J's default).
     */
   def fitParameterAveraging(data: Dataset[(Int, Seq[Array[Double]])], cfg: LstmConfig,
                             epochs: Int, lr: Double, batchSize: Int, seed: Long,
-                            l2: Double = 1e-5, clip: Double = 1.0): LstmParams = {
-    val sc = data.sparkSession.sparkContext
-    val rdd = data.rdd.cache()
-    var params = init(cfg, seed)
-    for (epoch <- 1 to epochs) {
-      val bc = sc.broadcast(params)
-      val locals = rdd
-        .mapPartitionsWithIndex { (pid, it) =>
-          val rows = it.toVector
-          if (rows.isEmpty) Iterator.empty
-          else {
-            val local = bc.value.copyOf
-            val shuffled = new scala.util.Random(seed + epoch * 2029L + pid).shuffle(rows)
-            adamPass(cfg, local, new AdamState(local), shuffled, lr, batchSize, l2, clip)
-            Iterator.single((pid, local))
-          }
-        }
-        .collect().sortBy(_._1).map(_._2)
-      params = locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length)
-      bc.destroy()
-    }
-    rdd.unpersist()
-    params
-  }
+                            l2: Double = 1e-5, clip: Double = 1.0): LstmParams =
+    NetOps.averageEpochs(data, epochs, seed)(init(cfg, seed))(_.copyOf)(
+      (local, rows) => adamPass(cfg, local, new AdamState(local), rows, lr, batchSize, l2, clip))(
+      locals => locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length))
 
-  /** Distributed accuracy over a labeled sequence dataset. */
+  /** Distributed accuracy over a labeled sequence dataset (NaN when empty). */
   def accuracy(data: Dataset[(Int, Seq[Array[Double]])], cfg: LstmConfig,
-               p: LstmParams): Double = {
-    val bc = data.sparkSession.sparkContext.broadcast(p)
-    val (hit, n) = data.rdd
-      .map { case (y, xs) => (if (predict(cfg, bc.value, xs) == y) 1L else 0L, 1L) }
-      .reduce { case ((h1, n1), (h2, n2)) => (h1 + h2, n1 + n2) }
-    hit.toDouble / n
-  }
+               p: LstmParams): Double =
+    NetOps.accuracyOf(data, p) { case (w, (y, xs)) => predict(cfg, w, xs) == y }
 }

@@ -118,9 +118,15 @@ object Sink {
         // resurface as visible junk in the recreated leaf
         for (f <- fs.listStatus(old)
              if f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val dest = new Path(dir, f.getPath.getName)
-          val target = if (fs.exists(dest))
-            new Path(dir, s"part-recovered-${f.getPath.getName}") else dest
+          // uniquify on collision (a second recovery cycle can reproduce the
+          // same part names — a fixed suffix would collide and wedge the
+          // leaf in a recovery loop)
+          var target = new Path(dir, f.getPath.getName)
+          var attempt = 0
+          while (fs.exists(target)) {
+            attempt += 1
+            target = new Path(dir, s"part-recovered-$attempt-${f.getPath.getName}")
+          }
           if (!fs.rename(f.getPath, target))
             throw new java.io.IOException(s"compaction recovery: rename ${f.getPath} -> $target failed")
         }
@@ -278,8 +284,13 @@ object Sink {
           DebrisName.findFirstMatchIn(s.getPath.getName).map(m => new Path(p, m.group(1)))
         else None)
       val debrisSet = debris.toSet
-      if (children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-        Seq(p)
+      val hasFiles = children.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // a dir with parquet files AND subdirectories is a malformed mix
+      // (stray files above hive partitions): recurse into the partitions —
+      // they compact normally — and leave the loose files untouched rather
+      // than classifying the whole dir as a flat leaf (whose swap
+      // compactLeaf would rightly refuse, failing every partition under it)
+      if (hasFiles && visible.isEmpty && debris.isEmpty) Seq(p)
       else (visible ++ debris).distinct.flatMap { d =>
         // a debris-marked dir IS a leaf candidate even when missing or
         // empty: its data may live only in the hidden sibling, which

@@ -119,6 +119,23 @@ class EmptyInputSpec extends SparkSpec {
     assert(spark2.read.parquet(written).count() == 0)
   }
 
+  test("native DL: empty dataset -> seeded init back from fit, NaN accuracy") {
+    import graft.ml._
+    val cfg = ConvNetConfig(inSize = 10, k = 3, conv1Maps = 2, conv2Maps = 3,
+      hidden = 4, classes = 2, pool = 2)
+    val none = spark.emptyDataset[(Int, Array[Double])]
+    val p = ConvNet.fitParameterAveraging(none, cfg, epochs = 2, lr = 0.1,
+      batchSize = 8, seed = 9)
+    assert(p.w1.sameElements(ConvNet.init(cfg, 9).w1), "empty fit must return the init")
+    assert(ConvNet.accuracy(none, cfg, p).isNaN)
+    val lcfg = LstmConfig(inDim = 4, hidden = 3, classes = 2)
+    val lNone = spark.emptyDataset[(Int, Seq[Array[Double]])]
+    val lp = Lstm.fitParameterAveraging(lNone, lcfg, epochs = 2, lr = 0.01,
+      batchSize = 8, seed = 9)
+    assert(lp.wx.sameElements(Lstm.init(lcfg, 9).wx))
+    assert(Lstm.accuracy(lNone, lcfg, lp).isNaN)
+  }
+
   test("round-7 ops: empty inputs flow through hubCap pairs, invariant summary, and index append") {
     // candidatePairs with the hub guard on an empty band table
     val eBands = Seq.empty[(Int, String, Long)].toDF("band", "key", "doc_id")

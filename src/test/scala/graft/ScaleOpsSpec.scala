@@ -346,6 +346,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!fs.exists(old))
   }
 
+  test("sink: stray files above hive partitions — partitions compact, files untouched") {
+    import org.apache.hadoop.fs.Path
+    val dir = Files.createTempDirectory("graft-mixedroot").toString
+    val df = Tables.nation(spark, sfDir).select("n_nationkey", "n_regionkey")
+    df.repartition(4).write.mode("overwrite").partitionBy("n_regionkey").parquet(dir)
+    // a stray parquet file at the root, above the partition dirs
+    Tables.region(spark, sfDir).limit(2).coalesce(1)
+      .write.mode("overwrite").parquet(dir + "/.stray_tmp")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val strayPart = fs.listStatus(new Path(dir + "/.stray_tmp"))
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    val stray = new Path(dir, "stray.parquet")
+    assert(fs.rename(strayPart, stray))
+    fs.delete(new Path(dir + "/.stray_tmp"), true)
+
+    val report = Sink.compactPartitions(spark, dir, targetFileBytes = 1L << 30)
+    assert(report.keys.forall(_.startsWith("n_regionkey=")) && report.nonEmpty,
+      s"partitions should compact despite the stray file: $report")
+    assert(fs.exists(stray), "the stray root file must be left untouched")
+  }
+
   test("sink: compactPartitions awaits all leaves and aggregates failures") {
     import org.apache.hadoop.fs.Path
     val dir = Files.createTempDirectory("graft-crash4").toString
