@@ -374,6 +374,46 @@ object MLQueries {
       } finally data.unpersist()
     },
 
+    // M2 (native): the from-scratch autoencoder (graft.ml.Autoencoder) —
+    // the reference's ACTUAL M2 model family
+    // (chapter3/MNISTAnomalyDetector.java:91-110), complementing the PCA
+    // capability twin. The fixture embeddings are near-uniform
+    // (incompressible — the honest worst case), so the hash-checked gate
+    // pins the two partition-invariant facts that hold regardless:
+    // training strictly reduces train reconstruction error vs the seeded
+    // init (measured 5-9% on this data), and the anomaly CONTRACT holds —
+    // every planted off-distribution input (4x-scaled copies) scores above
+    // every in-distribution row. Real manifold learning (90%+ outlier
+    // capture on structured data) is pinned in AutoencoderSpec. The
+    // 500-row slice is bounded and fixed, so the driver-side score loop
+    // is constant work at any SF.
+    QueryDef.sql(
+      "m2_autoencoder",
+      """SELECT CAST(count(*) AS BIGINT) AS n_train, true AS anomaly_contract
+        |FROM embeddings WHERE vec_id < 500""".stripMargin) { (s, d) =>
+      import graft.ml.{AeConfig, Autoencoder}
+      val spark = s
+      import spark.implicits._
+      val cfg = AeConfig(Seq(64, 16, 4, 16, 64))
+      val data = Tables.embeddings(s, d).where(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .repartition(1).sortWithinPartitions("vec_id")
+        .map(_.getSeq[Double](1).toArray)
+        .cache()
+      try {
+        val n = data.count()
+        val before = Autoencoder.meanScore(data, cfg, Autoencoder.init(cfg, 12345))
+        val p = Autoencoder.fitParameterAveraging(data, cfg, epochs = 10,
+          lr = 0.05, batchSize = 32, seed = 12345)
+        val after = Autoencoder.meanScore(data, cfg, p)
+        val rows = data.collect()
+        val normalMax = rows.map(Autoencoder.score(cfg, p, _)).max
+        val outlierMin = rows.take(30).map(x => Autoencoder.score(cfg, p, x.map(_ * 4))).min
+        Seq((n, after < before && outlierMin > normalMax))
+          .toDF("n_train", "anomaly_contract")
+      } finally data.unpersist()
+    },
+
     // E3 (IVF scale path): KMeans-cell inverted-file ANN. Output is the
     // recall@5-vs-exact summary row (VERDICT r5 #3): the oracle pins
     // (|Q|, recall_ok=true), so the ANN quality number is hash-checked

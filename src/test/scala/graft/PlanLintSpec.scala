@@ -17,9 +17,10 @@ class PlanLintSpec extends SparkSpec {
   private val skip = Set(
     "m1_classification_pipeline", "m2_pca_anomaly", "m3_mlp_classifier",
     "m4_regression_sum", "m5_word2vec_table", "e3_ann_ivf", "e2_semdedup",
-    // native DL fits (25-epoch CNN / 10-epoch LSTM) whose result frame is a
-    // LocalRelation the lint can never flag — running them buys nothing
-    "m3_convnet", "m1_lstm")
+    // native DL fits (25-epoch CNN / 10-epoch LSTM / 10-epoch AE) whose
+    // result frame is a LocalRelation the lint can never flag — running
+    // them buys nothing
+    "m3_convnet", "m1_lstm", "m2_autoencoder")
 
   /** Deliberate broadcast-NL scoring scans: a handful of query vectors
     * broadcast against the corpus with a non-equi (id inequality)
