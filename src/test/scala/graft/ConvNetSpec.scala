@@ -78,6 +78,51 @@ class ConvNetSpec extends SparkSpec {
     }
   }
 
+  test("M3: the reference's full pipeline — IDX binary -> IdxSource -> native LeNet") {
+    // the chapter-4 shape end-to-end: an MNIST-format ubyte file pair on
+    // disk, the distributed IDX reader (S7, pixels scaled to [0,1] like
+    // F10's ImagePreProcessingScaler), the real conv net on top
+    import java.io.{DataOutputStream, FileOutputStream}
+    val rnd = new scala.util.Random(23)
+    val size = 10
+    val n = 180
+    val imgs = new Array[Array[Byte]](n)
+    val lbls = new Array[Byte](n)
+    for (i <- 0 until n) {
+      val cls = i % 3
+      val img = Array.fill(size * size)((rnd.nextInt(40)).toByte)
+      val pos = 2 + rnd.nextInt(size - 4)
+      def hot() = (200 + rnd.nextInt(56)).toByte
+      cls match {
+        case 0 => for (j <- 0 until size) img(pos * size + j) = hot()
+        case 1 => for (j <- 0 until size) img(j * size + pos) = hot()
+        case 2 => for (j <- 0 until size) img(j * size + j) = hot()
+      }
+      imgs(i) = img; lbls(i) = cls.toByte
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-cnn").toFile
+    val imgFile = new java.io.File(dir, "train-images-idx3-ubyte")
+    val io = new DataOutputStream(new FileOutputStream(imgFile))
+    io.writeInt(0x00000803); io.writeInt(n); io.writeInt(size); io.writeInt(size)
+    imgs.foreach(io.write); io.close()
+    val lblFile = new java.io.File(dir, "train-labels-idx1-ubyte")
+    val lo = new DataOutputStream(new FileOutputStream(lblFile))
+    lo.writeInt(0x00000801); lo.writeInt(n); lo.write(lbls); lo.close()
+
+    val data = graft.sources.IdxSource
+      .readDataset(spark, imgFile.toString, lblFile.toString)
+      .select("label", "pixels")
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .repartition(4)
+
+    val cfg = ConvNetConfig(inSize = size, k = 3, conv1Maps = 4, conv2Maps = 6,
+      hidden = 16, classes = 3, pool = 2)
+    val p = ConvNet.fitParameterAveraging(data, cfg, epochs = 10, lr = 0.05,
+      batchSize = 16, seed = 42)
+    val acc = ConvNet.accuracy(data, cfg, p)
+    assert(acc >= 0.9, s"IDX -> LeNet pipeline should learn the patterns: acc=$acc")
+  }
+
   test("M3: parameter-averaging fit learns the spatial task, deterministically") {
     val cfg = ConvNetConfig(inSize = 14, k = 3, conv1Maps = 4, conv2Maps = 6,
       hidden = 16, classes = 3, pool = 2)
