@@ -25,24 +25,13 @@ case class AeConfig(layers: Seq[Int] = Seq(784, 250, 10, 250, 784)) {
 }
 
 /** One weight matrix + bias per layer transition (w(l): layers(l+1) x layers(l)). */
-case class AeParams(ws: IndexedSeq[Array[Double]], bs: IndexedSeq[Array[Double]]) {
+case class AeParams(ws: IndexedSeq[Array[Double]], bs: IndexedSeq[Array[Double]])
+    extends FlatParams[AeParams] {
 
   def arrays: Seq[Array[Double]] = ws ++ bs
 
-  def copyOf: AeParams = AeParams(ws.map(_.clone()), bs.map(_.clone()))
-
-  def addInPlace(o: AeParams): AeParams = {
-    for ((a, b) <- arrays.zip(o.arrays); i <- a.indices) a(i) += b(i)
-    this
-  }
-
-  def scaleInPlace(s: Double): AeParams = {
-    for (a <- arrays; i <- a.indices) a(i) *= s
-    this
-  }
-
-  def zeroed: AeParams =
-    AeParams(ws.map(a => new Array[Double](a.length)), bs.map(a => new Array[Double](a.length)))
+  def rebuild(a: Seq[Array[Double]]): AeParams =
+    AeParams(a.take(ws.length).toIndexedSeq, a.drop(ws.length).toIndexedSeq)
 }
 
 object Autoencoder {

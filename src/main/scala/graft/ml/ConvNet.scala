@@ -50,28 +50,12 @@ case class ConvNetParams(
     w1: Array[Double], b1: Array[Double],
     w2: Array[Double], b2: Array[Double],
     wh: Array[Double], bh: Array[Double],
-    wo: Array[Double], bo: Array[Double]) {
+    wo: Array[Double], bo: Array[Double]) extends FlatParams[ConvNetParams] {
 
   def arrays: Seq[Array[Double]] = Seq(w1, b1, w2, b2, wh, bh, wo, bo)
 
-  def copyOf: ConvNetParams = ConvNetParams(
-    w1.clone(), b1.clone(), w2.clone(), b2.clone(),
-    wh.clone(), bh.clone(), wo.clone(), bo.clone())
-
-  def addInPlace(o: ConvNetParams): ConvNetParams = {
-    for ((a, b) <- arrays.zip(o.arrays); i <- a.indices) a(i) += b(i)
-    this
-  }
-
-  def scaleInPlace(s: Double): ConvNetParams = {
-    for (a <- arrays; i <- a.indices) a(i) *= s
-    this
-  }
-
-  def zeroed: ConvNetParams = ConvNetParams(
-    new Array(w1.length), new Array(b1.length), new Array(w2.length),
-    new Array(b2.length), new Array(wh.length), new Array(bh.length),
-    new Array(wo.length), new Array(bo.length))
+  def rebuild(a: Seq[Array[Double]]): ConvNetParams =
+    ConvNetParams(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))
 }
 
 object ConvNet {

@@ -29,26 +29,12 @@ case class LstmParams(
     wh: Array[Double], // (4*hidden) x hidden
     b: Array[Double],  // 4*hidden
     wo: Array[Double], // classes x hidden
-    bo: Array[Double]) {
+    bo: Array[Double]) extends FlatParams[LstmParams] {
 
   def arrays: Seq[Array[Double]] = Seq(wx, wh, b, wo, bo)
 
-  def copyOf: LstmParams =
-    LstmParams(wx.clone(), wh.clone(), b.clone(), wo.clone(), bo.clone())
-
-  def addInPlace(o: LstmParams): LstmParams = {
-    for ((a, c) <- arrays.zip(o.arrays); i <- a.indices) a(i) += c(i)
-    this
-  }
-
-  def scaleInPlace(s: Double): LstmParams = {
-    for (a <- arrays; i <- a.indices) a(i) *= s
-    this
-  }
-
-  def zeroed: LstmParams = LstmParams(
-    new Array(wx.length), new Array(wh.length), new Array(b.length),
-    new Array(wo.length), new Array(bo.length))
+  def rebuild(a: Seq[Array[Double]]): LstmParams =
+    LstmParams(a(0), a(1), a(2), a(3), a(4))
 }
 
 object Lstm {

@@ -10,6 +10,27 @@ import org.apache.spark.storage.StorageLevel
   * handling, broadcast lifecycle, determinism ordering) cannot drift between
   * models.
   */
+/** Flat-array parameter container: ONE copy of the clone/zero/axpy
+  * plumbing all three nets' params ride through, so a numerics change to
+  * the averaging arithmetic lands everywhere at once. Implementors provide
+  * `arrays` (a stable ordering of every parameter array) and `rebuild`
+  * (reconstruct from a same-shaped sequence).
+  */
+trait FlatParams[P <: FlatParams[P]] extends Serializable { self: P =>
+  def arrays: Seq[Array[Double]]
+  def rebuild(arrs: Seq[Array[Double]]): P
+  final def copyOf: P = rebuild(arrays.map(_.clone()))
+  final def zeroed: P = rebuild(arrays.map(a => new Array[Double](a.length)))
+  final def addInPlace(o: P): P = {
+    for ((a, b) <- arrays.zip(o.arrays); i <- a.indices) a(i) += b(i)
+    this
+  }
+  final def scaleInPlace(s: Double): P = {
+    for (a <- arrays; i <- a.indices) a(i) *= s
+    this
+  }
+}
+
 private[ml] object NetOps {
 
   def xavier(rnd: scala.util.Random, n: Int, fanIn: Int, fanOut: Int): Array[Double] = {

@@ -401,16 +401,28 @@ object MLQueries {
         .map(_.getSeq[Double](1).toArray)
         .cache()
       try {
-        val n = data.count()
-        val before = Autoencoder.meanScore(data, cfg, Autoencoder.init(cfg, 12345))
-        val p = Autoencoder.fitParameterAveraging(data, cfg, epochs = 10,
-          lr = 0.05, batchSize = 32, seed = 12345)
-        val after = Autoencoder.meanScore(data, cfg, p)
+        // the slice is bounded (<= 500 rows), so one collect feeds every
+        // driver-side comparison — no extra Spark jobs for before/after
         val rows = data.collect()
-        val normalMax = rows.map(Autoencoder.score(cfg, p, _)).max
-        val outlierMin = rows.take(30).map(x => Autoencoder.score(cfg, p, x.map(_ * 4))).min
-        Seq((n, after < before && outlierMin > normalMax))
-          .toDF("n_train", "anomaly_contract")
+        val n = rows.length.toLong
+        val contract = if (rows.isEmpty) true // vacuous, matching the oracle
+        else {
+          val init = Autoencoder.init(cfg, 12345)
+          val before = rows.map(Autoencoder.score(cfg, init, _)).sum / n
+          val p = Autoencoder.fitParameterAveraging(data, cfg, epochs = 10,
+            lr = 0.05, batchSize = 32, seed = 12345)
+          val scores = rows.map(Autoencoder.score(cfg, p, _))
+          val after = scores.sum / n
+          // planted outliers must carry real energy: a 4x-scaled all-zero
+          // vector is the same vector, so only rows above a norm floor
+          // qualify (vacuously true if the fixture had none)
+          val outliers = rows.take(30)
+            .filter(x => math.sqrt(x.map(v => v * v).sum) > 1e-3)
+            .map(x => Autoencoder.score(cfg, p, x.map(_ * 4)))
+          after < before &&
+            (outliers.isEmpty || outliers.min > scores.max)
+        }
+        Seq((n, contract)).toDF("n_train", "anomaly_contract")
       } finally data.unpersist()
     },
 

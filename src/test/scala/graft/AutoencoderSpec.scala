@@ -76,7 +76,7 @@ class AutoencoderSpec extends SparkSpec {
 
     val normalScores = Seq.fill(60)(normal()).map(Autoencoder.score(cfg, p, _))
     val outlierScores = Seq.fill(60)(outlier()).map(Autoencoder.score(cfg, p, _))
-    val cut = normalScores.sorted.apply(normalScores.size - 1) // max normal score
+    val cut = normalScores.max
     val caught = outlierScores.count(_ > cut)
     assert(caught >= 54, // >= 90% of outliers above EVERY normal holdout score
       s"outliers not separated: caught=$caught/60, maxNormal=$cut, " +
