@@ -5,11 +5,18 @@ import org.apache.spark.sql.Dataset
 /** Dense autoencoder, from scratch on the JVM — the native twin of the
   * reference's M2 anomaly detector
   * (13486_Code/src/main/scala/chapter3/MNISTAnomalyDetector.java:91-110):
-  * 784 -> 250 -> 10 -> 250 -> 784, ReLU hidden activations, identity output
-  * with MSE loss, Xavier init, L2 1e-4, AdaGrad 0.05. Layer sizes are a
-  * parameter (defaults are the reference's), so tests and the catalog can
-  * run small instances fast. Complements the engine's PCA-reconstruction
-  * capability twin (m2_pca_anomaly): same scoring contract — per-example
+  * 784 -> 250 -> 10 -> 250 -> 784, ReLU activations, MSE loss, Xavier
+  * init, L2 1e-4, AdaGrad 0.05. The reference sets RELU at the
+  * NeuralNetConfiguration level and its OutputLayer has no per-layer
+  * override (:96,:105-106), so its output head is ReLU+MSE — reproduce
+  * that exactly with `reluOutput = true`. The library DEFAULT is an
+  * identity output head (a deliberate divergence): the reference's inputs
+  * are [0,1] MNIST pixels where a non-negative output loses nothing,
+  * while this engine's embedding columns are signed, and a ReLU head can
+  * never reconstruct a negative component. Layer sizes are a parameter
+  * (defaults are the reference's), so tests and the catalog can run small
+  * instances fast. Complements the engine's PCA-reconstruction capability
+  * twin (m2_pca_anomaly): same scoring contract — per-example
   * reconstruction error, high = anomalous — but the reference's actual
   * model family.
   *
@@ -18,7 +25,8 @@ import org.apache.spark.sql.Dataset
   * returns the seeded init). Gradients are exact backprop, pinned by
   * AutoencoderSpec's central-difference check.
   */
-case class AeConfig(layers: Seq[Int] = Seq(784, 250, 10, 250, 784)) {
+case class AeConfig(layers: Seq[Int] = Seq(784, 250, 10, 250, 784),
+                    reluOutput: Boolean = false) {
   require(layers.length >= 3, s"need at least in -> hidden -> out: $layers")
   require(layers.head == layers.last,
     s"autoencoder reconstructs its input: ${layers.head} != ${layers.last}")
@@ -57,8 +65,9 @@ object Autoencoder {
         var s = p.bs(l)(o)
         var i = 0
         while (i < nIn) { s += p.ws(l)(o * nIn + i) * a(i); i += 1 }
-        // ReLU on hidden layers, identity on the output layer (MSE head)
-        z(o) = if (l < p.ws.length - 1) math.max(0.0, s) else s
+        // ReLU on hidden layers; output head per cfg.reluOutput (identity
+        // default for signed inputs, ReLU = the reference's exact head)
+        z(o) = if (l < p.ws.length - 1 || cfg.reluOutput) math.max(0.0, s) else s
         o += 1
       }
       a = z
@@ -99,7 +108,7 @@ object Autoencoder {
       }
       pre(l) = z
       acts(l + 1) =
-        if (l < nLayers - 1) z.map(v => math.max(0.0, v)) else z
+        if (l < nLayers - 1 || cfg.reluOutput) z.map(v => math.max(0.0, v)) else z
     }
     val out = acts(nLayers)
     var loss = 0.0
@@ -115,7 +124,7 @@ object Autoencoder {
     for (l <- (nLayers - 1) to 0 by -1) {
       val nIn = cfg.layers(l)
       val nOut = cfg.layers(l + 1)
-      if (l < nLayers - 1) {
+      if (l < nLayers - 1 || cfg.reluOutput) {
         var o = 0
         while (o < nOut) { if (pre(l)(o) <= 0.0) dOut(o) = 0.0; o += 1 }
       }

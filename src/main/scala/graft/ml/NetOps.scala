@@ -53,7 +53,21 @@ private[ml] object NetOps {
     * not associative, so a treeReduce (combine order = task completion
     * order) would make the fit run-to-run nondeterministic, while
     * partition-ordered summation makes it bit-deterministic under a fixed
-    * seed + partitioning. Per-epoch traffic is one weight vector per
+    * seed + partitioning.
+    *
+    * MEMORY BOUND: each task materializes its whole partition (plus one
+    * shuffled copy of the row references) to run the seeded local shuffle,
+    * so per-task heap is O(partition bytes) — the standard local-SGD
+    * trade (the reference's dl4j-spark ParameterAveragingTrainingMaster
+    * fits each worker's split the same way). At 100 TB a partition of
+    * decoded Double rows can be several GB, so the bound is ENFORCED: a
+    * partition over `spark.graft.ml.maxRowsPerPartition` rows (default
+    * 2,000,000 — ~1 GB of 64-double rows) fails fast with an error naming
+    * `repartition`, instead of OOM-killing the executor mid-epoch. More
+    * partitions also means more local models averaged per epoch, which is
+    * the intended scale-out axis anyway.
+    *
+    * Per-epoch traffic is one weight vector per
     * partition, independent of corpus size. An entirely empty dataset
     * returns the initial weights unchanged (empty-input posture: quiet
     * no-op, never a crash). Caches the RDD only if the caller has not
@@ -65,6 +79,9 @@ private[ml] object NetOps {
                          (train: (P, Vector[R]) => Unit)
                          (average: Seq[P] => P): P = {
     val sc = data.sparkSession.sparkContext
+    // read on the driver, captured by the task closure (no session on executors)
+    val maxRows = data.sparkSession.conf
+      .get("spark.graft.ml.maxRowsPerPartition", "2000000").toLong
     val rdd: RDD[R] = data.rdd
     // no double-cache: if the caller already persisted the Dataset, the
     // derived RDD re-reads its InMemoryRelation each epoch — cheap — and
@@ -79,7 +96,22 @@ private[ml] object NetOps {
         try {
           val locals = rdd
             .mapPartitionsWithIndex { (pid, it) =>
-              val rows = it.toVector
+              val buf = Vector.newBuilder[R]
+              var n = 0L
+              while (it.hasNext) {
+                n += 1
+                if (n > maxRows)
+                  throw new IllegalStateException(
+                    s"averageEpochs: partition $pid exceeds " +
+                      s"spark.graft.ml.maxRowsPerPartition = $maxRows rows. " +
+                      "Local-SGD training materializes each partition on the task " +
+                      "heap for its seeded shuffle — repartition(...) the dataset " +
+                      "into smaller partitions (more partitions = more local models " +
+                      "averaged, the intended scale-out), or raise the limit if " +
+                      "executor memory allows.")
+                buf += it.next()
+              }
+              val rows = buf.result()
               if (rows.isEmpty) Iterator.empty
               else {
                 val local = copy(bc.value)

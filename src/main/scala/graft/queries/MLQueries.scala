@@ -330,12 +330,18 @@ object MLQueries {
         .cache()
       try {
         val n = data.count()
-        val majority = data.map(_._1).groupByKey(identity).count()
-          .map(_._2).reduce(math.max) .toDouble / n
-        val p = ConvNet.fitParameterAveraging(data, cfg, epochs = 25, lr = 0.05,
-          batchSize = 32, seed = 42)
-        val acc = ConvNet.accuracy(data, cfg, p)
-        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+        // empty-input posture (m2_autoencoder precedent): an empty slice
+        // must emit the oracle's vacuous (0, true) row, not crash in the
+        // majority-baseline reduce / divide below
+        if (n == 0) Seq((0L, true)).toDF("n_train", "acc_above_floor")
+        else {
+          val majority = data.map(_._1).groupByKey(identity).count()
+            .map(_._2).reduce(math.max).toDouble / n
+          val p = ConvNet.fitParameterAveraging(data, cfg, epochs = 25, lr = 0.05,
+            batchSize = 32, seed = 42)
+          val acc = ConvNet.accuracy(data, cfg, p)
+          Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+        }
       } finally data.unpersist()
     },
 
@@ -365,12 +371,17 @@ object MLQueries {
         .cache()
       try {
         val n = data.count()
-        val majority = data.map(_._1).groupByKey(identity).count()
-          .map(_._2).reduce(math.max).toDouble / n
-        val p = Lstm.fitParameterAveraging(data, cfg, epochs = 10, lr = 2e-2,
-          batchSize = 32, seed = 42)
-        val acc = Lstm.accuracy(data, cfg, p)
-        Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+        // empty-input posture (m2_autoencoder precedent): vacuous (0, true)
+        // on an empty slice instead of an empty-reduce crash
+        if (n == 0) Seq((0L, true)).toDF("n_train", "acc_above_floor")
+        else {
+          val majority = data.map(_._1).groupByKey(identity).count()
+            .map(_._2).reduce(math.max).toDouble / n
+          val p = Lstm.fitParameterAveraging(data, cfg, epochs = 10, lr = 2e-2,
+            batchSize = 32, seed = 42)
+          val acc = Lstm.accuracy(data, cfg, p)
+          Seq((n, acc > math.max(majority, 0.9))).toDF("n_train", "acc_above_floor")
+        }
       } finally data.unpersist()
     },
 

@@ -89,6 +89,32 @@ object Sink {
     scoped
   }
 
+  /** URI schemes whose Hadoop FileSystem implements rename as a non-atomic
+    * copy+delete (object stores). The swap protocol's crash-state machine
+    * is sound only under atomic directory rename, so compaction refuses
+    * these outright rather than risking a crash state outside the
+    * enumerated (dir, old, tmp) triple. `abfs(s)` is included: its rename
+    * is atomic only when the account has a hierarchical namespace, which
+    * the client cannot verify cheaply — refusing the ambiguous case is the
+    * safe default.
+    */
+  private[graft] val CopyRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs", "abfss", "oss",
+      "swift", "cos", "cosn")
+
+  /** Refuse compaction on filesystems without atomic directory rename
+    * (pure on the scheme string, so the contract is testable without an
+    * object-store client on the classpath).
+    */
+  private[graft] def requireAtomicRename(scheme: String): Unit =
+    if (scheme != null && CopyRenameSchemes.contains(scheme.toLowerCase)) {
+      throw new UnsupportedOperationException(
+        s"compaction requires atomic directory rename, which '$scheme' does not " +
+          "provide (object-store rename is a non-atomic copy+delete, so a crash " +
+          "mid-swap can corrupt the leaf) — on object stores, compact through a " +
+          "transactional table format (manifest-commit) instead")
+    }
+
   /** Crash-state recovery for one leaf. The (dir, old, tmp) existence triple
     * is unambiguous because `old` is created only AFTER `tmp` is completely
     * written, and deleted only AFTER `tmp` was renamed into `dir`:
@@ -158,7 +184,19 @@ object Sink {
     * renamed in, so the (dir, old, tmp) existence triple identifies every
     * crash state unambiguously and [[recoverLeaf]] repairs it at the start
     * of the next call — including the case where a writer recreated the leaf
-    * after a mid-swap crash. Concurrency: compaction assumes one logical
+    * after a mid-swap crash.
+    *
+    * FILESYSTEM CONTRACT: the swap protocol is crash-safe only where
+    * `FileSystem.rename` is an atomic directory move — HDFS, local/POSIX,
+    * and other true filesystems. Object stores (s3a/gs/wasb and kin)
+    * implement rename as a non-atomic copy+delete: a crash mid-"rename"
+    * there produces states OUTSIDE the (dir, old, tmp) triple (e.g. a
+    * half-copied `old` coexisting with `dir`), which recovery could then
+    * mis-repair into duplicated or dropped rows. Compaction therefore
+    * REFUSES known copy-rename schemes up front ([[requireAtomicRename]]);
+    * on an object store, compact through a transactional table format
+    * (Delta/Iceberg-style manifest commit), whose optimistic commit is the
+    * object-store replacement for this rename swap. Concurrency: compaction assumes one logical
     * writer per leaf (compact SEALED partitions — yesterday's `date=…`, a
     * cell not being appended this cycle). If files land after the snapshot,
     * the rewrite is retried from a fresh snapshot (bounded), then aborts
@@ -176,6 +214,7 @@ object Sink {
                      writerOptions: Map[String, String] = Map.empty): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs.getScheme)
     val dir = fs.makeQualified(new Path(path))
     compactLeaf(scopedSession(spark, targetFileBytes), fs, dir, writerOptions,
       allowMissing = false)
@@ -220,11 +259,16 @@ object Sink {
           .write.mode(SaveMode.Overwrite)) { case (w, (k, v)) => w.option(k, v) }
       writer.parquet(tmp.toString)
 
-      // a file landed after the snapshot → this rewrite is stale; retry from
-      // a fresh snapshot, then abort cleanly (dir untouched) — a concurrent
-      // writer is an error, never silent loss
-      val snapshotNames = snapshot.map(_.getPath.getName).toSet
-      if (parquetFiles().exists(f => !snapshotNames.contains(f.getPath.getName))) {
+      // the directory changed after the snapshot → this rewrite is stale;
+      // retry from a fresh snapshot, then abort cleanly (dir untouched) — a
+      // concurrent writer is an error, never silent loss. Compare the FULL
+      // (name, length, modificationTime) triple, not names alone: a writer
+      // that overwrites a part file in place or deletes files changes the
+      // leaf's content without adding a name, and renaming the stale
+      // rewrite in would silently revert (or resurrect) those rows.
+      def fingerprint(fss: Array[org.apache.hadoop.fs.FileStatus]) =
+        fss.map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+      if (fingerprint(parquetFiles()) != fingerprint(snapshot)) {
         fs.delete(tmp, true)
         attempt += 1
         if (attempt >= maxRetries)
@@ -272,6 +316,7 @@ object Sink {
                         maxConcurrent: Int = 8): Map[String, (Int, Int)] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs.getScheme)
     val rootPath = fs.makeQualified(new Path(root))
     def leaves(p: Path): Seq[Path] = {
       val children = fs.listStatus(p)

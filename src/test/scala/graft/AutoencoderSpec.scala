@@ -41,6 +41,46 @@ class AutoencoderSpec extends SparkSpec {
     assert(checked >= 25)
   }
 
+  /** The reference's builder sets RELU at the NeuralNetConfiguration
+    * level and the OutputLayer inherits it (MNISTAnomalyDetector.java:96,
+    * :105-106) — reluOutput = true is that exact head. The gradient must
+    * stay exact through the extra output gate, and the reconstruction is
+    * non-negative by construction. Fixed seeds (the identity test's 31/7,
+    * under which the bottleneck stays active — a DEAD bottleneck makes the
+    * next layer's pre-activation exactly its zero-init bias, parking the
+    * probe on the ReLU kink) keep every probed pre-activation away from
+    * the kink, so the central-difference check stays exact and
+    * deterministic.
+    */
+  test("M2: reluOutput head (the reference's exact config) gradient-checks") {
+    val cfg = AeConfig(Seq(6, 4, 2, 4, 6), reluOutput = true)
+    val rnd = new scala.util.Random(31)
+    val x = Array.fill(6)(rnd.nextDouble())
+    val p = Autoencoder.init(cfg, seed = 7)
+    assert(Autoencoder.reconstruct(cfg, p, x).forall(_ >= 0.0))
+    val grad = p.zeroed
+    Autoencoder.lossAndGrad(cfg, p, x, grad)
+    val eps = 1e-6
+    var checked = 0
+    for ((arr, gArr) <- p.arrays.zip(grad.arrays)) {
+      val idxs = (Seq(0, arr.length - 1) ++ Seq.fill(5)(rnd.nextInt(arr.length))).distinct
+      for (i <- idxs) {
+        val orig = arr(i)
+        arr(i) = orig + eps
+        val up = Autoencoder.lossAndGrad(cfg, p, x, p.zeroed)
+        arr(i) = orig - eps
+        val dn = Autoencoder.lossAndGrad(cfg, p, x, p.zeroed)
+        arr(i) = orig
+        val numeric = (up - dn) / (2 * eps)
+        val denom = math.max(1e-8, math.abs(numeric) + math.abs(gArr(i)))
+        assert(math.abs(numeric - gArr(i)) / denom < 1e-5,
+          s"gradient mismatch len=${arr.length} idx=$i: numeric=$numeric analytic=${gArr(i)}")
+        checked += 1
+      }
+    }
+    assert(checked >= 25)
+  }
+
   test("M2: the reference 784-250-10-250-784 config runs a real step") {
     val cfg = AeConfig() // the reference's exact layer stack
     val rnd = new scala.util.Random(11)

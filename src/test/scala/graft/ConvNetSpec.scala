@@ -123,6 +123,40 @@ class ConvNetSpec extends SparkSpec {
     assert(acc >= 0.9, s"IDX -> LeNet pipeline should learn the patterns: acc=$acc")
   }
 
+  /** The training loop materializes each partition on the task heap for
+    * its seeded shuffle (O(partition bytes) — local-SGD's standard trade);
+    * at 100 TB scale that bound must be ENFORCED, not assumed: a partition
+    * over `spark.graft.ml.maxRowsPerPartition` rows fails fast with an
+    * error naming `repartition`, instead of OOM-killing an executor
+    * mid-epoch (VERDICT r7 task 3).
+    */
+  test("M3: a partition larger than maxRowsPerPartition fails fast, naming repartition") {
+    val cfg = ConvNetConfig(inSize = 14, k = 3, conv1Maps = 4, conv2Maps = 6,
+      hidden = 16, classes = 3, pool = 2)
+    val train = spark.createDataset(
+      spark.sparkContext.parallelize(spatialData(60, seed = 5), 1))
+    spark.conf.set("spark.graft.ml.maxRowsPerPartition", "40")
+    try {
+      val e = intercept[Exception] {
+        ConvNet.fitParameterAveraging(train, cfg, epochs = 1, lr = 0.05,
+          batchSize = 16, seed = 42)
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val all = messages(e).mkString(" | ")
+      assert(all.contains("maxRowsPerPartition") && all.contains("repartition"),
+        s"error must name the knob and the fix: $all")
+    } finally spark.conf.unset("spark.graft.ml.maxRowsPerPartition")
+
+    // under the same bound, a repartitioned dataset trains fine
+    spark.conf.set("spark.graft.ml.maxRowsPerPartition", "40")
+    try {
+      val p = ConvNet.fitParameterAveraging(train.repartition(4), cfg, epochs = 1,
+        lr = 0.05, batchSize = 16, seed = 42)
+      assert(p.wo.nonEmpty)
+    } finally spark.conf.unset("spark.graft.ml.maxRowsPerPartition")
+  }
+
   test("M3: parameter-averaging fit learns the spatial task, deterministically") {
     val cfg = ConvNetConfig(inSize = 14, k = 3, conv1Maps = 4, conv2Maps = 6,
       hidden = 16, classes = 3, pool = 2)

@@ -409,6 +409,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 5, "refusal must leave the dir untouched")
   }
 
+  test("sink: compaction refuses object-store schemes (non-atomic rename)") {
+    // the swap protocol's crash-state machine requires atomic directory
+    // rename; object-store rename is copy+delete, so the guard must refuse
+    // every known copy-rename scheme and admit real filesystems
+    for (scheme <- Seq("s3a", "S3A", "s3", "gs", "wasb", "abfss", "oss")) {
+      val e = intercept[UnsupportedOperationException] {
+        Sink.requireAtomicRename(scheme)
+      }
+      assert(e.getMessage.contains("atomic"), e.getMessage)
+    }
+    Sink.requireAtomicRename("file")
+    Sink.requireAtomicRename("hdfs")
+    Sink.requireAtomicRename("viewfs")
+    Sink.requireAtomicRename(null) // unknown FS: caller's responsibility
+  }
+
   test("sink: compactPartitions compacts each hive leaf in place, pruning intact") {
     val dir = Files.createTempDirectory("graft-compact-part").toString
     val df = Tables.orders(spark, sfDir)
