@@ -130,6 +130,35 @@ class MlSpec extends SparkSpec {
     assert(best.getRegParam == 0.0, "unregularized fit must win on an exact linear target")
   }
 
+  /** The distributed (hogwild) Word2Vec path — `spark.graft.w2v.numPartitions`
+    * — is the documented 100 TB opt-out from the catalog entry's
+    * single-partition determinism (VERDICT r7 task 5). Setting the flag
+    * forfeits the golden hash BY CONTRACT (gradient mixing follows task
+    * completion order), so this pins what survives partitioned fitting:
+    * the vocabulary (derived from token counts, fit-order-invariant), the
+    * query word (corpus-frequency argmax, fit-independent), and the
+    * synonym table's shape/quality invariants.
+    */
+  test("M5: the hogwild flag path (numPartitions=4) keeps vocab + synonym invariants") {
+    val entry = SparkEntry.queries("m5_word2vec_table")
+    val single = entry(spark, sfDir).collect()
+    spark.conf.set("spark.graft.w2v.numPartitions", "4")
+    try {
+      val rows = entry(spark, sfDir).collect()
+      assert(rows.length == 5, s"findSynonyms(top, 5) must still return 5 rows: ${rows.length}")
+      // vocabulary and its size come from minCount over token counts —
+      // partition-invariant even under hogwild mixing
+      assert(rows.head.getAs[Long]("vocab_rows") == single.head.getAs[Long]("vocab_rows"),
+        "vocab size must not depend on fit partitioning")
+      assert(rows.head.getAs[String]("query") == single.head.getAs[String]("query"),
+        "the query word is a corpus-frequency argmax, independent of the fit")
+      val sims = rows.map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse, s"synonyms must come ranked: $sims")
+      assert(sims.forall(s => s >= -1.0 && s <= 1.0), s"cosine out of range: $sims")
+      assert(rows.map(_.getAs[String]("word")).distinct.length == 5, "duplicate synonyms")
+    } finally spark.conf.unset("spark.graft.w2v.numPartitions")
+  }
+
   test("M5: Word2Vec trains on fixture tokens and exposes a vector table") {
     import graft.functions.TextFunctions.tokenize
     val docs = Tables.documents(spark, sfDir).limit(200)
