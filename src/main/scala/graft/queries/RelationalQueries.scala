@@ -667,6 +667,49 @@ object RelationalQueries {
       a.union(b).distinct().orderBy("c_custkey")
     },
 
+    // O11 (r8, VERDICT task 8): the small-files MAINTENANCE path under the
+    // same per-round bench+oracle discipline as the query entries. A
+    // 64-way fragmented parquet directory (the micro-batch-ingest shape)
+    // is compacted by Sink.compactParquet; the emitted row pins the
+    // partition-invariant facts a valid compaction must satisfy — the row
+    // multiset survives (count + orderkey checksum against the SOURCE
+    // relation, which the DuckDB oracle replays directly) and the file
+    // count actually fell to the byte-derived target. A lost/duplicated
+    // row or a no-op rewrite flips a boolean and breaks the round's
+    // correctness gate. Scratch dir is deterministic per sfDir and
+    // rebuilt every run (compaction mutates it, so it cannot be cached).
+    QueryDef.sql(
+      "o11_compact",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS multiset_ok,
+        |       true AS files_reduced
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_o11_compact_${Integer.toHexString(d.hashCode)}").toString
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      src.repartition(64).write.mode("overwrite").parquet(dir)
+      def stat() = {
+        val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (files.length, files.map(_.getLen).sum)
+      }
+      val (filesBefore, bytes) = stat()
+      // target ~4 outputs so the merge is a real many-to-few rewrite
+      graft.sources.Sink.compactParquet(s, dir, math.max(1L, bytes / 4))
+      val (filesAfter, _) = stat()
+      val (nExp, sumExp) = src.agg(count(lit(1)), sum("o_orderkey"))
+        .as[(Long, Option[Long])].head()
+      val (nGot, sumGot) = s.read.parquet(dir)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, nGot == nExp && sumGot == sumExp, filesAfter < filesBefore))
+        .toDF("n_rows", "multiset_ok", "files_reduced")
+    },
+
     // J6c: TPC-H Q3 shape — shipping-priority top-10 (join + agg + top-k).
     QueryDef.sql(
       "q3_shipping_priority",
