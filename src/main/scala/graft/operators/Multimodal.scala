@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * `decode` resizes to a fixed grayscale grid and emits pixels in [0,1].
   * Audio decode is REAL for WAV/PCM (`javax.sound.sampled` ships the
   * parser): `decodeAudio` downmixes to mono and emits per-window RMS
-  * energy envelopes. Video decode stays stubbed (genuinely no JDK codec):
-  * `decodeStub` derives a deterministic fake feature vector from the
-  * bytes, and both real decoders fall back to it for undecodable payloads
-  * so a mixed corpus never throws.
+  * energy envelopes. Video decode is REAL for MJPEG-in-AVI (r8): AVI is
+  * plain RIFF chunk framing — a from-scratch walker (public RIFF/AVI
+  * spec, no deps) extracts the `##dc`/`##db` stream-data chunks from the
+  * `movi` list, and for Motion-JPEG each chunk is a complete JPEG the
+  * JDK's ImageIO decodes. Other codecs (H.264 etc.) remain out of reach
+  * without external libraries; undecodable payloads fall back to
+  * `stubFeatures` everywhere so a mixed corpus never throws.
   */
 object Multimodal {
 
@@ -193,6 +196,107 @@ object Multimodal {
       var i = lo
       while (i < hi && i < in) { s += features(i); i += 1 }
       if (hi > lo) s / (hi - lo) else 0f
+    }
+  }
+
+  /** Walk an AVI (RIFF) container and return the video stream-data chunk
+    * payloads in file order. RIFF framing (public spec): the file is
+    * `"RIFF" <size LE32> "AVI "` followed by chunks of
+    * `<fourcc(4)> <size LE32> <data> <pad-to-even>`; a `LIST` chunk nests
+    * sub-chunks after its 4-byte list type. Video frames live in the
+    * `movi` list as chunks whose fourcc is `NNdc` (compressed) or `NNdb`
+    * (uncompressed), NN = the two-digit stream number. For MJPEG each
+    * `dc` payload is a standalone JPEG.
+    *
+    * Returns None when the bytes are not a RIFF/AVI container or contain
+    * no `movi` list; a TRUNCATED but well-prefixed file yields the frames
+    * that fit (ingest posture: salvage, don't throw). Only the first
+    * video stream encountered is returned (multi-stream files interleave
+    * audio `wb` chunks, which are skipped by fourcc).
+    */
+  def aviVideoChunks(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var sawMovi = false
+    var videoStream: Option[String] = None
+    // depth-capped walk: each LIST recursion consumes >= 12 input bytes, so
+    // an adversarial file could nest tens of thousands deep — real AVIs
+    // nest <= 4, so 64 is generous and the stack stays bounded
+    def walk(start: Int, end: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 64) return
+      var off = start
+      while (off + 8 <= end) {
+        val cc = fourcc(off)
+        val size = le32(off + 4)
+        val dataStart = off + 8
+        // clamp to the real buffer: a truncated tail yields what fits
+        val dataEnd = math.min(dataStart + math.min(size, Int.MaxValue).toInt,
+          math.min(end, bytes.length))
+        if (dataEnd < dataStart) return // corrupt size past 2 GB: stop
+        if (cc == "LIST" && dataStart + 4 <= dataEnd) {
+          val listType = fourcc(dataStart)
+          if (listType == "movi") sawMovi = true
+          walk(dataStart + 4, dataEnd, inMovi || listType == "movi", depth + 1)
+        } else if (inMovi && cc.length == 4 &&
+          cc(0).isDigit && cc(1).isDigit &&
+          (cc.endsWith("dc") || cc.endsWith("db"))) {
+          val stream = cc.substring(0, 2)
+          if (videoStream.isEmpty) videoStream = Some(stream)
+          if (videoStream.contains(stream) && dataEnd > dataStart)
+            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        }
+        // chunks are padded to even lengths
+        off = dataStart + ((math.min(size, Int.MaxValue).toInt + 1) & ~1)
+      }
+    }
+    walk(12, bytes.length, inMovi = false, depth = 0)
+    if (sawMovi) Some(frames.result()) else None
+  }
+
+  /** Decode an MJPEG-in-AVI video payload: every `everyK`-th frame chunk
+    * is JPEG-decoded to a `width`x`height` grayscale pixel vector (via
+    * [[decodeImage]]). None when the payload is not an AVI with a `movi`
+    * list; frames whose chunk fails JPEG decode are skipped (a corrupt
+    * frame must not sink the clip). Frame indices are positions in the
+    * FULL stream, so downstream timing math survives the sampling.
+    */
+  def decodeVideoFrames(bytes: Array[Byte], everyK: Int, width: Int,
+                        height: Int): Option[Vector[(Int, Array[Float])]] = {
+    require(everyK > 0)
+    aviVideoChunks(bytes).map { chunks =>
+      chunks.iterator.zipWithIndex
+        .filter(_._2 % everyK == 0)
+        .flatMap { case (jpeg, i) => decodeImage(jpeg, width, height).map(i -> _) }
+        .toVector
+    }
+  }
+
+  final case class FrameFeatures(path: String, frameIdx: Int, nBytes: Long,
+                                 features: Array[Float])
+
+  /** Partition-wise real video decode (MJPEG/AVI): one output row per
+    * sampled, decodable frame; non-AVI payloads contribute a single
+    * frameIdx = -1 stub row (uniform schema over a mixed corpus, same
+    * posture as [[decode]]/[[decodeAudioFeatures]]).
+    */
+  def decodeVideo(media: Dataset[MediaRecord], everyK: Int = 1, width: Int = 28,
+                  height: Int = 28): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    val dim = width * height
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeVideoFrames(m.content, everyK, width, height) match {
+          case Some(frames) => frames.iterator.map { case (i, px) =>
+            FrameFeatures(m.path, i, m.content.length.toLong, px) }
+          case None => Iterator.single(FrameFeatures(m.path, -1,
+            m.content.length.toLong, stubFeatures(m.content, dim)))
+        }
+      }
     }
   }
 

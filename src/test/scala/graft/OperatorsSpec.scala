@@ -696,6 +696,79 @@ class OperatorsSpec extends SparkSpec {
     assert(feats("b.bin").toSeq == Multimodal.stubFeatures("no riff magic".getBytes, 8).toSeq)
   }
 
+  /** RIFF/AVI helpers for the video test: chunk framing per the public
+    * spec (fourcc + LE32 size + data + even padding; LIST nests after a
+    * 4-byte list type).
+    */
+  private def riffChunk(cc: String, data: Array[Byte]): Array[Byte] = {
+    val size = data.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(cc.getBytes("US-ASCII"))
+    out.write(Array[Byte]((size & 0xff).toByte, ((size >> 8) & 0xff).toByte,
+      ((size >> 16) & 0xff).toByte, ((size >> 24) & 0xff).toByte))
+    out.write(data)
+    if (size % 2 == 1) out.write(0)
+    out.toByteArray
+  }
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ children.flatten)
+  private def jpegFrame(brightness: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16) img.getRaster.setSample(x, y, 0, brightness)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    baos.toByteArray
+  }
+
+  test("E4: MJPEG-in-AVI video decode — real frames out of a real container") {
+    // six frames of rising brightness, plus an interleaved audio chunk
+    // (01wb) and a second video stream's frame (01dc) that must be ignored
+    val frames = (0 until 6).map(i => jpegFrame(30 + i * 40))
+    val movi = riffList("movi",
+      (frames.take(3).map(riffChunk("00dc", _)) ++
+        Seq(riffChunk("01wb", Array.fill[Byte](64)(7)),
+          riffChunk("01dc", jpegFrame(255))) ++
+        frames.drop(3).map(riffChunk("00dc", _))): _*)
+    val hdrl = riffList("hdrl", riffChunk("avih", new Array[Byte](56)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = riffChunk("RIFF", body)
+
+    val chunks = Multimodal.aviVideoChunks(avi).get
+    assert(chunks.length == 6, s"6 frames of stream 00, audio + stream 01 skipped: ${chunks.length}")
+
+    val decoded = Multimodal.decodeVideoFrames(avi, everyK = 2, width = 8, height = 8).get
+    assert(decoded.map(_._1) == Vector(0, 2, 4), "indices are full-stream positions")
+    val means = decoded.map { case (_, px) => px.sum / px.length }
+    assert(means == means.sorted && means.last - means.head > 0.3f,
+      s"sampled frames must track the rising brightness: $means")
+
+    // not-an-AVI and AVI-without-movi are None (caller decides fallback)
+    assert(Multimodal.aviVideoChunks("not a riff file at all".getBytes).isEmpty)
+    assert(Multimodal.aviVideoChunks(
+      riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl)).isEmpty)
+
+    // a truncated file salvages the frames that fit, never throws
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length - frames.last.length / 2)
+    val salvage = Multimodal.aviVideoChunks(truncated).get
+    assert(salvage.length >= 4 && salvage.length <= 6, s"salvaged ${salvage.length}")
+
+    // distributed path: mixed corpus — AVI explodes to frame rows, junk
+    // payload falls back to one stub row at frameIdx -1
+    implicit val s = spark
+    import s.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord("clip.avi", "video/x-msvideo", avi),
+      Multimodal.MediaRecord("junk.bin", "application/octet-stream", "zzz".getBytes))
+      .toDS()
+    val rows = Multimodal.decodeVideo(media, everyK = 3, width = 8, height = 8).collect()
+    val byPath = rows.groupBy(_.path)
+    assert(byPath("clip.avi").map(_.frameIdx).sorted.toSeq == Seq(0, 3))
+    assert(byPath("junk.bin").map(_.frameIdx).toSeq == Seq(-1))
+    assert(byPath("junk.bin").head.features.toSeq ==
+      Multimodal.stubFeatures("zzz".getBytes, 64).toSeq)
+  }
+
   test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {
     import graft.operators.Pinned
     val before = spark.sparkContext.getPersistentRDDs.keySet
