@@ -146,6 +146,49 @@ object TextFunctions {
     }
   }
 
+  /** Canonicalize a URL for URL-level dedup — the FIRST dedup pass of a
+    * web-scrape curation pipeline: re-crawls of the same page meet on
+    * their canonical URL before any text ever compares. Rules (each one a
+    * real crawl-noise source):
+    *
+    *  1. trim surrounding whitespace;
+    *  2. lowercase scheme and host (case-insensitive per RFC 3986
+    *     §6.2.2.1); path and query stay case-SENSITIVE;
+    *  3. drop the fragment (`#...` is client-side only — never reaches
+    *     the server, so it cannot distinguish pages);
+    *  4. drop the scheme's default port (`:80` for http, `:443` for
+    *     https — only when it matches the scheme);
+    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`,
+    *     `mc_cid`, `mc_eid`) and SORT the remaining query params
+    *     (crawl-order noise; param order is semantically irrelevant to
+    *     the overwhelming majority of servers);
+    *  6. collapse trailing slashes in the path (`/a/` == `/a`); an empty
+    *     path becomes `/`.
+    *
+    * A string with no `scheme://` prefix passes through trimmed — dedup
+    * treats malformed keys as opaque rather than guessing. Pure built-in
+    * expressions (regexp/array ops, no UDF), so the pass stays inside
+    * whole-stage codegen on a 100 TB URL column.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val trimmedPath = regexp_replace(
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)"))
+    val qn = array_join(array_sort(kept), "&")
+    when(scheme === "", u).otherwise(
+      concat(scheme, lit("://"), host, path,
+        when(qn === "", lit("")).otherwise(concat(lit("?"), qn))))
+  }
+
   /** Stopword-list hit counts per language → argmax language id. N-gram-free
     * heuristic; ties resolve in fixed list order (en, de, fr, es).
     */

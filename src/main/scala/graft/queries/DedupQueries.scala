@@ -297,6 +297,87 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // E1u (r8): URL-level dedup — the FIRST dedup pass of a web-scrape
+    // curation pipeline: re-crawls of one page meet on their canonical
+    // URL before any text comparison. The fixture has no URL column, so
+    // both engines plant the identical URL corpus from (source, doc_id):
+    // a noisy base form (uppercase scheme/host, default :80 port,
+    // trailing slash) for every doc, plus for doc_id < 10 three variant
+    // crawls — one differing only in tracking params (must collapse into
+    // the base), and two differing from the base by a real query but
+    // from each other only by param ORDER and a fragment (must collapse
+    // together, not into the base). The oracle replays every
+    // canonicalization rule in DuckDB SQL, so a drift in ANY rule
+    // (port/scheme matching, tracking regex, param sort, slash collapse)
+    // hash-fails the round. One groupBy on the canonical key — at 100 TB
+    // the shuffle carries canonical URLs, never page text.
+    QueryDef.sql(
+      "e1_url_dedup",
+      """WITH rows AS (
+        |  SELECT doc_id AS id,
+        |         'HTTP://Site-' || source || '.Example.COM:80/docs/' || doc_id || '/' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         'http://site-' || source || '.example.com/docs/' || doc_id || '?utm_source=feed&fbclid=zz'
+        |  FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         'http://site-' || source || '.example.com/docs/' || doc_id || '?b=2&a=1#frag'
+        |  FROM documents WHERE doc_id < 10
+        |  UNION ALL
+        |  SELECT doc_id + 3000000,
+        |         'http://site-' || source || '.example.com/docs/' || doc_id || '?a=1&b=2'
+        |  FROM documents WHERE doc_id < 10
+        |),
+        |parts AS (
+        |  SELECT id,
+        |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_replace(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS tpath,
+        |    regexp_extract(trim(url), '\?([^#]*)', 1) AS q,
+        |    trim(url) AS turl
+        |  FROM rows
+        |),
+        |canon AS (
+        |  SELECT id,
+        |    CASE WHEN scheme = '' THEN turl ELSE
+        |      scheme || '://' ||
+        |      CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |           WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |           ELSE hostport END ||
+        |      CASE WHEN tpath = '' THEN '/' ELSE tpath END ||
+        |      CASE WHEN qn = '' THEN '' ELSE '?' || qn END
+        |    END AS canonical_url
+        |  FROM (
+        |    SELECT *, coalesce(list_aggr(list_sort(list_filter(string_split(q, '&'),
+        |        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)'))),
+        |        'string_agg', '&'), '') AS qn
+        |    FROM parts)
+        |)
+        |SELECT canonical_url, min(id) AS kept_id, CAST(count(*) AS BIGINT) AS n_variants
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def planted(off: Long, suffix: String, upper: Boolean) = {
+        val base =
+          if (upper) concat(lit("HTTP://Site-"), col("source"), lit(".Example.COM:80/docs/"),
+            col("doc_id").cast("string"), lit("/"))
+          else concat(lit("http://site-"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit(suffix))
+        (if (off == 0) docs else docs.where(col("doc_id") < 10))
+          .select((col("doc_id") + off).as("id"), base.as("url"))
+      }
+      val rows = planted(0, "", upper = true)
+        .union(planted(1000000, "?utm_source=feed&fbclid=zz", upper = false))
+        .union(planted(2000000, "?b=2&a=1#frag", upper = false))
+        .union(planted(3000000, "?a=1&b=2", upper = false))
+      rows.select(col("id"),
+          graft.functions.TextFunctions.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(min(col("id")).as("kept_id"), count(lit(1)).as("n_variants"))
+        .orderBy("canonical_url")
+    },
+
     // E1b: C4-style segment-level dedup over the planted-copies corpus —
     // every 10-token segment survives only at its first (doc_id, position)
     // occurrence corpus-wide, docs reassemble from their survivors (the

