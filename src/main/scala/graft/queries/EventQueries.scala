@@ -253,6 +253,34 @@ object EventQueries {
           .orderBy("user_id", "session_start_ms")
     },
 
+    // E6d (r8): stream-stream interval join — view->purchase attribution
+    // within a 30-minute horizon. EXACTLY the streaming definition
+    // (EventStreams.viewPurchaseAttribution: watermarks on BOTH sides +
+    // equi-key + time-range predicate) run in batch mode, where
+    // watermarks are no-ops — so the oracle checks the join semantics the
+    // stream executes, and StreamingSpec separately proves the streamed
+    // execution emits the same rows. State stays bounded by
+    // horizon x per-user rate (the property that lets it run forever);
+    // the shuffle is on user_id, never a cross join.
+    QueryDef.sql(
+      "e6_stream_join",
+      """SELECT v.user_id AS user_id, epoch_ms(v.ts) AS view_ts_ms,
+        |       epoch_ms(p.ts) AS purchase_ts_ms, p.value AS purchase_value
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |ORDER BY user_id, view_ts_ms, purchase_ts_ms, purchase_value""".stripMargin) {
+      (s, d) =>
+        val ev = Tables.events(s, d)
+        graft.streaming.EventStreams.viewPurchaseAttribution(
+            ev.where(col("event_type") === "view"),
+            ev.where(col("event_type") === "purchase"), horizonMinutes = 30)
+          .select(col("user_id"), unix_millis(col("view_ts")).as("view_ts_ms"),
+            unix_millis(col("purchase_ts")).as("purchase_ts_ms"), col("purchase_value"))
+          .orderBy("user_id", "view_ts_ms", "purchase_ts_ms", "purchase_value")
+    },
+
     // E9b: cohort retention matrix — per signup-cohort week, how many users
     // are active 0..3 weeks later. Cohort and activity weeks are both
     // Monday-truncated, so the offset is an exact integer division of the
