@@ -133,6 +133,42 @@ object SeededQueries {
         .orderBy("file_name")
     },
 
+    // S7 (r8): IDX export + distributed read-back, oracle-checked — the
+    // MNIST-format source graduates from test-only coverage to the hash
+    // gate. Embeddings quantize to ubyte pixels (round((x+1)/2 * 255) IN
+    // DOUBLE on both engines, so rounding parity is exact), export as
+    // sharded IDX files (IdxSource.writeDataset, one shard pair per
+    // partition), read back through the distributed IDX reader, and
+    // reduce to a per-label (count, byte-checksum) histogram the oracle
+    // recomputes straight from the embeddings table. A drift anywhere in
+    // the writer's framing, the reader's parsing, or the quantization
+    // hash-fails the round. Scratch dir per sfDir, rebuilt every run.
+    QueryDef.sql(
+      "s7_idx_roundtrip",
+      """SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |         x -> round(least(greatest((x + 1) / 2, 0), 1) * 255)), 'sum')) AS BIGINT) AS byte_sum
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_s7_idx_${Integer.toHexString(d.hashCode)}").toString
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      val quant = Tables.embeddings(s, d).select(
+        transform(col("embedding"),
+          x => least(greatest((x.cast("double") + 1) / 2, lit(0.0)), lit(1.0))).as("pixels"),
+        col("label"))
+      graft.sources.IdxSource.writeDataset(quant.repartition(4), dir, side = 8)
+      graft.sources.IdxSource
+        .readDataset(s, s"$dir/images-*-idx3-ubyte", s"$dir/labels-*-idx1-ubyte")
+        .select(col("label"),
+          aggregate(transform(col("pixels"), p => round(p * 255).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("rec_sum"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("rec_sum")).as("byte_sum"))
+        .orderBy("label")
+    },
+
     // E11: token-budget curation — keep at most 800 tokens per source,
     // chosen in deterministic draw order (the corpus-mixing step of a
     // pre-training pipeline). The oracle replays the single-window

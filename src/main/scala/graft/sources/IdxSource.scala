@@ -73,4 +73,70 @@ object IdxSource {
   def readDataset(spark: SparkSession, imagesPath: String, labelsPath: String): DataFrame =
     readImages(spark, imagesPath).join(readLabels(spark, labelsPath), "idx")
       .select(col("idx"), col("pixels"), col("label"))
+
+  /** Export a (pixels: array<double> in [0,1], label: int) frame as
+    * SHARDED IDX ubyte files — one `images-NNNNN-idx3-ubyte` /
+    * `labels-NNNNN-idx1-ubyte` pair per non-empty partition, the
+    * many-shard layout [[readDataset]] consumes (shard ordinals follow
+    * sorted filenames, and a partition writes both files or neither, so
+    * image/label ids line up on read-back). Pixels are quantized
+    * `round(p * 255)` IN DOUBLE (half-up), clamped to ubyte range.
+    *
+    * Per-task memory is O(partition bytes): each record is `side*side`
+    * bytes and the shard is buffered before its header (IDX puts the
+    * record count up front and not every FileSystem supports seek-back)
+    * — size partitions accordingly, same bound as the training loop.
+    * Files land via create-then-rename so a killed task never leaves a
+    * half-written shard under the visible name.
+    */
+  def writeDataset(df: DataFrame, dir: String, side: Int): Unit = {
+    require(side > 0, s"side must be positive: $side")
+    val spark = df.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dim = side * side
+    df.select(col("pixels").cast("array<double>"), col("label").cast("int"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val imgBuf = new java.io.ByteArrayOutputStream()
+          val lblBuf = new java.io.ByteArrayOutputStream()
+          var n = 0
+          for (r <- it) {
+            val px = r.getSeq[Double](0)
+            require(px.length == dim, s"record has ${px.length} pixels, expected $dim")
+            val rec = new Array[Byte](dim)
+            var i = 0
+            while (i < dim) {
+              val q = math.round(px(i) * 255.0)
+              rec(i) = math.max(0L, math.min(255L, q)).toByte
+              i += 1
+            }
+            imgBuf.write(rec)
+            lblBuf.write(math.max(0, math.min(255, r.getInt(1))))
+            n += 1
+          }
+          def header(magic: Int, dims: Seq[Int]): Array[Byte] = {
+            val b = java.nio.ByteBuffer.allocate(4 + 4 * dims.length)
+            b.putInt(magic); dims.foreach(b.putInt); b.array()
+          }
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(conf.value)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+          def emit(name: String, head: Array[Byte], payload: Array[Byte]): Unit = {
+            val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp-$pid")
+            val out = fs.create(tmp, true)
+            try { out.write(head); out.write(payload) } finally out.close()
+            val target = new org.apache.hadoop.fs.Path(dir, name)
+            fs.delete(target, false)
+            if (!fs.rename(tmp, target))
+              throw new java.io.IOException(s"IDX shard rename failed: $tmp -> $target")
+          }
+          emit(f"images-$pid%05d-idx3-ubyte",
+            header(0x00000803, Seq(n, side, side)), imgBuf.toByteArray)
+          emit(f"labels-$pid%05d-idx1-ubyte",
+            header(0x00000801, Seq(n)), lblBuf.toByteArray)
+        }
+      }
+  }
 }
