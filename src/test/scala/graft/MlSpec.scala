@@ -50,6 +50,45 @@ class MlSpec extends SparkSpec {
     assert(loaded.coefficients.toArray.toSeq == model.coefficients.toArray.toSeq)
   }
 
+  /** S9 for the NATIVE family (r8): the from-scratch nets persist through
+    * NetIo's parquet weight table — bit-exact round-trip for all three
+    * FlatParams implementors, score parity after reload, and fail-fast on
+    * a config/file shape mismatch (silently mis-assigned weights would be
+    * the worst possible failure mode for a model store).
+    */
+  test("S9: native nets save/load through the parquet weight table, bit-exact") {
+    import graft.ml._
+    val dir = java.nio.file.Files.createTempDirectory("graft-netio").toString
+
+    val cnCfg = ConvNetConfig(inSize = 8, k = 3, conv1Maps = 2, conv2Maps = 3,
+      hidden = 5, classes = 2, pool = 1)
+    val cn = ConvNet.init(cnCfg, seed = 7)
+    NetIo.save(spark, cn, s"$dir/cnn")
+    val cn2 = NetIo.load(spark, ConvNet.init(cnCfg, seed = 99), s"$dir/cnn")
+    assert(cn.arrays.zip(cn2.arrays).forall { case (a, b) => a.sameElements(b) })
+
+    val lsCfg = LstmConfig(inDim = 4, hidden = 6, classes = 2)
+    val ls = Lstm.init(lsCfg, seed = 11)
+    NetIo.save(spark, ls, s"$dir/lstm")
+    val ls2 = NetIo.load(spark, Lstm.init(lsCfg, seed = 99), s"$dir/lstm")
+    assert(ls.arrays.zip(ls2.arrays).forall { case (a, b) => a.sameElements(b) })
+
+    val aeCfg = AeConfig(Seq(6, 4, 2, 4, 6))
+    val ae = Autoencoder.init(aeCfg, seed = 5)
+    NetIo.save(spark, ae, s"$dir/ae")
+    val ae2 = NetIo.load(spark, Autoencoder.init(aeCfg, seed = 99), s"$dir/ae")
+    val x = Array.fill(6)(new scala.util.Random(3).nextDouble())
+    assert(Autoencoder.score(aeCfg, ae, x) == Autoencoder.score(aeCfg, ae2, x),
+      "reloaded model must score bit-identically")
+
+    // shape mismatch refuses loudly
+    val bigger = AeConfig(Seq(8, 4, 2, 4, 8))
+    val e = intercept[IllegalArgumentException] {
+      NetIo.load(spark, Autoencoder.init(bigger, seed = 1), s"$dir/ae")
+    }
+    assert(e.getMessage.contains("template expects"), e.getMessage)
+  }
+
   test("M6: evaluator accuracy equals the A7 confusion-matrix accuracy") {
     val preds = Tables.embeddings(spark, sfDir)
       .select(col("label").cast("double").as("label"),
