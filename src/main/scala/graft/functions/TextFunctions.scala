@@ -166,21 +166,33 @@ object TextFunctions {
     *     path becomes `/`.
     *
     * A string with no `scheme://` prefix passes through trimmed — dedup
-    * treats malformed keys as opaque rather than guessing. Pure built-in
+    * treats malformed keys as opaque rather than guessing. Userinfo
+    * (`user:pass@`) keeps its case — it is case-SENSITIVE per RFC 3986,
+    * so only the host after the last `@` is folded. Deliberately OUT of
+    * scope: percent-encoding normalization (`%2f` vs `%2F` —
+    * case-folding safely requires reserved-character awareness; two
+    * encodings of one page stay two keys, which only under-merges, never
+    * wrongly merges) and IDN/punycode folding. Pure built-in
     * expressions (regexp/array ops, no UDF), so the pass stays inside
     * whole-stage codegen on a 100 TB URL column.
     */
   def canonicalUrl(url: Column): Column = {
     val u = trim(url)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // userinfo (through the LAST '@') keeps its case; only the real host
+    // lowercases
+    val hostportRaw = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostport = concat(regexp_extract(hostportRaw, "^(.*@)", 1),
+      lower(regexp_replace(hostportRaw, "^.*@", "")))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
     val trimmedPath = regexp_replace(
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1), "/+$", "")
     val path = when(trimmedPath === "", lit("/")).otherwise(trimmedPath)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // query = between the first '?' BEFORE any '#' and the fragment: an
+    // unanchored \? would resurrect a '?' inside the fragment as a query
+    val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(query, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)"))
     val qn = array_join(array_sort(kept), "&")

@@ -47,8 +47,15 @@ object NetIo {
       require(entries.length == shapes(ai),
         s"array $ai has ${entries.length} weights, template expects ${shapes(ai)}")
       val a = new Array[Double](shapes(ai))
+      // full position coverage, no duplicates: a table with a repeated pos
+      // and a missing one has the RIGHT row count but would load a
+      // nondeterministic value at the duplicate and a silent 0.0 at the
+      // hole — exactly the mis-assignment this loader promises to refuse
+      val seen = new java.util.BitSet(a.length)
       for ((_, pos, v) <- entries) {
         require(pos >= 0 && pos < a.length, s"array $ai position $pos out of range")
+        require(!seen.get(pos), s"array $ai has a duplicate weight at position $pos")
+        seen.set(pos)
         a(pos) = v
       }
       a

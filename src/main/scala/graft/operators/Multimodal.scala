@@ -221,6 +221,10 @@ object Multimodal {
     def fourcc(off: Int): String =
       new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    // honor the container's own declared extent: bytes APPENDED after the
+    // RIFF chunk (naive file concatenation, recovery-tool tails) must not
+    // be parsed as top-level chunks and inject foreign frames
+    val riffEnd = math.min(bytes.length.toLong, 8L + le32(4)).toInt
     val frames = Vector.newBuilder[Array[Byte]]
     var sawMovi = false
     var videoStream: Option[String] = None
@@ -254,7 +258,7 @@ object Multimodal {
         off = dataStart + ((math.min(size, Int.MaxValue).toInt + 1) & ~1)
       }
     }
-    walk(12, bytes.length, inMovi = false, depth = 0)
+    walk(12, riffEnd, inMovi = false, depth = 0)
     if (sawMovi) Some(frames.result()) else None
   }
 
@@ -280,9 +284,12 @@ object Multimodal {
                                  features: Array[Float])
 
   /** Partition-wise real video decode (MJPEG/AVI): one output row per
-    * sampled, decodable frame; non-AVI payloads contribute a single
-    * frameIdx = -1 stub row (uniform schema over a mixed corpus, same
-    * posture as [[decode]]/[[decodeAudioFeatures]]).
+    * sampled, decodable frame. A payload that yields NO frame rows — not
+    * an AVI at all, OR an AVI whose stream is some other codec
+    * (H.264/Cinepak in an AVI container is the common non-MJPEG case:
+    * every chunk fails JPEG decode) — contributes a single frameIdx = -1
+    * stub row, so no input ever silently vanishes and a mixed corpus
+    * keeps one schema (same posture as [[decode]]/[[decodeAudioFeatures]]).
     */
   def decodeVideo(media: Dataset[MediaRecord], everyK: Int = 1, width: Int = 28,
                   height: Int = 28): Dataset[FrameFeatures] = {
@@ -291,9 +298,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { m =>
         decodeVideoFrames(m.content, everyK, width, height) match {
-          case Some(frames) => frames.iterator.map { case (i, px) =>
-            FrameFeatures(m.path, i, m.content.length.toLong, px) }
-          case None => Iterator.single(FrameFeatures(m.path, -1,
+          case Some(frames) if frames.nonEmpty =>
+            frames.iterator.map { case (i, px) =>
+              FrameFeatures(m.path, i, m.content.length.toLong, px) }
+          case _ => Iterator.single(FrameFeatures(m.path, -1,
             m.content.length.toLong, stubFeatures(m.content, dim)))
         }
       }

@@ -333,9 +333,10 @@ object DedupQueries {
         |parts AS (
         |  SELECT id,
         |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(.*@)', 1)
+        |      || lower(regexp_replace(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')) AS hostport,
         |    regexp_replace(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS tpath,
-        |    regexp_extract(trim(url), '\?([^#]*)', 1) AS q,
+        |    regexp_extract(trim(url), '^[^#?]*\?([^#]*)', 1) AS q,
         |    trim(url) AS turl
         |  FROM rows
         |),

@@ -123,8 +123,14 @@ object IdxSource {
           val fs = new org.apache.hadoop.fs.Path(dir)
             .getFileSystem(conf.value)
           fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+          // tmp name carries the task ATTEMPT id, not just the partition:
+          // a speculative or zombie attempt of the same partition must not
+          // truncate the stream another attempt is mid-write on (the
+          // rename target is still last-writer-wins, which is idempotent —
+          // both attempts write identical bytes)
+          val attempt = org.apache.spark.TaskContext.get.taskAttemptId()
           def emit(name: String, head: Array[Byte], payload: Array[Byte]): Unit = {
-            val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp-$pid")
+            val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp-$pid-$attempt")
             val out = fs.create(tmp, true)
             try { out.write(head); out.write(payload) } finally out.close()
             val target = new org.apache.hadoop.fs.Path(dir, name)

@@ -104,7 +104,11 @@ object Sink {
 
   /** Refuse compaction on filesystems without atomic directory rename
     * (pure on the scheme string, so the contract is testable without an
-    * object-store client on the classpath).
+    * object-store client on the classpath). Callers pass
+    * `fs.getUri.getScheme` — never `fs.getScheme`, whose Hadoop base
+    * implementation THROWS UnsupportedOperationException on FileSystems
+    * that don't override it, which would refuse safe filesystems with an
+    * unrelated error.
     */
   private[graft] def requireAtomicRename(scheme: String): Unit =
     if (scheme != null && CopyRenameSchemes.contains(scheme.toLowerCase)) {
@@ -214,7 +218,7 @@ object Sink {
                      writerOptions: Map[String, String] = Map.empty): (Int, Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireAtomicRename(fs.getScheme)
+    requireAtomicRename(fs.getUri.getScheme)
     val dir = fs.makeQualified(new Path(path))
     compactLeaf(scopedSession(spark, targetFileBytes), fs, dir, writerOptions,
       allowMissing = false)
@@ -316,7 +320,7 @@ object Sink {
                         maxConcurrent: Int = 8): Map[String, (Int, Int)] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireAtomicRename(fs.getScheme)
+    requireAtomicRename(fs.getUri.getScheme)
     val rootPath = fs.makeQualified(new Path(root))
     def leaves(p: Path): Seq[Path] = {
       val children = fs.listStatus(p)

@@ -276,6 +276,11 @@ class FunctionsSpec extends SparkSpec {
       // empty path -> '/', root slash collapse
       "http://h.com" -> "http://h.com/",
       "http://h.com///" -> "http://h.com/",
+      // a '?' INSIDE the fragment is not a query (review r8: an unanchored
+      // extract resurrected it, wrongly merging with the real ?page=2 URL)
+      "http://h.com/p#sec?page=2" -> "http://h.com/p",
+      // userinfo keeps its case (case-sensitive per RFC 3986); host folds
+      "http://Alice@H.com/x" -> "http://Alice@h.com/x",
       // whitespace trim; malformed (no scheme) passes through trimmed
       "  http://h.com/x  " -> "http://h.com/x",
       "  not a url  " -> "not a url")

@@ -216,7 +216,10 @@ object LawsProperties extends Properties("graft.laws") {
     port <- Gen.oneOf("", ":80", ":443", ":8080")
     path <- Gen.oneOf("", "/", "/Docs/1", "/a/b/", "/x//")
     params <- Gen.someOf("a=1", "b=2", "utm_source=f", "gclid=z", "ref", "Z=9")
-    shuffled <- Gen.const(scala.util.Random.shuffle(params.toList))
+    // shuffle seed comes from the GENERATOR, not the global RNG: a failing
+    // sample must be reproducible from the reported ScalaCheck seed
+    shuffleSeed <- Gen.choose(0L, Long.MaxValue)
+    shuffled = new scala.util.Random(shuffleSeed).shuffle(params.toList)
     frag <- Gen.oneOf("", "#frag")
   } yield s"$scheme://$host$port$path" +
     (if (shuffled.isEmpty) "" else shuffled.mkString("?", "&", "")) + frag

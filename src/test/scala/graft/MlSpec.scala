@@ -87,6 +87,17 @@ class MlSpec extends SparkSpec {
       NetIo.load(spark, Autoencoder.init(bigger, seed = 1), s"$dir/ae")
     }
     assert(e.getMessage.contains("template expects"), e.getMessage)
+
+    // duplicate position + hole: the row COUNT matches the shape, but
+    // loading would silently mis-assign — must refuse (review r8)
+    val corrupt = spark.read.parquet(s"$dir/ae")
+      .withColumn("pos", when(col("array_idx") === 0 && col("pos") === 1, lit(0))
+        .otherwise(col("pos")))
+    corrupt.write.mode("overwrite").parquet(s"$dir/ae_dup")
+    val e2 = intercept[IllegalArgumentException] {
+      NetIo.load(spark, Autoencoder.init(aeCfg, seed = 1), s"$dir/ae_dup")
+    }
+    assert(e2.getMessage.contains("duplicate weight"), e2.getMessage)
   }
 
   test("M6: evaluator accuracy equals the A7 confusion-matrix accuracy") {

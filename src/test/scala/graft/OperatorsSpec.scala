@@ -753,13 +753,25 @@ class OperatorsSpec extends SparkSpec {
     val salvage = Multimodal.aviVideoChunks(truncated).get
     assert(salvage.length >= 4 && salvage.length <= 6, s"salvaged ${salvage.length}")
 
-    // distributed path: mixed corpus — AVI explodes to frame rows, junk
-    // payload falls back to one stub row at frameIdx -1
+    // bytes appended AFTER the RIFF chunk (naive concatenation) must not
+    // inject foreign frames: the walk honors the container's declared size
+    val concatenated = avi ++ movi ++ Array.fill[Byte](37)(1)
+    assert(Multimodal.aviVideoChunks(concatenated).get.length == 6,
+      "trailing bytes past the declared RIFF extent must be ignored")
+
+    // distributed path: mixed corpus — AVI explodes to frame rows; junk
+    // payload AND a real AVI in a non-MJPEG codec (every dc chunk fails
+    // JPEG decode) each fall back to one stub row at frameIdx -1, so no
+    // input ever silently vanishes (review r8)
+    val h264ish = riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++
+      riffList("movi", riffChunk("00dc", Array.fill[Byte](40)(3)),
+        riffChunk("00dc", Array.fill[Byte](40)(4))))
     implicit val s = spark
     import s.implicits._
     val media = Seq(
       Multimodal.MediaRecord("clip.avi", "video/x-msvideo", avi),
-      Multimodal.MediaRecord("junk.bin", "application/octet-stream", "zzz".getBytes))
+      Multimodal.MediaRecord("junk.bin", "application/octet-stream", "zzz".getBytes),
+      Multimodal.MediaRecord("h264.avi", "video/x-msvideo", h264ish))
       .toDS()
     val rows = Multimodal.decodeVideo(media, everyK = 3, width = 8, height = 8).collect()
     val byPath = rows.groupBy(_.path)
@@ -767,6 +779,8 @@ class OperatorsSpec extends SparkSpec {
     assert(byPath("junk.bin").map(_.frameIdx).toSeq == Seq(-1))
     assert(byPath("junk.bin").head.features.toSeq ==
       Multimodal.stubFeatures("zzz".getBytes, 64).toSeq)
+    assert(byPath("h264.avi").map(_.frameIdx).toSeq == Seq(-1),
+      "an AVI whose chunks are not JPEG must stub, not vanish")
   }
 
   test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {
