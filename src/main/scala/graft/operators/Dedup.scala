@@ -40,7 +40,11 @@ object Dedup {
 
   /** E1: exact dedup keeping, per duplicate group, the row with the minimal
     * tiebreak value. Deterministic (unlike dropDuplicates, whose survivor
-    * depends on partitioning).
+    * depends on partitioning) — PROVIDED the tiebreak is unique within
+    * each key group (give it your primary key): with tiebreak TIES between
+    * rows that differ elsewhere, which row survives is partition-order-
+    * dependent again, because row_number breaks the remaining tie
+    * arbitrarily. Every catalog caller passes a unique id.
     */
   def exactDedup(df: DataFrame, key: Seq[String], tiebreak: String): DataFrame = {
     val w = Window.partitionBy(key.map(col): _*).orderBy(col(tiebreak))
@@ -106,6 +110,10 @@ object Dedup {
     * (2-row bands collide quadratically on such data).
     */
   def bands(signatures: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // a non-divisible split would silently DISCARD the trailing hashes —
+    // the caller would pay for numHashes but get a different banding curve
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { k =>
       val keyCols = (0 until rowsPerBand).map(r => col(s"mh${k * rowsPerBand + r}"))
@@ -168,6 +176,14 @@ object Dedup {
     * appear in a pair, so verification cost scales with the candidate set,
     * not the corpus — at 100 TB the pairs side is orders of magnitude
     * smaller than the corpus and the semi-join is the whole ballgame.
+    *
+    * Emits ONE ROW PER INPUT PAIR: a pair with zero shared shingles gets
+    * jaccard 0.0 (it used to vanish through the inner intersection join —
+    * a caller iterating "one row per candidate" lost exactly the
+    * hash-collision-only candidates), and a pair where BOTH members are
+    * shingle-less gets null (J(∅,∅) is undefined; the engine's cosine
+    * uses the same null convention). Threshold filters downstream are
+    * unaffected — 0.0 and null both fail `>= threshold`.
     */
   def exactJaccard(pairs: DataFrame, shingleSets: DataFrame): DataFrame =
     exactJaccard(pairs, shingleSets, sizes = None)
@@ -186,13 +202,20 @@ object Dedup {
       .select("doc_id", "n_sh")
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
-    pairs
+    val inter = pairs
       .join(sa, "a_id").join(sb, Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      .join(szs.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(szs.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+    // LEFT joins from the pair list: zero-intersection and shingle-less
+    // members must yield a 0.0/null row, never a silently missing pair
+    val i = coalesce(col("inter"), lit(0L))
+    val denom = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) - i
+    pairs.select("a_id", "b_id")
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(szs.select(col("doc_id").as("a_id"), col("n_sh").as("na")), Seq("a_id"), "left")
+      .join(szs.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), Seq("b_id"), "left")
       .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+        when(denom > 0, i.cast("double") / denom).otherwise(lit(null).cast("double"))
+          .as("jaccard"))
   }
 
   /** E2 end-to-end: near-duplicate pairs with exact Jaccard >= threshold,
@@ -201,7 +224,8 @@ object Dedup {
   def nearDupPairs(corpus: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.5, numHashes: Int = 16,
                    rowsPerBand: Int = 4, shingleN: Int = 3,
-                   hubCap: Option[Int] = None): DataFrame = {
+                   hubCap: Option[Int] = None,
+                   repartitionFirst: Boolean = true): DataFrame = {
     // the shingle set feeds 3 consumers (signatures, both jaccard sides)
     // and the candidate set feeds 2 (doc filter, pair join) — persist both
     // so each pipeline stage computes exactly once; per-doc sizes ride the
@@ -209,7 +233,7 @@ object Dedup {
     // persists back the RETURNED lazy frame, so they stay cached until the
     // caller finishes consuming it; consumers then call Pinned.release()
     // (the Verify/Bench harnesses do so between queries)
-    val sh = Pinned.pin(shingleSet(corpus, idCol, textCol, shingleN))
+    val sh = Pinned.pin(shingleSet(corpus, idCol, textCol, shingleN, repartitionFirst))
     val sig = Pinned.pin(minhashSignatures(sh, numHashes))
     val cand = Pinned.pin(candidatePairs(bands(sig, numHashes, rowsPerBand), hubCap))
     exactJaccard(cand, sh, sizes = Some(sig.select("doc_id", "n_sh")))
@@ -223,8 +247,10 @@ object Dedup {
     * cleaned corpus with original columns.
     */
   def removeNearDups(corpus: DataFrame, idCol: String, textCol: String,
-                     threshold: Double = 0.5): DataFrame = {
-    val drop = nearDupPairs(corpus, idCol, textCol, threshold)
+                     threshold: Double = 0.5,
+                     repartitionFirst: Boolean = true): DataFrame = {
+    val drop = nearDupPairs(corpus, idCol, textCol, threshold,
+        repartitionFirst = repartitionFirst)
       .select(col("b_id").as(idCol)).distinct()
     corpus.join(drop, Seq(idCol), "left_anti")
   }
@@ -235,13 +261,18 @@ object Dedup {
     * union in new batches' signatures as they are accepted.
     */
   def signatureIndex(corpus: DataFrame, idCol: String, textCol: String,
-                     numHashes: Int = 16): DataFrame =
+                     numHashes: Int = 16,
+                     repartitionFirst: Boolean = true): DataFrame =
     // LEFT join from the fingerprints: a doc too short to shingle (under n
     // tokens) still carries its exact fingerprint in the index — only its
-    // mh*/n_sh columns are null
+    // mh*/n_sh columns are null. repartitionFirst=false for corpus-sized
+    // well-split inputs (shingleSet's contract): building the 100 TB index
+    // must not round-robin every byte of text through an exchange first.
     corpus.select(col(idCol).as("doc_id"),
         md5(col(textCol).cast("binary")).as("fp"))
-      .join(minhashSignatures(shingleSet(corpus, idCol, textCol), numHashes),
+      .join(minhashSignatures(
+          shingleSet(corpus, idCol, textCol, repartitionFirst = repartitionFirst),
+          numHashes),
         Seq("doc_id"), "left")
 
   /** Storable LSH band table of a [[signatureIndex]]: one row per
@@ -413,10 +444,14 @@ object Dedup {
     }
     // feeds the signature build, the batch-flag table and the final
     // anti-join — persist or the whole exact phase re-runs per consumer
-    val fresh = Pinned.pin(exactDedupByFingerprint(batch, textCol, idCol)
-      .withColumn("__fp", md5(col(textCol).cast("binary")))
-      .join(index.select(col("fp").as("__fp")).distinct(), Seq("__fp"), "left_anti")
-      .drop("__fp"))
+    // one md5 pass: the fingerprint serves both the batch-internal dedup
+    // and the index anti-join (exactDedupByFingerprint would drop it and
+    // force an identical recompute)
+    val fresh = Pinned.pin(
+      exactDedup(batch.withColumn("__fp", md5(col(textCol).cast("binary"))),
+          Seq("__fp"), idCol)
+        .join(index.select(col("fp").as("__fp")).distinct(), Seq("__fp"), "left_anti")
+        .drop("__fp"))
     val batchSh = Pinned.pin(shingleSet(fresh, idCol, textCol))
     val batchSig = Pinned.pin(minhashSignatures(batchSh, numHashes))
     // shingle-less index rows (null signature) carry only a fingerprint —
@@ -627,12 +662,16 @@ object Dedup {
     * Near-dups land within a small Hamming distance; bit_count(xor) compares.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // project the hash ONCE below the aggregate — referenced directly
+    // inside the 32 sum() expressions it would be re-evaluated per
+    // expression, multiplying the dominant md5 cost 32x per token (the
+    // same measured trap minhashSignatures documents for its min()s)
     val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokenize(col(textCol)))).as("token"))
-    val h = hash32(col("token"))
+      .select(col("doc_id"), hash32(col("token")).as("__h"))
     val bitSums = (0 until 32).map { i =>
-      sum(shiftright(h, i) % 2 * 2 - 1).as(s"s$i")
+      sum(shiftright(col("__h"), i) % 2 * 2 - 1).as(s"s$i")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val value = (0 until 32).map { i =>
@@ -809,19 +848,31 @@ object Dedup {
     * every line is boilerplate survive with `cleaned_text = ""` (callers
     * chain a length filter to drop them).
     *
-    * `sep` is a Java regex (default newline).
+    * `sep` is a Java regex for SPLITTING (default newline); surviving
+    * lines are rejoined with `joinSep` taken LITERALLY — it defaults to
+    * `sep`, which is correct whenever sep is a literal separator, but a
+    * non-literal regex (e.g. `\r?\n`) MUST pass an explicit joinSep or
+    * every cleaned document would have the raw pattern characters
+    * spliced between its lines.
     *
     * 100 TB shape: two wide stages — a line-frequency aggregate (map-side
     * partial `countDistinct` on the line hash-partitions only distinct
     * (line, doc) pairs) and the per-doc reassembly groupBy. The
-    * boilerplate set itself is threshold-filtered and therefore tiny
+    * boilerplate set itself is threshold-filtered and usually tiny
     * (only lines repeated across >= minDocs docs survive the HAVING), so
-    * it broadcasts into the anti-style NULL-mark join — the corpus is
-    * never shuffled on the line key for the marking pass.
+    * by default it broadcasts into the anti-style NULL-mark join — the
+    * corpus is never shuffled on the line key for the marking pass. At
+    * LOW minDocs on a big corpus the "boilerplate" set is any common
+    * sentence and no longer tiny: pass broadcastLines=false to fall back
+    * to a shuffle join instead of OOMing the broadcast (the same opt-out
+    * contaminationReport gives its eval side).
     */
   def removeBoilerplate(corpus: DataFrame, idCol: String, textCol: String,
-                        minDocs: Int, sep: String = "\n"): DataFrame = {
+                        minDocs: Int, sep: String = "\n",
+                        joinSep: Option[String] = None,
+                        broadcastLines: Boolean = true): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val rejoin = joinSep.getOrElse(sep)
     val lines = corpus
       .where(length(col(textCol)) > 0)
       .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
@@ -829,14 +880,14 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__docs"))
       .where(col("__docs") >= minDocs)
       .select(col("line"), lit(1).as("__bp"))
-    lines.join(broadcast(boiler), Seq("line"), "left")
+    lines.join(if (broadcastLines) broadcast(boiler) else boiler, Seq("line"), "left")
       .groupBy(idCol)
       .agg(
         sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
         sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_lines_dropped"),
         array_join(transform(
           array_sort(collect_list(when(col("__bp").isNull, struct(col("pos"), col("line"))))),
-          x => x.getField("line")), sep).as("cleaned_text"))
+          x => x.getField("line")), rejoin).as("cleaned_text"))
   }
 
   /** E2i (cluster canonicalization): given near-dup edges and a per-member

@@ -890,6 +890,55 @@ class OperatorsSpec extends SparkSpec {
       .collect().toSeq.map(_._2))
   }
 
+  /** Review-r8 pins: regex split must not leak pattern characters into the
+    * rejoined text, and a shuffle-join fallback must exist for the
+    * low-minDocs regime where the boilerplate set is not broadcastable.
+    */
+  test("E1: removeBoilerplate regex sep rejoins via joinSep; shuffle fallback agrees") {
+    val crlf = Seq(
+      (1L, "alpha one\r\nsubscribe now"),
+      (2L, "beta two\r\nsubscribe now"),
+      (3L, "keep a\r\nsubscribe now\r\nkeep b")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(crlf, "doc_id", "text", minDocs = 3,
+        sep = "\\r?\\n", joinSep = Some("\n"))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.map(_._4) == Seq("alpha one", "beta two", "keep a\nkeep b"),
+      s"regex sep must never appear literally in cleaned_text: $out")
+    // broadcastLines=false is result-identical (plan differs only)
+    val shuffled = Dedup.removeBoilerplate(crlf, "doc_id", "text", minDocs = 3,
+        sep = "\\r?\\n", joinSep = Some("\n"), broadcastLines = false)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(shuffled == out)
+  }
+
+  /** Review-r8 pin: one output row PER INPUT PAIR — a zero-intersection
+    * pair reads jaccard 0.0 (it used to vanish through the inner join) and
+    * a both-sides-shingle-less pair reads null (J(∅,∅) undefined).
+    */
+  test("E2: exactJaccard emits zero-overlap and shingle-less pairs, never drops them") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"), // high overlap
+      (3L, "xx yy zz ww qq"),                         // zero overlap with 1
+      (4L, "a"), (5L, "b")                            // too short to shingle
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = Dedup.exactJaccard(pairs, sh).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got.size == 4, s"one row per input pair: $got")
+    assert(got((1L, 2L)).exists(_ > 0.3), s"overlapping pair scores: $got")
+    assert(got((1L, 3L)).contains(0.0), s"zero-overlap pair is 0.0, not missing: $got")
+    assert(got((1L, 4L)).contains(0.0), s"one shingle-less side is 0.0: $got")
+    assert(got((4L, 5L)).isEmpty, s"both shingle-less -> null (undefined): $got")
+  }
+
+  test("E2: bands refuses a numHashes not divisible by rowsPerBand") {
+    val sig = Seq((1L, 1L)).toDF("doc_id", "mh0")
+    val e = intercept[IllegalArgumentException] { Dedup.bands(sig, 16, 5) }
+    assert(e.getMessage.contains("multiple"), e.getMessage)
+  }
+
   test("E2: canonicalPerCluster keeps the best-scored member, ties to min id") {
     // cluster {1,2,3} via chain 1-2, 2-3: scores 5, 9, 9 → canonical 2 (tie 2<3)
     // cluster {10,11}: scores 1, 7 → canonical 11 (score wins over id)
