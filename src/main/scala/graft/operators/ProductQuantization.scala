@@ -48,11 +48,9 @@ object ProductQuantization {
     require(fitSampleFraction > 0.0 && fitSampleFraction <= 1.0,
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val d = dim / m
-    val fitInput =
-      (if (fitSampleFraction >= 1.0) corpus
-       else corpus.where(Sampling.drawOn(col("vec_id"), "pq_fit") % 1000000 <
-         math.round(fitSampleFraction * 1000000).toInt))
-        .select(col("embedding"))
+    val fitInput = corpus
+      .where(Sampling.hashSampleFraction(col("vec_id"), "pq_fit", fitSampleFraction))
+      .select(col("embedding"))
     // one cached pass feeds all m sub-fits; each fit sees only its d-dim slice
     val sliced = fitInput.select(
       (0 until m).map(s =>
@@ -173,21 +171,38 @@ object ProductQuantization {
                      rerank: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       adcTable(col("embedding"), codebooks).as("dtable"))
-    // asc_nulls_last: AdcDistance yields null for corrupt/param-mismatched
-    // codes (instead of the composed form's ANSI exception); ascending
-    // NULLS FIRST would rank exactly those rows at the top of the
-    // shortlist, so nulls must sort behind every real distance
+    val scored = codeTable.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
+    rerankAdcShortlist(scored, q, corpus, k, rerank)
+  }
+
+  /** Shared ADC-shortlist -> exact-rerank tail of BOTH probe paths
+    * ([[pqTopKPrebuilt]] and the IVF-PQ probe — historically duplicated,
+    * and the null-ordering fix had to land twice): rank candidates per
+    * query by ADC distance with NULLS LAST (AdcDistance yields null for
+    * corrupt/param-mismatched codes; ascending nulls-FIRST would rank
+    * exactly those at the top), cut to k*rerank, then exact-cosine
+    * re-rank against full vectors (equi-join on id, never a rescan).
+    *
+    * The shortlist carries ONLY (q_id, n_id, adc_dist) through the
+    * per-query ranking exchange; q_emb re-joins from the tiny broadcast
+    * query table AFTER the cut — previously both paths dragged the query
+    * vector (~10x the bytes at D=64) onto every candidate row of the
+    * hottest shuffle in the module (review r8).
+    */
+  private def rerankAdcShortlist(scored: DataFrame, q: DataFrame,
+                                 corpus: DataFrame, k: Int, rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc_dist").asc_nulls_last, col("n_id"))
-    val shortlist = codeTable.join(broadcast(q), col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"),
-        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
+    val shortlist = scored
       .withColumn("ar", row_number().over(wAdc)).where(col("ar") <= k * rerank)
-      .select("q_id", "q_emb", "n_id")
-    // full vectors for the survivors only: equi-join on id, never a rescan
+      .select("q_id", "n_id")
     val full = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    shortlist.join(full, "n_id")
+    shortlist
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .join(full, "n_id")
       .select(col("q_id"), col("n_id"),
         graft.plans.NativeColumns.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
       .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -337,9 +352,7 @@ object ProductQuantization {
     val feat = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     val fitInput =
-      if (fitSampleFraction >= 1.0) feat
-      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
-        math.round(fitSampleFraction * 1000000).toInt)
+      feat.where(Sampling.hashSampleFraction(col("vec_id"), "ivf_fit", fitSampleFraction))
     val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
       .setInitMode("random").fit(fitInput)
     val cents = coarse.clusterCenters.zipWithIndex
@@ -421,6 +434,14 @@ object ProductQuantization {
     val centArr: Array[(Int, Array[Float])] = cents.collect()
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
     val bc = spark.sparkContext.broadcast(centArr)
+    val d = centArr.head._2.length
+    // degrade, don't crash (the module's null policy, see AdcDistance):
+    // a null or mis-sized embedding cannot be assigned a cell — dropping
+    // it keeps the row un-indexed, while letting it reach the assign UDF
+    // would NPE the whole build/append job (and an append dies AFTER the
+    // manifest invalidation, stranding a previously valid index)
+    val indexable = df.where(col("embedding").isNotNull &&
+      size(col("embedding")) === d)
     val assign = udf((emb: Seq[Float]) => {
       var best = -1
       var bestD = Double.MaxValue
@@ -434,7 +455,7 @@ object ProductQuantization {
       }
       best
     })
-    df.withColumn("cell", assign(col("embedding")))
+    indexable.withColumn("cell", assign(col("embedding")))
   }
 
   /** Assign + residual-encode a batch against EXISTING IVF-PQ artifacts
@@ -458,6 +479,12 @@ object ProductQuantization {
     * the codes partitioned-by-cell, and re-stamp the manifest. The
     * continual-ingest twin of the dedup side's stored-band probe: corpus
     * growth costs one batch-sized encode pass, not an index rebuild.
+    * RETRY-IDEMPOTENT: vec_ids already present in the stored codes are
+    * skipped via an anti-join (one id-column scan per append), so an
+    * at-least-once orchestrator re-running a completed append cannot
+    * double-write codes. Rows whose embedding is null or mis-sized are
+    * dropped (un-indexable — see withAssignedCell) rather than killing
+    * the append after the manifest invalidation.
     *
     * Manifest discipline matches [[writeIvfPqIndex]]: the params manifest
     * is deleted BEFORE the append and rewritten after, so an append that
@@ -484,8 +511,16 @@ object ProductQuantization {
           "build with writeIvfPqIndex first (append never refits)")
     val cents = spark.read.parquet(s"$dir/cells")
     val books = readCodebooks(spark, dir)
+    // retry idempotence: vec_ids already present in the stored codes are
+    // skipped — a re-run of an append that actually completed (orchestrator
+    // timeout, at-least-once scheduling) must not double-write codes, or
+    // the probe would return the same n_id twice in a top-k and displace a
+    // genuine neighbor. Cost: one id-column scan of the code table per
+    // append (column-pruned; the codes bytes are never read).
+    val existing = spark.read.parquet(s"$dir/codes").select(col("n_id").as("vec_id"))
+    val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
     invalidateManifest(spark, dir)
-    encodeAgainstIvfPq(batch, cents, books)
+    encodeAgainstIvfPq(fresh, cents, books)
       .repartition(col("cell")) // same task-to-cell alignment as the build path
       .write.partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/codes")
@@ -544,23 +579,10 @@ object ProductQuantization {
       .withColumn("q_res", zip_with(col("q_emb"), col("c_emb"), (x, c) => x - c))
       .select(col("q_id"), col("q_emb"), col("cell"),
         adcTable(col("q_res"), books).as("dtable"))
-    // asc_nulls_last: AdcDistance yields null for corrupt/param-mismatched
-    // codes (instead of the composed form's ANSI exception); ascending
-    // NULLS FIRST would rank exactly those rows at the top of the
-    // shortlist, so nulls must sort behind every real distance
-    val wAdc = Window.partitionBy("q_id")
-      .orderBy(col("adc_dist").asc_nulls_last, col("n_id"))
-    val shortlist = codeTable.join(broadcast(probed), Seq("cell"))
+    val scored = codeTable.join(broadcast(probed), Seq("cell"))
       .where(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("n_id"),
-        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
-      .withColumn("ar", row_number().over(wAdc)).where(col("ar") <= k * rerank)
-      .select("q_id", "q_emb", "n_id")
-    val full = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    shortlist.join(full, "n_id")
       .select(col("q_id"), col("n_id"),
-        graft.plans.NativeColumns.cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+        adcDistance(col("codes"), col("dtable")).as("adc_dist"))
+    rerankAdcShortlist(scored, q, corpus, k, rerank)
   }
 }

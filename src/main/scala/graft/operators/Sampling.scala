@@ -36,6 +36,22 @@ object Sampling {
   def drawOn(key: Column, salt: String): Column =
     hash32(concat(key.cast("string"), lit(":" + salt)))
 
+  /** Fractional keep-predicate at micro-unit (1e-6) granularity — the
+    * shared sampling rule of the ANN/semdedup fit samplers, centralized so
+    * its edge cases live in ONE place (it used to be re-inlined per
+    * caller). The threshold floors at 1 micro-unit: a fraction under 5e-7
+    * would otherwise ROUND TO A ZERO threshold and silently keep nothing,
+    * crashing the downstream KMeans fit on an empty dataset (review r8).
+    * fraction >= 1.0 keeps everything without evaluating the hash.
+    */
+  def hashSampleFraction(key: Column, salt: String, fraction: Double): Column = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    if (fraction >= 1.0) lit(true)
+    else drawOn(key, salt) % 1000000 <
+      math.max(1L, math.round(fraction * 1000000)).toInt
+  }
+
   /** Keep ~pct% of rows (0-100), deterministically by key. */
   def hashSample(df: DataFrame, key: Column, salt: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0-100, got $pct")

@@ -121,9 +121,7 @@ object Similarity {
     // not centroid polish, so random init + few iterations suffice (the
     // k-means|| init alone is several passes)
     val fitInput =
-      if (fitSampleFraction >= 1.0) feat
-      else feat.where(Sampling.drawOn(col("vec_id"), "ivf_fit") % 1000000 <
-        math.round(fitSampleFraction * 1000000).toInt)
+      feat.where(Sampling.hashSampleFraction(col("vec_id"), "ivf_fit", fitSampleFraction))
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
       .setInitMode("random").fit(fitInput)
     val assigned = model.transform(feat)
@@ -215,9 +213,7 @@ object Similarity {
     val feat = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     val fitInput =
-      if (fitSampleFraction >= 1.0) feat
-      else feat.where(Sampling.drawOn(col("vec_id"), "semdedup_fit") % 1000000 <
-        math.round(fitSampleFraction * 1000000).toInt)
+      feat.where(Sampling.hashSampleFraction(col("vec_id"), "semdedup_fit", fitSampleFraction))
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
       .setInitMode("random").fit(fitInput)
     val assigned = Pinned.pin(model.transform(feat)

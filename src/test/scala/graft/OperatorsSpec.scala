@@ -301,6 +301,21 @@ class OperatorsSpec extends SparkSpec {
       ProductQuantization.appendToIvfPqIndex(batch, dir, nCells = 8, kCodes = 8,
         fitSampleFraction = 0.5)
     }
+    // RETRY IDEMPOTENCE (review r8): re-running the append with the same
+    // batch — an at-least-once orchestrator's timeout retry — must not
+    // double-write codes; and a batch row with a null or mis-sized
+    // embedding is dropped (un-indexable) instead of NPE-killing the job
+    // after the manifest invalidation
+    val preRetry = rows(stored)
+    val dirty = batch.select("vec_id", "embedding").union(Seq(
+        (9000001L, null.asInstanceOf[Seq[Float]]),
+        (9000002L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    ProductQuantization.appendToIvfPqIndex(dirty, dir, nCells = 4, kCodes = 8,
+      fitSampleFraction = 0.5)
+    assert(rows(spark.read.parquet(s"$dir/codes")) == preRetry,
+      "retried append must be a no-op on already-indexed ids; corrupt rows dropped")
+    assert(ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = 4,
+      kCodes = 8, fitSampleFraction = 0.5), "manifest re-stamped after the no-op retry")
     // maintenance: compacting the per-cell delta files left by the append is
     // content-preserving — same code rows, same probe answer, manifest and
     // staleness probe still valid, and every cell leaf collapses to 1 file
