@@ -698,15 +698,28 @@ object Dedup {
     */
   def contaminationReport(train: DataFrame, eval: DataFrame, idCol: String,
                           textCol: String, n: Int = 4,
-                          broadcastEval: Boolean = true): DataFrame = {
-    val evalSh = shingleSet(eval, idCol, textCol, n).select("sh").distinct()
+                          broadcastEval: Boolean = true): DataFrame =
+    contaminationReportShingles(train,
+      shingleSet(eval, idCol, textCol, n).select("sh").distinct(),
+      idCol, textCol, n, broadcastEval)
+
+  /** As [[contaminationReport]], against a PRECOMPUTED distinct eval
+    * shingle frame (`shingleSet(eval).select("sh").distinct()` — shingle
+    * `n` must match the one passed here for the train side). The
+    * static-eval hot path: a caller who scores many corpora (or a
+    * streaming curate hook firing every micro-batch) computes and persists
+    * the eval shingles ONCE instead of re-shingling and re-distincting
+    * the whole suite per invocation.
+    */
+  def contaminationReportShingles(train: DataFrame, evalShingles: DataFrame,
+                                  idCol: String, textCol: String, n: Int = 4,
+                                  broadcastEval: Boolean = true): DataFrame =
     // corpus side: NO repartition — shingling parallelism comes from the
     // scan's file splits; a round-robin exchange here would shuffle the
     // whole corpus's text before a join that never needed it moved
     shingleSet(train, idCol, textCol, n, repartitionFirst = false)
-      .join(if (broadcastEval) broadcast(evalSh) else evalSh, "sh")
+      .join(if (broadcastEval) broadcast(evalShingles) else evalShingles, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-  }
 
   /** E10: the training corpus with every contaminated doc removed. The
     * flagged-id set is report-sized (small), so it broadcasts into a
@@ -716,6 +729,18 @@ object Dedup {
                     textCol: String, n: Int = 4,
                     broadcastEval: Boolean = true): DataFrame = {
     val hit = contaminationReport(train, eval, idCol, textCol, n, broadcastEval)
+      .select(col("doc_id").as(idCol))
+    train.join(broadcast(hit), Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] against a precomputed eval shingle frame (see
+    * [[contaminationReportShingles]] for the contract and why).
+    */
+  def decontaminateShingles(train: DataFrame, evalShingles: DataFrame,
+                            idCol: String, textCol: String, n: Int = 4,
+                            broadcastEval: Boolean = true): DataFrame = {
+    val hit = contaminationReportShingles(train, evalShingles, idCol, textCol,
+        n, broadcastEval)
       .select(col("doc_id").as(idCol))
     train.join(broadcast(hit), Seq(idCol), "left_anti")
   }

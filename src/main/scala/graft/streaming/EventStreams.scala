@@ -123,10 +123,18 @@ object EventStreams {
         // unreadable directory and block the overwrite that repairs it
         def hasCommitted(p: org.apache.hadoop.fs.Path): Boolean =
           fs.exists(p) && {
-            val it = fs.listFiles(p, true)
+            // qualify BEFORE prefix-stripping: listFiles returns qualified
+            // absolute paths, so a relative/unqualified `p` would make the
+            // strip a no-op and expose the ancestor directories to the
+            // hidden-segment filter (a dot-dir anywhere above outDir would
+            // then classify every committed file as debris — silently
+            // disabling dedup)
+            val qp = fs.makeQualified(p)
+            val it = fs.listFiles(qp, true)
             var found = false
             while (!found && it.hasNext) {
-              val rel = it.next().getPath.toUri.getPath.stripPrefix(p.toUri.getPath)
+              val rel = it.next().getPath.toUri.getPath
+                .stripPrefix(qp.toUri.getPath)
               found = !rel.split("/")
                 .exists(s => s.startsWith("_") || s.startsWith("."))
             }
@@ -158,15 +166,19 @@ object EventStreams {
         migrateLoose(idxPath)
         // a committed batch id ABOVE the current one means the checkpoint
         // was reset or re-pointed against this outDir: running would
-        // exclude those batches from the corpus and overwrite them later
-        if (fs.exists(docsPath)) {
-          val committed = fs.listStatus(docsPath).map(_.getPath.getName)
+        // exclude those batches from the corpus and overwrite them later.
+        // BOTH dirs are scanned — a higher id surviving only under index/
+        // (docs cleared by an operator, index forgotten) would otherwise
+        // vet batches against a stale index of deleted docs and silently
+        // drop their legitimate re-ingest as "duplicates"
+        for (p <- Seq(docsPath, idxPath) if fs.exists(p)) {
+          val committed = fs.listStatus(p).map(_.getPath.getName)
             .collect { case n if n.startsWith("batch=") =>
               n.stripPrefix("batch=").toLong }
             .filter(_ >= 0)
           if (committed.exists(_ > bid))
             throw new IllegalStateException(
-              s"outDir $outDir already holds batch=${committed.max} but this " +
+              s"$p already holds batch=${committed.max} but this " +
                 s"stream is running batch=$bid: its checkpoint ($checkpointDir) " +
                 "does not match outDir (reset or re-pointed). Resume with the " +
                 "original checkpoint or start a fresh outDir; refusing to " +
@@ -180,14 +192,18 @@ object EventStreams {
             withoutThisBatch(spark.read.parquet(s"$outDir/docs")).select(idCol, textCol)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-        if (docsReadable && !hasCommitted(idxPath)) {
+        // probe once per batch (a recursive listing — two round-trips per
+        // steady-state micro-batch on an object store would be pure waste)
+        val idxReadable = hasCommitted(idxPath)
+        val bootstrapIndex = docsReadable && !idxReadable
+        if (bootstrapIndex) {
           // one-time O(corpus) index build for the bootstrapped corpus;
           // every later batch maintains the index incrementally
           graft.operators.Dedup.signatureIndex(existing, idCol, textCol)
             .write.mode("overwrite").parquet(s"$outDir/index/batch=-1")
         }
         val storedIndex =
-          if (hasCommitted(idxPath))
+          if (idxReadable || bootstrapIndex)
             Some(withoutThisBatch(spark.read.parquet(s"$outDir/index")))
           else None
         // scoped: concurrent streams/queries in the same session must not
@@ -215,8 +231,19 @@ object EventStreams {
     * composition exactly (asserted in StreamingSpec).
     */
   def decontaminatingCurate(evalDocs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 4): DataFrame => DataFrame =
-    batch => graft.operators.Dedup.decontaminate(batch, evalDocs, idCol, textCol, n)
+                            n: Int = 4): DataFrame => DataFrame = {
+    // the eval suite is static across the stream's lifetime: shingle,
+    // distinct and persist it ONCE at hook construction — re-deriving it
+    // per micro-batch (every trigger, forever) would add a redundant
+    // eval-side job to the ingest hot path. A raw .persist, NOT
+    // Pinned.pin: the sink's per-batch Pinned.scoped must not release a
+    // hook-lifetime cache (unpersisted when the stream's session ends).
+    val evalShingles = graft.operators.Dedup
+      .shingleSet(evalDocs, idCol, textCol, n).select("sh").distinct()
+      .persist()
+    batch => graft.operators.Dedup.decontaminateShingles(
+      batch, evalShingles, idCol, textCol, n)
+  }
 
   /** Stream-stream interval join: each purchase joins every view by the
     * same user in the preceding `horizonMinutes` — the attribution shape
@@ -255,7 +282,13 @@ object EventStreams {
   : org.apache.spark.sql.Dataset[UserRunning] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"))
+    // drop rows whose key or value is null / un-castable BEFORE the typed
+    // deserialization: one bad record (user_id=null, value="n/a") would
+    // otherwise throw at the non-nullable (Long, Double) decode and kill
+    // the whole streaming query — a poison-pill, not a data error
+    val typed = events.select(col("user_id").cast("long").as("u"),
+        col("value").cast("double").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
       .as[(Long, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[UserRunning, UserRunning](

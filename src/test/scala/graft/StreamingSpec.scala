@@ -357,6 +357,46 @@ class StreamingSpec extends SparkSpec {
     assert(docs == Seq(1L), s"committed batch was modified: $docs")
   }
 
+  /** Review-r8 pin: the reset guard must scan BOTH output dirs — a higher
+    * committed id surviving only under index/ (docs cleared, index
+    * forgotten) would otherwise vet batches against a stale index of
+    * deleted docs and silently drop their legitimate re-ingest.
+    */
+  test("incremental dedup sink refuses a reset checkpoint when only index/ holds batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft-increset2").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-increset2-ck").toString
+    val corpus = Seq((1L, "a previously accepted document body")).toDF("doc_id", "text")
+    graft.operators.Dedup.signatureIndex(corpus, "doc_id", "text")
+      .write.parquet(s"$outDir/index/batch=5") // docs/ cleared, index left behind
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(Seq((9L, "a previously accepted document body")))
+    val q = EventStreams.incrementalDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outDir, ck)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("checkpoint")), s"unexpected failure: $ex")
+  }
+
+  /** Review-r8 pin: one poison-pill record (null key/value) must not kill
+    * the cumulative-state query at typed deserialization.
+    */
+  test("runningUserTotals drops null-key/value rows instead of crashing") {
+    val events = Seq(
+      (java.lang.Long.valueOf(7L), java.lang.Double.valueOf(2.0)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Double.valueOf(9.0)),
+      (java.lang.Long.valueOf(7L), null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "value")
+    val out = EventStreams.runningUserTotals(events).collect()
+    assert(out.toSeq == Seq(graft.streaming.EventStreams.UserRunning(7L, 1L, 2.0)),
+      s"only the clean row must count: ${out.toSeq}")
+  }
+
   test("incremental dedup sink adopts a user-prebuilt loose signature index") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-incidx").toString
