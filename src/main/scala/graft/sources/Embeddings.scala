@@ -76,13 +76,17 @@ object Embeddings {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
     val rows = try {
       def readToken(stop: Byte, skipLeadingWs: Boolean): String = {
-        val sb = new java.lang.StringBuilder
+        // collect BYTES and decode once as UTF-8: per-byte toChar would be
+        // Latin-1, mangling every non-ASCII word ('café' -> 'cafÃ©') while
+        // the writer encodes UTF-8 — an asymmetric round-trip that made
+        // the broadcast lookup miss every such vocabulary entry
+        val bytes = new java.io.ByteArrayOutputStream
         var b = in.read()
         while (skipLeadingWs && (b == '\n' || b == '\r' || b == ' ')) b = in.read()
-        while (b != -1 && b != stop && b != '\n') { sb.append(b.toChar); b = in.read() }
-        if (b == -1 && sb.length == 0)
+        while (b != -1 && b != stop && b != '\n') { bytes.write(b); b = in.read() }
+        if (b == -1 && bytes.size == 0)
           throw new java.io.EOFException(s"truncated word2vec binary file: $path")
-        sb.toString
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
       }
       val vocab = readToken(' ', skipLeadingWs = false).toInt
       val d = readToken('\n', skipLeadingWs = true).trim.toInt
@@ -109,6 +113,16 @@ object Embeddings {
                              path: String): Unit = {
     val rows = df.select(col(wordCol).cast("string"),
       col(vecCol).cast("array<float>")).collect()
+    // the format delimits words with space/newline: a word CONTAINING one
+    // would desynchronize the stream and silently poison every later
+    // (word, vec) pair — refuse it here, where the cause is nameable
+    rows.find(r => r.getString(0).exists(c => c == ' ' || c == '\n' || c == '\r'))
+      .foreach { r =>
+        throw new IllegalArgumentException(
+          s"writeWordVectorsBinary: word '${r.getString(0)}' contains a " +
+            "space/newline — the binary format cannot delimit it; replace " +
+            "separators (word2vec phrase convention is '_') before writing")
+      }
     val dims = rows.map(_.getSeq[Float](1).size).distinct
     require(dims.length <= 1, s"mixed vector dims ${dims.toSeq} cannot serialize")
     val d = dims.headOption.getOrElse(0)

@@ -23,21 +23,25 @@ object IdxSource {
     */
   private def shardedIdx(shard: Long, i: Long): Long = (shard << 32) | i
 
-  /** Sorted-path → shard-ordinal map for a glob (driver-side, tiny). */
-  private def shardOrdinals(spark: SparkSession, path: String): Map[String, Long] =
-    spark.sparkContext.binaryFiles(path).keys.collect().sorted
-      .zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap
-
   def readImages(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val ordinals = spark.sparkContext.broadcast(shardOrdinals(spark, path))
-    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+    // ONE binaryFiles RDD drives both the ordinal map and the data read:
+    // two separate listings would race a file landing in between (executor
+    // lookup crash, or silently shifted shard ids mis-pairing the
+    // image/label join)
+    val files = spark.sparkContext.binaryFiles(path)
+    val ordinals = spark.sparkContext.broadcast(
+      files.keys.collect().sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
+    val rows = files.flatMap { case (file, pds) =>
       val shard = ordinals.value(file)
       val in = new DataInputStream(pds.open())
       try {
         val magic = in.readInt()
         require((magic & 0xffffff00) == 0x00000800, s"not an idx ubyte file: $magic")
         val dims = magic & 0xff
+        // an idx1 labels file here (swapped arguments) would consume its
+        // header as garbage record geometry and "succeed"
+        require(dims == 3, s"idx image file must have 3 dims, got $dims in $file")
         val n = in.readInt()
         val recLen = (1 until dims).map(_ => in.readInt()).product
         (0 until n).iterator.map { i =>
@@ -52,13 +56,18 @@ object IdxSource {
 
   def readLabels(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val ordinals = spark.sparkContext.broadcast(shardOrdinals(spark, path))
-    val rows = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+    val files = spark.sparkContext.binaryFiles(path)
+    val ordinals = spark.sparkContext.broadcast(
+      files.keys.collect().sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
+    val rows = files.flatMap { case (file, pds) =>
       val shard = ordinals.value(file)
       val in = new DataInputStream(pds.open())
       try {
         val magic = in.readInt()
         require((magic & 0xffffff00) == 0x00000800, s"not an idx ubyte file: $magic")
+        // an idx3 images file here (swapped arguments) would parse 60k
+        // pixel bytes as "labels" with no error
+        require((magic & 0xff) == 1, s"idx label file must have 1 dim, got ${magic & 0xff} in $file")
         val n = in.readInt()
         val buf = new Array[Byte](n)
         in.readFully(buf)
@@ -113,7 +122,12 @@ object IdxSource {
               i += 1
             }
             imgBuf.write(rec)
-            lblBuf.write(math.max(0, math.min(255, r.getInt(1))))
+            // labels must FIT the format: silently clamping a 300-class
+            // label to 255 would corrupt the training table undetectably
+            val label = r.getInt(1)
+            require(label >= 0 && label <= 255,
+              s"IDX ubyte labels must be in [0, 255], got $label")
+            lblBuf.write(label)
             n += 1
           }
           def header(magic: Int, dims: Seq[Int]): Array[Byte] = {

@@ -13,17 +13,24 @@ package graft.sources
   */
 object IndexStore {
 
+  /** Collision-free tag for a fixture directory: the sanitized name for
+    * readability PLUS a hash of the raw path — sanitization alone
+    * collapses distinct dirs ('/data/sf-1' vs '/data/sf_1') onto one tag,
+    * and the second fixture's probe entries would then silently READ the
+    * first fixture's prebuilt artifacts instead of rebuilding.
+    */
+  private def tag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(sfDir.hashCode)
+
   /** Root scratch dir for a fixture directory's index artifacts. */
-  def root(sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_index/$tag"
-  }
+  def root(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/${tag(sfDir)}"
 
   /** Catalog-safe table-name tag for a fixture directory (bucketed band
     * indexes are managed tables, so their names carry the fixture tag).
     */
-  def tableTag(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+  def tableTag(sfDir: String): String = tag(sfDir).toLowerCase
 
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

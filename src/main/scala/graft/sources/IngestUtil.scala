@@ -13,12 +13,23 @@ import java.util.zip.GZIPInputStream
   */
 object IngestUtil {
 
-  /** HTTP(S) GET to a local file. Returns bytes written. */
+  /** HTTP(S) GET to a local file. Returns bytes written. Non-2xx responses
+    * throw: HttpURLConnection does NOT follow protocol-crossing redirects
+    * (http -> https, the common dataset-mirror case) and would hand back
+    * the 3xx HTML body as a "successful" stream — which would then be
+    * saved as the dataset and fail cryptically at extract time.
+    */
   def downloadFile(url: String, dest: File, connectTimeoutMs: Int = 10000,
                    readTimeoutMs: Int = 60000): Long = {
     val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(connectTimeoutMs)
     conn.setReadTimeout(readTimeoutMs)
+    val code = conn.getResponseCode
+    if (code < 200 || code >= 300) {
+      val loc = Option(conn.getHeaderField("Location")).map(l => s" (Location: $l)").getOrElse("")
+      conn.disconnect()
+      throw new java.io.IOException(s"downloadFile: HTTP $code for $url$loc")
+    }
     val in = new BufferedInputStream(conn.getInputStream)
     try copyTo(in, dest) finally { in.close(); conn.disconnect() }
   }
@@ -39,23 +50,47 @@ object IngestUtil {
       if (!readFully(in, header)) done = true
       else if (header.forall(_ == 0)) done = true
       else {
-        val name = cString(header, 0, 100)
+        // ustar prefix (offset 345, 155 bytes) carries the leading path of
+        // entries whose full path exceeds the 100-byte name field — core
+        // ustar, not an extension: ignoring it flattens long directory
+        // chains into destDir
+        val prefix = cString(header, 345, 155)
+        val tail = cString(header, 0, 100)
+        val name = if (prefix.isEmpty) tail else s"$prefix/$tail"
         val size = java.lang.Long.parseLong(cString(header, 124, 12).trim, 8)
         val typeFlag = header(156).toChar
-        val out = new File(destDir, name).getCanonicalFile
-        require(out.getPath.startsWith(destDir.getCanonicalPath + File.separator) ||
-          out.getCanonicalPath == destDir.getCanonicalPath, s"unsafe tar entry: $name")
-        if (typeFlag == '5' || name.endsWith("/")) out.mkdirs()
-        else {
-          out.getParentFile.mkdirs()
-          writeEntry(in, out, size)
-          count += 1
+        typeFlag match {
+          case '5' =>
+            safeDest(destDir, name).mkdirs()
+          case '0' | '\u0000' if name.endsWith("/") =>
+            safeDest(destDir, name).mkdirs()
+          case '0' | '\u0000' | '7' => // regular (incl. old-tar contiguous)
+            val out = safeDest(destDir, name)
+            out.getParentFile.mkdirs()
+            writeEntry(in, out, size)
+            count += 1
+          case _ =>
+            // PAX headers (x/g), GNU long-name blocks (L/K), symlinks (2),
+            // devices, fifos: consume the payload, materialize NOTHING — a
+            // symlink written as an empty file is silent content loss, and
+            // metadata blocks extracted as junk files corrupt the tree.
+            // (Symlinks are also a zip-slip vector; refusing them keeps
+            // the sanitizer airtight.)
+            skipFully(in, size)
         }
         val pad = (512 - (size % 512)) % 512
         skipFully(in, pad)
       }
     }
     count
+  }
+
+  /** Resolve an entry path under destDir, refusing zip-slip escapes. */
+  private def safeDest(destDir: File, name: String): File = {
+    val out = new File(destDir, name).getCanonicalFile
+    require(out.getPath.startsWith(destDir.getCanonicalPath + File.separator) ||
+      out.getCanonicalPath == destDir.getCanonicalPath, s"unsafe tar entry: $name")
+    out
   }
 
   private def writeEntry(in: InputStream, dest: File, size: Long): Unit = {

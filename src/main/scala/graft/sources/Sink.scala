@@ -251,10 +251,26 @@ object Sink {
 
     def parquetFiles() = fs.listStatus(dir).filter(s =>
       s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // every file a reader can SEE (not `_`/`.`-prefixed metadata like
+    // _SUCCESS): the swap replaces the whole directory, so a visible
+    // non-parquet sidecar (schema.json, a CSV manifest) would be silently
+    // DESTROYED — refuse such leaves, same posture as the subdirectory
+    // refusal above, and fingerprint over the same visible set so a
+    // concurrent writer creating one mid-rewrite aborts like any other
+    def visibleFiles() = fs.listStatus(dir).filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
 
     var attempt = 0
     while (true) {
-      val snapshot = parquetFiles()
+      val snapshot = visibleFiles()
+      val sidecars = snapshot.filterNot(_.getPath.getName.endsWith(".parquet"))
+      if (sidecars.nonEmpty)
+        throw new IllegalStateException(
+          s"compactParquet: $dir contains visible non-parquet files " +
+            s"(${sidecars.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+            "the directory swap would destroy them; move sidecars out first")
       val before = snapshot.length
       if (before == 0) return (0, 0)
 
@@ -266,13 +282,14 @@ object Sink {
       // the directory changed after the snapshot → this rewrite is stale;
       // retry from a fresh snapshot, then abort cleanly (dir untouched) — a
       // concurrent writer is an error, never silent loss. Compare the FULL
-      // (name, length, modificationTime) triple, not names alone: a writer
-      // that overwrites a part file in place or deletes files changes the
-      // leaf's content without adding a name, and renaming the stale
-      // rewrite in would silently revert (or resurrect) those rows.
+      // (name, length, modificationTime) triple over every VISIBLE file,
+      // not parquet names alone: a writer that overwrites a part file in
+      // place, deletes files, or drops a new sidecar changes the leaf
+      // without adding a parquet name, and renaming the stale rewrite in
+      // would silently revert (or destroy) that change.
       def fingerprint(fss: Array[org.apache.hadoop.fs.FileStatus]) =
         fss.map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
-      if (fingerprint(parquetFiles()) != fingerprint(snapshot)) {
+      if (fingerprint(visibleFiles()) != fingerprint(snapshot)) {
         fs.delete(tmp, true)
         attempt += 1
         if (attempt >= maxRetries)

@@ -409,6 +409,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 5, "refusal must leave the dir untouched")
   }
 
+  test("sink: compactParquet refuses a leaf with visible non-parquet sidecars") {
+    // the whole-dir swap would destroy a visible sidecar (schema.json, a
+    // manifest) — refuse, same posture as the subdirectory refusal; hidden
+    // _SUCCESS/_-prefixed metadata remains fine to replace
+    val dir = Files.createTempDirectory("graft-sidecar").toString
+    Tables.nation(spark, sfDir).limit(5).repartition(2).write.mode("overwrite").parquet(dir)
+    Files.writeString(new java.io.File(dir, "schema.json").toPath, "{}")
+    val e = intercept[IllegalStateException] { Sink.compactParquet(spark, dir) }
+    assert(e.getMessage.contains("non-parquet"), e.getMessage)
+    // (a plain parquet read of such a dir fails in Spark too — glob-filter
+    // to check the data files survived the refusal untouched)
+    assert(spark.read.option("pathGlobFilter", "*.parquet").parquet(dir).count() == 5,
+      "refusal must leave data untouched")
+    assert(Files.exists(new java.io.File(dir, "schema.json").toPath), "sidecar intact")
+    // removing the sidecar makes the same leaf compactable
+    Files.delete(new java.io.File(dir, "schema.json").toPath)
+    val (before, after) = Sink.compactParquet(spark, dir, 1L << 30)
+    assert(before == 2 && after == 1)
+  }
+
   test("sink: compaction refuses object-store schemes (non-atomic rename)") {
     // the swap protocol's crash-state machine requires atomic directory
     // rename; object-store rename is copy+delete, so the guard must refuse
