@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen — the shape the E3 hot path wants when reranking
   * billions of candidate pairs. Semantics match VectorFunctions.cosine
   * bit-for-bit on finite inputs: products/accumulation in double,
-  * left-to-right, null when either vector has zero norm or lengths differ.
+  * left-to-right, null when either vector has zero norm, lengths differ,
+  * or ANY element is null (the composed form propagates element nulls to
+  * a null result; reading a null slot as 0.0 would return a confidently
+  * wrong similarity — review r8).
   * On NaN/Inf elements the two forms diverge (this expression propagates
   * NaN; the composed form's `when(norm > 0)` guard follows Spark's NaN
   * ordering) — embeddings are finite by construction, so the parity claim
@@ -46,6 +49,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     val n = x.numElements()
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -64,18 +68,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    final double $x = (double) $a.getFloat($i);
          |    final double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

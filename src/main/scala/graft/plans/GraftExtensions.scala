@@ -10,35 +10,29 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
   * spark.sql.extensions=graft.plans.GraftExtensions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Expr = org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** One registration shape for every native function: name + info +
+    * enforced arity + constructor (the four hand-rolled copies this
+    * replaces could drift independently — review r8).
+    */
+  private def fn(name: String,
+                 info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                 arity: Int)(build: Seq[Expr] => Expr) =
+    (FunctionIdentifier(name), info, (children: Seq[Expr]) => {
+      require(children.size == arity,
+        s"$name takes exactly $arity argument${if (arity == 1) "" else "s"}")
+      build(children)
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      CosineSimilarity.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 2, "graft_cosine takes exactly 2 arguments")
-        CosineSimilarity(children.head, children(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_tokenize"),
-      Tokenize.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 1, "graft_tokenize takes exactly 1 argument")
-        Tokenize(children.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_token_count"),
-      TokenCount.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 1, "graft_token_count takes exactly 1 argument")
-        TokenCount(children.head)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_adc_distance"),
-      AdcDistance.info,
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.size == 2, "graft_adc_distance takes exactly 2 arguments")
-        AdcDistance(children.head, children(1))
-      }))
+    ext.injectFunction(fn("graft_cosine", CosineSimilarity.info, 2)(
+      c => CosineSimilarity(c.head, c(1))))
+    ext.injectFunction(fn("graft_tokenize", Tokenize.info, 1)(c => Tokenize(c.head)))
+    ext.injectFunction(fn("graft_token_count", TokenCount.info, 1)(c => TokenCount(c.head)))
+    ext.injectFunction(fn("graft_adc_distance", AdcDistance.info, 2)(
+      c => AdcDistance(c.head, c(1))))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectOptimizerRule(_ => TokenCountRewrite)
   }

@@ -10,7 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Token count without the tokens: `size(graft_tokenize(x))` materializes an
   * array of UTF8Strings only to take its length; this expression counts
-  * token boundaries in the same single char scan and allocates nothing.
+  * token boundaries in one char scan, skipping the token array and the
+  * per-token UTF8String allocations. (It still pays the lowered-string
+  * copy the tokenizer spec requires — "allocation-free" would need an
+  * ASCII fast path over the raw UTF8String bytes; honest scope, r8.)
   * Returns INT to be a drop-in for `size(...)`.
   */
 case class TokenCount(child: Expression) extends UnaryExpression {

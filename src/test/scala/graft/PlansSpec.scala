@@ -51,7 +51,10 @@ class PlansSpec extends SparkSpec {
     val df = emb.select(call_function("graft_cosine", col("embedding"), col("embedding")).as("c"))
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("graft_cosine"), s"self-cosine not rewritten:\n$optimized")
-    assert(optimized.contains("graft_norm_sq"), s"norm form missing:\n$optimized")
+    // the single-pass SelfCosine expression (r8: the earlier If/Sqrt tree
+    // over graft_norm_sq referenced the norm four times — four array scans
+    // where the unrewritten fused loop did one)
+    assert(optimized.contains("graft_self_cosine"), s"norm form missing:\n$optimized")
     val vals = df.as[Double].collect()
     assert(vals.nonEmpty && vals.forall(v => math.abs(v - 1.0) < 1e-12))
     // zero vector keeps its null, via SQL to exercise the same path
@@ -67,6 +70,29 @@ class PlansSpec extends SparkSpec {
     val two = emb.select(call_function("graft_cosine",
       col("embedding"), reverse(col("embedding"))).as("c"))
     assert(two.queryExecution.optimizedPlan.toString.contains("graft_cosine"))
+  }
+
+  /** Review-r8 pin: a null ELEMENT nulls the native cosine — the composed
+    * form propagates element nulls to a null result, and reading the null
+    * slot as 0.0 returned a confidently wrong similarity. Covers the
+    * two-sided path and the SelfCosine rewrite path.
+    */
+  test("graft_cosine: null array elements yield null, matching the composed form") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS two_sided,
+        |  graft_cosine(array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT)),
+        |               array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))) AS self_side
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "two-sided null element must be null")
+    assert(r.isNullAt(1), "self-cosine null element must be null")
+    // the composed form agrees (the parity contract)
+    val composed = Seq((Seq[java.lang.Float](null, 1.0f), Seq[java.lang.Float](1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine(col("a"), col("b")))
+      .head()
+    assert(composed.isNullAt(0), "composed form must also be null — parity")
   }
 
   test("graft_tokenize / graft_token_count agree, and size(tokenize) rewrites") {
