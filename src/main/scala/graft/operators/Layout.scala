@@ -24,16 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton z-value of the given integer dimensions, taking the low `bits`
-    * bits of each. Bit `j` of dimension `d` lands at interleaved position
-    * `j * n + d` (n = number of dimensions), so dimensions alternate
-    * bit-by-bit and the curve weights them equally. Each dimension is
-    * masked to `value mod 2^bits` up front — an explicit bitwiseAND, not
-    * an implicit property of shift semantics — so out-of-range values
-    * (including negatives, via their two's-complement low bits) map the
-    * same way here and in the DuckDB twin by construction. Callers who
-    * need an error on negatives should validate before calling. Requires
-    * `bits * n <= 63` (result fits a long).
+  /** Morton z-value of the given INTEGRAL dimensions, taking the low
+    * `bits` bits of each. Bit `j` of dimension `d` lands at interleaved
+    * position `j * n + d` (n = number of dimensions), so dimensions
+    * alternate bit-by-bit and the curve weights them equally. Each
+    * dimension is masked to `value mod 2^bits` up front — an explicit
+    * bitwiseAND, not an implicit property of shift semantics — so
+    * out-of-range values (including negatives, via their two's-complement
+    * low bits) map the same way here and in the DuckDB twin by
+    * construction. Callers who need an error on negatives should validate
+    * before calling. Requires `bits * n <= 63` (result fits a long).
+    *
+    * CONTRACT (r8): `bits` must cover each dimension's DOMAIN — a value
+    * over 2^bits aliases mod 2^bits, collocating rows from opposite ends
+    * of the key range and silently destroying that dimension's min/max
+    * pruning (the operator's whole purpose). Size bits >= ceil(log2(max))
+    * or pre-normalize wide domains (rank/bucketize) before interleaving.
+    * Parity with [[duckZValue]] is guaranteed for integral columns ONLY:
+    * a non-integral dim diverges (Spark cast truncates doubles toward
+    * zero, DuckDB CAST rounds) — cast/round explicitly first. A null in
+    * ANY dimension nulls the whole z-value; [[zOrder]] then range-sorts
+    * those rows FIRST, together — a heavily-null dim column concentrates
+    * its rows into the leading partition(s), so coalesce nulls to a
+    * sentinel before interleaving if that skew matters.
     */
   def zValue(dims: Seq[Column], bits: Int = 16): Column = {
     val n = dims.size

@@ -29,6 +29,12 @@ object Merge {
   def upsertLatest(base: DataFrame, changes: DataFrame,
                    keyCols: Seq[String], versionCols: Seq[String],
                    isDelete: Option[Column] = None): DataFrame = {
+    // helper names must not collide with user data (a real __src column —
+    // a plausible lineage tag in a CDC feed — would be silently
+    // overwritten, used as the tiebreaker, and dropped from the output)
+    for (c <- Seq("__src", "__rn"))
+      require(!base.columns.contains(c) && !changes.columns.contains(c),
+        s"input already has a $c column — rename it before merging")
     val all = base.withColumn("__src", lit(0))
       .unionByName(changes.withColumn("__src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)

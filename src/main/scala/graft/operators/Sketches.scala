@@ -34,22 +34,39 @@ object Sketches {
     require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0, 1), got $confidence")
+    // backtick-quote: an unquoted interpolation breaks on names needing
+    // quoting and would let a crafted "name" splice arbitrary SQL
     val bytes = df
-      .select(expr(s"count_min_sketch($colName, CAST($eps AS DOUBLE), " +
+      .select(expr(s"count_min_sketch(`$colName`, CAST($eps AS DOUBLE), " +
         s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
       .head.getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
   }
 
-  /** Annotate `df` with the sketch's frequency estimate for a string
-    * column — the sketch broadcasts (task-serialized), the frame is never
-    * shuffled.
+  /** Annotate `df` with the sketch's frequency estimate for the column —
+    * the sketch broadcasts (task-serialized), the frame is never shuffled.
+    * Dispatches on the column's TYPE: the sketch hashes strings and longs
+    * differently, so querying an integral column through the string path
+    * (which Spark's implicit UDF cast would silently do) returns
+    * near-zero noise instead of the count — the lookup type must match
+    * the build type (r8).
     */
   def withEstimate(df: DataFrame, colName: String, cms: CountMinSketch,
                    as: String): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(cms)
-    val est = udf((v: String) => if (v == null) 0L else bcast.value.estimateCount(v))
-    df.withColumn(as, est(col(colName)))
+    import org.apache.spark.sql.types._
+    val est = df.schema(colName).dataType match {
+      case StringType =>
+        udf((v: String) => if (v == null) 0L else bcast.value.estimateCount(v))
+          .apply(col(colName))
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((v: java.lang.Long) =>
+          if (v == null) 0L else bcast.value.estimateCount(v.longValue()))
+          .apply(col(colName).cast("long"))
+      case other => throw new IllegalArgumentException(
+        s"withEstimate supports string/integral columns, got ${other.catalogString}")
+    }
+    df.withColumn(as, est)
   }
 
   /** KMV (k-minimum-values) signature per stratum: the `k` smallest

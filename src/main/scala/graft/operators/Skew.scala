@@ -33,8 +33,12 @@ object Skew {
     cols
   }
 
-  /** Two-phase grouped sum with salting (sum is associative+commutative, so
-    * the partial-per-salt then combine plan is exact).
+  /** Two-phase grouped sum with salting. Exact for integral and DECIMAL
+    * values (sum is associative+commutative there); for floating-point
+    * values the reassociated partial-then-combine order can differ from
+    * the plain grouped sum in final ULPs — cast money/metrics to DECIMAL
+    * first when comparing against an unsalted plan (the catalog's
+    * o10_salted_agg does exactly this).
     *
     * The salt is derived from row content (hash of every map-free column),
     * never from spark_partition_id/monotonically_increasing_id:
@@ -49,6 +53,11 @@ object Skew {
     */
   def saltedSum(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                 salts: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    // salts = 0 would make pmod null (single reducer, mitigation silently
+    // off — or ANSI divide-by-zero); fail fast instead
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!df.columns.contains("__salt") && !df.columns.contains("__partial"),
+      "input already has a __salt/__partial column — rename it before salting")
     val src = saltSource.map(c => hash(c)).getOrElse(hash(hashableCols(df): _*))
     val salted = df.withColumn("__salt", pmod(src, lit(salts)))
     val partial = salted
@@ -65,6 +74,11 @@ object Skew {
     */
   def saltedBroadcastLeft(fact: DataFrame, dim: DataFrame, key: String,
                           salts: Int = 16, saltSource: Option[Column] = None): DataFrame = {
+    // salts = 0 would explode the dim over an EMPTY salt array — every dim
+    // row dropped, the join silently returns nothing
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column — rename it before salting")
     val src = saltSource.map(c => hash(c)).getOrElse(hash(hashableCols(fact): _*))
     val saltedFact = fact.withColumn("__salt", pmod(src, lit(salts)))
     val replicatedDim = dim.withColumn("__salt",

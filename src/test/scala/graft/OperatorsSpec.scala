@@ -987,6 +987,34 @@ class OperatorsSpec extends SparkSpec {
     annotated.foreach { case (t, n, est) =>
       assert(est == cms.estimateCount(t) && est >= n)
     }
+    // review-r8 pins: an INTEGRAL column queries through the long-hash
+    // path (the implicit string cast used to return near-zero noise), and
+    // the lookup stays one-sided; unsupported types refuse
+    val ids = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val idCms = Sketches.countMinSketchOf(ids, "o_custkey", eps = 1e-3)
+    val idEst = Sketches.withEstimate(
+      ids.groupBy("o_custkey").agg(count(lit(1)).as("n")), "o_custkey", idCms, "est")
+      .as[(Long, Long, Long)].collect()
+    assert(idEst.nonEmpty && idEst.forall { case (k, n, est) =>
+      est == idCms.estimateCount(k) && est >= n
+    }, "integral lookups must go through the long-hash path")
+    intercept[IllegalArgumentException] {
+      Sketches.withEstimate(
+        Seq(Seq(1.0)).toDF("v"), "v", idCms, "est")
+    }
+  }
+
+  test("skew: salts = 0 is refused instead of silently emptying the join") {
+    import graft.operators.Skew
+    val fact = Tables.orders(spark, sfDir).limit(10)
+    val dim = Tables.customer(spark, sfDir).limit(10)
+    intercept[IllegalArgumentException] {
+      Skew.saltedSum(fact, Seq("o_custkey"), col("o_totalprice"), salts = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedBroadcastLeft(fact.withColumnRenamed("o_custkey", "c_custkey"),
+        dim, "c_custkey", salts = 0)
+    }
   }
 
   test("E5: bigram LM — hand-computed MLE conditional probabilities") {
