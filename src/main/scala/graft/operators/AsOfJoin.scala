@@ -32,8 +32,22 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
                valueCol: String): DataFrame = {
     require(!left.columns.contains(valueCol), s"left already has column $valueCol")
+    for (c <- Seq("__side", "__asof"))
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"input already has a $c column — rename it before the as-of join")
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(col(key), col(ts), col(valueCol)).withColumn("__side", lit(0))
+    // join-equality semantics for nulls (review r8): a NULL key matches
+    // nothing (the window's partitionBy would group null keys together and
+    // fabricate matches join equality never makes), and a NULL ts compares
+    // UNKNOWN to every left ts (ascending nulls-FIRST would treat it as
+    // -infinity, entering every frame) — such right rows can never be an
+    // as-of match, so drop them up front. Left-side nulls need no filter:
+    // a null-key left row's partition then holds no right rows, and a
+    // null-ts left row's frame holds only other null-ts rows — both yield
+    // the correct null lookup.
+    val r = right.select(col(key), col(ts), col(valueCol))
+      .where(col(key).isNotNull && col(ts).isNotNull)
+      .withColumn("__side", lit(0))
     // right rows sort before left rows at equal ts => "at or before"
     // semantics; valueCol breaks ties among equal-ts right rows. The carried
     // payload is a struct that is non-null for every RIGHT row (even when

@@ -19,13 +19,24 @@ import org.apache.spark.sql.types.{LongType, StructField}
   */
 object Ranking {
 
-  /** Append a 1-based global rank column following the given sort order. */
+  /** Append a 1-based global rank column following the given sort order.
+    *
+    * The sorted frame is pinned (persisted + registered with
+    * [[Pinned]]) before zipWithIndex: zipWithIndex runs an EAGER job to
+    * count each partition, and without the pin that job pays the full
+    * range-partition + sort once for the counts and the consuming action
+    * pays it all over again (review r8 — the doc's "one tiny
+    * count-per-partition job" was only true of the counting half).
+    * Callers outside the Verify/Bench harnesses release via
+    * `Pinned.release()` after consuming the result, the operator
+    * library's standard lifecycle.
+    */
   def stableRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
-    val sorted = df
+    val sorted = Pinned.pin(df
       .repartitionByRange(parallelism, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1))

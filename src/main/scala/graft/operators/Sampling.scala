@@ -28,10 +28,13 @@ object Sampling {
   /** Portable per-row draw in [0, 2^32): hash32 of "key:salt".
     *
     * NULL keys draw NULL, and every comparison against a NULL draw is
-    * false — so rows with a null key silently vanish from any hash-based
-    * sample/split/budget. That is deliberate (a null key is not unique,
-    * violating the keyed-draw contract) but easy to miss: filter or
-    * coalesce null keys explicitly before sampling if they must survive.
+    * false — so rows with a null key silently vanish from the FILTER-style
+    * consumers (samples, shuffle positions, token budget). That is
+    * deliberate (a null key is not unique, violating the keyed-draw
+    * contract) but easy to miss: filter or coalesce null keys explicitly
+    * before sampling if they must survive. [[splitLabel]] is the one
+    * non-filter consumer: there a null draw falls through to the 'test'
+    * label instead of vanishing (its own scaladoc states this).
     */
   def drawOn(key: Column, salt: String): Column =
     hash32(concat(key.cast("string"), lit(":" + salt)))
@@ -65,11 +68,18 @@ object Sampling {
                            permille: Map[String, Int], salt: String): DataFrame = {
     require(permille.values.forall(p => p >= 0 && p <= 1000),
       "permille rates must be 0-1000")
-    val rate = permille.foldRight(lit(0): Column) { case ((s, p), acc) =>
-      when(strata === s, lit(p)).otherwise(acc)
-    }
-    df.where(drawOn(key, salt) % 1000 < rate)
+    df.where(drawOn(key, salt) % 1000 < strataLookup(strata, permille.view.mapValues(lit(_)).toMap, lit(0)))
   }
+
+  /** Shared strata → per-row value when-chain (absent strata get `default`
+    * — the drop semantics both consumers document); one copy so a
+    * null-stratum or collation fix cannot land in one and miss the other.
+    */
+  private def strataLookup(strata: Column, values: Map[String, Column],
+                           default: Column): Column =
+    values.foldRight(default) { case ((s, v), acc) =>
+      when(strata === s, v).otherwise(acc)
+    }
 
   /** Deterministic permutation: every row gets a global 1-based position
     * ordered by its draw (key as tiebreak). Scale-safe total order via
@@ -103,6 +113,10 @@ object Sampling {
 
   /** 'train'/'test' split label with ~trainPct% train, deterministic by key
     * — disjoint and exhaustive by construction (one draw decides).
+    * NULL keys draw NULL and fall through the when() to 'test' — unlike
+    * the filter-style samplers, where null-key rows vanish (see
+    * [[drawOn]]); filter nulls first if deterministic-test is not the
+    * posture you want for them.
     */
   def splitLabel(key: Column, salt: String, trainPct: Int): Column = {
     require(trainPct >= 0 && trainPct <= 100, s"trainPct must be 0-100, got $trainPct")
@@ -127,9 +141,7 @@ object Sampling {
   def weightedMix(df: DataFrame, strata: Column, weights: Map[String, Double],
                   key: Column, salt: String, epochCol: String = "epoch"): DataFrame = {
     require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
-    val w = weights.foldRight(lit(0.0): Column) { case ((s, wt), acc) =>
-      when(strata === s, lit(wt)).otherwise(acc)
-    }
+    val w = strataLookup(strata, weights.view.mapValues(lit(_)).toMap, lit(0.0))
     replicateByWeight(df, w, key, salt, epochCol)
   }
 
@@ -228,7 +240,12 @@ object Sampling {
     val wB = Window.partitionBy(group).orderBy("__b")
     val offsets = base.groupBy(group, "__b").agg(sum(tokens).as("__bsum"))
       .withColumn("__cumprev", sum(col("__bsum")).over(wB) - col("__bsum"))
-      .where(col("__cumprev") < budget) // prune: no row in a later bucket can fit
+      // prune buckets no row of which can fit. <=, not <: at cumprev ==
+      // budget a ZERO-token row (empty doc) still satisfies run <= budget
+      // and the single-window reference keeps it — the relaxation only
+      // admits candidate buckets whose rows the run-filter below re-judges,
+      // so parity is by construction either way (review r8)
+      .where(col("__cumprev") <= budget)
       .select(group, "__b", "__cumprev")
     val wIn = Window.partitionBy(col(group), col("__b")).orderBy(col("__draw"), key)
     base.join(broadcast(offsets), Seq(group, "__b"))
