@@ -164,7 +164,14 @@ object Bpe {
   def trainOn(tokens: DataFrame, tokenCol: String, numMerges: Int,
               maxVocab: Int = 65536): Seq[(String, String)] = {
     require(maxVocab > 0, s"maxVocab must be positive, got $maxVocab")
-    val wc = tokens.where(col(tokenCol).isNotNull && length(col(tokenCol)) > 0)
+    // same degenerate-blob guard as the encode side (review r8): a
+    // multi-megabyte unbroken token that repeats a few times would
+    // outrank count-1 words, ride the collect() onto the driver, explode
+    // into a millions-long symbol vector, and make every merge that hits
+    // it an O(len) rewrite — no natural-language word approaches the cap,
+    // so no legitimate vocabulary entry is lost
+    val wc = tokens.where(col(tokenCol).isNotNull && length(col(tokenCol)) > 0 &&
+        length(col(tokenCol)) <= MaxEncodeWordChars)
       .groupBy(tokenCol).agg(count(lit(1)).as("wn"))
       .orderBy(col("wn").desc, col(tokenCol).asc)
       .limit(maxVocab)

@@ -38,19 +38,41 @@ object NgramLM {
     * second aggregate over the already-gram-type-sized counts, joined back
     * on the prefix.
     */
-  def fit(corpus: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+  def fit(corpus: DataFrame, textCol: String, n: Int = 2,
+          repartitionFirst: Boolean = true): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2 for conditional probabilities, got $n")
     // pinned: BOTH the prefix aggregate and the final join consume this
     // frame — without the pin the corpus-wide explode+groupBy runs twice
     // (Spark does not share subplans across join branches). Gram-type-
     // sized, so the pin is vocabulary-bounded, never corpus-bounded.
     val grams = Pinned.pin(
-      gramStream(corpus, Seq.empty, textCol, n)
+      gramStream(corpus, Seq.empty, textCol, n, repartitionFirst)
         .groupBy("gram").agg(count(lit(1)).as("c_gram")))
     // prefix = the first n-1 tokens of the space-joined gram
     val withPrefix = grams.withColumn("prefix", substring_index(col("gram"), " ", n - 1))
     val prefixTotals = withPrefix.groupBy("prefix").agg(sum("c_gram").as("c_prefix"))
-    withPrefix.join(prefixTotals, "prefix").select("gram", "c_gram", "c_prefix")
+    // the gram column carries the fitted ORDER as schema metadata, so the
+    // score functions can refuse an n-mismatched model (a trigram query
+    // against a bigram model would miss every join and score everything
+    // at unseenProb — silent corpus-wide garbage, review r8)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(OrderMetaKey, n.toLong).build()
+    withPrefix.join(prefixTotals, "prefix")
+      .select(col("gram").as("gram", meta), col("c_gram"), col("c_prefix"))
+  }
+
+  private[graft] val OrderMetaKey = "graft_ngram_order"
+
+  /** Refuse a model whose fitted gram order disagrees with the score call's
+    * `n` (schema-metadata check — no job). Models from other sources
+    * (no metadata) pass unchecked, caller's responsibility.
+    */
+  private def requireOrder(model: DataFrame, n: Int): Unit = {
+    val meta = model.schema("gram").metadata
+    if (meta.contains(OrderMetaKey))
+      require(meta.getLong(OrderMetaKey) == n.toLong,
+        s"model was fitted with n = ${meta.getLong(OrderMetaKey)} but is being " +
+          s"scored with n = $n — every gram would miss and score unseenProb")
   }
 
   /** Per-doc fluency from MLE conditional probabilities, oracle-exact:
@@ -68,6 +90,7 @@ object NgramLM {
   def scoreMeanProb(docs: DataFrame, model: DataFrame, idCol: String,
                     textCol: String, n: Int = 2,
                     unseenProb: Double = 0.0): DataFrame = {
+    requireOrder(model, n)
     val ratio = coalesce(
       col("c_gram").cast("double") / col("c_prefix"), lit(unseenProb))
     docGrams(docs, idCol, textCol, n)
@@ -88,6 +111,7 @@ object NgramLM {
   def scoreLogProb(docs: DataFrame, model: DataFrame, idCol: String,
                    textCol: String, n: Int = 2,
                    unseenProb: Double = 1e-9): DataFrame = {
+    requireOrder(model, n)
     val lp = coalesce(
       log(col("c_gram").cast("double") / col("c_prefix")), lit(math.log(unseenProb)))
     docGrams(docs, idCol, textCol, n)
@@ -100,17 +124,32 @@ object NgramLM {
   /** Fluency gate: fit on the corpus itself and keep docs whose mean
     * conditional probability clears `minMeanProb` — the composable
     * filter-shaped form (garbled/templated-tail removal).
+    *
+    * UNSCOREABLE docs (fewer than n tokens — titles, one-word records)
+    * yield no grams and so cannot clear any threshold: by DEFAULT they
+    * are removed with the low-probability docs (the historical behavior,
+    * now stated rather than silent); pass keepUnscoreable = true to let
+    * them through ungated — the gate then only judges docs it can
+    * actually score (review r8).
     */
   def fluencyGate(corpus: DataFrame, idCol: String, textCol: String,
-                  minMeanProb: Double, n: Int = 2): DataFrame = {
+                  minMeanProb: Double, n: Int = 2,
+                  keepUnscoreable: Boolean = false): DataFrame = {
     val keep = scoreMeanProb(corpus, fit(corpus, textCol, n), idCol, textCol, n)
       .where(col("mean_cond_prob") >= minMeanProb)
       .select(idCol)
-    corpus.join(keep, Seq(idCol), "left_semi")
+    if (!keepUnscoreable) corpus.join(keep, Seq(idCol), "left_semi")
+    else {
+      // unscoreable = under n tokens = zero grams; scoreMeanProb never
+      // emits a row for them, so admit them by token count directly
+      val short = corpus
+        .where(size(tokenize(col(textCol))) < n).select(idCol)
+      corpus.join(keep.union(short), Seq(idCol), "left_semi")
+    }
   }
 
   private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    gramStream(docs, Seq(idCol), textCol, n)
+    gramStream(docs, Seq(idCol), textCol, n, repartitionFirst = true)
 
   /** (keep..., gram) occurrence stream. Tokens are projected behind a
     * named attribute BEFORE shingling — inlined, every element_at in the
@@ -120,8 +159,14 @@ object NgramLM {
     * task (same two traps Dedup.shingleSet documents).
     */
   private def gramStream(df: DataFrame, keep: Seq[String], textCol: String,
-                         n: Int): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+                         n: Int, repartitionFirst: Boolean): DataFrame = {
+    // repartitionFirst = false for corpus-sized well-split inputs
+    // (Dedup.shingleSet's exact contract): fitting over 100 TB must not
+    // round-robin every byte of text through an exchange first
+    val spread =
+      if (repartitionFirst)
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
     spread.select(keep.map(col) :+ tokenize(col(textCol)).as("__toks"): _*)
       .select(keep.map(col) :+ explode(shingles(col("__toks"), n)).as("gram"): _*)
   }

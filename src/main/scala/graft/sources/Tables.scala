@@ -39,6 +39,14 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ reinterpret is exact ONLY under a UTC session: any other
+        // zone silently shifts every wall-clock value by its offset —
+        // enforce the documented precondition instead of assuming it
+        // (GraftSession and the harnesses pin UTC; a notebook might not)
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC (the NTZ ts " +
+            "column reinterprets as UTC instants; a non-UTC session would " +
+            "silently shift every timestamp)")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.TimestampType))

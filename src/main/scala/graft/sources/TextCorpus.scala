@@ -11,17 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object TextCorpus {
 
-  /** One row per file: (path, label = parent directory name, text). */
+  /** Parent-directory label from a file URI: the path arrives
+    * PERCENT-ENCODED (input_file_name / binaryFile both yield URIs), so
+    * the extracted segment is url-decoded — a label dir named 'class A'
+    * must label rows "class A", not "class%20A" (review r8). One shared
+    * rule so the text and binary corpus paths can never disagree.
+    */
+  private def parentDirLabel(path: org.apache.spark.sql.Column) =
+    url_decode(regexp_extract(path, "/([^/]+)/[^/]+$", 1))
+
+  /** One row per file: (path, text, label = parent directory name). */
   def wholeTextWithLabels(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(s"$dir/*/*")
       .select(input_file_name().as("path"), col("value").as("text"))
-      .withColumn("label", regexp_extract(col("path"), "/([^/]+)/[^/]+$", 1))
+      .withColumn("label", parentDirLabel(col("path")))
 
-  /** One row per binary file: (path, label, length, content). */
+  /** One row per binary file: (path, length, content, label = parent
+    * directory name).
+    */
   def binaryWithLabels(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(s"$dir/*/*")
       .select(col("path"), col("length"), col("content"))
-      .withColumn("label", regexp_extract(col("path"), "/([^/]+)/[^/]+$", 1))
+      .withColumn("label", parentDirLabel(col("path")))
 
   /** Lenient JSONL ingest with a quarantine channel. Raw crawl/feed data
     * always contains malformed records; FAILFAST turns one bad line into a
@@ -30,9 +41,9 @@ object TextCorpus {
     * with an explicit corrupt-record column and splits the stream:
     *
     *  - `good`: rows that parsed against `schema` (corrupt column dropped);
-    *  - `quarantine`: the RAW malformed line (plus any fields that did
-    *    parse), preserved verbatim for later repair or audit — the same
-    *    dead-letter shape streaming systems use.
+    *  - `quarantine`: one `raw_record` column holding the malformed line
+    *    VERBATIM — repair tooling re-parses from the raw line, which
+    *    loses nothing (partially-parsed fields are derivable from it).
     *
     * Implementation: a TEXT scan + `from_json` with a corrupt-record
     * column, not the json file source's internal `_corrupt_record` — the

@@ -1065,6 +1065,22 @@ class OperatorsSpec extends SparkSpec {
     val probs = NgramLM.scoreMeanProb(docs, NgramLM.fit(docs, "text"), "doc_id", "text")
       .select("mean_cond_prob").as[Double].collect()
     assert(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0))
+
+    // review-r8 pins: unscoreable (< n tokens) docs drop by default but
+    // pass ungated with keepUnscoreable = true; an n-mismatched model is
+    // refused instead of scoring everything at unseenProb
+    val withShort = corpus.union(Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(NgramLM.fluencyGate(withShort, "doc_id", "text", 0.0)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "default: unscoreable docs drop even at threshold 0")
+    assert(NgramLM.fluencyGate(withShort, "doc_id", "text", 0.5, keepUnscoreable = true)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 9L),
+      "keepUnscoreable admits the short doc; the gate still cuts doc 2")
+    val bigram = NgramLM.fit(corpus, "text", n = 2)
+    val e = intercept[IllegalArgumentException] {
+      NgramLM.scoreMeanProb(corpus, bigram, "doc_id", "text", n = 3)
+    }
+    assert(e.getMessage.contains("fitted with n = 2"), e.getMessage)
   }
 
   test("O8: upsertLatest — newer wins, changes beat base at equal version, tombstone deletes") {
