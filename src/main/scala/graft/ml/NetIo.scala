@@ -40,25 +40,33 @@ object NetIo {
       .select("array_idx", "pos", "value").as[(Int, Int, Double)]
       .collect().groupBy(_._1)
     val shapes = template.arrays.map(_.length)
-    require(byArray.keySet == shapes.indices.toSet,
-      s"weight table has arrays ${byArray.keySet.toSeq.sorted}, template expects ${shapes.indices}")
+    // zero-length template arrays write zero rows (save's flatMap emits
+    // nothing for them), so they are legitimately absent from the table —
+    // requiring the full index range would make such a model unable to
+    // ever round-trip (review r9)
+    val expected = shapes.indices.filter(shapes(_) > 0).toSet
+    require(byArray.keySet == expected,
+      s"weight table has arrays ${byArray.keySet.toSeq.sorted}, template expects ${expected.toSeq.sorted}")
     val arrs = shapes.indices.map { ai =>
-      val entries = byArray(ai)
-      require(entries.length == shapes(ai),
-        s"array $ai has ${entries.length} weights, template expects ${shapes(ai)}")
-      val a = new Array[Double](shapes(ai))
-      // full position coverage, no duplicates: a table with a repeated pos
-      // and a missing one has the RIGHT row count but would load a
-      // nondeterministic value at the duplicate and a silent 0.0 at the
-      // hole — exactly the mis-assignment this loader promises to refuse
-      val seen = new java.util.BitSet(a.length)
-      for ((_, pos, v) <- entries) {
-        require(pos >= 0 && pos < a.length, s"array $ai position $pos out of range")
-        require(!seen.get(pos), s"array $ai has a duplicate weight at position $pos")
-        seen.set(pos)
-        a(pos) = v
+      if (shapes(ai) == 0) Array.empty[Double]
+      else {
+        val entries = byArray(ai)
+        require(entries.length == shapes(ai),
+          s"array $ai has ${entries.length} weights, template expects ${shapes(ai)}")
+        val a = new Array[Double](shapes(ai))
+        // full position coverage, no duplicates: a table with a repeated
+        // pos and a missing one has the RIGHT row count but would load a
+        // nondeterministic value at the duplicate and a silent 0.0 at the
+        // hole — exactly the mis-assignment this loader promises to refuse
+        val seen = new java.util.BitSet(a.length)
+        for ((_, pos, v) <- entries) {
+          require(pos >= 0 && pos < a.length, s"array $ai position $pos out of range")
+          require(!seen.get(pos), s"array $ai has a duplicate weight at position $pos")
+          seen.set(pos)
+          a(pos) = v
+        }
+        a
       }
-      a
     }
     template.rebuild(arrs)
   }

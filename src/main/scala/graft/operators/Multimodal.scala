@@ -254,8 +254,14 @@ object Multimodal {
           if (videoStream.contains(stream) && dataEnd > dataStart)
             frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
         }
-        // chunks are padded to even lengths
-        off = dataStart + ((math.min(size, Int.MaxValue).toInt + 1) & ~1)
+        // chunks are padded to even lengths; advance in Long — with size
+        // near 2^31, dataStart + paddedSize overflows Int to a NEGATIVE
+        // offset that still passes the `off + 8 <= end` guard and indexes
+        // the buffer out of bounds (review r9). Past `end` means no
+        // further chunk fits: stop (same salvage-what-fits semantics).
+        val next = dataStart.toLong + ((math.min(size, Int.MaxValue.toLong) + 1L) & ~1L)
+        if (next <= off || next > end) return
+        off = next.toInt
       }
     }
     walk(12, riffEnd, inMovi = false, depth = 0)

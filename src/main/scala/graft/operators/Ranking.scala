@@ -21,22 +21,30 @@ object Ranking {
 
   /** Append a 1-based global rank column following the given sort order.
     *
-    * The sorted frame is pinned (persisted + registered with
-    * [[Pinned]]) before zipWithIndex: zipWithIndex runs an EAGER job to
-    * count each partition, and without the pin that job pays the full
-    * range-partition + sort once for the counts and the consuming action
-    * pays it all over again (review r8 — the doc's "one tiny
+    * With `pin = true` (default) the sorted frame is pinned (persisted +
+    * registered with [[Pinned]]) before zipWithIndex: zipWithIndex runs an
+    * EAGER job to count each partition, and without the pin that job pays
+    * the range shuffle's reduce-side sort once for the counts and the
+    * consuming action pays it again (review r8 — the doc's "one tiny
     * count-per-partition job" was only true of the counting half).
-    * Callers outside the Verify/Bench harnesses release via
-    * `Pinned.release()` after consuming the result, the operator
-    * library's standard lifecycle.
+    * Pinning callers release via `Pinned.release()`/`Pinned.scoped` after
+    * consuming the result — the operator library's standard lifecycle.
+    *
+    * Long-lived sessions that never call release (streaming sinks,
+    * notebook loops — review r9) pass `pin = false`: nothing is cached, so
+    * nothing can leak. The cost is bounded because both jobs run over the
+    * SAME RDD lineage — the shuffle map files are reused across them, so
+    * the count pass re-pays only the reduce-side fetch + in-partition
+    * sort, never the upstream scan.
     */
-  def stableRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String): DataFrame = {
+  def stableRowNumber(df: DataFrame, sortCols: Seq[Column], outCol: String,
+                      pin: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
-    val sorted = Pinned.pin(df
+    val ranged = df
       .repartitionByRange(parallelism, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*))
+      .sortWithinPartitions(sortCols: _*)
+    val sorted = if (pin) Pinned.pin(ranged) else ranged
     val schema = sorted.schema.add(StructField(outCol, LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1))

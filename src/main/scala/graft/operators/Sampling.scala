@@ -84,14 +84,15 @@ object Sampling {
   /** Deterministic permutation: every row gets a global 1-based position
     * ordered by its draw (key as tiebreak). Scale-safe total order via
     * [[Ranking.stableRowNumber]] (range partition + zipWithIndex), never a
-    * single-partition window.
+    * single-partition window. `pin = false` for long-lived sessions that
+    * never call `Pinned.release` (see [[Ranking.stableRowNumber]]).
     */
   def hashShuffle(df: DataFrame, key: Column, salt: String,
-                  outCol: String = "pos"): DataFrame = {
+                  outCol: String = "pos", pin: Boolean = true): DataFrame = {
     require(!df.columns.contains("__draw"), "input already has a __draw column")
     require(!df.columns.contains(outCol), s"input already has a $outCol column")
     Ranking.stableRowNumber(df.withColumn("__draw", drawOn(key, salt)),
-      Seq(col("__draw"), key), outCol).drop("__draw")
+      Seq(col("__draw"), key), outCol, pin).drop("__draw")
   }
 
   /** Exactly-k-per-group deterministic sample: each group keeps its k

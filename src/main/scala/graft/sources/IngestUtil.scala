@@ -46,6 +46,12 @@ object IngestUtil {
     val header = new Array[Byte](512)
     var count = 0
     var done = false
+    // GNU 'L' long-name blocks and PAX 'x' `path` records carry the REAL
+    // path of the entry that follows (the 100-byte name field then holds a
+    // truncated stand-in) — applying the override, not just consuming the
+    // block, is what keeps long-pathed files out of wrong truncated
+    // locations (review r9). The override still routes through safeDest.
+    var pendingName: Option[String] = None
     while (!done) {
       if (!readFully(in, header)) done = true
       else if (header.forall(_ == 0)) done = true
@@ -56,33 +62,87 @@ object IngestUtil {
         // chains into destDir
         val prefix = cString(header, 345, 155)
         val tail = cString(header, 0, 100)
-        val name = if (prefix.isEmpty) tail else s"$prefix/$tail"
+        val ustarName = if (prefix.isEmpty) tail else s"$prefix/$tail"
         val size = java.lang.Long.parseLong(cString(header, 124, 12).trim, 8)
         val typeFlag = header(156).toChar
+        val name = pendingName.getOrElse(ustarName)
         typeFlag match {
+          case 'L' => // GNU long name: payload = next entry's full path
+            pendingName = Some(readMetaBlock(in, size, "GNU long-name"))
+          case 'x' => // PAX per-file records: `path` overrides next name
+            parsePaxRecords(readMetaBlock(in, size, "PAX header"))
+              .get("path").foreach(p => pendingName = Some(p))
+          case 'g' => // PAX global defaults: a global path would silently
+            // rename every following entry — refuse rather than misplace
+            require(!parsePaxRecords(readMetaBlock(in, size, "PAX global header"))
+              .contains("path"), "PAX global 'path' override is unsupported")
           case '5' =>
             safeDest(destDir, name).mkdirs()
+            pendingName = None
           case '0' | '\u0000' if name.endsWith("/") =>
             safeDest(destDir, name).mkdirs()
+            pendingName = None
           case '0' | '\u0000' | '7' => // regular (incl. old-tar contiguous)
             val out = safeDest(destDir, name)
             out.getParentFile.mkdirs()
             writeEntry(in, out, size)
             count += 1
+            pendingName = None
           case _ =>
-            // PAX headers (x/g), GNU long-name blocks (L/K), symlinks (2),
-            // devices, fifos: consume the payload, materialize NOTHING — a
-            // symlink written as an empty file is silent content loss, and
-            // metadata blocks extracted as junk files corrupt the tree.
-            // (Symlinks are also a zip-slip vector; refusing them keeps
-            // the sanitizer airtight.)
+            // GNU 'K' (long link target), symlinks (2), devices, fifos:
+            // consume the payload, materialize NOTHING — a symlink written
+            // as an empty file is silent content loss, and metadata blocks
+            // extracted as junk files corrupt the tree. (Symlinks are also
+            // a zip-slip vector; refusing them keeps the sanitizer
+            // airtight.)
             skipFully(in, size)
+            pendingName = None
         }
         val pad = (512 - (size % 512)) % 512
         skipFully(in, pad)
       }
     }
     count
+  }
+
+  /** Read a metadata block ('L'/'x'/'g' payload) fully; these carry paths
+    * or keyword records and are tiny — cap at 1 MiB so a forged size field
+    * cannot balloon the heap. Trailing NULs stripped ('L' payloads are
+    * NUL-terminated).
+    */
+  private def readMetaBlock(in: InputStream, size: Long, what: String): String = {
+    require(size <= (1L << 20), s"$what block implausibly large ($size bytes)")
+    val buf = new Array[Byte](size.toInt)
+    require(readFully(in, buf), s"truncated $what block")
+    var end = buf.length
+    while (end > 0 && buf(end - 1) == 0) end -= 1
+    new String(buf, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Parse PAX extended-header records: `"%d key=value\n"` with the decimal
+    * length counting the whole record including itself and the newline
+    * (POSIX pax spec). Malformed records throw — a half-parsed PAX header
+    * silently dropping `path` is exactly the misplacement bug this parser
+    * exists to prevent.
+    */
+  private[graft] def parsePaxRecords(payload: String): Map[String, String] = {
+    val bytes = payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = Map.newBuilder[String, String]
+    var off = 0
+    while (off < bytes.length) {
+      val sp = bytes.indexOf(' '.toByte, off)
+      require(sp > off, s"malformed PAX record at byte $off (no length field)")
+      val len = new String(bytes, off, sp - off, java.nio.charset.StandardCharsets.US_ASCII).toInt
+      require(len > sp - off + 1 && off + len <= bytes.length && bytes(off + len - 1) == '\n',
+        s"malformed PAX record at byte $off (bad length $len)")
+      val rec = new String(bytes, sp + 1, off + len - 1 - (sp + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = rec.indexOf('=')
+      require(eq > 0, s"malformed PAX record at byte $off (no '=')")
+      out += rec.substring(0, eq) -> rec.substring(eq + 1)
+      off += len
+    }
+    out.result()
   }
 
   /** Resolve an entry path under destDir, refusing zip-slip escapes. */

@@ -39,14 +39,21 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // the NTZ reinterpret is exact ONLY under a UTC session: any other
-        // zone silently shifts every wall-clock value by its offset —
-        // enforce the documented precondition instead of assuming it
-        // (GraftSession and the harnesses pin UTC; a notebook might not)
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "Tables.events requires spark.sql.session.timeZone=UTC (the NTZ ts " +
-            "column reinterprets as UTC instants; a non-UTC session would " +
-            "silently shift every timestamp)")
+        // the NTZ reinterpret is exact ONLY under a zero-offset session:
+        // any other zone silently shifts every wall-clock value by its
+        // offset — enforce the documented precondition instead of assuming
+        // it (GraftSession and the harnesses pin UTC; a notebook might
+        // not). Equivalence is by ZoneId rules, not string equality, so
+        // "Etc/UTC"/"GMT"/"Z"/"+00:00" sessions are accepted (review r9).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        val isUtc =
+          try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+            .normalized() == java.time.ZoneOffset.UTC
+          catch { case _: java.time.DateTimeException => false }
+        require(isUtc,
+          s"Tables.events requires a UTC-equivalent spark.sql.session.timeZone " +
+            s"(got '$tz'): the NTZ ts column reinterprets as UTC instants; a " +
+            "non-UTC session would silently shift every timestamp")
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.TimestampType))

@@ -98,6 +98,21 @@ class MlSpec extends SparkSpec {
       NetIo.load(spark, Autoencoder.init(aeCfg, seed = 1), s"$dir/ae_dup")
     }
     assert(e2.getMessage.contains("duplicate weight"), e2.getMessage)
+
+    // review-r9 pin: a zero-length parameter array writes zero rows, so it
+    // is legitimately absent from the table — the loader must round-trip
+    // it as empty instead of refusing the key-set mismatch forever
+    val withEmpty = MlSpec.PairParams(Array(1.5, -2.5, 3.5), Array.empty)
+    NetIo.save(spark, withEmpty, s"$dir/empty")
+    val back = NetIo.load(spark,
+      MlSpec.PairParams(new Array[Double](3), Array.empty), s"$dir/empty")
+    assert(back.a.toSeq == Seq(1.5, -2.5, 3.5) && back.b.isEmpty)
+    // but a table genuinely missing a NON-empty array still refuses
+    val e3 = intercept[IllegalArgumentException] {
+      NetIo.load(spark,
+        MlSpec.PairParams(new Array[Double](3), new Array[Double](2)), s"$dir/empty")
+    }
+    assert(e3.getMessage.contains("template expects"), e3.getMessage)
   }
 
   test("M6: evaluator accuracy equals the A7 confusion-matrix accuracy") {
@@ -219,5 +234,16 @@ class MlSpec extends SparkSpec {
     val vectors = model.getVectors // (word, vector) join table — J1's dimension side
     assert(vectors.count() > 10)
     assert(vectors.columns.toSeq == Seq("word", "vector"))
+  }
+}
+
+object MlSpec {
+  /** Minimal FlatParams implementor for NetIo edge-case tests (one empty
+    * parameter array — a shape no shipped net has, but the trait allows).
+    */
+  final case class PairParams(a: Array[Double], b: Array[Double])
+      extends graft.ml.FlatParams[PairParams] {
+    def arrays: Seq[Array[Double]] = Seq(a, b)
+    def rebuild(arrs: Seq[Array[Double]]): PairParams = PairParams(arrs(0), arrs(1))
   }
 }

@@ -796,6 +796,22 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.stubFeatures("zzz".getBytes, 64).toSeq)
     assert(byPath("h264.avi").map(_.frameIdx).toSeq == Seq(-1),
       "an AVI whose chunks are not JPEG must stub, not vanish")
+
+    // review-r9 pin: a chunk whose declared size puts dataStart + size at
+    // exactly Int.MaxValue with an ODD size used to overflow the padded
+    // advance to a negative offset (passing the `off + 8 <= end` loop
+    // guard) and index the buffer out of bounds — the walker must treat it
+    // as truncation and salvage, never throw
+    val overflowSize = Int.MaxValue - 20 // dataStart = 20; odd by construction
+    assert(overflowSize % 2 == 1)
+    val szLe = Array[Byte](
+      (overflowSize & 0xff).toByte, ((overflowSize >> 8) & 0xff).toByte,
+      ((overflowSize >> 16) & 0xff).toByte, ((overflowSize >> 24) & 0xff).toByte)
+    val crafted = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0x7f) ++ "AVI ".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ szLe ++ Array.fill[Byte](12)(9)
+    assert(Multimodal.aviVideoChunks(crafted).isEmpty,
+      "no movi list: None — and absolutely no index-out-of-bounds")
   }
 
   test("cache lifecycle: Pinned.release() after consumption leaves no net cached blocks") {

@@ -479,6 +479,19 @@ class ScaleOpsSpec extends SparkSpec {
       c.select("c_custkey", "c_acctbal"), Seq(col("c_acctbal").desc, col("c_custkey")), "pos")
       .select("c_custkey", "pos").as[(Long, Long)].collect().toSet
     assert(viaStable == viaWindow)
+
+    // review-r9 pin: the no-pin overload (long-lived sessions that never
+    // call Pinned.release) must produce the identical rank without leaving
+    // anything in the pin registry
+    graft.operators.Pinned.release()
+    val before = graft.operators.Pinned.pinnedCount
+    val viaNoPin = graft.operators.Ranking.stableRowNumber(
+      c.select("c_custkey", "c_acctbal"), Seq(col("c_acctbal").desc, col("c_custkey")),
+      "pos", pin = false)
+      .select("c_custkey", "pos").as[(Long, Long)].collect().toSet
+    assert(viaNoPin == viaWindow)
+    assert(graft.operators.Pinned.pinnedCount == before,
+      "pin = false must register nothing for release")
   }
 
   test("A10: approx_count_distinct (HLL++) lands within 5% of exact") {
