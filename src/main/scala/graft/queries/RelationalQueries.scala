@@ -710,6 +710,47 @@ object RelationalQueries {
         .toDF("n_rows", "multiset_ok", "files_reduced")
     },
 
+    // O12 (r9): the OBJECT-STORE maintenance path — the manifest-committed
+    // table is the documented alternative wherever Sink.compactParquet's
+    // atomic-rename contract does not hold (s3a/gs/wasb). The full
+    // lifecycle runs every round: two appends (fragmented), a compaction
+    // commit (rebase-safe), a vacuum of the superseded files; the emitted
+    // row pins the invariants a correct log-structured table must satisfy —
+    // the row multiset survives the whole cycle (count + orderkey checksum
+    // against the SOURCE relation, replayed directly by the DuckDB
+    // oracle), the compaction was a real many-to-few rewrite, and vacuum
+    // dropped the superseded storage without touching the live snapshot.
+    QueryDef.sql(
+      "o12_manifest_table",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS multiset_ok,
+        |       true AS files_reduced, true AS vacuum_ok
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_o12_manifest_${Integer.toHexString(d.hashCode)}").toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      // two fragmented appends — the micro-batch ingest shape
+      M.append(s, src.where(col("o_orderkey") % 2 === 0).repartition(32), root)
+      M.append(s, src.where(col("o_orderkey") % 2 =!= 0).repartition(32), root)
+      val filesBefore = M.latestSnapshot(s, root).get.files.size
+      val bytes = M.latestSnapshot(s, root).get.files.map(_.bytes).sum
+      val (_, filesAfter, _) = M.compact(s, root, math.max(1L, bytes / 4))
+      val dropped = M.vacuum(s, root, keepVersions = 1, minAgeMs = 0L)
+      val (nExp, sumExp) = src.agg(count(lit(1)), sum("o_orderkey"))
+        .as[(Long, Option[Long])].head()
+      val (nGot, sumGot) = M.read(s, root)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, nGot == nExp && sumGot == sumExp, filesAfter < filesBefore,
+        dropped >= 2 && nGot == nExp))
+        .toDF("n_rows", "multiset_ok", "files_reduced", "vacuum_ok")
+    },
+
     // J6c: TPC-H Q3 shape — shipping-priority top-10 (join + agg + top-k).
     QueryDef.sql(
       "q3_shipping_priority",

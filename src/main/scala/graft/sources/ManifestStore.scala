@@ -1,0 +1,323 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Manifest-committed parquet table — the OBJECT-STORE answer to the
+  * rename-swap compaction in [[Sink]] (whose `requireAtomicRename` refuses
+  * s3a/gs/wasb up front). Same public pattern as Delta/Iceberg commit
+  * logs, reduced to the minimum the engine needs:
+  *
+  *  - **Readers never list data directories.** A snapshot is exactly the
+  *    file list in the highest INTACT manifest under `_manifests/`; files
+  *    a crashed or in-flight writer left behind are invisible because no
+  *    manifest references them.
+  *  - **Writers never rename.** Each append writes its parquet to a fresh
+  *    `data/batch-<uuid>/` directory (single-writer, collision-free), then
+  *    commits a new manifest version referencing those files in place.
+  *    A crash before commit leaves an unreferenced directory that
+  *    [[vacuum]] collects; a crash after commit is a completed write.
+  *  - **Commits are atomic via create-exclusive**, not rename:
+  *    `FileSystem.create(path, overwrite = false)` — atomic on HDFS and
+  *    POSIX, and the documented mapping for object stores is a
+  *    conditional PUT (If-None-Match), which S3/GCS/ABFS all provide.
+  *    Concurrent committers race for the next version number; the loser
+  *    REBASES onto the winner's snapshot and retries (appends union their
+  *    files in; compactions re-apply replace-only-what-I-read), so no
+  *    committed write is ever lost — optimistic concurrency, the
+  *    object-store replacement for the swap protocol's single-writer
+  *    contract.
+  *  - **Torn manifests are detectable, not trusted**: the last line is an
+  *    md5 of everything above it, so a reader seeing a half-uploaded
+  *    manifest (create-then-write is not atomic at the CONTENT level on
+  *    real filesystems) falls back to the previous intact version, and
+  *    the torn version slot is simply skipped by later committers.
+  *
+  * Compaction here is [[compact]]: read the current snapshot, rewrite it
+  * into ~targetFileBytes files (same narrow packing scan as
+  * [[Sink.compactParquet]]), commit a manifest that references only the
+  * new files. Old files stay on disk for in-flight readers of older
+  * snapshots (time travel via [[readVersion]] is free) until [[vacuum]]
+  * drops everything unreferenced by the kept versions and older than a
+  * safety age.
+  *
+  * 100 TB posture: the manifest holds one line per live FILE (at the
+  * 128 MB target that is ~8k lines per PB — a driver-side text file, fine
+  * up to millions of files); data bytes move only when compaction
+  * rewrites them, never for a commit; reads prune to exactly the listed
+  * files with no LIST-under-prefix race. Reference analog: the engine's
+  * ingest utilities stage whole datasets (chapter2/DataUtilities.java:33-89);
+  * this is the curated-output side of that pipeline at scale.
+  */
+object ManifestStore {
+
+  final case class ManifestEntry(path: String, bytes: Long)
+  final case class Snapshot(version: Long, files: Seq[ManifestEntry])
+
+  private val Header = "graft-manifest v1"
+  private def manifestsDir(root: Path) = new Path(root, "_manifests")
+  private def dataDir(root: Path) = new Path(root, "data")
+  private def manifestPath(root: Path, v: Long) =
+    new Path(manifestsDir(root), f"v$v%020d.manifest")
+  private val ManifestName = """^v(\d{20})\.manifest$""".r
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def render(s: Snapshot): Array[Byte] = {
+    val body = new StringBuilder
+    body.append(Header).append('\n')
+    body.append("version=").append(s.version).append('\n')
+    s.files.foreach { f =>
+      require(!f.path.contains('\n') && !f.path.contains('\t'),
+        s"file path not manifest-safe: ${f.path}")
+      body.append(f.path).append('\t').append(f.bytes).append('\n')
+    }
+    val bodyStr = body.toString
+    val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      bodyStr.getBytes(StandardCharsets.UTF_8))
+    (bodyStr + s"checksum=$sum\n").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** Parse a manifest; None when torn/corrupt (bad header, bad checksum,
+    * version mismatch with its file name) — callers treat that version
+    * slot as never committed.
+    */
+  private def parse(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] =
+    try parseStrict(bytes, expectVersion)
+    catch { case _: NumberFormatException => None }
+
+  private def parseStrict(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] = {
+    val text = new String(bytes, StandardCharsets.UTF_8)
+    val ck = text.lastIndexOf("checksum=")
+    if (ck < 0 || !text.endsWith("\n")) return None
+    val body = text.substring(0, ck)
+    val sum = text.substring(ck + "checksum=".length).trim
+    if (org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        body.getBytes(StandardCharsets.UTF_8)) != sum) return None
+    val lines = body.split("\n", -1).toSeq.dropRight(1) // trailing ""
+    if (lines.isEmpty || lines.head != Header) return None
+    val v = lines.lift(1).collect { case s if s.startsWith("version=") =>
+      s.stripPrefix("version=").toLong }
+    if (!v.contains(expectVersion)) return None
+    val files = lines.drop(2).map { l =>
+      val i = l.lastIndexOf('\t')
+      if (i <= 0) return None
+      ManifestEntry(l.substring(0, i), l.substring(i + 1).toLong)
+    }
+    Some(Snapshot(expectVersion, files))
+  }
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
+    val dir = manifestsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestName(d) => Some(d.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Highest intact snapshot, or None for an empty/uninitialized table.
+    * Torn versions (crashed committers) are skipped, never trusted.
+    */
+  def latestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val (fs, rootP) = fsFor(spark, root)
+    listVersions(fs, rootP).reverse.iterator
+      .flatMap(v => readManifest(fs, rootP, v))
+      .nextOption()
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+      parse(bytes, v)
+    }
+  }
+
+  /** Atomically claim version `v` with the given snapshot content.
+    * Returns false when the slot is taken (another committer won the
+    * race) — create-exclusive is the commit point.
+    */
+  private def tryCommit(fs: FileSystem, root: Path, s: Snapshot): Boolean = {
+    fs.mkdirs(manifestsDir(root))
+    val p = manifestPath(root, s.version)
+    val out = try fs.create(p, false)
+    catch { case _: java.io.IOException => return false } // exists: lost the race
+    try { out.write(render(s)); true } finally out.close()
+  }
+
+  /** Write `df` as a new batch and commit it appended to the latest
+    * snapshot. Returns the committed version. Safe under concurrent
+    * appends/compactions: on a lost race the commit rebases onto the
+    * winner (its own data files are untouched and still valid) and
+    * retries.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             maxRetries: Int = 10): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val batch = new Path(dataDir(rootP), s"batch-${UUID.randomUUID()}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val mine = fs.listStatus(batch).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
+    commitWithRebase(fs, rootP, maxRetries) { base =>
+      Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine))
+    }
+  }
+
+  /** Rebase-and-retry commit loop shared by append/compact. `build`
+    * returns None to ABANDON the commit against the given base (e.g. a
+    * compaction whose inputs another compactor already replaced) —
+    * reported as -1.
+    */
+  private def commitWithRebase(fs: FileSystem, root: Path, maxRetries: Int)
+                              (build: Option[Snapshot] => Option[Snapshot]): Long = {
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val base = listVersions(fs, root).reverse.iterator
+        .flatMap(v => readManifest(fs, root, v)).nextOption()
+      // claim strictly above every EXISTING slot (intact or torn): a torn
+      // slot is dead, never reused — its writer may still be mid-upload
+      val next = (listVersions(fs, root) :+ base.map(_.version).getOrElse(0L)).max + 1
+      build(base) match {
+        case None => return -1L
+        case Some(snap) => if (tryCommit(fs, root, snap.copy(version = next))) return next
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"manifest commit lost $maxRetries consecutive races under $root — " +
+        "a pathologically hot table; back off and retry")
+  }
+
+  /** DataFrame over the latest snapshot (empty-schema error when the table
+    * has no committed version — callers create tables via [[append]]).
+    */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latestSnapshot(spark, root).map(_.version).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"no committed manifest under $root")))
+
+  /** Time travel: the exact file set of version `v` (intact manifests are
+    * immutable, so this read is stable while the files survive [[vacuum]]).
+    */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val (fs, rootP) = fsFor(spark, root)
+    val snap = readManifest(fs, rootP, v).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no intact manifest v$v under $root"))
+    if (snap.files.isEmpty)
+      throw new java.util.NoSuchElementException(
+        s"manifest v$v under $root references no files")
+    spark.read.parquet(snap.files.map(_.path): _*)
+  }
+
+  /** Rewrite the CURRENT snapshot into ~targetFileBytes files and commit
+    * the compacted file list as a new version. Returns
+    * (filesBefore, filesAfter, committedVersion). Concurrent appends are
+    * preserved: if one lands between our snapshot read and our commit, the
+    * rebase keeps its files and swaps out only the files we actually
+    * rewrote. If a concurrent COMPACTION already replaced any of our input
+    * files, committing our copy too would double the rows — the commit is
+    * abandoned instead (version -1; the orphaned rewrite directory is
+    * [[vacuum]] food). Old files remain on disk for older-version readers
+    * until [[vacuum]].
+    */
+  def compact(spark: SparkSession, root: String,
+              targetFileBytes: Long = 128L << 20,
+              maxRetries: Int = 10): (Int, Int, Long) = {
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    compactFrom(spark, root, before, targetFileBytes, maxRetries)
+  }
+
+  /** [[compact]] against an explicit base snapshot — the test seam for the
+    * stale-inputs abandonment path (a second compactor holding a snapshot
+    * the first already replaced).
+    */
+  private[graft] def compactFrom(spark: SparkSession, root: String,
+                                 before: Snapshot, targetFileBytes: Long,
+                                 maxRetries: Int = 10): (Int, Int, Long) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val (fs, rootP) = fsFor(spark, root)
+    if (before.files.isEmpty)
+      return (0, 0, before.version)
+    val rewrote = before.files.map(_.path).toSet
+    // same packing scan as Sink.compactParquet: maxPartitionBytes = target,
+    // open cost zeroed — a narrow, shuffle-free merge of the snapshot
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
+    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
+    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
+    val batch = new Path(dataDir(rootP), s"batch-${UUID.randomUUID()}")
+    scoped.read.parquet(rewrote.toSeq.sorted: _*)
+      .write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    val mine = fs.listStatus(batch).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
+    val v = commitWithRebase(fs, rootP, maxRetries) { base =>
+      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      val present = baseFiles.map(_.path).toSet
+      if (rewrote.exists(p => !present(p))) None // inputs already replaced
+      else Some(Snapshot(0L, baseFiles.filterNot(f => rewrote(f.path)) ++ mine))
+    }
+    (before.files.size, mine.size, v)
+  }
+
+  /** Drop data unreferenced by the newest `keepVersions` intact manifests
+    * AND older than `minAgeMs` (the age guard protects in-flight
+    * uncommitted batch directories — a writer's files exist before its
+    * commit does). Also prunes manifest files older than the kept set.
+    * Returns the number of batch directories deleted.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
+             minAgeMs: Long = 24L * 3600 * 1000): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val (fs, rootP) = fsFor(spark, root)
+    val intact = listVersions(fs, rootP).reverse
+      .flatMap(v => readManifest(fs, rootP, v))
+    val kept = intact.take(keepVersions)
+    if (kept.isEmpty) return 0
+    // compare scheme/authority-STRIPPED paths: a Path parsed from a
+    // manifest string carries a null URI authority ("file:/x") while
+    // listStatus returns an empty one ("file:///x") — makeQualified
+    // normalizes neither, and raw-URI comparison would read every live
+    // directory as unreferenced and vacuum the current snapshot itself.
+    // All compared paths live under one table root, so the stripped form
+    // is unambiguous.
+    def stripped(p: Path): String =
+      Path.getPathWithoutSchemeAndAuthority(p).toString
+    val live = kept.flatMap(_.files.map(f =>
+      stripped(new Path(f.path).getParent))).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dd = dataDir(rootP)
+    var dropped = 0
+    if (fs.exists(dd)) for (d <- fs.listStatus(dd) if d.isDirectory) {
+      val ref = live.contains(stripped(d.getPath))
+      if (!ref && d.getModificationTime < cutoff) {
+        fs.delete(d.getPath, true)
+        dropped += 1
+      }
+    }
+    val keepV = kept.map(_.version).min
+    for (v <- listVersions(fs, rootP) if v < keepV)
+      fs.delete(manifestPath(rootP, v), false)
+    dropped
+  }
+}

@@ -115,8 +115,8 @@ object Sink {
       throw new UnsupportedOperationException(
         s"compaction requires atomic directory rename, which '$scheme' does not " +
           "provide (object-store rename is a non-atomic copy+delete, so a crash " +
-          "mid-swap can corrupt the leaf) — on object stores, compact through a " +
-          "transactional table format (manifest-commit) instead")
+          "mid-swap can corrupt the leaf) — on object stores, use the " +
+          "manifest-committed table (graft.sources.ManifestStore.compact) instead")
     }
 
   /** Crash-state recovery for one leaf. The (dir, old, tmp) existence triple

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestStore
+
+/** Manifest-committed table (the object-store compaction posture —
+  * [[graft.sources.Sink.requireAtomicRename]]'s documented alternative,
+  * r9): readers resolve the highest INTACT manifest instead of listing
+  * directories, writers never rename, commits are create-exclusive with
+  * optimistic rebase, compaction and vacuum are manifest swaps.
+  */
+class ManifestStoreSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft-manifest").toString
+
+  private def batch(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"row-$i")).toDF("id", "payload")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().toSeq.sorted
+
+  test("append/read round-trip; versions increment; snapshots are unions") {
+    val root = freshRoot()
+    val v1 = ManifestStore.append(spark, batch(0, 10).repartition(4), root)
+    assert(v1 == 1L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 10L))
+    val v2 = ManifestStore.append(spark, batch(10, 25).repartition(4), root)
+    assert(v2 == 2L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 25L))
+    // time travel: v1 still sees only the first batch
+    assert(ids(ManifestStore.readVersion(spark, root, 1)) == (0L until 10L))
+  }
+
+  test("uncommitted data is invisible: no manifest references it") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 5), root)
+    // a crashed writer's orphan: parquet under data/ with no commit
+    batch(100, 110).write.parquet(s"$root/data/batch-orphan")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 5L),
+      "readers must resolve the manifest, never list the data directory")
+  }
+
+  test("compact preserves the multiset, reduces files, keeps old versions readable") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 200).repartition(16), root)
+    ManifestStore.append(spark, batch(200, 400).repartition(16), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    assert(before.files.size >= 32)
+    val totalBytes = before.files.map(_.bytes).sum
+    val (nBefore, nAfter, v) =
+      ManifestStore.compact(spark, root, targetFileBytes = totalBytes / 2)
+    assert(nBefore == before.files.size && v == 3L)
+    assert(nAfter < nBefore / 4, s"$nBefore -> $nAfter should be a real merge")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 400L))
+    // pre-vacuum, the pre-compaction snapshot is still fully readable
+    assert(ids(ManifestStore.readVersion(spark, root, 2)) == (0L until 400L))
+    assert(ManifestStore.latestSnapshot(spark, root).get.files.size == nAfter)
+  }
+
+  test("torn manifests are skipped by readers and never reused by committers") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 5), root)
+    // a crashed committer's half-upload at the next slot: garbage content
+    val torn = new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(torn, false)
+    out.write("graft-manifest v1\nversion=2\nhalf-a-lin".getBytes("UTF-8"))
+    out.close()
+    // readers fall back to the intact v1
+    assert(ManifestStore.latestSnapshot(spark, root).get.version == 1L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 5L))
+    // the next commit claims ABOVE the dead slot, never overwrites it
+    val v = ManifestStore.append(spark, batch(5, 8), root)
+    assert(v == 3L, s"torn v2 must stay dead; got $v")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 8L))
+  }
+
+  test("append rebases over a concurrent commit instead of losing it") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 5), root)
+    // simulate a racing committer that wins slot 2 between our snapshot
+    // read and our create-exclusive: seed it before our append runs by
+    // committing normally, then verify a THIRD append sees both
+    ManifestStore.append(spark, batch(5, 10), root)
+    val v = ManifestStore.append(spark, batch(10, 15), root)
+    assert(v == 3L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 15L),
+      "every committed append must survive")
+  }
+
+  test("stale compaction abandons instead of duplicating rows") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 100).repartition(8), root)
+    val stale = ManifestStore.latestSnapshot(spark, root).get
+    // a faster compactor replaces the same inputs first
+    val (_, _, v2) = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(v2 == 2L)
+    // the slower compactor holds the PRE-compaction snapshot: its inputs
+    // are gone from the latest manifest — committing its copy would
+    // double every row, so it must abandon (version -1, no new manifest)
+    val (_, _, vAbandoned) =
+      ManifestStore.compactFrom(spark, root, stale, targetFileBytes = 1L << 30)
+    assert(vAbandoned == -1L)
+    assert(ManifestStore.latestSnapshot(spark, root).get.version == 2L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 100L),
+      "no duplicated rows after the abandoned stale compaction")
+  }
+
+  test("compaction rebase preserves an append that lands mid-compaction") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 50).repartition(8), root)
+    val base = ManifestStore.latestSnapshot(spark, root).get
+    // an append commits AFTER the compactor snapshotted its inputs
+    ManifestStore.append(spark, batch(50, 60), root)
+    val (_, _, v) =
+      ManifestStore.compactFrom(spark, root, base, targetFileBytes = 1L << 30)
+    assert(v == 3L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 60L),
+      "the interleaved append's files must survive the compaction commit")
+  }
+
+  test("vacuum drops unreferenced batches and old manifests, honors the age guard") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 100).repartition(8), root)
+    batch(500, 510).write.parquet(s"$root/data/batch-orphan") // crashed writer
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs() = fs.listStatus(new Path(s"$root/data")).count(_.isDirectory)
+    assert(batchDirs() == 3) // original, orphan, compacted
+
+    // age guard first: nothing young enough to delete
+    assert(ManifestStore.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 24L * 3600 * 1000) == 0)
+    assert(batchDirs() == 3)
+
+    val dropped = ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0)
+    assert(dropped == 2, s"original + orphan should drop, got $dropped")
+    assert(batchDirs() == 1)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 100L),
+      "the live snapshot survives vacuum intact")
+    // the pre-compaction manifest is gone with its files
+    intercept[java.util.NoSuchElementException] {
+      ManifestStore.readVersion(spark, root, 1)
+    }
+  }
+
+  test("reading an empty or uninitialized table fails loudly, not emptily") {
+    val root = freshRoot()
+    intercept[java.util.NoSuchElementException] {
+      ManifestStore.read(spark, root)
+    }
+  }
+}
