@@ -738,8 +738,9 @@ object RelationalQueries {
       // two fragmented appends — the micro-batch ingest shape
       M.append(s, src.where(col("o_orderkey") % 2 === 0).repartition(32), root)
       M.append(s, src.where(col("o_orderkey") % 2 =!= 0).repartition(32), root)
-      val filesBefore = M.latestSnapshot(s, root).get.files.size
-      val bytes = M.latestSnapshot(s, root).get.files.map(_.bytes).sum
+      val snap = M.latestSnapshot(s, root).get
+      val filesBefore = snap.files.size
+      val bytes = snap.files.map(_.bytes).sum
       val (_, filesAfter, _) = M.compact(s, root, math.max(1L, bytes / 4))
       val dropped = M.vacuum(s, root, keepVersions = 1, minAgeMs = 0L)
       val (nExp, sumExp) = src.agg(count(lit(1)), sum("o_orderkey"))

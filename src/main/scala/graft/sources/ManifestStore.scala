@@ -20,21 +20,34 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    commits a new manifest version referencing those files in place.
   *    A crash before commit leaves an unreferenced directory that
   *    [[vacuum]] collects; a crash after commit is a completed write.
-  *  - **Commits are atomic via create-exclusive**, not rename:
-  *    `FileSystem.create(path, overwrite = false)` — atomic on HDFS and
-  *    POSIX, and the documented mapping for object stores is a
-  *    conditional PUT (If-None-Match), which S3/GCS/ABFS all provide.
+  *  - **Commits are atomic via create-exclusive**, not rename.
   *    Concurrent committers race for the next version number; the loser
   *    REBASES onto the winner's snapshot and retries (appends union their
-  *    files in; compactions re-apply replace-only-what-I-read), so no
-  *    committed write is ever lost — optimistic concurrency, the
-  *    object-store replacement for the swap protocol's single-writer
-  *    contract.
+  *    files in; compactions re-apply replace-only-what-I-read, or ABANDON
+  *    when their inputs were already replaced), so no committed write is
+  *    ever lost — optimistic concurrency, the object-store replacement
+  *    for the swap protocol's single-writer contract.
   *  - **Torn manifests are detectable, not trusted**: the last line is an
-  *    md5 of everything above it, so a reader seeing a half-uploaded
-  *    manifest (create-then-write is not atomic at the CONTENT level on
-  *    real filesystems) falls back to the previous intact version, and
-  *    the torn version slot is simply skipped by later committers.
+  *    md5 of everything above it, so a reader seeing a half-written
+  *    manifest falls back to the previous intact version. Because a torn
+  *    slot can be a committer that is still WRITING (create and close are
+  *    not one atomic step on a real filesystem), torn slots above the
+  *    intact head get a GRACE window keyed on their mtime: committers
+  *    wait for a young torn slot to either become intact or age out
+  *    before building past it — without the wait, a slow writer's
+  *    committed version could be silently orphaned by the next commit.
+  *
+  * '''Commit-point contract''': `FileSystem.create(path, overwrite=false)`
+  * must atomically fail on an existing path. HDFS provides this natively.
+  * The local filesystem's Hadoop `create` is check-then-act, so the
+  * `file:` scheme is special-cased through `File.createNewFile()` (POSIX
+  * `O_CREAT|O_EXCL`, atomic) — which also makes single-box multi-threaded
+  * use sound. Object stores map the claim to a conditional PUT
+  * (If-None-Match); that requires a connector that actually implements it
+  * (e.g. Hadoop 3.4.1+ s3a conditional create) — on a connector whose
+  * create is a HEAD-then-PUT race, commits can be lost, mirroring exactly
+  * the rename caveat [[Sink.requireAtomicRename]] documents. Verify the
+  * connector before pointing this store at a bucket.
   *
   * Compaction here is [[compact]]: read the current snapshot, rewrite it
   * into ~targetFileBytes files (same narrow packing scan as
@@ -42,7 +55,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * new files. Old files stay on disk for in-flight readers of older
   * snapshots (time travel via [[readVersion]] is free) until [[vacuum]]
   * drops everything unreferenced by the kept versions and older than a
-  * safety age.
+  * safety age (keyed on the files INSIDE a batch directory — object
+  * stores report synthetic mtimes for directory markers).
   *
   * 100 TB posture: the manifest holds one line per live FILE (at the
   * 128 MB target that is ~8k lines per PB — a driver-side text file, fine
@@ -87,7 +101,7 @@ object ManifestStore {
 
   /** Parse a manifest; None when torn/corrupt (bad header, bad checksum,
     * version mismatch with its file name) — callers treat that version
-    * slot as never committed.
+    * slot as not (yet) committed.
     */
   private def parse(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] =
     try parseStrict(bytes, expectVersion)
@@ -124,14 +138,17 @@ object ManifestStore {
   }
 
   /** Highest intact snapshot, or None for an empty/uninitialized table.
-    * Torn versions (crashed committers) are skipped, never trusted.
+    * Torn versions (crashed or in-flight committers) are skipped, never
+    * trusted.
     */
   def latestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    listVersions(fs, rootP).reverse.iterator
-      .flatMap(v => readManifest(fs, rootP, v))
-      .nextOption()
+    latestIntact(fs, rootP, listVersions(fs, rootP))
   }
+
+  private def latestIntact(fs: FileSystem, root: Path,
+                           versions: Seq[Long]): Option[Snapshot] =
+    versions.reverse.iterator.flatMap(v => readManifest(fs, root, v)).nextOption()
 
   private def readManifest(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
     val p = manifestPath(root, v)
@@ -149,33 +166,58 @@ object ManifestStore {
     }
   }
 
-  /** Atomically claim version `v` with the given snapshot content.
-    * Returns false when the slot is taken (another committer won the
-    * race) — create-exclusive is the commit point.
+  /** Atomically claim version `v` with the given snapshot content. False
+    * when the slot is already taken (another committer won the race).
+    * The `file:` scheme claims via `File.createNewFile` (POSIX O_EXCL —
+    * Hadoop's local `create(overwrite=false)` is check-then-act and would
+    * race); everywhere else `FileSystem.create(p, false)` is the claim
+    * (atomic on HDFS; a conditional PUT on capable object-store
+    * connectors — see the class contract).
     */
   private def tryCommit(fs: FileSystem, root: Path, s: Snapshot): Boolean = {
     fs.mkdirs(manifestsDir(root))
     val p = manifestPath(root, s.version)
-    val out = try fs.create(p, false)
-    catch { case _: java.io.IOException => return false } // exists: lost the race
-    try { out.write(render(s)); true } finally out.close()
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+      val local = new java.io.File(p.toUri.getPath)
+      if (!local.createNewFile()) return false // atomic O_EXCL claim
+      val out = new java.io.FileOutputStream(local)
+      try out.write(render(s)) finally out.close()
+      true
+    } else {
+      val out = try fs.create(p, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false }
+      try { out.write(render(s)); true } finally out.close()
+    }
+  }
+
+  /** Stage `df` as a fresh immutable batch directory; returns the manifest
+    * entries of its data files. Shared by append and compact so "what
+    * counts as a committed data file" has exactly one definition.
+    */
+  private def writeBatch(fs: FileSystem, root: Path, df: DataFrame): Seq[ManifestEntry] = {
+    val batch = new Path(dataDir(root), s"batch-${UUID.randomUUID()}")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
+    fs.listStatus(batch).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
   }
 
   /** Write `df` as a new batch and commit it appended to the latest
-    * snapshot. Returns the committed version. Safe under concurrent
-    * appends/compactions: on a lost race the commit rebases onto the
-    * winner (its own data files are untouched and still valid) and
-    * retries.
+    * snapshot. Returns the committed version. An input that produces no
+    * data files (a zero-partition empty frame) is a NO-OP returning the
+    * current version (0 for an uninitialized table) — committing an
+    * empty manifest would make the table unreadable. Safe under
+    * concurrent appends/compactions: on a lost race the commit rebases
+    * onto the winner (its own data files are untouched and still valid)
+    * and retries.
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
-             maxRetries: Int = 10): Long = {
+             maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
     val (fs, rootP) = fsFor(spark, root)
-    val batch = new Path(dataDir(rootP), s"batch-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val mine = fs.listStatus(batch).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
-    commitWithRebase(fs, rootP, maxRetries) { base =>
+    val mine = writeBatch(fs, rootP, df)
+    if (mine.isEmpty)
+      return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine))
     }
   }
@@ -184,16 +226,22 @@ object ManifestStore {
     * returns None to ABANDON the commit against the given base (e.g. a
     * compaction whose inputs another compactor already replaced) —
     * reported as -1.
+    *
+    * The base snapshot and the claimed slot derive from ONE listing: the
+    * slot is strictly above every version that listing saw, so a commit
+    * landing between listing and claim occupies our slot and the
+    * create-exclusive collides — we rebase and retry, never silently
+    * drop the interleaved commit. Torn slots above the intact head are
+    * handled by [[awaitTornSlots]] before each attempt.
     */
-  private def commitWithRebase(fs: FileSystem, root: Path, maxRetries: Int)
+  private def commitWithRebase(fs: FileSystem, root: Path, maxRetries: Int,
+                               tornGraceMs: Long)
                               (build: Option[Snapshot] => Option[Snapshot]): Long = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      val base = listVersions(fs, root).reverse.iterator
-        .flatMap(v => readManifest(fs, root, v)).nextOption()
-      // claim strictly above every EXISTING slot (intact or torn): a torn
-      // slot is dead, never reused — its writer may still be mid-upload
-      val next = (listVersions(fs, root) :+ base.map(_.version).getOrElse(0L)).max + 1
+      val versions = awaitTornSlots(fs, root, tornGraceMs)
+      val base = latestIntact(fs, root, versions)
+      val next = (versions :+ 0L).max + 1
       build(base) match {
         case None => return -1L
         case Some(snap) => if (tryCommit(fs, root, snap.copy(version = next))) return next
@@ -201,16 +249,44 @@ object ManifestStore {
       attempt += 1
     }
     throw new java.io.IOException(
-      s"manifest commit lost $maxRetries consecutive races under $root — " +
+      s"manifest commit lost ${maxRetries + 1} consecutive races under $root — " +
         "a pathologically hot table; back off and retry")
   }
 
-  /** DataFrame over the latest snapshot (empty-schema error when the table
-    * has no committed version — callers create tables via [[append]]).
+  /** Wait for torn slots above the intact head to become intact or age
+    * past `tornGraceMs` (by slot mtime). A torn slot may be a committer
+    * mid-write: building past it and winning the NEXT slot would orphan
+    * its commit the moment it completes — told "committed", referenced by
+    * no later snapshot. A slot still torn after the grace is a crashed
+    * committer (its caller never got a success), dead forever. Returns
+    * the final listing. A committer that takes longer than the grace to
+    * flush its manifest bytes can still be orphaned — size the grace to
+    * dwarf a small-file write (default 60 s), not to zero.
+    */
+  private def awaitTornSlots(fs: FileSystem, root: Path,
+                             tornGraceMs: Long): Seq[Long] = {
+    while (true) {
+      val versions = listVersions(fs, root)
+      val headV = latestIntact(fs, root, versions).map(_.version).getOrElse(0L)
+      val youngTorn = versions.filter(_ > headV).flatMap { v =>
+        try {
+          val st = fs.getFileStatus(manifestPath(root, v))
+          val age = System.currentTimeMillis() - st.getModificationTime
+          if (age < tornGraceMs) Some(tornGraceMs - age) else None
+        } catch { case _: java.io.FileNotFoundException => None }
+      }
+      if (youngTorn.isEmpty) return versions
+      Thread.sleep(math.min(youngTorn.max, 200L))
+    }
+    sys.error("unreachable")
+  }
+
+  /** DataFrame over the latest snapshot (fails loudly when the table has
+    * no committed version — callers create tables via [[append]]).
     */
   def read(spark: SparkSession, root: String): DataFrame =
-    readVersion(spark, root,
-      latestSnapshot(spark, root).map(_.version).getOrElse(
+    readSnapshot(spark, root,
+      latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(
           s"no committed manifest under $root")))
 
@@ -219,12 +295,16 @@ object ManifestStore {
     */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
-    val snap = readManifest(fs, rootP, v).getOrElse(
+    readSnapshot(spark, root, readManifest(fs, rootP, v).getOrElse(
       throw new java.util.NoSuchElementException(
-        s"no intact manifest v$v under $root"))
+        s"no intact manifest v$v under $root")))
+  }
+
+  private def readSnapshot(spark: SparkSession, root: String,
+                           snap: Snapshot): DataFrame = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
-        s"manifest v$v under $root references no files")
+        s"manifest v${snap.version} under $root references no files")
     spark.read.parquet(snap.files.map(_.path): _*)
   }
 
@@ -253,25 +333,22 @@ object ManifestStore {
     */
   private[graft] def compactFrom(spark: SparkSession, root: String,
                                  before: Snapshot, targetFileBytes: Long,
-                                 maxRetries: Int = 10): (Int, Int, Long) = {
+                                 maxRetries: Int = 10,
+                                 tornGraceMs: Long = 60000L): (Int, Int, Long) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val (fs, rootP) = fsFor(spark, root)
     if (before.files.isEmpty)
       return (0, 0, before.version)
     val rewrote = before.files.map(_.path).toSet
-    // same packing scan as Sink.compactParquet: maxPartitionBytes = target,
-    // open cost zeroed — a narrow, shuffle-free merge of the snapshot
-    val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
-    scoped.conf.set("spark.sql.files.openCostInBytes", "0")
-    scoped.conf.set("spark.sql.files.minPartitionNum", "1")
-    val batch = new Path(dataDir(rootP), s"batch-${UUID.randomUUID()}")
-    scoped.read.parquet(rewrote.toSeq.sorted: _*)
-      .write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    val mine = fs.listStatus(batch).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
-    val v = commitWithRebase(fs, rootP, maxRetries) { base =>
+    // same packing scan as Sink.compactParquet (shared scopedSession):
+    // maxPartitionBytes = target, open cost zeroed — a narrow,
+    // shuffle-free merge of the snapshot
+    val scoped = Sink.scopedSession(spark, targetFileBytes)
+    val mine = writeBatch(fs, rootP,
+      scoped.read.parquet(rewrote.toSeq.sorted: _*))
+    if (mine.isEmpty) // zero-row snapshot: nothing to commit, keep the base
+      return (before.files.size, before.files.size, before.version)
+    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       val present = baseFiles.map(_.path).toSet
       if (rewrote.exists(p => !present(p))) None // inputs already replaced
@@ -281,26 +358,25 @@ object ManifestStore {
   }
 
   /** Drop data unreferenced by the newest `keepVersions` intact manifests
-    * AND older than `minAgeMs` (the age guard protects in-flight
-    * uncommitted batch directories — a writer's files exist before its
-    * commit does). Also prunes manifest files older than the kept set.
-    * Returns the number of batch directories deleted.
+    * AND older than `minAgeMs` — age is the max of the batch directory's
+    * own mtime and its FILES' mtimes (object stores report synthetic
+    * times on directory markers; a writer mid-upload always has fresh
+    * files). Also prunes manifest files older than the kept set. Returns
+    * the number of batch directories deleted.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
              minAgeMs: Long = 24L * 3600 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val (fs, rootP) = fsFor(spark, root)
-    val intact = listVersions(fs, rootP).reverse
-      .flatMap(v => readManifest(fs, rootP, v))
-    val kept = intact.take(keepVersions)
+    val versions = listVersions(fs, rootP)
+    val kept = versions.reverse.iterator
+      .flatMap(v => readManifest(fs, rootP, v)).take(keepVersions).toSeq
     if (kept.isEmpty) return 0
     // compare scheme/authority-STRIPPED paths: a Path parsed from a
     // manifest string carries a null URI authority ("file:/x") while
-    // listStatus returns an empty one ("file:///x") — makeQualified
-    // normalizes neither, and raw-URI comparison would read every live
-    // directory as unreferenced and vacuum the current snapshot itself.
-    // All compared paths live under one table root, so the stripped form
-    // is unambiguous.
+    // listStatus returns an empty one ("file:///x") — raw-URI comparison
+    // would read every live directory as unreferenced and vacuum the
+    // current snapshot itself
     def stripped(p: Path): String =
       Path.getPathWithoutSchemeAndAuthority(p).toString
     val live = kept.flatMap(_.files.map(f =>
@@ -310,13 +386,15 @@ object ManifestStore {
     var dropped = 0
     if (fs.exists(dd)) for (d <- fs.listStatus(dd) if d.isDirectory) {
       val ref = live.contains(stripped(d.getPath))
-      if (!ref && d.getModificationTime < cutoff) {
+      lazy val newestTouch = (d.getModificationTime +:
+        fs.listStatus(d.getPath).map(_.getModificationTime).toSeq).max
+      if (!ref && newestTouch < cutoff) {
         fs.delete(d.getPath, true)
         dropped += 1
       }
     }
     val keepV = kept.map(_.version).min
-    for (v <- listVersions(fs, rootP) if v < keepV)
+    for (v <- versions if v < keepV)
       fs.delete(manifestPath(rootP, v), false)
     dropped
   }

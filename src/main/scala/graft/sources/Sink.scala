@@ -79,7 +79,7 @@ object Sink {
     * pool — SparkSession is thread-safe for job submission): the packing
     * knobs must not leak into concurrent queries on the caller's session.
     */
-  private def scopedSession(spark: SparkSession, targetFileBytes: Long): SparkSession = {
+  private[sources] def scopedSession(spark: SparkSession, targetFileBytes: Long): SparkSession = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.files.maxPartitionBytes", targetFileBytes.toString)
     scoped.conf.set("spark.sql.files.openCostInBytes", "0")

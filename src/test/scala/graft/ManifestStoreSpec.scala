@@ -76,9 +76,68 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestSnapshot(spark, root).get.version == 1L)
     assert(ids(ManifestStore.read(spark, root)) == (0L until 5L))
     // the next commit claims ABOVE the dead slot, never overwrites it
-    val v = ManifestStore.append(spark, batch(5, 8), root)
+    // (tornGraceMs=0: this test plays a CRASHED committer, already aged out)
+    val v = ManifestStore.append(spark, batch(5, 8), root, tornGraceMs = 0L)
     assert(v == 3L, s"torn v2 must stay dead; got $v")
     assert(ids(ManifestStore.read(spark, root)) == (0L until 8L))
+  }
+
+  test("a young torn slot is an IN-FLIGHT committer: later commits wait out the grace") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 5), root)
+    // a committer mid-write at slot 2 (created, bytes not yet flushed):
+    // building past it immediately would orphan its commit when it lands
+    val torn = new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(torn, false).close() // 0 bytes = torn, mtime = now
+    val grace = 800L
+    val t0 = System.nanoTime()
+    val v = ManifestStore.append(spark, batch(5, 8), root, tornGraceMs = grace)
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    assert(v == 3L)
+    assert(waitedMs >= grace / 2,
+      s"committer must wait out the torn slot's grace, waited only ${waitedMs}ms")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 8L))
+  }
+
+  test("an empty append yields a READABLE zero-row table, never an unreadable commit") {
+    // Spark emits a schema-only part file for an empty frame, so the
+    // commit carries one file and reads back as zero rows; the
+    // writeBatch-empty no-op guard stays as defense for a zero-file
+    // write (a behavior Spark is free to adopt), which must report the
+    // current version instead of committing a file-less manifest
+    val root = freshRoot()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch(0, 1).schema)
+    val v0 = ManifestStore.append(spark, empty, root)
+    if (v0 == 0L) { // zero-file write: no-op, table stays uninitialized
+      intercept[java.util.NoSuchElementException] { ManifestStore.read(spark, root) }
+    } else { // schema-only file: committed and readable as zero rows
+      assert(v0 == 1L && ManifestStore.read(spark, root).count() == 0L)
+    }
+    val v = ManifestStore.append(spark, batch(0, 5), root)
+    assert(v == v0 + 1 && ids(ManifestStore.read(spark, root)) == (0L until 5L))
+  }
+
+  test("concurrent appends all survive: single listing + exclusive claim") {
+    val root = freshRoot()
+    val threads = 4
+    val perThread = 2
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val tasks = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = for (b <- 0 until perThread) {
+            val lo = (t * perThread + b) * 10
+            ManifestStore.append(spark, batch(lo, lo + 10), root, maxRetries = 50)
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(ManifestStore.latestSnapshot(spark, root).get.version == (threads * perThread).toLong)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until (threads * perThread * 10).toLong),
+      "every racing committer's rows must appear in the final snapshot")
   }
 
   test("append rebases over a concurrent commit instead of losing it") {
@@ -137,6 +196,16 @@ class ManifestStoreSpec extends SparkSpec {
     // age guard first: nothing young enough to delete
     assert(ManifestStore.vacuum(spark, root, keepVersions = 1,
       minAgeMs = 24L * 3600 * 1000) == 0)
+    assert(batchDirs() == 3)
+
+    // an in-flight writer: its batch DIRECTORY may report a synthetic old
+    // mtime (object-store marker), but its FILES are fresh — the age guard
+    // keys on the newest touch, so it must survive a bounded-age vacuum
+    val orphanDir = new java.io.File(s"$root/data/batch-orphan")
+    assert(orphanDir.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    assert(ManifestStore.vacuum(spark, root, keepVersions = 1,
+      minAgeMs = 3600 * 1000) == 0,
+      "fresh files inside an old-mtime directory must block deletion")
     assert(batchDirs() == 3)
 
     val dropped = ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0)
