@@ -28,6 +28,10 @@ import org.apache.spark.sql.Dataset
 case class AeConfig(layers: Seq[Int] = Seq(784, 250, 10, 250, 784),
                     reluOutput: Boolean = false) {
   require(layers.length >= 3, s"need at least in -> hidden -> out: $layers")
+  require(layers.forall(_ > 0),
+    // a 0 layer silently trains a bias-only constant model; a negative one
+    // crashes deep in init with no mention of the config (review r9)
+    s"every layer size must be positive: $layers")
   require(layers.head == layers.last,
     s"autoencoder reconstructs its input: ${layers.head} != ${layers.last}")
 }
@@ -44,6 +48,14 @@ case class AeParams(ws: IndexedSeq[Array[Double]], bs: IndexedSeq[Array[Double]]
 
 object Autoencoder {
 
+  /** A mismatched row would otherwise surface as a raw
+    * ArrayIndexOutOfBoundsException deep in the dot-product loops (or,
+    * worse, a silent truncation for a too-long row) — fail with the shape.
+    */
+  private def requireInputDim(cfg: AeConfig, x: Array[Double]): Unit =
+    require(x.length == cfg.layers.head,
+      s"input has ${x.length} components, config expects ${cfg.layers.head}")
+
   def init(cfg: AeConfig, seed: Long): AeParams = {
     val rnd = new scala.util.Random(seed)
     val ws = cfg.layers.sliding(2).map { case Seq(nIn, nOut) =>
@@ -55,6 +67,7 @@ object Autoencoder {
 
   /** Forward reconstruction of one example. */
   def reconstruct(cfg: AeConfig, p: AeParams, x: Array[Double]): Array[Double] = {
+    requireInputDim(cfg, x)
     var a = x
     for (l <- p.ws.indices) {
       val nIn = cfg.layers(l)
@@ -89,6 +102,7 @@ object Autoencoder {
     */
   def lossAndGrad(cfg: AeConfig, p: AeParams, x: Array[Double],
                   grad: AeParams): Double = {
+    requireInputDim(cfg, x)
     val nLayers = p.ws.length
     // forward, keeping pre-activations per layer
     val acts = new Array[Array[Double]](nLayers + 1)
@@ -183,17 +197,9 @@ object Autoencoder {
                             epochs: Int, lr: Double, batchSize: Int, seed: Long,
                             l2: Double = 1e-4): AeParams =
     NetOps.averageEpochs(data, epochs, seed)(init(cfg, seed))(_.copyOf)(
-      (local, rows) => adaGradPass(cfg, local, new AdaGradState(local), rows, lr, batchSize, l2))(
-      locals => locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length))
+      (local, rows) => adaGradPass(cfg, local, new AdaGradState(local), rows, lr, batchSize, l2))
 
   /** Distributed mean reconstruction error (NaN when empty). */
-  def meanScore(data: Dataset[Array[Double]], cfg: AeConfig, p: AeParams): Double = {
-    val bc = data.sparkSession.sparkContext.broadcast(p)
-    try {
-      val (sum, n) = data.rdd
-        .map(x => (score(cfg, bc.value, x), 1L))
-        .fold((0.0, 0L)) { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) }
-      if (n == 0) Double.NaN else sum / n
-    } finally bc.destroy()
-  }
+  def meanScore(data: Dataset[Array[Double]], cfg: AeConfig, p: AeParams): Double =
+    NetOps.meanOf(data, p)((w, x) => score(cfg, w, x))
 }

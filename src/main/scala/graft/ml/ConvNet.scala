@@ -33,6 +33,14 @@ case class ConvNetConfig(
     hidden: Int = 500,
     classes: Int = 10,
     pool: Int = 2) {
+  // positivity first: the derived-size vals below DIVIDE by pool, so a
+  // require after them never runs for pool=0 (bare ArithmeticException
+  // from the constructor instead of a message naming the bad parameter)
+  require(inSize > 0 && k > 0 && conv1Maps > 0 && conv2Maps > 0 &&
+    hidden > 0 && classes > 0 && pool > 0,
+    s"all ConvNetConfig dimensions must be positive: " +
+      s"inSize=$inSize k=$k conv1Maps=$conv1Maps conv2Maps=$conv2Maps " +
+      s"hidden=$hidden classes=$classes pool=$pool")
   val c1Size: Int = inSize - k + 1        // conv1 output (valid, stride 1)
   val p1Size: Int = c1Size / pool         // pool1 output
   val c2Size: Int = p1Size - k + 1        // conv2 output
@@ -166,8 +174,12 @@ object ConvNet {
       while (i < outSize) {
         var j = 0
         while (j < outSize) {
-          var best = Double.NegativeInfinity
-          var bestIdx = -1
+          // seed with the window's first element, not (-Inf, -1): an
+          // all-NaN window (corrupt upstream row) compares false against
+          // any best, and a -1 argmax would crash poolBackward — NaN
+          // propagates instead, surfacing as a bad SCORE, not a bad index
+          var bestIdx = (c * size + i * pool) * size + j * pool
+          var best = in(bestIdx)
           var a = 0
           while (a < pool) {
             var b = 0
@@ -235,6 +247,8 @@ object ConvNet {
   /** Forward pass; returns class probabilities. */
   def predictProbs(cfg: ConvNetConfig, p: ConvNetParams, x: Array[Double]): Array[Double] = {
     import cfg._
+    require(x.length == inSize * inSize,
+      s"input has ${x.length} pixels, config expects $inSize x $inSize")
     val c1 = conv(x, 1, inSize, p.w1, p.b1, conv1Maps, k)
     val (p1, _) = maxPool(c1, conv1Maps, c1Size, pool)
     val c2 = conv(p1, conv1Maps, p1Size, p.w2, p.b2, conv2Maps, k)
@@ -257,6 +271,8 @@ object ConvNet {
   def lossAndGrad(cfg: ConvNetConfig, p: ConvNetParams, x: Array[Double], y: Int,
                   grad: ConvNetParams): Double = {
     import cfg._
+    require(x.length == inSize * inSize,
+      s"input has ${x.length} pixels, config expects $inSize x $inSize")
     // forward, keeping intermediates
     val c1 = conv(x, 1, inSize, p.w1, p.b1, conv1Maps, k)
     val (p1, arg1) = maxPool(c1, conv1Maps, c1Size, pool)
@@ -312,16 +328,16 @@ object ConvNet {
   }
 
   /** Distributed fit by per-epoch parameter averaging — the shared
-    * [[NetOps.averageEpochs]] driver loop (bit-deterministic under a fixed
-    * seed + partitioning; empty input returns the seeded init unchanged).
-    * Momentum restarts each epoch (local state, like DL4J's default).
+    * [[NetOps.averageEpochs]] driver loop (row-count-weighted average,
+    * bit-deterministic under a fixed seed + partitioning; empty input
+    * returns the seeded init unchanged). Momentum restarts each epoch
+    * (local state, like DL4J's default).
     */
   def fitParameterAveraging(data: Dataset[(Int, Array[Double])], cfg: ConvNetConfig,
                             epochs: Int, lr: Double, batchSize: Int, seed: Long,
                             momentum: Double = 0.9, l2: Double = 5e-4): ConvNetParams =
     NetOps.averageEpochs(data, epochs, seed)(init(cfg, seed))(_.copyOf)(
-      (local, rows) => sgdPass(cfg, local, local.zeroed, rows, lr, batchSize, momentum, l2))(
-      locals => locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length))
+      (local, rows) => sgdPass(cfg, local, local.zeroed, rows, lr, batchSize, momentum, l2))
 
   /** Distributed accuracy of `p` over a labeled dataset (NaN when empty). */
   def accuracy(data: Dataset[(Int, Array[Double])], cfg: ConvNetConfig,

@@ -56,28 +56,43 @@ object Lstm {
 
   @inline private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
-  /** Forward over one sequence; returns class probabilities. */
-  def predictProbs(cfg: LstmConfig, p: LstmParams, xs: Seq[Array[Double]]): Array[Double] = {
+  /** One LSTM cell step from (x, h, c). Returns every intermediate BPTT
+    * needs — (i, f, g, o, cNew, tanh(cNew), hNew) — so training and
+    * inference share ONE copy of the gate recurrence: a fix to gate order
+    * or numerics cannot make them silently disagree (review r9).
+    */
+  private def cellStep(cfg: LstmConfig, p: LstmParams, x: Array[Double],
+                       h: Array[Double], c: Array[Double]): CellState = {
     import cfg._
-    require(xs.nonEmpty, "empty sequence")
-    var h = new Array[Double](hidden)
-    var c = new Array[Double](hidden)
-    for (x <- xs) {
-      val gates = preActivations(cfg, p, x, h)
-      val hNew = new Array[Double](hidden)
-      val cNew = new Array[Double](hidden)
-      var u = 0
-      while (u < hidden) {
-        val ig = sigmoid(gates(u))
-        val fg = sigmoid(gates(hidden + u))
-        val gg = math.tanh(gates(2 * hidden + u))
-        val og = sigmoid(gates(3 * hidden + u))
-        cNew(u) = fg * c(u) + ig * gg
-        hNew(u) = og * math.tanh(cNew(u))
-        u += 1
-      }
-      h = hNew; c = cNew
+    val z = preActivations(cfg, p, x, h)
+    val i2 = new Array[Double](hidden); val f2 = new Array[Double](hidden)
+    val g2 = new Array[Double](hidden); val o2 = new Array[Double](hidden)
+    val cN = new Array[Double](hidden); val tN = new Array[Double](hidden)
+    val hN = new Array[Double](hidden)
+    var u = 0
+    while (u < hidden) {
+      i2(u) = sigmoid(z(u))
+      f2(u) = sigmoid(z(hidden + u))
+      g2(u) = math.tanh(z(2 * hidden + u))
+      o2(u) = sigmoid(z(3 * hidden + u))
+      cN(u) = f2(u) * c(u) + i2(u) * g2(u)
+      tN(u) = math.tanh(cN(u))
+      hN(u) = o2(u) * tN(u)
+      u += 1
     }
+    CellState(i2, f2, g2, o2, cN, tN, hN)
+  }
+
+  private final case class CellState(i: Array[Double], f: Array[Double],
+      g: Array[Double], o: Array[Double], c: Array[Double],
+      tc: Array[Double], h: Array[Double])
+
+  /** Output-head logits from the last hidden state — shared by training
+    * and inference for the same no-divergence reason as [[cellStep]].
+    */
+  private def outputLogits(cfg: LstmConfig, p: LstmParams,
+                           h: Array[Double]): Array[Double] = {
+    import cfg._
     val logits = new Array[Double](classes)
     var o = 0
     while (o < classes) {
@@ -87,7 +102,29 @@ object Lstm {
       logits(o) = s
       o += 1
     }
-    NetOps.softmax(logits)
+    logits
+  }
+
+  /** A step row off the config's width would crash (short) or silently
+    * truncate (long) inside the preActivation loops — fail with the shape.
+    */
+  private def requireInputDim(cfg: LstmConfig, xs: Seq[Array[Double]]): Unit =
+    require(xs.forall(_.length == cfg.inDim),
+      s"every sequence step must have inDim=${cfg.inDim} components, " +
+        s"got lengths ${xs.map(_.length).distinct.mkString(",")}")
+
+  /** Forward over one sequence; returns class probabilities. */
+  def predictProbs(cfg: LstmConfig, p: LstmParams, xs: Seq[Array[Double]]): Array[Double] = {
+    import cfg._
+    require(xs.nonEmpty, "empty sequence")
+    requireInputDim(cfg, xs)
+    var h = new Array[Double](hidden)
+    var c = new Array[Double](hidden)
+    for (x <- xs) {
+      val st = cellStep(cfg, p, x, h, c)
+      h = st.h; c = st.c
+    }
+    NetOps.softmax(outputLogits(cfg, p, h))
   }
 
   def predict(cfg: LstmConfig, p: LstmParams, xs: Seq[Array[Double]]): Int = {
@@ -125,7 +162,8 @@ object Lstm {
     import cfg._
     val t = xs.length
     require(t > 0, "empty sequence")
-    // forward, keeping per-step state
+    requireInputDim(cfg, xs)
+    // forward, keeping per-step state (ONE gate recurrence: cellStep)
     val hs = Array.ofDim[Array[Double]](t + 1) // hs(0) = h_0 = 0
     val cs = Array.ofDim[Array[Double]](t + 1)
     val ig = Array.ofDim[Array[Double]](t)
@@ -136,44 +174,20 @@ object Lstm {
     hs(0) = new Array(hidden); cs(0) = new Array(hidden)
     var step = 0
     while (step < t) {
-      val z = preActivations(cfg, p, xs(step), hs(step))
-      val i2 = new Array[Double](hidden); val f2 = new Array[Double](hidden)
-      val g2 = new Array[Double](hidden); val o2 = new Array[Double](hidden)
-      val cN = new Array[Double](hidden); val hN = new Array[Double](hidden)
-      val tN = new Array[Double](hidden)
-      var u = 0
-      while (u < hidden) {
-        i2(u) = sigmoid(z(u))
-        f2(u) = sigmoid(z(hidden + u))
-        g2(u) = math.tanh(z(2 * hidden + u))
-        o2(u) = sigmoid(z(3 * hidden + u))
-        cN(u) = f2(u) * cs(step)(u) + i2(u) * g2(u)
-        tN(u) = math.tanh(cN(u))
-        hN(u) = o2(u) * tN(u)
-        u += 1
-      }
-      ig(step) = i2; fg(step) = f2; gg(step) = g2; og(step) = o2
-      cs(step + 1) = cN; hs(step + 1) = hN; tc(step) = tN
+      val st = cellStep(cfg, p, xs(step), hs(step), cs(step))
+      ig(step) = st.i; fg(step) = st.f; gg(step) = st.g; og(step) = st.o
+      cs(step + 1) = st.c; hs(step + 1) = st.h; tc(step) = st.tc
       step += 1
     }
     // output head on the last hidden state
     val hT = hs(t)
-    val logits = new Array[Double](classes)
-    var o = 0
-    while (o < classes) {
-      var s = p.bo(o)
-      var u = 0
-      while (u < hidden) { s += p.wo(o * hidden + u) * hT(u); u += 1 }
-      logits(o) = s
-      o += 1
-    }
-    val probs = NetOps.softmax(logits)
+    val probs = NetOps.softmax(outputLogits(cfg, p, hT))
     val loss = -math.log(math.max(probs(y), 1e-300))
 
     // backward: output layer
     var dh = new Array[Double](hidden)
     var dc = new Array[Double](hidden)
-    o = 0
+    var o = 0
     while (o < classes) {
       val g = probs(o) - (if (o == y) 1.0 else 0.0)
       grad.bo(o) += g
@@ -280,8 +294,7 @@ object Lstm {
                             epochs: Int, lr: Double, batchSize: Int, seed: Long,
                             l2: Double = 1e-5, clip: Double = 1.0): LstmParams =
     NetOps.averageEpochs(data, epochs, seed)(init(cfg, seed))(_.copyOf)(
-      (local, rows) => adamPass(cfg, local, new AdamState(local), rows, lr, batchSize, l2, clip))(
-      locals => locals.reduce(_.addInPlace(_)).scaleInPlace(1.0 / locals.length))
+      (local, rows) => adamPass(cfg, local, new AdamState(local), rows, lr, batchSize, l2, clip))
 
   /** Distributed accuracy over a labeled sequence dataset (NaN when empty). */
   def accuracy(data: Dataset[(Int, Seq[Array[Double]])], cfg: LstmConfig,

@@ -21,17 +21,39 @@ trait FlatParams[P <: FlatParams[P]] extends Serializable { self: P =>
   def rebuild(arrs: Seq[Array[Double]]): P
   final def copyOf: P = rebuild(arrays.map(_.clone()))
   final def zeroed: P = rebuild(arrays.map(a => new Array[Double](a.length)))
-  final def addInPlace(o: P): P = {
-    for ((a, b) <- arrays.zip(o.arrays); i <- a.indices) a(i) += b(i)
+  final def addInPlace(o: P): P = addScaledInPlace(o, 1.0)
+  /** this += o * s — the averaging axpy. Plain while-loops: the driver
+    * runs this once per partition per epoch over every parameter (~430k
+    * doubles for the default ConvNet), so boxed Range foreach + a
+    * materialized zip Seq per call is real serial driver time (review r9).
+    */
+  final def addScaledInPlace(o: P, s: Double): P = {
+    val as = arrays
+    val bs = o.arrays
+    var ai = 0
+    while (ai < as.length) {
+      val a = as(ai)
+      val b = bs(ai)
+      var i = 0
+      while (i < a.length) { a(i) += b(i) * s; i += 1 }
+      ai += 1
+    }
     this
   }
   final def scaleInPlace(s: Double): P = {
-    for (a <- arrays; i <- a.indices) a(i) *= s
+    val as = arrays
+    var ai = 0
+    while (ai < as.length) {
+      val a = as(ai)
+      var i = 0
+      while (i < a.length) { a(i) *= s; i += 1 }
+      ai += 1
+    }
     this
   }
 }
 
-private[ml] object NetOps {
+private[graft] object NetOps {
 
   def xavier(rnd: scala.util.Random, n: Int, fanIn: Int, fanOut: Int): Array[Double] = {
     val limit = math.sqrt(6.0 / (fanIn + fanOut))
@@ -55,6 +77,14 @@ private[ml] object NetOps {
     * partition-ordered summation makes it bit-deterministic under a fixed
     * seed + partitioning.
     *
+    * The average is WEIGHTED BY PARTITION ROW COUNT (the standard
+    * local-SGD/FedAvg rule, McMahan et al. 2017): an unweighted mean gives
+    * a 10-row partition the same say as a 1,000,000-row one, dragging the
+    * fit toward nearly-untrained local models whenever partition sizes
+    * skew (review r9). With equal-size partitions — and for every
+    * single-partition catalog fit — the weights are exactly 1/n and the
+    * result is numerically the plain mean.
+    *
     * MEMORY BOUND: each task materializes its whole partition (plus one
     * shuffled copy of the row references) to run the seeded local shuffle,
     * so per-task heap is O(partition bytes) — the standard local-SGD
@@ -73,11 +103,11 @@ private[ml] object NetOps {
     * no-op, never a crash). Caches the RDD only if the caller has not
     * already persisted it (no double-cache), and restores that state after.
     */
-  def averageEpochs[R, P: scala.reflect.ClassTag](data: Dataset[R], epochs: Int, seed: Long)
+  def averageEpochs[R, P <: FlatParams[P]: scala.reflect.ClassTag](
+                          data: Dataset[R], epochs: Int, seed: Long)
                          (initial: P)
                          (copy: P => P)
-                         (train: (P, Vector[R]) => Unit)
-                         (average: Seq[P] => P): P = {
+                         (train: (P, Vector[R]) => Unit): P = {
     val sc = data.sparkSession.sparkContext
     // read on the driver, captured by the task closure (no session on executors)
     val maxRows = data.sparkSession.conf
@@ -91,7 +121,9 @@ private[ml] object NetOps {
     if (weCache) rdd.cache()
     var params = initial
     try {
-      for (epoch <- 1 to epochs) {
+      var epoch = 1
+      var sawRows = true // an all-empty epoch proves every later one is too
+      while (epoch <= epochs && sawRows) {
         val bc = sc.broadcast(params)
         try {
           val locals = rdd
@@ -117,28 +149,43 @@ private[ml] object NetOps {
                 val local = copy(bc.value)
                 val shuffled = new scala.util.Random(seed + epoch * 1013L + pid).shuffle(rows)
                 train(local, shuffled)
-                Iterator.single((pid, local))
+                Iterator.single((pid, local, rows.size.toLong))
               }
             }
-            .collect().sortBy(_._1).map(_._2).toIndexedSeq
-          if (locals.nonEmpty) params = average(locals)
+            .collect().sortBy(_._1).toIndexedSeq
+          if (locals.nonEmpty) {
+            val total = locals.iterator.map(_._3).sum.toDouble
+            val acc = locals.head._2.zeroed
+            for ((_, p, w) <- locals) acc.addScaledInPlace(p, w / total)
+            params = acc
+          } else sawRows = false
         } finally bc.destroy()
+        epoch += 1
       }
       params
     } finally if (weCache) rdd.unpersist()
   }
 
-  /** Distributed accuracy with a deterministically-destroyed broadcast;
-    * NaN on an empty dataset (undefined, not a crash).
+  /** Distributed mean of a per-row score under a broadcast model, with a
+    * deterministically-destroyed broadcast; NaN on an empty dataset
+    * (undefined, not a crash). The ONE copy of the
+    * broadcast-score-fold-destroy lifecycle every model metric rides
+    * through (accuracy, mean reconstruction error), so a lifecycle fix
+    * cannot drift between them.
     */
-  def accuracyOf[R, P: scala.reflect.ClassTag](data: Dataset[R], p: P)
-                (correct: (P, R) => Boolean): Double = {
+  def meanOf[R, P: scala.reflect.ClassTag](data: Dataset[R], p: P)
+            (score: (P, R) => Double): Double = {
     val bc = data.sparkSession.sparkContext.broadcast(p)
     try {
-      val (hit, n) = data.rdd
-        .map(r => (if (correct(bc.value, r)) 1L else 0L, 1L))
-        .fold((0L, 0L)) { case ((h1, n1), (h2, n2)) => (h1 + h2, n1 + n2) }
-      if (n == 0) Double.NaN else hit.toDouble / n
+      val (sum, n) = data.rdd
+        .map(r => (score(bc.value, r), 1L))
+        .fold((0.0, 0L)) { case ((s1, n1), (s2, n2)) => (s1 + s2, n1 + n2) }
+      if (n == 0) Double.NaN else sum / n
     } finally bc.destroy()
   }
+
+  /** Distributed accuracy — [[meanOf]] over a 0/1 correctness score. */
+  def accuracyOf[R, P: scala.reflect.ClassTag](data: Dataset[R], p: P)
+                (correct: (P, R) => Boolean): Double =
+    meanOf(data, p)((w, r) => if (correct(w, r)) 1.0 else 0.0)
 }

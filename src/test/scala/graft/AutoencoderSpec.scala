@@ -127,4 +127,23 @@ class AutoencoderSpec extends SparkSpec {
       batchSize = 16, seed = 12345)
     assert(p.ws.head.sameElements(p2.ws.head))
   }
+
+  /** Review-r9 pins: shape errors name the config instead of surfacing as
+    * raw array crashes (or silently training a constant model).
+    */
+  test("M2: config and input validation fail loudly") {
+    import graft.ml.{AeConfig, Autoencoder}
+    val e1 = intercept[IllegalArgumentException] { AeConfig(Seq(64, 0, 64)) }
+    assert(e1.getMessage.contains("positive"), e1.getMessage)
+    intercept[IllegalArgumentException] { AeConfig(Seq(64, -4, 64)) }
+    val cfg = AeConfig(Seq(6, 4, 2, 4, 6))
+    val w = Autoencoder.init(cfg, seed = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      Autoencoder.score(cfg, w, new Array[Double](8)) // longer than layers.head
+    }
+    assert(e2.getMessage.contains("8") && e2.getMessage.contains("6"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Autoencoder.lossAndGrad(cfg, w, new Array[Double](3), w.zeroed)
+    }
+  }
 }

@@ -175,4 +175,48 @@ class ConvNetSpec extends SparkSpec {
     assert(p.wo.sameElements(p2.wo) && p.w1.sameElements(p2.w1),
       "parameter-averaging fit must be deterministic under a fixed seed + partitioning")
   }
+
+  /** Review-r9 pins: misconfiguration and malformed rows fail with the
+    * shape, never a bare ArithmeticException/ArrayIndexOutOfBounds deep in
+    * the math — and an all-NaN pool window propagates NaN instead of
+    * crashing poolBackward with argmax -1.
+    */
+  test("M3: config and input validation fail loudly; NaN windows don't crash") {
+    val e1 = intercept[IllegalArgumentException] { ConvNetConfig(pool = 0) }
+    assert(e1.getMessage.contains("pool=0"), e1.getMessage)
+    val cfg = ConvNetConfig(inSize = 8, k = 3, conv1Maps = 2, conv2Maps = 3,
+      hidden = 5, classes = 2, pool = 1)
+    val p = ConvNet.init(cfg, seed = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      ConvNet.predictProbs(cfg, p, new Array[Double](63))
+    }
+    assert(e2.getMessage.contains("63"), e2.getMessage)
+    // an all-NaN row (corrupt upstream decode) scores NaN, never throws
+    val nanRow = Array.fill(64)(Double.NaN)
+    val probs = ConvNet.predictProbs(cfg, p, nanRow)
+    assert(probs.forall(_.isNaN))
+    val loss = ConvNet.lossAndGrad(cfg, p, nanRow, 0, p.zeroed)
+    assert(loss.isNaN, s"NaN input must surface as NaN loss, got $loss")
+  }
+
+  /** Review-r9 pin: the epoch average is weighted by partition ROW COUNT
+    * (local-SGD/FedAvg): with a 100-row and a 3-row partition, the
+    * unweighted mean would hand the 3-row model half the say and drag the
+    * fit toward noise. Verified mechanically through a probe FlatParams
+    * whose 'training' just records its partition's row count.
+    */
+  test("M7: partition averaging weights by row count, not partition count") {
+    val sc = spark.sparkContext
+    // two partitions: 100 rows and 3 rows (union preserves partitioning)
+    val skewed = spark.createDataset(
+      sc.parallelize((0 until 100).map(_.toLong), 1)
+        .union(sc.parallelize(Seq(1000L, 1001L, 1002L), 1)))
+    assert(skewed.rdd.getNumPartitions == 2)
+    val fitted = graft.ml.NetOps.averageEpochs(skewed, epochs = 1, seed = 7)(
+      MlSpec.PairParams(new Array[Double](1), Array.empty))(_.copyOf)(
+      (local, rows) => local.a(0) = rows.size.toDouble)
+    // weighted: (100*100 + 3*3)/103 = 97.17...; unweighted would be 51.5
+    assert(math.abs(fitted.a(0) - (100.0 * 100 + 3.0 * 3) / 103) < 1e-9,
+      s"average must weight by row count, got ${fitted.a(0)}")
+  }
 }

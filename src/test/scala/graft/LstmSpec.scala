@@ -109,4 +109,20 @@ class LstmSpec extends SparkSpec {
       batchSize = 16, seed = 42)
     assert(p.wo.sameElements(p2.wo) && p.wx.sameElements(p2.wx))
   }
+
+  /** Review-r9 pin: a step row off the config's width fails with the
+    * shape, not an out-of-bounds crash (short) or silent truncation (long).
+    */
+  test("M1: sequence-step dimension validation fails loudly") {
+    import graft.ml.{Lstm, LstmConfig}
+    val cfg = LstmConfig(inDim = 4, hidden = 3, classes = 2)
+    val w = Lstm.init(cfg, seed = 1)
+    val e = intercept[IllegalArgumentException] {
+      Lstm.predictProbs(cfg, w, Seq(new Array[Double](4), new Array[Double](7)))
+    }
+    assert(e.getMessage.contains("inDim=4") && e.getMessage.contains("7"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Lstm.lossAndGrad(cfg, w, Seq(new Array[Double](3)), 0, w.zeroed)
+    }
+  }
 }
