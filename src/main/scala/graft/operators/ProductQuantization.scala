@@ -80,7 +80,10 @@ object ProductQuantization {
         scala.concurrent.Future.sequence(fits),
         scala.concurrent.duration.Duration.Inf).toArray
     } finally {
-      pool.shutdown()
+      // shutdownNow, not shutdown: Future.sequence fails fast when one
+      // sub-fit throws, and a plain shutdown would leave the sibling fits
+      // recomputing against the just-unpersisted cache (review r9)
+      pool.shutdownNow()
       sliced.unpersist()
     }
   }
@@ -264,7 +267,9 @@ object ProductQuantization {
     try {
       spark.read.parquet(s"$dir/params").collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap == params
-    } catch { case _: Throwable => false }
+    } catch { // NonFatal only: an OOM/VM error must surface, not silently
+      // read as "stale" and trigger a rebuild on a distressed JVM (r9)
+      case scala.util.control.NonFatal(_) => false }
 
   /** True iff a [[writeIndex]] PQ index at `dir` is present AND was built
     * with exactly these parameters — the `_probe` staleness gate.
@@ -297,7 +302,7 @@ object ProductQuantization {
   def indexCovers(spark: org.apache.spark.sql.SparkSession, dir: String,
                   expected: Long): Boolean =
     try spark.read.parquet(s"$dir/codes").count() == expected
-    catch { case _: Throwable => false }
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Read back [[writeIndex]]'s codebooks (driver-side: m*kCodes rows). */
   def readCodebooks(spark: org.apache.spark.sql.SparkSession,
@@ -436,12 +441,15 @@ object ProductQuantization {
     val bc = spark.sparkContext.broadcast(centArr)
     val d = centArr.head._2.length
     // degrade, don't crash (the module's null policy, see AdcDistance):
-    // a null or mis-sized embedding cannot be assigned a cell — dropping
-    // it keeps the row un-indexed, while letting it reach the assign UDF
-    // would NPE the whole build/append job (and an append dies AFTER the
-    // manifest invalidation, stranding a previously valid index)
+    // a null, mis-sized, null-slotted, or NaN-slotted embedding cannot be
+    // assigned a meaningful cell — dropping it keeps the row un-indexed,
+    // while letting it through would either NPE the assign UDF (whole
+    // embedding null), unbox a null slot as 0.0f and assign a cell from
+    // wrong arithmetic while encode() emits a null code (a permanently
+    // unretrievable stored row — review r9), or rank garbage
     val indexable = df.where(col("embedding").isNotNull &&
-      size(col("embedding")) === d)
+      size(col("embedding")) === d &&
+      !exists(col("embedding"), e => e.isNull || isnan(e)))
     val assign = udf((emb: Seq[Float]) => {
       var best = -1
       var bestD = Double.MaxValue
@@ -517,6 +525,25 @@ object ProductQuantization {
     // the probe would return the same n_id twice in a top-k and displace a
     // genuine neighbor. Cost: one id-column scan of the code table per
     // append (column-pruned; the codes bytes are never read).
+    // config-mismatch tripwire BEFORE the manifest is invalidated: the
+    // degrade-don't-crash filter drops stray corrupt rows silently by
+    // policy, but a batch in which NOT ONE row is indexable (dim mismatch
+    // after an upstream schema change) is a misconfiguration — returning
+    // success while permanently skipping the whole ingest batch would be
+    // silent data loss (review r9). Judged on the batch as handed in, not
+    // the post-anti-join remainder: a retried append legitimately leaves
+    // only its stray corrupt rows fresh.
+    val (nBatch, nIndexable) = batch.agg(count(lit(1)),
+      count(when(col("embedding").isNotNull &&
+        size(col("embedding")) === dim &&
+        !exists(col("embedding"), e => e.isNull || isnan(e)), 1)))
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    if (nBatch > 0 && nIndexable == 0)
+      throw new IllegalStateException(
+        s"appendToIvfPqIndex: none of the $nBatch batch rows are " +
+          s"indexable at dim=$dim — the batch schema no longer matches the " +
+          "stored index (wrong embedding width, or all-null/NaN embeddings); " +
+          "refusing rather than silently skipping the whole batch")
     val existing = spark.read.parquet(s"$dir/codes").select(col("n_id").as("vec_id"))
     val fresh = batch.join(existing, Seq("vec_id"), "left_anti")
     invalidateManifest(spark, dir)
@@ -577,7 +604,7 @@ object ProductQuantization {
         }), lit(0.0), (a, v) => a + v))
       .withColumn("cr", row_number().over(wCell)).where(col("cr") <= nProbe)
       .withColumn("q_res", zip_with(col("q_emb"), col("c_emb"), (x, c) => x - c))
-      .select(col("q_id"), col("q_emb"), col("cell"),
+      .select(col("q_id"), col("cell"),
         adcTable(col("q_res"), books).as("dtable"))
     val scored = codeTable.join(broadcast(probed), Seq("cell"))
       .where(col("n_id") =!= col("q_id"))

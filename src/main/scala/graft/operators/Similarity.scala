@@ -57,6 +57,11 @@ object Similarity {
     */
   def lshSignature(emb: org.apache.spark.sql.Column, dim: Int, numPlanes: Int,
                    p0: Int = 0) = {
+    // 1L << p masks the shift count to 6 bits: plane 64 would silently
+    // alias plane 0's bit and the summed signature would carry into wrong
+    // positions — fail loudly instead of degrading recall (review r9)
+    require(numPlanes >= 1 && numPlanes <= 63,
+      s"numPlanes must be in [1, 63] (one signature bit per plane in a Long), got $numPlanes")
     val bits = (0 until numPlanes).map { p =>
       val plane = array((0 until dim).map(i => lit(planeComponent(p0 + p, i))): _*)
       val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
@@ -75,22 +80,29 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 5): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, embAs: String) = {
+    // bucket frames carry IDS ONLY: the bucket join + cross-table distinct
+    // are the hottest exchanges here, and dragging two dim-length float
+    // arrays through them per candidate multiplies the shuffle payload
+    // ~10x at D=64 — embeddings re-attach by equi-join afterwards, the
+    // same carry-only-what-is-needed shape as rerankAdcShortlist (review r9)
+    def withBuckets(df: DataFrame, idAs: String) = {
       val tables = (0 until numTables).map { t =>
         struct(lit(t).as("table"),
           lshSignature(col("embedding"), dim, bitsPerTable, t * bitsPerTable).as("sig"))
       }
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-        explode(array(tables: _*)).as("tb"))
-        .select(col(idAs), col(embAs), col("tb.table").as("table"), col("tb.sig").as("sig"))
+      df.select(col("vec_id").as(idAs), explode(array(tables: _*)).as("tb"))
+        .select(col(idAs), col("tb.table").as("table"), col("tb.sig").as("sig"))
     }
-    val c = withBuckets(corpus, "n_id", "n_emb")
-    val q = withBuckets(queries, "q_id", "q_emb")
-    val cand = c.join(q, Seq("table", "sig")).where(col("n_id") =!= col("q_id"))
-      .select("q_id", "n_id", "q_emb", "n_emb").distinct()
+    val cand = withBuckets(corpus, "n_id")
+      .join(withBuckets(queries, "q_id"), Seq("table", "sig"))
+      .where(col("n_id") =!= col("q_id"))
+      .select("q_id", "n_id").distinct()
+    val qe = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val ne = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = cand.join(broadcast(qe), "q_id").join(ne, "n_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
   /** ANN via IVF (inverted-file) index: a KMeans coarse quantizer assigns
@@ -165,7 +177,11 @@ object Similarity {
   def recallSummary(ann: DataFrame, exact: DataFrame,
                     minMeanRecall: Double): DataFrame = {
     val e = exact.select(col("q_id"), col("n_id"))
-    val hits = ann.select(col("q_id"), col("n_id"))
+    // distinct BEFORE counting: an ANN path that returns the same neighbor
+    // twice (the duplicated-code defect the append path guards against)
+    // must not count it as two hits — inflated recall would keep this
+    // gate green through a real regression (review r9)
+    val hits = ann.select(col("q_id"), col("n_id")).distinct()
       .join(e, Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
     e.groupBy("q_id").agg(count(lit(1)).as("k_actual"))
@@ -181,11 +197,12 @@ object Similarity {
     * arXiv:2303.09540 recipe): cluster the embedding space with a coarse
     * KMeans, compute cosine pairs ONLY within each cluster, and drop every
     * vector that has a kept lower-id neighbor with cosine >= `threshold`.
-    * The keep rule is the standard greedy-by-id sweep, made transitive-
-    * safe: a doc is dropped only against a SURVIVING earlier neighbor
-    * (computed via [[Dedup.connectedComponents]] over the above-threshold
-    * edge graph + per-component min id), so chains A~B~C with A~C below
-    * threshold still keep exactly one representative per component —
+    * The keep rule is component-min: [[Dedup.connectedComponents]] closes
+    * the above-threshold edge graph transitively and each component keeps
+    * exactly its min-id member. Note this is STRICTER than a greedy
+    * sweep against surviving neighbors: in a chain A~B~C where cos(A,C)
+    * is below threshold, C drops too (its witness B was itself dropped),
+    * because transitive chains are treated as one near-duplicate group —
     * deterministic regardless of partitioning.
     *
     * Returns (id, cell, component, kept, witness_cos) — one row per input

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * or ANY element is null (the composed form propagates element nulls to
   * a null result; reading a null slot as 0.0 would return a confidently
   * wrong similarity — review r8).
-  * On NaN/Inf elements the two forms diverge (this expression propagates
-  * NaN; the composed form's `when(norm > 0)` guard follows Spark's NaN
-  * ordering) — embeddings are finite by construction, so the parity claim
-  * is scoped to finite inputs rather than paying an isnan guard per row.
+  * A NaN RESULT (non-finite elements upstream) is returned as null
+  * rather than propagated (review r9): Spark sorts NaN above every
+  * double, so a single corrupt embedding would otherwise rank #1 in
+  * every descending top-k window — null sorts last under desc and the
+  * row falls out. The composed form's `when(norm > 0)` guard nulls the
+  * same inputs (NaN norm fails the comparison), so parity holds there
+  * too; the check is one isNaN on the final double, not per element.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -56,7 +59,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     if (na == 0.0 || nb == 0.0) null
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    else {
+      val r = dot / (math.sqrt(na) * math.sqrt(nb))
+      // a NaN similarity (non-finite element upstream) would rank FIRST
+      // under a descending sort — Spark orders NaN above every double —
+      // promoting the corrupt row into every top-k (review r9); null
+      // sorts last under desc and falls out of the window instead
+      if (r.isNaN) null else r
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -86,6 +96,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
          |  }
          |}
        """.stripMargin

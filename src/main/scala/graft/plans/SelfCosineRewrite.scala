@@ -46,7 +46,7 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble; s += v * v; i += 1
     }
-    if (s == 0.0) null
+    if (s == 0.0 || s.isNaN) null // NaN norm: same null-not-NaN posture as graft_cosine (review r9)
     else s / (math.sqrt(s) * math.sqrt(s))
   }
 
@@ -63,7 +63,7 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
          |  $s += $v * $v;
          |}
          |if (!${ev.isNull}) {
-         |  if ($s == 0.0) {
+         |  if ($s == 0.0 || java.lang.Double.isNaN($s)) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $s / (java.lang.Math.sqrt($s) * java.lang.Math.sqrt($s));

@@ -199,6 +199,79 @@ class OperatorsSpec extends SparkSpec {
     assert(!ok)     // mean = (1 + 0)/2 = 0.5 < 0.6
   }
 
+  /** Review-r9 pin: an ANN result that returns the SAME neighbor twice
+    * (the duplicated-code defect the append path guards against) must not
+    * count it as two hits — inflated recall would keep the oracle gate
+    * green through a real regression.
+    */
+  test("E3: recallSummary — duplicate (q_id, n_id) rows count as one hit") {
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("q_id", "n_id")
+    val ann = Seq((1L, 10L), (1L, 10L)).toDF("q_id", "n_id") // dup, missed 11
+    val (_, ok) = Similarity.recallSummary(ann, exact, 0.8)
+      .as[(Long, Boolean)].head()
+    assert(!ok, "recall must read 0.5, not 1.0, when the hit is duplicated")
+  }
+
+  /** Review-r9 pins: NaN embeddings (upstream 0/0 normalization) must not
+    * hijack similarity search — Spark sorts NaN ABOVE every double, so a
+    * NaN cosine would rank the corrupt row #1 for every query. The native
+    * cosine nulls NaN results; nulls sort last under desc and fall out.
+    */
+  test("E3: a NaN corpus embedding never ranks in exact top-k") {
+    val clean = (0 until 20).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+    val corrupt = (100L, Seq.tabulate(8)(d =>
+      if (d == 3) Float.NaN else 1.0f))
+    val emb = (clean :+ corrupt).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 3)
+    val top = Similarity.exactTopK(emb, q, 5)
+      .select("n_id").as[Long].collect()
+    assert(!top.contains(100L),
+      "the NaN row must fall out of every top-k window, not rank first")
+    // and the LSH path's signature guard refuses a silently-wrapping width
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignature(col("embedding"), dim = 8, numPlanes = 65)
+    }
+  }
+
+  /** Review-r9 pins on the continual-ingest guards: a batch in which NOT
+    * ONE row is indexable (upstream schema change) refuses loudly instead
+    * of reporting success while skipping the whole batch; and a row with a
+    * null SLOT (correct length) is excluded — encode() would store a null
+    * code for it, a permanently unretrievable index row.
+    */
+  test("E3: append refuses an all-unindexable batch; null-slot rows never enter the index") {
+    import graft.operators.ProductQuantization
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => ((i * 5 + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-appendguard").toString
+    ProductQuantization.writeIvfPqIndex(emb, dir, nCells = 4, dim = 8, m = 2,
+      kCodes = 8, fitSampleFraction = 1.0)
+    // schema drift: every batch row is 4-wide against the stored dim=8
+    val wrongDim = (100 until 110).map(i =>
+      (i.toLong, Seq.tabulate(4)(_.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      ProductQuantization.appendToIvfPqIndex(wrongDim, dir, nCells = 4, dim = 8,
+        m = 2, kCodes = 8, fitSampleFraction = 1.0)
+    }
+    assert(e.getMessage.contains("none of the 10"), e.getMessage)
+    assert(ProductQuantization.ivfPqIndexMatches(spark, dir, nCells = 4, dim = 8,
+      m = 2, kCodes = 8, fitSampleFraction = 1.0),
+      "the refusal must fire BEFORE the manifest is invalidated")
+    // mixed batch: the null-slot row is dropped, the good row lands
+    val mixed = Seq(
+      (200L, Seq.tabulate(8)(d => java.lang.Float.valueOf((d + 1).toFloat))),
+      (201L, Seq.tabulate(8)(d =>
+        if (d == 2) null else java.lang.Float.valueOf(d.toFloat))))
+      .toDF("vec_id", "embedding")
+    ProductQuantization.appendToIvfPqIndex(mixed, dir, nCells = 4, dim = 8,
+      m = 2, kCodes = 8, fitSampleFraction = 1.0)
+    val ids = spark.read.parquet(s"$dir/codes").select("n_id").as[Long].collect().toSet
+    assert(ids.contains(200L) && !ids.contains(201L),
+      "null-slot embeddings must be excluded from the stored index")
+  }
+
   test("E3: PQ index params manifest — probe gate rejects a stale or mismatched index") {
     import graft.operators.ProductQuantization
     val emb = Tables.embeddings(spark, sfDir)

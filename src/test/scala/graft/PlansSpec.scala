@@ -61,11 +61,13 @@ class PlansSpec extends SparkSpec {
     val z = spark.sql(
       "SELECT graft_cosine(array(CAST(0.0 AS FLOAT)), array(CAST(0.0 AS FLOAT)))").head()
     assert(z.isNullAt(0))
-    // NaN elements must keep producing NaN (the rewrite may not change it)
+    // NaN elements null the result in BOTH forms (review r9: a NaN
+    // similarity sorts above every double under desc and would rank #1 in
+    // every top-k window; the rewrite must preserve the null posture)
     val nan = spark.sql(
       "SELECT graft_cosine(array(CAST('NaN' AS FLOAT)), array(CAST('NaN' AS FLOAT)))")
       .head()
-    assert(java.lang.Double.isNaN(nan.getDouble(0)), s"NaN semantics changed: $nan")
+    assert(nan.isNullAt(0), s"NaN must null, not rank: $nan")
     // distinct arguments are untouched by the rule
     val two = emb.select(call_function("graft_cosine",
       col("embedding"), reverse(col("embedding"))).as("c"))
