@@ -45,12 +45,28 @@ object Embeddings {
     * concat_ws flattens array arguments, so one call renders the line.
     * Rows with empty vectors write as a bare word, which readWordVectors
     * then skips — a useless embedding does not survive a round-trip.
+    *
+    * Words containing whitespace (or null words) are REFUSED, matching
+    * [[writeWordVectorsBinary]]'s guard: the line format delimits on
+    * whitespace, so 'new york' would read back as word='new' and be
+    * silently dropped, and an embedded newline would fabricate a bogus
+    * vocabulary entry from its tail (review r9).
     */
   def writeWordVectors(df: DataFrame, wordCol: String, vecCol: String,
-                       path: String): Unit =
+                       path: String): Unit = {
+    val offender = df.select(col(wordCol).cast("string").as("w"))
+      .where(col("w").isNull || col("w").rlike("[\\s]"))
+      .limit(1).collect()
+    offender.foreach { r =>
+      throw new IllegalArgumentException(
+        s"writeWordVectors: word '${r.getString(0)}' is null or contains " +
+          "whitespace — the text format cannot delimit it; replace " +
+          "separators (word2vec phrase convention is '_') before writing")
+    }
     df.select(concat_ws(" ", col(wordCol),
         transform(col(vecCol), v => v.cast("string"))).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+  }
 
   /** Read the word2vec BINARY interchange format (the original C tool's
     * layout, what GoogleNews-vectors ships as — the reference's
@@ -90,7 +106,11 @@ object Embeddings {
       }
       val vocab = readToken(' ', skipLeadingWs = false).toInt
       val d = readToken('\n', skipLeadingWs = true).trim.toInt
-      require(vocab >= 0 && d >= 1, s"implausible word2vec header: vocab=$vocab dim=$d")
+      // vocab=0 is a legal degenerate file (the writer's own output for an
+      // empty frame must round-trip — review r9); d >= 1 is only required
+      // when there are words to carry vectors
+      require(vocab >= 0 && (vocab == 0 || d >= 1),
+        s"implausible word2vec header: vocab=$vocab dim=$d")
       val buf = new Array[Byte](4 * d)
       (0 until vocab).iterator.map { _ =>
         val word = readToken(' ', skipLeadingWs = true)
@@ -113,6 +133,13 @@ object Embeddings {
                              path: String): Unit = {
     val rows = df.select(col(wordCol).cast("string"),
       col(vecCol).cast("array<float>")).collect()
+    // nameable refusals, not NPEs (review r9): null words/vectors and
+    // delimiter-bearing words all desynchronize or corrupt the stream
+    rows.find(r => r.isNullAt(0) || r.isNullAt(1)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"writeWordVectorsBinary: row with null ${if (r.isNullAt(0)) "word"
+          else "vector"} cannot serialize (word=${r.get(0)}, vec=${r.get(1)})")
+    }
     // the format delimits words with space/newline: a word CONTAINING one
     // would desynchronize the stream and silently poison every later
     // (word, vec) pair — refuse it here, where the cause is nameable
@@ -126,6 +153,11 @@ object Embeddings {
     val dims = rows.map(_.getSeq[Float](1).size).distinct
     require(dims.length <= 1, s"mixed vector dims ${dims.toSeq} cannot serialize")
     val d = dims.headOption.getOrElse(0)
+    // zero-dim vectors on a NON-empty frame would write a "N 0" header the
+    // reader rightly rejects; an empty frame writes "0 0", which reads
+    // back as an empty table (review r9)
+    require(rows.isEmpty || d >= 1,
+      "writeWordVectorsBinary: zero-dimension vectors cannot serialize")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = new java.io.BufferedOutputStream(fs.create(p, true))

@@ -23,59 +23,66 @@ object IdxSource {
     */
   private def shardedIdx(shard: Long, i: Long): Long = (shard << 32) | i
 
-  def readImages(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    // ONE binaryFiles RDD drives both the ordinal map and the data read:
-    // two separate listings would race a file landing in between (executor
-    // lookup crash, or silently shifted shard ids mis-pairing the
-    // image/label join)
+  /** Shared shard scaffold for both readers (review r9 — the listing-race
+    * posture, magic check, and swapped-arguments guard must not drift
+    * between them): ONE binaryFiles RDD drives both the ordinal map and
+    * the data read — two separate listings would race a file landing in
+    * between (executor lookup crash, or silently shifted shard ids
+    * mis-pairing the image/label join). `parse` runs entirely inside the
+    * stream's lifetime and must return an iterator that no longer touches
+    * it (buffer the payload, decode on demand).
+    */
+  private def readShards[T: scala.reflect.ClassTag](
+      spark: SparkSession, path: String, what: String, requiredDims: Int)
+      (parse: (DataInputStream, Long, String) => Iterator[T]): org.apache.spark.rdd.RDD[T] = {
     val files = spark.sparkContext.binaryFiles(path)
     val ordinals = spark.sparkContext.broadcast(
       files.keys.collect().sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
-    val rows = files.flatMap { case (file, pds) =>
+    files.flatMap { case (file, pds) =>
       val shard = ordinals.value(file)
       val in = new DataInputStream(pds.open())
       try {
         val magic = in.readInt()
         require((magic & 0xffffff00) == 0x00000800, s"not an idx ubyte file: $magic")
-        val dims = magic & 0xff
-        // an idx1 labels file here (swapped arguments) would consume its
+        // a swapped images/labels argument would otherwise consume its
         // header as garbage record geometry and "succeed"
-        require(dims == 3, s"idx image file must have 3 dims, got $dims in $file")
-        val n = in.readInt()
-        val recLen = (1 until dims).map(_ => in.readInt()).product
-        (0 until n).iterator.map { i =>
-          val buf = new Array[Byte](recLen)
-          in.readFully(buf)
-          (shardedIdx(shard, i.toLong), buf.map(b => (b & 0xff) / 255.0f))
-        }.toVector
+        require((magic & 0xff) == requiredDims,
+          s"idx $what file must have $requiredDims dims, got ${magic & 0xff} in $file")
+        parse(in, shard, file)
       } finally in.close()
     }
-    rows.toDF("idx", "pixels")
+  }
+
+  def readImages(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    readShards(spark, path, "image", requiredDims = 3) { (in, shard, file) =>
+      val n = in.readInt()
+      val recLen = (1 until 3).map(_ => in.readInt()).product
+      // ONE raw-payload buffer, records decoded on demand: materializing
+      // decoded float arrays per shard held ~4x the file bytes plus
+      // object overhead on the task heap (review r9)
+      require(n >= 0 && recLen > 0 && n.toLong * recLen <= (Int.MaxValue - 8).toLong,
+        s"idx image shard too large to buffer (n=$n, recLen=$recLen) in $file — reshard")
+      val payload = new Array[Byte](n * recLen)
+      in.readFully(payload)
+      (0 until n).iterator.map { i =>
+        val off = i * recLen
+        val px = new Array[Float](recLen)
+        var j = 0
+        while (j < recLen) { px(j) = (payload(off + j) & 0xff) / 255.0f; j += 1 }
+        (shardedIdx(shard, i.toLong), px)
+      }
+    }.toDF("idx", "pixels")
   }
 
   def readLabels(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val files = spark.sparkContext.binaryFiles(path)
-    val ordinals = spark.sparkContext.broadcast(
-      files.keys.collect().sorted.zipWithIndex.map { case (p, i) => p -> i.toLong }.toMap)
-    val rows = files.flatMap { case (file, pds) =>
-      val shard = ordinals.value(file)
-      val in = new DataInputStream(pds.open())
-      try {
-        val magic = in.readInt()
-        require((magic & 0xffffff00) == 0x00000800, s"not an idx ubyte file: $magic")
-        // an idx3 images file here (swapped arguments) would parse 60k
-        // pixel bytes as "labels" with no error
-        require((magic & 0xff) == 1, s"idx label file must have 1 dim, got ${magic & 0xff} in $file")
-        val n = in.readInt()
-        val buf = new Array[Byte](n)
-        in.readFully(buf)
-        buf.iterator.zipWithIndex
-          .map { case (b, i) => (shardedIdx(shard, i.toLong), (b & 0xff)) }.toVector
-      } finally in.close()
-    }
-    rows.toDF("idx", "label")
+    readShards(spark, path, "label", requiredDims = 1) { (in, shard, _) =>
+      val n = in.readInt()
+      val buf = new Array[Byte](n)
+      in.readFully(buf)
+      (0 until n).iterator.map(i => (shardedIdx(shard, i.toLong), buf(i) & 0xff))
+    }.toDF("idx", "label")
   }
 
   /** (idx, pixels, label) — the MNIST training-table shape. */

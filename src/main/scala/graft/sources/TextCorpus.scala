@@ -11,28 +11,41 @@ import org.apache.spark.sql.functions._
   */
 object TextCorpus {
 
-  /** Parent-directory label from a file URI: the path arrives
-    * PERCENT-ENCODED (input_file_name / binaryFile both yield URIs), so
-    * the extracted segment is url-decoded — a label dir named 'class A'
-    * must label rows "class A", not "class%20A" (review r8). One shared
-    * rule so the text and binary corpus paths can never disagree.
+  /** Parent-directory segment of a path — the raw form, for sources whose
+    * path column is ALREADY unescaped (review r9: Spark's binaryFile
+    * source fills `path` from Hadoop Path.toString, the deliberately
+    * unescaped form — url-decoding it a second time throws on a directory
+    * literally named '50%off' and silently mangles 'a%20b').
     */
-  private def parentDirLabel(path: org.apache.spark.sql.Column) =
-    url_decode(regexp_extract(path, "/([^/]+)/[^/]+$", 1))
+  private def parentDirSegment(path: org.apache.spark.sql.Column) =
+    regexp_extract(path, "/([^/]+)/[^/]+$", 1)
+
+  /** Parent-directory label from a PERCENT-ENCODED file URI
+    * (input_file_name's form): decode %XX escapes ONLY — url_decode alone
+    * applies form semantics where '+' means space, but URI path encoding
+    * never writes a space as '+', so a directory literally named 'c++'
+    * would mislabel as 'c  ' and 'a+b'/'a b' would collide (review r9).
+    * Escaping literal '+' to %2B first makes url_decode a pure
+    * percent-decoder; a pre-existing literal '%2B' arrives encoded as
+    * '%252B' and still round-trips. (reviews r8 + r9)
+    */
+  private def parentDirLabelEncoded(path: org.apache.spark.sql.Column) =
+    url_decode(regexp_replace(parentDirSegment(path), "\\+", "%2B"))
 
   /** One row per file: (path, text, label = parent directory name). */
   def wholeTextWithLabels(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("wholetext", "true").text(s"$dir/*/*")
       .select(input_file_name().as("path"), col("value").as("text"))
-      .withColumn("label", parentDirLabel(col("path")))
+      .withColumn("label", parentDirLabelEncoded(col("path")))
 
   /** One row per binary file: (path, length, content, label = parent
-    * directory name).
+    * directory name). The binaryFile path column is unescaped already —
+    * no decode (see [[parentDirSegment]]).
     */
   def binaryWithLabels(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("binaryFile").load(s"$dir/*/*")
       .select(col("path"), col("length"), col("content"))
-      .withColumn("label", parentDirLabel(col("path")))
+      .withColumn("label", parentDirSegment(col("path")))
 
   /** Lenient JSONL ingest with a quarantine channel. Raw crawl/feed data
     * always contains malformed records; FAILFAST turns one bad line into a
