@@ -12,6 +12,9 @@ object Verify {
     val (sfDir, outDir, nameFilter) = args match {
       case Array(s, o) => (s, o, ".*")
       case Array(s, o, f) => (s, o, f)
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [nameFilterRegex]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // Same GraftSession config (AQE, UTC, shuffle partitions) the engine is
@@ -31,20 +34,24 @@ object Verify {
       } catch { case e: Throwable =>
         failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not poison the rest of the dump: release its
+        // pinned intermediates too (review r9 — Bench already did), and
+        // remove any stale/partial dump at this name so the driver's
+        // compare can never read a PREVIOUS run's data for a query that
+        // did not actually produce output this run
+        graft.operators.Pinned.release()
+        spark.catalog.clearCache()
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // One shared escaper with Bench (review r9).
+    def q(s: String): String = JsonText.quote(s)
     // Golden-pinned oracles (committed parquet under tools/golden/<n>_sf0.01)
     // and fixed-path oracles (s4's read_blob) are pinned AT sf0.01 — the
     // driver's gate SF. At any other SF they would false-mismatch against

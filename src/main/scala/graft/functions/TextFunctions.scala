@@ -64,9 +64,13 @@ object TextFunctions {
   }
 
   /** Document fingerprint: md5 over the canonically-tokenized text, so
-    * whitespace/punctuation variants collapse to one fingerprint.
+    * whitespace/punctuation variants collapse to one fingerprint. NULL
+    * text fingerprints as null (review r9: concat_ws skips nulls, so
+    * unguarded md5 would collapse every null-text row into the
+    * empty-document bucket — the kit's other functions null-propagate).
     */
-  def fingerprint(text: Column): Column = md5(concat_ws(" ", tokenize(text)))
+  def fingerprint(text: Column): Column =
+    when(text.isNotNull, md5(concat_ws(" ", tokenize(text))))
 
   /** Rolling polynomial fingerprint over the token sequence:
     * h = fold((acc * 31 + hash32(token)) mod 1e9+7). Order-sensitive (unlike
@@ -136,8 +140,12 @@ object TextFunctions {
       "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
     val t = lower(text)
     val hits = profiles.map { case (lang, grams) =>
-      lang -> grams.map(g => when(t.contains(g),
-        size(split(t, java.util.regex.Pattern.quote(g), -1)) - 1).otherwise(lit(0)))
+      // the split-based count is already 0 when the gram is absent (one
+      // part, minus one) — a contains() pre-check would scan the text a
+      // second time per gram for identical output (review r9); null text
+      // null-propagates to every count and lands on 'und' either way
+      lang -> grams.map(g =>
+        size(split(t, java.util.regex.Pattern.quote(g), -1)) - 1)
         .reduce(_ + _)
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))

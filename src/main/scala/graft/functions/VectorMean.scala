@@ -16,23 +16,26 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
 
   /** Grow-to-max buffer combine: ragged inputs (vectors of differing
     * lengths) are treated as zero-padded to the longest seen, instead of
-    * crashing mid-aggregation on the first mismatch.
+    * crashing mid-aggregation on the first mismatch. Takes a (length,
+    * index => Double) accessor so the per-ROW reduce path never allocates
+    * a boxed intermediate copy of the input vector (review r9 — this runs
+    * once per corpus row).
     */
-  private def addInto(base: Array[Double], extra: IndexedSeq[Double]): Array[Double] = {
-    val out = if (extra.length > base.length) {
-      val grown = new Array[Double](extra.length)
+  private def addInto(base: Array[Double], n: Int, at: Int => Double): Array[Double] = {
+    val out = if (n > base.length) {
+      val grown = new Array[Double](n)
       System.arraycopy(base, 0, grown, 0, base.length)
       grown
     } else base
     var i = 0
-    while (i < extra.length) { out(i) += extra(i); i += 1 }
+    while (i < n) { out(i) += at(i); i += 1 }
     out
   }
 
   override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
     if (a == null) return b
     (addInto(if (b._1.isEmpty) new Array[Double](a.length) else b._1,
-      a.toIndexedSeq.map(_.toDouble)), b._2 + 1)
+      a.length, i => a(i).toDouble), b._2 + 1)
   }
 
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
@@ -41,7 +44,7 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     // would depend on partitioning (ADVICE round 2).
     if (x._1.isEmpty) return (y._1, x._2 + y._2)
     if (y._1.isEmpty) return (x._1, x._2 + y._2)
-    (addInto(x._1.clone(), y._1.toIndexedSeq), x._2 + y._2)
+    (addInto(x._1.clone(), y._1.length, y._1), x._2 + y._2)
   }
 
   override def finish(r: (Array[Double], Long)): Seq[Double] =

@@ -315,4 +315,27 @@ class FunctionsSpec extends SparkSpec {
     d.end()
     assert(out(0) == n.toDouble / in.length, s"udf ratio ${out(0)} != direct ${n.toDouble / in.length}")
   }
+
+  /** Review-r9 pins: the text kit null-propagates uniformly — a null text
+    * must not fingerprint as the EMPTY document (concat_ws skips nulls),
+    * and langIdNgram still answers 'und' for null text after dropping its
+    * redundant contains() pre-scan. JsonText escapes every control char.
+    */
+  test("fingerprint(null) is null; langIdNgram(null) is 'und'; JsonText escapes") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq((1L, "hello world"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+        graft.functions.TextFunctions.langIdNgram(col("text")).as("lang"))
+      .orderBy("id").collect()
+    assert(df(0).getString(1) != null)
+    assert(df(1).isNullAt(1), "null text must not collapse into md5(\"\")")
+    assert(df(1).getString(2) == "und")
+    // the empty STRING still fingerprints (a real, distinct document state)
+    val empty = Seq(Tuple1("")).toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text"))).head()
+    assert(!empty.isNullAt(0))
+    assert(graft.JsonText.quote("a\"b\\c\nd\te\u0001f") ==
+      "\"a\\\"b\\\\c\\nd\\te\\u0001f\"")
+  }
 }
