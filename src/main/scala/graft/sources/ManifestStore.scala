@@ -69,7 +69,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object ManifestStore {
 
   final case class ManifestEntry(path: String, bytes: Long)
-  final case class Snapshot(version: Long, files: Seq[ManifestEntry])
+
+  /** `txns` carries the highest committed batch id per streaming writer
+    * (appId): foreachBatch delivery is at-least-once, so a retried
+    * micro-batch must be detectable AT THE COMMIT, not by the caller —
+    * the same public idempotent-writes pattern as Delta's txnAppId/
+    * txnVersion. Compactions and plain appends preserve the map.
+    */
+  final case class Snapshot(version: Long, files: Seq[ManifestEntry],
+                            txns: Map[String, Long] = Map.empty)
 
   private val Header = "graft-manifest v1"
   private def manifestsDir(root: Path) = new Path(root, "_manifests")
@@ -88,9 +96,17 @@ object ManifestStore {
     val body = new StringBuilder
     body.append(Header).append('\n')
     body.append("version=").append(s.version).append('\n')
+    s.txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
+      require(!appId.contains('\n') && !appId.contains('\t') && appId.nonEmpty,
+        s"appId not manifest-safe: '$appId'")
+      body.append("txn=").append(appId).append('\t').append(batchId).append('\n')
+    }
     s.files.foreach { f =>
       require(!f.path.contains('\n') && !f.path.contains('\t'),
         s"file path not manifest-safe: ${f.path}")
+      // file paths are URIs (scheme-prefixed), so the txn= marker cannot
+      // collide — enforced rather than assumed
+      require(!f.path.startsWith("txn="), s"file path collides with txn marker: ${f.path}")
       body.append(f.path).append('\t').append(f.bytes).append('\n')
     }
     val bodyStr = body.toString
@@ -120,12 +136,18 @@ object ManifestStore {
     val v = lines.lift(1).collect { case s if s.startsWith("version=") =>
       s.stripPrefix("version=").toLong }
     if (!v.contains(expectVersion)) return None
-    val files = lines.drop(2).map { l =>
+    val (txnLines, fileLines) = lines.drop(2).partition(_.startsWith("txn="))
+    val txns = txnLines.map { l =>
+      val i = l.lastIndexOf('\t')
+      if (i <= 0) return None
+      l.substring("txn=".length, i) -> l.substring(i + 1).toLong
+    }.toMap
+    val files = fileLines.map { l =>
       val i = l.lastIndexOf('\t')
       if (i <= 0) return None
       ManifestEntry(l.substring(0, i), l.substring(i + 1).toLong)
     }
-    Some(Snapshot(expectVersion, files))
+    Some(Snapshot(expectVersion, files, txns))
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -218,8 +240,44 @@ object ManifestStore {
     if (mine.isEmpty)
       return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
     commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
-      Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine))
+      Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
+        base.map(_.txns).getOrElse(Map.empty)))
     }
+  }
+
+  /** Idempotent streaming append — the foreachBatch sink primitive.
+    * Structured Streaming delivers micro-batches AT-LEAST-ONCE after a
+    * failure, so the sink must make the redelivered (appId, batchId)
+    * commit a no-op: the snapshot's txn watermark for `appId` is checked
+    * INSIDE the same atomic commit that adds the files, so a retry can
+    * never double the batch even racing other writers. Returns the
+    * committed version, or the current version when the batch was already
+    * committed (the retry case). Batch ids must be monotonically
+    * increasing per appId — exactly what foreachBatch provides.
+    *
+    * Usage: `stream.writeStream.foreachBatch { (df, id) =>
+    *   ManifestStore.appendBatch(spark, df, root, "my-sink", id) }`.
+    */
+  def appendBatch(spark: SparkSession, df: DataFrame, root: String,
+                  appId: String, batchId: Long,
+                  maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    // cheap pre-check: skip the batch WRITE too on an obvious redelivery
+    // (the authoritative check remains inside the commit)
+    val pre = latestSnapshot(spark, root)
+    if (pre.exists(_.txns.getOrElse(appId, -1L) >= batchId))
+      return pre.get.version
+    val mine = writeBatch(fs, rootP, df)
+    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+      val txns = base.map(_.txns).getOrElse(Map.empty)
+      if (txns.getOrElse(appId, -1L) >= batchId) None // lost race to our own retry
+      else Some(Snapshot(0L,
+        base.map(_.files).getOrElse(Seq.empty) ++ mine,
+        txns + (appId -> batchId)))
+    }
+    if (v == -1L) // already committed concurrently: report the live version
+      latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+    else v
   }
 
   /** Rebase-and-retry commit loop shared by append/compact. `build`
@@ -352,7 +410,8 @@ object ManifestStore {
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       val present = baseFiles.map(_.path).toSet
       if (rewrote.exists(p => !present(p))) None // inputs already replaced
-      else Some(Snapshot(0L, baseFiles.filterNot(f => rewrote(f.path)) ++ mine))
+      else Some(Snapshot(0L, baseFiles.filterNot(f => rewrote(f.path)) ++ mine,
+        base.map(_.txns).getOrElse(Map.empty))) // txn watermarks survive compaction
     }
     (before.files.size, mine.size, v)
   }

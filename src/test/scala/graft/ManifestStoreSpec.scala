@@ -225,4 +225,51 @@ class ManifestStoreSpec extends SparkSpec {
       ManifestStore.read(spark, root)
     }
   }
+
+  /** r9: the foreachBatch sink primitive — streaming delivery is
+    * at-least-once, so a REDELIVERED (appId, batchId) commit must be a
+    * no-op, checked inside the same atomic commit that adds the files;
+    * watermarks survive compaction; independent appIds don't interfere.
+    */
+  test("appendBatch: redelivered micro-batches are no-ops; watermarks survive compaction") {
+    val root = freshRoot()
+    assert(ManifestStore.appendBatch(spark, batch(0, 10), root, "sinkA", 0L) == 1L)
+    assert(ManifestStore.appendBatch(spark, batch(10, 20), root, "sinkA", 1L) == 2L)
+    // the retry: same appId + batchId delivered again after a "failure"
+    val vRetry = ManifestStore.appendBatch(spark, batch(10, 20), root, "sinkA", 1L)
+    assert(vRetry == 2L, s"redelivery must not commit, got $vRetry")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 20L),
+      "no duplicated rows after redelivery")
+    // an independent writer is unaffected by sinkA's watermark
+    assert(ManifestStore.appendBatch(spark, batch(20, 25), root, "sinkB", 0L) == 3L)
+    // compaction preserves the watermarks: a post-compaction redelivery
+    // must STILL no-op
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.txns == Map("sinkA" -> 1L, "sinkB" -> 0L), s"txns lost: ${snap.txns}")
+    val vRetry2 = ManifestStore.appendBatch(spark, batch(10, 20), root, "sinkA", 1L)
+    assert(vRetry2 == snap.version && ids(ManifestStore.read(spark, root)) == (0L until 25L),
+      "a watermark dropped by compaction would re-admit the duplicate batch")
+  }
+
+  test("appendBatch drives a real Structured Streaming foreachBatch sink exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot()
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().withColumnRenamed("value", "id")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/_ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        ManifestStore.appendBatch(df.sparkSession, df, root, "stream-sink", batchId)
+        () // Unit: the Scala-2.13 foreachBatch overload
+      }
+    mem.addData(0L until 50L: _*)
+    val run1 = q.start(); run1.awaitTermination()
+    mem.addData(50L until 80L: _*)
+    val run2 = q.start(); run2.awaitTermination()
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 80L),
+      "each micro-batch committed exactly once across two stream restarts")
+  }
 }
