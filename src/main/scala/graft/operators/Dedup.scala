@@ -56,8 +56,16 @@ object Dedup {
     * documents (the SCALE.md design). Collision risk at 128 bits is
     * negligible against any corpus size.
     */
+  /** The ONE document-fingerprint expression (md5 over raw text bytes).
+    * Bit-for-bit agreement between the stored index and every recompute
+    * site is load-bearing for the incremental anti-join — a drifted copy
+    * would make exact-dup detection silently stop matching (review r9).
+    */
+  private[graft] def docFingerprint(textCol: String): Column =
+    md5(col(textCol).cast("binary"))
+
   def exactDedupByFingerprint(df: DataFrame, textCol: String, tiebreak: String): DataFrame =
-    exactDedup(df.withColumn("__fp", md5(col(textCol).cast("binary"))), Seq("__fp"), tiebreak)
+    exactDedup(df.withColumn("__fp", docFingerprint(textCol)), Seq("__fp"), tiebreak)
       .drop("__fp")
 
   /** Distinct (id, shingle) pairs for a corpus of (id, text). By default
@@ -177,7 +185,9 @@ object Dedup {
     * not the corpus — at 100 TB the pairs side is orders of magnitude
     * smaller than the corpus and the semi-join is the whole ballgame.
     *
-    * Emits ONE ROW PER INPUT PAIR: a pair with zero shared shingles gets
+    * Emits ONE ROW PER DISTINCT INPUT PAIR (duplicate (a_id, b_id) input
+    * rows collapse — counting them into the intersection would read
+    * jaccard > 1, review r9): a pair with zero shared shingles gets
     * jaccard 0.0 (it used to vanish through the inner intersection join —
     * a caller iterating "one row per candidate" lost exactly the
     * hash-collision-only candidates), and a pair where BOTH members are
@@ -194,22 +204,28 @@ object Dedup {
     */
   def exactJaccard(pairs: DataFrame, shingleSets: DataFrame,
                    sizes: Option[DataFrame]): DataFrame = {
+    // duplicate (a_id, b_id) input rows would multiply the intersection
+    // count (inter = dupFactor x true overlap, jaccard > 1) while the
+    // final left joins fan the corrupt value back out — ONE distinct here
+    // keeps the "one row per input pair" contract exact for any caller
+    // (review r9; the pair frame is id-only, the cheapest possible distinct)
+    val uniquePairs = pairs.select("a_id", "b_id").distinct()
     // left_semi dedups its right side itself — no distinct needed
-    val docsInPairs = pairs.select(col("a_id").as("doc_id"))
-      .union(pairs.select(col("b_id").as("doc_id")))
+    val docsInPairs = uniquePairs.select(col("a_id").as("doc_id"))
+      .union(uniquePairs.select(col("b_id").as("doc_id")))
     val sh = shingleSets.join(docsInPairs, Seq("doc_id"), "left_semi")
     val szs = sizes.getOrElse(sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
       .select("doc_id", "n_sh")
     val sa = sh.select(col("doc_id").as("a_id"), col("sh"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = pairs
+    val inter = uniquePairs
       .join(sa, "a_id").join(sb, Seq("b_id", "sh"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     // LEFT joins from the pair list: zero-intersection and shingle-less
     // members must yield a 0.0/null row, never a silently missing pair
     val i = coalesce(col("inter"), lit(0L))
     val denom = coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) - i
-    pairs.select("a_id", "b_id")
+    uniquePairs
       .join(inter, Seq("a_id", "b_id"), "left")
       .join(szs.select(col("doc_id").as("a_id"), col("n_sh").as("na")), Seq("a_id"), "left")
       .join(szs.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), Seq("b_id"), "left")
@@ -268,8 +284,7 @@ object Dedup {
     // mh*/n_sh columns are null. repartitionFirst=false for corpus-sized
     // well-split inputs (shingleSet's contract): building the 100 TB index
     // must not round-robin every byte of text through an exchange first.
-    corpus.select(col(idCol).as("doc_id"),
-        md5(col(textCol).cast("binary")).as("fp"))
+    corpus.select(col(idCol).as("doc_id"), docFingerprint(textCol).as("fp"))
       .join(minhashSignatures(
           shingleSet(corpus, idCol, textCol, repartitionFirst = repartitionFirst),
           numHashes),
@@ -407,7 +422,7 @@ object Dedup {
       probeStrategy)
     val kept = Pinned.pin(kept0)
     val keptIndex = kept
-      .select(col(idCol).as("doc_id"), md5(col(textCol).cast("binary")).as("fp"))
+      .select(col(idCol).as("doc_id"), docFingerprint(textCol).as("fp"))
       .join(batchSig, Seq("doc_id"), "left")
     (kept, keptIndex)
   }
@@ -448,7 +463,7 @@ object Dedup {
     // and the index anti-join (exactDedupByFingerprint would drop it and
     // force an identical recompute)
     val fresh = Pinned.pin(
-      exactDedup(batch.withColumn("__fp", md5(col(textCol).cast("binary"))),
+      exactDedup(batch.withColumn("__fp", docFingerprint(textCol)),
           Seq("__fp"), idCol)
         .join(index.select(col("fp").as("__fp")).distinct(), Seq("__fp"), "left_anti")
         .drop("__fp"))
@@ -580,6 +595,7 @@ object Dedup {
     *         for path-like graphs of diameter > maxRounds
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = pairs.sparkSession
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -661,12 +677,18 @@ object Dedup {
   /** E2 (SimHash variant): 32-bit SimHash over the distinct-token set.
     * Near-dups land within a small Hamming distance; bit_count(xor) compares.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              repartitionFirst: Boolean = true): DataFrame = {
     // project the hash ONCE below the aggregate — referenced directly
     // inside the 32 sum() expressions it would be re-evaluated per
     // expression, multiplying the dominant md5 cost 32x per token (the
-    // same measured trap minhashSignatures documents for its min()s)
-    val toks = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // same measured trap minhashSignatures documents for its min()s).
+    // repartitionFirst=false for corpus-sized well-split inputs — the
+    // same exchange opt-out shingleSet documents (review r9)
+    val spread =
+      if (repartitionFirst) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      else df
+    val toks = spread
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokenize(col(textCol)))).as("token"))
       .select(col("doc_id"), hash32(col("token")).as("__h"))
@@ -727,10 +749,15 @@ object Dedup {
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int = 4,
-                    broadcastEval: Boolean = true): DataFrame = {
+                    broadcastEval: Boolean = true,
+                    broadcastHits: Boolean = true): DataFrame = {
     val hit = contaminationReport(train, eval, idCol, textCol, n, broadcastEval)
       .select(col("doc_id").as(idCol))
-    train.join(broadcast(hit), Seq(idCol), "left_anti")
+    // broadcastHits=false is the escape hatch for the regime where a
+    // common shingle (license boilerplate in the eval suite) flags a
+    // corpus-scale fraction of training docs — a forced broadcast there
+    // has no non-OOM path (review r9)
+    train.join(if (broadcastHits) broadcast(hit) else hit, Seq(idCol), "left_anti")
   }
 
   /** [[decontaminate]] against a precomputed eval shingle frame (see
@@ -738,11 +765,12 @@ object Dedup {
     */
   def decontaminateShingles(train: DataFrame, evalShingles: DataFrame,
                             idCol: String, textCol: String, n: Int = 4,
-                            broadcastEval: Boolean = true): DataFrame = {
+                            broadcastEval: Boolean = true,
+                            broadcastHits: Boolean = true): DataFrame = {
     val hit = contaminationReportShingles(train, evalShingles, idCol, textCol,
         n, broadcastEval)
       .select(col("doc_id").as(idCol))
-    train.join(broadcast(hit), Seq(idCol), "left_anti")
+    train.join(if (broadcastHits) broadcast(hit) else hit, Seq(idCol), "left_anti")
   }
 
   /** E1 at sub-document granularity (the C4-style line/paragraph dedup):
@@ -781,6 +809,10 @@ object Dedup {
   def segmentDedup(corpus: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 10, packedIds: Boolean = true): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    // empty/null-text docs have NO segments, so they vanish like
+    // every-segment-duplicated docs do — the documented vanishing rule,
+    // stated here because the filter is easy to misread as an oversight
+    // (review r9; removeBoilerplate's contract differs and KEEPS them)
     val segs = corpus
       .where(length(col(textCol)) > 0)
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
@@ -905,7 +937,8 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("__docs"))
       .where(col("__docs") >= minDocs)
       .select(col("line"), lit(1).as("__bp"))
-    lines.join(if (broadcastLines) broadcast(boiler) else boiler, Seq("line"), "left")
+    val cleaned = lines
+      .join(if (broadcastLines) broadcast(boiler) else boiler, Seq("line"), "left")
       .groupBy(idCol)
       .agg(
         sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_lines_kept"),
@@ -913,6 +946,17 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("__bp").isNull, struct(col("pos"), col("line"))))),
           x => x.getField("line")), rejoin).as("cleaned_text"))
+    // empty/null-text docs never reach the line explode, but a CLEANING
+    // operator must not delete rows it was never asked to drop (review
+    // r9): they come back with the same shape the documented
+    // fully-boilerplate case gets — zero lines, empty cleaned_text. The
+    // rejoin moves ids only.
+    corpus.select(col(idCol))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("n_lines_dropped"), lit(0L)).as("n_lines_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** E2i (cluster canonicalization): given near-dup edges and a per-member

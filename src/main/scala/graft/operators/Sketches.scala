@@ -34,10 +34,12 @@ object Sketches {
     require(eps > 0 && eps < 1, s"eps must be in (0, 1), got $eps")
     require(confidence > 0 && confidence < 1,
       s"confidence must be in (0, 1), got $confidence")
-    // backtick-quote: an unquoted interpolation breaks on names needing
-    // quoting and would let a crafted "name" splice arbitrary SQL
+    // backtick-quote WITH backtick escaping: quoting alone still breaks on
+    // legal backtick-bearing names and a crafted name could close the
+    // identifier early and splice arbitrary SQL (review r9)
+    val quoted = colName.replace("`", "``")
     val bytes = df
-      .select(expr(s"count_min_sketch(`$colName`, CAST($eps AS DOUBLE), " +
+      .select(expr(s"count_min_sketch(`$quoted`, CAST($eps AS DOUBLE), " +
         s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
       .head.getAs[Array[Byte]](0)
     CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
@@ -96,13 +98,17 @@ object Sketches {
     * overlap on raw shingle sets (corpus x corpus shuffle).
     */
   def kmvSignatures(corpus: DataFrame, strataCol: String, textCol: String,
-                    n: Int, k: Int): DataFrame = {
+                    n: Int, k: Int,
+                    repartitionFirst: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
     // Dedup.shingleSet owns the shingling pipeline (and its two perf
     // traps: token projection before the shingle lambda, repartition of
-    // single-split inputs); its id column is the stratum here
-    val sh = Dedup.shingleSet(corpus, strataCol, textCol, n)
+    // single-split inputs); its id column is the stratum here.
+    // repartitionFirst=false is the documented corpus-sized/well-split
+    // opt-out — without plumbing it, the "corpus streams once" claim was
+    // unreachable at scale (review r9)
+    val sh = Dedup.shingleSet(corpus, strataCol, textCol, n, repartitionFirst)
       .select(col("doc_id").as("stratum"), TextFunctions.hash60(col("sh")).as("h"))
     // dense_rank <= k over the RAW (duplicated) hash stream, dedup after:
     // dense_rank admits a map-side partial WindowGroupLimit (each task

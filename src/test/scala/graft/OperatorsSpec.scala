@@ -1037,6 +1037,52 @@ class OperatorsSpec extends SparkSpec {
     assert(got((4L, 5L)).isEmpty, s"both shingle-less -> null (undefined): $got")
   }
 
+  /** Review-r9 pins: duplicated candidate rows must not inflate the
+    * intersection count (jaccard read 3.0 for a twice-listed pair), and
+    * the other guards/opt-outs from the same sweep hold.
+    */
+  test("E2: exactJaccard collapses duplicate input pairs; guards fire loudly") {
+    val corpus = Seq((1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ff"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    val dupPairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("a_id", "b_id")
+    val rows = Dedup.exactJaccard(dupPairs, sh).collect()
+    assert(rows.length == 1, s"duplicates collapse to one row: ${rows.toSeq}")
+    val j = rows.head.getDouble(2)
+    assert(j > 0 && j <= 1.0, s"a duplicated pair must not read jaccard > 1: $j")
+    // maxRounds <= 0 is an argument error, not a fake non-convergence
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(Seq((1L, 2L)).toDF("a_id", "b_id"), maxRounds = 0)
+    }
+    assert(e.getMessage.contains("maxRounds"), e.getMessage)
+    // simhash repartition opt-out is value-identical
+    val withR = Dedup.simhash(corpus, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val noR = Dedup.simhash(corpus, "doc_id", "text", repartitionFirst = false)
+      .as[(Long, Long)].collect().toMap
+    assert(withR == noR)
+  }
+
+  test("E1: removeBoilerplate keeps empty/null-text docs as zero-line rows (review r9)") {
+    val corpus = Seq(
+      (1L, "header\nbody one"), (2L, "header\nbody two"), (3L, "header\nbody three"),
+      (4L, ""), (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"a cleaning operator must not delete rows: ${out.keySet}")
+    assert(out(1L) == ((1L, 1L, "body one")), s"got ${out(1L)}")
+    assert(out(4L) == ((0L, 0L, "")) && out(5L) == ((0L, 0L, "")),
+      "empty/null text reads as the documented zero-line shape")
+  }
+
+  test("E3/CMS: backtick-bearing column names are escaped, not spliced (review r9)") {
+    import graft.operators.Sketches
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k`k", "v")
+    val cms = Sketches.countMinSketchOf(df, "k`k")
+    assert(cms.estimateCount("a") >= 2L)
+  }
+
   test("E2: bands refuses a numHashes not divisible by rowsPerBand") {
     val sig = Seq((1L, 1L)).toDF("doc_id", "mh0")
     val e = intercept[IllegalArgumentException] { Dedup.bands(sig, 16, 5) }
