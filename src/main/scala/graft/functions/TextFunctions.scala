@@ -132,12 +132,17 @@ object TextFunctions {
     * [[langId]] — n-grams survive texts where stopwords are absent
     * (headlines, fragments).
     */
+  /** Authoritative trigram profiles behind [[langIdNgram]] (public for
+    * the oracle, same single-sourcing rule as [[LangIdStopwordProfiles]]).
+    */
+  val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", "ion", " the ", " and "),
+    "de" -> Seq("sch", "ein", "ich", "der ", " und ", "che"),
+    "fr" -> Seq(" le ", " les ", "eau", "oux", " est ", "que "),
+    "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
+
   def langIdNgram(text: Column): Column = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("th", "he", "ing", "ion", " the ", " and "),
-      "de" -> Seq("sch", "ein", "ich", "der ", " und ", "che"),
-      "fr" -> Seq(" le ", " les ", "eau", "oux", " est ", "que "),
-      "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
+    val profiles = TrigramProfiles
     val t = lower(text)
     val hits = profiles.map { case (lang, grams) =>
       // the split-based count is already 0 when the gram is absent (one
@@ -212,13 +217,18 @@ object TextFunctions {
   /** Stopword-list hit counts per language → argmax language id. N-gram-free
     * heuristic; ties resolve in fixed list order (en, de, fr, es).
     */
+  /** The authoritative stopword profiles behind [[langId]] — public so
+    * the DuckDB oracle derives from the SAME data (review r9: the oracle
+    * carried a hand-maintained copy that could silently desync).
+    */
+  val LangIdStopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una"))
+
   def langId(tokens: Column): Column = {
-    val lists: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "a", "of", "and", "to", "in"),
-      "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
-      "es" -> Seq("el", "la", "los", "y", "es", "una"))
-    val hits = lists.map { case (lang, ws) =>
+    val hits = LangIdStopwordProfiles.map { case (lang, ws) =>
       lang -> size(filter(tokens, t => array_contains(array(ws.map(lit): _*), t)))
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))

@@ -125,7 +125,7 @@ object DedupQueries {
     * verification and the drop-batch-side rule.
     */
   private val duckIncrementalSql: String = {
-    val toks = "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    val toks = TextQueries.duckToks // single-sourced (review r9)
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = Dedup.hashParams(j)
       s"min((h * $a + $b) % ${Dedup.P}) AS mh$j"
@@ -218,7 +218,7 @@ object DedupQueries {
 
   /** DuckDB MinHash pipeline, kept in lockstep with operators.Dedup. */
   private val duckMinhashSql: String = {
-    val toks = "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    val toks = TextQueries.duckToks // single-sourced (review r9)
     val mins = (0 until NumHashes).map { j =>
       val (a, b) = Dedup.hashParams(j)
       s"min((h * $a + $b) % ${Dedup.P}) AS mh$j"
@@ -265,7 +265,7 @@ object DedupQueries {
 
   /** DuckDB SimHash, in lockstep with operators.Dedup.simhash. */
   private val duckSimhashSql: String = {
-    val toks = "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+    val toks = TextQueries.duckToks // single-sourced (review r9)
     val bitSums = (0 until 32).map(i => s"sum((h >> $i) % 2 * 2 - 1) AS s$i").mkString(", ")
     val value = (0 until 32)
       .map(i => s"CASE WHEN s$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -423,7 +423,7 @@ object DedupQueries {
       "e2_jaccard_exact",
       s"""WITH corpus AS ${duckCorpus(copies = false)},
          |tokd AS (SELECT doc_id,
-         |    list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '') AS toks
+         |    ${TextQueries.duckToks} AS toks
          |  FROM corpus),
          |sh AS (
          |  SELECT DISTINCT doc_id, sh FROM (

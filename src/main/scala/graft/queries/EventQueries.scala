@@ -55,10 +55,14 @@ object EventQueries {
     // a normalized to_json rebuild (both engines emit {"k":N}).
     QueryDef.sql(
       "f14_json_typed",
+      // rebuilt normalizes a missing/null k to 0 on BOTH sides: Spark's
+      // to_json omits null struct fields ('{}') while DuckDB emits
+      // '{"k":null}' — a latent cross-engine divergence that would fire on
+      // the first fixture row without a k (review r9)
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-        |       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS rebuilt
+        |       to_json(struct_pack(k := coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0))) AS rebuilt
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val asMap = from_json(col("props"), org.apache.spark.sql.types.MapType(
         org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
@@ -67,7 +71,7 @@ object EventQueries {
       Tables.events(s, d).select(col("event_id"),
         element_at(asMap, "k").cast("long").as("k_map"),
         asStruct.getField("k").as("k_struct"),
-        to_json(struct(asStruct.getField("k").as("k"))).as("rebuilt"))
+        to_json(struct(coalesce(asStruct.getField("k"), lit(0L)).as("k"))).as("rebuilt"))
         .orderBy("event_id")
     },
 

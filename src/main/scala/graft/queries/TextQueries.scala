@@ -19,10 +19,16 @@ import graft.sources.Tables
 object TextQueries {
 
   /** DuckDB twin of TextFunctions.tokenize (FIXTURES.md canonical spec:
-    * lower → whitespace→space → strip → split → drop empties).
+    * lower → whitespace→space → strip → split → drop empties). The
+    * whitespace class is spelled EXPLICITLY as Java's \s ([ \t\n\x0b\f\r]):
+    * DuckDB's RE2 \s excludes vertical tab, so the shorthand would
+    * silently join tokens around a \x0b where Spark splits them — a
+    * latent corpus-wide gate break on the first fixture regeneration
+    * that emits exotic whitespace (review r9).
     */
-  private[queries] val duckToks =
-    "list_filter(str_split(regexp_replace(regexp_replace(lower(text), '\\s', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
+  private[graft] val duckWs = "[ \\t\\n\\x0b\\f\\r]"
+  private[graft] val duckToks =
+    s"list_filter(str_split(regexp_replace(regexp_replace(lower(text), '$duckWs', ' ', 'g'), '[^a-z0-9 ]', '', 'g'), ' '), x -> x <> '')"
 
   /** Exploded (doc_id, token) stream, shared by several oracles. */
   private val duckTokenStream =
@@ -33,7 +39,9 @@ object TextQueries {
     * quality (a second hand-maintained copy of the formula could silently
     * desync from the Spark side).
     */
-  private val duckStops = "['the','a','of','to','and','in','is','it','for','on']"
+  // derived from the authoritative Spark-side list (review r9)
+  private val duckStops = graft.functions.TextFunctions.EnglishStopwords
+    .map(w => s"'$w'").mkString("[", ",", "]")
   private def duckPunctRatio(text: String): String =
     s"""CASE WHEN length($text) > 0
        |     THEN CAST(length(regexp_replace(lower($text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length($text)
@@ -188,7 +196,7 @@ object TextQueries {
          |         length(text) AS n_chars,
          |         ${duckPunctRatio("text")} AS punct_ratio,
          |         ${duckStopRatio("toks")} AS stop_ratio,
-         |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+         |         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS bpe_tokens
          |  FROM base
          |)
          |SELECT doc_id, n_tokens, n_chars, bpe_tokens,
@@ -232,22 +240,29 @@ object TextQueries {
     // tie order en→de→fr→es, 'und' = undetermined).
     QueryDef.sql(
       "e5_lang_id",
-      s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |hits AS (
-         |  SELECT doc_id,
-         |         len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in'], t))) AS en_h,
-         |         len(list_filter(toks, t -> list_contains(['der','die','das','und','nicht','ist'], t))) AS de_h,
-         |         len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une'], t))) AS fr_h,
-         |         len(list_filter(toks, t -> list_contains(['el','la','los','y','es','una'], t))) AS es_h
-         |  FROM base
-         |)
-         |SELECT doc_id,
-         |       CASE WHEN en_h = greatest(en_h, de_h, fr_h, es_h) AND en_h > 0 THEN 'en'
-         |            WHEN de_h = greatest(en_h, de_h, fr_h, es_h) AND de_h > 0 THEN 'de'
-         |            WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) AND fr_h > 0 THEN 'fr'
-         |            WHEN es_h = greatest(en_h, de_h, fr_h, es_h) AND es_h > 0 THEN 'es'
-         |            ELSE 'und' END AS pred_lang
-         |FROM hits ORDER BY doc_id""".stripMargin) { (s, d) =>
+      {
+        // derived from the SAME profile data the Spark expression uses
+        // (TextFunctions.LangIdStopwordProfiles) — a hand-maintained copy
+        // could silently desync (review r9); tie order = profile order
+        val profiles = graft.functions.TextFunctions.LangIdStopwordProfiles
+        val hitLines = profiles.map { case (lang, ws) =>
+          s"len(list_filter(toks, t -> list_contains([${ws.map(w => s"'$w'").mkString(",")}], t))) AS ${lang}_h"
+        }.mkString(",\n         ")
+        val all = profiles.map(_._1 + "_h").mkString(", ")
+        val caseLines = profiles.map { case (lang, _) =>
+          s"WHEN ${lang}_h = greatest($all) AND ${lang}_h > 0 THEN '$lang'"
+        }.mkString("\n            ")
+        s"""WITH base AS (SELECT doc_id, $duckToks AS toks FROM documents),
+           |hits AS (
+           |  SELECT doc_id,
+           |         $hitLines
+           |  FROM base
+           |)
+           |SELECT doc_id,
+           |       CASE $caseLines
+           |            ELSE 'und' END AS pred_lang
+           |FROM hits ORDER BY doc_id""".stripMargin
+      }) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), langId(tokenize(col("text"))).as("pred_lang"))
         .orderBy("doc_id")
@@ -258,11 +273,9 @@ object TextQueries {
     QueryDef.sql(
       "e5_lang_id_ngram",
       {
-        val profiles = Seq(
-          "en" -> Seq("th", "he", "ing", "ion", " the ", " and "),
-          "de" -> Seq("sch", "ein", "ich", "der ", " und ", "che"),
-          "fr" -> Seq(" le ", " les ", "eau", "oux", " est ", "que "),
-          "es" -> Seq(" el ", " los ", "ción", " es ", " una ", "ado"))
+        // same single-sourcing as e5_lang_id: the oracle's profile table
+        // IS TextFunctions.TrigramProfiles (review r9)
+        val profiles = graft.functions.TextFunctions.TrigramProfiles
         val hitCols = profiles.map { case (lang, grams) =>
           val terms = grams.map(g =>
             s"CAST((length(t) - length(replace(t, '$g', ''))) / ${g.length} AS INT)")
@@ -941,8 +954,11 @@ object TextQueries {
       Golden.sql("e5_bpe_encode",
         "source, n_docs, n_words, n_pieces, fertility", "source")) { (s, d) =>
       import graft.operators.Bpe
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), tokenize(col("text")).as("toks"))
+      // pinned: trainOn consumes the token stream EAGERLY and withPieces
+      // re-reads it for encoding — unpinned, the corpus tokenizes twice
+      // (review r9; the harness releases after every query)
+      val docs = graft.operators.Pinned.pin(Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), tokenize(col("text")).as("toks")))
       val merges = Bpe.trainOn(
         docs.select(explode(col("toks")).as("token")), "token",
         numMerges = 64, maxVocab = 4096)

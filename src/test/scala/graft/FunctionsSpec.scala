@@ -338,4 +338,19 @@ class FunctionsSpec extends SparkSpec {
     assert(graft.JsonText.quote("a\"b\\c\nd\te\u0001f") ==
       "\"a\\\"b\\\\c\\nd\\te\\u0001f\"")
   }
+
+  /** Review-r9 pin: the tokenizer treats vertical tab as whitespace (Java
+    * \s), and the DuckDB oracle twin must spell that class EXPLICITLY —
+    * RE2's \s excludes \x0b, so the shorthand silently joins tokens the
+    * Spark side splits.
+    */
+  test("tokenize splits on vertical tab; the oracle twin spells the class explicitly") {
+    import org.apache.spark.sql.functions.col
+    val toks = Seq(Tuple1("end\u000Bstart two")).toDF("text")
+      .select(graft.functions.TextFunctions.tokenize(col("text"))).head()
+      .getSeq[String](0)
+    assert(toks == Seq("end", "start", "two"), s"got $toks")
+    assert(graft.queries.TextQueries.duckToks.contains("\\x0b"),
+      "oracle whitespace class must name \\x0b explicitly (RE2 \\s omits it)")
+  }
 }
