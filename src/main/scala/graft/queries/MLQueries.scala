@@ -113,7 +113,10 @@ object MLQueries {
         |UNION ALL SELECT 2 AS epoch, count(*) AS n FROM lineitem WHERE l_quantity <= 20
         |UNION ALL SELECT 3 AS epoch, count(*) AS n FROM lineitem WHERE l_quantity <= 30
         |ORDER BY epoch""".stripMargin) { (s, d) =>
-      val li = Tables.lineitem(s, d).select("l_quantity").cache()
+      // Pinned, not raw .cache(): the documented operator-lifecycle release
+      // must reach this block too (review r9 — a long-lived session running
+      // the catalog through Pinned.release alone leaked these)
+      val li = graft.operators.Pinned.pin(Tables.lineitem(s, d).select("l_quantity"))
       (1 to 3).map { epoch =>
         li.where(col("l_quantity") <= epoch * 10)
           .agg(count(lit(1)).as("n")).select(lit(epoch).as("epoch"), col("n"))
@@ -128,7 +131,7 @@ object MLQueries {
         |UNION ALL SELECT 10 AS param, count(*) AS n FROM orders WHERE o_totalprice > 100000
         |UNION ALL SELECT 20 AS param, count(*) AS n FROM orders WHERE o_totalprice > 200000
         |ORDER BY param""".stripMargin) { (s, d) =>
-      val o = Tables.orders(s, d).select("o_totalprice").cache()
+      val o = graft.operators.Pinned.pin(Tables.orders(s, d).select("o_totalprice"))
       Seq(5, 10, 20).map { p =>
         o.where(col("o_totalprice") > p * 10000)
           .agg(count(lit(1)).as("n")).select(lit(p).as("param"), col("n"))
@@ -220,15 +223,18 @@ object MLQueries {
       import spark.implicits._
       val w2vParts = s.conf.getOption("spark.graft.w2v.numPartitions")
         .map(_.trim.toInt).getOrElse(1)
-      val toks = Tables.documents(s, d)
-        .select(graft.functions.TextFunctions.tokenize(col("text")).as("tokens"))
+      // ONE pinned tokenize pass feeds both the fit and the top-token
+      // probe (review r9: the corpus used to tokenize twice — this is the
+      // catalog's slowest-growing entry, so the second scan was real)
+      val toks = graft.operators.Pinned.pin(Tables.documents(s, d)
+        .select(graft.functions.TextFunctions.tokenize(col("text")).as("tokens")))
       val model = new org.apache.spark.ml.feature.Word2Vec()
         .setInputCol("tokens").setOutputCol("vec")
         .setVectorSize(16).setMinCount(5).setSeed(42).setMaxIter(1)
         .setNumPartitions(w2vParts)
         .fit(toks)
-      val top = Tables.documents(s, d)
-        .select(explode(graft.functions.TextFunctions.tokenize(col("text"))).as("t"))
+      val top = toks
+        .select(explode(col("tokens")).as("t"))
         .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(1)
         .as[(String, Long)].head()._1
       model.findSynonyms(top, 5)
@@ -496,15 +502,17 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/pq"
-      // knob derivation costs one parquet metadata count (~ms) — part of
-      // the recorded probe base, not a corpus data scan
-      val (_, _, rerank) = annScaled(emb.count())
+      // knob derivation costs ONE parquet metadata count (~ms) — hoisted
+      // so the coverage gate below reuses it (review r9: two identical
+      // count jobs per probe added scheduling noise to the recorded base)
+      val nEmb = emb.count()
+      val (_, _, rerank) = annScaled(nEmb)
       // params-manifest gate (ADVICE r5) + row-count coverage (r7): an
       // index left behind by a run with different build parameters OR a
       // regenerated fixture rebuilds instead of being probed stale
       val books =
         if (ProductQuantization.pqIndexMatches(s, dir, fitSampleFraction = 0.25) &&
-            ProductQuantization.indexCovers(s, dir, emb.count()))
+            ProductQuantization.indexCovers(s, dir, nEmb))
           ProductQuantization.readCodebooks(s, dir)
         else ProductQuantization.writeIndex(emb, dir, fitSampleFraction = 0.25)
       val ann = ProductQuantization.pqTopKPrebuilt(s.read.parquet(s"$dir/codes"), emb,
@@ -552,14 +560,15 @@ object MLQueries {
       val emb = Tables.embeddings(s, d)
       val q = emb.where(col("vec_id") < 10)
       val dir = s"${IndexStore.root(d)}/ivfpq"
-      // knob derivation costs one parquet metadata count (~ms) — part of
-      // the recorded probe base, not a corpus data scan
-      val (nCells, nProbe, rerank) = annScaled(emb.count())
+      // knob derivation costs ONE parquet metadata count (~ms), hoisted
+      // for the coverage gate (review r9)
+      val nEmb = emb.count()
+      val (nCells, nProbe, rerank) = annScaled(nEmb)
       // params-manifest gate (ADVICE r5) + row-count coverage (r7):
       // mismatched params or a regenerated fixture rebuilds
       if (!ProductQuantization.ivfPqIndexMatches(s, dir, nCells = nCells,
           fitSampleFraction = 0.25) ||
-          !ProductQuantization.indexCovers(s, dir, emb.count()))
+          !ProductQuantization.indexCovers(s, dir, nEmb))
         ProductQuantization.writeIvfPqIndex(emb, dir, nCells = nCells,
           fitSampleFraction = 0.25)
       val ann = ProductQuantization.ivfPqProbe(s, dir, emb, q, k = 5,

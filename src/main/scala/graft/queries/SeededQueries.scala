@@ -149,8 +149,10 @@ object SeededQueries {
         |       CAST(sum(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
         |         x -> round(least(greatest((x + 1) / 2, 0), 1) * 255)), 'sum')) AS BIGINT) AS byte_sum
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_s7_idx_${Integer.toHexString(d.hashCode)}").toString
+      // IndexStore owns the scratch-path scheme (sanitized name + hash —
+      // a bare 32-bit hash tag can collide across fixture dirs and the
+      // unconditional delete below would then race another run, review r9)
+      val dir = s"${graft.sources.IndexStore.root(d)}/s7_idx"
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)

@@ -222,14 +222,29 @@ object TensorQueries {
     // is e3_ann_lsh in DedupQueries + operators.Similarity).
     QueryDef.sql(
       "e3_cosine_topk",
+      // the oracle mirrors graft_cosine's EXACT formula and null posture
+      // (review r9): dot / (sqrt(na) * sqrt(nb)) — same association as the
+      // native loop — with zero-norm AND NaN results reading NULL (DuckDB
+      // compares NaN greater than everything, so an unguarded NaN would
+      // rank first while Spark's null sorts last; NULLS LAST spelled out)
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
-        |  scored AS (
+        |  pairs AS (
         |  SELECT q_id, e.vec_id AS n_id,
-        |         round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+        |         CAST(q_emb AS DOUBLE[]) AS qa, CAST(e.embedding AS DOUBLE[]) AS ea
         |  FROM q, embeddings e WHERE e.vec_id <> q_id
+        |), sims AS (
+        |  SELECT q_id, n_id,
+        |         list_dot_product(qa, qa) AS na, list_dot_product(ea, ea) AS nb,
+        |         list_dot_product(qa, ea) AS dot
+        |  FROM pairs
+        |), scored AS (
+        |  SELECT q_id, n_id,
+        |         CASE WHEN na > 0 AND nb > 0 AND NOT isnan(dot / (sqrt(na) * sqrt(nb)))
+        |              THEN round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cos_sim
+        |  FROM sims
         |), ranked AS (
         |  SELECT q_id, n_id, cos_sim,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rnk
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC NULLS LAST, n_id) AS rnk
         |  FROM scored
         |)
         |SELECT q_id, n_id, cos_sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) {
