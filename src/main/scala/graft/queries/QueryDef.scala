@@ -14,6 +14,15 @@ final case class QueryDef(
     pinnedAtGateSf: Boolean = false)
 
 object QueryDef {
+
+  /** The ONE timestamp-literal idiom shared by every fixture query file
+    * (review r9: RelationalQueries hand-repeated it ~16 times next to
+    * TpchQueries' private twin — a change to the casting idiom, e.g. an
+    * ANSI-mode to_timestamp move, must land once).
+    */
+  private[queries] def ts(s: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(s).cast("timestamp")
+
   /** Oracle-checked query. Callers apply `.stripMargin` themselves so SQL
     * containing literal '|' (regexes, string data) is never mangled here.
     */

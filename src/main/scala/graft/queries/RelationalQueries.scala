@@ -22,6 +22,21 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  /** SQL-front-end detour for the rollup/cube entries whose DataFrame form
+    * trips the analyzer (see a10_rollup's note): registers a
+    * COLLISION-SAFE temp view, runs the SQL (analysis is eager, so the
+    * returned frame no longer needs the view), and drops it — a fixed
+    * global name would silently clobber a user's same-named view and leave
+    * a stale fixture-backed replacement in the session catalog (review r9).
+    */
+  private def viaTempView(s: SparkSession, df: DataFrame, base: String)
+                         (sql: String => String): DataFrame = {
+    val name = s"${base}_${ProcessNonce.value}"
+    df.createOrReplaceTempView(name)
+    try s.sql(sql(name)) finally s.catalog.dropTempView(name)
+  }
+
+
   /** Exact money aggregate: sum in decimal, surface as double. */
   private def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
@@ -211,8 +226,8 @@ object RelationalQueries {
       val sup = broadcast(Tables.supplier(s, d)
         .join(nat, col("s_nationkey") === col("n_nationkey")))
       val ord = Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .where(col("o_orderdate") >= QueryDef.ts("1996-01-01") &&
+          col("o_orderdate") < QueryDef.ts("1997-01-01"))
       Tables.lineitem(s, d)
         .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -325,7 +340,7 @@ object RelationalQueries {
       val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
       val charge = disc * (lit(1) + col("l_tax"))
       Tables.lineitem(s, d)
-        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .where(col("l_shipdate") <= QueryDef.ts("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum("l_quantity").as("sum_qty"),
@@ -347,14 +362,15 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority", "o_totalprice")
-        .createOrReplaceTempView("graft_orders_cube")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority,
-          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
-          |FROM graft_orders_cube
-          |GROUP BY CUBE(o_orderstatus, o_orderpriority)
-          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      viaTempView(s, Tables.orders(s, d)
+          .select("o_orderstatus", "o_orderpriority", "o_totalprice"),
+        "graft_orders_cube") { v =>
+        s"""SELECT o_orderstatus, o_orderpriority,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+           |FROM $v
+           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+      }
     },
 
     // W6b: range-frame window — sum over a VALUE range (all orders within
@@ -385,18 +401,18 @@ object RelationalQueries {
       // DataFrame `.rollup(...).agg(...)` trips Spark's ambiguous-self-join
       // detector on joined grouping columns (analyzer false positive), so
       // this one goes through the SQL front end — same Catalyst plan.
-      Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .select("r_name", "n_name", "c_acctbal")
-        .createOrReplaceTempView("graft_cust_geo")
-      s.sql(
-        """SELECT r_name, n_name,
-          |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
-          |       count(*) AS n
-          |FROM graft_cust_geo
-          |GROUP BY ROLLUP(r_name, n_name)
-          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+      viaTempView(s, Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal"),
+        "graft_cust_geo") { v =>
+        s"""SELECT r_name, n_name,
+           |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           |       count(*) AS n
+           |FROM $v
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+      }
     },
 
     // A10e: explicit GROUPING SETS (the general form behind rollup/cube).
@@ -406,13 +422,14 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
-      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority")
-        .createOrReplaceTempView("graft_orders_gs")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n
-          |FROM graft_orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+      viaTempView(s, Tables.orders(s, d)
+          .select("o_orderstatus", "o_orderpriority"),
+        "graft_orders_gs") { v =>
+        s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           |FROM $v
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+      }
     },
 
     // A10f: exact percentiles (median + p90, linear interpolation — both
@@ -635,8 +652,8 @@ object RelationalQueries {
         |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
       def cust(y0: String, y1: String) = Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit(y0).cast("timestamp") &&
-          col("o_orderdate") < lit(y1).cast("timestamp"))
+        .where(col("o_orderdate") >= QueryDef.ts(y0) &&
+          col("o_orderdate") < QueryDef.ts(y1))
         .select("o_custkey")
       cust("1995-01-01", "1996-01-01").intersect(cust("1996-01-01", "1997-01-01"))
         .orderBy("o_custkey")
@@ -649,8 +666,8 @@ object RelationalQueries {
         |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |ORDER BY o_custkey""".stripMargin) { (s, d) =>
       def cust(y0: String, y1: String) = Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit(y0).cast("timestamp") &&
-          col("o_orderdate") < lit(y1).cast("timestamp"))
+        .where(col("o_orderdate") >= QueryDef.ts(y0) &&
+          col("o_orderdate") < QueryDef.ts(y1))
         .select("o_custkey")
       cust("1995-01-01", "1996-01-01").except(cust("1996-01-01", "1997-01-01"))
         .orderBy("o_custkey")
@@ -687,8 +704,12 @@ object RelationalQueries {
       import spark.implicits._
       val src = Tables.orders(s, d).where(col("o_orderkey") % 7 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+      // fixture tag + PER-PROCESS nonce: two concurrent JVMs on the same
+      // sfDir (an overlapping Verify + Bench subset) must not race one
+      // scratch dir — the unconditional delete below would corrupt the
+      // other run mid-compaction (review r9); the dir is rebuilt per run
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_o11_compact_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_o11_compact_${Integer.toHexString(d.hashCode)}_${ProcessNonce.value}").toString
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -730,7 +751,7 @@ object RelationalQueries {
       val src = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_o12_manifest_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_o12_manifest_${Integer.toHexString(d.hashCode)}_${ProcessNonce.value}").toString
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -766,9 +787,9 @@ object RelationalQueries {
       val cust = broadcast(Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
         .select("c_custkey"))
       val ord = Tables.orders(s, d)
-        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .where(col("o_orderdate") < QueryDef.ts("1998-01-01"))
       Tables.lineitem(s, d)
-        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .where(col("l_shipdate") > QueryDef.ts("1998-01-01"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -806,8 +827,8 @@ object RelationalQueries {
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name")
       val ord = Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .where(col("o_orderdate") >= QueryDef.ts("1996-01-01") &&
+          col("o_orderdate") < QueryDef.ts("1996-07-01"))
         .select("o_orderkey", "o_custkey")
       Tables.lineitem(s, d)
         .where(col("l_returnflag") === "R")
@@ -829,8 +850,8 @@ object RelationalQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
       Tables.lineitem(s, d)
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        .where(col("l_shipdate") >= QueryDef.ts("1996-01-01") &&
+          col("l_shipdate") < QueryDef.ts("1997-01-01") &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
         .agg(sum((col("l_extendedprice") * col("l_discount")).cast(DecimalType(18, 6)))
           .cast("double").as("revenue"),
@@ -905,7 +926,10 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'b' AS branch, c_mktsegment, n FROM agg
         |ORDER BY branch, c_mktsegment""".stripMargin) { (s, d) =>
-      val agg = Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("n")).cache()
+      // Pinned, not raw .cache(): the documented release lifecycle must
+      // reclaim this too (review r9 — same class as the x3/x4 fix)
+      val agg = graft.operators.Pinned.pin(
+        Tables.customer(s, d).groupBy("c_mktsegment").agg(count(lit(1)).as("n")))
       agg.select(lit("a").as("branch"), col("c_mktsegment"), col("n"))
         .union(agg.select(lit("b").as("branch"), col("c_mktsegment"), col("n")))
         .orderBy("branch", "c_mktsegment")
@@ -926,8 +950,8 @@ object RelationalQueries {
       val flagged = Tables.lineitem(s, d)
         .where(col("l_returnflag") === "R").select("l_orderkey")
       Tables.orders(s, d)
-        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .where(col("o_orderdate") >= QueryDef.ts("1996-01-01") &&
+          col("o_orderdate") < QueryDef.ts("1996-04-01"))
         .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority")
@@ -950,8 +974,8 @@ object RelationalQueries {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'""".stripMargin) { (s, d) =>
       val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 6))
       Tables.lineitem(s, d)
-        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+        .where(col("l_shipdate") >= QueryDef.ts("1996-01-01") &&
+          col("l_shipdate") < QueryDef.ts("1996-03-01"))
         .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
           col("l_partkey") === col("p_partkey"))
         .agg(

@@ -38,7 +38,7 @@ import graft.sources.Tables
   */
 object TpchQueries {
 
-  private val ts = (s: String) => lit(s).cast("timestamp")
+  private val ts = QueryDef.ts _ // single-sourced (review r9)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -57,11 +57,17 @@ object TpchQueries {
         |FROM (SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal FROM cand) t
         |WHERE s_acctbal = min_bal
         |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
-      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       val prt = Tables.part(s, d).where(col("p_size") === 15)
         .select("p_partkey", "p_name")
+      // filter-before-distinct: joining the ~2% of parts with p_size=15
+      // into the fact FIRST shrinks the distinct's exchange ~50x; p_partkey
+      // is unique, so join-then-distinct equals distinct-then-join
+      // restricted to those keys (review r9 — q17's documented argument)
+      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(prt.select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
       val cand = ps
-        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
           col("s_nationkey") === col("n_nationkey"))
@@ -280,14 +286,18 @@ object TpchQueries {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
-      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
       val blacklist = Tables.supplier(s, d).where(col("s_acctbal") < 0).select("s_suppkey")
       val prt = Tables.part(s, d)
         .where(col("p_brand") =!= "Brand#45" &&
           col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 49))
         .select("p_partkey", "p_brand", "p_type", "p_size")
+      // same filter-before-distinct as q2: the 8-size filter keeps ~16% of
+      // parts, cutting the distinct's full-fact exchange ~5x (review r9)
+      val ps = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(broadcast(prt.select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
       ps.join(broadcast(blacklist), col("l_suppkey") === col("s_suppkey"), "left_anti")
-        .join(prt, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
