@@ -41,9 +41,18 @@ object GraftSession {
     val spark = builder(cores).getOrCreate()
     // getOrCreate silently reuses any pre-existing session, ignoring the
     // builder's configs — fail loudly if that session disagrees on the
-    // settings correctness depends on (see ADVICE.md round 1).
+    // settings correctness OR the engine's plans depend on (review r9: a
+    // timezone-only check let a foreign UTC session slip through WITHOUT
+    // GraftExtensions — every graft_* SQL call then fails at analysis and
+    // the native rewrites silently never fire).
     require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
       "reused SparkSession has non-UTC session timezone; oracle comparisons would drift")
+    require(
+      spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")),
+      "reused SparkSession lacks GraftExtensions (graft_* functions and the " +
+        "native rewrites are not installed) — it was built by a foreign " +
+        "SparkSession.builder; stop it or build through GraftSession first")
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

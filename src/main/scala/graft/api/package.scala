@@ -89,6 +89,13 @@ package object api {
     def packed(budget: Int, partitionCol: String = "lang",
                orderCol: String = "doc_id", textCol: String = "text",
                nTokensCol: Option[String] = None): DataFrame = {
+      require(budget > 0, s"budget must be positive: $budget")
+      // scratch/output columns must not silently clobber user data — the
+      // same require convention AsOfJoin/Sampling use (review r9)
+      if (nTokensCol.isEmpty)
+        require(!df.columns.contains("n_tokens"),
+          "input already has an n_tokens column — pass nTokensCol to use it")
+      require(!df.columns.contains("chunk"), "input already has a chunk column")
       val w = Window.partitionBy(partitionCol).orderBy(orderCol)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val counted = nTokensCol match {
@@ -212,6 +219,8 @@ package object api {
       */
     def topNPerGroup(groupCol: String, scoreCol: String, n: Int,
                      tiebreak: String): DataFrame = {
+      require(!left.columns.contains("__rnk"),
+        "input already has a __rnk column (the rank scratch column would destroy it)")
       val w = Window.partitionBy(groupCol)
         .orderBy(col(scoreCol).desc, col(tiebreak))
       left.withColumn("__rnk", row_number().over(w)).where(col("__rnk") <= n)

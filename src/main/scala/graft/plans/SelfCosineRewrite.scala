@@ -46,8 +46,15 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble; s += v * v; i += 1
     }
-    if (s == 0.0 || s.isNaN) null // NaN norm: same null-not-NaN posture as graft_cosine (review r9)
-    else s / (math.sqrt(s) * math.sqrt(s))
+    // null, not NaN, for EVERY non-finite path — including Inf elements,
+    // where the norm is +Inf (not NaN) but the quotient Inf/Inf is NaN:
+    // the rewrite must not reintroduce the rank-#1 corrupt row the
+    // two-sided expression guards against (review r9, second pass)
+    if (s == 0.0 || s.isNaN) null
+    else {
+      val r = s / (math.sqrt(s) * math.sqrt(s))
+      if (r.isNaN) null else r
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -55,9 +62,11 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
       s"""
+         |final int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
@@ -67,6 +76,7 @@ case class SelfCosine(child: Expression) extends UnaryExpression {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $s / (java.lang.Math.sqrt($s) * java.lang.Math.sqrt($s));
+         |    if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
          |  }
          |}
        """.stripMargin

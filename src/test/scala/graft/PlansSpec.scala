@@ -68,6 +68,14 @@ class PlansSpec extends SparkSpec {
       "SELECT graft_cosine(array(CAST('NaN' AS FLOAT)), array(CAST('NaN' AS FLOAT)))")
       .head()
     assert(nan.isNullAt(0), s"NaN must null, not rank: $nan")
+    // Inf elements too: the norm is +Inf (NOT NaN), but the quotient
+    // Inf/Inf is NaN — the SELF-COSINE rewrite path must null it exactly
+    // like the two-sided expression (review r9, second pass: the rewrite
+    // briefly reintroduced the rank-#1 divergence here)
+    val inf = spark.sql(
+      "SELECT graft_cosine(array(CAST('Infinity' AS FLOAT)), array(CAST('Infinity' AS FLOAT)))")
+      .head()
+    assert(inf.isNullAt(0), s"Inf/Inf must null in the rewrite path: $inf")
     // distinct arguments are untouched by the rule
     val two = emb.select(call_function("graft_cosine",
       col("embedding"), reverse(col("embedding"))).as("c"))
