@@ -49,10 +49,18 @@ object AsOfJoin {
       .where(col(key).isNotNull && col(ts).isNotNull)
       .withColumn("__side", lit(0))
     // right rows sort before left rows at equal ts => "at or before"
-    // semantics; valueCol breaks ties among equal-ts right rows. The carried
-    // payload is a struct that is non-null for every RIGHT row (even when
-    // valueCol itself is null), so last(ignoreNulls) keys on row presence.
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col(valueCol))
+    // semantics; valueCol breaks ties among equal-ts right rows. A
+    // non-orderable payload (map, map-bearing struct) cannot sort — fall
+    // back to its deterministic JSON rendering for the TIE TERM only,
+    // instead of failing the whole join at plan time (review r9). The
+    // carried payload is a struct that is non-null for every RIGHT row
+    // (even when valueCol itself is null), so last(ignoreNulls) keys on
+    // row presence.
+    val tieOrder =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(
+          right.schema(valueCol).dataType)) col(valueCol)
+      else to_json(struct(col(valueCol)))
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__asof",

@@ -29,6 +29,20 @@ object Merge {
   def upsertLatest(base: DataFrame, changes: DataFrame,
                    keyCols: Seq[String], versionCols: Seq[String],
                    isDelete: Option[Column] = None): DataFrame = {
+    // an empty key list would make partitionBy() a SINGLE global window
+    // partition — the whole union sorted in one task, and a lone global
+    // winner instead of per-key upserts (review r9)
+    require(keyCols.nonEmpty, "upsertLatest needs at least one key column")
+    require(versionCols.nonEmpty, "upsertLatest needs at least one version column")
+    // NULL-version rows LOSE every comparison (desc = nulls last in
+    // Spark): a change row with a corrupted/null version silently yields
+    // to any non-null base row — refuse on the CHANGES side, where a null
+    // version is a feed defect, not a decidable merge input (review r9)
+    val nullVersioned = changes.filter(
+      versionCols.map(col(_).isNull).reduce(_ || _)).limit(1).collect()
+    require(nullVersioned.isEmpty,
+      s"upsertLatest: changes contain a NULL version in (${versionCols.mkString(", ")}) — " +
+        s"such a row would silently lose to any base row: ${nullVersioned.headOption.orNull}")
     // helper names must not collide with user data (a real __src column —
     // a plausible lineage tag in a CDC feed — would be silently
     // overwritten, used as the tiebreaker, and dropped from the output)
@@ -53,7 +67,16 @@ object Merge {
                   versionCols: Seq[String],
                   validFrom: String = "valid_from",
                   validTo: String = "valid_to"): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
     require(versionCols.nonEmpty, "scd2History needs at least one version column")
+    // output interval columns must not silently destroy user data (the
+    // same reserved-name convention as upsertLatest's __src/__rn — review
+    // r9: a CDC extract of an SCD2 SOURCE table legitimately carries
+    // valid_from/valid_to already), and the two names must differ
+    require(validFrom != validTo, s"validFrom and validTo are both '$validFrom'")
+    for (c <- Seq(validFrom, validTo))
+      require(!changes.columns.contains(c),
+        s"input already has a $c column — pass different validFrom/validTo names")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(versionCols.map(col(_).asc): _*)
     changes

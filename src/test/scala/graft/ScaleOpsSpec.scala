@@ -568,4 +568,50 @@ class ScaleOpsSpec extends SparkSpec {
       .map { case (u, n, t) => u -> (n, t) }.toMap
     assert(out == expected)
   }
+
+  /** Review-r9 pins on the merge/skew/as-of guards: feed defects and
+    * reserved-name collisions fail loudly instead of silently dropping or
+    * clobbering rows, and a map payload no longer fails the as-of join at
+    * plan time.
+    */
+  test("merge/skew/as-of r9 guards: null versions, reserved names, map payloads") {
+    import graft.operators.{Merge, Skew, AsOfJoin}
+    val base = Seq((1L, 10L, "old")).toDF("k", "ts", "v")
+    // a NULL-version change would silently LOSE to the base row — refused
+    val badChange = Seq((1L, Option.empty[Long], "new")).toDF("k", "ts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base, badChange, Seq("k"), Seq("ts"))
+    }
+    assert(e1.getMessage.contains("NULL version"), e1.getMessage)
+    // an empty key list = one global window partition — refused
+    intercept[IllegalArgumentException] {
+      Merge.upsertLatest(base, base, Seq.empty, Seq("ts"))
+    }
+    // scd2 must not clobber a pre-existing interval column
+    val cdc = Seq((1L, 10L, "x", "keep-me")).toDF("k", "ts", "v", "valid_from")
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.scd2History(cdc, Seq("k"), Seq("ts"))
+    }
+    assert(e2.getMessage.contains("valid_from"), e2.getMessage)
+    intercept[IllegalArgumentException] {
+      Merge.scd2History(base, Seq("k"), Seq("ts"), validFrom = "vf", validTo = "vf")
+    }
+    // saltedSum: a key column named like the output aggregate is refused
+    intercept[IllegalArgumentException] {
+      Skew.saltedSum(Seq(("a", 1L)).toDF("total", "x"), Seq("total"), col("x"))
+    }
+    // dotted column names derive salts correctly (col() would misparse)
+    val dotted = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("user.id", "amount")
+    val sums = Skew.saltedSum(dotted, Seq("user.id"), col("amount"), salts = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums == Map("a" -> 3L, "b" -> 3L), s"got $sums")
+    // as-of join with a MAP payload: tie term falls back to JSON instead
+    // of an AnalysisException at plan time
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 50L, Map("a" -> "1")), (1L, 50L, Map("b" -> "2")))
+      .toDF("k", "ts", "props")
+    val got = AsOfJoin.backward(left, right, "k", "ts", "props").collect()
+    assert(got.length == 1 && !got.head.isNullAt(2),
+      "map payload must as-of join, deterministically tie-broken")
+  }
 }
