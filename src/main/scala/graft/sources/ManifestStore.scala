@@ -236,6 +236,7 @@ object ManifestStore {
   def append(spark: SparkSession, df: DataFrame, root: String,
              maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
     val (fs, rootP) = fsFor(spark, root)
+    requireCompatibleSchema(spark, df, root)
     val mine = writeBatch(fs, rootP, df)
     if (mine.isEmpty)
       return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
@@ -267,6 +268,7 @@ object ManifestStore {
     val pre = latestSnapshot(spark, root)
     if (pre.exists(_.txns.getOrElse(appId, -1L) >= batchId))
       return pre.get.version
+    requireCompatibleSchema(spark, df, root)
     val mine = writeBatch(fs, rootP, df)
     val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val txns = base.map(_.txns).getOrElse(Map.empty)
@@ -279,6 +281,27 @@ object ManifestStore {
       latestSnapshot(spark, root).map(_.version).getOrElse(0L)
     else v
   }
+
+  /** A batch whose schema disagrees with the table commits fine but
+    * poisons every later read (missing columns silently null, changed
+    * types fail mid-scan far from the writer) — refuse at the append,
+    * where the cause is nameable. Compatibility = same (name -> type)
+    * set, order-insensitive, nullability-insensitive (parquet unions by
+    * name on read). Cost: one footer-only schema read of ONE live file
+    * per append; skipped on an empty table (its first append DEFINES the
+    * schema).
+    */
+  private def requireCompatibleSchema(spark: SparkSession, df: DataFrame,
+                                      root: String): Unit =
+    latestSnapshot(spark, root).filter(_.files.nonEmpty).foreach { snap =>
+      val existing = spark.read.parquet(snap.files.head.path).schema
+      def shape(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(f => f.name -> f.dataType).toMap
+      require(shape(df.schema) == shape(existing),
+        s"appendBatch/append: batch schema ${df.schema.simpleString} is not " +
+          s"compatible with the table's ${existing.simpleString} under $root — " +
+          "a mismatched commit would poison every later read")
+    }
 
   /** Rebase-and-retry commit loop shared by append/compact. `build`
     * returns None to ABANDON the commit against the given base (e.g. a

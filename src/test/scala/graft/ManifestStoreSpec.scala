@@ -219,6 +219,23 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  test("a schema-incompatible append is refused, not committed as read poison") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 5), root) // defines (id, payload)
+    val wrong = Seq((9L, 3.14)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, wrong, root)
+    }
+    assert(e.getMessage.contains("not") && e.getMessage.contains("compatible"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      ManifestStore.appendBatch(spark, wrong, root, "sink", 0L)
+    }
+    // column ORDER does not matter (parquet unions by name on read)
+    val reordered = batch(5, 8).select("payload", "id")
+    assert(ManifestStore.append(spark, reordered, root) == 2L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 8L))
+  }
+
   test("reading an empty or uninitialized table fails loudly, not emptily") {
     val root = freshRoot()
     intercept[java.util.NoSuchElementException] {
