@@ -160,4 +160,21 @@ class PlanSpec extends SparkSpec {
     // partial + final pair => two HashAggregate nodes around the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
+
+  /** Review-r9 pin: q2/q16 semi-join the size-filtered part keys into
+    * lineitem BEFORE the DISTINCT (l_partkey, l_suppkey) — the filter must
+    * stay below the distinct's exchange or the full-fact shuffle regrows
+    * 50x/5x at scale.
+    */
+  test("Q2/Q16: the part-size filter prunes the fact BEFORE the distinct exchange") {
+    for (name <- Seq("q2_min_cost_supplier", "q16_supplier_counts")) {
+      val plan = explained(queries.Catalog.byName(name).run(spark, sfDir))
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"$name: the pre-distinct part-key semi-join is gone:\n$plan")
+      val semi = plan.indexOf("LeftSemi")
+      val distinct = plan.lastIndexOf("HashAggregate")
+      assert(semi >= 0 && distinct >= 0,
+        s"$name: expected both a semi-join and the distinct aggregate:\n$plan")
+    }
+  }
 }
