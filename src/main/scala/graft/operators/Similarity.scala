@@ -79,7 +79,8 @@ object Similarity {
     * only — cost ~ corpus x L + collisions, never |Q| x corpus).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 5): DataFrame = {
+              dim: Int = 64, bitsPerTable: Int = 4, numTables: Int = 5,
+              broadcastQueries: Boolean = true): DataFrame = {
     // bucket frames carry IDS ONLY: the bucket join + cross-table distinct
     // are the hottest exchanges here, and dragging two dim-length float
     // arrays through them per candidate multiplies the shuffle payload
@@ -97,9 +98,13 @@ object Similarity {
       .join(withBuckets(queries, "q_id"), Seq("table", "sig"))
       .where(col("n_id") =!= col("q_id"))
       .select("q_id", "n_id").distinct()
-    val qe = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // broadcastQueries=false is the corpus-vs-corpus escape hatch (same
+    // posture as decontaminate's broadcastHits): a large query set must
+    // not be forced through a driver-side broadcast collect (advice r9)
+    val qe0 = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val qe = if (broadcastQueries) broadcast(qe0) else qe0
     val ne = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
-    val scored = cand.join(broadcast(qe), "q_id").join(ne, "n_id")
+    val scored = cand.join(qe, "q_id").join(ne, "n_id")
       .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

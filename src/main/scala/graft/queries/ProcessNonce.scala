@@ -9,4 +9,39 @@ package graft.queries
 private[queries] object ProcessNonce {
   val value: String = java.lang.Long.toHexString(
     java.util.concurrent.ThreadLocalRandom.current().nextLong())
+
+  /** Scratch path `<tmpdir>/<prefix>_<fixtureTag>_<nonce>` with the two
+    * hygiene properties the per-process nonce alone lost (advice r9):
+    * stale SIBLING dirs (same prefix, different nonce, mtime older than
+    * `sweepAgeMs`) are swept before ours is handed out — otherwise every
+    * JVM leaks one dir into tmpdir forever — and our own dir is deleted by
+    * a JVM shutdown hook. The age guard keeps a live concurrent run's dir
+    * safe: its files are being rewritten every catalog pass, so its mtime
+    * is fresh.
+    */
+  def scratchDir(prefix: String, fixtureTag: String,
+                 sweepAgeMs: Long = 6L * 3600 * 1000): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val mine = new java.io.File(tmp, s"${prefix}_${fixtureTag}_$value")
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+      f.isDirectory && f.getName.startsWith(prefix + "_") &&
+        f.getName != mine.getName &&
+        System.currentTimeMillis() - f.lastModified() > sweepAgeMs
+    }
+    stale.foreach(deleteRecursively)
+    registerCleanup(mine)
+    mine.toString
+  }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerCleanup(dir: java.io.File): Unit =
+    if (cleanupRegistered.add(dir.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(dir)))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

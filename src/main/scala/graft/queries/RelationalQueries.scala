@@ -707,9 +707,10 @@ object RelationalQueries {
       // fixture tag + PER-PROCESS nonce: two concurrent JVMs on the same
       // sfDir (an overlapping Verify + Bench subset) must not race one
       // scratch dir — the unconditional delete below would corrupt the
-      // other run mid-compaction (review r9); the dir is rebuilt per run
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_o11_compact_${Integer.toHexString(d.hashCode)}_${ProcessNonce.value}").toString
+      // other run mid-compaction (review r9); the dir is rebuilt per run,
+      // stale siblings swept + exit-hook cleanup via scratchDir (advice r9)
+      val dir = ProcessNonce.scratchDir("graft_o11_compact",
+        Integer.toHexString(d.hashCode))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -750,8 +751,8 @@ object RelationalQueries {
       import spark.implicits._
       val src = Tables.orders(s, d).where(col("o_orderkey") % 5 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_o12_manifest_${Integer.toHexString(d.hashCode)}_${ProcessNonce.value}").toString
+      val root = ProcessNonce.scratchDir("graft_o12_manifest",
+        Integer.toHexString(d.hashCode))
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

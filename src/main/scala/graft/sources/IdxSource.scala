@@ -57,11 +57,20 @@ object IdxSource {
     import spark.implicits._
     readShards(spark, path, "image", requiredDims = 3) { (in, shard, file) =>
       val n = in.readInt()
-      val recLen = (1 until 3).map(_ => in.readInt()).product
+      // dimension product in LONG first: an Int product can wrap to a
+      // small positive value on forged/corrupt headers and pass the n*recLen
+      // bound with a wrong record length (advice r9)
+      val dims = (1 until 3).map(_ => in.readInt().toLong)
+      require(dims.forall(d => d > 0 && d <= Int.MaxValue.toLong),
+        s"idx image dims out of range (${dims.mkString("x")}) in $file — corrupt header")
+      val recLenL = dims.product
+      require(recLenL <= Int.MaxValue.toLong,
+        s"idx image record length out of range ($recLenL) in $file — corrupt header")
+      val recLen = recLenL.toInt
       // ONE raw-payload buffer, records decoded on demand: materializing
       // decoded float arrays per shard held ~4x the file bytes plus
       // object overhead on the task heap (review r9)
-      require(n >= 0 && recLen > 0 && n.toLong * recLen <= (Int.MaxValue - 8).toLong,
+      require(n >= 0 && n.toLong * recLen <= (Int.MaxValue - 8).toLong,
         s"idx image shard too large to buffer (n=$n, recLen=$recLen) in $file — reshard")
       val payload = new Array[Byte](n * recLen)
       in.readFully(payload)

@@ -206,8 +206,20 @@ object ManifestStore {
       try out.write(render(s)) finally out.close()
       true
     } else {
+      // a lost race surfaces differently per connector: HDFS throws
+      // FileAlreadyExistsException, some connectors PathExistsException,
+      // and a conditional-PUT 412 can arrive as a plain IOException — in
+      // that last case probe the path: if it now exists, the slot was
+      // taken (rebase-retry), otherwise it is a genuine I/O failure
       val out = try fs.create(p, false)
-      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: org.apache.hadoop.fs.PathExistsException => return false
+        case e: java.io.IOException =>
+          if (try fs.exists(p) catch { case _: java.io.IOException => false })
+            return false
+          else throw e
+      }
       try { out.write(render(s)); true } finally out.close()
     }
   }
@@ -295,13 +307,35 @@ object ManifestStore {
                                       root: String): Unit =
     latestSnapshot(spark, root).filter(_.files.nonEmpty).foreach { snap =>
       val existing = spark.read.parquet(snap.files.head.path).schema
+      // nullability is normalized RECURSIVELY: DataType equality includes
+      // nested containsNull/valueContainsNull/field nullability, and a
+      // literal-built frame often differs from a source-read one in
+      // exactly those bits — refusing such an append would block a
+      // logically-identical pipeline (advice r9)
       def shape(st: org.apache.spark.sql.types.StructType) =
-        st.fields.map(f => f.name -> f.dataType).toMap
+        st.fields.map(f => f.name -> normalizeNullability(f.dataType)).toMap
       require(shape(df.schema) == shape(existing),
         s"appendBatch/append: batch schema ${df.schema.simpleString} is not " +
           s"compatible with the table's ${existing.simpleString} under $root — " +
           "a mismatched commit would poison every later read")
     }
+
+  /** All nested nullability bits forced true, so two types that differ
+    * ONLY in containsNull/valueContainsNull/field-nullable compare equal
+    * (`DataType.asNullable` is private[spark] — this is its public twin).
+    */
+  private def normalizeNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ArrayType(et, _) => ArrayType(normalizeNullability(et), containsNull = true)
+      case MapType(kt, vt, _) =>
+        MapType(normalizeNullability(kt), normalizeNullability(vt), valueContainsNull = true)
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = normalizeNullability(f.dataType), nullable = true)))
+      case other => other
+    }
+  }
 
   /** Rebase-and-retry commit loop shared by append/compact. `build`
     * returns None to ABANDON the commit against the given base (e.g. a
