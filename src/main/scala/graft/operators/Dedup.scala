@@ -312,6 +312,29 @@ object Dedup {
     graft.sources.Sink.writeBucketed(
       bandIndexTable(index, numHashes, rowsPerBand), table, "bkey", buckets)
 
+  /** MAINTAIN a stored [[writeBandIndex]] table across ingests: append the
+    * band rows of `index` — typically the survivors' signature-index frame
+    * [[dedupIncrementalWithIndex]] returns — so a long-running ingest loop
+    * neither rebuilds the band table per batch (O(corpus) writes) nor
+    * probes a stale one (VERDICT r9 #7). Bucketing must repeat the
+    * original spec: Spark validates it against the existing table and
+    * refuses a mismatch loudly (a silently different spec would break the
+    * shuffle-free probe join). numHashes/rowsPerBand must also match the
+    * original build — they define the band keys themselves, so a drift
+    * makes probes miss; pass the same values, as with [[dedupIncremental]].
+    * Each append adds one file per bucket touched; compact the table on
+    * the usual small-files cadence ([[graft.sources.Sink.compactParquet]]
+    * cannot be used on bucketed tables' layout — re-running
+    * [[writeBandIndex]] over the full index IS the compaction here,
+    * amortized over many appends).
+    */
+  def appendBandIndex(index: DataFrame, table: String, buckets: Int = 64,
+                      numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    bandIndexTable(index, numHashes, rowsPerBand)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(table)
+
   /** How [[dedupIncremental]] probes the stored index (VERDICT r4 #6: the
     * default IN-pushdown collects bounded key sets at CALL time, which
     * surprises callers composing lazy frames).

@@ -774,6 +774,136 @@ object RelationalQueries {
         .toDF("n_rows", "multiset_ok", "files_reduced", "vacuum_ok")
     },
 
+    // O13 (r10): manifest DATA SKIPPING — per-file min/max stats ride the
+    // manifest at append time (footer-only reads), and a pushed predicate
+    // prunes the snapshot's file list BEFORE the scan plans. The emitted
+    // row pins both halves of the contract: the pruned read answers
+    // exactly like the unpruned one (count + checksum replayed by the
+    // DuckDB oracle), and the selective predicate really did open fewer
+    // files than the snapshot holds (the skipping itself, not just its
+    // harmlessness). Layout is range-partitioned on the key — the tight-
+    // bounds shape a time-ordered ingest gets for free (VERDICT r9 #1).
+    QueryDef.sql(
+      "o13_manifest_skipping",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS answer_parity,
+        |       true AS files_pruned
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |  AND o_orderkey >= (9 * (SELECT max(o_orderkey) FROM orders
+        |                          WHERE o_orderkey % 3 = 0)) // 10""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o13_skipping",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, src.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root)
+      // top-decile cut, integer floor in BOTH engines (Long division here,
+      // // in the oracle) — one bounded scalar collect
+      val cut = 9L * src.agg(max("o_orderkey")).as[Long].head() / 10L
+      val pred = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", cut))
+      val snap = M.latestSnapshot(s, root).get
+      val kept = M.prunedEntries(snap, pred)
+      val filesPruned = kept.nonEmpty && kept.size < snap.files.size
+      val (nGot, sumGot) = M.readWhere(s, root, pred)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(col("o_orderkey") >= cut)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, nGot == nExp && sumGot == sumExp, filesPruned))
+        .toDF("n_rows", "answer_parity", "files_pruned")
+    },
+
+    // O14 (r10): PARTITIONED manifest table — hive-style partition values
+    // ride each manifest entry, so equality on the partition column drops
+    // whole batches before any file-level stats run; the full
+    // append→compact→vacuum cycle preserves partition grouping (compaction
+    // re-partitions its rewrite). Pins: partition-pruned read parity
+    // against the source (count + checksum via the oracle), strict
+    // file-list pruning both before AND after compaction, every compacted
+    // file still carrying its partition value, and vacuum dropping exactly
+    // the superseded batches (VERDICT r9 #2).
+    QueryDef.sql(
+      "o14_manifest_partitioned",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS multiset_ok,
+        |       true AS part_pruned, true AS grouping_kept, true AS vacuum_ok
+        |FROM orders WHERE o_orderkey % 7 = 1 AND o_custkey % 4 = 1""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 7 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_custkey") % 4).as("bucket"))
+      val root = ProcessNonce.scratchDir("graft_o14_partitioned",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, src.where(col("o_orderkey") % 2 === 0).repartition(8), root,
+        partitionBy = Seq("bucket"))
+      M.append(s, src.where(col("o_orderkey") % 2 =!= 0).repartition(8), root,
+        partitionBy = Seq("bucket"))
+      val pred = Seq(org.apache.spark.sql.sources.EqualTo("bucket", 1L))
+      val snap = M.latestSnapshot(s, root).get
+      val keptPre = M.prunedEntries(snap, pred)
+      val prunedPre = keptPre.nonEmpty && keptPre.size < snap.files.size
+      val bytes = snap.files.map(_.bytes).sum
+      val (fBefore, fAfter, _) = M.compact(s, root, math.max(1L, bytes / 4))
+      val snap2 = M.latestSnapshot(s, root).get
+      val kept2 = M.prunedEntries(snap2, pred)
+      val groupingKept = fAfter < fBefore &&
+        snap2.files.forall(_.partition.exists(_.contains("bucket"))) &&
+        kept2.nonEmpty && kept2.size < snap2.files.size
+      val dropped = M.vacuum(s, root, keepVersions = 1, minAgeMs = 0L)
+      val (nGot, sumGot) = M.readWhere(s, root, pred)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(col("bucket") === 1L)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, nGot == nExp && sumGot == sumExp, prunedPre, groupingKept,
+        dropped >= 2 && nGot == nExp))
+        .toDF("n_rows", "multiset_ok", "part_pruned", "grouping_kept", "vacuum_ok")
+    },
+
+    // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
+    // column (the table schema travels in the manifest, so old files
+    // null-fill it on read), while time travel replays the schema each
+    // version actually had. Pins: total multiset survival, the exact
+    // null-filled row count (replayed by the oracle as the old-batch
+    // count), the widened column list, and the old version's narrower one
+    // (VERDICT r9 #3).
+    QueryDef.sql(
+      "o15_manifest_evolution",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS n_nullfilled,
+        |       true AS widened, true AS timetravel_ok
+        |FROM orders WHERE o_orderkey % 9 = 2""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 9 === 2)
+      val root = ProcessNonce.scratchDir("graft_o15_evolution",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      val narrowCols = Seq("o_orderkey", "o_totalprice")
+      M.append(s, src.where(col("o_orderkey") % 2 === 0)
+        .select(narrowCols.map(col): _*), root)
+      M.append(s, src.where(col("o_orderkey") % 2 =!= 0)
+        .select((narrowCols :+ "o_orderpriority").map(col): _*), root)
+      val full = M.read(s, root)
+      val widened = full.columns.toSeq == Seq("o_orderkey", "o_totalprice", "o_orderpriority")
+      val timetravelOk =
+        M.readVersion(s, root, 1L).columns.toSeq == narrowCols
+      val nRows = full.count()
+      val nNullfilled = full.where(col("o_orderpriority").isNull).count()
+      Seq((nRows, nNullfilled, widened, timetravelOk))
+        .toDF("n_rows", "n_nullfilled", "widened", "timetravel_ok")
+    },
+
     // J6c: TPC-H Q3 shape — shipping-priority top-10 (join + agg + top-k).
     QueryDef.sql(
       "q3_shipping_priority",

@@ -1,0 +1,397 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.JsonText
+
+/** Per-file column statistics for [[ManifestStore]] data skipping: min/max +
+  * null counts harvested from parquet FOOTERS at append time (metadata-only
+  * reads — an append's stats cost is one footer round-trip per written
+  * file, never a second scan of the data), evaluated against pushed
+  * predicates at read time so a selective query opens only the files whose
+  * bounds intersect it. Same public design as Delta/Iceberg per-file stats;
+  * at 100 TB this is the difference between a scan and a lookup
+  * (VERDICT r9 #1).
+  *
+  * Absence is always safe: a column/file with no usable stats is simply
+  * never pruned. The harvest whitelists types whose parquet statistics
+  * order matches the engine's comparison order:
+  *
+  *  - integral (int/long/short/byte), date (INT32 days), timestamp
+  *    (INT64 micros/millis — INT96 is skipped), float/double (dropped for
+  *    a file when a bound is NaN: parquet NaN statistics are unreliable),
+  *    boolean;
+  *  - strings compare as UNSIGNED UTF-8 BYTES — parquet's UTF8 sort
+  *    order, also UTF8String's and DuckDB's memcmp order. Java
+  *    String.compareTo (UTF-16 code units) disagrees beyond the BMP, so
+  *    the pruner never uses it. Truncated binary bounds (writers may
+  *    shorten long stats) stay VALID bounds by parquet contract (max
+  *    rounds up), so pruning against them is conservative, not wrong.
+  */
+private[sources] object ManifestStats {
+
+  /** One column's whole-file bounds. `min`/`max` are canonical strings for
+    * the tag (`t`): integral families render as the Long domain they
+    * compare in (days for date, micros for timestamp), doubles via
+    * Double.toString (exact round-trip), strings raw. Both None with
+    * `nulls == rows` = an all-null column (comparisons prune the file).
+    * `nulls` -1 = unknown (null-pruning disabled, range pruning still on).
+    */
+  final case class ColStats(t: String, min: Option[String], max: Option[String], nulls: Long)
+
+  /** (rowCount, per-column stats) of one just-written parquet file. Columns
+    * with unusable stats in ANY row group are dropped entirely — a partial
+    * bound is not a bound. `schema` is the writer's frame schema: stats
+    * harvest only top-level primitive fields (dotted names would collide
+    * with nested paths in parquet's dot-string addressing).
+    */
+  def collect(conf: Configuration, file: Path, schema: StructType): (Long, Map[String, ColStats]) = {
+    val tags: Map[String, String] = schema.fields.collect {
+      case f if !f.name.contains('.') => f.name -> tagFor(f.dataType)
+    }.collect { case (n, Some(t)) => n -> t }.toMap
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // fold row groups per column; None = poisoned (missing/unusable)
+      var acc = Map.empty[String, Option[ColStats]]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        tags.get(name).foreach { tag =>
+          val next = chunkStats(c, tag)
+          acc += name -> (acc.get(name) match {
+            case None => next
+            case Some(prev) => merge(prev, next, tag)
+          })
+        }
+      }
+      (rows, acc.collect { case (n, Some(s)) => n -> s })
+    } finally reader.close()
+  }
+
+  /** Tag for a skippable Spark type; None = never collected (decimal,
+    * binary, nested, interval — residual filters still apply, files just
+    * never prune on these columns).
+    */
+  private def tagFor(dt: DataType): Option[String] = dt match {
+    case IntegerType | LongType | ShortType | ByteType => Some("long")
+    case DateType => Some("date")
+    case TimestampType | TimestampNTZType => Some("timestamp")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _ => None
+  }
+
+  private def chunkStats(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                         tag: String): Option[ColStats] = {
+    val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
+    if (st == null || st.isEmpty) return None
+    val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+    if (!st.hasNonNullValue) {
+      // all-null chunk (or stats carry no values): a bound-less entry is
+      // only usable when the null count proves emptiness
+      return if (nulls >= 0) Some(ColStats(tag, None, None, nulls)) else None
+    }
+    val pt = c.getPrimitiveType
+    def longPair(f: Any => Long) =
+      Some(ColStats(tag, Some(f(st.genericGetMin).toString), Some(f(st.genericGetMax).toString), nulls))
+    tag match {
+      case "long" =>
+        longPair(v => v.asInstanceOf[Number].longValue)
+      case "date" =>
+        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT32) None
+        else longPair(v => v.asInstanceOf[Number].longValue)
+      case "timestamp" =>
+        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+        else pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val toMicros: Long => Long = ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+              case _ => return None // NANOS would overflow the micro domain at range edges
+            }
+            longPair(v => toMicros(v.asInstanceOf[Number].longValue))
+          case _ => None
+        }
+      case "double" =>
+        val (mn, mx) = (st.genericGetMin.asInstanceOf[Number].doubleValue,
+          st.genericGetMax.asInstanceOf[Number].doubleValue)
+        if (mn.isNaN || mx.isNaN) None
+        else Some(ColStats(tag, Some(mn.toString), Some(mx.toString), nulls))
+      case "string" =>
+        val mn: Any = st.genericGetMin
+        val mx: Any = st.genericGetMax
+        (mn, mx) match {
+          case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary) =>
+            Some(ColStats(tag, Some(a.toStringUsingUTF8), Some(b.toStringUsingUTF8), nulls))
+          case _ => None
+        }
+      case "boolean" =>
+        Some(ColStats(tag, Some(st.genericGetMin.toString), Some(st.genericGetMax.toString), nulls))
+      case _ => None
+    }
+  }
+
+  private def merge(a: Option[ColStats], b: Option[ColStats], tag: String): Option[ColStats] =
+    for (x <- a; y <- b) yield {
+      val nulls = if (x.nulls < 0 || y.nulls < 0) -1L else x.nulls + y.nulls
+      def pick(xa: Option[String], ya: Option[String], lower: Boolean) = (xa, ya) match {
+        case (Some(p), Some(q)) =>
+          val c = compareBounds(tag, p, q)
+          Some(if ((c <= 0) == lower) p else q)
+        case (p, q) => p.orElse(q) // an all-null chunk constrains nothing
+      }
+      ColStats(tag, pick(x.min, y.min, lower = true), pick(x.max, y.max, lower = false), nulls)
+    }
+
+  /** Compare two canonical bound strings in the tag's domain. */
+  private[sources] def compareBounds(tag: String, a: String, b: String): Int = tag match {
+    case "long" | "date" | "timestamp" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "boolean" => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case "string" => compareUtf8(a, b)
+    case other => sys.error(s"unknown stats tag $other")
+  }
+
+  /** Unsigned UTF-8 byte comparison — parquet's (and UTF8String's) string
+    * order; Java's UTF-16 compareTo diverges outside the BMP.
+    */
+  private def compareUtf8(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
+  /** A pushed literal rendered into the tag's canonical domain; None = the
+    * value's runtime type is not safely comparable there (e.g. a Long past
+    * 2^53 against double stats — the cast rounds, and a rounded bound can
+    * prune wrongly), so the file is kept.
+    */
+  private[sources] def toBound(tag: String, v: Any): Option[String] = (tag, v) match {
+    case (_, null) => None
+    case ("long", x: Byte) => Some(x.toLong.toString)
+    case ("long", x: Short) => Some(x.toLong.toString)
+    case ("long", x: Int) => Some(x.toLong.toString)
+    case ("long", x: Long) => Some(x.toString)
+    case ("date", x: java.sql.Date) => Some(x.toLocalDate.toEpochDay.toString)
+    case ("date", x: java.time.LocalDate) => Some(x.toEpochDay.toString)
+    case ("timestamp", x: java.sql.Timestamp) => Some(instantMicros(x.toInstant).toString)
+    case ("timestamp", x: java.time.Instant) => Some(instantMicros(x).toString)
+    case ("timestamp", x: java.time.LocalDateTime) =>
+      Some(instantMicros(x.toInstant(java.time.ZoneOffset.UTC)).toString)
+    case ("double", x: Float) => Some(x.toDouble.toString)
+    case ("double", x: Double) => if (x.isNaN) None else Some(x.toString)
+    case ("double", x: Byte) => Some(x.toDouble.toString)
+    case ("double", x: Short) => Some(x.toDouble.toString)
+    case ("double", x: Int) => Some(x.toDouble.toString)
+    case ("double", x: Long) =>
+      if (math.abs(x) <= (1L << 53)) Some(x.toDouble.toString) else None
+    case ("string", x: String) => Some(x)
+    case ("boolean", x: Boolean) => Some(x.toString)
+    case _ => None
+  }
+
+  private def instantMicros(i: java.time.Instant): Long =
+    math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+
+  /** Conservative may-this-file-match evaluation of one pushed filter
+    * against an entry's stats + partition values. `true` = cannot rule the
+    * file out (keep); every unknown — missing stats, unsupported filter
+    * shape, unconvertible literal — collapses to keep. `rows` and `stats`
+    * describe the file; `partition` its exact hive values (None = not a
+    * partitioned table; inner None = the hive null partition).
+    */
+  def mightMatch(filter: Filter, rows: Option[Long],
+                 stats: Map[String, ColStats],
+                 partition: Option[Map[String, Option[String]]],
+                 partTags: Map[String, String]): Boolean = {
+
+    def partValue(col: String): Option[Option[String]] =
+      partition.flatMap(m => m.get(col))
+
+    // exact compare against a partition value, in the column's domain
+    def partCmp(col: String, v: Any): Option[Int] = for {
+      pv <- partValue(col).flatten
+      tag <- partTags.get(col)
+      lit <- toBound(tag, v)
+      p <- partBound(tag, pv)
+    } yield compareBounds(tag, p, lit)
+
+    def statsFor(col: String): Option[ColStats] =
+      if (partition.exists(_.contains(col))) None else stats.get(col)
+
+    def rangeMight(col: String, v: Any)(keep: (Int, Int) => Boolean): Boolean =
+      partValue(col) match {
+        case Some(None) => false // all-null partition: no comparison matches
+        case Some(Some(_)) => partCmp(col, v) match {
+          case Some(c) => keep(c, c) // point value: min == max
+          case None => true
+        }
+        case None => statsFor(col) match {
+          case Some(ColStats(tag, mn, mx, nulls)) =>
+            if (mn.isEmpty && mx.isEmpty) !(rows.contains(nulls)) // all-null file
+            else (for {
+              lit <- toBound(tag, v); lo <- mn; hi <- mx
+            } yield keep(compareBounds(tag, lo, lit), compareBounds(tag, hi, lit)))
+              .getOrElse(true)
+          case None => true
+        }
+      }
+
+    filter match {
+      case EqualTo(c, v) => rangeMight(c, v)((lo, hi) => lo <= 0 && hi >= 0)
+      case EqualNullSafe(c, v) if v != null => rangeMight(c, v)((lo, hi) => lo <= 0 && hi >= 0)
+      case GreaterThan(c, v) => rangeMight(c, v)((_, hi) => hi > 0)
+      case GreaterThanOrEqual(c, v) => rangeMight(c, v)((_, hi) => hi >= 0)
+      case LessThan(c, v) => rangeMight(c, v)((lo, _) => lo < 0)
+      case LessThanOrEqual(c, v) => rangeMight(c, v)((lo, _) => lo <= 0)
+      case In(c, vs) =>
+        vs.isEmpty || vs.exists(v => mightMatch(EqualTo(c, v), rows, stats, partition, partTags))
+      case IsNull(c) => partValue(c) match {
+        case Some(pv) => pv.isEmpty
+        case None => statsFor(c) match {
+          case Some(s) if s.nulls == 0L => false
+          case _ => true
+        }
+      }
+      case IsNotNull(c) => partValue(c) match {
+        case Some(pv) => pv.isDefined
+        case None => statsFor(c) match {
+          case Some(s) if s.nulls >= 0 && rows.contains(s.nulls) => false // all null
+          case _ => true
+        }
+      }
+      case StringStartsWith(c, v) =>
+        // strings with prefix v sit in [v, successor(v)): prune when the
+        // file's max < v, or its min exceeds every v-prefixed string
+        // (min > v without carrying the prefix)
+        partValue(c) match {
+          case Some(None) => false
+          case Some(Some(pv)) => pv.startsWith(v)
+          case None => statsFor(c) match {
+            case Some(ColStats("string", Some(mn), Some(mx), _)) =>
+              !(compareBounds("string", mx, v) < 0 ||
+                (!mn.startsWith(v) && compareBounds("string", mn, v) > 0))
+            case Some(ColStats(_, None, None, nulls)) => !rows.contains(nulls)
+            case _ => true
+          }
+        }
+      case And(l, r) =>
+        mightMatch(l, rows, stats, partition, partTags) &&
+          mightMatch(r, rows, stats, partition, partTags)
+      case Or(l, r) =>
+        mightMatch(l, rows, stats, partition, partTags) ||
+          mightMatch(r, rows, stats, partition, partTags)
+      case Not(EqualTo(c, v)) =>
+        // prunable only when every non-null value IS v (min == max == v);
+        // null rows never match either side of a != comparison
+        partValue(c) match {
+          case Some(Some(_)) => partCmp(c, v) match {
+            case Some(0) => false
+            case _ => true
+          }
+          case Some(None) => false
+          case None => statsFor(c) match {
+            case Some(ColStats(tag, Some(mn), Some(mx), _)) =>
+              (for (lit <- toBound(tag, v)) yield
+                !(compareBounds(tag, mn, lit) == 0 && compareBounds(tag, mx, lit) == 0))
+                .getOrElse(true)
+            case Some(ColStats(_, None, None, nulls)) => !rows.contains(nulls)
+            case _ => true
+          }
+        }
+      case _ => true
+    }
+  }
+
+  /** A hive partition-path value rendered into the tag's canonical
+    * comparison domain (partition values round-trip as strings).
+    */
+  private def partBound(tag: String, v: String): Option[String] =
+    try tag match {
+      case "long" => Some(v.toLong.toString)
+      case "boolean" => Some(v.toBoolean.toString)
+      case "string" => Some(v)
+      case "date" => Some(java.time.LocalDate.parse(v).toEpochDay.toString)
+      case _ => None // double/timestamp partition columns are refused at append
+    } catch { case _: RuntimeException => None }
+
+  /** Tag map for partition columns (exact-compare domain). */
+  def partTagsOf(schema: StructType, partCols: Seq[String]): Map[String, String] =
+    partCols.flatMap(c => schema.fields.find(_.name == c)
+      .flatMap(f => tagFor(f.dataType)).map(c -> _)).toMap
+
+  // ---- meta JSON (one object per manifest file line) ------------------
+
+  /** `{"r":<rows>,"s":{col:{"t":..,"m":..,"x":..,"n":..}},"p":{col:val}}`
+    * — compact, tab/newline-free by [[JsonText]] escaping, so it rides the
+    * manifest's third tab field.
+    */
+  def renderMeta(rows: Option[Long], stats: Map[String, ColStats],
+                 partition: Option[Map[String, Option[String]]]): Option[String] = {
+    if (rows.isEmpty && stats.isEmpty && partition.isEmpty) return None
+    val parts = Seq.newBuilder[String]
+    rows.foreach(r => parts += s""""r":$r""")
+    if (stats.nonEmpty) {
+      val cols = stats.toSeq.sortBy(_._1).map { case (n, s) =>
+        val fields = Seq(Some(s""""t":${JsonText.quote(s.t)}"""),
+          s.min.map(m => s""""m":${JsonText.quote(m)}"""),
+          s.max.map(x => s""""x":${JsonText.quote(x)}"""),
+          Some(s""""n":${s.nulls}""")).flatten
+        s"${JsonText.quote(n)}:{${fields.mkString(",")}}"
+      }
+      parts += s""""s":{${cols.mkString(",")}}"""
+    }
+    partition.foreach { p =>
+      val cols = p.toSeq.sortBy(_._1).map { case (n, v) =>
+        s"${JsonText.quote(n)}:${v.map(JsonText.quote).getOrElse("null")}"
+      }
+      parts += s""""p":{${cols.mkString(",")}}"""
+    }
+    Some(s"{${parts.result().mkString(",")}}")
+  }
+
+  /** Inverse of [[renderMeta]]; None on malformed input (the caller treats
+    * the entry as stats-less — skipping degrades, reads stay correct).
+    */
+  def parseMeta(json: String): Option[(Option[Long], Map[String, ColStats],
+      Option[Map[String, Option[String]]])] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      if (node == null || !node.isObject) return None
+      val rows = Option(node.get("r")).filter(_.isIntegralNumber).map(_.asLong)
+      val stats = Option(node.get("s")).filter(_.isObject).map { s =>
+        s.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ColStats(
+            v.get("t").asText(),
+            Option(v.get("m")).map(_.asText()),
+            Option(v.get("x")).map(_.asText()),
+            Option(v.get("n")).map(_.asLong).getOrElse(-1L))
+        }.toMap
+      }.getOrElse(Map.empty)
+      val part = Option(node.get("p")).filter(_.isObject).map { p =>
+        p.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }.toMap
+      }
+      Some((rows, stats, part))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

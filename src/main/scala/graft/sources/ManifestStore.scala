@@ -3,8 +3,11 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-committed parquet table — the OBJECT-STORE answer to the
   * rename-swap compaction in [[Sink]] (whose `requireAtomicRename` refuses
@@ -36,6 +39,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    wait for a young torn slot to either become intact or age out
   *    before building past it — without the wait, a slow writer's
   *    committed version could be silently orphaned by the next commit.
+  *  - **Data skipping** (r10): every committed file line carries its row
+  *    count, per-column min/max + null counts (harvested from the parquet
+  *    FOOTER at append time — metadata-only, never a second data scan)
+  *    and, for partitioned tables, its exact hive partition values.
+  *    [[readWhere]] prunes the snapshot's file list against pushed
+  *    predicates before the scan plans — at 100 TB the difference
+  *    between a scan and a lookup. See [[ManifestStats]].
+  *  - **Schema travels in the manifest** (r10): each commit records the
+  *    table schema (the union of every appended batch's columns), so
+  *    reads resolve against an EXPLICIT schema — a batch may add new
+  *    nullable columns (old files read as null) or omit existing ones
+  *    (its files read as null there), while type changes are refused at
+  *    the append AND re-checked inside the commit rebase (two widenings
+  *    racing the same new column with different types cannot both land).
+  *    Time travel replays the schema THAT version had.
   *
   * '''Commit-point contract''': `FileSystem.create(path, overwrite=false)`
   * must atomically fail on an existing path. HDFS provides this natively.
@@ -46,13 +64,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (If-None-Match); that requires a connector that actually implements it
   * (e.g. Hadoop 3.4.1+ s3a conditional create) — on a connector whose
   * create is a HEAD-then-PUT race, commits can be lost, mirroring exactly
-  * the rename caveat [[Sink.requireAtomicRename]] documents. Verify the
-  * connector before pointing this store at a bucket.
+  * the rename caveat [[Sink.requireAtomicRename]] documents. The first
+  * commit through any non-local filesystem runs [[verifyCommitPoint]]
+  * (r10): a create-exclusive pair on a scratch key that turns a
+  * silently-overwriting connector into a loud refusal before any commit
+  * is risked.
   *
   * Compaction here is [[compact]]: read the current snapshot, rewrite it
   * into ~targetFileBytes files (same narrow packing scan as
   * [[Sink.compactParquet]]), commit a manifest that references only the
-  * new files. Old files stay on disk for in-flight readers of older
+  * new files — partition grouping (and the partition-pruning it buys) is
+  * preserved, since the rewrite re-partitions by the table's partition
+  * columns. Old files stay on disk for in-flight readers of older
   * snapshots (time travel via [[readVersion]] is free) until [[vacuum]]
   * drops everything unreferenced by the kept versions and older than a
   * safety age (keyed on the files INSIDE a batch directory — object
@@ -62,24 +85,43 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * 128 MB target that is ~8k lines per PB — a driver-side text file, fine
   * up to millions of files); data bytes move only when compaction
   * rewrites them, never for a commit; reads prune to exactly the listed
-  * files with no LIST-under-prefix race. Reference analog: the engine's
-  * ingest utilities stage whole datasets (chapter2/DataUtilities.java:33-89);
-  * this is the curated-output side of that pipeline at scale.
+  * files that can match the predicate, with no LIST-under-prefix race.
+  * Reference analog: the engine's ingest utilities stage whole datasets
+  * (chapter2/DataUtilities.java:33-89); this is the curated-output side
+  * of that pipeline at scale.
   */
 object ManifestStore {
 
-  final case class ManifestEntry(path: String, bytes: Long)
+  import ManifestStats.ColStats
+
+  /** One live data file: URI + size, plus (r10) its row count, per-column
+    * min/max/null stats and — on a partitioned table — its exact hive
+    * partition values (inner None = the hive null partition). Rows/stats/
+    * partition are None/empty on entries committed by pre-r10 writers;
+    * every absence only disables skipping, never correctness.
+    */
+  final case class ManifestEntry(path: String, bytes: Long,
+                                 rows: Option[Long] = None,
+                                 stats: Map[String, ColStats] = Map.empty,
+                                 partition: Option[Map[String, Option[String]]] = None)
 
   /** `txns` carries the highest committed batch id per streaming writer
     * (appId): foreachBatch delivery is at-least-once, so a retried
     * micro-batch must be detectable AT THE COMMIT, not by the caller —
     * the same public idempotent-writes pattern as Delta's txnAppId/
     * txnVersion. Compactions and plain appends preserve the map.
+    * `schema` is the table schema AS OF this version (logical — includes
+    * partition columns, which are not stored in the data files);
+    * `partCols` the hive partition column names. Both empty on pre-r10
+    * manifests (reads fall back to footer-inferred schemas there).
     */
   final case class Snapshot(version: Long, files: Seq[ManifestEntry],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            schema: Option[StructType] = None,
+                            partCols: Seq[String] = Nil)
 
   private val Header = "graft-manifest v1"
+  private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
   private def manifestsDir(root: Path) = new Path(root, "_manifests")
   private def dataDir(root: Path) = new Path(root, "data")
   private def manifestPath(root: Path, v: Long) =
@@ -96,6 +138,18 @@ object ManifestStore {
     val body = new StringBuilder
     body.append(Header).append('\n')
     body.append("version=").append(s.version).append('\n')
+    s.schema.foreach { sc =>
+      val json = sc.json
+      require(!json.contains('\n') && !json.contains('\t'),
+        "schema json not manifest-safe (raw control characters)")
+      body.append("schema=").append(json).append('\n')
+    }
+    if (s.partCols.nonEmpty) {
+      s.partCols.foreach(c => require(
+        !c.contains(',') && !c.contains('\n') && !c.contains('\t') && c.nonEmpty,
+        s"partition column name not manifest-safe: '$c'"))
+      body.append("partcols=").append(s.partCols.mkString(",")).append('\n')
+    }
     s.txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains('\n') && !appId.contains('\t') && appId.nonEmpty,
         s"appId not manifest-safe: '$appId'")
@@ -107,7 +161,10 @@ object ManifestStore {
       // file paths are URIs (scheme-prefixed), so the txn= marker cannot
       // collide — enforced rather than assumed
       require(!f.path.startsWith("txn="), s"file path collides with txn marker: ${f.path}")
-      body.append(f.path).append('\t').append(f.bytes).append('\n')
+      body.append(f.path).append('\t').append(f.bytes)
+      ManifestStats.renderMeta(f.rows, f.stats, f.partition)
+        .foreach(m => body.append('\t').append(m))
+      body.append('\n')
     }
     val bodyStr = body.toString
     val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
@@ -116,12 +173,12 @@ object ManifestStore {
   }
 
   /** Parse a manifest; None when torn/corrupt (bad header, bad checksum,
-    * version mismatch with its file name) — callers treat that version
-    * slot as not (yet) committed.
+    * version mismatch with its file name, malformed schema json) —
+    * callers treat that version slot as not (yet) committed.
     */
   private def parse(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] =
     try parseStrict(bytes, expectVersion)
-    catch { case _: NumberFormatException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def parseStrict(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] = {
     val text = new String(bytes, StandardCharsets.UTF_8)
@@ -136,18 +193,31 @@ object ManifestStore {
     val v = lines.lift(1).collect { case s if s.startsWith("version=") =>
       s.stripPrefix("version=").toLong }
     if (!v.contains(expectVersion)) return None
-    val (txnLines, fileLines) = lines.drop(2).partition(_.startsWith("txn="))
-    val txns = txnLines.map { l =>
-      val i = l.lastIndexOf('\t')
-      if (i <= 0) return None
-      l.substring("txn=".length, i) -> l.substring(i + 1).toLong
-    }.toMap
-    val files = fileLines.map { l =>
-      val i = l.lastIndexOf('\t')
-      if (i <= 0) return None
-      ManifestEntry(l.substring(0, i), l.substring(i + 1).toLong)
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+    val txns = Map.newBuilder[String, Long]
+    val files = Seq.newBuilder[ManifestEntry]
+    for (l <- lines.drop(2)) {
+      if (l.startsWith("schema=")) {
+        schema = Some(DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType])
+      } else if (l.startsWith("partcols=")) {
+        partCols = l.stripPrefix("partcols=").split(",", -1).toSeq.filter(_.nonEmpty)
+      } else if (l.startsWith("txn=")) {
+        val i = l.lastIndexOf('\t')
+        if (i <= 0) return None
+        txns += l.substring("txn=".length, i) -> l.substring(i + 1).toLong
+      } else {
+        l.split("\t", -1) match {
+          case Array(p, b) => files += ManifestEntry(p, b.toLong)
+          case Array(p, b, meta) =>
+            val (rows, stats, part) = ManifestStats.parseMeta(meta)
+              .getOrElse((None, Map.empty[String, ColStats], None))
+            files += ManifestEntry(p, b.toLong, rows, stats, part)
+          case _ => return None
+        }
+      }
     }
-    Some(Snapshot(expectVersion, files, txns))
+    Some(Snapshot(expectVersion, files.result(), txns.result(), schema, partCols))
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -188,13 +258,52 @@ object ManifestStore {
     }
   }
 
+  /** Probe the commit-point contract on a scratch key: create-exclusive
+    * the same path twice; the second claim MUST refuse. A connector whose
+    * `create(path, overwrite=false)` silently overwrites (a HEAD-then-PUT
+    * object-store shim with no conditional PUT) would lose committed
+    * versions without a trace — this turns that into a loud refusal
+    * before any real commit is risked. Runs once per filesystem URI per
+    * JVM, automatically, on the first non-local commit; `file:` is exempt
+    * (claims there go through `File.createNewFile`, POSIX O_EXCL).
+    */
+  def verifyCommitPoint(spark: SparkSession, root: String): Unit = {
+    val (fs, rootP) = fsFor(spark, root)
+    verifyCommitPoint(fs, rootP)
+  }
+
+  private[graft] def verifyCommitPoint(fs: FileSystem, root: Path): Unit = {
+    if ("file".equalsIgnoreCase(fs.getUri.getScheme)) return
+    val probe = new Path(manifestsDir(root), s".probe-${UUID.randomUUID()}")
+    fs.mkdirs(manifestsDir(root))
+    try {
+      val first = fs.create(probe, false)
+      try first.write('p'.toInt) finally first.close()
+      val overwrote =
+        try { val second = fs.create(probe, false); second.close(); true }
+        catch { case _: java.io.IOException => false }
+      if (overwrote) throw new IllegalStateException(
+        s"filesystem ${fs.getUri} violates the manifest commit-point contract: " +
+          "create(path, overwrite=false) overwrote an existing path instead of " +
+          "failing. On such a connector concurrent committers silently lose " +
+          "committed versions. Use a connector with an atomic conditional " +
+          "create (HDFS natively; s3a with conditional-PUT support), or a " +
+          "local/HDFS staging table.")
+    } finally {
+      try fs.delete(probe, false) catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private val verifiedCommitPoints =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Atomically claim version `v` with the given snapshot content. False
     * when the slot is already taken (another committer won the race).
     * The `file:` scheme claims via `File.createNewFile` (POSIX O_EXCL —
     * Hadoop's local `create(overwrite=false)` is check-then-act and would
     * race); everywhere else `FileSystem.create(p, false)` is the claim
     * (atomic on HDFS; a conditional PUT on capable object-store
-    * connectors — see the class contract).
+    * connectors — probed by [[verifyCommitPoint]] on first use).
     */
   private def tryCommit(fs: FileSystem, root: Path, s: Snapshot): Boolean = {
     fs.mkdirs(manifestsDir(root))
@@ -206,6 +315,10 @@ object ManifestStore {
       try out.write(render(s)) finally out.close()
       true
     } else {
+      if (!verifiedCommitPoints.contains(fs.getUri.toString)) {
+        verifyCommitPoint(fs, root)
+        verifiedCommitPoints.add(fs.getUri.toString)
+      }
       // a lost race surfaces differently per connector: HDFS throws
       // FileAlreadyExistsException, some connectors PathExistsException,
       // and a conditional-PUT 412 can arrive as a plain IOException — in
@@ -224,16 +337,115 @@ object ManifestStore {
     }
   }
 
-  /** Stage `df` as a fresh immutable batch directory; returns the manifest
-    * entries of its data files. Shared by append and compact so "what
-    * counts as a committed data file" has exactly one definition.
+  /** Stage `df` as a fresh immutable batch directory (hive-layout when
+    * `partitionBy` is set); returns the manifest entries of its data
+    * files, each carrying footer-harvested stats and its parsed partition
+    * values. Shared by append and compact so "what counts as a committed
+    * data file" has exactly one definition. Footer reads fan out over a
+    * small driver-side pool — metadata-only round-trips, cost scales with
+    * the batch's file count, never its bytes.
     */
-  private def writeBatch(fs: FileSystem, root: Path, df: DataFrame): Seq[ManifestEntry] = {
+  private def writeBatch(fs: FileSystem, root: Path, df: DataFrame,
+                         partitionBy: Seq[String]): Seq[ManifestEntry] = {
     val batch = new Path(dataDir(root), s"batch-${UUID.randomUUID()}")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(batch.toString)
-    fs.listStatus(batch).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => ManifestEntry(s.getPath.toUri.toString, s.getLen))
+    val writer = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(batch.toString)
+    val files = {
+      val it = fs.listFiles(batch, true)
+      val buf = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) buf += s
+      }
+      buf.result()
+    }
+    val dataSchema = StructType(df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, files.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[ManifestEntry]] = files.map { st =>
+        () => {
+          val (rows, stats) = ManifestStats.collect(conf, st.getPath, dataSchema)
+          val part = if (partitionBy.isEmpty) None
+            else Some(partitionOf(batch, st.getPath, partitionBy))
+          // Path.toString, NOT toUri.toString: a hive-escaped partition dir
+          // contains literal '%', which toUri would double-encode (%252F) —
+          // the stored string must round-trip through new Path(s) exactly
+          ManifestEntry(st.getPath.toString, st.getLen, Some(rows), stats, part)
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
+  /** Hive partition values of `file`, parsed from its directory segments
+    * under `batch` (`col=value`, hive-escaped, null sentinel honored).
+    */
+  private def partitionOf(batch: Path, file: Path,
+                          partCols: Seq[String]): Map[String, Option[String]] = {
+    var segs = List.empty[String]
+    var p = file.getParent
+    val stop = Path.getPathWithoutSchemeAndAuthority(batch).toString
+    while (p != null && Path.getPathWithoutSchemeAndAuthority(p).toString != stop) {
+      segs = p.getName :: segs
+      p = p.getParent
+    }
+    require(p != null, s"file $file not under batch dir $batch")
+    val kvs = segs.map { s =>
+      val i = s.indexOf('=')
+      require(i > 0, s"non-hive directory segment '$s' under $batch")
+      val v = s.substring(i + 1)
+      unescapePathName(s.substring(0, i)) ->
+        (if (v == HiveNullPartition) None else Some(unescapePathName(v)))
+    }.toMap
+    require(kvs.keySet == partCols.toSet,
+      s"partition dirs ${kvs.keySet} disagree with declared columns $partCols under $batch")
+    kvs
+  }
+
+  /** Inverse of hive partition-path escaping (`%xx` for the chars hive
+    * refuses in a path segment) — kept local so the store has no
+    * dependency on catalyst internals.
+    */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition column types that round-trip exactly through a hive path
+    * string (write → `col=value` → parse → compare/reconstruct). Floats'
+    * formatting drift and timestamps' zone/precision make them unsafe —
+    * refused at the append, where the cause is nameable.
+    */
+  private def requirePartitionable(df: DataFrame, partitionBy: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    partitionBy.foreach { c =>
+      val f = df.schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"partition column $c not in batch schema ${df.schema.simpleString}"))
+      require(f.dataType match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             BooleanType | DateType => true
+        case _ => false
+      }, s"partition column $c has type ${f.dataType.simpleString} — only " +
+        "string/integral/boolean/date round-trip exactly through a hive path")
+    }
+    require(partitionBy.size < df.schema.size,
+      "a table cannot be partitioned by ALL of its columns")
+    require(partitionBy.distinct == partitionBy, s"duplicate partition columns: $partitionBy")
   }
 
   /** Write `df` as a new batch and commit it appended to the latest
@@ -243,18 +455,25 @@ object ManifestStore {
     * empty manifest would make the table unreadable. Safe under
     * concurrent appends/compactions: on a lost race the commit rebases
     * onto the winner (its own data files are untouched and still valid)
-    * and retries.
+    * and retries. `partitionBy` (first append defines it; later appends
+    * must repeat it) lays the batch out hive-style and records each
+    * file's partition values for partition-pruned reads.
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
-             maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+             maxRetries: Int = 10, tornGraceMs: Long = 60000L,
+             partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
-    requireCompatibleSchema(spark, df, root)
-    val mine = writeBatch(fs, rootP, df)
+    if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
+    val legacy = requireCompatibleSchema(spark, df, root, partitionBy)
+    val mine = writeBatch(fs, rootP, df, partitionBy)
     if (mine.isEmpty)
       return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+    val batchSchema = normalizeSchema(df.schema)
     commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
-        base.map(_.txns).getOrElse(Map.empty)))
+        base.map(_.txns).getOrElse(Map.empty),
+        Some(mergedSchema(base, legacy, batchSchema)),
+        partColsOf(base, partitionBy)))
     }
   }
 
@@ -273,59 +492,80 @@ object ManifestStore {
     */
   def appendBatch(spark: SparkSession, df: DataFrame, root: String,
                   appId: String, batchId: Long,
-                  maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+                  maxRetries: Int = 10, tornGraceMs: Long = 60000L,
+                  partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     // cheap pre-check: skip the batch WRITE too on an obvious redelivery
     // (the authoritative check remains inside the commit)
     val pre = latestSnapshot(spark, root)
     if (pre.exists(_.txns.getOrElse(appId, -1L) >= batchId))
       return pre.get.version
-    requireCompatibleSchema(spark, df, root)
-    val mine = writeBatch(fs, rootP, df)
+    if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
+    val legacy = requireCompatibleSchema(spark, df, root, partitionBy)
+    val mine = writeBatch(fs, rootP, df, partitionBy)
+    val batchSchema = normalizeSchema(df.schema)
     val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val txns = base.map(_.txns).getOrElse(Map.empty)
       if (txns.getOrElse(appId, -1L) >= batchId) None // lost race to our own retry
       else Some(Snapshot(0L,
         base.map(_.files).getOrElse(Seq.empty) ++ mine,
-        txns + (appId -> batchId)))
+        txns + (appId -> batchId),
+        Some(mergedSchema(base, legacy, batchSchema)),
+        partColsOf(base, partitionBy)))
     }
     if (v == -1L) // already committed concurrently: report the live version
       latestSnapshot(spark, root).map(_.version).getOrElse(0L)
     else v
   }
 
-  /** A batch whose schema disagrees with the table commits fine but
-    * poisons every later read (missing columns silently null, changed
-    * types fail mid-scan far from the writer) — refuse at the append,
-    * where the cause is nameable. Compatibility = same (name -> type)
-    * set, order-insensitive, nullability-insensitive (parquet unions by
-    * name on read). Cost: one footer-only schema read of ONE live file
-    * per append; skipped on an empty table (its first append DEFINES the
-    * schema).
+  /** Pre-commit compatibility check, where the cause is nameable at the
+    * APPEND call site: every column the batch SHARES with the table must
+    * keep its type (nullability-insensitive, recursively — advice r9);
+    * new columns are sanctioned widening (old files read as null), and a
+    * batch may omit table columns (its files read as null there). The
+    * partition-column set is immutable per table. Returns the table
+    * schema footer-read from a LEGACY (pre-schema-line) manifest, so the
+    * commit loop can seed its schema union without re-reading footers per
+    * attempt.
     */
   private def requireCompatibleSchema(spark: SparkSession, df: DataFrame,
-                                      root: String): Unit =
-    latestSnapshot(spark, root).filter(_.files.nonEmpty).foreach { snap =>
-      val existing = spark.read.parquet(snap.files.head.path).schema
-      // nullability is normalized RECURSIVELY: DataType equality includes
-      // nested containsNull/valueContainsNull/field nullability, and a
-      // literal-built frame often differs from a source-read one in
-      // exactly those bits — refusing such an append would block a
-      // logically-identical pipeline (advice r9)
-      def shape(st: org.apache.spark.sql.types.StructType) =
-        st.fields.map(f => f.name -> normalizeNullability(f.dataType)).toMap
-      require(shape(df.schema) == shape(existing),
-        s"appendBatch/append: batch schema ${df.schema.simpleString} is not " +
-          s"compatible with the table's ${existing.simpleString} under $root — " +
-          "a mismatched commit would poison every later read")
+                                      root: String,
+                                      partitionBy: Seq[String]): Option[StructType] = {
+    val snapOpt = latestSnapshot(spark, root).filter(_.files.nonEmpty)
+    snapOpt match {
+      case None => None
+      case Some(snap) =>
+        require(snap.partCols == partitionBy,
+          s"append partitionBy=$partitionBy but the table under $root is " +
+            s"partitioned by ${snap.partCols} — the partition layout is fixed at creation")
+        val legacy = if (snap.schema.isEmpty)
+          Some(normalizeSchema(spark.read.parquet(snap.files.head.path).schema))
+        else None
+        val table = snap.schema.orElse(legacy).get
+        checkColumnTypes(normalizeSchema(df.schema), table, root)
+        legacy
     }
+  }
 
-  /** All nested nullability bits forced true, so two types that differ
+  private def checkColumnTypes(batch: StructType, table: StructType, root: String): Unit = {
+    val byName = table.fields.map(f => f.name -> f.dataType).toMap
+    for (bf <- batch.fields; tt <- byName.get(bf.name))
+      require(bf.dataType == tt,
+        s"append: column ${bf.name} is ${bf.dataType.simpleString} in the batch but " +
+          s"${tt.simpleString} in the table under $root — type changes would poison " +
+          "every later read (add NEW columns instead; they null-fill old files)")
+  }
+
+  /** All nested nullability bits forced true, so two schemas that differ
     * ONLY in containsNull/valueContainsNull/field-nullable compare equal
-    * (`DataType.asNullable` is private[spark] — this is its public twin).
+    * and the stored schema does not churn between literal-built and
+    * source-read batches (`DataType.asNullable` is private[spark] — this
+    * is its public twin).
     */
-  private def normalizeNullability(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = {
+  private def normalizeSchema(st: StructType): StructType =
+    normalizeNullability(st).asInstanceOf[StructType]
+
+  private def normalizeNullability(dt: DataType): DataType = {
     import org.apache.spark.sql.types._
     dt match {
       case ArrayType(et, _) => ArrayType(normalizeNullability(et), containsNull = true)
@@ -335,6 +575,34 @@ object ManifestStore {
         f.copy(dataType = normalizeNullability(f.dataType), nullable = true)))
       case other => other
     }
+  }
+
+  /** Table schema for a commit built on `base`: base's schema (or the
+    * footer-read legacy schema) widened by the batch's new columns. Type
+    * conflicts on shared columns REFUSE here too — the pre-commit check
+    * ran against an older base, and two concurrent widenings introducing
+    * the same column with different types must not both land.
+    */
+  private def mergedSchema(base: Option[Snapshot], legacy: Option[StructType],
+                           batch: StructType): StructType = {
+    val tbl = base.flatMap(_.schema).orElse(if (base.exists(_.files.nonEmpty)) legacy else None)
+    tbl match {
+      case None => batch
+      case Some(t) =>
+        val byName = t.fields.map(f => f.name -> f.dataType).toMap
+        for (bf <- batch.fields; tt <- byName.get(bf.name))
+          require(bf.dataType == tt,
+            s"concurrent schema conflict on column ${bf.name}: " +
+              s"${bf.dataType.simpleString} vs ${tt.simpleString}")
+        StructType(t.fields ++ batch.fields.filterNot(f => byName.contains(f.name)))
+    }
+  }
+
+  private def partColsOf(base: Option[Snapshot], partitionBy: Seq[String]): Seq[String] = {
+    val pcols = base.filter(_.files.nonEmpty).map(_.partCols).getOrElse(partitionBy)
+    require(pcols == partitionBy,
+      s"partition layout changed concurrently: table has $pcols, append has $partitionBy")
+    pcols
   }
 
   /** Rebase-and-retry commit loop shared by append/compact. `build`
@@ -349,6 +617,12 @@ object ManifestStore {
     * drop the interleaved commit. Torn slots above the intact head are
     * handled by [[awaitTornSlots]] before each attempt.
     */
+  /** Monotone JVM-wide count of lost commit races (rebase retries) — the
+    * hot-table contention signal the streaming SLO harness reports
+    * alongside its latency percentiles (graft.ManifestSlo).
+    */
+  val commitRetries = new java.util.concurrent.atomic.LongAdder
+
   private def commitWithRebase(fs: FileSystem, root: Path, maxRetries: Int,
                                tornGraceMs: Long)
                               (build: Option[Snapshot] => Option[Snapshot]): Long = {
@@ -359,7 +633,9 @@ object ManifestStore {
       val next = (versions :+ 0L).max + 1
       build(base) match {
         case None => return -1L
-        case Some(snap) => if (tryCommit(fs, root, snap.copy(version = next))) return next
+        case Some(snap) =>
+          if (tryCommit(fs, root, snap.copy(version = next))) return next
+          else commitRetries.increment()
       }
       attempt += 1
     }
@@ -400,27 +676,127 @@ object ManifestStore {
     * no committed version — callers create tables via [[append]]).
     */
   def read(spark: SparkSession, root: String): DataFrame =
+    readWhere(spark, root, Seq.empty)
+
+  /** [[read]] with data skipping: `filters` (the public
+    * `org.apache.spark.sql.sources.Filter` ADT — EqualTo/GreaterThan/In/
+    * IsNull/And/Or/...) prune the snapshot's FILE LIST before the scan
+    * plans, using each entry's partition values (exact) and min/max stats
+    * (conservative). The filters are then ALSO applied to the frame, so
+    * the result is exactly `read(...).where(f₁ && f₂ && ...)` — skipping
+    * changes which files open, never the answer. Use
+    * [[prunedEntries]] to observe the skip itself.
+    */
+  def readWhere(spark: SparkSession, root: String, filters: Seq[Filter]): DataFrame =
     readSnapshot(spark, root,
       latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(
-          s"no committed manifest under $root")))
+          s"no committed manifest under $root")), filters)
 
-  /** Time travel: the exact file set of version `v` (intact manifests are
-    * immutable, so this read is stable while the files survive [[vacuum]]).
+  /** Time travel: the exact file set — and exact SCHEMA — of version `v`
+    * (intact manifests are immutable, so this read is stable while the
+    * files survive [[vacuum]]). A version committed before a column was
+    * added replays WITHOUT that column.
     */
-  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+  def readVersion(spark: SparkSession, root: String, v: Long,
+                  filters: Seq[Filter] = Seq.empty): DataFrame = {
     val (fs, rootP) = fsFor(spark, root)
     readSnapshot(spark, root, readManifest(fs, rootP, v).getOrElse(
       throw new java.util.NoSuchElementException(
-        s"no intact manifest v$v under $root")))
+        s"no intact manifest v$v under $root")), filters)
   }
 
+  /** The file entries of `snap` that might satisfy every filter — the
+    * data-skipping seam ([[readWhere]]'s pruning, observable for tests
+    * and ops: `prunedEntries(snap, fs).size` vs `snap.files.size` is the
+    * skip rate).
+    */
+  def prunedEntries(snap: Snapshot, filters: Seq[Filter]): Seq[ManifestEntry] =
+    if (filters.isEmpty) snap.files
+    else {
+      val partTags = snap.schema.map(s => ManifestStats.partTagsOf(s, snap.partCols))
+        .getOrElse(Map.empty)
+      snap.files.filter(e =>
+        filters.forall(f => ManifestStats.mightMatch(f, e.rows, e.stats, e.partition, partTags)))
+    }
+
   private def readSnapshot(spark: SparkSession, root: String,
-                           snap: Snapshot): DataFrame = {
+                           snap: Snapshot, filters: Seq[Filter]): DataFrame = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
-    spark.read.parquet(snap.files.map(_.path): _*)
+    val entries = prunedEntries(snap, filters)
+    val base: DataFrame = (snap.schema, entries) match {
+      case (Some(sc), Seq()) => // every file pruned: an empty frame, same schema
+        spark.createDataFrame(new java.util.ArrayList[Row](), sc)
+      case (None, Seq()) =>
+        spark.read.parquet(snap.files.map(_.path): _*).limit(0)
+      case (Some(sc), es) if snap.partCols.nonEmpty =>
+        readPartitioned(spark, sc, snap.partCols, es)
+      case (Some(sc), es) =>
+        // explicit schema: files written before a column was added
+        // null-fill it; files written after a batch omitted one ditto
+        spark.read.schema(sc).parquet(es.map(_.path): _*)
+      case (None, es) => // pre-r10 manifest: schema from footers, as before
+        spark.read.parquet(es.map(_.path): _*)
+    }
+    filters.foldLeft(base)((d, f) => d.where(filterColumn(f)))
+  }
+
+  /** Partition columns are not in the data files — reconstruct them from
+    * the manifest's recorded values, one scan per distinct partition
+    * tuple, unioned. Plan width scales with the (pruned) snapshot's
+    * DISTINCT partition tuples — the same shape Delta's log-backed scans
+    * produce, sane for real partition keys (date, source); pruning
+    * usually collapses it to a handful.
+    */
+  private def readPartitioned(spark: SparkSession, schema: StructType,
+                              partCols: Seq[String],
+                              entries: Seq[ManifestEntry]): DataFrame = {
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    entries.groupBy(_.partition.getOrElse(Map.empty)).toSeq
+      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+      .map { case (pv, es) =>
+        val base = spark.read.schema(dataSchema).parquet(es.map(_.path): _*)
+        val withPart = partCols.foldLeft(base) { (d, c) =>
+          val dt = schema(c).dataType
+          d.withColumn(c,
+            pv.get(c).flatten.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
+        }
+        withPart.select(schema.fieldNames.map(n => col(quoteIdent(n))): _*)
+      }.reduce(_ unionByName _)
+  }
+
+  private def quoteIdent(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** The residual predicate of one pushed filter — applied after pruning
+    * so [[readWhere]] returns exactly the filtered rows. Throws on a
+    * filter shape the store cannot express (callers push only what they
+    * pass here, so this is a programming error, not data-dependent).
+    */
+  private def filterColumn(f: Filter): Column = {
+    def c(n: String) = col(quoteIdent(n))
+    f match {
+      case EqualTo(a, v) => c(a) === lit(v)
+      case EqualNullSafe(a, v) => c(a) <=> lit(v)
+      case GreaterThan(a, v) => c(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => c(a) >= lit(v)
+      case LessThan(a, v) => c(a) < lit(v)
+      case LessThanOrEqual(a, v) => c(a) <= lit(v)
+      case In(a, vs) => c(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a) => c(a).isNull
+      case IsNotNull(a) => c(a).isNotNull
+      case And(l, r) => filterColumn(l) && filterColumn(r)
+      case Or(l, r) => filterColumn(l) || filterColumn(r)
+      case Not(x) => !filterColumn(x)
+      case StringStartsWith(a, v) => c(a).startsWith(v)
+      case StringEndsWith(a, v) => c(a).endsWith(v)
+      case StringContains(a, v) => c(a).contains(v)
+      case AlwaysTrue() => lit(true)
+      case AlwaysFalse() => lit(false)
+      case other => throw new IllegalArgumentException(
+        s"unsupported pushed filter: $other")
+    }
   }
 
   /** Rewrite the CURRENT snapshot into ~targetFileBytes files and commit
@@ -432,7 +808,10 @@ object ManifestStore {
     * files, committing our copy too would double the rows — the commit is
     * abandoned instead (version -1; the orphaned rewrite directory is
     * [[vacuum]] food). Old files remain on disk for older-version readers
-    * until [[vacuum]].
+    * until [[vacuum]]. Partitioned tables re-partition the rewrite by the
+    * table's partition columns, so partition grouping (and pruning)
+    * survives compaction; a widened schema is MATERIALIZED into the
+    * rewritten files (they carry every current column, null-filled).
     */
   def compact(spark: SparkSession, root: String,
               targetFileBytes: Long = 128L << 20,
@@ -457,10 +836,11 @@ object ManifestStore {
     val rewrote = before.files.map(_.path).toSet
     // same packing scan as Sink.compactParquet (shared scopedSession):
     // maxPartitionBytes = target, open cost zeroed — a narrow,
-    // shuffle-free merge of the snapshot
+    // shuffle-free merge of the snapshot (partition columns reconstructed
+    // and re-laid-out hive-style when the table is partitioned)
     val scoped = Sink.scopedSession(spark, targetFileBytes)
     val mine = writeBatch(fs, rootP,
-      scoped.read.parquet(rewrote.toSeq.sorted: _*))
+      readSnapshot(scoped, root, before, Seq.empty), before.partCols)
     if (mine.isEmpty) // zero-row snapshot: nothing to commit, keep the base
       return (before.files.size, before.files.size, before.version)
     val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
@@ -468,17 +848,19 @@ object ManifestStore {
       val present = baseFiles.map(_.path).toSet
       if (rewrote.exists(p => !present(p))) None // inputs already replaced
       else Some(Snapshot(0L, baseFiles.filterNot(f => rewrote(f.path)) ++ mine,
-        base.map(_.txns).getOrElse(Map.empty))) // txn watermarks survive compaction
+        base.map(_.txns).getOrElse(Map.empty), // txn watermarks survive compaction
+        base.flatMap(_.schema).orElse(before.schema),
+        base.map(_.partCols).getOrElse(before.partCols)))
     }
     (before.files.size, mine.size, v)
   }
 
   /** Drop data unreferenced by the newest `keepVersions` intact manifests
     * AND older than `minAgeMs` — age is the max of the batch directory's
-    * own mtime and its FILES' mtimes (object stores report synthetic
-    * times on directory markers; a writer mid-upload always has fresh
-    * files). Also prunes manifest files older than the kept set. Returns
-    * the number of batch directories deleted.
+    * own mtime and its (recursively listed) FILES' mtimes (object stores
+    * report synthetic times on directory markers; a writer mid-upload
+    * always has fresh files). Also prunes manifest files older than the
+    * kept set. Returns the number of batch directories deleted.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
              minAgeMs: Long = 24L * 3600 * 1000): Int = {
@@ -495,16 +877,32 @@ object ManifestStore {
     // current snapshot itself
     def stripped(p: Path): String =
       Path.getPathWithoutSchemeAndAuthority(p).toString
-    val live = kept.flatMap(_.files.map(f =>
-      stripped(new Path(f.path).getParent))).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
     val dd = dataDir(rootP)
+    val ddStr = stripped(dd)
+    // the BATCH directory of a file = its ancestor directly under data/ —
+    // a partitioned file sits two+ levels down (batch/col=v/part.parquet),
+    // and marking only its immediate parent live would vacuum the live
+    // batch itself
+    def batchDirOf(p: Path): Option[Path] = {
+      var cur = p
+      var parent = cur.getParent
+      while (parent != null && stripped(parent) != ddStr) {
+        cur = parent
+        parent = cur.getParent
+      }
+      if (parent == null) None else Some(cur)
+    }
+    val live = kept.flatMap(_.files.flatMap(f =>
+      batchDirOf(new Path(f.path)).map(stripped))).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var dropped = 0
+    def newestTouch(s: FileStatus): Long = {
+      val kids = if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq.empty
+      (s.getModificationTime +: kids.map(newestTouch)).max
+    }
     if (fs.exists(dd)) for (d <- fs.listStatus(dd) if d.isDirectory) {
       val ref = live.contains(stripped(d.getPath))
-      lazy val newestTouch = (d.getModificationTime +:
-        fs.listStatus(d.getPath).map(_.getModificationTime).toSeq).max
-      if (!ref && newestTouch < cutoff) {
+      if (!ref && newestTouch(d) < cutoff) {
         fs.delete(d.getPath, true)
         dropped += 1
       }

@@ -219,18 +219,20 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
-  test("a schema-incompatible append is refused, not committed as read poison") {
+  test("a type-changing append is refused, not committed as read poison") {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 5), root) // defines (id, payload)
-    val wrong = Seq((9L, 3.14)).toDF("id", "score")
+    // r10: ADDING or OMITTING columns is sanctioned evolution; what stays
+    // refused is changing an existing column's TYPE
+    val wrong = Seq(("x", "y")).toDF("id", "payload") // id string, table long
     val e = intercept[IllegalArgumentException] {
       ManifestStore.append(spark, wrong, root)
     }
-    assert(e.getMessage.contains("not") && e.getMessage.contains("compatible"), e.getMessage)
+    assert(e.getMessage.contains("id") && e.getMessage.contains("type"), e.getMessage)
     intercept[IllegalArgumentException] {
       ManifestStore.appendBatch(spark, wrong, root, "sink", 0L)
     }
-    // column ORDER does not matter (parquet unions by name on read)
+    // column ORDER does not matter (reads resolve by name)
     val reordered = batch(5, 8).select("payload", "id")
     assert(ManifestStore.append(spark, reordered, root) == 2L)
     assert(ids(ManifestStore.read(spark, root)) == (0L until 8L))
@@ -269,6 +271,202 @@ class ManifestStoreSpec extends SparkSpec {
       "a watermark dropped by compaction would re-admit the duplicate batch")
   }
 
+  // ---- r10: data skipping, partitioned tables, schema evolution, probe ----
+
+  /** r10 #1 (VERDICT): per-file min/max stats from the parquet footers ride
+    * the manifest; a pushed predicate prunes the FILE LIST before the scan
+    * plans — and never changes the answer.
+    */
+  test("data skipping: stats in the manifest, selective predicates open fewer files") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    // range-layout so files carry tight disjoint id bounds (the layout a
+    // real ingest gets from Sink.writeZOrdered / time-ordered appends)
+    ManifestStore.append(spark,
+      batch(0, 400).repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.files.size >= 8)
+    assert(snap.files.forall(_.rows.exists(_ > 0)), "every entry carries its row count")
+    assert(snap.files.forall(e => e.stats.contains("id") && e.stats.contains("payload")),
+      "long and string columns both carry footer stats")
+
+    val pred: Seq[Filter] = Seq(GreaterThanOrEqual("id", 350L))
+    val pruned = ManifestStore.prunedEntries(snap, pred)
+    assert(pruned.size < snap.files.size,
+      s"selective predicate must skip files: ${pruned.size} of ${snap.files.size} kept")
+    assert(pruned.nonEmpty)
+    // parity: skipping changes which files open, never the rows
+    assert(ids(ManifestStore.readWhere(spark, root, pred)) == (350L until 400L))
+    // string bounds prune too (payload = "row-N", byte-ordered)
+    val sPred: Seq[Filter] = Seq(LessThan("payload", "row-1"))
+    assert(ManifestStore.prunedEntries(snap, sPred).size < snap.files.size)
+    assert(ManifestStore.readWhere(spark, root, sPred).count() ==
+      ManifestStore.read(spark, root).where(col("payload") < "row-1").count())
+    // a predicate outside every bound prunes EVERYTHING and still returns
+    // an empty frame with the table schema
+    val none = ManifestStore.readWhere(spark, root, Seq(GreaterThan("id", 100000L)))
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "payload"))
+    // null pruning: no file has null ids, so IsNull opens nothing
+    assert(ManifestStore.prunedEntries(snap, Seq(IsNull("id"))).isEmpty)
+    assert(ManifestStore.readWhere(spark, root, Seq(IsNull("id"))).count() == 0L)
+  }
+
+  /** r10 #2 (VERDICT): hive-style partition values in manifest entries —
+    * equality on the partition column prunes whole batches before any
+    * file-level stats run; the full append→compact→vacuum cycle preserves
+    * partition grouping; values (and the hive null) reconstruct exactly.
+    */
+  test("partitioned table: pruned reads, compaction keeps grouping, vacuum cycle") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    def src(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, s"row-$i", if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else null))
+      .toDF("id", "payload", "src")
+    ManifestStore.append(spark, src(0, 90).repartition(4), root, partitionBy = Seq("src"))
+    ManifestStore.append(spark, src(90, 180).repartition(4), root, partitionBy = Seq("src"))
+    // a mismatched layout is refused before any bytes land
+    intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, src(180, 181), root) // missing partitionBy
+    }
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.partCols == Seq("src"))
+    assert(snap.files.forall(_.partition.exists(_.contains("src"))))
+
+    // partition pruning: only src=a files survive the filter
+    val aOnly = ManifestStore.prunedEntries(snap, Seq(EqualTo("src", "a")))
+    assert(aOnly.nonEmpty && aOnly.size < snap.files.size)
+    assert(aOnly.forall(_.partition.get("src").contains("a")))
+    // reconstruction parity: the partition column comes back typed + exact
+    val got = ManifestStore.readWhere(spark, root, Seq(EqualTo("src", "a")))
+    assert(got.columns.toSeq == Seq("id", "payload", "src"))
+    assert(ids(got) == (0L until 180L by 3L).toSeq)
+    // the hive null partition round-trips as real SQL NULL
+    assert(ManifestStore.readWhere(spark, root, Seq(IsNull("src"))).count() == 60L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 180L))
+
+    // compaction preserves partition grouping (and therefore pruning)
+    val (nB, nA, _) = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(nA < nB)
+    val snap2 = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap2.partCols == Seq("src"))
+    assert(snap2.files.forall(_.partition.exists(_.contains("src"))),
+      "compacted files must keep their partition values")
+    assert(ManifestStore.prunedEntries(snap2, Seq(EqualTo("src", "b"))).size < snap2.files.size)
+    assert(ids(ManifestStore.readWhere(spark, root, Seq(EqualTo("src", "b")))) ==
+      (1L until 180L by 3L).toSeq)
+
+    // vacuum: the pre-compaction partitioned batches (nested dirs) drop,
+    // the live compacted batch survives
+    assert(ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0) == 2)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 180L),
+      "live partitioned snapshot must survive vacuum")
+  }
+
+  test("partition values with hive-escaped characters round-trip exactly") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    val tricky = Seq("a/b", "x=y", "p:q r", "plain")
+    val df = tricky.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "key")
+    ManifestStore.append(spark, df, root, partitionBy = Seq("key"))
+    val back = ManifestStore.read(spark, root).select("key").as[String].collect().toSet
+    assert(back == tricky.toSet, s"escaped partition values corrupted: $back")
+    assert(ids(ManifestStore.readWhere(spark, root, Seq(EqualTo("key", "a/b")))) == Seq(0L))
+  }
+
+  /** r10 #3 (VERDICT): sanctioned widening — a batch may ADD nullable
+    * columns (old files read as null) or OMIT existing ones (its files
+    * read as null there); type changes stay refused, including two
+    * concurrent widenings racing the same column name with different
+    * types; time travel replays the OLD schema.
+    */
+  test("schema evolution: add-nullable-column widens, old versions replay their schema") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10), root) // (id, payload)
+    val widened = (10 until 20).map(i => (i.toLong, s"row-$i", i * 0.5))
+      .toDF("id", "payload", "score")
+    assert(ManifestStore.append(spark, widened, root) == 2L)
+    val full = ManifestStore.read(spark, root)
+    assert(full.columns.toSeq == Seq("id", "payload", "score"))
+    assert(full.where(col("score").isNull).count() == 10L,
+      "pre-widening files must null-fill the new column")
+    assert(full.where(col("score").isNotNull).count() == 10L)
+    // time travel: v1 replays WITHOUT the later column
+    assert(ManifestStore.readVersion(spark, root, 1).columns.toSeq == Seq("id", "payload"))
+    // a batch OMITTING a column null-fills its own files instead
+    val narrow = Seq((20L, 9.9)).toDF("id", "score")
+    assert(ManifestStore.append(spark, narrow, root) == 3L)
+    val v3 = ManifestStore.read(spark, root)
+    assert(v3.where(col("id") === 20L && col("payload").isNull).count() == 1L)
+    // type changes stay refused
+    val clash = Seq((21L, 7)).toDF("id", "score") // score int, table double
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, clash, root)
+    }
+    assert(e.getMessage.contains("score"), e.getMessage)
+    // compaction MATERIALIZES the widened schema and keeps answers
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(ManifestStore.read(spark, root).where(col("payload").isNull).count() == 1L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 21L))
+  }
+
+  /** r10 #4 (VERDICT): the commit-point probe — a connector whose
+    * create(overwrite=false) silently overwrites loses committed versions;
+    * verifyCommitPoint turns that into a loud refusal up front.
+    */
+  test("verifyCommitPoint refuses a silently-overwriting filesystem, passes a compliant one") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(freshRoot())
+
+    val bad = new OverwritingFs
+    bad.initialize(java.net.URI.create("badfs:///"), conf)
+    val e = intercept[IllegalStateException] {
+      ManifestStore.verifyCommitPoint(bad, root)
+    }
+    assert(e.getMessage.contains("commit-point"), e.getMessage)
+
+    val good = new RenamedSchemeFs // RawLocal semantics under a non-file scheme
+    good.initialize(java.net.URI.create("goodfs:///"), conf)
+    ManifestStore.verifyCommitPoint(good, root) // must not throw
+    // probes clean up after themselves
+    val fs = root.getFileSystem(conf)
+    val leftovers = fs.listStatus(new Path(root, "_manifests"))
+      .map(_.getPath.getName).filter(_.startsWith(".probe-"))
+    assert(leftovers.isEmpty, s"probe files left behind: ${leftovers.toSeq}")
+  }
+
+  /** r10 #6 (VERDICT): forced redelivery AT RATE — every micro-batch
+    * delivered twice, the duplicate racing the original from another
+    * thread (the worst-case retry storm). The txn watermark inside the
+    * atomic commit must keep the table duplicate-free; the measured-rate
+    * twin of this spec is graft.ManifestSlo (numbers in SCALE.md).
+    */
+  test("appendBatch under forced redelivery at rate: zero duplicate rows") {
+    val root = freshRoot()
+    val retriesBefore = ManifestStore.commitRetries.sum()
+    for (b <- 0 until 8) {
+      val df = batch(b * 10, b * 10 + 10)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val tasks = (0 until 2).map(_ => pool.submit(
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              ManifestStore.appendBatch(spark, df, root, "rate-sink", b.toLong,
+                maxRetries = 50)
+          }))
+        tasks.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 80L),
+      "redelivered batches must never double rows, even racing their original")
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.txns == Map("rate-sink" -> 7L))
+    // the loser's orphaned batch dirs are vacuum food, not corpus rows
+    ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 80L))
+    // the retry counter is an ops signal, monotone under contention
+    assert(ManifestStore.commitRetries.sum() >= retriesBefore)
+  }
+
   test("appendBatch drives a real Structured Streaming foreachBatch sink exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
@@ -289,4 +487,29 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 80L),
       "each micro-batch committed exactly once across two stream restarts")
   }
+}
+
+/** A connector whose create(path, overwrite=false) silently overwrites —
+  * the HEAD-then-PUT object-store shim the commit-point contract warns
+  * about. Local-disk semantics otherwise.
+  */
+private class OverwritingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("badfs:///")
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    super.create(f, permission, true, bufferSize, replication, blockSize, progress)
+}
+
+/** RawLocal semantics under a non-`file:` scheme, so the probe actually
+  * runs (the `file:` scheme is exempt — claims there use O_EXCL).
+  */
+private class RenamedSchemeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("goodfs:///")
 }

@@ -547,6 +547,55 @@ class OperatorsSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  /** r10 (VERDICT r9 #7): the stored band table has an APPEND path, so a
+    * long-running ingest loop maintains it per batch instead of rebuilding
+    * it per ingest (O(corpus)) or probing it stale. Parity contract: the
+    * appended table probes identically to one freshly built over the same
+    * union; a mismatched bucket spec is refused loudly.
+    */
+  test("appendBandIndex maintains the stored index: appended == fresh-built, mismatched spec refused") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val older = docs.where(col("doc_id") % 2 === 0)
+    val newer = docs.where(col("doc_id") % 2 =!= 0)
+    val idxOld = Dedup.signatureIndex(older, "doc_id", "text")
+    val idxNew = Dedup.signatureIndex(newer, "doc_id", "text")
+    val idxAll = Dedup.signatureIndex(docs, "doc_id", "text")
+
+    for (t <- Seq("g_band_append", "g_band_fresh")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File("/tmp/graft-warehouse", t)
+      if (loc.exists()) { import scala.reflect.io.Directory; new Directory(loc).deleteRecursively() }
+    }
+    Dedup.writeBandIndex(idxOld, "g_band_append", buckets = 32)
+    Dedup.appendBandIndex(idxNew, "g_band_append", buckets = 32)
+    Dedup.writeBandIndex(idxAll, "g_band_fresh", buckets = 32)
+
+    // same multiset of (bkey, doc_id) rows as the fresh full build
+    val got = spark.table("g_band_append").groupBy("bkey", "doc_id").count()
+    val want = spark.table("g_band_fresh").groupBy("bkey", "doc_id").count()
+    assert(got.join(want, Seq("bkey", "doc_id", "count"), "full_outer")
+      .where(col("count").isNull).isEmpty, "appended band table diverged from fresh build")
+
+    // probe parity: a batch vetted against the APPENDED table keeps the
+    // same survivors as against the fresh one
+    val someText = docs.where(col("doc_id") === 3L).select("text").as[String].head()
+    val batch = Seq(
+      (920001L, someText),
+      (920002L, "fully novel band-append probe text matching nothing stored")
+    ).toDF("doc_id", "text")
+    def survivors(table: String) =
+      Dedup.dedupIncremental(docs, batch, "doc_id", "text",
+        existingIndex = Some(idxAll), bandIndex = Some(spark.table(table)))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors("g_band_append") == survivors("g_band_fresh"))
+    assert(survivors("g_band_append") == Seq(920002L))
+
+    // a drifted bucket spec cannot silently land
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.appendBandIndex(idxNew, "g_band_append", buckets = 16)
+    }
+  }
+
   test("dedupIncremental probe strategies (Auto/InFilter/SemiJoin) agree; SemiJoin never collects at call time") {
     val existing = Tables.documents(spark, sfDir).select("doc_id", "text")
     val someText = existing.where(col("doc_id") === 11L).select("text").as[String].head()
