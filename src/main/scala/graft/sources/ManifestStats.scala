@@ -37,7 +37,7 @@ import graft.JsonText
   *    shorten long stats) stay VALID bounds by parquet contract (max
   *    rounds up), so pruning against them is conservative, not wrong.
   */
-private[sources] object ManifestStats {
+private[graft] object ManifestStats {
 
   /** One column's whole-file bounds. `min`/`max` are canonical strings for
     * the tag (`t`): integral families render as the Long domain they
@@ -98,9 +98,13 @@ private[sources] object ManifestStats {
     if (st == null || st.isEmpty) return None
     val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
     if (!st.hasNonNullValue) {
-      // all-null chunk (or stats carry no values): a bound-less entry is
-      // only usable when the null count proves emptiness
-      return if (nulls >= 0) Some(ColStats(tag, None, None, nulls)) else None
+      // bound-less chunk: usable ONLY when the null count proves the chunk
+      // is truly all-null (nulls == valueCount). A writer may drop bounds
+      // while values exist (oversized binary stats, NaN-poisoned doubles) —
+      // treating that as all-null would let the other row groups' bounds
+      // stand as the file's and prune rows away (review r10)
+      return if (nulls >= 0 && nulls == c.getValueCount) Some(ColStats(tag, None, None, nulls))
+      else None
     }
     val pt = c.getPrimitiveType
     def longPair(f: Any => Long) =
@@ -368,29 +372,51 @@ private[sources] object ManifestStats {
     Some(s"{${parts.result().mkString(",")}}")
   }
 
-  /** Inverse of [[renderMeta]]; None on malformed input (the caller treats
-    * the entry as stats-less — skipping degrades, reads stay correct).
+  // one shared mapper: construction is Jackson's expensive part and this
+  // path runs once per manifest line per snapshot read (review r10);
+  // readTree on a shared mapper is thread-safe
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Inverse of [[renderMeta]]; None on malformed input — INCLUDING
+    * wrong-typed fields (a lenient coercion like a non-numeric "n" → 0
+    * would degrade to WRONG stats, e.g. "no nulls here", and prune rows
+    * away; malformed must degrade to stats-LESS, which only disables
+    * skipping — review r10).
     */
   def parseMeta(json: String): Option[(Option[Long], Map[String, ColStats],
       Option[Map[String, Option[String]]])] =
     try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      import com.fasterxml.jackson.databind.JsonNode
+      val node = mapper.readTree(json)
       if (node == null || !node.isObject) return None
-      val rows = Option(node.get("r")).filter(_.isIntegralNumber).map(_.asLong)
-      val stats = Option(node.get("s")).filter(_.isObject).map { s =>
-        s.properties().asScala.map { e =>
+      def longOf(n: JsonNode): Option[Long] =
+        if (n.isIntegralNumber && n.canConvertToLong) Some(n.asLong) else None
+      def textOf(n: JsonNode): Option[String] =
+        if (n.isTextual) Some(n.asText()) else None
+      val rows = Option(node.get("r")) match {
+        case None => None
+        case Some(r) => Some(longOf(r).getOrElse(return None))
+      }
+      val stats = Option(node.get("s")) match {
+        case None => Map.empty[String, ColStats]
+        case Some(s) if !s.isObject => return None
+        case Some(s) => s.properties().asScala.map { e =>
           val v = e.getValue
-          e.getKey -> ColStats(
-            v.get("t").asText(),
-            Option(v.get("m")).map(_.asText()),
-            Option(v.get("x")).map(_.asText()),
-            Option(v.get("n")).map(_.asLong).getOrElse(-1L))
+          if (!v.isObject) return None
+          val t = Option(v.get("t")).flatMap(textOf).getOrElse(return None)
+          val mn = Option(v.get("m")).map(m => textOf(m).getOrElse(return None))
+          val mx = Option(v.get("x")).map(x => textOf(x).getOrElse(return None))
+          val n = Option(v.get("n")).map(n => longOf(n).getOrElse(return None))
+          e.getKey -> ColStats(t, mn, mx, n.getOrElse(-1L))
         }.toMap
-      }.getOrElse(Map.empty)
-      val part = Option(node.get("p")).filter(_.isObject).map { p =>
-        p.properties().asScala.map { e =>
-          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
-        }.toMap
+      }
+      val part = Option(node.get("p")) match {
+        case None => None
+        case Some(p) if !p.isObject => return None
+        case Some(p) => Some(p.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> (if (v.isNull) None else Some(textOf(v).getOrElse(return None)))
+        }.toMap)
       }
       Some((rows, stats, part))
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -446,6 +446,20 @@ object ManifestStore {
     require(partitionBy.size < df.schema.size,
       "a table cannot be partitioned by ALL of its columns")
     require(partitionBy.distinct == partitionBy, s"duplicate partition columns: $partitionBy")
+    // empty string is the one string value that does NOT round-trip: Spark
+    // writes it as the hive null sentinel, so it would silently read back
+    // as NULL — refuse it where the cause is nameable (review r10). One
+    // batch-bounded scan per string partition column.
+    import org.apache.spark.sql.types.StringType
+    val stringCols = partitionBy.filter(c =>
+      df.schema.fields.exists(f => f.name == c && f.dataType == StringType))
+    if (stringCols.nonEmpty) {
+      val offending = stringCols.filterNot(c => df.where(col(quoteIdent(c)) === "").isEmpty)
+      require(offending.isEmpty,
+        s"partition column(s) ${offending.mkString(", ")} contain empty-string values, " +
+          "which hive-style layout writes as the NULL sentinel and cannot round-trip — " +
+          "map them to a real sentinel (or null) before appending")
+    }
   }
 
   /** Write `df` as a new batch and commit it appended to the latest
@@ -729,8 +743,8 @@ object ManifestStore {
     val base: DataFrame = (snap.schema, entries) match {
       case (Some(sc), Seq()) => // every file pruned: an empty frame, same schema
         spark.createDataFrame(new java.util.ArrayList[Row](), sc)
-      case (None, Seq()) =>
-        spark.read.parquet(snap.files.map(_.path): _*).limit(0)
+      case (None, Seq()) => // legacy, fully pruned: ONE footer gives the schema
+        spark.read.parquet(snap.files.head.path).limit(0)
       case (Some(sc), es) if snap.partCols.nonEmpty =>
         readPartitioned(spark, sc, snap.partCols, es)
       case (Some(sc), es) =>

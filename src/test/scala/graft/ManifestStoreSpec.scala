@@ -409,6 +409,56 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 21L))
   }
 
+  /** r10 review sweep: the places where skipping could go from "opens too
+    * many files" (safe) to "opens too few" (silent row loss) — oversized
+    * string bounds a writer may drop, all-null columns, wrong-typed meta
+    * fields, empty-string partition values.
+    */
+  test("skipping stays conservative: huge strings, all-null columns, malformed meta, empty partition values") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    // a value large enough that a writer may drop/truncate its binary
+    // bounds — whatever parquet chose, the row must survive every
+    // predicate it matches
+    val huge = "z" * 5000
+    val df = Seq((1L, "alpha", "x"), (2L, huge, null.asInstanceOf[String]))
+      .toDF("id", "payload", "maybe")
+    ManifestStore.append(spark, df, root)
+    val got = ManifestStore.readWhere(spark, root, Seq(GreaterThan("payload", "y")))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L), s"oversized-bounds row lost to pruning: $got")
+
+    // an all-null column file: IsNotNull prunes it, IsNull keeps it
+    val root2 = freshRoot()
+    ManifestStore.append(spark,
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "maybe"), root2)
+    ManifestStore.append(spark, Seq((2L, "present")).toDF("id", "maybe"), root2)
+    val snap2 = ManifestStore.latestSnapshot(spark, root2).get
+    assert(ManifestStore.prunedEntries(snap2, Seq(IsNotNull("maybe"))).size == 1)
+    assert(ids(ManifestStore.readWhere(spark, root2, Seq(IsNotNull("maybe")))) == Seq(2L))
+    assert(ids(ManifestStore.readWhere(spark, root2, Seq(IsNull("maybe")))) == Seq(1L))
+
+    // malformed meta fields degrade to stats-LESS (skip-nothing), never to
+    // wrong stats like "no nulls here"
+    import graft.sources.ManifestStats
+    assert(ManifestStats.parseMeta("""{"r":10,"s":{"c":{"t":"long","n":"junk"}}}""").isEmpty)
+    assert(ManifestStats.parseMeta("""{"r":"ten"}""").isEmpty)
+    assert(ManifestStats.parseMeta("""{"s":{"c":{"t":5,"n":0}}}""").isEmpty)
+    assert(ManifestStats.parseMeta("""{"p":{"k":7}}""").isEmpty)
+    val ok = ManifestStats.parseMeta("""{"r":10,"s":{"c":{"t":"long","m":"1","x":"9","n":0}},"p":{"k":null}}""")
+    assert(ok.exists { case (r, s, p) =>
+      r.contains(10L) && s("c").min.contains("1") && p.exists(_("k").isEmpty) })
+
+    // empty-string partition values cannot round-trip (hive writes the
+    // NULL sentinel) — refused at the append, not mutated silently
+    val root3 = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, Seq((1L, "")).toDF("id", "key"), root3,
+        partitionBy = Seq("key"))
+    }
+    assert(e.getMessage.contains("empty-string"), e.getMessage)
+  }
+
   /** r10 #4 (VERDICT): the commit-point probe — a connector whose
     * create(overwrite=false) silently overwrites loses committed versions;
     * verifyCommitPoint turns that into a loud refusal up front.
