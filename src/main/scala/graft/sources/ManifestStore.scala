@@ -491,6 +491,20 @@ object ManifestStore {
     }
   }
 
+  /** [[append]] with the batch laid out along the Z-order curve of `dims`
+    * first ([[graft.operators.Layout.zOrder]]), so the manifest's per-file
+    * min/max stats come out tight in EVERY interleaved dimension and
+    * multi-column predicates prune files through [[readWhere]] — the
+    * manifest-table composition of `Sink.writeZOrdered`. `files` bounds
+    * the batch's file count (one per range partition). See Layout.zValue
+    * for the bits-vs-domain contract.
+    */
+  def appendZOrdered(spark: SparkSession, df: DataFrame, root: String,
+                     dims: Seq[Column], files: Int, bits: Int = 16,
+                     maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long =
+    append(spark, graft.operators.Layout.zOrder(df, dims, files, bits), root,
+      maxRetries, tornGraceMs)
+
   /** Idempotent streaming append — the foreachBatch sink primitive.
     * Structured Streaming delivers micro-batches AT-LEAST-ONCE after a
     * failure, so the sink must make the redelivered (appId, batchId)
@@ -833,6 +847,25 @@ object ManifestStore {
     val before = latestSnapshot(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
     compactFrom(spark, root, before, targetFileBytes, maxRetries)
+  }
+
+  /** Partial compaction — rewrite only the files matching `filters`
+    * (partition values + stats, same pruning as [[readWhere]]), leaving
+    * the rest of the snapshot untouched. The production maintenance shape
+    * for a partitioned ingest table: compact yesterday's SEALED partition
+    * (`EqualTo("date", ...)`) while today's keeps appending — the rebase
+    * keeps concurrent appends, and a racing compactor of the SAME subset
+    * abandons exactly as [[compact]] does (Delta/Iceberg `OPTIMIZE WHERE`
+    * pattern). Returns (filesBefore, filesAfter, version) where
+    * filesBefore counts only the MATCHING files.
+    */
+  def compactWhere(spark: SparkSession, root: String, filters: Seq[Filter],
+                   targetFileBytes: Long = 128L << 20,
+                   maxRetries: Int = 10): (Int, Int, Long) = {
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    compactFrom(spark, root, before.copy(files = prunedEntries(before, filters)),
+      targetFileBytes, maxRetries)
   }
 
   /** [[compact]] against an explicit base snapshot — the test seam for the

@@ -409,6 +409,63 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 21L))
   }
 
+  /** r10: partial compaction (the OPTIMIZE WHERE shape) — only the files
+    * matching the filter are rewritten; everything else keeps its
+    * identity, and a concurrent append is preserved by the usual rebase.
+    */
+  test("compactWhere rewrites only the matching partition, preserves the rest") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    def src(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, s"row-$i", (i % 2).toString)).toDF("id", "payload", "day")
+    ManifestStore.append(spark, src(0, 100).repartition(8), root, partitionBy = Seq("day"))
+    ManifestStore.append(spark, src(100, 200).repartition(8), root, partitionBy = Seq("day"))
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    val day0Before = ManifestStore.prunedEntries(before, Seq(EqualTo("day", "0"))).map(_.path).toSet
+    val day1Before = ManifestStore.prunedEntries(before, Seq(EqualTo("day", "1"))).map(_.path).toSet
+    assert(day0Before.size > 1 && day1Before.size > 1)
+
+    val (nB, nA, v) = ManifestStore.compactWhere(spark, root,
+      Seq(EqualTo("day", "0")), targetFileBytes = 1L << 30)
+    assert(v > before.version && nB == day0Before.size && nA < nB)
+    val after = ManifestStore.latestSnapshot(spark, root).get
+    val day1After = ManifestStore.prunedEntries(after, Seq(EqualTo("day", "1"))).map(_.path).toSet
+    assert(day1After == day1Before, "non-matching partition files must keep their identity")
+    assert(ManifestStore.prunedEntries(after, Seq(EqualTo("day", "0"))).size == nA)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 200L))
+    assert(ids(ManifestStore.readWhere(spark, root, Seq(EqualTo("day", "0")))) ==
+      (0L until 200L by 2L).toSeq)
+  }
+
+  /** r10: z-ordered appends — multi-column predicates prune the manifest's
+    * file list because every interleaved dimension's per-file bounds stay
+    * tight (the Sink.writeZOrdered story, composed with the manifest).
+    */
+  test("appendZOrdered: two-dimensional predicates skip files") {
+    import org.apache.spark.sql.sources._
+    val n = 4096
+    val side = 64 // ids form a 64x64 (x, y) grid
+    val grid = (0 until n).map(i => (i.toLong, (i % side).toLong, (i / side).toLong))
+      .toDF("id", "x", "y")
+    val root = freshRoot()
+    ManifestStore.appendZOrdered(spark, grid, root,
+      Seq(col("x"), col("y")), files = 16, bits = 6)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.files.size >= 8)
+    // a small (x, y) box: both dimensions prune under z-layout
+    val box: Seq[Filter] = Seq(And(
+      And(GreaterThanOrEqual("x", 8L), LessThan("x", 16L)),
+      And(GreaterThanOrEqual("y", 8L), LessThan("y", 16L))))
+    val kept = ManifestStore.prunedEntries(snap, box)
+    assert(kept.nonEmpty && kept.size < snap.files.size / 2,
+      s"z-layout should prune most files for a small box: kept ${kept.size} of ${snap.files.size}")
+    val got = ManifestStore.readWhere(spark, root, box)
+    assert(got.count() == 64L)
+    assert(got.agg(sum("id")).as[Long].head() ==
+      grid.where(col("x").between(8, 15) && col("y").between(8, 15))
+        .agg(sum("id")).as[Long].head())
+  }
+
   /** r10 review sweep: the places where skipping could go from "opens too
     * many files" (safe) to "opens too few" (silent row loss) — oversized
     * string bounds a writer may drop, all-null columns, wrong-typed meta
