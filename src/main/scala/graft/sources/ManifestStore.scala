@@ -827,6 +827,52 @@ object ManifestStore {
     }
   }
 
+  /** Retrofit r10 metadata onto a PRE-r10 table without touching a data
+    * byte: harvest footer stats for every live file that lacks them,
+    * footer-derive the schema when the manifest carries none, and commit
+    * an enriched manifest version. Idempotent (a fully-enriched table is
+    * a no-op returning the current version); concurrent appends rebase in
+    * with their own entries untouched. After this, [[readWhere]] skips on
+    * the old files too — without it a legacy table never prunes.
+    */
+  def upgradeTable(spark: SparkSession, root: String,
+                   maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val snap = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    if (snap.files.isEmpty ||
+        (snap.schema.isDefined && snap.files.forall(f => f.rows.isDefined)))
+      return snap.version
+    val schema = snap.schema.getOrElse(
+      normalizeSchema(spark.read.parquet(snap.files.head.path).schema))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    val missing = snap.files.filter(_.rows.isEmpty)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, missing.size)))
+    val enriched: Map[String, ManifestEntry] = try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, ManifestEntry)]] =
+        missing.map { e =>
+          () => {
+            val (rows, stats) = ManifestStats.collect(conf, new Path(e.path), dataSchema)
+            e.path -> e.copy(rows = Some(rows), stats = stats)
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      Some(Snapshot(0L,
+        baseFiles.map(f => if (f.rows.isEmpty) enriched.getOrElse(f.path, f) else f),
+        base.map(_.txns).getOrElse(Map.empty),
+        base.flatMap(_.schema).orElse(Some(schema)),
+        base.map(_.partCols).getOrElse(snap.partCols)))
+    }
+  }
+
   /** Rewrite the CURRENT snapshot into ~targetFileBytes files and commit
     * the compacted file list as a new version. Returns
     * (filesBefore, filesAfter, committedVersion). Concurrent appends are

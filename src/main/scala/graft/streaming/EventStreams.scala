@@ -217,6 +217,85 @@ object EventStreams {
       }
       .start()
 
+  /** OBJECT-STORE twin of [[incrementalDedupSink]] (r10): the corpus and
+    * its signature index live in two [[graft.sources.ManifestStore]]
+    * tables under `outRoot/docs` and `outRoot/index`, each partitioned by
+    * the micro-batch id, each committed through `appendBatch`'s per-appId
+    * txn watermark — so the sink is exactly-once on storage where the
+    * partition-dir sink's overwrite contract does not hold (s3a/gs/wasb,
+    * any FileOutputCommitter-v2 exposure). Crash anatomy: the two tables
+    * commit independently, so a crash BETWEEN them redelivers the batch —
+    * the docs append no-ops at its watermark while the index append
+    * commits, and because both `existing` reads EXCLUDE the current batch
+    * id (a partition-pruned `Not(EqualTo("batch", bid))` — the replay
+    * recomputes against exactly the state its first attempt saw), the
+    * recomputed survivors are identical and the pair converges. The
+    * `curate` hook carries the same determinism contract as
+    * [[incrementalDedupSink]]'s. A pre-existing docs table with no index
+    * is bootstrapped once (full signatureIndex under batch = -1).
+    */
+  def manifestDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                        outRoot: String, checkpointDir: String,
+                        threshold: Double = 0.5,
+                        curate: DataFrame => DataFrame = identity)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        manifestDedupBatch(batch, bid, idCol, textCol, outRoot, threshold, curate)
+      }
+      .start()
+
+  /** One micro-batch of [[manifestDedupSink]] — the deterministic seam the
+    * redelivery/crash tests drive directly.
+    */
+  private[graft] def manifestDedupBatch(batch: DataFrame, bid: Long,
+                                        idCol: String, textCol: String,
+                                        outRoot: String, threshold: Double,
+                                        curate: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, Not}
+    val spark = batch.sparkSession
+    val M = graft.sources.ManifestStore
+    val docsRoot = s"$outRoot/docs"
+    val idxRoot = s"$outRoot/index"
+    val incoming = curate(batch).select(idCol, textCol)
+    // EXCLUDE this batch id from both reads: a redelivered batch must
+    // recompute against the state its first attempt saw, or its own
+    // committed docs would mark every row a self-duplicate and the index
+    // side of the pair would commit garbage. The exclusion is a
+    // partition-pruned manifest read — the replayed batch's files never
+    // open.
+    val notThis = Seq(Not(EqualTo("batch", bid)))
+    val docsSnap = M.latestSnapshot(spark, docsRoot).filter(_.files.nonEmpty)
+    val existing = docsSnap
+      .map(_ => M.readWhere(spark, docsRoot, notThis).select(idCol, textCol))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
+    val idxSnap = M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
+    if (docsSnap.isDefined && idxSnap.isEmpty) {
+      // bootstrap an externally-created corpus: one O(corpus) index build,
+      // committed like any batch (atomic — a crash mid-build leaves no
+      // manifest and the next replay rebuilds)
+      M.append(spark,
+        graft.operators.Dedup.signatureIndex(existing, idCol, textCol)
+          .withColumn("batch", lit(-1L)),
+        idxRoot, partitionBy = Seq("batch"))
+    }
+    val storedIndex =
+      if (idxSnap.isDefined || docsSnap.isDefined)
+        M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
+          .map(_ => M.readWhere(spark, idxRoot, notThis))
+      else None
+    graft.operators.Pinned.scoped {
+      val (kept, keptIndex) = graft.operators.Dedup.dedupIncrementalWithIndex(
+        existing, incoming, idCol, textCol, threshold, existingIndex = storedIndex)
+      M.appendBatch(spark, kept.withColumn("batch", lit(bid)),
+        docsRoot, "graft-manifest-dedup-docs", bid, partitionBy = Seq("batch"))
+      M.appendBatch(spark, keptIndex.withColumn("batch", lit(bid)),
+        idxRoot, "graft-manifest-dedup-index", bid, partitionBy = Seq("batch"))
+    }
+  }
+
   /** Curate hook for [[incrementalDedupSink]]: per-batch benchmark
     * decontamination — every incoming doc sharing an n-gram with the eval
     * suite drops BEFORE dedup vetting, so contaminated docs never enter

@@ -466,6 +466,50 @@ class ManifestStoreSpec extends SparkSpec {
         .agg(sum("id")).as[Long].head())
   }
 
+  /** r10: pre-r10 tables (no schema line, no per-file meta) never skip —
+    * upgradeTable retrofits footer stats + a schema without touching a
+    * data byte, after which readWhere prunes. Idempotent.
+    */
+  test("upgradeTable retrofits stats and schema onto a legacy manifest") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    // hand-craft a LEGACY (pre-r10) table: parquet batch + a v1 manifest
+    // with bare path\tbytes lines and no schema
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch(0, 200).repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$root/data/batch-legacy")
+    val files = fs.listStatus(new Path(s"$root/data/batch-legacy"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val body = "graft-manifest v1\nversion=1\n" +
+      files.map(f => s"${f.getPath.toString}\t${f.getLen}").mkString("", "\n", "\n")
+    val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      body.getBytes("UTF-8"))
+    fs.mkdirs(new Path(s"$root/_manifests"))
+    val out = fs.create(new Path(s"$root/_manifests/v${"%020d".format(1)}.manifest"), false)
+    out.write((body + s"checksum=$sum\n").getBytes("UTF-8")); out.close()
+
+    val legacy = ManifestStore.latestSnapshot(spark, root).get
+    assert(legacy.schema.isEmpty && legacy.files.forall(_.stats.isEmpty))
+    val pred = Seq(GreaterThanOrEqual("id", 180L))
+    assert(ManifestStore.prunedEntries(legacy, pred).size == legacy.files.size,
+      "a legacy table has nothing to skip with")
+    assert(ids(ManifestStore.readWhere(spark, root, pred)) == (180L until 200L),
+      "legacy reads stay correct, just unpruned")
+
+    val v2 = ManifestStore.upgradeTable(spark, root)
+    assert(v2 == 2L)
+    val up = ManifestStore.latestSnapshot(spark, root).get
+    assert(up.schema.isDefined && up.files.forall(f => f.rows.isDefined && f.stats.contains("id")))
+    assert(ManifestStore.prunedEntries(up, pred).size < up.files.size,
+      "the upgraded table must skip")
+    assert(ids(ManifestStore.readWhere(spark, root, pred)) == (180L until 200L))
+    // idempotent: a fully-enriched table is a no-op
+    assert(ManifestStore.upgradeTable(spark, root) == 2L)
+    // and ordinary appends compose on top
+    assert(ManifestStore.append(spark, batch(200, 210), root) == 3L)
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 210L))
+  }
+
   /** r10 review sweep: the places where skipping could go from "opens too
     * many files" (safe) to "opens too few" (silent row loss) — oversized
     * string bounds a writer may drop, all-null columns, wrong-typed meta

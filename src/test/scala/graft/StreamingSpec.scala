@@ -217,6 +217,94 @@ class StreamingSpec extends SparkSpec {
     assert(idx == streamed, s"index=$idx survivors=$streamed")
   }
 
+  /** r10: the manifest-backed twin — corpus + signature index live in two
+    * ManifestStore tables partitioned by batch id, committed exactly-once
+    * through txn watermarks. Parity with the partition-dir sink's
+    * semantics, plus the crash anatomies a plain layout cannot survive.
+    */
+  test("manifest dedup sink: two micro-batches equal the one-shot batch dedup; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-mandedup").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-mandedup-ck").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val b1 = Seq((1L, base), (2L, base + "lambda mu"),
+      (3L, "first unique document about other things entirely"))
+    val b2 = Seq((10L, base + "nu xi omicron"),
+      (11L, "second unique document with fresh content words"),
+      (12L, "first unique document about other things entirely")) // exact dup of 3
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(b1)
+    val q = EventStreams.manifestDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outRoot, ck)
+    q.processAllAvailable()
+    q.stop()
+    // RESTART the stream (new query, same checkpoint): batch 2 arrives
+    // after a full stop — the watermark discipline must hold across it
+    stream.addData(b2)
+    val q2 = EventStreams.manifestDedupSink(
+      stream.toDF().toDF("doc_id", "text"), "doc_id", "text", outRoot, ck)
+    q2.processAllAvailable()
+    q2.stop()
+    val M = graft.sources.ManifestStore
+    val streamed = M.read(spark, s"$outRoot/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], all.schema)
+    val batchKept = graft.operators.Dedup
+      .dedupIncremental(empty, all, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batchKept, s"streamed=$streamed batch=$batchKept")
+    assert(streamed == Seq(1L, 3L, 11L), s"survivors=$streamed")
+    val idx = M.read(spark, s"$outRoot/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idx == streamed, s"index=$idx survivors=$streamed")
+    // both tables are batch-partitioned manifest tables with watermarks
+    assert(M.latestSnapshot(spark, s"$outRoot/docs").get.partCols == Seq("batch"))
+    assert(M.latestSnapshot(spark, s"$outRoot/docs").get
+      .txns("graft-manifest-dedup-docs") == 1L)
+  }
+
+  test("manifest dedup sink: redelivery and crash-between-commits both converge") {
+    val outRoot = java.nio.file.Files.createTempDirectory("graft-mandedup2").toString
+    val base = "omega psi chi phi upsilon tau sigma rho pi omicron " * 4
+    def run(b: Seq[(Long, String)], bid: Long) =
+      EventStreams.manifestDedupBatch(b.toDF("doc_id", "text"), bid,
+        "doc_id", "text", outRoot, 0.5, identity)
+    val M = graft.sources.ManifestStore
+    def docIds() = M.read(spark, s"$outRoot/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def idxIds() = M.read(spark, s"$outRoot/index")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val b0 = Seq((1L, base), (2L, "a unique zero-batch document with its own words"))
+    run(b0, 0L)
+    assert(docIds() == Seq(1L, 2L) && idxIds() == Seq(1L, 2L))
+
+    // FULL redelivery of batch 0 (crash after both commits, before the
+    // checkpoint commit): both appends must no-op at their watermarks
+    run(b0, 0L)
+    assert(docIds() == Seq(1L, 2L), "redelivered batch doubled the corpus")
+    assert(idxIds() == Seq(1L, 2L), "redelivered batch doubled the index")
+
+    // CRASH BETWEEN the two commits: batch 1's docs land (simulated by
+    // pre-committing them), the index does not; the redelivery must
+    // recompute the SAME survivors (its own committed docs excluded from
+    // `existing` via the batch-id pruning) and complete the index side
+    val b1 = Seq((10L, base + " with a small tail"), // near-dup of 1 -> dropped
+      (11L, "an entirely different batch-one document body"))
+    val keptByDedup = Seq(11L)
+    M.appendBatch(spark,
+      Seq((11L, "an entirely different batch-one document body")).toDF("doc_id", "text")
+        .withColumn("batch", org.apache.spark.sql.functions.lit(1L)),
+      s"$outRoot/docs", "graft-manifest-dedup-docs", 1L, partitionBy = Seq("batch"))
+    run(b1, 1L) // the redelivery
+    assert(docIds() == Seq(1L, 2L) ++ keptByDedup,
+      s"docs diverged after crash-between-commits replay: ${docIds()}")
+    assert(idxIds() == Seq(1L, 2L) ++ keptByDedup,
+      s"index diverged after crash-between-commits replay: ${idxIds()}")
+  }
+
   test("incremental dedup sink with decontaminating curate: two micro-batches equal batch-path decontaminate + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-incdecon").toString
