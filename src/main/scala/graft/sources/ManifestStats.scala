@@ -55,7 +55,7 @@ private[graft] object ManifestStats {
     * with nested paths in parquet's dot-string addressing).
     */
   def collect(conf: Configuration, file: Path, schema: StructType): (Long, Map[String, ColStats]) = {
-    val tags: Map[String, String] = schema.fields.collect {
+    val tags: Map[String, (String, PrimitiveTypeName)] = schema.fields.collect {
       case f if !f.name.contains('.') => f.name -> tagFor(f.dataType)
     }.collect { case (n, Some(t)) => n -> t }.toMap
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -66,8 +66,8 @@ private[graft] object ManifestStats {
       var acc = Map.empty[String, Option[ColStats]]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
-        tags.get(name).foreach { tag =>
-          val next = chunkStats(c, tag)
+        tags.get(name).foreach { case (tag, expectedPrimitive) =>
+          val next = chunkStats(c, tag, expectedPrimitive)
           acc += name -> (acc.get(name) match {
             case None => next
             case Some(prev) => merge(prev, next, tag)
@@ -78,22 +78,31 @@ private[graft] object ManifestStats {
     } finally reader.close()
   }
 
-  /** Tag for a skippable Spark type; None = never collected (decimal,
-    * binary, nested, interval — residual filters still apply, files just
-    * never prune on these columns).
+  /** Tag + REQUIRED parquet physical type for a skippable Spark type;
+    * None = never collected (decimal, binary, nested, interval — residual
+    * filters still apply, files just never prune on these columns). The
+    * physical type is enforced per chunk: a legacy file whose column was
+    * written under a DIFFERENT Spark type (pre-r10 tables had no
+    * append-time type refusal) must not have its values reinterpreted in
+    * the wrong domain — e.g. a double chunk's min read as long truncates
+    * toward zero and records a bound NARROWER than the data, the one
+    * direction stats must never err (review r10).
     */
-  private def tagFor(dt: DataType): Option[String] = dt match {
-    case IntegerType | LongType | ShortType | ByteType => Some("long")
-    case DateType => Some("date")
-    case TimestampType | TimestampNTZType => Some("timestamp")
-    case FloatType | DoubleType => Some("double")
-    case StringType => Some("string")
-    case BooleanType => Some("boolean")
+  private def tagFor(dt: DataType): Option[(String, PrimitiveTypeName)] = dt match {
+    case IntegerType | ShortType | ByteType => Some(("long", PrimitiveTypeName.INT32))
+    case LongType => Some(("long", PrimitiveTypeName.INT64))
+    case DateType => Some(("date", PrimitiveTypeName.INT32))
+    case TimestampType | TimestampNTZType => Some(("timestamp", PrimitiveTypeName.INT64))
+    case FloatType => Some(("double", PrimitiveTypeName.FLOAT))
+    case DoubleType => Some(("double", PrimitiveTypeName.DOUBLE))
+    case StringType => Some(("string", PrimitiveTypeName.BINARY))
+    case BooleanType => Some(("boolean", PrimitiveTypeName.BOOLEAN))
     case _ => None
   }
 
   private def chunkStats(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-                         tag: String): Option[ColStats] = {
+                         tag: String, expectedPrimitive: PrimitiveTypeName): Option[ColStats] = {
+    if (c.getPrimitiveType.getPrimitiveTypeName != expectedPrimitive) return None
     val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
     if (st == null || st.isEmpty) return None
     val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
@@ -110,14 +119,10 @@ private[graft] object ManifestStats {
     def longPair(f: Any => Long) =
       Some(ColStats(tag, Some(f(st.genericGetMin).toString), Some(f(st.genericGetMax).toString), nulls))
     tag match {
-      case "long" =>
+      case "long" | "date" =>
         longPair(v => v.asInstanceOf[Number].longValue)
-      case "date" =>
-        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT32) None
-        else longPair(v => v.asInstanceOf[Number].longValue)
       case "timestamp" =>
-        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
-        else pt.getLogicalTypeAnnotation match {
+        pt.getLogicalTypeAnnotation match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             val toMicros: Long => Long = ts.getUnit match {
               case LogicalTypeAnnotation.TimeUnit.MICROS => identity
@@ -340,7 +345,7 @@ private[graft] object ManifestStats {
   /** Tag map for partition columns (exact-compare domain). */
   def partTagsOf(schema: StructType, partCols: Seq[String]): Map[String, String] =
     partCols.flatMap(c => schema.fields.find(_.name == c)
-      .flatMap(f => tagFor(f.dataType)).map(c -> _)).toMap
+      .flatMap(f => tagFor(f.dataType)).map { case (tag, _) => c -> tag }).toMap
 
   // ---- meta JSON (one object per manifest file line) ------------------
 

@@ -361,23 +361,35 @@ object ManifestStore {
       buf.result()
     }
     val dataSchema = StructType(df.schema.fields.filterNot(f => partitionBy.contains(f.name)))
-    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, files.size)))
+    val harvested = harvestStats(new org.apache.hadoop.conf.Configuration(fs.getConf),
+      files.map(_.getPath), dataSchema)
+    files.map { st =>
+      val (rows, stats) = harvested(st.getPath.toString)
+      val part = if (partitionBy.isEmpty) None
+        else Some(partitionOf(batch, st.getPath, partitionBy))
+      // Path.toString, NOT toUri.toString: a hive-escaped partition dir
+      // contains literal '%', which toUri would double-encode (%252F) —
+      // the stored string must round-trip through new Path(s) exactly
+      ManifestEntry(st.getPath.toString, st.getLen, Some(rows), stats, part)
+    }
+  }
+
+  /** Pooled footer-stats harvest (metadata-only round-trips, cost scales
+    * with file COUNT) — one definition shared by [[writeBatch]] and
+    * [[upgradeTable]] so the pool sizing/shutdown/error discipline cannot
+    * drift between them. Keys are `Path.toString` (the manifest's own path
+    * convention).
+    */
+  private def harvestStats(conf: org.apache.hadoop.conf.Configuration,
+                           paths: Seq[Path], dataSchema: StructType)
+      : Map[String, (Long, Map[String, ColStats])] = {
+    if (paths.isEmpty) return Map.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(8, paths.size))
     try {
       import scala.jdk.CollectionConverters._
-      val tasks: Seq[java.util.concurrent.Callable[ManifestEntry]] = files.map { st =>
-        () => {
-          val (rows, stats) = ManifestStats.collect(conf, st.getPath, dataSchema)
-          val part = if (partitionBy.isEmpty) None
-            else Some(partitionOf(batch, st.getPath, partitionBy))
-          // Path.toString, NOT toUri.toString: a hive-escaped partition dir
-          // contains literal '%', which toUri would double-encode (%252F) —
-          // the stored string must round-trip through new Path(s) exactly
-          ManifestEntry(st.getPath.toString, st.getLen, Some(rows), stats, part)
-        }
-      }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+      val tasks: Seq[java.util.concurrent.Callable[(String, (Long, Map[String, ColStats]))]] =
+        paths.map(p => () => p.toString -> ManifestStats.collect(conf, p, dataSchema))
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
     } finally pool.shutdown()
   }
 
@@ -748,6 +760,15 @@ object ManifestStore {
         filters.forall(f => ManifestStats.mightMatch(f, e.rows, e.stats, e.partition, partTags)))
     }
 
+  /** [[readWhere]] against an ALREADY-RESOLVED snapshot — for callers that
+    * hold one (e.g. a streaming sink that reads, decides and appends per
+    * micro-batch) and must not pay another manifest list+parse round-trip
+    * per read on an object store.
+    */
+  private[graft] def readWhere(spark: SparkSession, root: String,
+                               snap: Snapshot, filters: Seq[Filter]): DataFrame =
+    readSnapshot(spark, root, snap, filters)
+
   private def readSnapshot(spark: SparkSession, root: String,
                            snap: Snapshot, filters: Seq[Filter]): DataFrame = {
     if (snap.files.isEmpty)
@@ -848,21 +869,17 @@ object ManifestStore {
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name)))
     val missing = snap.files.filter(_.rows.isEmpty)
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(8, missing.size)))
-    val enriched: Map[String, ManifestEntry] = try {
-      import scala.jdk.CollectionConverters._
-      val tasks: Seq[java.util.concurrent.Callable[(String, ManifestEntry)]] =
-        missing.map { e =>
-          () => {
-            val (rows, stats) = ManifestStats.collect(conf, new Path(e.path), dataSchema)
-            e.path -> e.copy(rows = Some(rows), stats = stats)
-          }
-        }
-      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
-    } finally pool.shutdown()
+    // the physical-type check inside the harvest keeps a type-divergent
+    // legacy column conservative: a chunk written under a different Spark
+    // type records NO stats (never a reinterpreted bound), so skipping
+    // stays off for it while the divergence surfaces loudly at scan time
+    val harvested = harvestStats(
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration),
+      missing.map(e => new Path(e.path)), dataSchema)
+    val enriched: Map[String, ManifestEntry] = missing.map { e =>
+      val (rows, stats) = harvested(new Path(e.path).toString)
+      e.path -> e.copy(rows = Some(rows), stats = stats)
+    }.toMap
     commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       Some(Snapshot(0L,

@@ -229,10 +229,20 @@ object EventStreams {
     * commits, and because both `existing` reads EXCLUDE the current batch
     * id (a partition-pruned `Not(EqualTo("batch", bid))` — the replay
     * recomputes against exactly the state its first attempt saw), the
-    * recomputed survivors are identical and the pair converges. The
-    * `curate` hook carries the same determinism contract as
-    * [[incrementalDedupSink]]'s. A pre-existing docs table with no index
-    * is bootstrapped once (full signatureIndex under batch = -1).
+    * recomputed survivors are identical and the pair converges. A
+    * fully-committed redelivery early-returns at the watermarks without
+    * recomputing anything. The `curate` hook carries the same determinism
+    * contract as [[incrementalDedupSink]]'s.
+    *
+    * outRoot is coupled to the checkpoint's batch-id sequence (same
+    * contract as the partition-dir sink): a watermark strictly above the
+    * incoming batch id means the checkpoint was reset or re-pointed, and
+    * the sink REFUSES rather than silently swallow renumbered batches as
+    * redeliveries. A pre-existing docs table with no index is bootstrapped
+    * once (full signatureIndex under batch = -1) — the corpus must be
+    * batch-partitioned, i.e. appended with
+    * `corpus.withColumn("batch", lit(-1L))` + `partitionBy = Seq("batch")`;
+    * any other layout is refused with that recipe.
     */
   def manifestDedupSink(docs: DataFrame, idCol: String, textCol: String,
                         outRoot: String, checkpointDir: String,
@@ -249,6 +259,9 @@ object EventStreams {
   /** One micro-batch of [[manifestDedupSink]] — the deterministic seam the
     * redelivery/crash tests drive directly.
     */
+  private[graft] val ManifestDedupDocsApp = "graft-manifest-dedup-docs"
+  private[graft] val ManifestDedupIndexApp = "graft-manifest-dedup-index"
+
   private[graft] def manifestDedupBatch(batch: DataFrame, bid: Long,
                                         idCol: String, textCol: String,
                                         outRoot: String, threshold: Double,
@@ -258,6 +271,38 @@ object EventStreams {
     val M = graft.sources.ManifestStore
     val docsRoot = s"$outRoot/docs"
     val idxRoot = s"$outRoot/index"
+    // ONE snapshot resolve per table per batch (a manifest list+parse is
+    // an object-store round-trip over an O(live files) text file; the
+    // reads below reuse these snapshots — review r10)
+    val docsSnap = M.latestSnapshot(spark, docsRoot).filter(_.files.nonEmpty)
+    var idxSnap = M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
+    def mark(s: Option[graft.sources.ManifestStore.Snapshot], app: String): Long =
+      s.map(_.txns.getOrElse(app, -1L)).getOrElse(-1L)
+    val (docsMark, idxMark) = (mark(docsSnap, ManifestDedupDocsApp),
+      mark(idxSnap, ManifestDedupIndexApp))
+    // a watermark STRICTLY above bid means the checkpoint was reset or
+    // re-pointed at this outRoot: batches renumbered from 0 would be
+    // silently swallowed as "redeliveries" — refuse, exactly like the
+    // partition-dir sink (a healthy stream only ever redelivers bid ==
+    // watermark; Spark never replays a batch below a committed one)
+    if (docsMark > bid || idxMark > bid)
+      throw new IllegalStateException(
+        s"$outRoot already holds micro-batch ${math.max(docsMark, idxMark)} but this " +
+          s"stream is running batch=$bid: its checkpoint does not match outRoot " +
+          "(reset or re-pointed). Resume with the original checkpoint or start a " +
+          "fresh outRoot; refusing to silently swallow renumbered batches.")
+    if (docsMark == bid && idxMark == bid)
+      return // fully-committed redelivery: both appends would no-op anyway
+    // the docs table must be THIS sink's layout (batch-partitioned): a
+    // plain corpus table can't express the current-batch exclusion replay
+    // correctness rests on — refuse with the migration recipe
+    docsSnap.foreach { s =>
+      require(s.partCols == Seq("batch"),
+        s"$docsRoot is not a manifestDedupSink table (partitioned by ${s.partCols}, " +
+          "expected [batch]). Bootstrap an external corpus by appending it once with " +
+          "ManifestStore.append(spark, corpus.withColumn(\"batch\", lit(-1L)), root, " +
+          "partitionBy = Seq(\"batch\")) — the sink then indexes it on its first batch.")
+    }
     val incoming = curate(batch).select(idCol, textCol)
     // EXCLUDE this batch id from both reads: a redelivered batch must
     // recompute against the state its first attempt saw, or its own
@@ -266,33 +311,28 @@ object EventStreams {
     // partition-pruned manifest read — the replayed batch's files never
     // open.
     val notThis = Seq(Not(EqualTo("batch", bid)))
-    val docsSnap = M.latestSnapshot(spark, docsRoot).filter(_.files.nonEmpty)
     val existing = docsSnap
-      .map(_ => M.readWhere(spark, docsRoot, notThis).select(idCol, textCol))
+      .map(s => M.readWhere(spark, docsRoot, s, notThis).select(idCol, textCol))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema))
-    val idxSnap = M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
     if (docsSnap.isDefined && idxSnap.isEmpty) {
-      // bootstrap an externally-created corpus: one O(corpus) index build,
-      // committed like any batch (atomic — a crash mid-build leaves no
-      // manifest and the next replay rebuilds)
+      // bootstrap a corpus that predates its index: one O(corpus) index
+      // build, committed like any batch (atomic — a crash mid-build
+      // leaves no manifest and the next replay rebuilds)
       M.append(spark,
         graft.operators.Dedup.signatureIndex(existing, idCol, textCol)
           .withColumn("batch", lit(-1L)),
         idxRoot, partitionBy = Seq("batch"))
+      idxSnap = M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
     }
-    val storedIndex =
-      if (idxSnap.isDefined || docsSnap.isDefined)
-        M.latestSnapshot(spark, idxRoot).filter(_.files.nonEmpty)
-          .map(_ => M.readWhere(spark, idxRoot, notThis))
-      else None
+    val storedIndex = idxSnap.map(s => M.readWhere(spark, idxRoot, s, notThis))
     graft.operators.Pinned.scoped {
       val (kept, keptIndex) = graft.operators.Dedup.dedupIncrementalWithIndex(
         existing, incoming, idCol, textCol, threshold, existingIndex = storedIndex)
       M.appendBatch(spark, kept.withColumn("batch", lit(bid)),
-        docsRoot, "graft-manifest-dedup-docs", bid, partitionBy = Seq("batch"))
+        docsRoot, ManifestDedupDocsApp, bid, partitionBy = Seq("batch"))
       M.appendBatch(spark, keptIndex.withColumn("batch", lit(bid)),
-        idxRoot, "graft-manifest-dedup-index", bid, partitionBy = Seq("batch"))
+        idxRoot, ManifestDedupIndexApp, bid, partitionBy = Seq("batch"))
     }
   }
 

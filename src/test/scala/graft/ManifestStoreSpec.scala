@@ -437,6 +437,35 @@ class ManifestStoreSpec extends SparkSpec {
       (0L until 200L by 2L).toSeq)
   }
 
+  /** r10: two compactors on DISJOINT partitions both land — the second
+    * holds a stale snapshot, but its inputs were untouched by the first,
+    * so the rebase commits instead of abandoning (the property that makes
+    * per-partition maintenance parallelizable).
+    */
+  test("disjoint compactWhere commits from a stale snapshot; overlapping one abandons") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    def src(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, s"row-$i", (i % 2).toString)).toDF("id", "payload", "day")
+    ManifestStore.append(spark, src(0, 100).repartition(8), root, partitionBy = Seq("day"))
+    val stale = ManifestStore.latestSnapshot(spark, root).get
+    def subset(day: String) =
+      stale.copy(files = ManifestStore.prunedEntries(stale, Seq(EqualTo("day", day))))
+    // compactor A rewrites day=0 (commits v2)
+    val (_, _, vA) = ManifestStore.compactFrom(spark, root, subset("0"), 1L << 30)
+    assert(vA == 2L)
+    // compactor B still holds the PRE-A snapshot but touches only day=1:
+    // its inputs survive in v2, so it must commit, not abandon
+    val (_, _, vB) = ManifestStore.compactFrom(spark, root, subset("1"), 1L << 30)
+    assert(vB == 3L, s"disjoint stale compaction must land, got $vB")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 100L))
+    // a THIRD compactor re-running day=0 from the stale snapshot overlaps
+    // A's replaced inputs and must abandon
+    val (_, _, vC) = ManifestStore.compactFrom(spark, root, subset("0"), 1L << 30)
+    assert(vC == -1L, s"overlapping stale compaction must abandon, got $vC")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 100L))
+  }
+
   /** r10: z-ordered appends — multi-column predicates prune the manifest's
     * file list because every interleaved dimension's per-file bounds stay
     * tight (the Sink.writeZOrdered story, composed with the manifest).

@@ -305,6 +305,46 @@ class StreamingSpec extends SparkSpec {
       s"index diverged after crash-between-commits replay: ${idxIds()}")
   }
 
+  test("manifest dedup sink: reset checkpoint refused; external corpus bootstraps or is refused with the recipe") {
+    val M = graft.sources.ManifestStore
+    val base = "kappa iota theta eta zeta epsilon delta gamma beta alpha " * 4
+    def run(outRoot: String, b: Seq[(Long, String)], bid: Long) =
+      EventStreams.manifestDedupBatch(b.toDF("doc_id", "text"), bid,
+        "doc_id", "text", outRoot, 0.5, identity)
+
+    // a reset/re-pointed checkpoint renumbers batches from 0: the sink
+    // must refuse, not swallow the new data as "redeliveries"
+    val root1 = java.nio.file.Files.createTempDirectory("graft-mandedup3").toString
+    run(root1, Seq((1L, base)), 5L)
+    val e = intercept[IllegalStateException] {
+      run(root1, Seq((2L, "fresh data under a renumbered batch id")), 0L)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+
+    // an external corpus appended in the documented layout bootstraps:
+    // first batch builds the index and vets against it
+    val root2 = java.nio.file.Files.createTempDirectory("graft-mandedup4").toString
+    M.append(spark,
+      Seq((100L, base)).toDF("doc_id", "text")
+        .withColumn("batch", org.apache.spark.sql.functions.lit(-1L)),
+      s"$root2/docs", partitionBy = Seq("batch"))
+    run(root2, Seq(
+      (200L, base + " tail"), // near-dup of the bootstrapped doc -> dropped
+      (201L, "a wholly new document with distinct vocabulary")), 0L)
+    assert(M.read(spark, s"$root2/docs").select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(100L, 201L))
+    assert(M.read(spark, s"$root2/index").select("doc_id").as[Long].collect().sorted.toSeq
+      == Seq(100L, 201L), "bootstrap index must cover the external corpus + survivors")
+
+    // any other docs layout is refused with the migration recipe
+    val root3 = java.nio.file.Files.createTempDirectory("graft-mandedup5").toString
+    M.append(spark, Seq((300L, base)).toDF("doc_id", "text"), s"$root3/docs")
+    val e2 = intercept[IllegalArgumentException] {
+      run(root3, Seq((301L, "whatever")), 0L)
+    }
+    assert(e2.getMessage.contains("partitionBy"), e2.getMessage)
+  }
+
   test("incremental dedup sink with decontaminating curate: two micro-batches equal batch-path decontaminate + dedup") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = java.nio.file.Files.createTempDirectory("graft-incdecon").toString
