@@ -867,6 +867,44 @@ object RelationalQueries {
         .toDF("n_rows", "multiset_ok", "part_pruned", "grouping_kept", "vacuum_ok")
     },
 
+    // O16 (r10): copy-on-write row-level DELETE on the manifest table —
+    // files that cannot match keep their identity (pinned: rewritten <
+    // total), matching rows vanish exactly (count + checksum replayed by
+    // the oracle as WHERE NOT(pred)), time travel still reads the
+    // pre-delete snapshot. The Delta-class DELETE WHERE maintenance shape.
+    QueryDef.sql(
+      "o16_manifest_delete",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS delete_exact,
+        |       true AS pruned_rewrite, true AS timetravel_ok
+        |FROM orders WHERE o_orderkey % 11 = 3
+        |  AND NOT (o_totalprice < 50000)""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 11 === 3)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o16_delete",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      // range layout on totalprice so the price-keyed delete prunes files
+      M.append(s, src.repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice"), root)
+      val before = M.latestSnapshot(s, root).get
+      val (nDel, rewritten, _) = M.deleteWhere(s, root,
+        Seq(org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)))
+      val expDel = src.where(col("o_totalprice") < 50000.0).count()
+      val (nGot, sumGot) = M.read(s, root)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(!(col("o_totalprice") < 50000.0))
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val ttOk = M.readVersion(s, root, 1L).count() == src.count()
+      Seq((nGot, nDel == expDel && nGot == nExp && sumGot == sumExp,
+        rewritten < before.files.size, ttOk))
+        .toDF("n_rows", "delete_exact", "pruned_rewrite", "timetravel_ok")
+    },
+
     // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
     // column (the table schema travels in the manifest, so old files
     // null-fill it on read), while time travel replays the schema each

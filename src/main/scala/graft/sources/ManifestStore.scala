@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -846,6 +846,63 @@ object ManifestStore {
       case other => throw new IllegalArgumentException(
         s"unsupported pushed filter: $other")
     }
+  }
+
+  /** Copy-on-write row-level DELETE — the Delta/Iceberg `DELETE WHERE`
+    * shape. Files that cannot contain a matching row (partition values +
+    * stats, the [[readWhere]] pruning) keep their identity byte-for-byte;
+    * only the files that MIGHT match are rewritten without the matching
+    * rows (a rewrite whose surviving rows are empty simply drops the
+    * file). Returns (rowsDeleted, filesRewritten, committedVersion) —
+    * version -1 when a concurrent compaction/delete already replaced a
+    * touched file (same abandonment contract as [[compact]]: committing
+    * our copy could resurrect rows the winner deleted). Old versions
+    * still read the deleted rows until [[vacuum]] — time travel is
+    * retention, not a leak. At 100 TB the pruning is the point: a delete
+    * keyed on a partition or clustered column rewrites only the touched
+    * slice, never the table. Deleting EVERY row leaves a readable
+    * zero-row table on an unpartitioned layout (the rewrite's schema-only
+    * file keeps the manifest non-empty); a partitioned full-table delete
+    * writes no files at all and is REFUSED rather than committed as an
+    * unreadable empty manifest — drop the table instead.
+    */
+  def deleteWhere(spark: SparkSession, root: String, filters: Seq[Filter],
+                  maxRetries: Int = 10,
+                  tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    require(filters.nonEmpty, "deleteWhere with no filters would truncate the " +
+      "table — pass AlwaysTrue() explicitly if that is really the intent")
+    val (fs, rootP) = fsFor(spark, root)
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val touched = prunedEntries(before, filters)
+    if (touched.isEmpty) return (0L, 0, before.version)
+    val rewrote = touched.map(_.path).toSet
+    val matchPred = filters.map(filterColumn).reduce(_ && _)
+    // read ONLY the touched files (snapshot copy), keep the non-matching
+    // rows; NULL comparisons don't match the delete predicate, so they
+    // survive — the SQL DELETE semantics
+    val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
+    val surviving = touchedRows.where(!coalesce(matchPred, lit(false)))
+    val deleted = touchedRows.count() - surviving.count()
+    val mine =
+      if (deleted == 0L) return (0L, 0, before.version) // nothing matched: no-op
+      else writeBatch(fs, rootP, surviving, before.partCols)
+    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      val present = baseFiles.map(_.path).toSet
+      if (rewrote.exists(p => !present(p))) None // inputs already replaced
+      else {
+        val files = baseFiles.filterNot(f => rewrote(f.path)) ++ mine
+        require(files.nonEmpty,
+          s"deleteWhere would leave $root with no files — an empty manifest is " +
+            "unreadable by contract; drop the table (or keep a sentinel row) instead")
+        Some(Snapshot(0L, files,
+          base.map(_.txns).getOrElse(Map.empty),
+          base.flatMap(_.schema).orElse(before.schema),
+          base.map(_.partCols).getOrElse(before.partCols)))
+      }
+    }
+    (deleted, touched.size, v)
   }
 
   /** Retrofit r10 metadata onto a PRE-r10 table without touching a data

