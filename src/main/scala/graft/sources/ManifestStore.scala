@@ -860,7 +860,11 @@ object ManifestStore {
     * still read the deleted rows until [[vacuum]] — time travel is
     * retention, not a leak. At 100 TB the pruning is the point: a delete
     * keyed on a partition or clustered column rewrites only the touched
-    * slice, never the table. Deleting EVERY row leaves a readable
+    * slice, never the table. ISOLATION: a concurrent blind APPEND rebases
+    * in untouched, so rows it adds that match this predicate SURVIVE this
+    * delete (see [[commitReplacing]]) — compliance-erasure callers must
+    * serialize against appends or re-run until a pass deletes zero rows.
+    * Deleting EVERY row leaves a readable
     * zero-row table on an unpartitioned layout (the rewrite's schema-only
     * file keeps the manifest non-empty); a partitioned full-table delete
     * writes no files at all and is REFUSED rather than committed as an
@@ -868,33 +872,83 @@ object ManifestStore {
     */
   def deleteWhere(spark: SparkSession, root: String, filters: Seq[Filter],
                   maxRetries: Int = 10,
-                  tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+                  tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    deleteFrom(spark, root,
+      latestSnapshot(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
+      filters, maxRetries, tornGraceMs)
+
+  /** [[deleteWhere]] against an explicit base snapshot — the test seam for
+    * the concurrent-rewrite abandonment path (same pattern as
+    * [[compactFrom]]).
+    */
+  private[graft] def deleteFrom(spark: SparkSession, root: String,
+                                before: Snapshot, filters: Seq[Filter],
+                                maxRetries: Int = 10,
+                                tornGraceMs: Long = 60000L): (Long, Int, Long) = {
     require(filters.nonEmpty, "deleteWhere with no filters would truncate the " +
       "table — pass AlwaysTrue() explicitly if that is really the intent")
     val (fs, rootP) = fsFor(spark, root)
-    val before = latestSnapshot(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
     val touched = prunedEntries(before, filters)
     if (touched.isEmpty) return (0L, 0, before.version)
-    val rewrote = touched.map(_.path).toSet
     val matchPred = filters.map(filterColumn).reduce(_ && _)
     // read ONLY the touched files (snapshot copy), keep the non-matching
     // rows; NULL comparisons don't match the delete predicate, so they
     // survive — the SQL DELETE semantics
     val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
     val surviving = touchedRows.where(!coalesce(matchPred, lit(false)))
-    val deleted = touchedRows.count() - surviving.count()
-    val mine =
-      if (deleted == 0L) return (0L, 0, before.version) // nothing matched: no-op
-      else writeBatch(fs, rootP, surviving, before.partCols)
-    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+    // the deleted count comes from MANIFEST metadata when every touched
+    // entry carries its row count (sum(touched) - sum(rewritten), zero
+    // extra scans of a 100 TB slice); only legacy stats-less entries pay a
+    // counting scan. The metadata path writes before it knows the count —
+    // a no-match delete orphans its rewrite directory (vacuum food, same
+    // as an abandoned compaction) instead of pre-scanning every delete.
+    val touchedTotal = if (touched.forall(_.rows.isDefined))
+      Some(touched.flatMap(_.rows).sum) else None
+    val matched = touchedTotal match {
+      case Some(_) => -1L // derived from the rewrite below
+      case None => touchedRows.where(coalesce(matchPred, lit(false))).count()
+    }
+    if (touchedTotal.isEmpty && matched == 0L)
+      return (0L, 0, before.version) // nothing matched: no-op, nothing written
+    val mine = writeBatch(fs, rootP, surviving, before.partCols)
+    val deleted = touchedTotal
+      .map(_ - mine.flatMap(_.rows).sum).getOrElse(matched)
+    if (deleted == 0L) return (0L, 0, before.version) // metadata path no-match
+    val v = commitReplacing(fs, rootP, touched.map(_.path).toSet, mine, before,
+      maxRetries, tornGraceMs, refuseEmpty = true)
+    if (v == -1L) (0L, 0, -1L) // abandoned: NOTHING was deleted
+    else (deleted, touched.size, v)
+  }
+
+  /** The file-replacement rebase commit shared by [[compactFrom]] and
+    * [[deleteFrom]] — the store's most delicate concurrency logic kept in
+    * ONE place: abandon (None → -1) when any replaced input is no longer
+    * present in the rebased base (a concurrent rewrite already superseded
+    * it — committing our copy could duplicate or resurrect rows), else
+    * swap exactly the replaced paths for `mine`, carrying txn watermarks,
+    * schema and partition columns forward.
+    *
+    * ISOLATION (documented, Delta-WriteSerializable-like): a concurrent
+    * blind APPEND rebases in untouched — its files are kept, not
+    * re-scanned — so rows it added that would have matched a racing
+    * delete's predicate SURVIVE that delete. Callers needing
+    * every-row-as-of-commit semantics (compliance erasure) must serialize
+    * deletes against appends or re-run the delete until a quiescent pass
+    * deletes zero rows.
+    */
+  private def commitReplacing(fs: FileSystem, root: Path, rewrote: Set[String],
+                              mine: Seq[ManifestEntry], before: Snapshot,
+                              maxRetries: Int, tornGraceMs: Long,
+                              refuseEmpty: Boolean): Long =
+    commitWithRebase(fs, root, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       val present = baseFiles.map(_.path).toSet
       if (rewrote.exists(p => !present(p))) None // inputs already replaced
       else {
         val files = baseFiles.filterNot(f => rewrote(f.path)) ++ mine
-        require(files.nonEmpty,
-          s"deleteWhere would leave $root with no files — an empty manifest is " +
+        if (refuseEmpty) require(files.nonEmpty,
+          s"this rewrite would leave $root with no files — an empty manifest is " +
             "unreadable by contract; drop the table (or keep a sentinel row) instead")
         Some(Snapshot(0L, files,
           base.map(_.txns).getOrElse(Map.empty),
@@ -902,8 +956,6 @@ object ManifestStore {
           base.map(_.partCols).getOrElse(before.partCols)))
       }
     }
-    (deleted, touched.size, v)
-  }
 
   /** Retrofit r10 metadata onto a PRE-r10 table without touching a data
     * byte: harvest footer stats for every live file that lacks them,
@@ -1010,15 +1062,9 @@ object ManifestStore {
       readSnapshot(scoped, root, before, Seq.empty), before.partCols)
     if (mine.isEmpty) // zero-row snapshot: nothing to commit, keep the base
       return (before.files.size, before.files.size, before.version)
-    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
-      val baseFiles = base.map(_.files).getOrElse(Seq.empty)
-      val present = baseFiles.map(_.path).toSet
-      if (rewrote.exists(p => !present(p))) None // inputs already replaced
-      else Some(Snapshot(0L, baseFiles.filterNot(f => rewrote(f.path)) ++ mine,
-        base.map(_.txns).getOrElse(Map.empty), // txn watermarks survive compaction
-        base.flatMap(_.schema).orElse(before.schema),
-        base.map(_.partCols).getOrElse(before.partCols)))
-    }
+    // txn watermarks, schema and partCols survive via the shared rebase
+    val v = commitReplacing(fs, rootP, rewrote, mine, before,
+      maxRetries, tornGraceMs, refuseEmpty = false)
     (before.files.size, mine.size, v)
   }
 

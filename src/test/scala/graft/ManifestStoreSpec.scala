@@ -477,8 +477,11 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.append(spark,
       batch(0, 400).repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
     val before = ManifestStore.latestSnapshot(spark, root).get
-    val untouchedBefore = ManifestStore
-      .prunedEntries(before, Seq(LessThan("id", 300L))).map(_.path).toSet
+    // the untouched set is the COMPLEMENT of the touched set — a file
+    // straddling the cut belongs to touched, not untouched (review r10)
+    val untouchedBefore = (before.files.map(_.path).toSet --
+      ManifestStore.prunedEntries(before, Seq(GreaterThanOrEqual("id", 300L)))
+        .map(_.path).toSet)
 
     val (deleted, rewritten, v) =
       ManifestStore.deleteWhere(spark, root, Seq(GreaterThanOrEqual("id", 300L)))
@@ -509,14 +512,20 @@ class ManifestStoreSpec extends SparkSpec {
     // contract as the empty-append case)
     val (dAll, _, _) = ManifestStore.deleteWhere(spark, root2, Seq(IsNotNull("id")))
     assert(dAll == 2L && ManifestStore.read(spark, root2).count() == 0L)
-    // a delete whose inputs a concurrent rewrite replaced must abandon:
-    // stale path exercised via compactFrom on the same files first
+    // ABANDONMENT: a delete holding a stale snapshot whose inputs a
+    // concurrent rewrite already replaced must commit NOTHING and report
+    // (0, 0, -1) — never resurrect/duplicate rows (deleteFrom seam,
+    // mirroring the compactFrom stale test)
     val root3 = freshRoot()
     ManifestStore.append(spark, batch(0, 50).repartition(4), root3)
     val stale = ManifestStore.latestSnapshot(spark, root3).get
-    ManifestStore.compactFrom(spark, root3, stale, 1L << 30)
-    // the stale snapshot's files are gone; deleteWhere re-resolves the
-    // LATEST snapshot internally, so it still works — assert the result
+    ManifestStore.compactFrom(spark, root3, stale, 1L << 30) // v2 replaces all
+    val abandoned = ManifestStore.deleteFrom(spark, root3, stale, Seq(LessThan("id", 10L)))
+    assert(abandoned == ((0L, 0, -1L)),
+      s"stale delete must abandon with an all-zero effect claim: $abandoned")
+    assert(ids(ManifestStore.read(spark, root3)) == (0L until 50L),
+      "abandoned delete must leave every row live")
+    // a FRESH delete then works against the compacted table
     val (d3, _, v3) = ManifestStore.deleteWhere(spark, root3, Seq(LessThan("id", 10L)))
     assert(d3 == 10L && v3 == 3L)
     assert(ids(ManifestStore.read(spark, root3)) == (10L until 50L))
