@@ -905,6 +905,61 @@ object RelationalQueries {
         .toDF("n_rows", "delete_exact", "pruned_rewrite", "timetravel_ok")
     },
 
+    // O17 (r10): single-commit MERGE (upsert) on the manifest table —
+    // matched keys' rows replaced, unmatched inserted, both in ONE
+    // version; only the key-clustered slice rewrites (pinned: rewritten <
+    // total). The integer checksum makes the replacement exact: updated
+    // keys carry o_custkey + 1000000, so the oracle replays the post-merge
+    // sum in pure integer arithmetic (no float ordering drift).
+    QueryDef.sql(
+      "o17_manifest_upsert",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN o_orderkey % 2 = 0
+        |                     THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+        |         AS custkey_sum,
+        |       true AS pruned_rewrite, true AS one_version
+        |FROM orders WHERE o_orderkey % 13 = 4""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 13 === 4)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o17_upsert",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, src.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root)
+      val before = M.latestSnapshot(s, root).get
+      // the planned FINAL state: even keys carry custkey + 1M. Both
+      // update sets derive from it, so the second (clustered) upsert is
+      // content-preserving for rows the first already updated
+      val expected = src.withColumn("o_custkey",
+        when(col("o_orderkey") % 2 === 0, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")))
+      // upsert 1: a clustered key RANGE (the top eighth) against the
+      // pristine range layout — the pruning pin: an interleaved key set
+      // touches every file, a clustered one cannot
+      val cut = src.agg(max("o_orderkey")).as[Long].head() * 7L / 8L
+      val (_, rewritten1, v1) = M.upsertByKey(s, root,
+        expected.where(col("o_orderkey") >= cut), Seq("o_orderkey"),
+        maxProbeKeys = 1000000)
+      // upsert 2: the interleaved even-keyed half (replacement volume;
+      // rows upsert 1 already updated are replaced content-identically)
+      val (_, _, v2) = M.upsertByKey(s, root,
+        expected.where(col("o_orderkey") % 2 === 0), Seq("o_orderkey"),
+        maxProbeKeys = 1000000)
+      val (nGot, sumGot) = M.read(s, root)
+        .agg(count(lit(1)), sum("o_custkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = expected
+        .agg(count(lit(1)), sum("o_custkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, sumGot.getOrElse(0L),
+        rewritten1 < before.files.size && nGot == nExp && sumGot == sumExp,
+        v2 == v1 + 1))
+        .toDF("n_rows", "custkey_sum", "pruned_rewrite", "one_version")
+    },
+
     // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
     // column (the table schema travels in the manifest, so old files
     // null-fill it on read), while time travel replays the schema each

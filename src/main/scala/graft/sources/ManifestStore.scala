@@ -921,6 +921,87 @@ object ManifestStore {
     else (deleted, touched.size, v)
   }
 
+  /** Copy-on-write MERGE (upsert) keyed on `keyCols` — the Delta
+    * `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT` shape
+    * for whole-row updates, in ONE atomic commit: files that might hold a
+    * matching key (stats/partition pruning against the updates' collected
+    * key sets, bounded by `maxProbeKeys`) are rewritten WITHOUT those
+    * keys' rows, the updates batch is appended, and both land in the same
+    * manifest version — a crash never exposes deleted-but-not-reinserted
+    * keys. Returns (rowsReplaced, filesRewritten, version); -1 on the
+    * usual abandonment (a concurrent rewrite replaced a touched file).
+    * Updates must not introduce NEW columns (widen with [[append]]
+    * first) and must carry the table's partition columns. Same isolation
+    * as [[deleteWhere]]: a concurrent blind append's rows survive
+    * untouched, including rows with matching keys — MERGE serializes
+    * against appends at the caller when key uniqueness matters.
+    * Above `maxProbeKeys` distinct keys the pruning degrades to
+    * rewrite-everything (correct, logged in the return counts) — at that
+    * point a full-table join rewrite is the honest cost of the operation.
+    */
+  def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
+                  keyCols: Seq[String], maxProbeKeys: Int = 10000,
+                  maxRetries: Int = 10,
+                  tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
+    val (fs, rootP) = fsFor(spark, root)
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val table = before.schema.getOrElse(
+      normalizeSchema(spark.read.parquet(before.files.head.path).schema))
+    val upd = normalizeSchema(updates.schema)
+    val tableCols = table.fields.map(_.name).toSet
+    val newCols = upd.fields.map(_.name).filterNot(tableCols)
+    require(newCols.isEmpty,
+      s"upsertByKey: updates carry new column(s) ${newCols.mkString(", ")} — " +
+        "widen the table with append() first, then upsert")
+    checkColumnTypes(upd, table, root)
+    require(keyCols.forall(updates.columns.contains),
+      s"key column(s) missing from updates: ${keyCols.filterNot(updates.columns.contains)}")
+    require(before.partCols.forall(updates.columns.contains),
+      s"updates must carry the table's partition columns ${before.partCols}")
+    // bounded driver-side key collection buys the file pruning; per-column
+    // IN sets are a SUPERSET of the key-tuple set, so pruning stays
+    // conservative for multi-column keys
+    val keyRows = updates.select(keyCols.map(c => col(quoteIdent(c))): _*)
+      .distinct().limit(maxProbeKeys + 1).collect()
+    val touched =
+      if (keyRows.length > maxProbeKeys) before.files
+      else {
+        val perCol: Seq[Filter] = keyCols.zipWithIndex.map { case (c, i) =>
+          In(c, keyRows.map(_.get(i)).distinct)
+        }
+        prunedEntries(before, perCol)
+      }
+    val updCount = updates.count()
+    if (updCount == 0L) return (0L, 0, before.version)
+    val mineUpdates = writeBatch(fs, rootP, updates, before.partCols)
+    if (touched.isEmpty) {
+      // pure insert: no existing file can hold a matching key
+      val v = commitReplacing(fs, rootP, Set.empty, mineUpdates, before,
+        maxRetries, tornGraceMs, refuseEmpty = false)
+      return (0L, 0, v)
+    }
+    // anti-join (not a Filter): the exact key-tuple match the pruning only
+    // approximates. The key frame broadcasts only when its size is proven
+    // bounded (under the probe cap) — an over-cap update set joins plain,
+    // never through a driver-side broadcast collect
+    val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
+    val keysOnly = updates.select(keyCols.map(c => col(quoteIdent(c))): _*).distinct()
+    val keysSide = if (keyRows.length > maxProbeKeys) keysOnly
+      else org.apache.spark.sql.functions.broadcast(keysOnly)
+    val surviving = touchedRows.join(keysSide, keyCols, "left_anti")
+    val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols)
+    val touchedTotal = if (touched.forall(_.rows.isDefined))
+      Some(touched.flatMap(_.rows).sum) else None
+    val replaced = touchedTotal
+      .map(_ - mineRewrite.flatMap(_.rows).sum)
+      .getOrElse(touchedRows.count() - surviving.count())
+    val v = commitReplacing(fs, rootP, touched.map(_.path).toSet,
+      mineRewrite ++ mineUpdates, before, maxRetries, tornGraceMs, refuseEmpty = true)
+    if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
+  }
+
   /** The file-replacement rebase commit shared by [[compactFrom]] and
     * [[deleteFrom]] — the store's most delicate concurrency logic kept in
     * ONE place: abandon (None → -1) when any replaced input is no longer

@@ -531,6 +531,54 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root3)) == (10L until 50L))
   }
 
+  /** r10: single-commit MERGE — matched keys replaced, new keys inserted,
+    * both atomically; untouched files keep identity; new columns refused;
+    * stale abandonment honest.
+    */
+  test("upsertByKey: matched keys replaced, unmatched inserted, one atomic version") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      batch(0, 400).repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    // update 20 clustered keys + insert 5 new ones
+    val updates = ((380 until 400).map(i => (i.toLong, s"updated-$i")) ++
+      (500 until 505).map(i => (i.toLong, s"new-$i"))).toDF("id", "payload")
+    val (replaced, rewritten, v) =
+      ManifestStore.upsertByKey(spark, root, updates, Seq("id"))
+    assert(replaced == 20L && v == 2L)
+    assert(rewritten < before.files.size,
+      s"key-clustered upsert must rewrite one slice: $rewritten of ${before.files.size}")
+    val after = ManifestStore.read(spark, root)
+    assert(after.count() == 405L)
+    assert(after.where(col("payload").startsWith("updated-")).count() == 20L)
+    assert(after.where(col("payload").startsWith("new-")).count() == 5L)
+    assert(after.where(col("id") === 399L).select("payload").as[String].head() == "updated-399")
+    assert(after.where(col("id") === 10L).select("payload").as[String].head() == "row-10")
+    // ONE version: the replace and the insert are not separately visible
+    assert(ManifestStore.latestSnapshot(spark, root).get.version == 2L)
+    // time travel still reads the pre-merge rows
+    assert(ManifestStore.readVersion(spark, root, 1L)
+      .where(col("id") === 399L).select("payload").as[String].head() == "row-399")
+    // untouched files keep identity
+    val touched = ManifestStore.prunedEntries(before,
+      Seq(In("id", (380L until 400L).toArray.map(_.asInstanceOf[Any]))))
+    val untouched = before.files.map(_.path).toSet -- touched.map(_.path).toSet
+    assert(untouched.subsetOf(
+      ManifestStore.latestSnapshot(spark, root).get.files.map(_.path).toSet))
+    // pure insert: no key overlap → zero rewrites
+    val ins = Seq((600L, "fresh")).toDF("id", "payload")
+    val (r2, w2, v2) = ManifestStore.upsertByKey(spark, root, ins, Seq("id"))
+    assert(r2 == 0L && w2 == 0 && v2 == 3L)
+    assert(ManifestStore.read(spark, root).count() == 406L)
+    // new columns are refused with the widen-first recipe
+    val widening = Seq((1L, "x", 3.14)).toDF("id", "payload", "score")
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.upsertByKey(spark, root, widening, Seq("id"))
+    }
+    assert(e.getMessage.contains("widen"), e.getMessage)
+  }
+
   test("deleteWhere on a partitioned table: partition-keyed delete touches one slice") {
     import org.apache.spark.sql.sources._
     val root = freshRoot()
