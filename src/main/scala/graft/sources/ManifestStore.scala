@@ -587,13 +587,15 @@ object ManifestStore {
     }
   }
 
-  private def checkColumnTypes(batch: StructType, table: StructType, root: String): Unit = {
+  private def checkColumnTypes(batch: StructType, table: StructType, root: String,
+                               advice: String =
+                                 "add NEW columns instead; they null-fill old files"): Unit = {
     val byName = table.fields.map(f => f.name -> f.dataType).toMap
     for (bf <- batch.fields; tt <- byName.get(bf.name))
       require(bf.dataType == tt,
-        s"append: column ${bf.name} is ${bf.dataType.simpleString} in the batch but " +
+        s"column ${bf.name} is ${bf.dataType.simpleString} in the incoming frame but " +
           s"${tt.simpleString} in the table under $root — type changes would poison " +
-          "every later read (add NEW columns instead; they null-fill old files)")
+          s"every later read ($advice)")
   }
 
   /** All nested nullability bits forced true, so two schemas that differ
@@ -942,11 +944,22 @@ object ManifestStore {
   def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
                   keyCols: Seq[String], maxProbeKeys: Int = 10000,
                   maxRetries: Int = 10,
-                  tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+                  tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    upsertFrom(spark, root,
+      latestSnapshot(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
+      updates, keyCols, maxProbeKeys, maxRetries, tornGraceMs)
+
+  /** [[upsertByKey]] against an explicit base snapshot — the test seam for
+    * the abandonment path (same pattern as [[compactFrom]]/[[deleteFrom]]).
+    */
+  private[graft] def upsertFrom(spark: SparkSession, root: String,
+                                before: Snapshot, updates: DataFrame,
+                                keyCols: Seq[String], maxProbeKeys: Int = 10000,
+                                maxRetries: Int = 10,
+                                tornGraceMs: Long = 60000L): (Long, Int, Long) = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     val (fs, rootP) = fsFor(spark, root)
-    val before = latestSnapshot(spark, root).getOrElse(
-      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
     val table = before.schema.getOrElse(
       normalizeSchema(spark.read.parquet(before.files.head.path).schema))
     val upd = normalizeSchema(updates.schema)
@@ -955,15 +968,40 @@ object ManifestStore {
     require(newCols.isEmpty,
       s"upsertByKey: updates carry new column(s) ${newCols.mkString(", ")} — " +
         "widen the table with append() first, then upsert")
-    checkColumnTypes(upd, table, root)
+    checkColumnTypes(upd, table, root,
+      "an upsert cannot change a column's type — fix the updates frame")
     require(keyCols.forall(updates.columns.contains),
       s"key column(s) missing from updates: ${keyCols.filterNot(updates.columns.contains)}")
     require(before.partCols.forall(updates.columns.contains),
       s"updates must carry the table's partition columns ${before.partCols}")
+    if (before.partCols.nonEmpty)
+      requirePartitionable(updates, before.partCols) // incl. the ""-is-NULL-sentinel guard
+    val keyExprs = keyCols.map(c => col(quoteIdent(c)))
+    // one pass over updates: size, null keys, key uniqueness. A null key
+    // never anti-joins (NULL = NULL is not true), so it would silently
+    // INSERT next to whatever it "updated"; duplicate keys would insert
+    // several rows per key where MERGE promises replacement — both refuse
+    // loudly (Delta MERGE errors on multi-match sources the same way).
+    val auditRow = updates.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          keyExprs.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("nullkeys"),
+      org.apache.spark.sql.functions.countDistinct(keyExprs.head, keyExprs.tail: _*)
+        .as("d")).head()
+    val updCount = auditRow.getLong(0)
+    if (updCount == 0L) return (0L, 0, before.version)
+    require(auditRow.getLong(1) == 0L,
+      s"upsertByKey: ${auditRow.getLong(1)} update row(s) carry a NULL key — a null " +
+        "key can never match an existing row, so it would insert instead of update")
+    require(auditRow.getLong(2) == updCount,
+      s"upsertByKey: updates hold $updCount rows but only ${auditRow.getLong(2)} " +
+        "distinct keys — several rows per key would all be inserted where MERGE " +
+        "promises one replacement; deduplicate the updates first")
     // bounded driver-side key collection buys the file pruning; per-column
     // IN sets are a SUPERSET of the key-tuple set, so pruning stays
     // conservative for multi-column keys
-    val keyRows = updates.select(keyCols.map(c => col(quoteIdent(c))): _*)
+    val keyRows = updates.select(keyExprs: _*)
       .distinct().limit(maxProbeKeys + 1).collect()
     val touched =
       if (keyRows.length > maxProbeKeys) before.files
@@ -973,38 +1011,49 @@ object ManifestStore {
         }
         prunedEntries(before, perCol)
       }
-    val updCount = updates.count()
-    if (updCount == 0L) return (0L, 0, before.version)
+    // a legacy (schema-less) manifest gets the derived schema SEEDED into
+    // the commit: updates may omit columns, and a schema-less mixed-footer
+    // table would drop them nondeterministically on read (review r10)
+    val seeded = before.copy(schema = before.schema.orElse(Some(table)))
     val mineUpdates = writeBatch(fs, rootP, updates, before.partCols)
     if (touched.isEmpty) {
       // pure insert: no existing file can hold a matching key
-      val v = commitReplacing(fs, rootP, Set.empty, mineUpdates, before,
+      val v = commitReplacing(fs, rootP, Set.empty, mineUpdates, seeded,
         maxRetries, tornGraceMs, refuseEmpty = false)
       return (0L, 0, v)
     }
     // anti-join (not a Filter): the exact key-tuple match the pruning only
-    // approximates. The key frame broadcasts only when its size is proven
-    // bounded (under the probe cap) — an over-cap update set joins plain,
-    // never through a driver-side broadcast collect
+    // approximates. Under the probe cap the keys are ALREADY on the driver
+    // — a local frame broadcasts without re-evaluating the updates plan;
+    // an over-cap update set joins plain, never via a driver collect
     val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
-    val keysOnly = updates.select(keyCols.map(c => col(quoteIdent(c))): _*).distinct()
-    val keysSide = if (keyRows.length > maxProbeKeys) keysOnly
-      else org.apache.spark.sql.functions.broadcast(keysOnly)
+    val keySchema = StructType(keyCols.map(c => upd(upd.fieldIndex(c))))
+    val keysSide = if (keyRows.length > maxProbeKeys)
+      updates.select(keyExprs: _*).distinct()
+    else {
+      import scala.jdk.CollectionConverters._
+      org.apache.spark.sql.functions.broadcast(
+        spark.createDataFrame(keyRows.toSeq.asJava, keySchema))
+    }
     val surviving = touchedRows.join(keysSide, keyCols, "left_anti")
+    // zero-row rewrite files (a fully-replaced unpartitioned slice leaves
+    // a schema-only part file) are dead weight here — mineUpdates already
+    // keeps the manifest non-empty
     val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols)
+      .filterNot(_.rows.contains(0L))
     val touchedTotal = if (touched.forall(_.rows.isDefined))
       Some(touched.flatMap(_.rows).sum) else None
     val replaced = touchedTotal
       .map(_ - mineRewrite.flatMap(_.rows).sum)
       .getOrElse(touchedRows.count() - surviving.count())
     val v = commitReplacing(fs, rootP, touched.map(_.path).toSet,
-      mineRewrite ++ mineUpdates, before, maxRetries, tornGraceMs, refuseEmpty = true)
+      mineRewrite ++ mineUpdates, seeded, maxRetries, tornGraceMs, refuseEmpty = true)
     if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
   }
 
-  /** The file-replacement rebase commit shared by [[compactFrom]] and
-    * [[deleteFrom]] — the store's most delicate concurrency logic kept in
-    * ONE place: abandon (None → -1) when any replaced input is no longer
+  /** The file-replacement rebase commit shared by [[compactFrom]],
+    * [[deleteFrom]] and [[upsertFrom]] — the store's most delicate
+    * concurrency logic kept in ONE place: abandon (None → -1) when any replaced input is no longer
     * present in the rebased base (a concurrent rewrite already superseded
     * it — committing our copy could duplicate or resurrect rows), else
     * swap exactly the replaced paths for `mine`, carrying txn watermarks,

@@ -579,6 +579,65 @@ class ManifestStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("widen"), e.getMessage)
   }
 
+  test("upsertByKey guards: over-cap degrade, stale abandonment, partitioned, dup/null keys") {
+    import org.apache.spark.sql.sources._
+    // over-cap: pruning degrades to full rewrite, result still exact
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      batch(0, 100).repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    val upd = (0 until 25).map(i => (i.toLong * 4, s"upd-${i * 4}")).toDF("id", "payload")
+    val (r1, w1, _) = ManifestStore.upsertByKey(spark, root, upd, Seq("id"),
+      maxProbeKeys = 2) // 25 keys >> cap
+    assert(r1 == 25L && w1 == before.files.size,
+      s"over-cap upsert must rewrite everything: replaced=$r1 rewritten=$w1")
+    val t = ManifestStore.read(spark, root)
+    assert(t.count() == 100L)
+    assert(t.where(col("payload").startsWith("upd-")).count() == 25L)
+
+    // stale abandonment: a concurrent compaction replaced the inputs
+    val stale = ManifestStore.latestSnapshot(spark, root).get
+    ManifestStore.compactFrom(spark, root, stale, 1L << 30)
+    val abandoned = ManifestStore.upsertFrom(spark, root, stale,
+      Seq((1L, "ghost")).toDF("id", "payload"), Seq("id"))
+    assert(abandoned == ((0L, 0, -1L)), s"stale upsert must abandon honestly: $abandoned")
+    assert(ManifestStore.read(spark, root)
+      .where(col("payload") === "ghost").count() == 0L)
+
+    // partitioned: partition-keyed updates rewrite one slice; the hive
+    // NULL-sentinel empty string is refused
+    val root2 = freshRoot()
+    // id ranges correlate with partitions (ids 0-29 = day 0, ...), so the
+    // key-stats pruning can actually exclude the other partitions' files
+    val pdf = (0 until 90).map(i => (i.toLong, s"row-$i", (i / 30).toString))
+      .toDF("id", "payload", "day")
+    ManifestStore.append(spark, pdf, root2, partitionBy = Seq("day"))
+    val b2 = ManifestStore.latestSnapshot(spark, root2).get
+    val pupd = (0 until 30).map(i => (i.toLong, s"upd-$i", "0")).toDF("id", "payload", "day")
+    val (r2, w2, _) = ManifestStore.upsertByKey(spark, root2, pupd, Seq("id"))
+    assert(r2 == 30L && w2 < b2.files.size,
+      "a key-clustered update set must rewrite only its partition's files")
+    assert(ManifestStore.readWhere(spark, root2, Seq(EqualTo("day", "0")))
+      .where(col("payload").startsWith("upd-")).count() == 30L)
+    intercept[IllegalArgumentException] {
+      ManifestStore.upsertByKey(spark, root2,
+        Seq((1000L, "x", "")).toDF("id", "payload", "day"), Seq("id"))
+    }
+
+    // duplicate and null keys refuse loudly instead of multiplying rows
+    val eDup2 = intercept[IllegalArgumentException] {
+      ManifestStore.upsertByKey(spark, root2, Seq((1L, "a", "0"), (1L, "b", "0"))
+        .toDF("id", "payload", "day"), Seq("id"))
+    }
+    assert(eDup2.getMessage.contains("distinct keys"), eDup2.getMessage)
+    val eNull = intercept[IllegalArgumentException] {
+      ManifestStore.upsertByKey(spark, root2,
+        Seq((null.asInstanceOf[java.lang.Long], "a", "0")).toDF("id", "payload", "day"),
+        Seq("id"))
+    }
+    assert(eNull.getMessage.contains("NULL key"), eNull.getMessage)
+  }
+
   test("deleteWhere on a partitioned table: partition-keyed delete touches one slice") {
     import org.apache.spark.sql.sources._
     val root = freshRoot()
