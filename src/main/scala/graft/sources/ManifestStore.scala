@@ -748,6 +748,56 @@ object ManifestStore {
         s"no intact manifest v$v under $root")), filters)
   }
 
+  /** The intact snapshot of version `v`, or None (torn, never committed,
+    * or its manifest pruned by [[vacuum]]). The metadata twin of
+    * [[readVersion]] — lets tooling inspect a version's files/schema/
+    * txns without planning a read.
+    */
+  def snapshotAt(spark: SparkSession, root: String, v: Long): Option[Snapshot] = {
+    val (fs, rootP) = fsFor(spark, root)
+    readManifest(fs, rootP, v)
+  }
+
+  /** CDC-lite incremental consumption: the rows APPENDED strictly after
+    * `fromVersion`, as (currentVersion, frame) — poll `latestSnapshot`,
+    * call this with the last version you processed, checkpoint the
+    * returned version. Sound ONLY over an append-only range: if any file
+    * of `fromVersion` is gone from the current snapshot (a compaction,
+    * delete or upsert rewrote data), "new files" would double- or
+    * mis-count rewritten rows — the call REFUSES loudly and the consumer
+    * must reprocess from a full snapshot. An aged-out `fromVersion`
+    * (manifest vacuumed) refuses too: the diff base is unknowable.
+    * At 100 TB this is the cheap tail-read: the diff is a driver-side
+    * set difference over manifest lines, and the scan opens exactly the
+    * new batches' files.
+    */
+  def readAddedSince(spark: SparkSession, root: String,
+                     fromVersion: Long): (Long, DataFrame) = {
+    val cur = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    require(cur.version >= fromVersion,
+      s"current version ${cur.version} is below fromVersion $fromVersion under $root — " +
+        "the table was recreated; reprocess from a full snapshot")
+    def emptyFrame: DataFrame = cur.schema match {
+      case Some(sc) => spark.createDataFrame(new java.util.ArrayList[Row](), sc)
+      case None => spark.read.parquet(cur.files.head.path).limit(0)
+    }
+    if (cur.version == fromVersion) return (cur.version, emptyFrame)
+    val fromSnap = snapshotAt(spark, root, fromVersion).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
+          "the incremental base is unknowable; reprocess from a full snapshot"))
+    val oldPaths = fromSnap.files.map(_.path).toSet
+    val removed = oldPaths -- cur.files.map(_.path).toSet
+    require(removed.isEmpty,
+      s"${removed.size} file(s) of v$fromVersion were rewritten between v$fromVersion " +
+        s"and v${cur.version} under $root (compaction/delete/upsert) — incremental " +
+        "reads are only sound over append-only ranges; reprocess from a full snapshot")
+    val added = cur.files.filterNot(f => oldPaths(f.path))
+    if (added.isEmpty) (cur.version, emptyFrame)
+    else (cur.version, readSnapshot(spark, root, cur.copy(files = added), Seq.empty))
+  }
+
   /** The file entries of `snap` that might satisfy every filter — the
     * data-skipping seam ([[readWhere]]'s pruning, observable for tests
     * and ops: `prunedEntries(snap, fs).size` vs `snap.files.size` is the

@@ -531,6 +531,50 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root3)) == (10L until 50L))
   }
 
+  /** r10: CDC-lite tail reads — rows appended strictly after a version,
+    * refusing any range a rewrite crossed (the only sound contract without
+    * real change files).
+    */
+  test("readAddedSince: exact tail over append-only ranges, loud refusal across rewrites") {
+    val root = freshRoot()
+    val v1 = ManifestStore.append(spark, batch(0, 10), root)
+    val v2 = ManifestStore.append(spark, batch(10, 30), root)
+    val v3 = ManifestStore.append(spark, batch(30, 35), root)
+    // tail from v1: exactly batches 2 + 3
+    val (cur, tail) = ManifestStore.readAddedSince(spark, root, v1)
+    assert(cur == v3 && ids(tail) == (10L until 35L))
+    // consumer loop shape: checkpoint cur, poll again -> empty
+    val (cur2, tail2) = ManifestStore.readAddedSince(spark, root, cur)
+    assert(cur2 == cur && tail2.count() == 0L &&
+      tail2.columns.toSeq == Seq("id", "payload"))
+    // a partitioned table reconstructs partition columns in the tail
+    val rootP = freshRoot()
+    val pdf = (0 until 20).map(i => (i.toLong, (i % 2).toString)).toDF("id", "src")
+    ManifestStore.append(spark, pdf, rootP, partitionBy = Seq("src"))
+    val pv1 = ManifestStore.latestSnapshot(spark, rootP).get.version
+    ManifestStore.append(spark,
+      Seq((100L, "0")).toDF("id", "src"), rootP, partitionBy = Seq("src"))
+    val (_, ptail) = ManifestStore.readAddedSince(spark, rootP, pv1)
+    assert(ptail.columns.toSeq == Seq("id", "src"))
+    assert(ptail.select("id").as[Long].collect().toSeq == Seq(100L))
+    // a rewrite (compaction) inside the range refuses loudly
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readAddedSince(spark, root, v2)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    // but tailing from the post-rewrite version works again
+    val vc = ManifestStore.latestSnapshot(spark, root).get.version
+    ManifestStore.append(spark, batch(35, 40), root)
+    val (_, tail3) = ManifestStore.readAddedSince(spark, root, vc)
+    assert(ids(tail3) == (35L until 40L))
+    // a vacuumed base version refuses (diff base unknowable)
+    ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    intercept[java.util.NoSuchElementException] {
+      ManifestStore.readAddedSince(spark, root, v1)
+    }
+  }
+
   /** r10: single-commit MERGE — matched keys replaced, new keys inserted,
     * both atomically; untouched files keep identity; new columns refused;
     * stale abandonment honest.
