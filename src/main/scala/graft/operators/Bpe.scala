@@ -48,8 +48,25 @@ object Bpe {
     */
   val EndOfWord = "</w>"
 
-  private def toSymbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** Initial symbols are CODE POINTS, not UTF-16 chars: splitting a
+    * surrogate pair would put lone surrogates into symbols/merge rules,
+    * and a lone surrogate corrupts to '?' at every DataFrame/UTF8String/
+    * parquet boundary — breaking both the lossless-detokenization
+    * guarantee and saveMerges/loadMerges round-trips for astral-plane
+    * text (emoji, CJK extensions; review r10). BMP-only corpora produce
+    * identical symbols either way, so the golden-pinned catalog entries
+    * are unaffected.
+    */
+  private def toSymbols(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + n)
+      i += n
+    }
+    b.result() :+ EndOfWord
+  }
 
   /** Learn up to `numMerges` merge rules from a word-frequency table.
     * Stops early when no adjacent pair occurs at least twice (merging a

@@ -89,11 +89,12 @@ object NgramLM {
     */
   def scoreMeanProb(docs: DataFrame, model: DataFrame, idCol: String,
                     textCol: String, n: Int = 2,
-                    unseenProb: Double = 0.0): DataFrame = {
+                    unseenProb: Double = 0.0,
+                    repartitionFirst: Boolean = true): DataFrame = {
     requireOrder(model, n)
     val ratio = coalesce(
       col("c_gram").cast("double") / col("c_prefix"), lit(unseenProb))
-    docGrams(docs, idCol, textCol, n)
+    docGrams(docs, idCol, textCol, n, repartitionFirst)
       .join(model.select("gram", "c_gram", "c_prefix"), Seq("gram"), "left")
       .select(col(idCol), ratio.as("r"),
         round(ratio * lit(1e9)).cast("long").as("s"))
@@ -110,11 +111,12 @@ object NgramLM {
     */
   def scoreLogProb(docs: DataFrame, model: DataFrame, idCol: String,
                    textCol: String, n: Int = 2,
-                   unseenProb: Double = 1e-9): DataFrame = {
+                   unseenProb: Double = 1e-9,
+                   repartitionFirst: Boolean = true): DataFrame = {
     requireOrder(model, n)
     val lp = coalesce(
       log(col("c_gram").cast("double") / col("c_prefix")), lit(math.log(unseenProb)))
-    docGrams(docs, idCol, textCol, n)
+    docGrams(docs, idCol, textCol, n, repartitionFirst)
       .join(model.select("gram", "c_gram", "c_prefix"), Seq("gram"), "left")
       .select(col(idCol), lp.as("lp"))
       .groupBy(idCol)
@@ -140,16 +142,27 @@ object NgramLM {
       .select(idCol)
     if (!keepUnscoreable) corpus.join(keep, Seq(idCol), "left_semi")
     else {
-      // unscoreable = under n tokens = zero grams; scoreMeanProb never
-      // emits a row for them, so admit them by token count directly
+      // unscoreable = under n tokens = zero grams (incl. NULL text);
+      // scoreMeanProb never emits a row for them, so admit them by token
+      // count directly. The null branch is EXPLICIT: size(NULL) is -1
+      // only under legacy sizeOfNull semantics, and the gate must not
+      // flip with spark.sql.ansi.enabled (review r10)
       val short = corpus
-        .where(size(tokenize(col(textCol))) < n).select(idCol)
+        .where(col(textCol).isNull || size(tokenize(col(textCol))) < n)
+        .select(idCol)
       corpus.join(keep.union(short), Seq(idCol), "left_semi")
     }
   }
 
-  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    gramStream(docs, Seq(idCol), textCol, n, repartitionFirst = true)
+  /** repartitionFirst mirrors [[fit]]'s escape hatch on the SCORING hot
+    * path: the default round-robin spread protects small single-split
+    * inputs, but a 100 TB well-split corpus must not exchange every byte
+    * of text before tokenizing — pass false there (review r10; the file
+    * header's no-text-shuffle contract holds only with it).
+    */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                       repartitionFirst: Boolean = true): DataFrame =
+    gramStream(docs, Seq(idCol), textCol, n, repartitionFirst = repartitionFirst)
 
   /** (keep..., gram) occurrence stream. Tokens are projected behind a
     * named attribute BEFORE shingling — inlined, every element_at in the

@@ -91,7 +91,12 @@ object Sampling {
                   outCol: String = "pos", pin: Boolean = true): DataFrame = {
     require(!df.columns.contains("__draw"), "input already has a __draw column")
     require(!df.columns.contains(outCol), s"input already has a $outCol column")
-    Ranking.stableRowNumber(df.withColumn("__draw", drawOn(key, salt)),
+    // null keys draw NULL and must VANISH (drawOn's documented contract);
+    // without the filter they sort FIRST with a partition-layout-dependent
+    // order among themselves — the opposite of both the contract and the
+    // determinism guarantee (review r10)
+    Ranking.stableRowNumber(
+      df.withColumn("__draw", drawOn(key, salt)).where(col("__draw").isNotNull),
       Seq(col("__draw"), key), outCol, pin).drop("__draw")
   }
 
@@ -194,7 +199,12 @@ object Sampling {
     for (c <- Seq("__n", epochCol))
       require(!df.columns.contains(c), s"input already has a $c column")
     val whole = floor(w).cast("long")
-    val fracMicros = floor(w * 1000000d).cast("long") - whole * 1000000L
+    // clamp a positive sub-micro-unit weight to 1 micro-unit: floor(w*1e6)
+    // = 0 would silently EMPTY a stratum whose weight is positive — the
+    // same round-to-zero trap hashSampleFraction clamps (review r10)
+    val rawFrac = floor(w * 1000000d).cast("long") - whole * 1000000L
+    val fracMicros = when(whole === 0L && w > 0d && rawFrac === 0L, 1L)
+      .otherwise(rawFrac)
     val extra = when(drawOn(key, salt) % 1000000L < fracMicros, 1L).otherwise(0L)
     // the n > 0 guard runs BEFORE the explode: Spark's sequence(1, 0)
     // counts DOWN ([1, 0]) instead of yielding an empty array
@@ -231,12 +241,16 @@ object Sampling {
   def tokenBudget(df: DataFrame, group: String, key: Column, tokens: Column,
                   salt: String, budget: Long, buckets: Int = 1024): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    for (c <- Seq("__draw", "__b", "__bsum", "__cumprev", "__run"))
+    for (c <- Seq("__draw", "__b", "__bsum", "__cumprev", "__run", "__og", "__ob"))
       require(!df.columns.contains(c), s"input already has a $c column")
     val width = (4294967296L + buckets - 1) / buckets
     // integer `div`, not double '/': a double quotient can round across the
-    // bucket boundary for draws near a multiple of width
+    // bucket boundary for draws near a multiple of width.
+    // Null-key rows are dropped UP FRONT (drawOn's documented vanish
+    // contract) — before r10 they vanished at the join but their tokens
+    // had already entered __cumprev, displacing real rows from the budget
     val base = df.withColumn("__draw", drawOn(key, salt))
+      .where(col("__draw").isNotNull)
       .withColumn("__b", expr(s"__draw div $width"))
     val wB = Window.partitionBy(group).orderBy("__b")
     val offsets = base.groupBy(group, "__b").agg(sum(tokens).as("__bsum"))
@@ -247,11 +261,15 @@ object Sampling {
       // admits candidate buckets whose rows the run-filter below re-judges,
       // so parity is by construction either way (review r8)
       .where(col("__cumprev") <= budget)
-      .select(group, "__b", "__cumprev")
+      .select(col(group).as("__og"), col("__b").as("__ob"), col("__cumprev"))
     val wIn = Window.partitionBy(col(group), col("__b")).orderBy(col("__draw"), key)
-    base.join(broadcast(offsets), Seq(group, "__b"))
+    // NULL-SAFE on the group: a null group value is a legitimate stratum
+    // with its own budget (the single-window reference and the DuckDB
+    // oracle both keep it); a plain equi-join silently dropped it (r10)
+    base.join(broadcast(offsets),
+        col(group) <=> col("__og") && col("__b") === col("__ob"))
       .withColumn("__run", col("__cumprev") + sum(tokens).over(wIn))
       .where(col("__run") <= budget)
-      .drop("__draw", "__b", "__cumprev", "__run")
+      .drop("__draw", "__b", "__cumprev", "__run", "__og", "__ob")
   }
 }

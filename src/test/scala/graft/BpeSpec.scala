@@ -176,6 +176,32 @@ class BpeSpec extends SparkSpec {
       Bpe.train(wc, 20), "p")
     val joined = out.select("p").as[Seq[String]].head().mkString
     assert(joined == words.map(_ + Bpe.EndOfWord).mkString)
+
+    // r10: symbols are CODE POINTS, never lone surrogates — the cases the
+    // fully-merged training above cannot catch:
+    //  (a) an OOV astral word crosses the DataFrame boundary in pieces
+    //      (a lone surrogate there corrupts to '?' in UTF8String)
+    val oov = Bpe.withPieces(Seq((1L, Seq("x😀y"))).toDF("id", "toks"), "toks",
+      Bpe.train(wc, 20), "p")
+      .select("p").as[Seq[String]].head()
+    assert(oov.mkString.stripSuffix(Bpe.EndOfWord) == "x😀y",
+      s"OOV astral word corrupted through the frame boundary: $oov")
+    assert(oov.forall(p => !p.exists(c => Character.isSurrogate(c) && p.length == 1)),
+      s"lone surrogate escaped into pieces: $oov")
+    //  (b) merge rules containing astral symbols survive save/load (a
+    //      lone-surrogate rule would reload as '?' and never match again)
+    val emojiWc = Map("a😀" -> 5L, "b😀" -> 4L)
+    val emojiMerges = Bpe.train(emojiWc, 10)
+    assert(emojiMerges.exists { case (l, r) => (l + r).contains("😀") },
+      s"training should learn an astral-bearing rule: $emojiMerges")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-astral").toString
+    Bpe.saveMerges(spark, emojiMerges, dir)
+    val reloaded = Bpe.loadMerges(spark, dir)
+    assert(reloaded == emojiMerges,
+      s"astral merge rules corrupted through parquet: $reloaded vs $emojiMerges")
+    assert(Bpe.encodeWord("a😀", Bpe.ranksOf(reloaded)) ==
+      Bpe.encodeWord("a😀", Bpe.ranksOf(emojiMerges)),
+      "reloaded rules must segment identically")
   }
 
   test("encode: degenerate-blob guard — a kilochar unbroken token bypasses the O(len^2) loop losslessly") {

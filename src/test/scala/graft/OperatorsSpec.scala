@@ -1260,6 +1260,17 @@ class OperatorsSpec extends SparkSpec {
     assert(NgramLM.fluencyGate(withShort, "doc_id", "text", 0.5, keepUnscoreable = true)
       .select("doc_id").as[Long].collect().toSet == Set(1L, 9L),
       "keepUnscoreable admits the short doc; the gate still cuts doc 2")
+    // r10: NULL text is unscoreable via an EXPLICIT null branch — the old
+    // size(tokenize(NULL)) < n check rode legacy sizeOfNull=-1 semantics
+    // and would flip under spark.sql.ansi.enabled
+    val withNull = withShort.union(
+      Seq((10L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(NgramLM.fluencyGate(withNull, "doc_id", "text", 0.5, keepUnscoreable = true)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 9L, 10L),
+      "null-text docs must pass the ungated branch explicitly")
+    assert(NgramLM.fluencyGate(withNull, "doc_id", "text", 0.0)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "default: null-text docs drop like any unscoreable doc")
     val bigram = NgramLM.fit(corpus, "text", n = 2)
     val e = intercept[IllegalArgumentException] {
       NgramLM.scoreMeanProb(corpus, bigram, "doc_id", "text", n = 3)

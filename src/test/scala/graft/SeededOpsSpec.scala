@@ -208,6 +208,60 @@ class SeededOpsSpec extends SparkSpec {
     assert(again == reference)
   }
 
+  /** r10 review sweep: the null edges of the draw-based operators —
+    * null GROUPS are a legitimate budget stratum (single-window parity),
+    * null KEYS vanish without eating budget, hashShuffle honors the
+    * documented vanish contract, and a positive sub-micro weight clamps
+    * to one micro-unit instead of silently emptying its stratum.
+    */
+  test("null edges: tokenBudget groups/keys, hashShuffle vanish, sub-micro weight clamp") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 300L),
+      (4L, null.asInstanceOf[String], 150L), (5L, null.asInstanceOf[String], 400L),
+      (6L, "b", 250L)
+    ).toDF("doc_id", "source", "n_toks")
+    // single-window reference KEEPS the null group as its own stratum
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.drawOn(col("doc_id"), "nullG"), col("doc_id"))
+    val reference = docs.withColumn("__cum", sum("n_toks").over(w))
+      .where(col("__cum") <= 400).select("doc_id").as[Long].collect().sorted.toSeq
+    val got = Sampling.tokenBudget(docs, "source", col("doc_id"), col("n_toks"),
+      "nullG", budget = 400L, buckets = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == reference, s"null-group stratum diverged: $got vs $reference")
+    assert(got.exists(Set(4L, 5L)), "the null-source stratum must survive")
+
+    // a null KEY row vanishes AND does not eat the budget: group c has a
+    // 10k-token null-key row plus two real rows under budget
+    val nk = Seq[(java.lang.Long, String, Long)](
+      (java.lang.Long.valueOf(10L), "c", 50L),
+      (java.lang.Long.valueOf(11L), "c", 60L),
+      (null, "c", 10000L))
+      .toDF("doc_id", "source", "n_toks")
+    val keptC = Sampling.tokenBudget(nk, "source", col("doc_id"), col("n_toks"),
+      "nullK", budget = 200L, buckets = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptC == Seq(10L, 11L),
+      s"null-key row must vanish without displacing real rows: $keptC")
+
+    // hashShuffle: null keys vanish (documented), positions stay dense
+    val sh = Sampling.hashShuffle(nk, col("doc_id"), "shN")
+    assert(sh.count() == 2L && sh.select("pos").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // sub-micro-unit weight: find a key whose draw lands in the clamped
+    // 1-micro-unit window, then assert its stratum does NOT vanish
+    val pool = spark.range(0, 3000000).select(col("id"))
+      .where(Sampling.drawOn(col("id"), "tinyW") % 1000000L < 1L)
+    val hit = pool.limit(1).as[Long].collect()
+    assert(hit.nonEmpty, "no draw in the 1e-6 window across 3M keys — hash broken?")
+    val tiny = Seq((hit.head, "web")).toDF("doc_id", "source")
+    val mixed = Sampling.weightedMix(tiny, col("source"), Map("web" -> 1e-7),
+      col("doc_id"), "tinyW")
+    assert(mixed.count() == 1L,
+      "a positive sub-micro weight must clamp to 1 micro-unit, not round to zero")
+  }
+
   test("E12: weightedMix replicates by integer part, draws the fraction, drops unlisted strata") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val weights = Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0)
