@@ -214,7 +214,17 @@ object Multimodal {
     * video stream encountered is returned (multi-stream files interleave
     * audio `wb` chunks, which are skipped by fourcc).
     */
-  def aviVideoChunks(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+  def aviVideoChunks(bytes: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviVideoChunksEvery(bytes, 1).map(_.map(_._2))
+
+  /** [[aviVideoChunks]] with the sampling INSIDE the walk: only every
+    * `keepEvery`-th video chunk is copied off the payload (paired with its
+    * FULL-stream frame index), so sparse sampling of a large clip does not
+    * first duplicate the whole payload on the task heap (review r10).
+    */
+  def aviVideoChunksEvery(bytes: Array[Byte],
+                          keepEvery: Int): Option[Vector[(Int, Array[Byte])]] = {
+    require(keepEvery > 0)
     def le32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
@@ -225,7 +235,8 @@ object Multimodal {
     // RIFF chunk (naive file concatenation, recovery-tool tails) must not
     // be parsed as top-level chunks and inject foreign frames
     val riffEnd = math.min(bytes.length.toLong, 8L + le32(4)).toInt
-    val frames = Vector.newBuilder[Array[Byte]]
+    val frames = Vector.newBuilder[(Int, Array[Byte])]
+    var frameIdx = 0
     var sawMovi = false
     var videoStream: Option[String] = None
     // depth-capped walk: each LIST recursion consumes >= 12 input bytes, so
@@ -251,8 +262,11 @@ object Multimodal {
           (cc.endsWith("dc") || cc.endsWith("db"))) {
           val stream = cc.substring(0, 2)
           if (videoStream.isEmpty) videoStream = Some(stream)
-          if (videoStream.contains(stream) && dataEnd > dataStart)
-            frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          if (videoStream.contains(stream) && dataEnd > dataStart) {
+            if (frameIdx % keepEvery == 0)
+              frames += frameIdx -> java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+            frameIdx += 1
+          }
         }
         // chunks are padded to even lengths; advance in Long — with size
         // near 2^31, dataStart + paddedSize overflows Int to a NEGATIVE
@@ -278,10 +292,9 @@ object Multimodal {
   def decodeVideoFrames(bytes: Array[Byte], everyK: Int, width: Int,
                         height: Int): Option[Vector[(Int, Array[Float])]] = {
     require(everyK > 0)
-    aviVideoChunks(bytes).map { chunks =>
-      chunks.iterator.zipWithIndex
-        .filter(_._2 % everyK == 0)
-        .flatMap { case (jpeg, i) => decodeImage(jpeg, width, height).map(i -> _) }
+    aviVideoChunksEvery(bytes, everyK).map { chunks =>
+      chunks.iterator
+        .flatMap { case (i, jpeg) => decodeImage(jpeg, width, height).map(i -> _) }
         .toVector
     }
   }

@@ -55,13 +55,24 @@ object Embeddings {
   def writeWordVectors(df: DataFrame, wordCol: String, vecCol: String,
                        path: String): Unit = {
     val offender = df.select(col(wordCol).cast("string").as("w"))
-      .where(col("w").isNull || col("w").rlike("[\\s]"))
+      .where(col("w").isNull || col("w") === "" || col("w").rlike("[\\s]"))
       .limit(1).collect()
     offender.foreach { r =>
       throw new IllegalArgumentException(
-        s"writeWordVectors: word '${r.getString(0)}' is null or contains " +
-          "whitespace — the text format cannot delimit it; replace " +
+        s"writeWordVectors: word '${r.getString(0)}' is null, empty or contains " +
+          "whitespace — the text format cannot delimit it (an empty word's line " +
+          "reads back with its first component promoted to the word); replace " +
           "separators (word2vec phrase convention is '_') before writing")
+    }
+    // a NULL vector COMPONENT would be silently skipped by concat_ws,
+    // shortening the written vector — refuse where the cause is nameable
+    val nullElem = df.select(col(wordCol).cast("string").as("w"), col(vecCol).as("v"))
+      .where(exists(col("v"), _.isNull)).limit(1).collect()
+    nullElem.foreach { r =>
+      throw new IllegalArgumentException(
+        s"writeWordVectors: word '${r.getString(0)}' carries a null vector " +
+          "component — concat_ws would silently drop it and the vector would " +
+          "read back shortened; repair or filter the row first")
     }
     df.select(concat_ws(" ", col(wordCol),
         transform(col(vecCol), v => v.cast("string"))).as("value"))
@@ -109,7 +120,10 @@ object Embeddings {
       // vocab=0 is a legal degenerate file (the writer's own output for an
       // empty frame must round-trip — review r9); d >= 1 is only required
       // when there are words to carry vectors
-      require(vocab >= 0 && (vocab == 0 || d >= 1),
+      // cap dim so a forged header cannot overflow 4*d in Int or attempt a
+      // multi-GB driver allocation with no diagnostic (largest public
+      // models are dim ~4096; 1M is generous headroom — review r10)
+      require(vocab >= 0 && (vocab == 0 || (d >= 1 && d <= 1000000)),
         s"implausible word2vec header: vocab=$vocab dim=$d")
       val buf = new Array[Byte](4 * d)
       (0 until vocab).iterator.map { _ =>
@@ -143,13 +157,22 @@ object Embeddings {
     // the format delimits words with space/newline: a word CONTAINING one
     // would desynchronize the stream and silently poison every later
     // (word, vec) pair — refuse it here, where the cause is nameable
-    rows.find(r => r.getString(0).exists(c => c == ' ' || c == '\n' || c == '\r'))
+    rows.find(r => r.getString(0).isEmpty ||
+        r.getString(0).exists(c => c == ' ' || c == '\n' || c == '\r'))
       .foreach { r =>
         throw new IllegalArgumentException(
-          s"writeWordVectorsBinary: word '${r.getString(0)}' contains a " +
-            "space/newline — the binary format cannot delimit it; replace " +
-            "separators (word2vec phrase convention is '_') before writing")
+          s"writeWordVectorsBinary: word '${r.getString(0)}' is empty or " +
+            "contains a space/newline — the binary format cannot delimit it " +
+            "(an empty word desynchronizes the read stream: its delimiter " +
+            "space is eaten as leading whitespace and raw float bytes become " +
+            "the word); replace separators ('_') or drop the row")
       }
+    rows.find(r => r.getSeq[Any](1).exists(_ == null)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"writeWordVectorsBinary: word '${r.getString(0)}' carries a null " +
+          "vector component — it cannot serialize as a float; repair or " +
+          "filter the row first")
+    }
     val dims = rows.map(_.getSeq[Float](1).size).distinct
     require(dims.length <= 1, s"mixed vector dims ${dims.toSeq} cannot serialize")
     val d = dims.headOption.getOrElse(0)

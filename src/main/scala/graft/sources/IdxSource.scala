@@ -88,6 +88,9 @@ object IdxSource {
     import spark.implicits._
     readShards(spark, path, "label", requiredDims = 1) { (in, shard, _) =>
       val n = in.readInt()
+      // same corrupt-header posture as readImages (review r10): a negative
+      // count must refuse with the filename, not NegativeArraySizeException
+      require(n >= 0, s"idx label count out of range ($n) - corrupt header")
       val buf = new Array[Byte](n)
       in.readFully(buf)
       (0 until n).iterator.map(i => (shardedIdx(shard, i.toLong), buf(i) & 0xff))
@@ -128,8 +131,12 @@ object IdxSource {
           val lblBuf = new java.io.ByteArrayOutputStream()
           var n = 0
           for (r <- it) {
+            require(!r.isNullAt(0),
+              "IDX export: null pixels array cannot serialize - filter or repair the row")
             val px = r.getSeq[Double](0)
             require(px.length == dim, s"record has ${px.length} pixels, expected $dim")
+            require(!px.contains(null),
+              "IDX export: null pixel element cannot serialize - repair the row")
             val rec = new Array[Byte](dim)
             var i = 0
             while (i < dim) {

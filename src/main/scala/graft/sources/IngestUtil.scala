@@ -52,6 +52,11 @@ object IngestUtil {
     // block, is what keeps long-pathed files out of wrong truncated
     // locations (review r9). The override still routes through safeDest.
     var pendingName: Option[String] = None
+    // PAX 'size' records carry the REAL payload length of entries whose
+    // 12-byte octal field cannot (> 8 GiB, where it holds a placeholder) --
+    // ignoring it would copy the placeholder byte count and misalign every
+    // later header (review r10)
+    var pendingSize: Option[Long] = None
     while (!done) {
       if (!readFully(in, header)) done = true
       else if (header.forall(_ == 0)) done = true
@@ -66,28 +71,38 @@ object IngestUtil {
         val size = java.lang.Long.parseLong(cString(header, 124, 12).trim, 8)
         val typeFlag = header(156).toChar
         val name = pendingName.getOrElse(ustarName)
+        // effective payload length of a DATA entry; meta blocks below use
+        // their own header size (their pax overrides apply to what FOLLOWS)
+        val effSize = if ("Lxg".contains(typeFlag)) size
+          else pendingSize.getOrElse(size)
         typeFlag match {
           case 'L' => // GNU long name: payload = next entry's full path
             pendingName = Some(readMetaBlock(in, size, "GNU long-name"))
           case 'x' => // PAX per-file records: `path` overrides next name
-            parsePaxRecords(readMetaBlock(in, size, "PAX header"))
-              .get("path").foreach(p => pendingName = Some(p))
+            val recs = parsePaxRecords(readMetaBlock(in, size, "PAX header"))
+            recs.get("path").foreach(p => pendingName = Some(p))
+            recs.get("size").foreach(v => pendingSize = Some(v.trim.toLong))
           case 'g' => // PAX global defaults: a global path would silently
             // rename every following entry — refuse rather than misplace
-            require(!parsePaxRecords(readMetaBlock(in, size, "PAX global header"))
-              .contains("path"), "PAX global 'path' override is unsupported")
+            val g = parsePaxRecords(readMetaBlock(in, size, "PAX global header"))
+            require(!g.contains("path") && !g.contains("size"),
+              "PAX global 'path'/'size' overrides are unsupported")
           case '5' =>
             safeDest(destDir, name).mkdirs()
-            pendingName = None
+            // some tar variants store data in directory entries -- consume
+            // it or every later header is misaligned (review r10)
+            skipFully(in, effSize)
+            pendingName = None; pendingSize = None
           case '0' | '\u0000' if name.endsWith("/") =>
             safeDest(destDir, name).mkdirs()
-            pendingName = None
+            skipFully(in, effSize)
+            pendingName = None; pendingSize = None
           case '0' | '\u0000' | '7' => // regular (incl. old-tar contiguous)
             val out = safeDest(destDir, name)
             out.getParentFile.mkdirs()
-            writeEntry(in, out, size)
+            writeEntry(in, out, effSize)
             count += 1
-            pendingName = None
+            pendingName = None; pendingSize = None
           case _ =>
             // GNU 'K' (long link target), symlinks (2), devices, fifos:
             // consume the payload, materialize NOTHING — a symlink written
@@ -95,10 +110,11 @@ object IngestUtil {
             // extracted as junk files corrupt the tree. (Symlinks are also
             // a zip-slip vector; refusing them keeps the sanitizer
             // airtight.)
-            skipFully(in, size)
-            pendingName = None
+            skipFully(in, effSize)
+            pendingName = None; pendingSize = None
         }
-        val pad = (512 - (size % 512)) % 512
+        val padBase = if ("Lxg".contains(typeFlag)) size else effSize
+        val pad = (512 - (padBase % 512)) % 512
         skipFully(in, pad)
       }
     }

@@ -876,6 +876,13 @@ class OperatorsSpec extends SparkSpec {
 
     val decoded = Multimodal.decodeVideoFrames(avi, everyK = 2, width = 8, height = 8).get
     assert(decoded.map(_._1) == Vector(0, 2, 4), "indices are full-stream positions")
+    // r10: the sampling happens INSIDE the walk (no full-payload copy for
+    // sparse sampling) — parity with sampling after the fact
+    val sampled = Multimodal.aviVideoChunksEvery(avi, 2).get
+    assert(sampled.map(_._1) == Vector(0, 2, 4))
+    assert(sampled.map(_._2.toSeq) ==
+      chunks.zipWithIndex.filter(_._2 % 2 == 0).map(_._1.toSeq),
+      "walk-side sampling must equal post-hoc sampling")
     val means = decoded.map { case (_, px) => px.sum / px.length }
     assert(means == means.sorted && means.last - means.head > 0.3f,
       s"sampled frames must track the rising brightness: $means")

@@ -97,6 +97,34 @@ class SourcesSpec extends SparkSpec {
     val empty = Seq.empty[(String, Seq[Float])].toDF("word", "vec")
     Embeddings.writeWordVectorsBinary(empty, "word", "vec", s"$dir/empty.bin")
     assert(Embeddings.readWordVectorsBinary(spark, s"$dir/empty.bin").count() == 0L)
+
+    // r10 pins: an EMPTY word desynchronizes the binary stream (its
+    // delimiter space is eaten as leading whitespace) and fabricates a
+    // bogus entry in the text format — both writers refuse it
+    val emptyWord = Seq(("", Seq(0.1f, 0.2f))).toDF("word", "vec")
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.writeWordVectors(emptyWord, "word", "vec", s"$dir/t3")
+    }.getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.writeWordVectorsBinary(emptyWord, "word", "vec", s"$dir/b3")
+    }.getMessage.contains("empty"))
+    // a null vector COMPONENT would silently shorten the text line
+    // (concat_ws skips nulls) or NPE in the binary writer — refuse both
+    val nullElem = Seq(("w", Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("word", "vec")
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.writeWordVectors(nullElem, "word", "vec", s"$dir/t4")
+    }.getMessage.contains("component"))
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.writeWordVectorsBinary(nullElem, "word", "vec", s"$dir/b4")
+    }.getMessage.contains("component"))
+    // a forged multi-hundred-MB dim header refuses with a named error
+    val forged = s"$dir/forged.bin"
+    val out = new java.io.FileOutputStream(forged)
+    out.write("3 600000000\n".getBytes("UTF-8")); out.close()
+    assert(intercept[IllegalArgumentException] {
+      Embeddings.readWordVectorsBinary(spark, forged)
+    }.getMessage.contains("implausible"))
   }
 
   test("S7: IDX source parses images and labels, scales pixels to [0,1]") {
@@ -280,6 +308,54 @@ class SourcesSpec extends SparkSpec {
       paxRecord("mtime", "1700000000.5") + paxRecord("path", "a=b.txt")) ==
       Map("mtime" -> "1700000000.5", "path" -> "a=b.txt"),
       "values containing '=' split at the FIRST '='")
+  }
+
+  /** r10 review pins: PAX `size` records override the octal field (which
+    * holds a placeholder for > 8 GiB entries — copying it would misalign
+    * every later header), and directory entries that CARRY data consume
+    * it instead of desynchronizing the stream.
+    */
+  test("S6: PAX size records and data-bearing directory entries keep the stream aligned") {
+    def entry(name: String, data: Array[Byte], typeFlag: Char,
+              headerSize: Option[Int] = None): Array[Byte] = {
+      val header = new Array[Byte](512)
+      name.getBytes("US-ASCII").copyToArray(header, 0)
+      ("%011o".format(headerSize.getOrElse(data.length)) + " ")
+        .getBytes.copyToArray(header, 124)
+      header(156) = typeFlag.toByte
+      val padded = data ++ new Array[Byte]((512 - data.length % 512) % 512)
+      header ++ padded
+    }
+    def paxRecord(key: String, value: String): String = {
+      val body = s" $key=$value\n"
+      var len = body.length + 1
+      while ((len.toString.length + body.length) != len) len = len.toString.length + body.length
+      s"$len$body"
+    }
+    val payload = "real sized payload".getBytes
+    val tar =
+      // pax size record: octal field says 0, the record carries the truth
+      entry("PaxHeaders.0/big.txt", paxRecord("size", payload.length.toString).getBytes, 'x') ++
+      entry("big.txt", payload, '0', headerSize = Some(0)) ++
+      // a directory entry carrying 7 bytes of data (old Solaris tar shape)
+      entry("datadir/", "dirdata".getBytes, '5') ++
+      entry("after.txt", "after payload".getBytes, '0') ++
+      new Array[Byte](1024)
+    val dest = Files.createTempDirectory("graft-paxsize").toFile
+    val n = IngestUtil.extractTar(new java.io.ByteArrayInputStream(tar), dest)
+    assert(n == 2, s"expected 2 files, got $n")
+    assert(Files.readString(new File(dest, "big.txt").toPath) == new String(payload),
+      "PAX size record must override the placeholder octal field")
+    assert(new File(dest, "datadir").isDirectory)
+    assert(Files.readString(new File(dest, "after.txt").toPath) == "after payload",
+      "a data-bearing directory entry must not desynchronize later headers")
+    // a PAX GLOBAL size is refused like a global path
+    val g = entry("pax_global", paxRecord("size", "5").getBytes, 'g') ++
+      entry("x.txt", "xxxxx".getBytes, '0') ++ new Array[Byte](1024)
+    intercept[IllegalArgumentException] {
+      IngestUtil.extractTar(new java.io.ByteArrayInputStream(g),
+        Files.createTempDirectory("graft-paxgs").toFile)
+    }
   }
 
   test("S6: zip-slip entries are rejected") {
