@@ -104,14 +104,25 @@ object TextFunctions {
     */
   def qualityScore(text: Column, tokens: Column): Column = {
     val lenSat = least(size(tokens).cast("double") / 100.0, lit(1.0))
-    lit(0.4) * stopwordRatio(tokens) + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio(text))
+    // EXPLICIT null propagation: least() skips null operands, so a null
+    // document would otherwise score 0.6 under ANSI mode and ~0.297 under
+    // legacy sizeOfNull -- a quality gate must not admit null junk, and
+    // must not flip with spark.sql.ansi.enabled (review r10)
+    when(text.isNull || tokens.isNull, lit(null).cast("double"))
+      .otherwise(lit(0.4) * stopwordRatio(tokens) + lit(0.3) * lenSat +
+        lit(0.3) * (lit(1.0) - punctRatio(text)))
   }
 
   /** BPE-ish subword count: alpha runs, digit runs, or single non-space
     * symbols — a cheap proxy for tokenizer-cost estimation at corpus scale.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    // explicit null branch: legacy sizeOfNull would return -1 (a nonsense
+    // negative count silently deflating aggregates) while ANSI returns
+    // NULL -- pin the NULL semantics independent of session config (r10)
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(size(regexp_extract_all(lower(text),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
 
   /** Gopher-style repetition signal: the fraction of n-gram occurrences
     * that repeat an earlier occurrence within the document —
@@ -153,11 +164,29 @@ object TextFunctions {
         size(split(t, java.util.regex.Pattern.quote(g), -1)) - 1)
         .reduce(_ + _)
     }
+    argmaxLabel(hits)
+  }
+
+  /** First label whose hit count equals the (positive) maximum — the
+    * shared tiebreak of BOTH language-id paths; one definition so a
+    * threshold or tie-order tweak cannot desync them or their DuckDB
+    * oracle twins (review r10).
+    */
+  private def argmaxLabel(hits: Seq[(String, Column)]): Column = {
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
       when(h === best && h > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Tracking-noise query params canonicalUrl strips, single-sourced with
+    * the DuckDB oracle twin (DedupQueries) so the two engines cannot
+    * silently diverge. `ref` is deliberately NOT here (review r10): unlike
+    * `utm_`-prefixed params or fbclid it is widely SEMANTIC (a branch, a
+    * section anchor), and stripping it wrongly merged genuinely different
+    * pages -- violating canonicalization's only-under-merge contract.
+    */
+  val TrackingParamPattern: String = "^(utm_[^=]*|fbclid|gclid|mc_cid|mc_eid)(=|$)"
 
   /** Canonicalize a URL for URL-level dedup — the FIRST dedup pass of a
     * web-scrape curation pipeline: re-crawls of the same page meet on
@@ -171,7 +200,7 @@ object TextFunctions {
     *     the server, so it cannot distinguish pages);
     *  4. drop the scheme's default port (`:80` for http, `:443` for
     *     https — only when it matches the scheme);
-    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`,
+    *  5. drop tracking params (`utm_*`, `fbclid`, `gclid`,
     *     `mc_cid`, `mc_eid`) and SORT the remaining query params
     *     (crawl-order noise; param order is semantically irrelevant to
     *     the overwhelming majority of servers);
@@ -207,7 +236,7 @@ object TextFunctions {
     // unanchored \? would resurrect a '?' inside the fragment as a query
     val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(query, "&"), p =>
-      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)"))
+      p =!= "" && !p.rlike(TrackingParamPattern))
     val qn = array_join(array_sort(kept), "&")
     when(scheme === "", u).otherwise(
       concat(scheme, lit("://"), host, path,
@@ -231,9 +260,6 @@ object TextFunctions {
     val hits = LangIdStopwordProfiles.map { case (lang, ws) =>
       lang -> size(filter(tokens, t => array_contains(array(ws.map(lit): _*), t)))
     }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und"): Column) { case ((lang, h), acc) =>
-      when(h === best && h > 0, lit(lang)).otherwise(acc)
-    }
+    argmaxLabel(hits)
   }
 }

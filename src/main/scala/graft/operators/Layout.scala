@@ -50,7 +50,11 @@ object Layout {
     */
   def zValue(dims: Seq[Column], bits: Int = 16): Column = {
     val n = dims.size
-    require(n >= 1 && bits >= 1 && bits * n <= 63,
+    // LONG multiply: an Int bits*n can overflow negative, pass the bound,
+    // and make mask = 0 (shift counts are mod 64) -- every z-value then
+    // collapses to the constant 0 and the layout silently stops
+    // clustering (review r10)
+    require(n >= 1 && bits >= 1 && bits.toLong * n <= 63L,
       s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
     val mask = (1L << bits) - 1
     val terms = for {
@@ -66,7 +70,7 @@ object Layout {
     */
   def duckZValue(dims: Seq[String], bits: Int = 16): String = {
     val n = dims.size
-    require(n >= 1 && bits >= 1 && bits * n <= 63,
+    require(n >= 1 && bits >= 1 && bits.toLong * n <= 63L,
       s"need 1 <= bits*dims <= 63, got bits=$bits dims=$n")
     val mask = (1L << bits) - 1
     val terms = for {

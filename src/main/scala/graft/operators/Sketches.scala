@@ -57,14 +57,18 @@ object Sketches {
                    as: String): DataFrame = {
     val bcast = df.sparkSession.sparkContext.broadcast(cms)
     import org.apache.spark.sql.types._
+    // backtick-quote like the paired builder countMinSketchOf: raw
+    // col(name) parses dots as struct paths, so the build/lookup API pair
+    // would disagree on which column names are legal (review r10)
+    def c = col("`" + colName.replace("`", "``") + "`")
     val est = df.schema(colName).dataType match {
       case StringType =>
         udf((v: String) => if (v == null) 0L else bcast.value.estimateCount(v))
-          .apply(col(colName))
+          .apply(c)
       case ByteType | ShortType | IntegerType | LongType =>
         udf((v: java.lang.Long) =>
           if (v == null) 0L else bcast.value.estimateCount(v.longValue()))
-          .apply(col(colName).cast("long"))
+          .apply(c.cast("long"))
       case other => throw new IllegalArgumentException(
         s"withEstimate supports string/integral columns, got ${other.catalogString}")
     }
@@ -158,8 +162,13 @@ object Sketches {
     val prs = strata.select(col("stratum").as("source_a"))
       .crossJoin(strata.select(col("stratum").as("source_b")))
       .where(col("source_a") < col("source_b"))
-    val ua = prs.join(sig.withColumnRenamed("stratum", "source_a"), "source_a")
-    val ub = prs.join(sig.withColumnRenamed("stratum", "source_b"), "source_b")
+    // a FOREIGN signature table may carry duplicate (stratum, h) rows; the
+    // __c == 2 shared test below assumes distinctness, so enforce it here
+    // rather than inflate/deflate the estimate silently (review r10).
+    // kmvSignatures' own output is already distinct -- this is a no-op there.
+    val sigD = sig.distinct()
+    val ua = prs.join(sigD.withColumnRenamed("stratum", "source_a"), "source_a")
+    val ub = prs.join(sigD.withColumnRenamed("stratum", "source_b"), "source_b")
     val u = ua.select("source_a", "source_b", "h")
       .union(ub.select("source_a", "source_b", "h"))
       .groupBy("source_a", "source_b", "h")

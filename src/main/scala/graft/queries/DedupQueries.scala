@@ -352,12 +352,18 @@ object DedupQueries {
         |    END AS canonical_url
         |  FROM (
         |    SELECT *, coalesce(list_aggr(list_sort(list_filter(string_split(q, '&'),
-        |        p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref|mc_cid|mc_eid)(=|$)'))),
+        |        p -> p <> '' AND NOT regexp_matches(p, 'TRACKING_PARAM_PATTERN'))),
         |        'string_agg', '&'), '') AS qn
         |    FROM parts)
         |)
         |SELECT canonical_url, min(id) AS kept_id, CAST(count(*) AS BIGINT) AS n_variants
-        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin) { (s, d) =>
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+        // single-source the tracking regex with the Spark side — a plain
+        // literal here could silently desync the two engines (review r9/r10;
+        // spliced by replacement because the surrounding SQL is full of
+        // regex '$' anchors an s-interpolator would reject)
+        .replace("TRACKING_PARAM_PATTERN",
+          graft.functions.TextFunctions.TrackingParamPattern)) { (s, d) =>
       val docs = Tables.documents(s, d)
       def planted(off: Long, suffix: String, upper: Boolean) = {
         val base =

@@ -271,8 +271,10 @@ class FunctionsSpec extends SparkSpec {
       "http://h.com/p?utm_source=a&b=2&a=1&fbclid=zz" -> "http://h.com/p?a=1&b=2",
       "http://h.com/p?utm_campaign=x" -> "http://h.com/p",
       "http://h.com/p?" -> "http://h.com/p",
-      // bare 'ref' (no =) dropped too; 'refresh=1' NOT dropped (anchor match)
-      "http://h.com/p?ref&refresh=1" -> "http://h.com/p?refresh=1",
+      // r10: 'ref' is SEMANTIC (a branch, a section) and is KEPT — unlike
+      // utm_*/fbclid, stripping it wrongly merged distinct pages;
+      // 'refresh=1' also kept (never was an anchor match)
+      "http://h.com/p?ref=main&refresh=1" -> "http://h.com/p?ref=main&refresh=1",
       // empty path -> '/', root slash collapse
       "http://h.com" -> "http://h.com/",
       "http://h.com///" -> "http://h.com/",
@@ -335,6 +337,21 @@ class FunctionsSpec extends SparkSpec {
     val empty = Seq(Tuple1("")).toDF("text")
       .select(graft.functions.TextFunctions.fingerprint(col("text"))).head()
     assert(!empty.isNullAt(0))
+    // r10 pins: qualityScore and bpeTokenCount null-propagate EXPLICITLY —
+    // least() used to skip the null length operand (null text scored 0.6,
+    // sailing through any quality gate) and both flipped with
+    // spark.sql.ansi.enabled via legacy sizeOfNull = -1
+    val tf = graft.functions.TextFunctions
+    val q = Seq((1L, "the quick brown fox and the lazy dog of the morning"),
+      (2L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(col("id"),
+        tf.qualityScore(col("text"), tf.tokenize(col("text"))).as("quality"),
+        tf.bpeTokenCount(col("text")).as("bpe"))
+      .orderBy("id").collect()
+    assert(!q(0).isNullAt(1) && q(0).getDouble(1) > 0.0)
+    assert(q(1).isNullAt(1), "null text must score NULL, never 0.6")
+    assert(!q(0).isNullAt(2) && q(0).getInt(2) > 0)
+    assert(q(1).isNullAt(2), "null text must count NULL tokens, never -1")
     assert(graft.JsonText.quote("a\"b\\c\nd\te\u0001f") ==
       "\"a\\\"b\\\\c\\nd\\te\\u0001f\"")
   }

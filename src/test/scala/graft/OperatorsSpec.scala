@@ -1428,5 +1428,14 @@ class OperatorsSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double)].collect().toSeq
       .map(e => (e._1, e._2, e._5))
     assert(est == exact, s"est $est\nexact $exact")
+    // r10: a FOREIGN signature table with duplicated (stratum, h) rows must
+    // estimate like its distinct form — the shared test counts union-row
+    // multiplicity and duplicates used to inflate/deflate it silently
+    val sig = Sketches.kmvSignatures(corpus, "source", "text", n = 3, k = k)
+    val dupEst = Sketches.kmvJaccard(sig.union(sig), k = k)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+      .map(e => (e._1, e._2, e._5))
+    assert(dupEst == exact, s"duplicated signature rows skewed the estimate: $dupEst")
   }
 }

@@ -501,6 +501,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("Layout: the bits*dims bound cannot be overflowed past") {
+    // r10: Int bits*n could overflow negative, pass the <= 63 bound, and
+    // collapse every z-value to 0 (shift counts are mod 64) — the layout
+    // would silently stop clustering instead of refusing
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 1073741824)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Layout.duckZValue(Seq("x", "y"), bits = 1073741824)
+    }
+  }
+
   test("Layout: zValue matches a reference Morton implementation (incl. masking)") {
     def morton(x: Long, y: Long, bits: Int): Long = {
       var z = 0L
