@@ -64,9 +64,18 @@ object Dedup {
   private[graft] def docFingerprint(textCol: String): Column =
     md5(col(textCol).cast("binary"))
 
-  def exactDedupByFingerprint(df: DataFrame, textCol: String, tiebreak: String): DataFrame =
-    exactDedup(df.withColumn("__fp", docFingerprint(textCol)), Seq("__fp"), tiebreak)
+  def exactDedupByFingerprint(df: DataFrame, textCol: String, tiebreak: String): DataFrame = {
+    // null text fingerprints NULL, and the window would group every
+    // null-fp row into ONE "duplicate" group and delete all but one --
+    // two null-text docs are not provably identical payloads, and the
+    // cross-batch anti-join never matches null fps either, so within-batch
+    // collapse would also diverge from the incremental path (review r10).
+    // Null-fp rows bypass the dedup untouched.
+    val withFp = df.withColumn("__fp", docFingerprint(textCol))
+    exactDedup(withFp.where(col("__fp").isNotNull), Seq("__fp"), tiebreak)
+      .unionByName(withFp.where(col("__fp").isNull))
       .drop("__fp")
+  }
 
   /** Distinct (id, shingle) pairs for a corpus of (id, text). By default
     * the input is repartitioned to full parallelism first:
@@ -99,6 +108,9 @@ object Dedup {
     * per min() expression, multiplying the dominant md5 cost by numHashes.
     */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int = 16): DataFrame = {
+    // mins.head would otherwise die with a bare NoSuchElementException --
+    // name the bad argument instead (review r10)
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val hashed = shingleSets.select(col("doc_id"), hash32(col("sh")).as("__h"))
     val mins = (0 until numHashes).map { j =>
       val (a, b) = hashParams(j)
@@ -120,6 +132,9 @@ object Dedup {
   def bands(signatures: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     // a non-divisible split would silently DISCARD the trailing hashes —
     // the caller would pay for numHashes but get a different banding curve
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes " +
+      "(0 passes the divisibility check below and silently yields ZERO bands -- " +
+      "no candidate would ever surface)")
     require(numHashes % rowsPerBand == 0,
       s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val numBands = numHashes / rowsPerBand
@@ -264,9 +279,16 @@ object Dedup {
     */
   def removeNearDups(corpus: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5,
-                     repartitionFirst: Boolean = true): DataFrame = {
+                     repartitionFirst: Boolean = true,
+                     numHashes: Int = 16, rowsPerBand: Int = 4,
+                     shingleN: Int = 3,
+                     hubCap: Option[Int] = None): DataFrame = {
+    // hubCap threads through (review r10): keep-min cleaning is EXACTLY
+    // the flow candidatePairs documents the giant-bucket guard as safe
+    // for (survivor parity), yet the cleaner could not reach it before
     val drop = nearDupPairs(corpus, idCol, textCol, threshold,
-        repartitionFirst = repartitionFirst)
+        numHashes = numHashes, rowsPerBand = rowsPerBand, shingleN = shingleN,
+        hubCap = hubCap, repartitionFirst = repartitionFirst)
       .select(col("b_id").as(idCol)).distinct()
     corpus.join(drop, Seq(idCol), "left_anti")
   }

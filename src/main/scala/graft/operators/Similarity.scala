@@ -30,7 +30,16 @@ object Similarity {
     */
   private def cosine(a: Column, b: Column): Column = graft.plans.NativeColumns.cosine(a, b)
 
-  /** Exact top-k cosine neighbors for each query vector. */
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * ID-SPACE CONTRACT (shared by [[lshTopK]]/[[ivfTopK]] and the PQ
+    * paths): queries and corpus share ONE id space, and a candidate with
+    * `n_id == q_id` is excluded as the SELF-match -- the self-query /
+    * dedup convention every catalog entry uses. Queries drawn from a
+    * DIFFERENT id space must be re-keyed first (e.g. negative ids), or a
+    * query whose id coincidentally equals an unrelated corpus id silently
+    * loses that vector from its results (review r10).
+    */
   def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val scored = corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -38,6 +47,26 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** ONE coarse-quantizer definition for [[ivfTopK]] and [[semDedup]]
+    * (review r10: two verbatim copies could silently drift): a rough
+    * KMeans over a deterministic hash sample -- recall/quality come from
+    * nProbe / the threshold, not centroid polish, so random init + few
+    * iterations suffice (the k-means|| init alone is several passes).
+    * Returns (model, (vec_id, embedding, cell)).
+    */
+  private def coarseQuantizer(corpus: DataFrame, nCells: Int,
+                              fitSampleFraction: Double, salt: String)
+      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    val feat = corpus.select(col("vec_id"), col("embedding"),
+      array_to_vector(col("embedding")).as("features"))
+    val fitInput =
+      feat.where(Sampling.hashSampleFraction(col("vec_id"), salt, fitSampleFraction))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
+      .setInitMode("random").fit(fitInput)
+    (model, model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): plane `p`,
@@ -68,7 +97,17 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    // a null or wrong-length embedding would null the dot and every bit
+    // would fall to 0 -- ALL such rows co-bucket under signature 0 and the
+    // bucket join degenerates toward the |Q| x corpus cross product this
+    // scheme exists to avoid. Same fail-loudly posture as the numPlanes
+    // guard (review r10).
+    when(emb.isNull || size(emb) =!= dim,
+      raise_error(concat(lit("lshSignature: embedding length "),
+        coalesce(size(emb).cast("string"), lit("NULL")),
+        lit(s" does not match dim=$dim - an all-zero signature would " +
+          "co-bucket every mismatched row"))).cast("long"))
+      .otherwise(bits.reduce(_ + _))
   }
 
   /** ANN via multi-table random-hyperplane LSH + exact re-rank. Classic
@@ -132,18 +171,9 @@ object Similarity {
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feat = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    // a coarse quantizer only needs rough cells — recall comes from nProbe,
-    // not centroid polish, so random init + few iterations suffice (the
-    // k-means|| init alone is several passes)
-    val fitInput =
-      feat.where(Sampling.hashSampleFraction(col("vec_id"), "ivf_fit", fitSampleFraction))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(fitInput)
-    val assigned = model.transform(feat)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col("prediction").as("cell"))
+    val (model, assigned0) = coarseQuantizer(corpus, nCells, fitSampleFraction, "ivf_fit")
+    val assigned = assigned0
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
     // tiny centroid table, broadcast against the query side
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
@@ -232,14 +262,8 @@ object Similarity {
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feat = corpus.select(col("vec_id"), col("embedding"),
-      array_to_vector(col("embedding")).as("features"))
-    val fitInput =
-      feat.where(Sampling.hashSampleFraction(col("vec_id"), "semdedup_fit", fitSampleFraction))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(fitInput)
-    val assigned = Pinned.pin(model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
+    val assigned = Pinned.pin(coarseQuantizer(corpus, nCells, fitSampleFraction,
+      "semdedup_fit")._2)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // edges carry their cosine so the witness survives to the output —

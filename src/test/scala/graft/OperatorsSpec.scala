@@ -21,6 +21,22 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(byFp == byText)
     assert(byFp.forall(_ < 5000), "a planted copy survived")
+    // r10: null-text rows are NOT duplicates of each other — the window
+    // used to group every null fingerprint together and delete all but one
+    val withNulls = Seq[(Long, String)]((1L, "same"), (2L, "same"),
+      (3L, null), (4L, null)).toDF("doc_id", "text")
+    val survivors = Dedup.exactDedupByFingerprint(withNulls, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors == Seq(1L, 3L, 4L),
+      s"null-text rows must pass through untouched: $survivors")
+    // degenerate numHashes refuses loudly instead of NoSuchElementException
+    // (minhash) or silently ZERO bands = zero candidates forever (bands)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashSignatures(Dedup.shingleSet(withNulls, "doc_id", "text"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bands(withNulls, numHashes = 0, rowsPerBand = 4)
+    }
   }
 
   test("E1: exactDedup keeps the min-tiebreak row deterministically") {
@@ -232,6 +248,17 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.lshSignature(col("embedding"), dim = 8, numPlanes = 65)
     }
+    // r10: a wrong-LENGTH (or null) embedding refuses loudly — every such
+    // row used to co-bucket under the all-zero signature, degenerating the
+    // bucket join toward the cross product
+    val wrongDim = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(16)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val eDim = intercept[Exception] {
+      wrongDim.select(Similarity.lshSignature(col("embedding"), dim = 8,
+        numPlanes = 4)).collect()
+    }
+    assert(eDim.getMessage != null && eDim.getMessage.contains("does not match dim"),
+      s"${eDim.getMessage}")
   }
 
   /** Review-r9 pins on the continual-ingest guards: a batch in which NOT
