@@ -23,14 +23,26 @@ private[queries] object ProcessNonce {
                  sweepAgeMs: Long = 6L * 3600 * 1000): String = {
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val mine = new java.io.File(tmp, s"${prefix}_${fixtureTag}_$value")
+    // liveness = the NEWEST mtime anywhere in the sibling's tree, not the
+    // top-level dir's: POSIX dir mtime only moves when direct children
+    // are created/removed, so a long concurrent run whose writes all land
+    // in nested subdirs would look idle at the top and get swept mid-run —
+    // the exact race the nonce exists to prevent (advice r10; same
+    // recursion as ManifestStore.vacuum's newestTouch).
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
       f.isDirectory && f.getName.startsWith(prefix + "_") &&
         f.getName != mine.getName &&
-        System.currentTimeMillis() - f.lastModified() > sweepAgeMs
+        System.currentTimeMillis() - newestTouch(f) > sweepAgeMs
     }
     stale.foreach(deleteRecursively)
     registerCleanup(mine)
     mine.toString
+  }
+
+  private def newestTouch(f: java.io.File): Long = {
+    val kids = if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]) else Array.empty[java.io.File]
+    (f.lastModified() +: kids.map(newestTouch)).max
   }
 
   private val cleanupRegistered =

@@ -136,7 +136,17 @@ private[graft] object ManifestStats {
         val (mn, mx) = (st.genericGetMin.asInstanceOf[Number].doubleValue,
           st.genericGetMax.asInstanceOf[Number].doubleValue)
         if (mn.isNaN || mx.isNaN) None
-        else Some(ColStats(tag, Some(mn.toString), Some(mx.toString), nulls))
+        else {
+          // PARQUET-1222 zero widening: writers order ±0.0 inconsistently
+          // (some by IEEE ==, some by total order), so a file holding -0.0
+          // may record min = +0.0 and vice versa. Widen a zero min down to
+          // -0.0 and a zero max up to +0.0 so the bound always CONTAINS
+          // both zeros (advice r10 — pruning must never drop a -0.0 == 0.0
+          // match).
+          val mnW = if (mn == 0.0d) -0.0d else mn
+          val mxW = if (mx == 0.0d) 0.0d else mx
+          Some(ColStats(tag, Some(mnW.toString), Some(mxW.toString), nulls))
+        }
       case "string" =>
         val mn: Any = st.genericGetMin
         val mx: Any = st.genericGetMax
@@ -163,10 +173,18 @@ private[graft] object ManifestStats {
       ColStats(tag, pick(x.min, y.min, lower = true), pick(x.max, y.max, lower = false), nulls)
     }
 
-  /** Compare two canonical bound strings in the tag's domain. */
+  /** Compare two canonical bound strings in the tag's domain. Doubles
+    * compare in IEEE order (the engine's own comparison semantics), where
+    * -0.0 == 0.0 — Double.compare's total order would call -0.0 < 0.0 and
+    * prune a zero-bounded file away from an EqualTo(0.0) that its -0.0
+    * rows match (advice r10). NaN never reaches here (refused at harvest
+    * and in toBound).
+    */
   private[sources] def compareBounds(tag: String, a: String, b: String): Int = tag match {
     case "long" | "date" | "timestamp" => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "double" =>
+      val (x, y) = (a.toDouble, b.toDouble)
+      if (x == y) 0 else java.lang.Double.compare(x, y)
     case "boolean" => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
     case "string" => compareUtf8(a, b)
     case other => sys.error(s"unknown stats tag $other")

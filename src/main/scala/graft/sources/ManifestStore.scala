@@ -543,6 +543,14 @@ object ManifestStore {
     if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
     val legacy = requireCompatibleSchema(spark, df, root, partitionBy)
     val mine = writeBatch(fs, rootP, df, partitionBy)
+    // a zero-file micro-batch (every partitioned empty frame — an
+    // all-dropped dedup batch hits this) is a NO-OP like append's: on a
+    // fresh table committing it would create a zero-file manifest, which
+    // read() refuses by contract (advice r10). The watermark does not
+    // advance — a redelivery recomputes the same empty batch
+    // deterministically and no-ops again.
+    if (mine.isEmpty)
+      return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
     val batchSchema = normalizeSchema(df.schema)
     val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val txns = base.map(_.txns).getOrElse(Map.empty)
@@ -579,13 +587,26 @@ object ManifestStore {
           s"append partitionBy=$partitionBy but the table under $root is " +
             s"partitioned by ${snap.partCols} — the partition layout is fixed at creation")
         val legacy = if (snap.schema.isEmpty)
-          Some(normalizeSchema(spark.read.parquet(snap.files.head.path).schema))
+          Some(legacySchemaOf(spark, snap.files))
         else None
         val table = snap.schema.orElse(legacy).get
         checkColumnTypes(normalizeSchema(df.schema), table, root)
         legacy
     }
   }
+
+  /** Schema of a LEGACY (pre-schema-line) snapshot: the UNION of every
+    * file's footer schema (parquet mergeSchema — a distributed footer-only
+    * pass), never `files.head`'s alone. On a mixed-footer pre-r10 table,
+    * head-only seeding would permanently drop the columns that live only
+    * in OTHER files once the seeded schema is committed as the table's —
+    * explicit-schema reads then hide that data forever (advice r10).
+    * Incompatible footers refuse loudly via Spark's merge failure, the
+    * same posture as the append-time type check.
+    */
+  private def legacySchemaOf(spark: SparkSession, files: Seq[ManifestEntry]): StructType =
+    normalizeSchema(
+      spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*).schema)
 
   private def checkColumnTypes(batch: StructType, table: StructType, root: String,
                                advice: String =
@@ -780,7 +801,9 @@ object ManifestStore {
         "the table was recreated; reprocess from a full snapshot")
     def emptyFrame: DataFrame = cur.schema match {
       case Some(sc) => spark.createDataFrame(new java.util.ArrayList[Row](), sc)
-      case None => spark.read.parquet(cur.files.head.path).limit(0)
+      case None => // legacy: union of footers, same columns a full read sees
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          legacySchemaOf(spark, cur.files))
     }
     if (cur.version == fromVersion) return (cur.version, emptyFrame)
     val fromSnap = snapshotAt(spark, root, fromVersion).getOrElse(
@@ -830,8 +853,9 @@ object ManifestStore {
     val base: DataFrame = (snap.schema, entries) match {
       case (Some(sc), Seq()) => // every file pruned: an empty frame, same schema
         spark.createDataFrame(new java.util.ArrayList[Row](), sc)
-      case (None, Seq()) => // legacy, fully pruned: ONE footer gives the schema
-        spark.read.parquet(snap.files.head.path).limit(0)
+      case (None, Seq()) => // legacy, fully pruned: footer union gives the schema
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          legacySchemaOf(spark, snap.files))
       case (Some(sc), es) if snap.partCols.nonEmpty =>
         readPartitioned(spark, sc, snap.partCols, es)
       case (Some(sc), es) =>
@@ -1010,8 +1034,7 @@ object ManifestStore {
                                 tornGraceMs: Long = 60000L): (Long, Int, Long) = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     val (fs, rootP) = fsFor(spark, root)
-    val table = before.schema.getOrElse(
-      normalizeSchema(spark.read.parquet(before.files.head.path).schema))
+    val table = before.schema.getOrElse(legacySchemaOf(spark, before.files))
     val upd = normalizeSchema(updates.schema)
     val tableCols = table.fields.map(_.name).toSet
     val newCols = upd.fields.map(_.name).filterNot(tableCols)
@@ -1153,8 +1176,7 @@ object ManifestStore {
     if (snap.files.isEmpty ||
         (snap.schema.isDefined && snap.files.forall(f => f.rows.isDefined)))
       return snap.version
-    val schema = snap.schema.getOrElse(
-      normalizeSchema(spark.read.parquet(snap.files.head.path).schema))
+    val schema = snap.schema.getOrElse(legacySchemaOf(spark, snap.files))
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name)))
     val missing = snap.files.filter(_.rows.isEmpty)

@@ -909,6 +909,93 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 80L),
       "each micro-batch committed exactly once across two stream restarts")
   }
+
+  /** advice r11 (high): parquet stats order ±0.0 inconsistently across
+    * writers, and Double.compare calls -0.0 < 0.0 — but the engine's own
+    * comparison is IEEE, where they are EQUAL. A zero-bounded file must
+    * never be pruned away from the zero literal of the other sign.
+    */
+  test("signed-zero double bounds never prune an IEEE-equal match") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    // one file whose only value is -0.0, one whose only value is +0.0,
+    // one clearly disjoint file the predicate SHOULD prune
+    ManifestStore.append(spark, Seq((1L, -0.0d)).toDF("id", "v"), root)
+    ManifestStore.append(spark, Seq((2L, 0.0d)).toDF("id", "v"), root)
+    ManifestStore.append(spark, Seq((3L, 42.0d)).toDF("id", "v"), root)
+    for (zero <- Seq(0.0d, -0.0d)) {
+      assert(ids(ManifestStore.readWhere(spark, root, Seq(EqualTo("v", zero))))
+        == Seq(1L, 2L), s"rows IEEE-equal to $zero lost to signed-zero pruning")
+      assert(ids(ManifestStore.readWhere(spark, root,
+        Seq(GreaterThanOrEqual("v", zero)))) == Seq(1L, 2L, 3L))
+      assert(ids(ManifestStore.readWhere(spark, root,
+        Seq(LessThanOrEqual("v", zero)))) == Seq(1L, 2L))
+    }
+    // the skip itself still fires on the disjoint file
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(ManifestStore.prunedEntries(snap, Seq(EqualTo("v", 0.0d))).size
+      < snap.files.size, "zero-equality must still prune the 42.0 file")
+  }
+
+  /** advice r11 (medium): a zero-file micro-batch (any empty PARTITIONED
+    * frame — an all-dropped first dedup batch) must be a no-op, never a
+    * zero-file manifest that read() then refuses by contract.
+    */
+  test("appendBatch with a zero-file partitioned batch is a no-op, table stays readable") {
+    val root = freshRoot()
+    val empty = batch(0, 0).withColumn("day", lit("d0")).where(lit(false))
+    // fresh table: must NOT commit an unreadable zero-file manifest
+    val v0 = ManifestStore.appendBatch(spark, empty, root, "sink", 0L,
+      partitionBy = Seq("day"))
+    assert(v0 == 0L && ManifestStore.latestSnapshot(spark, root).isEmpty,
+      "an all-dropped first batch must leave the table uninitialized")
+    // a real batch then creates the table normally
+    val v1 = ManifestStore.appendBatch(spark,
+      batch(0, 5).withColumn("day", lit("d1")), root, "sink", 1L,
+      partitionBy = Seq("day"))
+    assert(v1 == 1L && ids(ManifestStore.read(spark, root)) == (0L until 5L))
+    // and a later zero-file batch no-ops against the live table too
+    val v2 = ManifestStore.appendBatch(spark, empty, root, "sink", 2L,
+      partitionBy = Seq("day"))
+    assert(v2 == 1L, "zero-file batch must not mint a version")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 5L))
+  }
+
+  /** advice r11 (low): legacy (pre-schema-line) tables seed their schema
+    * from the UNION of footers, not files.head's — a mixed-footer table
+    * must not permanently drop the columns that live only in other files.
+    */
+  test("legacy schema seeding unions mixed footers instead of trusting one") {
+    val fs = new Path(freshRoot()).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkLegacy(root: String): Unit = {
+      // two footers with DIFFERENT column sets: (id, a) and (id, b)
+      Seq((1L, "a1")).toDF("id", "a").write.parquet(s"$root/data/batch-l1")
+      Seq((2L, "b2")).toDF("id", "b").write.parquet(s"$root/data/batch-l2")
+      val files = Seq("batch-l1", "batch-l2").flatMap(d =>
+        fs.listStatus(new Path(s"$root/data/$d"))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      val body = "graft-manifest v1\nversion=1\n" +
+        files.map(f => s"${f.getPath.toString}\t${f.getLen}").mkString("", "\n", "\n")
+      val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(body.getBytes("UTF-8"))
+      fs.mkdirs(new Path(s"$root/_manifests"))
+      val out = fs.create(new Path(s"$root/_manifests/v${"%020d".format(1)}.manifest"), false)
+      out.write((body + s"checksum=$sum\n").getBytes("UTF-8")); out.close()
+    }
+    // upgradeTable path: the committed schema must carry BOTH a and b
+    val r1 = freshRoot(); mkLegacy(r1)
+    ManifestStore.upgradeTable(spark, r1)
+    val up = ManifestStore.latestSnapshot(spark, r1).get
+    assert(up.schema.exists(s => s.fieldNames.contains("a") && s.fieldNames.contains("b")),
+      s"upgrade seeded a head-footer-only schema: ${up.schema}")
+    assert(ManifestStore.read(spark, r1).columns.toSet == Set("id", "a", "b"))
+    // append path: the merged schema unions footers too
+    val r2 = freshRoot(); mkLegacy(r2)
+    ManifestStore.append(spark, Seq((3L, "a3")).toDF("id", "a"), r2)
+    val ap = ManifestStore.latestSnapshot(spark, r2).get
+    assert(ap.schema.exists(s => s.fieldNames.contains("b")),
+      s"append seeding dropped column b: ${ap.schema}")
+    assert(ManifestStore.read(spark, r2).where(col("b").isNotNull).count() == 1L)
+  }
 }
 
 /** A connector whose create(path, overwrite=false) silently overwrites —
