@@ -229,11 +229,90 @@ object ManifestStore {
     }).sorted
   }
 
+  // ---- `_latest` checkpoint pointer (r11, VERDICT r10 #2) --------------
+  // Without it every snapshot resolution pays an O(all versions) directory
+  // listing — at a streaming sink's cadence that is ~100k manifest names
+  // listed and parsed PER MICRO-BATCH within a week. The hint is Delta's
+  // `_last_checkpoint` shape: best-effort, re-written after every commit,
+  // and NEVER load-bearing — a missing/corrupt/stale hint falls back to
+  // the full listing, so correctness is exactly the pre-hint behavior.
+
+  private def latestHintPath(root: Path) = new Path(manifestsDir(root), "_latest")
+
+  /** Best-effort: failures are swallowed (the next resolution just pays
+    * the listing), and the plain-overwrite write is fine because readers
+    * treat any unparseable/implausible content as hint-absent.
+    */
+  private def writeLatestHint(fs: FileSystem, root: Path, v: Long): Unit =
+    try {
+      val out = fs.create(latestHintPath(root), true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The hint version, validated all the way to an INTACT manifest at that
+    * slot — a reader must never trust a number whose manifest is gone
+    * (table recreated in place, vacuum raced) or torn (cannot happen from
+    * our writer, which hints only after a complete commit, but the hint
+    * file is world-writable state and trust must be earned per read).
+    */
+  private def readLatestHint(fs: FileSystem, root: Path): Option[Long] =
+    try {
+      val p = latestHintPath(root)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val s = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        if (n <= 0) return None
+        new String(buf, 0, n, StandardCharsets.UTF_8).trim
+      } finally in.close()
+      val v = s.toLong
+      if (v >= 1L &&
+          readManifestBytes(fs, root, v).exists(isIntactLite(_, v))) Some(v)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The TAIL of the version sequence — `[hint .. highest existing]` via
+    * forward existence probes (versions are consecutive by construction:
+    * each commit claims max+1 and vacuum only trims the low end), normally
+    * one hint read + one miss probe instead of listing the whole
+    * `_manifests/` directory. The flag reports whether the hint was used:
+    * callers must fall back to [[listVersions]] if a hinted tail somehow
+    * yields no intact version (checksum-valid but unparseable head — a
+    * tampered file; the lite check cannot rule it out), rather than read
+    * an initialized table as empty. [[vacuum]] keeps the full listing —
+    * it is the one caller that genuinely needs the low end.
+    */
+  private def tailVersions(fs: FileSystem, root: Path): (Seq[Long], Boolean) =
+    readLatestHint(fs, root) match {
+      case None => (listVersions(fs, root), false)
+      case Some(hint) =>
+        var v = hint
+        while (fs.exists(manifestPath(root, v + 1))) v += 1
+        (hint to v, true)
+    }
+
   /** Highest intact snapshot, or None for an empty/uninitialized table.
     * Torn versions (crashed or in-flight committers) are skipped, never
-    * trusted.
+    * trusted. Resolution is hint-accelerated (see [[tailVersions]]): a
+    * constant number of small reads regardless of how many versions the
+    * table has accrued.
     */
   def latestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val (tail, hinted) = tailVersions(fs, rootP)
+    latestIntact(fs, rootP, tail) match {
+      case None if hinted => latestIntact(fs, rootP, listVersions(fs, rootP))
+      case r => r
+    }
+  }
+
+  /** [[latestSnapshot]] forced down the full-listing path — the pre-hint
+    * resolution, kept as the comparison arm for the SLO harness and as
+    * the recovery tool when a root's hint is suspect.
+    */
+  private[graft] def latestSnapshotUnhinted(spark: SparkSession,
+                                            root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
     latestIntact(fs, rootP, listVersions(fs, rootP))
   }
@@ -242,7 +321,10 @@ object ManifestStore {
                            versions: Seq[Long]): Option[Snapshot] =
     versions.reverse.iterator.flatMap(v => readManifest(fs, root, v)).nextOption()
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Option[Snapshot] =
+    readManifestBytes(fs, root, v).flatMap(parse(_, v))
+
+  private def readManifestBytes(fs: FileSystem, root: Path, v: Long): Option[Array[Byte]] = {
     val p = manifestPath(root, v)
     if (!fs.exists(p)) None
     else {
@@ -254,9 +336,29 @@ object ManifestStore {
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         out.toByteArray
       } finally in.close()
-      parse(bytes, v)
+      Some(bytes)
     }
   }
+
+  /** Intactness WITHOUT entry parsing — header + version line + checksum
+    * only. The hint validator uses this so a hinted resolution parses the
+    * head manifest's entry lines exactly once (in [[latestIntact]]), not
+    * twice; an entry line the full parser would refuse still fails the
+    * full parse there, so trusting the lite check here never widens what
+    * a reader accepts.
+    */
+  private def isIntactLite(bytes: Array[Byte], expectVersion: Long): Boolean =
+    try {
+      val text = new String(bytes, StandardCharsets.UTF_8)
+      val ck = text.lastIndexOf("checksum=")
+      if (ck < 0 || !text.endsWith("\n")) return false
+      val body = text.substring(0, ck)
+      val sum = text.substring(ck + "checksum=".length).trim
+      if (org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          body.getBytes(StandardCharsets.UTF_8)) != sum) return false
+      val lines = body.split("\n", 3)
+      lines.length >= 2 && lines(0) == Header && lines(1) == s"version=$expectVersion"
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Probe the commit-point contract on a scratch key: create-exclusive
     * the same path twice; the second claim MUST refuse. A connector whose
@@ -697,8 +799,10 @@ object ManifestStore {
       build(base) match {
         case None => return -1L
         case Some(snap) =>
-          if (tryCommit(fs, root, snap.copy(version = next))) return next
-          else commitRetries.increment()
+          if (tryCommit(fs, root, snap.copy(version = next))) {
+            writeLatestHint(fs, root, next) // best-effort resolution hint
+            return next
+          } else commitRetries.increment()
       }
       attempt += 1
     }
@@ -720,8 +824,14 @@ object ManifestStore {
   private def awaitTornSlots(fs: FileSystem, root: Path,
                              tornGraceMs: Long): Seq[Long] = {
     while (true) {
-      val versions = listVersions(fs, root)
-      val headV = latestIntact(fs, root, versions).map(_.version).getOrElse(0L)
+      val (tail, hinted) = tailVersions(fs, root)
+      var versions = tail
+      var head = latestIntact(fs, root, versions)
+      if (head.isEmpty && hinted) { // hinted tail all-unparseable: full listing
+        versions = listVersions(fs, root)
+        head = latestIntact(fs, root, versions)
+      }
+      val headV = head.map(_.version).getOrElse(0L)
       val youngTorn = versions.filter(_ > headV).flatMap { v =>
         try {
           val st = fs.getFileStatus(manifestPath(root, v))
