@@ -960,6 +960,61 @@ object RelationalQueries {
         .toDF("n_rows", "custkey_sum", "pruned_rewrite", "one_version")
     },
 
+    // O19 (r11): DECIMAL data skipping — per-file min/max stats now cover
+    // DecimalType (INT32/INT64/FIXED_LEN_BYTE_ARRAY physicals, rendered in
+    // the chunk's own annotation scale, compared via BigDecimal), so the
+    // money-typed columns SURVEY §1.2 declares prune like any other key
+    // (VERDICT r10 #4). The price column is integral-valued by design
+    // (key % 1000 cast to DECIMAL(12,2)) so the oracle replays in exact
+    // integer arithmetic — no double→decimal rounding-boundary hazard
+    // between engines. Pins: decimal-pruned read parity (count + key sum),
+    // strict file pruning, and a decimal-keyed copy-on-write DELETE that
+    // rewrites strictly fewer files than the table holds.
+    QueryDef.sql(
+      "o19_manifest_decimal",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS delete_exact,
+        |       true AS files_pruned, true AS pruned_rewrite
+        |FROM orders WHERE o_orderkey % 11 = 5
+        |  AND NOT ((o_orderkey % 1000) < 250)""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 11 === 5)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 1000).cast("decimal(12,2)").as("price"))
+      val root = ProcessNonce.scratchDir("graft_o19_decimal",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      // range layout on price → tight per-file decimal bounds
+      M.append(s, src.repartitionByRange(16, col("price"))
+        .sortWithinPartitions("price"), root)
+      val before = M.latestSnapshot(s, root).get
+      val statsOn = before.files.forall(_.stats.contains("price"))
+      val cut = new java.math.BigDecimal("250.00")
+      val pred = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("price", cut))
+      val kept = M.prunedEntries(before, pred)
+      // decimal-pruned read parity against the source
+      val (nP, sP) = M.readWhere(s, root, pred)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nPe, sPe) = src.where(col("price") >= cut)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val filesPruned = statsOn && kept.nonEmpty && kept.size < before.files.size &&
+        nP == nPe && sP == sPe
+      // decimal-keyed copy-on-write DELETE: only the low-price slice rewrites
+      val (nDel, rewritten, _) = M.deleteWhere(s, root,
+        Seq(org.apache.spark.sql.sources.LessThan("price", cut)))
+      val expDel = src.where(col("price") < cut).count()
+      val (nGot, sumGot) = M.read(s, root)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(!(col("price") < cut))
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, nDel == expDel && nGot == nExp && sumGot == sumExp,
+        filesPruned, rewritten > 0 && rewritten < before.files.size))
+        .toDF("n_rows", "delete_exact", "files_pruned", "pruned_rewrite")
+    },
+
     // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
     // column (the table schema travels in the manifest, so old files
     // null-fill it on read), while time travel replays the schema each

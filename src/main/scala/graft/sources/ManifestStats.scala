@@ -35,7 +35,13 @@ import graft.JsonText
   *    String.compareTo (UTF-16 code units) disagrees beyond the BMP, so
   *    the pruner never uses it. Truncated binary bounds (writers may
   *    shorten long stats) stay VALID bounds by parquet contract (max
-  *    rounds up), so pruning against them is conservative, not wrong.
+  *    rounds up), so pruning against them is conservative, not wrong;
+  *  - decimals (r11) over INT32/INT64/FIXED_LEN_BYTE_ARRAY/BINARY
+  *    physicals, rendered as plain decimal strings in the chunk's own
+  *    decimal-annotation scale and compared via BigDecimal.compareTo.
+  *    Double/float literals against decimal stats are kept-not-pruned:
+  *    the engine's decimal-vs-double comparison casts the DECIMAL down,
+  *    where an exact-decimal prune could err.
   */
 private[graft] object ManifestStats {
 
@@ -55,7 +61,7 @@ private[graft] object ManifestStats {
     * with nested paths in parquet's dot-string addressing).
     */
   def collect(conf: Configuration, file: Path, schema: StructType): (Long, Map[String, ColStats]) = {
-    val tags: Map[String, (String, PrimitiveTypeName)] = schema.fields.collect {
+    val tags: Map[String, String] = schema.fields.collect {
       case f if !f.name.contains('.') => f.name -> tagFor(f.dataType)
     }.collect { case (n, Some(t)) => n -> t }.toMap
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
@@ -66,8 +72,8 @@ private[graft] object ManifestStats {
       var acc = Map.empty[String, Option[ColStats]]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
-        tags.get(name).foreach { case (tag, expectedPrimitive) =>
-          val next = chunkStats(c, tag, expectedPrimitive)
+        tags.get(name).foreach { tag =>
+          val next = chunkStats(c, tag)
           acc += name -> (acc.get(name) match {
             case None => next
             case Some(prev) => merge(prev, next, tag)
@@ -78,31 +84,50 @@ private[graft] object ManifestStats {
     } finally reader.close()
   }
 
-  /** Tag + REQUIRED parquet physical type for a skippable Spark type;
-    * None = never collected (decimal, binary, nested, interval — residual
-    * filters still apply, files just never prune on these columns). The
-    * physical type is enforced per chunk: a legacy file whose column was
-    * written under a DIFFERENT Spark type (pre-r10 tables had no
-    * append-time type refusal) must not have its values reinterpreted in
-    * the wrong domain — e.g. a double chunk's min read as long truncates
-    * toward zero and records a bound NARROWER than the data, the one
-    * direction stats must never err (review r10).
+  /** Comparison-domain tag for a skippable Spark type; None = never
+    * collected (binary, nested, interval — residual filters still apply,
+    * files just never prune on these columns). Each tag's REQUIRED parquet
+    * physical shape is enforced per chunk inside [[chunkStats]]: a legacy
+    * file whose column was written under a DIFFERENT Spark type (pre-r10
+    * tables had no append-time type refusal) must not have its values
+    * reinterpreted in the wrong domain — e.g. a double chunk's min read
+    * as long truncates toward zero and records a bound NARROWER than the
+    * data, the one direction stats must never err (review r10). Decimals
+    * (r11, VERDICT r10 #4) render as plain decimal strings in the scale
+    * of the chunk's OWN decimal annotation (the annotation names the true
+    * numeric domain, whatever physical type carries the unscaled value),
+    * compared via BigDecimal — scale-insensitive, so a (12,2) literal
+    * prunes correctly against a legacy (10,3)-written file.
     */
-  private def tagFor(dt: DataType): Option[(String, PrimitiveTypeName)] = dt match {
-    case IntegerType | ShortType | ByteType => Some(("long", PrimitiveTypeName.INT32))
-    case LongType => Some(("long", PrimitiveTypeName.INT64))
-    case DateType => Some(("date", PrimitiveTypeName.INT32))
-    case TimestampType | TimestampNTZType => Some(("timestamp", PrimitiveTypeName.INT64))
-    case FloatType => Some(("double", PrimitiveTypeName.FLOAT))
-    case DoubleType => Some(("double", PrimitiveTypeName.DOUBLE))
-    case StringType => Some(("string", PrimitiveTypeName.BINARY))
-    case BooleanType => Some(("boolean", PrimitiveTypeName.BOOLEAN))
+  private def tagFor(dt: DataType): Option[String] = dt match {
+    case IntegerType | ShortType | ByteType | LongType => Some("long")
+    case DateType => Some("date")
+    case TimestampType | TimestampNTZType => Some("timestamp")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case BooleanType => Some("boolean")
+    case _: DecimalType => Some("decimal")
     case _ => None
   }
 
+  /** The physical types a tag may read its bounds from (under the matching
+    * Spark type — integral widths all compare in the Long domain).
+    */
+  private def physicalOk(tag: String, pt: PrimitiveTypeName): Boolean = tag match {
+    case "long" => pt == PrimitiveTypeName.INT32 || pt == PrimitiveTypeName.INT64
+    case "date" => pt == PrimitiveTypeName.INT32
+    case "timestamp" => pt == PrimitiveTypeName.INT64
+    case "double" => pt == PrimitiveTypeName.FLOAT || pt == PrimitiveTypeName.DOUBLE
+    case "string" => pt == PrimitiveTypeName.BINARY
+    case "boolean" => pt == PrimitiveTypeName.BOOLEAN
+    case "decimal" => pt == PrimitiveTypeName.INT32 || pt == PrimitiveTypeName.INT64 ||
+      pt == PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY || pt == PrimitiveTypeName.BINARY
+    case _ => false
+  }
+
   private def chunkStats(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
-                         tag: String, expectedPrimitive: PrimitiveTypeName): Option[ColStats] = {
-    if (c.getPrimitiveType.getPrimitiveTypeName != expectedPrimitive) return None
+                         tag: String): Option[ColStats] = {
+    if (!physicalOk(tag, c.getPrimitiveType.getPrimitiveTypeName)) return None
     val st: org.apache.parquet.column.statistics.Statistics[_] = c.getStatistics
     if (st == null || st.isEmpty) return None
     val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
@@ -157,6 +182,29 @@ private[graft] object ManifestStats {
         }
       case "boolean" =>
         Some(ColStats(tag, Some(st.genericGetMin.toString), Some(st.genericGetMax.toString), nulls))
+      case "decimal" =>
+        // the chunk's OWN decimal annotation names the numeric domain; a
+        // decimal-typed table column whose chunk carries NO decimal
+        // annotation (legacy file written under a non-decimal type) is
+        // refused — never reinterpreted
+        pt.getLogicalTypeAnnotation match {
+          case ann: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            def render(v: Any): Option[String] = v match {
+              case n: java.lang.Integer =>
+                Some(java.math.BigDecimal.valueOf(n.longValue, ann.getScale).toPlainString)
+              case n: java.lang.Long =>
+                Some(java.math.BigDecimal.valueOf(n, ann.getScale).toPlainString)
+              case b: org.apache.parquet.io.api.Binary =>
+                val bytes = b.getBytes // big-endian two's-complement unscaled
+                if (bytes.isEmpty) None
+                else Some(new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), ann.getScale).toPlainString)
+              case _ => None
+            }
+            for (mn <- render(st.genericGetMin); mx <- render(st.genericGetMax))
+              yield ColStats(tag, Some(mn), Some(mx), nulls)
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -187,6 +235,8 @@ private[graft] object ManifestStats {
       if (x == y) 0 else java.lang.Double.compare(x, y)
     case "boolean" => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
     case "string" => compareUtf8(a, b)
+    case "decimal" => // compareTo, not equals: scale-insensitive (1.00 == 1.0)
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case other => sys.error(s"unknown stats tag $other")
   }
 
@@ -232,6 +282,17 @@ private[graft] object ManifestStats {
       if (math.abs(x) <= (1L << 53)) Some(x.toDouble.toString) else None
     case ("string", x: String) => Some(x)
     case ("boolean", x: Boolean) => Some(x.toString)
+    case ("decimal", x: java.math.BigDecimal) => Some(x.toPlainString)
+    case ("decimal", x: scala.math.BigDecimal) => Some(x.bigDecimal.toPlainString)
+    case ("decimal", x: Byte) => Some(java.math.BigDecimal.valueOf(x.toLong).toPlainString)
+    case ("decimal", x: Short) => Some(java.math.BigDecimal.valueOf(x.toLong).toPlainString)
+    case ("decimal", x: Int) => Some(java.math.BigDecimal.valueOf(x.toLong).toPlainString)
+    case ("decimal", x: Long) => Some(java.math.BigDecimal.valueOf(x).toPlainString)
+    // Double/Float literals against decimal stats are REFUSED (kept, not
+    // pruned): the engine compares decimal-vs-double by casting the
+    // DECIMAL to double, where distinct decimals collapse equal — a
+    // BigDecimal-exact prune here could drop a file whose rows the
+    // residual double comparison matches
     case _ => None
   }
 
@@ -363,7 +424,7 @@ private[graft] object ManifestStats {
   /** Tag map for partition columns (exact-compare domain). */
   def partTagsOf(schema: StructType, partCols: Seq[String]): Map[String, String] =
     partCols.flatMap(c => schema.fields.find(_.name == c)
-      .flatMap(f => tagFor(f.dataType)).map { case (tag, _) => c -> tag }).toMap
+      .flatMap(f => tagFor(f.dataType)).map(tag => c -> tag)).toMap
 
   // ---- meta JSON (one object per manifest file line) ------------------
 

@@ -975,6 +975,47 @@ class ManifestStoreSpec extends SparkSpec {
       < snap.files.size, "zero-equality must still prune the 42.0 file")
   }
 
+  /** r11 (VERDICT r10 #4): decimal columns get min/max stats — over all
+    * three physical widths Spark writes (INT32 ≤9 digits, INT64 ≤18,
+    * FIXED_LEN_BYTE_ARRAY beyond) — so decimal-keyed reads AND deletes
+    * prune files; double literals against decimal stats are kept, never
+    * pruned (the residual comparison casts the decimal DOWN to double).
+    */
+  test("decimal stats prune reads and deletes across all physical widths") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") / 100.0).cast("decimal(8,2)").as("p32"),
+      (col("id") / 100.0).cast("decimal(12,2)").as("p64"),
+      (col("id") / 100.0).cast("decimal(24,6)").as("pbin"))
+    ManifestStore.append(spark,
+      df.repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    val nine = new java.math.BigDecimal("9.00")
+    for (c <- Seq("p32", "p64", "pbin")) {
+      assert(snap.files.forall(_.stats.contains(c)), s"$c stats not harvested")
+      val kept = ManifestStore.prunedEntries(snap, Seq(GreaterThanOrEqual(c, nine)))
+      assert(kept.nonEmpty && kept.size < snap.files.size,
+        s"decimal pruning inert on $c: ${kept.size}/${snap.files.size}")
+      assert(ManifestStore.readWhere(spark, root, Seq(GreaterThanOrEqual(c, nine)))
+        .count() == 100L, s"pruned read wrong on $c") // ids 900..999
+    }
+    // a double literal must keep every file (conservative), and the read
+    // still answers through the residual filter
+    assert(ManifestStore.prunedEntries(snap, Seq(GreaterThanOrEqual("p64", 9.0d)))
+      .size == snap.files.size, "double-vs-decimal must not prune")
+    assert(ManifestStore.readWhere(spark, root,
+      Seq(GreaterThanOrEqual("p64", 9.0d))).count() == 100L)
+    // decimal-keyed copy-on-write DELETE rewrites only the matching slice
+    val one = new java.math.BigDecimal("1.00")
+    val (nDel, rewritten, _) =
+      ManifestStore.deleteWhere(spark, root, Seq(LessThan("p64", one)))
+    assert(nDel == 100L, s"deleted $nDel") // ids 0..99
+    assert(rewritten > 0 && rewritten < snap.files.size,
+      s"decimal delete rewrote $rewritten of ${snap.files.size}")
+    assert(ManifestStore.read(spark, root).count() == 900L)
+  }
+
   /** advice r11 (medium): a zero-file micro-batch (any empty PARTITIONED
     * frame — an all-dropped first dedup batch) must be a no-op, never a
     * zero-file manifest that read() then refuses by contract.
