@@ -975,6 +975,31 @@ class ManifestStoreSpec extends SparkSpec {
       < snap.files.size, "zero-equality must still prune the 42.0 file")
   }
 
+  /** r11 (VERDICT r10 #5): above maxProbeKeys the upsert's exact key-set
+    * probe is off, but a clustered bulk update must still rewrite only its
+    * key-range slice (per-column min/max from the audit agg), never the
+    * whole table.
+    */
+  test("over-cap upsert prunes by key range: a clustered bulk update rewrites one slice") {
+    val root = freshRoot()
+    val table = spark.range(0, 40000).select(col("id"), lit("old").as("payload"))
+    ManifestStore.append(spark,
+      table.repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    assert(before.files.size == 8)
+    // 5000 distinct keys (cap is 100) confined to the first slice's range
+    val updates = spark.range(0, 5000).select(col("id"), lit("new").as("payload"))
+    val (replaced, rewritten, v) = ManifestStore.upsertByKey(
+      spark, root, updates, Seq("id"), maxProbeKeys = 100)
+    assert(v > 0 && replaced == 5000L, s"(replaced=$replaced, v=$v)")
+    assert(rewritten > 0 && rewritten <= 2,
+      s"range-confined over-cap update rewrote $rewritten of 8 files")
+    val after = ManifestStore.read(spark, root)
+    assert(after.count() == 40000L)
+    assert(after.where(col("payload") === "new").count() == 5000L)
+    assert(after.where(col("id") < 5000 && col("payload") === "old").count() == 0L)
+  }
+
   /** r11 (VERDICT r10 #4): decimal columns get min/max stats — over all
     * three physical widths Spark writes (INT32 ≤9 digits, INT64 ≤18,
     * FIXED_LEN_BYTE_ARRAY beyond) — so decimal-keyed reads AND deletes
