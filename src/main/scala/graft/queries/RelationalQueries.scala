@@ -960,6 +960,65 @@ object RelationalQueries {
         .toDF("n_rows", "custkey_sum", "pruned_rewrite", "one_version")
     },
 
+    // O18 (r11): the graft-manifest FORMAT — the IDIOMATIC read
+    // (`spark.read.format("graft-manifest").load(root).where(...)`) gets
+    // exactly the file skipping readWhere's library ADT does, THROUGH THE
+    // PLANNER: the relation is a HadoopFsRelation over ManifestFileIndex,
+    // Catalyst's partition/data filters translate into sources.Filters and
+    // route into prunedEntries at planning time, and the scan stays
+    // Spark's native vectorized parquet path (VERDICT r10 #1). Pins:
+    // oracle-replayed count + key sum through the idiomatic read, answer
+    // parity with readWhere, files OPENED (the scan's own numFiles metric,
+    // not a library-side count) strictly below the live file count, and
+    // the predicate landing in the scan (PushedFilters + ManifestFileIndex
+    // location).
+    QueryDef.sql(
+      "o18_manifest_format",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       true AS answer_parity, true AS files_pruned, true AS pushed_scan
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |  AND o_orderkey >= (9 * (SELECT max(o_orderkey) FROM orders
+        |                          WHERE o_orderkey % 3 = 1)) // 10""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o18_format",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, src.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), root)
+      val snap = M.latestSnapshot(s, root).get
+      val cut = 9L * src.agg(max("o_orderkey")).as[Long].head() / 10L
+      // the idiomatic read — no hand-built Filter ADT anywhere
+      val df = s.read.format("graft-manifest").load(root)
+        .where(col("o_orderkey") >= cut)
+      // collect df ITSELF (not a derived projection): the numFiles metric
+      // lives on this queryExecution's executed scan
+      val rows = df.collect()
+      val (nGot, sumGot) =
+        (rows.length.toLong, rows.map(_.getAs[Long]("o_orderkey")).sum)
+      // files OPENED, from the executed scan's own metric
+      val scans = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      val opened = scans.map(_.metrics("numFiles").value).sum
+      val filesPruned = scans.nonEmpty && opened > 0 && opened < snap.files.size
+      val pushedScan = scans.exists(sc => sc.toString.contains("ManifestFileIndex") &&
+        sc.toString.contains(s"GreaterThanOrEqual(o_orderkey,$cut)"))
+      // parity with the library path
+      val (nLib, sumLib) = M.readWhere(s, root,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("o_orderkey", cut)))
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, sumGot, nGot == nLib && sumLib.contains(sumGot),
+        filesPruned, pushedScan))
+        .toDF("n_rows", "key_sum", "answer_parity", "files_pruned", "pushed_scan")
+    },
+
     // O19 (r11): DECIMAL data skipping — per-file min/max stats now cover
     // DecimalType (INT32/INT64/FIXED_LEN_BYTE_ARRAY physicals, rendered in
     // the chunk's own annotation scale, compared via BigDecimal), so the

