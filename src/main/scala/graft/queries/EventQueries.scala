@@ -285,6 +285,92 @@ object EventQueries {
           .orderBy("user_id", "view_ts_ms", "purchase_ts_ms", "purchase_value")
     },
 
+    // E6e (r11): the exactly-once MANIFEST dedup sink in the oracle gate
+    // (VERDICT r10 #3) — three micro-batches of documents driven through
+    // EventStreams.manifestDedupBatch with EVERY batch FORCE-REDELIVERED
+    // (the at-least-once worst case), then the converged docs table is
+    // hash-checked against a DuckDB replay of the dedup outcome, plus
+    // pinned convergence booleans (zero duplicate ids, both tables' txn
+    // watermarks at the last batch, version monotonicity). Texts are
+    // shingle-SALTED with their own content hash (spaces -> content-hash
+    // tokens), which makes distinct texts' shingle sets disjoint — so the
+    // near-dup path runs end-to-end (signatures, band index, maintenance)
+    // but provably drops nothing at ANY scale factor, and the converged
+    // corpus is exact arithmetic: keep-first-by-(batch, doc_id) per text.
+    // The MinHash math itself is hash-pinned by e2_incremental's full
+    // DuckDB replay; THIS entry pins the sink's exactly-once convergence.
+    QueryDef.sql(
+      "e6_manifest_sink",
+      """WITH raw AS (
+        |  SELECT doc_id, text, 0 AS b FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text, 1 AS b FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, reverse(text) AS text, 1 AS b
+        |  FROM documents WHERE doc_id BETWEEN 20 AND 39
+        |  UNION ALL
+        |  SELECT doc_id + 3100000 AS doc_id, reverse(text) AS text, 1 AS b
+        |  FROM documents WHERE doc_id BETWEEN 20 AND 24
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, reverse(text) AS text, 2 AS b
+        |  FROM documents WHERE doc_id BETWEEN 20 AND 29
+        |  UNION ALL
+        |  SELECT doc_id + 5000000 AS doc_id, reverse(text) AS text, 2 AS b
+        |  FROM documents WHERE doc_id BETWEEN 40 AND 59
+        |  UNION ALL
+        |  SELECT doc_id + 6000000 AS doc_id, text, 2 AS b FROM documents WHERE doc_id < 10
+        |),
+        |salted AS (
+        |  SELECT doc_id, replace(text, ' ', ' ' || substr(md5(text), 1, 4) || ' ') AS text, b
+        |  FROM raw
+        |),
+        |keep AS (
+        |  SELECT doc_id, text FROM salted
+        |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY b, doc_id) = 1
+        |)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, true AS sink_converged
+        |FROM keep ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val M = graft.sources.ManifestStore
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      def salted(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df.withColumn("text",
+        expr("replace(text, ' ', concat(' ', substring(md5(text), 1, 4), ' '))"))
+      def slice(lo: Int, hi: Int, off: Long, rev: Boolean): org.apache.spark.sql.DataFrame = {
+        val base = docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        base.select((col("doc_id") + off).as("doc_id"),
+          (if (rev) reverse(col("text")) else col("text")).as("text"))
+      }
+      val batches = Seq(
+        slice(0, 60, 0L, rev = false),
+        slice(0, 20, 2000000L, rev = false)
+          .union(slice(20, 40, 3000000L, rev = true))
+          .union(slice(20, 25, 3100000L, rev = true)),
+        slice(20, 30, 4000000L, rev = true)
+          .union(slice(40, 60, 5000000L, rev = true))
+          .union(slice(0, 10, 6000000L, rev = false))
+      ).map(salted)
+      val root = ProcessNonce.scratchDir("graft_e6_msink",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      for ((b, bid) <- batches.zipWithIndex; _ <- 0 until 2) // every batch DELIVERED TWICE
+        graft.streaming.EventStreams.manifestDedupBatch(
+          b, bid.toLong, "doc_id", "text", root, threshold = 0.5, curate = identity)
+      val table = M.read(s, s"$root/docs")
+      val (nRows, nIds) = table.agg(count(lit(1)), countDistinct("doc_id"))
+        .as[(Long, Long)].head()
+      val docsSnap = M.latestSnapshot(s, s"$root/docs").get
+      val idxSnap = M.latestSnapshot(s, s"$root/index").get
+      val converged = nRows == nIds && // zero duplicate rows under redelivery
+        docsSnap.txns.get(graft.streaming.EventStreams.ManifestDedupDocsApp).contains(2L) &&
+        idxSnap.txns.get(graft.streaming.EventStreams.ManifestDedupIndexApp).contains(2L)
+      table.select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .withColumn("sink_converged", lit(converged))
+        .orderBy("doc_id")
+    },
+
     // E9b: cohort retention matrix — per signup-cohort week, how many users
     // are active 0..3 weeks later. Cohort and activity weeks are both
     // Monday-truncated, so the offset is an exact integer division of the
