@@ -29,21 +29,24 @@ private[queries] object ProcessNonce {
     // in nested subdirs would look idle at the top and get swept mid-run —
     // the exact race the nonce exists to prevent (advice r10; same
     // recursion as ManifestStore.vacuum's newestTouch).
+    val cutoff = System.currentTimeMillis() - sweepAgeMs
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
       f.isDirectory && f.getName.startsWith(prefix + "_") &&
-        f.getName != mine.getName &&
-        System.currentTimeMillis() - newestTouch(f) > sweepAgeMs
+        f.getName != mine.getName && !touchedSince(f, cutoff)
     }
     stale.foreach(deleteRecursively)
     registerCleanup(mine)
     mine.toString
   }
 
-  private def newestTouch(f: java.io.File): Long = {
-    val kids = if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]) else Array.empty[java.io.File]
-    (f.lastModified() +: kids.map(newestTouch)).max
-  }
+  /** Any mtime in the tree at/after `cutoff`? Short-circuits on the first
+    * fresh entry, so probing a large LIVE sibling (the common case) is
+    * O(path-to-first-fresh-file), not a full tree walk (review r11).
+    */
+  private def touchedSince(f: java.io.File, cutoff: Long): Boolean =
+    f.lastModified() >= cutoff || (f.isDirectory &&
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .exists(touchedSince(_, cutoff)))
 
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()

@@ -44,19 +44,39 @@ private[graft] class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pushed = (partitionFilters ++ dataFilters)
-      .flatMap(e => translate(e, insideNot = false))
+    // DATA filters prune conservatively (translation gaps only cost files
+    // opened — Spark re-applies the full predicate after the scan).
+    // PARTITION filters are different in kind: FileSourceStrategy REMOVES
+    // partition-only predicates from the post-scan filters, so they must
+    // be enforced EXACTLY here — a conservative keep would return rows the
+    // query filtered out (review r11). They are evaluated as bound
+    // Catalyst predicates against each directory's partition values (the
+    // InMemoryFileIndex.prunePartitions discipline), which also makes
+    // function-wrapped partition predicates PRUNE, not just stay correct.
+    val pushed = dataFilters.flatMap(e => translate(e, insideNot = false))
     val kept = ManifestStore.prunedEntries(snap, pushed)
     if (partitionSchema.isEmpty)
       Seq(PartitionDirectory(new GenericInternalRow(Array.empty[Any]),
         kept.map(statusOf)))
-    else kept.groupBy(_.partition.getOrElse(Map.empty)).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-      .map { case (pv, es) =>
-        val values = partitionSchema.fields.map(f =>
-          partCatalyst(pv.get(f.name).flatten, f.dataType))
-        PartitionDirectory(new GenericInternalRow(values), es.map(statusOf))
+    else {
+      val dirs = kept.groupBy(_.partition.getOrElse(Map.empty)).toSeq
+        .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
+        .map { case (pv, es) =>
+          val values = partitionSchema.fields.map(f =>
+            partCatalyst(pv.get(f.name).flatten, f.dataType))
+          PartitionDirectory(new GenericInternalRow(values), es.map(statusOf))
+        }
+      if (partitionFilters.isEmpty) dirs
+      else {
+        val bound = ce.Predicate.createInterpreted(
+          partitionFilters.reduce(ce.And).transform {
+            case a: ce.AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              ce.BoundReference(i, partitionSchema(i).dataType, nullable = true)
+          })
+        dirs.filter(d => bound.eval(d.values))
       }
+    }
   }
 
   private def statusOf(e: ManifestStore.ManifestEntry): FileStatusWithMetadata =

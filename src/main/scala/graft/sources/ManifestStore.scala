@@ -180,14 +180,23 @@ object ManifestStore {
     try parseStrict(bytes, expectVersion)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def parseStrict(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] = {
+  /** The manifest body iff the checksum trailer validates — the ONE
+    * definition of the intactness framing, shared by the full parser and
+    * the hint validator so the two can never drift (review r11).
+    */
+  private def checksumValidBody(bytes: Array[Byte]): Option[String] = {
     val text = new String(bytes, StandardCharsets.UTF_8)
     val ck = text.lastIndexOf("checksum=")
     if (ck < 0 || !text.endsWith("\n")) return None
     val body = text.substring(0, ck)
     val sum = text.substring(ck + "checksum=".length).trim
     if (org.apache.commons.codec.digest.DigestUtils.md5Hex(
-        body.getBytes(StandardCharsets.UTF_8)) != sum) return None
+        body.getBytes(StandardCharsets.UTF_8)) != sum) None
+    else Some(body)
+  }
+
+  private def parseStrict(bytes: Array[Byte], expectVersion: Long): Option[Snapshot] = {
+    val body = checksumValidBody(bytes).getOrElse(return None)
     val lines = body.split("\n", -1).toSeq.dropRight(1) // trailing ""
     if (lines.isEmpty || lines.head != Header) return None
     val v = lines.lift(1).collect { case s if s.startsWith("version=") =>
@@ -261,10 +270,16 @@ object ManifestStore {
       if (!fs.exists(p)) return None
       val in = fs.open(p)
       val s = try {
+        // loop to EOF: a single read() may legally return short, and a
+        // truncated digit prefix ("142" of "14203") would validate as a
+        // plausible MUCH older version and turn the forward probe into
+        // thousands of sequential exists() RPCs (review r11)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        if (n <= 0) return None
-        new String(buf, 0, n, StandardCharsets.UTF_8).trim
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off < buf.length) { off += n; n = in.read(buf, off, buf.length - off) }
+        if (off == 0) return None
+        new String(buf, 0, off, StandardCharsets.UTF_8).trim
       } finally in.close()
       val v = s.toLong
       if (v >= 1L &&
@@ -348,14 +363,7 @@ object ManifestStore {
     * a reader accepts.
     */
   private def isIntactLite(bytes: Array[Byte], expectVersion: Long): Boolean =
-    try {
-      val text = new String(bytes, StandardCharsets.UTF_8)
-      val ck = text.lastIndexOf("checksum=")
-      if (ck < 0 || !text.endsWith("\n")) return false
-      val body = text.substring(0, ck)
-      val sum = text.substring(ck + "checksum=".length).trim
-      if (org.apache.commons.codec.digest.DigestUtils.md5Hex(
-          body.getBytes(StandardCharsets.UTF_8)) != sum) return false
+    try checksumValidBody(bytes).exists { body =>
       val lines = body.split("\n", 3)
       lines.length >= 2 && lines(0) == Header && lines(1) == s"version=$expectVersion"
     } catch { case scala.util.control.NonFatal(_) => false }
@@ -592,10 +600,11 @@ object ManifestStore {
              partitionBy: Seq[String] = Nil): Long = {
     val (fs, rootP) = fsFor(spark, root)
     if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
-    val legacy = requireCompatibleSchema(spark, df, root, partitionBy)
+    val cur = latestSnapshot(spark, root)
+    val legacy = requireCompatibleSchema(spark, df, root, partitionBy, cur)
     val mine = writeBatch(fs, rootP, df, partitionBy)
     if (mine.isEmpty)
-      return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+      return cur.map(_.version).getOrElse(0L)
     val batchSchema = normalizeSchema(df.schema)
     commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
@@ -643,7 +652,7 @@ object ManifestStore {
     if (pre.exists(_.txns.getOrElse(appId, -1L) >= batchId))
       return pre.get.version
     if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
-    val legacy = requireCompatibleSchema(spark, df, root, partitionBy)
+    val legacy = requireCompatibleSchema(spark, df, root, partitionBy, pre)
     val mine = writeBatch(fs, rootP, df, partitionBy)
     // a zero-file micro-batch (every partitioned empty frame — an
     // all-dropped dedup batch hits this) is a NO-OP like append's: on a
@@ -652,7 +661,7 @@ object ManifestStore {
     // advance — a redelivery recomputes the same empty batch
     // deterministically and no-ops again.
     if (mine.isEmpty)
-      return latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+      return pre.map(_.version).getOrElse(0L)
     val batchSchema = normalizeSchema(df.schema)
     val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
       val txns = base.map(_.txns).getOrElse(Map.empty)
@@ -679,9 +688,9 @@ object ManifestStore {
     * attempt.
     */
   private def requireCompatibleSchema(spark: SparkSession, df: DataFrame,
-                                      root: String,
-                                      partitionBy: Seq[String]): Option[StructType] = {
-    val snapOpt = latestSnapshot(spark, root).filter(_.files.nonEmpty)
+                                      root: String, partitionBy: Seq[String],
+                                      cur: Option[Snapshot]): Option[StructType] = {
+    val snapOpt = cur.filter(_.files.nonEmpty)
     snapOpt match {
       case None => None
       case Some(snap) =>
@@ -704,11 +713,23 @@ object ManifestStore {
     * in OTHER files once the seeded schema is committed as the table's —
     * explicit-schema reads then hide that data forever (advice r10).
     * Incompatible footers refuse loudly via Spark's merge failure, the
-    * same posture as the append-time type check.
+    * same posture as the append-time type check. Content-addressed cache
+    * (keyed on the file-path set): the union is immutable per file set,
+    * and an idle tail-poll or a fully-pruned read of a legacy table must
+    * not pay a whole-table footer pass per call (review r11).
     */
-  private def legacySchemaOf(spark: SparkSession, files: Seq[ManifestEntry]): StructType =
-    normalizeSchema(
-      spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*).schema)
+  private val legacySchemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, StructType](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, StructType]): Boolean = size > 64
+    })
+
+  private def legacySchemaOf(spark: SparkSession, files: Seq[ManifestEntry]): StructType = {
+    val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      files.map(_.path).sorted.mkString("\n"))
+    legacySchemaCache.computeIfAbsent(key, _ => normalizeSchema(
+      spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*).schema))
+  }
 
   private def checkColumnTypes(batch: StructType, table: StructType, root: String,
                                advice: String =

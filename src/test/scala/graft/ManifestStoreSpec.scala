@@ -1061,6 +1061,39 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  /** review r11: partition-only predicates are REMOVED from the post-scan
+    * filters by FileSourceStrategy, so the index must enforce them EXACTLY
+    * — including shapes the pruning translator cannot express (function-
+    * wrapped, null-laden IN, null-safe equality). A conservative keep here
+    * is not conservative: it returns rows the query filtered out.
+    */
+  test("graft-manifest format: untranslatable partition predicates are enforced exactly") {
+    val root = freshRoot()
+    val df = (0 until 90).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day")
+    ManifestStore.append(spark, df, root, partitionBy = Seq("day"))
+    val t = spark.read.format("graft-manifest").load(root)
+    // function-wrapped: translate() cannot express upper(day)
+    assert(t.where(upper(col("day")) === "D1").count() == 30L,
+      "function-wrapped partition predicate not enforced")
+    assert(t.where(upper(col("day")) === "D1")
+      .select("id").as[Long].collect().forall(_ % 3 == 1))
+    // IN with a null member
+    assert(t.where(col("day").isin(null, "d2")).count() == 30L)
+    // null-safe equality against a non-null literal
+    assert(t.where(col("day") <=> "d0").count() == 30L)
+    // and the exact evaluation also PRUNES (not just corrects): the
+    // wrapped-equality scan opens only d1's files
+    val q = t.where(upper(col("day")) === "D1")
+    q.collect()
+    val opened = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    val total = ManifestStore.latestSnapshot(spark, root).get.files.size
+    assert(opened > 0 && opened < total,
+      s"exact partition evaluation should prune: opened $opened of $total")
+  }
+
   /** r11 (VERDICT r10 #5): above maxProbeKeys the upsert's exact key-set
     * probe is off, but a clustered bulk update must still rewrite only its
     * key-range slice (per-column min/max from the audit agg), never the
