@@ -1074,6 +1074,59 @@ object RelationalQueries {
         .toDF("n_rows", "delete_exact", "files_pruned", "pruned_rewrite")
     },
 
+    // O20 (r11): MERGE-ON-READ delete (deletion vectors) — a DELETE costs
+    // O(matched rows) in tiny position files while every data file keeps
+    // BYTE IDENTITY (pinned: paths+sizes unchanged, strictly fewer files
+    // tagged than the table holds); reads apply the vectors exactly
+    // (count + key sum replayed by the oracle as WHERE NOT pred); an
+    // overlapping second delete MERGES vectors and counts only LIVE
+    // matches. At 100 TB this is the compliance-erasure shape: kilobytes
+    // of dv writes instead of terabytes of parquet rewrite.
+    QueryDef.sql(
+      "o20_manifest_mor_delete",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       true AS delete_exact, true AS byte_identity, true AS merged_exact
+        |FROM orders WHERE o_orderkey % 11 = 7
+        |  AND NOT (o_totalprice < 100000)""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 11 === 7)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o20_mor",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, src.repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice"), root)
+      val before = M.latestSnapshot(s, root).get
+      // first MoR delete: the low-price slice
+      val (n1, tagged1, _) = M.deleteWhereMergeOnRead(s, root,
+        Seq(org.apache.spark.sql.sources.LessThan("o_totalprice", 50000.0)))
+      val exp1 = src.where(col("o_totalprice") < 50000.0).count()
+      val after1 = M.latestSnapshot(s, root).get
+      val byteIdentity = tagged1 > 0 && tagged1 < before.files.size &&
+        after1.files.map(e => (e.path, e.bytes)).toSet ==
+          before.files.map(e => (e.path, e.bytes)).toSet
+      // overlapping second delete: merges vectors, counts LIVE rows only
+      val (n2, _, _) = M.deleteWhereMergeOnRead(s, root,
+        Seq(org.apache.spark.sql.sources.LessThan("o_totalprice", 100000.0)))
+      val exp2 = src.where(col("o_totalprice") >= 50000.0 &&
+        col("o_totalprice") < 100000.0).count()
+      val dvTotal = M.latestSnapshot(s, root).get.files.flatMap(_.dv).map(_.rows).sum
+      val (nGot, sumGot) = M.read(s, root)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(!(col("o_totalprice") < 100000.0))
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      Seq((nGot, sumGot.getOrElse(0L),
+        n1 == exp1 && nGot == nExp && sumGot == sumExp,
+        byteIdentity,
+        n2 == exp2 && dvTotal == exp1 + exp2))
+        .toDF("n_rows", "key_sum", "delete_exact", "byte_identity", "merged_exact")
+    },
+
     // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
     // column (the table schema travels in the manifest, so old files
     // null-fill it on read), while time travel replays the schema each

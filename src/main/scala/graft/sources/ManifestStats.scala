@@ -428,15 +428,18 @@ private[graft] object ManifestStats {
 
   // ---- meta JSON (one object per manifest file line) ------------------
 
-  /** `{"r":<rows>,"s":{col:{"t":..,"m":..,"x":..,"n":..}},"p":{col:val}}`
-    * — compact, tab/newline-free by [[JsonText]] escaping, so it rides the
-    * manifest's third tab field.
+  /** `{"r":<rows>,"s":{col:{"t":..,"m":..,"x":..,"n":..}},"p":{col:val},
+    * "d":{"p":<dvPath>,"n":<deletedRows>}}` — compact, tab/newline-free by
+    * [[JsonText]] escaping, so it rides the manifest's third tab field.
     */
   def renderMeta(rows: Option[Long], stats: Map[String, ColStats],
-                 partition: Option[Map[String, Option[String]]]): Option[String] = {
-    if (rows.isEmpty && stats.isEmpty && partition.isEmpty) return None
+                 partition: Option[Map[String, Option[String]]],
+                 dv: Option[ManifestStore.DvRef] = None): Option[String] = {
+    if (rows.isEmpty && stats.isEmpty && partition.isEmpty && dv.isEmpty) return None
     val parts = Seq.newBuilder[String]
     rows.foreach(r => parts += s""""r":$r""")
+    dv.foreach(d => parts +=
+      s""""d":{"p":${JsonText.quote(d.path)},"n":${d.rows}}""")
     if (stats.nonEmpty) {
       val cols = stats.toSeq.sortBy(_._1).map { case (n, s) =>
         val fields = Seq(Some(s""""t":${JsonText.quote(s.t)}"""),
@@ -468,7 +471,7 @@ private[graft] object ManifestStats {
     * skipping — review r10).
     */
   def parseMeta(json: String): Option[(Option[Long], Map[String, ColStats],
-      Option[Map[String, Option[String]]])] =
+      Option[Map[String, Option[String]]], Option[ManifestStore.DvRef])] =
     try {
       import com.fasterxml.jackson.databind.JsonNode
       val node = mapper.readTree(json)
@@ -502,6 +505,18 @@ private[graft] object ManifestStats {
           e.getKey -> (if (v.isNull) None else Some(textOf(v).getOrElse(return None)))
         }.toMap)
       }
-      Some((rows, stats, part))
+      // a malformed dv is NOT degradable: absence means "no rows deleted",
+      // so dropping it would resurrect deleted rows — the whole meta
+      // refuses instead (the entry then fails the manifest parse posture
+      // of wrong-never, slow-maybe)
+      val dv = Option(node.get("d")) match {
+        case None => None
+        case Some(d) if !d.isObject => return None
+        case Some(d) =>
+          val p = Option(d.get("p")).flatMap(textOf).getOrElse(return None)
+          val n = Option(d.get("n")).flatMap(longOf).getOrElse(return None)
+          Some(ManifestStore.DvRef(p, n))
+      }
+      Some((rows, stats, part, dv))
     } catch { case scala.util.control.NonFatal(_) => None }
 }

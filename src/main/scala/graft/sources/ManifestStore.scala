@@ -94,16 +94,30 @@ object ManifestStore {
 
   import ManifestStats.ColStats
 
+  /** A file's deletion vector (r11): `path` is ONE immutable parquet file
+    * of `(fkey, pos)` rows — `pos` the 0-based row index (parquet
+    * `_metadata.row_index`) of a DELETED row in the data file, `fkey` the
+    * md5 of the data file's path string (the join key a scan computes as
+    * `md5(_metadata.file_path)`). `rows` = how many positions it holds
+    * (live rows = entry.rows - dv.rows). A later delete on the same file
+    * MERGES (old ∪ new) into a fresh dv file — an entry always references
+    * exactly one current dv.
+    */
+  final case class DvRef(path: String, rows: Long)
+
   /** One live data file: URI + size, plus (r10) its row count, per-column
     * min/max/null stats and — on a partitioned table — its exact hive
     * partition values (inner None = the hive null partition). Rows/stats/
     * partition are None/empty on entries committed by pre-r10 writers;
-    * every absence only disables skipping, never correctness.
+    * every absence only disables skipping, never correctness. `dv` (r11)
+    * is the file's deletion vector — rows at those positions are DELETED
+    * and every read path must apply it (merge-on-read DELETE).
     */
   final case class ManifestEntry(path: String, bytes: Long,
                                  rows: Option[Long] = None,
                                  stats: Map[String, ColStats] = Map.empty,
-                                 partition: Option[Map[String, Option[String]]] = None)
+                                 partition: Option[Map[String, Option[String]]] = None,
+                                 dv: Option[DvRef] = None)
 
   /** `txns` carries the highest committed batch id per streaming writer
     * (appId): foreachBatch delivery is at-least-once, so a retried
@@ -162,7 +176,7 @@ object ManifestStore {
       // collide — enforced rather than assumed
       require(!f.path.startsWith("txn="), s"file path collides with txn marker: ${f.path}")
       body.append(f.path).append('\t').append(f.bytes)
-      ManifestStats.renderMeta(f.rows, f.stats, f.partition)
+      ManifestStats.renderMeta(f.rows, f.stats, f.partition, f.dv)
         .foreach(m => body.append('\t').append(m))
       body.append('\n')
     }
@@ -219,9 +233,18 @@ object ManifestStore {
         l.split("\t", -1) match {
           case Array(p, b) => files += ManifestEntry(p, b.toLong)
           case Array(p, b, meta) =>
-            val (rows, stats, part) = ManifestStats.parseMeta(meta)
-              .getOrElse((None, Map.empty[String, ColStats], None))
-            files += ManifestEntry(p, b.toLong, rows, stats, part)
+            ManifestStats.parseMeta(meta) match {
+              case Some((rows, stats, part, dv)) =>
+                files += ManifestEntry(p, b.toLong, rows, stats, part, dv)
+              case None if meta.contains("\"d\":") =>
+                // a meta that CARRIES a deletion vector but fails to parse
+                // must tear the whole manifest (fall back to the previous
+                // intact version) — the stats-less degrade below would
+                // silently RESURRECT the deleted rows
+                return None
+              case None => // stats-less degrade: only disables skipping
+                files += ManifestEntry(p, b.toLong)
+            }
           case _ => return None
         }
       }
@@ -947,6 +970,16 @@ object ManifestStore {
       s"${removed.size} file(s) of v$fromVersion were rewritten between v$fromVersion " +
         s"and v${cur.version} under $root (compaction/delete/upsert) — incremental " +
         "reads are only sound over append-only ranges; reprocess from a full snapshot")
+    // a deletion vector moving on a SHARED file is a delete, not an append
+    // — "new files" cannot express it (r11)
+    val oldDv = fromSnap.files.map(f => f.path -> f.dv.map(_.path)).toMap
+    val dvMoved = cur.files.filter(f =>
+      oldDv.get(f.path).exists(_ != f.dv.map(_.path))).map(_.path)
+    require(dvMoved.isEmpty,
+      s"${dvMoved.size} file(s) gained or changed a deletion vector between " +
+        s"v$fromVersion and v${cur.version} under $root (merge-on-read delete) — " +
+        "incremental reads are only sound over append-only ranges; reprocess " +
+        "from a full snapshot")
     val added = cur.files.filterNot(f => oldPaths(f.path))
     if (added.isEmpty) (cur.version, emptyFrame)
     else (cur.version, readSnapshot(spark, root, cur.copy(files = added), Seq.empty))
@@ -1043,6 +1076,13 @@ object ManifestStore {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
+    // the plain parquet relation cannot apply deletion vectors — reading
+    // through it would RESURRECT deleted rows; refuse with the recipe
+    require(snap.files.forall(_.dv.forall(_.rows == 0L)),
+      s"table under $root carries live deletion vectors (merge-on-read " +
+        "deletes) which the planner-integrated format cannot apply — run " +
+        "ManifestStore.materializeDeletes(spark, root) first, or read via " +
+        "ManifestStore.read/readWhere (both apply vectors)")
     val (_, rootP) = fsFor(spark, root)
     val schema = snap.schema.getOrElse(legacySchemaOf(spark, snap.files))
     val partSchema = StructType(snap.partCols.map(c => schema(c)))
@@ -1082,27 +1122,80 @@ object ManifestStore {
     readSnapshot(spark, root, snap, filters)
 
   private def readSnapshot(spark: SparkSession, root: String,
-                           snap: Snapshot, filters: Seq[Filter]): DataFrame = {
+                           snap: Snapshot, filters: Seq[Filter]): DataFrame =
+    snapshotFrame(spark, root, snap, filters, keepIdentity = false)
+
+  // internal row-identity columns a merge-on-read delete computes its
+  // positions through (dropped before any frame reaches a caller)
+  private val FkeyCol = "__graft_dv_fkey"
+  private val PosCol = "__graft_dv_pos"
+
+  private def snapshotFrame(spark: SparkSession, root: String,
+                            snap: Snapshot, filters: Seq[Filter],
+                            keepIdentity: Boolean): DataFrame = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
     val entries = prunedEntries(snap, filters)
+    def emptyTyped(sc: StructType): DataFrame = {
+      val withId = if (!keepIdentity) sc else StructType(sc.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(FkeyCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(PosCol,
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(new java.util.ArrayList[Row](), withId)
+    }
     val base: DataFrame = (snap.schema, entries) match {
       case (Some(sc), Seq()) => // every file pruned: an empty frame, same schema
-        spark.createDataFrame(new java.util.ArrayList[Row](), sc)
+        emptyTyped(sc)
       case (None, Seq()) => // legacy, fully pruned: footer union gives the schema
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          legacySchemaOf(spark, snap.files))
+        emptyTyped(legacySchemaOf(spark, snap.files))
       case (Some(sc), es) if snap.partCols.nonEmpty =>
-        readPartitioned(spark, sc, snap.partCols, es)
+        readPartitioned(spark, sc, snap.partCols, es, keepIdentity)
       case (Some(sc), es) =>
         // explicit schema: files written before a column was added
         // null-fill it; files written after a batch omitted one ditto
-        spark.read.schema(sc).parquet(es.map(_.path): _*)
+        scanEntries(spark, Some(sc), es, keepIdentity)
       case (None, es) => // pre-r10 manifest: schema from footers, as before
-        spark.read.parquet(es.map(_.path): _*)
+        scanEntries(spark, None, es, keepIdentity)
     }
     filters.foldLeft(base)((d, f) => d.where(filterColumn(f)))
+  }
+
+  /** Scan `entries` under an explicit data schema (None = legacy footer
+    * resolution), APPLYING each entry's deletion vector: dv-carrying
+    * files scan with parquet's per-row identity
+    * (`md5(_metadata.file_path)`, `_metadata.row_index`) and anti-join
+    * the dv rows on (fkey, pos) — the dv side is the deleted-row count,
+    * tiny next to the data, so the anti-join broadcasts by its own size
+    * stats; clean files scan plain. `keepIdentity` keeps the identity
+    * columns on EVERY row (the merge-on-read delete computes new
+    * positions through them); otherwise they never leave this method.
+    */
+  private def scanEntries(spark: SparkSession, schema: Option[StructType],
+                          entries: Seq[ManifestEntry],
+                          keepIdentity: Boolean = false): DataFrame = {
+    schema.foreach(sc => require(
+      !sc.fieldNames.contains(FkeyCol) && !sc.fieldNames.contains(PosCol),
+      s"table schema collides with reserved internal columns $FkeyCol/$PosCol"))
+    def reader = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+    def withIdentity(df: DataFrame): DataFrame = df
+      .withColumn(FkeyCol, org.apache.spark.sql.functions.md5(col("_metadata.file_path")))
+      .withColumn(PosCol, col("_metadata.row_index"))
+    val (dvE, cleanE) = entries.partition(_.dv.exists(_.rows > 0))
+    val parts = Seq.newBuilder[DataFrame]
+    if (cleanE.nonEmpty) {
+      val plain = reader.parquet(cleanE.map(_.path): _*)
+      parts += (if (keepIdentity) withIdentity(plain) else plain)
+    }
+    if (dvE.nonEmpty) {
+      val dvRows = spark.read.parquet(dvE.flatMap(_.dv.map(_.path)): _*)
+        .select(col("fkey").as(FkeyCol), col("pos").as(PosCol))
+      val alive = withIdentity(reader.parquet(dvE.map(_.path): _*))
+        .join(dvRows, Seq(FkeyCol, PosCol), "left_anti")
+      parts += (if (keepIdentity) alive else alive.drop(FkeyCol, PosCol))
+    }
+    parts.result().reduce(_ unionByName _)
   }
 
   /** Partition columns are not in the data files — reconstruct them from
@@ -1114,18 +1207,21 @@ object ManifestStore {
     */
   private def readPartitioned(spark: SparkSession, schema: StructType,
                               partCols: Seq[String],
-                              entries: Seq[ManifestEntry]): DataFrame = {
+                              entries: Seq[ManifestEntry],
+                              keepIdentity: Boolean = false): DataFrame = {
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val outCols = schema.fieldNames.toSeq ++
+      (if (keepIdentity) Seq(FkeyCol, PosCol) else Seq.empty)
     entries.groupBy(_.partition.getOrElse(Map.empty)).toSeq
       .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
       .map { case (pv, es) =>
-        val base = spark.read.schema(dataSchema).parquet(es.map(_.path): _*)
+        val base = scanEntries(spark, Some(dataSchema), es, keepIdentity)
         val withPart = partCols.foldLeft(base) { (d, c) =>
           val dt = schema(c).dataType
           d.withColumn(c,
             pv.get(c).flatten.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
         }
-        withPart.select(schema.fieldNames.map(n => col(quoteIdent(n))): _*)
+        withPart.select(outCols.map(n => col(quoteIdent(n))): _*)
       }.reduce(_ unionByName _)
   }
 
@@ -1211,13 +1307,14 @@ object ManifestStore {
     val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
     val surviving = touchedRows.where(!coalesce(matchPred, lit(false)))
     // the deleted count comes from MANIFEST metadata when every touched
-    // entry carries its row count (sum(touched) - sum(rewritten), zero
-    // extra scans of a 100 TB slice); only legacy stats-less entries pay a
-    // counting scan. The metadata path writes before it knows the count —
-    // a no-match delete orphans its rewrite directory (vacuum food, same
-    // as an abandoned compaction) instead of pre-scanning every delete.
+    // entry carries its row count (sum of LIVE rows — physical minus the
+    // deletion vector's — minus sum(rewritten), zero extra scans of a
+    // 100 TB slice); only legacy stats-less entries pay a counting scan.
+    // The metadata path writes before it knows the count — a no-match
+    // delete orphans its rewrite directory (vacuum food, same as an
+    // abandoned compaction) instead of pre-scanning every delete.
     val touchedTotal = if (touched.forall(_.rows.isDefined))
-      Some(touched.flatMap(_.rows).sum) else None
+      Some(touched.map(liveRowsOf).sum) else None
     val matched = touchedTotal match {
       case Some(_) => -1L // derived from the rewrite below
       case None => touchedRows.where(coalesce(matchPred, lit(false))).count()
@@ -1228,10 +1325,135 @@ object ManifestStore {
     val deleted = touchedTotal
       .map(_ - mine.flatMap(_.rows).sum).getOrElse(matched)
     if (deleted == 0L) return (0L, 0, before.version) // metadata path no-match
-    val v = commitReplacing(fs, rootP, touched.map(_.path).toSet, mine, before,
+    val v = commitReplacing(fs, rootP, dvSignature(touched), mine, before,
       maxRetries, tornGraceMs, refuseEmpty = true)
     if (v == -1L) (0L, 0, -1L) // abandoned: NOTHING was deleted
     else (deleted, touched.size, v)
+  }
+
+  /** An entry's LIVE row count: physical rows minus its deletion vector's. */
+  private def liveRowsOf(e: ManifestEntry): Long =
+    e.rows.getOrElse(0L) - e.dv.map(_.rows).getOrElse(0L)
+
+  /** MERGE-ON-READ row-level DELETE (r11) — the Delta deletion-vector
+    * shape: instead of rewriting every file that might match
+    * ([[deleteWhere]]'s copy-on-write), the matching rows' POSITIONS are
+    * written as a tiny per-file deletion-vector parquet and the manifest
+    * entries re-point at it in one commit — the data files keep byte
+    * identity, so the delete costs O(matched rows), not O(touched bytes).
+    * Every library read applies the vectors (scan anti-joins the dv rows
+    * on (md5(file_path), row_index) — see [[scanEntries]]); a later
+    * delete on the same file MERGES positions (old ∪ new, disjoint by
+    * construction because new positions are computed over LIVE rows
+    * only); compaction / CoW delete / upsert MATERIALIZE vectors away
+    * naturally (their rewrites read dv-filtered and emit clean files),
+    * and [[materializeDeletes]] does it on demand. Returns (rowsDeleted,
+    * filesTagged, version); -1 abandonment when a touched file was
+    * concurrently rewritten OR its dv moved (two racing MoR deletes on
+    * one file must not lose positions — [[commitReplacing]]).
+    *
+    * Trade-offs vs copy-on-write, stated: reads of dv-carrying files pay
+    * the anti-join until a rewrite cleans them; the planner-integrated
+    * `graft-manifest` format REFUSES tables with live vectors (it cannot
+    * apply them — materialize first); `readAddedSince` refuses across a
+    * dv change (a delete is not an append). Same isolation as
+    * [[deleteWhere]]: a concurrent blind append's matching rows survive.
+    * At 100 TB this is the compliance-erasure shape: a delete keyed on a
+    * clustered column touches kilobytes of dv files instead of rewriting
+    * terabytes of parquet.
+    */
+  def deleteWhereMergeOnRead(spark: SparkSession, root: String,
+                             filters: Seq[Filter], maxRetries: Int = 10,
+                             tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    deleteMorFrom(spark, root,
+      latestSnapshot(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
+      filters, maxRetries, tornGraceMs)
+
+  private[graft] def deleteMorFrom(spark: SparkSession, root: String,
+                                   before: Snapshot, filters: Seq[Filter],
+                                   maxRetries: Int = 10,
+                                   tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    require(filters.nonEmpty, "deleteWhereMergeOnRead with no filters would " +
+      "truncate the table — pass AlwaysTrue() explicitly if that is the intent")
+    val (fs, rootP) = fsFor(spark, root)
+    val touched = prunedEntries(before, filters)
+    if (touched.isEmpty) return (0L, 0, before.version)
+    require(touched.forall(_.rows.isDefined),
+      s"deleteWhereMergeOnRead needs per-file row counts under $root — run " +
+        "upgradeTable first (legacy stats-less entries cannot carry exact dv counts)")
+    val matchPred = filters.map(filterColumn).reduce(_ && _)
+    // LIVE rows of the touched slice, with per-row file identity; existing
+    // vectors are already applied by the scan, so new positions are
+    // disjoint from old ones and per-file counts are exact
+    val live = snapshotFrame(spark, root, before.copy(files = touched),
+      Seq.empty, keepIdentity = true)
+    val del = live.where(coalesce(matchPred, lit(false)))
+      .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
+    // one row per touched-file-with-matches — bounded by the touched set,
+    // which is already driver-resident
+    val newCounts: Map[String, Long] = del.groupBy("fkey").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (newCounts.isEmpty) return (0L, 0, before.version)
+    val fkeyOf: ManifestEntry => String = e =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
+    val byFkey = touched.map(e => fkeyOf(e) -> e).toMap
+    val unknown = newCounts.keySet -- byFkey.keySet
+    require(unknown.isEmpty,
+      s"deletion-vector identity mismatch under $root: the scan rendered file " +
+        s"paths whose md5 is not among the touched entries (${unknown.take(3)}). " +
+        "Path rendering diverged between manifest and runtime — refusing rather " +
+        "than mis-associate deleted positions")
+    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e)))
+    // merge: new positions ∪ the old vectors of re-deleted files, ONE scan
+    val withOldDv = tagged.filter(_.dv.exists(_.rows > 0))
+    val dvFrame = if (withOldDv.isEmpty) del
+      else del.unionByName(spark.read
+        .parquet(withOldDv.flatMap(_.dv.map(_.path)): _*).select("fkey", "pos"))
+    val dvDir = new Path(dataDir(rootP), s"dv-${UUID.randomUUID()}")
+    // duplicate the key into a partition column so the written FILE keeps
+    // (fkey, pos); repartition-by-key puts each fkey in one task → one
+    // file per fk leaf
+    dvFrame.withColumn("fk", col("fkey")).repartition(col("fk"))
+      .write.partitionBy("fk").parquet(dvDir.toString)
+    val mine = tagged.map { e =>
+      val fk = fkeyOf(e)
+      val leaf = new Path(dvDir, s"fk=$fk")
+      val dvFiles = fs.listStatus(leaf)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(dvFiles.length == 1,
+        s"expected exactly one dv file under $leaf, found ${dvFiles.length}")
+      val total = e.dv.map(_.rows).getOrElse(0L) + newCounts(fk)
+      require(total <= e.rows.getOrElse(Long.MaxValue),
+        s"dv positions ($total) exceed physical rows for ${e.path}")
+      e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, total)))
+    }
+    val deleted = newCounts.values.sum
+    val v = commitReplacing(fs, rootP, dvSignature(tagged), mine, before,
+      maxRetries, tornGraceMs, refuseEmpty = false)
+    if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
+  }
+
+  /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
+    * vectors — the on-demand copy-on-write catch-up that makes a table
+    * readable through the planner-integrated format again. Returns
+    * (filesMaterialized, version); version -1 on the usual abandonment.
+    */
+  def materializeDeletes(spark: SparkSession, root: String,
+                         maxRetries: Int = 10,
+                         tornGraceMs: Long = 60000L): (Int, Long) = {
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val dvE = before.files.filter(_.dv.exists(_.rows > 0))
+    if (dvE.isEmpty) return (0, before.version)
+    val (fs, rootP) = fsFor(spark, root)
+    val mine = writeBatch(fs, rootP,
+      readSnapshot(spark, root, before.copy(files = dvE), Seq.empty),
+      before.partCols).filterNot(_.rows.contains(0L))
+    val v = commitReplacing(fs, rootP, dvSignature(dvE), mine, before,
+      maxRetries, tornGraceMs,
+      refuseEmpty = before.files.forall(_.dv.exists(_.rows > 0)))
+    (dvE.size, v)
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCols` — the Delta
@@ -1350,7 +1572,7 @@ object ManifestStore {
     val mineUpdates = writeBatch(fs, rootP, updates, before.partCols)
     if (touched.isEmpty) {
       // pure insert: no existing file can hold a matching key
-      val v = commitReplacing(fs, rootP, Set.empty, mineUpdates, seeded,
+      val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
         maxRetries, tornGraceMs, refuseEmpty = false)
       return (0L, 0, v)
     }
@@ -1374,11 +1596,11 @@ object ManifestStore {
     val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols)
       .filterNot(_.rows.contains(0L))
     val touchedTotal = if (touched.forall(_.rows.isDefined))
-      Some(touched.flatMap(_.rows).sum) else None
+      Some(touched.map(liveRowsOf).sum) else None
     val replaced = touchedTotal
       .map(_ - mineRewrite.flatMap(_.rows).sum)
       .getOrElse(touchedRows.count() - surviving.count())
-    val v = commitReplacing(fs, rootP, touched.map(_.path).toSet,
+    val v = commitReplacing(fs, rootP, dvSignature(touched),
       mineRewrite ++ mineUpdates, seeded, maxRetries, tornGraceMs, refuseEmpty = true)
     if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
   }
@@ -1399,16 +1621,26 @@ object ManifestStore {
     * deletes against appends or re-run the delete until a quiescent pass
     * deletes zero rows.
     */
-  private def commitReplacing(fs: FileSystem, root: Path, rewrote: Set[String],
+  /** `rewrote` maps each replaced input path to the DELETION-VECTOR path
+    * the operation READ it under (None = no dv). Abandonment fires when a
+    * path is gone from the rebased base (a concurrent rewrite superseded
+    * it) OR when its dv changed (r11): a merge-on-read delete keeps the
+    * path but changes the file's MEANING, and committing a rewrite of the
+    * pre-delete content would resurrect the deleted rows.
+    */
+  private def commitReplacing(fs: FileSystem, root: Path,
+                              rewrote: Map[String, Option[String]],
                               mine: Seq[ManifestEntry], before: Snapshot,
                               maxRetries: Int, tornGraceMs: Long,
                               refuseEmpty: Boolean): Long =
     commitWithRebase(fs, root, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
-      val present = baseFiles.map(_.path).toSet
-      if (rewrote.exists(p => !present(p))) None // inputs already replaced
+      val baseDv: Map[String, Option[String]] =
+        baseFiles.map(f => f.path -> f.dv.map(_.path)).toMap
+      if (rewrote.exists { case (p, dvp) => !baseDv.get(p).contains(dvp) })
+        None // inputs already replaced, or their deletion vector moved
       else {
-        val files = baseFiles.filterNot(f => rewrote(f.path)) ++ mine
+        val files = baseFiles.filterNot(f => rewrote.contains(f.path)) ++ mine
         if (refuseEmpty) require(files.nonEmpty,
           s"this rewrite would leave $root with no files — an empty manifest is " +
             "unreadable by contract; drop the table (or keep a sentinel row) instead")
@@ -1418,6 +1650,10 @@ object ManifestStore {
           base.map(_.partCols).getOrElse(before.partCols)))
       }
     }
+
+  /** The `rewrote` argument of [[commitReplacing]] for a set of inputs. */
+  private def dvSignature(entries: Seq[ManifestEntry]): Map[String, Option[String]] =
+    entries.map(e => e.path -> e.dv.map(_.path)).toMap
 
   /** Retrofit r10 metadata onto a PRE-r10 table without touching a data
     * byte: harvest footer stats for every live file that lacks them,
@@ -1513,7 +1749,7 @@ object ManifestStore {
     val (fs, rootP) = fsFor(spark, root)
     if (before.files.isEmpty)
       return (0, 0, before.version)
-    val rewrote = before.files.map(_.path).toSet
+    val rewrote = dvSignature(before.files)
     // same packing scan as Sink.compactParquet (shared scopedSession):
     // maxPartitionBytes = target, open cost zeroed — a narrow,
     // shuffle-free merge of the snapshot (partition columns reconstructed
@@ -1566,8 +1802,11 @@ object ManifestStore {
       }
       if (parent == null) None else Some(cur)
     }
+    // deletion-vector files are referenced state too: vacuuming a live
+    // dv dir would resurrect the deleted rows of every kept version (r11)
     val live = kept.flatMap(_.files.flatMap(f =>
-      batchDirOf(new Path(f.path)).map(stripped))).toSet
+      (Seq(new Path(f.path)) ++ f.dv.map(d => new Path(d.path)))
+        .flatMap(p => batchDirOf(p).map(stripped)))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var dropped = 0
     def newestTouch(s: FileStatus): Long = {

@@ -818,8 +818,15 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStats.parseMeta("""{"s":{"c":{"t":5,"n":0}}}""").isEmpty)
     assert(ManifestStats.parseMeta("""{"p":{"k":7}}""").isEmpty)
     val ok = ManifestStats.parseMeta("""{"r":10,"s":{"c":{"t":"long","m":"1","x":"9","n":0}},"p":{"k":null}}""")
-    assert(ok.exists { case (r, s, p) =>
-      r.contains(10L) && s("c").min.contains("1") && p.exists(_("k").isEmpty) })
+    assert(ok.exists { case (r, s, p, dv) =>
+      r.contains(10L) && s("c").min.contains("1") && p.exists(_("k").isEmpty) && dv.isEmpty })
+    // dv round-trip, and a malformed dv refuses the whole meta (a dropped
+    // vector would resurrect deleted rows — it must never degrade)
+    val okDv = ManifestStats.parseMeta("""{"r":10,"d":{"p":"file:/x/dv.parquet","n":3}}""")
+    assert(okDv.exists { case (_, _, _, dv) =>
+      dv.contains(graft.sources.ManifestStore.DvRef("file:/x/dv.parquet", 3L)) })
+    assert(ManifestStats.parseMeta("""{"r":10,"d":{"p":"x"}}""").isEmpty)
+    assert(ManifestStats.parseMeta("""{"r":10,"d":{"p":7,"n":3}}""").isEmpty)
 
     // empty-string partition values cannot round-trip (hive writes the
     // NULL sentinel) — refused at the append, not mutated silently
@@ -948,6 +955,146 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestSnapshotUnhinted(spark, root).get.version == 6L)
   }
 
+  /** r11: MERGE-ON-READ delete (deletion vectors) — a delete costs
+    * O(matched rows) in dv bytes while data files keep byte identity;
+    * every library read applies the vectors; re-deletes merge; rewrites
+    * materialize them away; the format read refuses until then.
+    */
+  test("merge-on-read delete: byte-identical files, applied vectors, merge, materialize") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 1000).select(col("id"), (col("id") % 10).as("m"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+
+    // delete a clustered slice: ids < 250
+    val (n1, tagged1, v1) =
+      ManifestStore.deleteWhereMergeOnRead(spark, root, Seq(LessThan("id", 250L)))
+    assert(n1 == 250L && v1 == 2L)
+    assert(tagged1 > 0 && tagged1 < before.files.size,
+      s"MoR delete should tag only the matching slice: $tagged1 of ${before.files.size}")
+    val after1 = ManifestStore.latestSnapshot(spark, root).get
+    // data files keep BYTE IDENTITY (same paths, same sizes)
+    assert(after1.files.map(e => e.path -> e.bytes).toSet ==
+      before.files.map(e => e.path -> e.bytes).toSet,
+      "merge-on-read must not rewrite data files")
+    assert(ids(ManifestStore.read(spark, root)) == (250L until 1000L))
+    // skipping still composes with vectors
+    assert(ids(ManifestStore.readWhere(spark, root, Seq(LessThan("id", 400L))))
+      == (250L until 400L))
+
+    // a second, OVERLAPPING delete merges vectors (re-deleting dead rows
+    // is vacuous; the counts stay exact)
+    val (n2, _, v2) =
+      ManifestStore.deleteWhereMergeOnRead(spark, root, Seq(LessThan("id", 300L)))
+    assert(n2 == 50L && v2 == 3L, s"overlap must count only LIVE matches: $n2")
+    assert(ids(ManifestStore.read(spark, root)) == (300L until 1000L))
+    val merged = ManifestStore.latestSnapshot(spark, root).get
+    assert(merged.files.flatMap(_.dv).map(_.rows).sum == 300L)
+
+    // the planner-integrated format refuses while vectors are live
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-manifest").load(root).count()
+    }
+    assert(e.getMessage.contains("materializeDeletes"), e.getMessage)
+
+    // CoW delete on the dv-carrying slice counts LIVE rows only, and its
+    // rewrite naturally materializes the touched vectors away
+    val (n3, _, _) =
+      ManifestStore.deleteWhere(spark, root, Seq(LessThan("id", 350L)))
+    assert(n3 == 50L, s"CoW over dv files must not count dead rows: $n3")
+    assert(ids(ManifestStore.read(spark, root)) == (350L until 1000L))
+    assert(ManifestStore.latestSnapshot(spark, root).get.files.forall(_.dv.isEmpty),
+      "a CoW rewrite over dv files must drop their vectors")
+
+    // time travel still sees the pre-delete snapshot
+    assert(ManifestStore.readVersion(spark, root, 1L).count() == 1000L)
+
+    // a fresh MoR delete, then ON-DEMAND materialization hands the table
+    // back to the format read
+    assert(ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 400L)))._1 == 50L)
+    val (nMat, vMat) = ManifestStore.materializeDeletes(spark, root)
+    assert(nMat > 0 && vMat > 0)
+    assert(ManifestStore.latestSnapshot(spark, root).get.files.forall(_.dv.isEmpty))
+    assert(spark.read.format("graft-manifest").load(root).count() == 600L)
+    assert(ids(ManifestStore.read(spark, root)) == (400L until 1000L))
+    // idempotent
+    assert(ManifestStore.materializeDeletes(spark, root)._1 == 0)
+  }
+
+  test("merge-on-read delete: partitioned tables, no-match no-op, vacuum keeps dv dirs, CDC refusal") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      (0 until 300).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day"),
+      root, partitionBy = Seq("day"))
+    val v1 = ManifestStore.latestSnapshot(spark, root).get.version
+
+    // no live match → no-op, no commit
+    val (n0, t0, vSame) = ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(GreaterThan("id", 100000L)))
+    assert(n0 == 0L && t0 == 0 && vSame == v1)
+
+    // partition-scoped delete: only d1's rows vanish; partition columns
+    // survive the dv-filtered reconstruction
+    val (n1, _, _) = ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(EqualTo("day", "d1"), LessThan("id", 150L)))
+    assert(n1 == 50L)
+    val t = ManifestStore.read(spark, root)
+    assert(t.count() == 250L)
+    assert(t.where(col("day") === "d1").count() == 50L)
+    assert(t.where(col("day") === "d1").select("id").as[Long].collect().forall(_ >= 150L))
+
+    // readAddedSince refuses across the dv change (a delete is no append)
+    val eCdc = intercept[IllegalArgumentException] {
+      ManifestStore.readAddedSince(spark, root, v1)
+    }
+    assert(eCdc.getMessage.contains("deletion vector"), eCdc.getMessage)
+
+    // vacuum with aggressive settings must keep the LIVE dv dirs (and the
+    // deleted rows must stay deleted after it)
+    ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
+    assert(ManifestStore.read(spark, root).count() == 250L)
+
+    // append after MoR delete composes
+    ManifestStore.append(spark,
+      (300 until 310).map(i => (i.toLong, "d1")).toDF("id", "day"),
+      root, partitionBy = Seq("day"))
+    assert(ManifestStore.read(spark, root).count() == 260L)
+  }
+
+  test("merge-on-read delete: racing rewrites abandon instead of resurrecting rows") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 400).select(col("id"), lit("x").as("p"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val stale = ManifestStore.latestSnapshot(spark, root).get
+    // a MoR delete lands after `stale` was read
+    val (nd, _, _) = ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(LessThan("id", 100L)))
+    assert(nd == 100L)
+    // a compaction still holding the PRE-delete snapshot must abandon —
+    // committing its rewrite would resurrect the 100 deleted rows
+    val (_, _, vc) = ManifestStore.compactFrom(spark, root, stale, 1L << 30)
+    assert(vc == -1L, "stale compaction over a moved dv must abandon")
+    assert(ManifestStore.read(spark, root).count() == 300L)
+    // a stale MoR delete must abandon too (racing MoR deletes on one file
+    // must not lose positions)
+    val (nStale, _, vStale) = ManifestStore.deleteMorFrom(spark, root, stale,
+      Seq(LessThan("id", 150L)))
+    assert(vStale == -1L && nStale == 0L, s"($nStale, $vStale)")
+    assert(ManifestStore.read(spark, root).count() == 300L)
+    // a FRESH compaction materializes the vectors and preserves content
+    val (_, _, vc2) = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(vc2 > 0)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.files.forall(_.dv.isEmpty))
+    assert(ids(ManifestStore.read(spark, root)) == (100L until 400L))
+  }
+
   /** advice r11 (high): parquet stats order ±0.0 inconsistently across
     * writers, and Double.compare calls -0.0 < 0.0 — but the engine's own
     * comparison is IEEE, where they are EQUAL. A zero-bounded file must
@@ -1014,6 +1161,11 @@ class ManifestStoreSpec extends SparkSpec {
     // the library convenience twin plans identically
     assert(ManifestStore.table(spark, root).where(col("id") >= 9000).count() == 1000L)
 
+    // fully-pruned: a predicate outside every file's bounds plans a
+    // zero-file scan and answers empty (never throws)
+    assert(spark.read.format("graft-manifest").load(root)
+      .where(col("id") >= 1000000).count() == 0L)
+
     // a schema the translator cannot push (arithmetic on the column) stays
     // correct — it just opens every file
     assert(spark.read.format("graft-manifest").load(root)
@@ -1054,6 +1206,17 @@ class ManifestStoreSpec extends SparkSpec {
     val v2 = spark.read.format("graft-manifest")
       .option("versionAsOf", "2").load(root)
     assert(v2.columns.toSet == Set("id", "day") && v2.count() == 120L)
+
+    // a NON-STRING partition column round-trips through the catalyst
+    // partition-value conversion (int here; the hive path stores text)
+    val root2 = freshRoot()
+    ManifestStore.append(spark,
+      (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "bucket"),
+      root2, partitionBy = Seq("bucket"))
+    val byBucket = spark.read.format("graft-manifest").load(root2)
+      .where(col("bucket") === 3)
+    assert(byBucket.count() == 10L)
+    assert(byBucket.select("bucket").distinct().as[Int].collect().toSeq == Seq(3))
 
     // no CreatableRelationProvider: format-level writes refuse
     intercept[Exception] {
