@@ -1175,14 +1175,17 @@ object ManifestStore {
   private def scanEntries(spark: SparkSession, schema: Option[StructType],
                           entries: Seq[ManifestEntry],
                           keepIdentity: Boolean = false): DataFrame = {
-    schema.foreach(sc => require(
-      !sc.fieldNames.contains(FkeyCol) && !sc.fieldNames.contains(PosCol),
-      s"table schema collides with reserved internal columns $FkeyCol/$PosCol"))
     def reader = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
     def withIdentity(df: DataFrame): DataFrame = df
       .withColumn(FkeyCol, org.apache.spark.sql.functions.md5(col("_metadata.file_path")))
       .withColumn(PosCol, col("_metadata.row_index"))
     val (dvE, cleanE) = entries.partition(_.dv.exists(_.rows > 0))
+    // the reserved names only matter when identity columns materialize —
+    // a dv-free plain read of a table that happens to carry such a column
+    // must keep working (review r11)
+    if (keepIdentity || dvE.nonEmpty) schema.foreach(sc => require(
+      !sc.fieldNames.contains(FkeyCol) && !sc.fieldNames.contains(PosCol),
+      s"table schema collides with reserved internal columns $FkeyCol/$PosCol"))
     val parts = Seq.newBuilder[DataFrame]
     if (cleanE.nonEmpty) {
       val plain = reader.parquet(cleanE.map(_.path): _*)
@@ -1390,32 +1393,45 @@ object ManifestStore {
       Seq.empty, keepIdentity = true)
     val del = live.where(coalesce(matchPred, lit(false)))
       .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
-    // one row per touched-file-with-matches — bounded by the touched set,
-    // which is already driver-resident
-    val newCounts: Map[String, Long] = del.groupBy("fkey").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (newCounts.isEmpty) return (0L, 0, before.version)
-    val fkeyOf: ManifestEntry => String = e =>
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
-    val byFkey = touched.map(e => fkeyOf(e) -> e).toMap
-    val unknown = newCounts.keySet -- byFkey.keySet
-    require(unknown.isEmpty,
-      s"deletion-vector identity mismatch under $root: the scan rendered file " +
-        s"paths whose md5 is not among the touched entries (${unknown.take(3)}). " +
-        "Path rendering diverged between manifest and runtime — refusing rather " +
-        "than mis-associate deleted positions")
-    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e)))
-    // merge: new positions ∪ the old vectors of re-deleted files, ONE scan
-    val withOldDv = tagged.filter(_.dv.exists(_.rows > 0))
+    // merged vectors = new positions ∪ the old vectors of every touched
+    // dv-carrying file (one tiny scan); files that turn out to have no
+    // NEW deletion keep their old reference and their leaf here is
+    // orphaned — vacuum food, exactly like a no-match CoW rewrite
+    val withOldDv = touched.filter(_.dv.exists(_.rows > 0))
     val dvFrame = if (withOldDv.isEmpty) del
       else del.unionByName(spark.read
         .parquet(withOldDv.flatMap(_.dv.map(_.path)): _*).select("fkey", "pos"))
     val dvDir = new Path(dataDir(rootP), s"dv-${UUID.randomUUID()}")
     // duplicate the key into a partition column so the written FILE keeps
     // (fkey, pos); repartition-by-key puts each fkey in one task → one
-    // file per fk leaf
+    // file per fk leaf. The touched slice is scanned ONCE (this write);
+    // per-file totals then come from the written dv tree — kilobytes —
+    // never a second scan of the slice (review r11)
     dvFrame.withColumn("fk", col("fkey")).repartition(col("fk"))
       .write.partitionBy("fk").parquet(dvDir.toString)
+    val totals: Map[String, Long] =
+      try spark.read.parquet(dvDir.toString).groupBy("fkey").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch { // an all-empty write leaves no readable files: nothing matched
+        case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => Map.empty
+      }
+    val fkeyOf: ManifestEntry => String = e =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
+    val byFkey = touched.map(e => fkeyOf(e) -> e).toMap
+    val unknown = totals.keySet -- byFkey.keySet
+    require(unknown.isEmpty,
+      s"deletion-vector identity mismatch under $root: the scan rendered file " +
+        s"paths whose md5 is not among the touched entries (${unknown.take(3)}). " +
+        "Path rendering diverged between manifest and runtime — refusing rather " +
+        "than mis-associate deleted positions")
+    // tagged = files with NEW deletions (total beyond their old vector)
+    val newCounts: Map[String, Long] = totals.flatMap { case (fk, total) =>
+      val old = byFkey(fk).dv.map(_.rows).getOrElse(0L)
+      if (total > old) Some(fk -> (total - old)) else None
+    }
+    if (newCounts.isEmpty) return (0L, 0, before.version) // dvDir = vacuum food
+    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e)))
     val mine = tagged.map { e =>
       val fk = fkeyOf(e)
       val leaf = new Path(dvDir, s"fk=$fk")
@@ -1423,10 +1439,9 @@ object ManifestStore {
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       require(dvFiles.length == 1,
         s"expected exactly one dv file under $leaf, found ${dvFiles.length}")
-      val total = e.dv.map(_.rows).getOrElse(0L) + newCounts(fk)
-      require(total <= e.rows.getOrElse(Long.MaxValue),
-        s"dv positions ($total) exceed physical rows for ${e.path}")
-      e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, total)))
+      require(totals(fk) <= e.rows.getOrElse(Long.MaxValue),
+        s"dv positions (${totals(fk)}) exceed physical rows for ${e.path}")
+      e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, totals(fk))))
     }
     val deleted = newCounts.values.sum
     val v = commitReplacing(fs, rootP, dvSignature(tagged), mine, before,
@@ -1437,7 +1452,13 @@ object ManifestStore {
   /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
     * vectors — the on-demand copy-on-write catch-up that makes a table
     * readable through the planner-integrated format again. Returns
-    * (filesMaterialized, version); version -1 on the usual abandonment.
+    * (filesMaterialized, version); (0, -1) on the usual abandonment (a
+    * concurrent rewrite superseded a dv-carrying input — nothing was
+    * materialized; retry against the fresh snapshot). A fully-deleted
+    * UNPARTITIONED table materializes to a readable zero-row table (the
+    * schema-only rewrite file is kept — [[deleteWhere]]'s contract); a
+    * fully-deleted partitioned one writes no files at all and is refused
+    * like a partitioned full-table CoW delete — drop the table instead.
     */
   def materializeDeletes(spark: SparkSession, root: String,
                          maxRetries: Int = 10,
@@ -1447,13 +1468,17 @@ object ManifestStore {
     val dvE = before.files.filter(_.dv.exists(_.rows > 0))
     if (dvE.isEmpty) return (0, before.version)
     val (fs, rootP) = fsFor(spark, root)
-    val mine = writeBatch(fs, rootP,
+    val raw = writeBatch(fs, rootP,
       readSnapshot(spark, root, before.copy(files = dvE), Seq.empty),
-      before.partCols).filterNot(_.rows.contains(0L))
+      before.partCols)
+    val cleanRemainder = before.files.exists(e => !e.dv.exists(_.rows > 0))
+    val nonZero = raw.filterNot(_.rows.contains(0L))
+    // zero-row rewrite files are dead weight UNLESS they are all that
+    // keeps a fully-wiped table readable (review r11)
+    val mine = if (nonZero.nonEmpty || cleanRemainder) nonZero else raw
     val v = commitReplacing(fs, rootP, dvSignature(dvE), mine, before,
-      maxRetries, tornGraceMs,
-      refuseEmpty = before.files.forall(_.dv.exists(_.rows > 0)))
-    (dvE.size, v)
+      maxRetries, tornGraceMs, refuseEmpty = !cleanRemainder)
+    if (v == -1L) (0, -1L) else (dvE.size, v)
   }
 
   /** Copy-on-write MERGE (upsert) keyed on `keyCols` — the Delta

@@ -1022,6 +1022,20 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (400L until 1000L))
     // idempotent
     assert(ManifestStore.materializeDeletes(spark, root)._1 == 0)
+
+    // full wipe on an UNPARTITIONED table: reads go empty (never throw),
+    // and materialization yields a readable zero-row table — the format
+    // read's own recovery recipe must be satisfiable (review r11)
+    val rootW = freshRoot()
+    ManifestStore.append(spark, batch(0, 100), rootW)
+    val (nW, _, _) = ManifestStore.deleteWhereMergeOnRead(spark, rootW,
+      Seq(LessThan("id", 10000L)))
+    assert(nW == 100L)
+    assert(ManifestStore.read(spark, rootW).count() == 0L)
+    val (nMatW, vW) = ManifestStore.materializeDeletes(spark, rootW)
+    assert(nMatW > 0 && vW > 0)
+    assert(ManifestStore.read(spark, rootW).count() == 0L)
+    assert(spark.read.format("graft-manifest").load(rootW).count() == 0L)
   }
 
   test("merge-on-read delete: partitioned tables, no-match no-op, vacuum keeps dv dirs, CDC refusal") {
