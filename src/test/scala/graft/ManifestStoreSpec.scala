@@ -1238,6 +1238,36 @@ class ManifestStoreSpec extends SparkSpec {
     }
   }
 
+  /** r11: the format registers in the SQL catalog — `CREATE TABLE ...
+    * USING graft-manifest` + plain SQL gets the same planner-routed file
+    * skipping, and REFRESH TABLE re-resolves to the newest snapshot.
+    */
+  test("graft-manifest tables register in the SQL catalog and prune through SQL") {
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 8000).select(col("id"), (col("id") * 5).as("v"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    spark.sql(s"CREATE TABLE graft_sql_probe USING `graft-manifest` OPTIONS (path '$root')")
+    try {
+      val df = spark.sql("SELECT id, v FROM graft_sql_probe WHERE id >= 7000")
+      df.collect()
+      val opened = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.sum
+      assert(opened > 0 && opened < 8,
+        s"SQL-path skipping inert: opened $opened of 8")
+      assert(df.count() == 1000L)
+      // appends become visible after REFRESH TABLE (createRelation
+      // re-resolves the latest snapshot)
+      ManifestStore.append(spark,
+        spark.range(8000, 8100).select(col("id"), (col("id") * 5).as("v")), root)
+      spark.sql("REFRESH TABLE graft_sql_probe")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_sql_probe")
+        .as[Long].head() == 8100L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sql_probe")
+  }
+
   /** review r11: partition-only predicates are REMOVED from the post-scan
     * filters by FileSourceStrategy, so the index must enforce them EXACTLY
     * — including shapes the pruning translator cannot express (function-
