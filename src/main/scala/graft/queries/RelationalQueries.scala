@@ -1127,6 +1127,54 @@ object RelationalQueries {
         .toDF("n_rows", "key_sum", "delete_exact", "byte_identity", "merged_exact")
     },
 
+    // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
+    // under parquet's dotted path (VERDICT r10 missing #4's second half),
+    // so a `meta.custkey` predicate prunes files exactly like a flat one,
+    // through the library Filter ADT AND the planner-integrated format
+    // (GetStructField translation). Pins: nested-pruned read parity
+    // (count + key sum, replayed flat by the oracle), strict file
+    // pruning, and format-read parity with the library path.
+    QueryDef.sql(
+      "o21_manifest_nested",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       true AS answer_parity, true AS files_pruned
+        |FROM orders WHERE o_orderkey % 3 = 2
+        |  AND o_custkey >= (9 * (SELECT max(o_custkey) FROM orders
+        |                         WHERE o_orderkey % 3 = 2)) // 10""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("custkey"),
+            col("o_totalprice").as("price")).as("meta"))
+      val root = ProcessNonce.scratchDir("graft_o21_nested",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      // range layout on the NESTED key → tight per-file meta.custkey bounds
+      M.append(s, src.repartitionByRange(16, col("meta.custkey"))
+        .sortWithinPartitions(col("meta.custkey")), root)
+      val snap = M.latestSnapshot(s, root).get
+      val cut = 9L * src.agg(max(col("meta.custkey"))).as[Long].head() / 10L
+      val pred = Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("meta.custkey", cut))
+      val kept = M.prunedEntries(snap, pred)
+      val (nGot, sumGot) = M.readWhere(s, root, pred)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.where(col("meta.custkey") >= cut)
+        .agg(count(lit(1)), sum("o_orderkey")).as[(Long, Option[Long])].head()
+      // the planner path answers identically (GetStructField → dotted key)
+      val fmtN = s.read.format("graft-manifest").load(root)
+        .where(col("meta.custkey") >= cut).count()
+      val filesPruned = snap.files.forall(_.stats.contains("meta.custkey")) &&
+        kept.nonEmpty && kept.size < snap.files.size
+      Seq((nGot, sumGot.getOrElse(0L),
+        nGot == nExp && sumGot == sumExp && fmtN == nExp, filesPruned))
+        .toDF("n_rows", "key_sum", "answer_parity", "files_pruned")
+    },
+
     // O15 (r10): manifest SCHEMA EVOLUTION — a later batch ADDS a nullable
     // column (the table schema travels in the manifest, so old files
     // null-fill it on read), while time travel replays the schema each

@@ -123,6 +123,8 @@ private[graft] object ManifestFileIndex {
   private[sources] def translate(e: Expression, insideNot: Boolean): Option[Filter] = {
     def attrName(x: Expression): Option[String] = x match {
       case a: Attribute => Some(a.name)
+      case g: ce.GetStructField => // nested leaf: dotted-path key (r11)
+        attrName(g.child).map(p => s"$p.${g.extractFieldName}")
       case _ => None
     }
     def litValue(x: Expression): Option[Any] = x match {

@@ -61,9 +61,7 @@ private[graft] object ManifestStats {
     * with nested paths in parquet's dot-string addressing).
     */
   def collect(conf: Configuration, file: Path, schema: StructType): (Long, Map[String, ColStats]) = {
-    val tags: Map[String, String] = schema.fields.collect {
-      case f if !f.name.contains('.') => f.name -> tagFor(f.dataType)
-    }.collect { case (n, Some(t)) => n -> t }.toMap
+    val tags: Map[String, String] = leafTags(schema)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -82,6 +80,31 @@ private[graft] object ManifestStats {
       }
       (rows, acc.collect { case (n, Some(s)) => n -> s })
     } finally reader.close()
+  }
+
+  /** Skippable leaves of the schema, keyed by parquet's dotted path —
+    * top-level primitives plus STRUCT leaves at any depth (r11: a
+    * `meta.k` predicate prunes like a flat one; parquet's per-leaf null
+    * counts include parent-null rows, exactly Spark's `a.b IS NULL`
+    * semantics, so null pruning stays sound). Array/map interiors are
+    * never collected (multi-valued — parquet paths cross repeated groups
+    * and a row-level predicate has no single value to bound), and a field
+    * NAME containing '.' is skipped wholesale: it would collide with the
+    * dotted addressing of genuinely nested paths.
+    */
+  private def leafTags(schema: StructType): Map[String, String] = {
+    def walk(prefix: String, st: StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        if (f.name.contains('.')) Seq.empty
+        else {
+          val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          f.dataType match {
+            case s: StructType => walk(name, s)
+            case dt => tagFor(dt).map(name -> _).toSeq
+          }
+        }
+      }
+    walk("", schema).toMap
   }
 
   /** Comparison-domain tag for a skippable Spark type; None = never

@@ -1234,9 +1234,13 @@ object ManifestStore {
     * so [[readWhere]] returns exactly the filtered rows. Throws on a
     * filter shape the store cannot express (callers push only what they
     * pass here, so this is a programming error, not data-dependent).
+    * Dotted attribute names address NESTED struct fields (`meta.k`) —
+    * the parquet/Spark pushdown convention, and the key [[ManifestStats]]
+    * harvests leaf stats under (top-level names containing a literal '.'
+    * are never stats-collected for exactly this reason).
     */
   private def filterColumn(f: Filter): Column = {
-    def c(n: String) = col(quoteIdent(n))
+    def c(n: String) = col(n.split('.').map(quoteIdent).mkString("."))
     f match {
       case EqualTo(a, v) => c(a) === lit(v)
       case EqualNullSafe(a, v) => c(a) <=> lit(v)

@@ -955,6 +955,48 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestSnapshotUnhinted(spark, root).get.version == 6L)
   }
 
+  /** r11: STRUCT leaves get min/max stats under parquet's dotted path, so
+    * nested predicates prune files — through the library Filter ADT
+    * (dotted attribute names) AND the planner (GetStructField
+    * translation); per-leaf null counts follow Spark's `a.b IS NULL`
+    * semantics (parent-null rows count).
+    */
+  test("nested struct stats: dotted predicates prune library and format reads") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    val df = spark.range(0, 1000).select(col("id"),
+      struct((col("id") * 2).as("k"), concat(lit("s"), col("id")).as("s")).as("meta"))
+    ManifestStore.append(spark,
+      df.repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.files.forall(e => e.stats.contains("meta.k") && e.stats.contains("meta.s")),
+      s"nested leaf stats missing: ${snap.files.head.stats.keySet}")
+    val pred = Seq(GreaterThanOrEqual("meta.k", 1800L))
+    val kept = ManifestStore.prunedEntries(snap, pred)
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"nested pruning inert: ${kept.size}/${snap.files.size}")
+    assert(ManifestStore.readWhere(spark, root, pred).count() == 100L) // ids 900..999
+    // through the planner: GetStructField chains translate to dotted keys
+    val fmt = spark.read.format("graft-manifest").load(root)
+      .where(col("meta.k") >= 1800L)
+    fmt.collect()
+    val opened = fmt.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+    assert(opened > 0 && opened < snap.files.size,
+      s"planner-routed nested skipping inert: $opened of ${snap.files.size}")
+    assert(fmt.count() == 100L)
+    // parent-null rows: IsNull keeps the null-struct file, IsNotNull prunes it
+    ManifestStore.append(spark, spark.range(2000, 2010).select(col("id"),
+      lit(null).cast(df.schema("meta").dataType).as("meta")), root)
+    assert(ManifestStore.readWhere(spark, root, Seq(IsNull("meta.k"))).count() == 10L)
+    val snap2 = ManifestStore.latestSnapshot(spark, root).get
+    assert(ManifestStore.prunedEntries(snap2, Seq(IsNotNull("meta.k"))).size
+      < snap2.files.size, "all-null struct file must prune for IsNotNull")
+    assert(ManifestStore.readWhere(spark, root, Seq(IsNotNull("meta.k"))).count() == 1000L)
+  }
+
   /** r11: MERGE-ON-READ delete (deletion vectors) — a delete costs
     * O(matched rows) in dv bytes while data files keep byte identity;
     * every library read applies the vectors; re-deletes merge; rewrites
