@@ -1397,10 +1397,28 @@ object ManifestStore {
       Seq.empty, keepIdentity = true)
     val del = live.where(coalesce(matchPred, lit(false)))
       .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
-    // merged vectors = new positions ∪ the old vectors of every touched
-    // dv-carrying file (one tiny scan); files that turn out to have no
-    // NEW deletion keep their old reference and their leaf here is
-    // orphaned — vacuum food, exactly like a no-match CoW rewrite
+    writeDvAndTag(spark, fs, rootP, root, touched, del) match {
+      case None => (0L, 0, before.version) // nothing matched; dvDir = vacuum food
+      case Some((tagged, deleted)) =>
+        val v = commitReplacing(fs, rootP,
+          dvSignature(touched.filter(e => tagged.exists(_.path == e.path))),
+          tagged, before, maxRetries, tornGraceMs, refuseEmpty = false)
+        if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
+    }
+  }
+
+  /** The shared deletion-vector WRITE of [[deleteMorFrom]] and
+    * [[upsertMorFrom]]: `del` = (fkey, pos) of the rows to delete, over
+    * LIVE rows of `touched` only. Merges old vectors in the same pass,
+    * writes one dv file per touched file, and returns the re-pointed
+    * entries plus the NEW deletion count — or None when nothing matched
+    * (the orphaned dv directory is vacuum food, like a no-match CoW
+    * rewrite). The touched slice is scanned ONCE (the write IS the scan);
+    * per-file totals come from the written kilobyte dv tree.
+    */
+  private def writeDvAndTag(spark: SparkSession, fs: FileSystem, rootP: Path,
+                            root: String, touched: Seq[ManifestEntry],
+                            del: DataFrame): Option[(Seq[ManifestEntry], Long)] = {
     val withOldDv = touched.filter(_.dv.exists(_.rows > 0))
     val dvFrame = if (withOldDv.isEmpty) del
       else del.unionByName(spark.read
@@ -1408,9 +1426,7 @@ object ManifestStore {
     val dvDir = new Path(dataDir(rootP), s"dv-${UUID.randomUUID()}")
     // duplicate the key into a partition column so the written FILE keeps
     // (fkey, pos); repartition-by-key puts each fkey in one task → one
-    // file per fk leaf. The touched slice is scanned ONCE (this write);
-    // per-file totals then come from the written dv tree — kilobytes —
-    // never a second scan of the slice (review r11)
+    // file per fk leaf
     dvFrame.withColumn("fk", col("fkey")).repartition(col("fk"))
       .write.partitionBy("fk").parquet(dvDir.toString)
     val totals: Map[String, Long] =
@@ -1434,9 +1450,8 @@ object ManifestStore {
       val old = byFkey(fk).dv.map(_.rows).getOrElse(0L)
       if (total > old) Some(fk -> (total - old)) else None
     }
-    if (newCounts.isEmpty) return (0L, 0, before.version) // dvDir = vacuum food
-    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e)))
-    val mine = tagged.map { e =>
+    if (newCounts.isEmpty) return None
+    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e))).map { e =>
       val fk = fkeyOf(e)
       val leaf = new Path(dvDir, s"fk=$fk")
       val dvFiles = fs.listStatus(leaf)
@@ -1447,10 +1462,7 @@ object ManifestStore {
         s"dv positions (${totals(fk)}) exceed physical rows for ${e.path}")
       e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, totals(fk))))
     }
-    val deleted = newCounts.values.sum
-    val v = commitReplacing(fs, rootP, dvSignature(tagged), mine, before,
-      maxRetries, tornGraceMs, refuseEmpty = false)
-    if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
+    Some((tagged, newCounts.values.sum))
   }
 
   /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
@@ -1521,7 +1533,29 @@ object ManifestStore {
                                 before: Snapshot, updates: DataFrame,
                                 keyCols: Seq[String], maxProbeKeys: Int = 10000,
                                 maxRetries: Int = 10,
-                                tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+                                tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    prepareUpsert(spark, root, before, updates, keyCols, maxProbeKeys,
+      maxRetries, tornGraceMs) match {
+      case Left(done) => done
+      case Right(p) => upsertCowTail(spark, root, before, updates, keyCols,
+        maxProbeKeys, maxRetries, tornGraceMs, p)
+    }
+
+  /** Everything [[upsertFrom]] and [[upsertMorFrom]] share: validation,
+    * the one-pass audit, probe-key pruning, the seeded snapshot and the
+    * updates batch write. Left = the operation already completed (empty
+    * updates, or a pure insert with no candidate file — committed here);
+    * Right = the matched-key tail remains.
+    */
+  private final case class UpsertPrep(upd: StructType, keyRows: Array[Row],
+                                      touched: Seq[ManifestEntry], seeded: Snapshot,
+                                      mineUpdates: Seq[ManifestEntry])
+
+  private def prepareUpsert(spark: SparkSession, root: String,
+                            before: Snapshot, updates: DataFrame,
+                            keyCols: Seq[String], maxProbeKeys: Int,
+                            maxRetries: Int, tornGraceMs: Long)
+      : Either[(Long, Int, Long), UpsertPrep] = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     val (fs, rootP) = fsFor(spark, root)
     val table = before.schema.getOrElse(legacySchemaOf(spark, before.files))
@@ -1558,7 +1592,7 @@ object ManifestStore {
         org.apache.spark.sql.functions.max(e)))
     val auditRow = updates.agg(auditAggs.head, auditAggs.tail: _*).head()
     val updCount = auditRow.getLong(0)
-    if (updCount == 0L) return (0L, 0, before.version)
+    if (updCount == 0L) return Left((0L, 0, before.version))
     require(auditRow.getLong(1) == 0L,
       s"upsertByKey: ${auditRow.getLong(1)} update row(s) carry a NULL key — a null " +
         "key can never match an existing row, so it would insert instead of update")
@@ -1603,36 +1637,110 @@ object ManifestStore {
       // pure insert: no existing file can hold a matching key
       val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
         maxRetries, tornGraceMs, refuseEmpty = false)
-      return (0L, 0, v)
+      return Left((0L, 0, v))
     }
-    // anti-join (not a Filter): the exact key-tuple match the pruning only
-    // approximates. Under the probe cap the keys are ALREADY on the driver
-    // — a local frame broadcasts without re-evaluating the updates plan;
-    // an over-cap update set joins plain, never via a driver collect
-    val touchedRows = readSnapshot(spark, root, before.copy(files = touched), Seq.empty)
-    val keySchema = StructType(keyCols.map(c => upd(upd.fieldIndex(c))))
-    val keysSide = if (keyRows.length > maxProbeKeys)
-      updates.select(keyExprs: _*).distinct()
+    Right(UpsertPrep(upd, keyRows, touched, seeded, mineUpdates))
+  }
+
+  /** The exact key-tuple side of the match (the pruning above is only a
+    * superset). Under the probe cap the keys are ALREADY on the driver —
+    * a local frame broadcasts without re-evaluating the updates plan; an
+    * over-cap update set joins plain, never via a driver collect.
+    */
+  private def upsertKeysSide(spark: SparkSession, updates: DataFrame,
+                             keyCols: Seq[String], maxProbeKeys: Int,
+                             p: UpsertPrep): DataFrame =
+    if (p.keyRows.length > maxProbeKeys)
+      updates.select(keyCols.map(c => col(quoteIdent(c))): _*).distinct()
     else {
       import scala.jdk.CollectionConverters._
+      val keySchema = StructType(keyCols.map(c => p.upd(p.upd.fieldIndex(c))))
       org.apache.spark.sql.functions.broadcast(
-        spark.createDataFrame(keyRows.toSeq.asJava, keySchema))
+        spark.createDataFrame(p.keyRows.toSeq.asJava, keySchema))
     }
+
+  private def upsertCowTail(spark: SparkSession, root: String,
+                            before: Snapshot, updates: DataFrame,
+                            keyCols: Seq[String], maxProbeKeys: Int,
+                            maxRetries: Int, tornGraceMs: Long,
+                            p: UpsertPrep): (Long, Int, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val touchedRows = readSnapshot(spark, root, before.copy(files = p.touched), Seq.empty)
+    val keysSide = upsertKeysSide(spark, updates, keyCols, maxProbeKeys, p)
     val surviving = touchedRows.join(keysSide, keyCols, "left_anti")
     // zero-row rewrite files (a fully-replaced unpartitioned slice leaves
     // a schema-only part file) are dead weight here — mineUpdates already
     // keeps the manifest non-empty
     val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols)
       .filterNot(_.rows.contains(0L))
-    val touchedTotal = if (touched.forall(_.rows.isDefined))
-      Some(touched.map(liveRowsOf).sum) else None
+    val touchedTotal = if (p.touched.forall(_.rows.isDefined))
+      Some(p.touched.map(liveRowsOf).sum) else None
     val replaced = touchedTotal
       .map(_ - mineRewrite.flatMap(_.rows).sum)
       .getOrElse(touchedRows.count() - surviving.count())
-    val v = commitReplacing(fs, rootP, dvSignature(touched),
-      mineRewrite ++ mineUpdates, seeded, maxRetries, tornGraceMs, refuseEmpty = true)
-    if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
+    val v = commitReplacing(fs, rootP, dvSignature(p.touched),
+      mineRewrite ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
+      refuseEmpty = true)
+    if (v == -1L) (0L, 0, -1L) else (replaced, p.touched.size, v)
   }
+
+  /** MERGE-ON-READ upsert (r11): the [[upsertByKey]] contract — matched
+    * keys' rows replaced, unmatched inserted, ONE atomic version — with
+    * the replacement expressed as DELETION VECTORS instead of a rewrite:
+    * matched rows' positions land in per-file dv parquets and the updates
+    * batch appends, so the operation costs O(matched rows + update bytes)
+    * while every touched data file keeps byte identity. The natural shape
+    * for high-churn dimension updates against a huge clustered table.
+    * Same audit (NULL/duplicate keys refuse), same pruning (probe keys /
+    * over-cap key ranges), same isolation caveats as [[upsertByKey]];
+    * same dv trade-offs as [[deleteWhereMergeOnRead]] (format read
+    * refuses until materialization, readAddedSince refuses across the
+    * change). Returns (rowsReplaced, filesTagged, version); -1 on
+    * abandonment.
+    */
+  def upsertByKeyMergeOnRead(spark: SparkSession, root: String,
+                             updates: DataFrame, keyCols: Seq[String],
+                             maxProbeKeys: Int = 10000, maxRetries: Int = 10,
+                             tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    upsertMorFrom(spark, root,
+      latestSnapshot(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
+      updates, keyCols, maxProbeKeys, maxRetries, tornGraceMs)
+
+  private[graft] def upsertMorFrom(spark: SparkSession, root: String,
+                                   before: Snapshot, updates: DataFrame,
+                                   keyCols: Seq[String], maxProbeKeys: Int = 10000,
+                                   maxRetries: Int = 10,
+                                   tornGraceMs: Long = 60000L): (Long, Int, Long) =
+    prepareUpsert(spark, root, before, updates, keyCols, maxProbeKeys,
+      maxRetries, tornGraceMs) match {
+      case Left(done) => done
+      case Right(p) =>
+        val (fs, rootP) = fsFor(spark, root)
+        require(p.touched.forall(_.rows.isDefined),
+          s"upsertByKeyMergeOnRead needs per-file row counts under $root — run " +
+            "upgradeTable first (dv counts need physical rows)")
+        // LIVE rows of the candidate slice with per-row file identity;
+        // the SEMI join against the exact key tuples yields the positions
+        // to delete — replaced rows never rewrite
+        val touchedRows = snapshotFrame(spark, root,
+          before.copy(files = p.touched), Seq.empty, keepIdentity = true)
+        val keysSide = upsertKeysSide(spark, updates, keyCols, maxProbeKeys, p)
+        val del = touchedRows.join(keysSide, keyCols, "left_semi")
+          .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
+        writeDvAndTag(spark, fs, rootP, root, p.touched, del) match {
+          case None => // no existing row matched: a pure insert after all
+            val v = commitReplacing(fs, rootP, Map.empty, p.mineUpdates,
+              p.seeded, maxRetries, tornGraceMs, refuseEmpty = false)
+            (0L, 0, v)
+          case Some((tagged, replaced)) =>
+            val v = commitReplacing(fs, rootP,
+              dvSignature(p.touched.filter(e => tagged.exists(_.path == e.path))),
+              tagged ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
+              refuseEmpty = false)
+            if (v == -1L) (0L, 0, -1L) else (replaced, tagged.size, v)
+        }
+    }
 
   /** The file-replacement rebase commit shared by [[compactFrom]],
     * [[deleteFrom]] and [[upsertFrom]] — the store's most delicate

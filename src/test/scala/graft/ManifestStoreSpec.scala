@@ -955,6 +955,61 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestSnapshotUnhinted(spark, root).get.version == 6L)
   }
 
+  /** r11: merge-on-read MERGE — matched keys' old rows become deletion
+    * vectors, updates append, ONE atomic version, zero rewrites. The
+    * high-churn dimension-update shape.
+    */
+  test("merge-on-read upsert: replaced keys dv'd, updates appended, one version") {
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 10000).select(col("id"), lit("old").as("payload"))
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    // 100 existing keys (clustered at the top) + 101 brand-new ones
+    val updates = spark.range(9900, 10101)
+      .select(col("id"), lit("new").as("payload"))
+    val (replaced, tagged, v) = ManifestStore.upsertByKeyMergeOnRead(
+      spark, root, updates, Seq("id"), maxProbeKeys = 1000000)
+    assert(replaced == 100L && v == before.version + 1,
+      s"(replaced=$replaced, v=$v) — replace + insert must land in ONE version")
+    assert(tagged > 0 && tagged < before.files.size,
+      s"clustered keys must tag one slice: $tagged of ${before.files.size}")
+    // every pre-existing data file keeps byte identity
+    val after = ManifestStore.latestSnapshot(spark, root).get
+    assert(before.files.map(e => (e.path, e.bytes)).toSet.subsetOf(
+      after.files.map(e => (e.path, e.bytes)).toSet),
+      "merge-on-read upsert must not rewrite data files")
+    val t = ManifestStore.read(spark, root)
+    assert(t.count() == 10101L)
+    assert(t.select("id").distinct().count() == 10101L, "MERGE must not duplicate keys")
+    assert(t.where(col("id") >= 9900).where(col("payload") =!= "new").count() == 0L)
+    assert(t.where(col("id") < 9900 && col("payload") === "old").count() == 9900L)
+    // an OVERLAPPING second merge: all 201 keys now exist — dv merge fires
+    // on the original slice AND the first merge's own updates batch
+    val updates2 = spark.range(9900, 10101)
+      .select(col("id"), lit("newer").as("payload"))
+    val (replaced2, _, v2) = ManifestStore.upsertByKeyMergeOnRead(
+      spark, root, updates2, Seq("id"), maxProbeKeys = 1000000)
+    assert(replaced2 == 201L && v2 == v + 1, s"(replaced2=$replaced2)")
+    val t2 = ManifestStore.read(spark, root)
+    assert(t2.count() == 10101L)
+    assert(t2.where(col("id") >= 9900).where(col("payload") =!= "newer").count() == 0L)
+    // pure insert through the MoR path: no candidate file holds the keys
+    val (r3, g3, v3) = ManifestStore.upsertByKeyMergeOnRead(spark, root,
+      spark.range(50000, 50010).select(col("id"), lit("x").as("payload")),
+      Seq("id"))
+    assert(r3 == 0L && g3 == 0 && v3 == v2 + 1)
+    assert(ManifestStore.read(spark, root).count() == 10111L)
+    // a compaction retires all vectors and preserves the merged content
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    val snapC = ManifestStore.latestSnapshot(spark, root).get
+    assert(snapC.files.forall(_.dv.isEmpty))
+    assert(ManifestStore.read(spark, root).count() == 10111L)
+    assert(ManifestStore.read(spark, root)
+      .where(col("id") >= 9900 && col("id") < 10101)
+      .where(col("payload") =!= "newer").count() == 0L)
+  }
+
   /** r11: STRUCT leaves get min/max stats under parquet's dotted path, so
     * nested predicates prune files — through the library Filter ADT
     * (dotted attribute names) AND the planner (GetStructField
