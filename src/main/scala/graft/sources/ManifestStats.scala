@@ -57,8 +57,11 @@ private[graft] object ManifestStats {
   /** (rowCount, per-column stats) of one just-written parquet file. Columns
     * with unusable stats in ANY row group are dropped entirely — a partial
     * bound is not a bound. `schema` is the writer's frame schema: stats
-    * harvest only top-level primitive fields (dotted names would collide
-    * with nested paths in parquet's dot-string addressing).
+    * cover top-level primitives AND struct leaves at any depth (r11, keyed
+    * by parquet's dotted path — see [[leafTags]]); any dot-string that a
+    * literal-dot FLAT column name could also produce is excluded outright,
+    * because parquet's addressing cannot tell the two apart and merged
+    * stats across distinct columns would prune wrongly.
     */
   def collect(conf: Configuration, file: Path, schema: StructType): (Long, Map[String, ColStats]) = {
     val tags: Map[String, String] = leafTags(schema)
@@ -104,7 +107,14 @@ private[graft] object ManifestStats {
           }
         }
       }
-    walk("", schema).toMap
+    // a LEGACY flat column literally named "a.b" produces the same parquet
+    // dot-string as struct leaf a.b — collect() would MERGE the two
+    // columns' chunks into one ColStats (null counts summed across
+    // distinct columns → unsound IsNotNull pruning). Any colliding key is
+    // dropped wholesale; new writes refuse dotted flat names at append
+    // (review r11).
+    val dottedFlat = schema.fields.map(_.name).filter(_.contains('.')).toSet
+    walk("", schema).filterNot { case (n, _) => dottedFlat.contains(n) }.toMap
   }
 
   /** Comparison-domain tag for a skippable Spark type; None = never

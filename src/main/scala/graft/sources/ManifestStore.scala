@@ -480,6 +480,17 @@ object ManifestStore {
     */
   private def writeBatch(fs: FileSystem, root: Path, df: DataFrame,
                          partitionBy: Seq[String]): Seq[ManifestEntry] = {
+    // a top-level name containing a literal '.' is unrepresentable in the
+    // store's addressing: parquet's dot-string and the Filter ADT's dotted
+    // convention cannot distinguish it from a nested path, so its stats
+    // could merge with a struct leaf's and its residual filters would
+    // resolve to the wrong column — refuse at the write, where the cause
+    // is nameable (review r11). Rename the column (e.g. a_b) instead.
+    val dotted = df.schema.fieldNames.filter(_.contains('.'))
+    require(dotted.isEmpty,
+      s"column name(s) ${dotted.mkString(", ")} contain a literal '.' — " +
+        "indistinguishable from a nested path in parquet addressing and in " +
+        "pushed filters; rename them before writing to a manifest table")
     val batch = new Path(dataDir(root), s"batch-${UUID.randomUUID()}")
     val writer = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -1234,10 +1245,12 @@ object ManifestStore {
     * so [[readWhere]] returns exactly the filtered rows. Throws on a
     * filter shape the store cannot express (callers push only what they
     * pass here, so this is a programming error, not data-dependent).
-    * Dotted attribute names address NESTED struct fields (`meta.k`) —
-    * the parquet/Spark pushdown convention, and the key [[ManifestStats]]
-    * harvests leaf stats under (top-level names containing a literal '.'
-    * are never stats-collected for exactly this reason).
+    * Dotted attribute names ALWAYS address nested struct fields
+    * (`meta.k`) — the parquet/Spark pushdown convention; flat columns
+    * with literal dots are refused at the write, so the resolution is
+    * unambiguous on any table this store wrote (a legacy dotted flat
+    * column surfaces as a loud unresolvable-column error here, never a
+    * silent wrong-column match).
     */
   private def filterColumn(f: Filter): Column = {
     def c(n: String) = col(n.split('.').map(quoteIdent).mkString("."))
@@ -1399,9 +1412,8 @@ object ManifestStore {
       .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
     writeDvAndTag(spark, fs, rootP, root, touched, del) match {
       case None => (0L, 0, before.version) // nothing matched; dvDir = vacuum food
-      case Some((tagged, deleted)) =>
-        val v = commitReplacing(fs, rootP,
-          dvSignature(touched.filter(e => tagged.exists(_.path == e.path))),
+      case Some((tagged, replacedSig, deleted)) =>
+        val v = commitReplacing(fs, rootP, replacedSig,
           tagged, before, maxRetries, tornGraceMs, refuseEmpty = false)
         if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
     }
@@ -1418,7 +1430,8 @@ object ManifestStore {
     */
   private def writeDvAndTag(spark: SparkSession, fs: FileSystem, rootP: Path,
                             root: String, touched: Seq[ManifestEntry],
-                            del: DataFrame): Option[(Seq[ManifestEntry], Long)] = {
+                            del: DataFrame)
+      : Option[(Seq[ManifestEntry], Map[String, Option[String]], Long)] = {
     val withOldDv = touched.filter(_.dv.exists(_.rows > 0))
     val dvFrame = if (withOldDv.isEmpty) del
       else del.unionByName(spark.read
@@ -1451,7 +1464,8 @@ object ManifestStore {
       if (total > old) Some(fk -> (total - old)) else None
     }
     if (newCounts.isEmpty) return None
-    val tagged = touched.filter(e => newCounts.contains(fkeyOf(e))).map { e =>
+    val originals = touched.filter(e => newCounts.contains(fkeyOf(e)))
+    val tagged = originals.map { e =>
       val fk = fkeyOf(e)
       val leaf = new Path(dvDir, s"fk=$fk")
       val dvFiles = fs.listStatus(leaf)
@@ -1462,7 +1476,7 @@ object ManifestStore {
         s"dv positions (${totals(fk)}) exceed physical rows for ${e.path}")
       e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, totals(fk))))
     }
-    Some((tagged, newCounts.values.sum))
+    Some((tagged, dvSignature(originals), newCounts.values.sum))
   }
 
   /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
@@ -1711,15 +1725,18 @@ object ManifestStore {
                                    before: Snapshot, updates: DataFrame,
                                    keyCols: Seq[String], maxProbeKeys: Int = 10000,
                                    maxRetries: Int = 10,
-                                   tornGraceMs: Long = 60000L): (Long, Int, Long) =
+                                   tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    // BEFORE any work: prepareUpsert writes the whole updates batch, and a
+    // stats-less legacy table would orphan that write on every retry
+    // (review r11)
+    require(before.files.forall(_.rows.isDefined),
+      s"upsertByKeyMergeOnRead needs per-file row counts under $root — run " +
+        "upgradeTable first (dv counts need physical rows)")
     prepareUpsert(spark, root, before, updates, keyCols, maxProbeKeys,
       maxRetries, tornGraceMs) match {
       case Left(done) => done
       case Right(p) =>
         val (fs, rootP) = fsFor(spark, root)
-        require(p.touched.forall(_.rows.isDefined),
-          s"upsertByKeyMergeOnRead needs per-file row counts under $root — run " +
-            "upgradeTable first (dv counts need physical rows)")
         // LIVE rows of the candidate slice with per-row file identity;
         // the SEMI join against the exact key tuples yields the positions
         // to delete — replaced rows never rewrite
@@ -1733,14 +1750,14 @@ object ManifestStore {
             val v = commitReplacing(fs, rootP, Map.empty, p.mineUpdates,
               p.seeded, maxRetries, tornGraceMs, refuseEmpty = false)
             (0L, 0, v)
-          case Some((tagged, replaced)) =>
-            val v = commitReplacing(fs, rootP,
-              dvSignature(p.touched.filter(e => tagged.exists(_.path == e.path))),
+          case Some((tagged, replacedSig, replaced)) =>
+            val v = commitReplacing(fs, rootP, replacedSig,
               tagged ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
               refuseEmpty = false)
             if (v == -1L) (0L, 0, -1L) else (replaced, tagged.size, v)
         }
     }
+  }
 
   /** The file-replacement rebase commit shared by [[compactFrom]],
     * [[deleteFrom]] and [[upsertFrom]] — the store's most delicate

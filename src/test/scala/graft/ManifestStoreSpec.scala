@@ -955,6 +955,47 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.latestSnapshotUnhinted(spark, root).get.version == 6L)
   }
 
+  /** review r11: a flat column literally named "a.b" is indistinguishable
+    * from struct leaf a.b in parquet's dot-string addressing — new writes
+    * refuse, and legacy collisions never produce (merged, unsound) stats.
+    */
+  test("literal-dot column names refuse at write; legacy collisions yield no stats") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark,
+        spark.range(5).select(col("id"), lit(1L).as("a.b")), root)
+    }
+    assert(e.getMessage.contains("literal '.'"), e.getMessage)
+
+    // legacy table holding BOTH a flat `a.b` (all null) and struct a{b}
+    // (no nulls): merged stats would claim "100 nulls in 100 rows" and
+    // prune IsNotNull wrongly — the colliding key must get NO stats
+    val r2 = freshRoot()
+    val fs = new Path(r2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(100).select(col("id"),
+        struct(col("id").as("b")).as("a"),
+        lit(null).cast("long").as("a.b"))
+      .coalesce(1).write.parquet(s"$r2/data/batch-legacy")
+    val files = fs.listStatus(new Path(s"$r2/data/batch-legacy"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val body = "graft-manifest v1\nversion=1\n" +
+      files.map(f => s"${f.getPath.toString}\t${f.getLen}").mkString("", "\n", "\n")
+    val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(body.getBytes("UTF-8"))
+    fs.mkdirs(new Path(s"$r2/_manifests"))
+    val out = fs.create(new Path(s"$r2/_manifests/v${"%020d".format(1)}.manifest"), false)
+    out.write((body + s"checksum=$sum\n").getBytes("UTF-8")); out.close()
+
+    ManifestStore.upgradeTable(spark, r2)
+    val up = ManifestStore.latestSnapshot(spark, r2).get
+    assert(up.files.forall(e2 => !e2.stats.contains("a.b")),
+      s"colliding dot-string must never carry stats: ${up.files.head.stats.keySet}")
+    assert(up.files.forall(_.stats.contains("id")), "non-colliding leaves still collect")
+    // and the conservative outcome: IsNotNull keeps the file
+    import org.apache.spark.sql.sources.IsNotNull
+    assert(ManifestStore.prunedEntries(up, Seq(IsNotNull("a.b"))).size
+      == up.files.size)
+  }
+
   /** r11: merge-on-read MERGE — matched keys' old rows become deletion
     * vectors, updates append, ONE atomic version, zero rewrites. The
     * high-churn dimension-update shape.
