@@ -107,14 +107,31 @@ private[graft] object ManifestStats {
           }
         }
       }
-    // a LEGACY flat column literally named "a.b" produces the same parquet
-    // dot-string as struct leaf a.b — collect() would MERGE the two
-    // columns' chunks into one ColStats (null counts summed across
-    // distinct columns → unsound IsNotNull pruning). Any colliding key is
-    // dropped wholesale; new writes refuse dotted flat names at append
-    // (review r11).
-    val dottedFlat = schema.fields.map(_.name).filter(_.contains('.')).toSet
-    walk("", schema).filterNot { case (n, _) => dottedFlat.contains(n) }.toMap
+    // a LEGACY field literally named "b.c" — at ANY depth — produces the
+    // same parquet dot-string as a genuinely nested path; collect() would
+    // MERGE the two columns' chunks into one ColStats (null counts summed
+    // across distinct columns → unsound IsNotNull pruning). Every
+    // dot-string a dotted field (or anything under it) can produce is
+    // dropped wholesale; new writes refuse dotted names recursively at
+    // append (review r11 ×2).
+    def dottedPaths(prefix: String, st: StructType): Set[String] =
+      st.fields.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val self: Set[String] =
+          if (f.name.contains('.')) collectLeafStrings(name, f.dataType)
+          else Set.empty
+        self ++ (f.dataType match {
+          case s: StructType => dottedPaths(name, s)
+          case _ => Set.empty
+        })
+      }.toSet
+    def collectLeafStrings(prefix: String, dt: DataType): Set[String] = dt match {
+      case s: StructType =>
+        s.fields.flatMap(f => collectLeafStrings(s"$prefix.${f.name}", f.dataType)).toSet
+      case _ => Set(prefix)
+    }
+    val excluded = dottedPaths("", schema)
+    walk("", schema).filterNot { case (n, _) => excluded.contains(n) }.toMap
   }
 
   /** Comparison-domain tag for a skippable Spark type; None = never

@@ -272,13 +272,22 @@ object ManifestStore {
   private def latestHintPath(root: Path) = new Path(manifestsDir(root), "_latest")
 
   /** Best-effort: failures are swallowed (the next resolution just pays
-    * the listing), and the plain-overwrite write is fine because readers
-    * treat any unparseable/implausible content as hint-absent.
+    * the listing). Written as tmp + delete + rename, NOT truncate-in-
+    * place: a reader racing an in-place rewrite could observe a truncated
+    * digit PREFIX ("14" of "14203"), which validates against an old
+    * intact manifest and turns the forward probe into O(versions)
+    * sequential exists() calls. With this sequence the race window shows
+    * hint-ABSENT instead — one fallback listing, never a pathological
+    * probe walk (review r11).
     */
   private def writeLatestHint(fs: FileSystem, root: Path, v: Long): Unit =
     try {
-      val out = fs.create(latestHintPath(root), true)
+      val tmp = new Path(manifestsDir(root), s".latest-tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      val dst = latestHintPath(root)
+      try fs.delete(dst, false) catch { case _: java.io.IOException => () }
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, false): Unit // lost a hint race: fine
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The hint version, validated all the way to an INTACT manifest at that
@@ -286,8 +295,12 @@ object ManifestStore {
     * (table recreated in place, vacuum raced) or torn (cannot happen from
     * our writer, which hints only after a complete commit, but the hint
     * file is world-writable state and trust must be earned per read).
+    * Returns the validated manifest BYTES alongside the version so the
+    * hot resolution path fetches the head manifest exactly once (review
+    * r11 — a second GET of a several-MB manifest per micro-batch is the
+    * kind of cost the hint exists to remove).
     */
-  private def readLatestHint(fs: FileSystem, root: Path): Option[Long] =
+  private def readLatestHint(fs: FileSystem, root: Path): Option[(Long, Array[Byte])] =
     try {
       val p = latestHintPath(root)
       if (!fs.exists(p)) return None
@@ -305,9 +318,9 @@ object ManifestStore {
         new String(buf, 0, off, StandardCharsets.UTF_8).trim
       } finally in.close()
       val v = s.toLong
-      if (v >= 1L &&
-          readManifestBytes(fs, root, v).exists(isIntactLite(_, v))) Some(v)
-      else None
+      if (v < 1L) return None
+      readManifestBytes(fs, root, v)
+        .filter(isIntactLite(_, v)).map(bytes => (v, bytes))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The TAIL of the version sequence — `[hint .. highest existing]` via
@@ -324,7 +337,7 @@ object ManifestStore {
   private def tailVersions(fs: FileSystem, root: Path): (Seq[Long], Boolean) =
     readLatestHint(fs, root) match {
       case None => (listVersions(fs, root), false)
-      case Some(hint) =>
+      case Some((hint, _)) =>
         var v = hint
         while (fs.exists(manifestPath(root, v + 1))) v += 1
         (hint to v, true)
@@ -332,16 +345,24 @@ object ManifestStore {
 
   /** Highest intact snapshot, or None for an empty/uninitialized table.
     * Torn versions (crashed or in-flight committers) are skipped, never
-    * trusted. Resolution is hint-accelerated (see [[tailVersions]]): a
-    * constant number of small reads regardless of how many versions the
-    * table has accrued.
+    * trusted. Resolution is hint-accelerated: when the hint IS the head
+    * (the steady state), the one manifest fetched during hint validation
+    * is the one parsed — a single GET of the head manifest per
+    * resolution, regardless of accrued versions.
     */
   def latestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    val (tail, hinted) = tailVersions(fs, rootP)
-    latestIntact(fs, rootP, tail) match {
-      case None if hinted => latestIntact(fs, rootP, listVersions(fs, rootP))
-      case r => r
+    readLatestHint(fs, rootP) match {
+      case None => latestIntact(fs, rootP, listVersions(fs, rootP))
+      case Some((hint, bytes)) =>
+        var v = hint
+        while (fs.exists(manifestPath(rootP, v + 1))) v += 1
+        val head =
+          if (v == hint) parse(bytes, hint) // steady state: zero extra reads
+          else latestIntact(fs, rootP, (hint + 1) to v).orElse(parse(bytes, hint))
+        // checksum-valid but unparseable (tampered) head: fall back to the
+        // full listing rather than read an initialized table as empty
+        head.orElse(latestIntact(fs, rootP, listVersions(fs, rootP)))
     }
   }
 
@@ -480,15 +501,27 @@ object ManifestStore {
     */
   private def writeBatch(fs: FileSystem, root: Path, df: DataFrame,
                          partitionBy: Seq[String]): Seq[ManifestEntry] = {
-    // a top-level name containing a literal '.' is unrepresentable in the
-    // store's addressing: parquet's dot-string and the Filter ADT's dotted
-    // convention cannot distinguish it from a nested path, so its stats
-    // could merge with a struct leaf's and its residual filters would
-    // resolve to the wrong column — refuse at the write, where the cause
-    // is nameable (review r11). Rename the column (e.g. a_b) instead.
-    val dotted = df.schema.fieldNames.filter(_.contains('.'))
+    // a field name containing a literal '.' — at ANY nesting depth — is
+    // unrepresentable in the store's addressing: parquet's dot-string and
+    // the Filter ADT's dotted convention cannot distinguish it from a
+    // genuinely nested path, so its stats could merge with another leaf's
+    // and its residual filters would resolve to the wrong column — refuse
+    // at the write, where the cause is nameable (review r11). Rename the
+    // field (e.g. a_b) instead.
+    def dottedIn(prefix: String, dt: DataType): Seq[String] = dt match {
+      case st: StructType => st.fields.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        (if (f.name.contains('.')) Seq(name) else Seq.empty) ++
+          dottedIn(name, f.dataType)
+      }
+      case org.apache.spark.sql.types.ArrayType(et, _) => dottedIn(prefix, et)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        dottedIn(prefix, kt) ++ dottedIn(prefix, vt)
+      case _ => Seq.empty
+    }
+    val dotted = dottedIn("", df.schema)
     require(dotted.isEmpty,
-      s"column name(s) ${dotted.mkString(", ")} contain a literal '.' — " +
+      s"field name(s) ${dotted.mkString(", ")} contain a literal '.' — " +
         "indistinguishable from a nested path in parquet addressing and in " +
         "pushed filters; rename them before writing to a manifest table")
     val batch = new Path(dataDir(root), s"batch-${UUID.randomUUID()}")
@@ -1253,7 +1286,14 @@ object ManifestStore {
     * silent wrong-column match).
     */
   private def filterColumn(f: Filter): Column = {
-    def c(n: String) = col(n.split('.').map(quoteIdent).mkString("."))
+    def c(n: String) = {
+      // split with limit -1: plain split drops trailing empties, so a
+      // malformed "a." would silently resolve to column "a" instead of
+      // erring loudly (review r11)
+      val parts = n.split("\\.", -1)
+      require(parts.forall(_.nonEmpty), s"malformed column reference '$n'")
+      col(parts.map(quoteIdent).mkString("."))
+    }
     f match {
       case EqualTo(a, v) => c(a) === lit(v)
       case EqualNullSafe(a, v) => c(a) <=> lit(v)
@@ -1440,8 +1480,11 @@ object ManifestStore {
     // duplicate the key into a partition column so the written FILE keeps
     // (fkey, pos); repartition-by-key puts each fkey in one task → one
     // file per fk leaf
+    // maxRecordsPerFile=0: a session-level file-size cap would split an fk
+    // leaf into several part files and break the one-dv-file-per-entry
+    // invariant exactly on the LARGE deletes MoR exists for (review r11)
     dvFrame.withColumn("fk", col("fkey")).repartition(col("fk"))
-      .write.partitionBy("fk").parquet(dvDir.toString)
+      .write.option("maxRecordsPerFile", "0").partitionBy("fk").parquet(dvDir.toString)
     val totals: Map[String, Long] =
       try spark.read.parquet(dvDir.toString).groupBy("fkey").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
