@@ -337,11 +337,28 @@ object ManifestStore {
   private def tailVersions(fs: FileSystem, root: Path): (Seq[Long], Boolean) =
     readLatestHint(fs, root) match {
       case None => (listVersions(fs, root), false)
-      case Some((hint, _)) =>
-        var v = hint
-        while (fs.exists(manifestPath(root, v + 1))) v += 1
-        (hint to v, true)
+      case Some((hint, _)) => probeHead(fs, root, hint) match {
+        case Some(v) => (hint to v, true)
+        case None => (listVersions(fs, root), false)
+      }
     }
+
+  /** Forward existence probes from a validated hint to the head version —
+    * CAPPED: a persistently failing hint write (permissions on the hint
+    * path while commits succeed) would otherwise cost O(gap) sequential
+    * exists() RPCs per resolution, unbounded and unsurfaced. Past the cap
+    * one full listing is strictly cheaper — None tells the caller to take
+    * it (advice r11).
+    */
+  private val MaxHintProbes = 64
+  private def probeHead(fs: FileSystem, root: Path, hint: Long): Option[Long] = {
+    var v = hint
+    var probes = 0
+    while (probes < MaxHintProbes && fs.exists(manifestPath(root, v + 1))) {
+      v += 1; probes += 1
+    }
+    if (probes == MaxHintProbes) None else Some(v)
+  }
 
   /** Highest intact snapshot, or None for an empty/uninitialized table.
     * Torn versions (crashed or in-flight committers) are skipped, never
@@ -355,13 +372,15 @@ object ManifestStore {
     readLatestHint(fs, rootP) match {
       case None => latestIntact(fs, rootP, listVersions(fs, rootP))
       case Some((hint, bytes)) =>
-        var v = hint
-        while (fs.exists(manifestPath(rootP, v + 1))) v += 1
-        val head =
-          if (v == hint) parse(bytes, hint) // steady state: zero extra reads
-          else latestIntact(fs, rootP, (hint + 1) to v).orElse(parse(bytes, hint))
-        // checksum-valid but unparseable (tampered) head: fall back to the
-        // full listing rather than read an initialized table as empty
+        val head = probeHead(fs, rootP, hint) match {
+          case None => None // pathologically stale hint: full listing below
+          case Some(v) if v == hint => parse(bytes, hint) // steady: zero extra reads
+          case Some(v) =>
+            latestIntact(fs, rootP, (hint + 1) to v).orElse(parse(bytes, hint))
+        }
+        // checksum-valid but unparseable (tampered) head, or a stale hint
+        // past the probe cap: fall back to the full listing rather than
+        // read an initialized table as empty (or pay O(gap) probes)
         head.orElse(latestIntact(fs, rootP, listVersions(fs, rootP)))
     }
   }
@@ -500,14 +519,20 @@ object ManifestStore {
     * the batch's file count, never its bytes.
     */
   private def writeBatch(fs: FileSystem, root: Path, df: DataFrame,
-                         partitionBy: Seq[String]): Seq[ManifestEntry] = {
+                         partitionBy: Seq[String],
+                         internalRewrite: Boolean = false): Seq[ManifestEntry] = {
     // a field name containing a literal '.' — at ANY nesting depth — is
     // unrepresentable in the store's addressing: parquet's dot-string and
     // the Filter ADT's dotted convention cannot distinguish it from a
     // genuinely nested path, so its stats could merge with another leaf's
     // and its residual filters would resolve to the wrong column — refuse
     // at the write, where the cause is nameable (review r11). Rename the
-    // field (e.g. a_b) instead.
+    // field (e.g. a_b) instead. Scoped to EXTERNAL frames: a maintenance
+    // rewrite (compact/delete/upsert-rewrite/materialize) of a legacy table
+    // whose committed schema already carries the dotted name must keep
+    // working — the collision predates this guard and the harvest already
+    // drops colliding keys from stats, so refusing here would leave such
+    // tables permanently un-compactable and un-deletable (advice r11).
     def dottedIn(prefix: String, dt: DataType): Seq[String] = dt match {
       case st: StructType => st.fields.flatMap { f =>
         val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
@@ -519,7 +544,7 @@ object ManifestStore {
         dottedIn(prefix, kt) ++ dottedIn(prefix, vt)
       case _ => Seq.empty
     }
-    val dotted = dottedIn("", df.schema)
+    val dotted = if (internalRewrite) Seq.empty else dottedIn("", df.schema)
     require(dotted.isEmpty,
       s"field name(s) ${dotted.mkString(", ")} contain a literal '.' — " +
         "indistinguishable from a nested path in parquet addressing and in " +
@@ -794,8 +819,16 @@ object ManifestStore {
   private def legacySchemaOf(spark: SparkSession, files: Seq[ManifestEntry]): StructType = {
     val key = org.apache.commons.codec.digest.DigestUtils.md5Hex(
       files.map(_.path).sorted.mkString("\n"))
-    legacySchemaCache.computeIfAbsent(key, _ => normalizeSchema(
-      spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*).schema))
+    // get → compute → putIfAbsent, NOT computeIfAbsent: the distributed
+    // footer pass must never run while holding the global cache lock, or
+    // concurrent readers of DIFFERENT legacy tables serialize behind one
+    // whole-table scan; the rare duplicate pass is the cheaper failure
+    // (advice r11)
+    Option(legacySchemaCache.get(key)).getOrElse {
+      val computed = normalizeSchema(
+        spark.read.option("mergeSchema", "true").parquet(files.map(_.path): _*).schema)
+      Option(legacySchemaCache.putIfAbsent(key, computed)).getOrElse(computed)
+    }
   }
 
   private def checkColumnTypes(batch: StructType, table: StructType, root: String,
@@ -1025,6 +1058,16 @@ object ManifestStore {
         "incremental reads are only sound over append-only ranges; reprocess " +
         "from a full snapshot")
     val added = cur.files.filterNot(f => oldPaths(f.path))
+    // a dv on an ADDED file is still a delete: fromVersion never saw the
+    // file, so the dvMoved check above cannot catch it, and emitting the
+    // file's NET rows would silently hide that a delete happened in-range
+    // — the same "a delete is not an append" contract (advice r11)
+    val addedWithDv = added.filter(_.dv.exists(_.rows > 0))
+    require(addedWithDv.isEmpty,
+      s"${addedWithDv.size} file(s) appended after v$fromVersion already carry a " +
+        s"deletion vector at v${cur.version} under $root (merge-on-read delete) — " +
+        "incremental reads are only sound over append-only ranges; reprocess " +
+        "from a full snapshot")
     if (added.isEmpty) (cur.version, emptyFrame)
     else (cur.version, readSnapshot(spark, root, cur.copy(files = added), Seq.empty))
   }
@@ -1381,7 +1424,7 @@ object ManifestStore {
     }
     if (touchedTotal.isEmpty && matched == 0L)
       return (0L, 0, before.version) // nothing matched: no-op, nothing written
-    val mine = writeBatch(fs, rootP, surviving, before.partCols)
+    val mine = writeBatch(fs, rootP, surviving, before.partCols, internalRewrite = true)
     val deleted = touchedTotal
       .map(_ - mine.flatMap(_.rows).sum).getOrElse(matched)
     if (deleted == 0L) return (0L, 0, before.version) // metadata path no-match
@@ -1510,16 +1553,38 @@ object ManifestStore {
     val originals = touched.filter(e => newCounts.contains(fkeyOf(e)))
     val tagged = originals.map { e =>
       val fk = fkeyOf(e)
-      val leaf = new Path(dvDir, s"fk=$fk")
-      val dvFiles = fs.listStatus(leaf)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      require(dvFiles.length == 1,
-        s"expected exactly one dv file under $leaf, found ${dvFiles.length}")
+      val dvFile = dvFileOf(spark, fs, dvDir, fk)
       require(totals(fk) <= e.rows.getOrElse(Long.MaxValue),
         s"dv positions (${totals(fk)}) exceed physical rows for ${e.path}")
-      e.copy(dv = Some(DvRef(dvFiles.head.getPath.toString, totals(fk))))
+      e.copy(dv = Some(DvRef(dvFile.toString, totals(fk))))
     }
     Some((tagged, dvSignature(originals), newCounts.values.sum))
+  }
+
+  /** THE deletion-vector file of one fk leaf. The repartition-by-key +
+    * maxRecordsPerFile=0 write normally leaves exactly one file; if a
+    * writer/config ever splits the leaf anyway, the files are MERGED into
+    * one (the one-dv-file-per-entry invariant is restored, the whole MoR
+    * operation does not abort — advice r11; aborting here would happen
+    * only AFTER the full dv write, turning a packing quirk into an
+    * availability failure).
+    */
+  private[graft] def dvFileOf(spark: SparkSession, fs: FileSystem,
+                              dvDir: Path, fk: String): Path = {
+    val leaf = new Path(dvDir, s"fk=$fk")
+    val dvFiles = fs.listStatus(leaf)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (dvFiles.length == 1) return dvFiles.head.getPath
+    require(dvFiles.nonEmpty, s"no dv file under $leaf")
+    val mergeDir = new Path(dvDir, s"merged/fk=$fk")
+    spark.read.parquet(leaf.toString).select("fkey", "pos")
+      .coalesce(1).write.option("maxRecordsPerFile", "0")
+      .mode(SaveMode.ErrorIfExists).parquet(mergeDir.toString)
+    val merged = fs.listStatus(mergeDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(merged.length == 1,
+      s"dv merge fallback still produced ${merged.length} files under $mergeDir")
+    merged.head.getPath
   }
 
   /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
@@ -1543,7 +1608,7 @@ object ManifestStore {
     val (fs, rootP) = fsFor(spark, root)
     val raw = writeBatch(fs, rootP,
       readSnapshot(spark, root, before.copy(files = dvE), Seq.empty),
-      before.partCols)
+      before.partCols, internalRewrite = true)
     val cleanRemainder = before.files.exists(e => !e.dv.exists(_.rows > 0))
     val nonZero = raw.filterNot(_.rows.contains(0L))
     // zero-row rewrite files are dead weight UNLESS they are all that
@@ -1728,7 +1793,8 @@ object ManifestStore {
     // zero-row rewrite files (a fully-replaced unpartitioned slice leaves
     // a schema-only part file) are dead weight here — mineUpdates already
     // keeps the manifest non-empty
-    val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols)
+    val mineRewrite = writeBatch(fs, rootP, surviving, before.partCols,
+        internalRewrite = true)
       .filterNot(_.rows.contains(0L))
     val touchedTotal = if (p.touched.forall(_.rows.isDefined))
       Some(p.touched.map(liveRowsOf).sum) else None
@@ -1953,7 +2019,8 @@ object ManifestStore {
     // and re-laid-out hive-style when the table is partitioned)
     val scoped = Sink.scopedSession(spark, targetFileBytes)
     val mine = writeBatch(fs, rootP,
-      readSnapshot(scoped, root, before, Seq.empty), before.partCols)
+      readSnapshot(scoped, root, before, Seq.empty), before.partCols,
+      internalRewrite = true)
     if (mine.isEmpty) // zero-row snapshot: nothing to commit, keep the base
       return (before.files.size, before.files.size, before.version)
     // txn watermarks, schema and partCols survive via the shared rebase

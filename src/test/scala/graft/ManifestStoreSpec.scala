@@ -1564,6 +1564,112 @@ class ManifestStoreSpec extends SparkSpec {
       s"append seeding dropped column b: ${ap.schema}")
     assert(ManifestStore.read(spark, r2).where(col("b").isNotNull).count() == 1L)
   }
+
+  /** advice r12 (was r11 low): a file appended AFTER fromVersion that then
+    * gained a deletion vector within the same polled range carries a dv the
+    * from-snapshot never saw — "new files" would emit its NET rows and
+    * silently hide the delete. The refusal must cover it.
+    */
+  test("readAddedSince refuses a dv on an in-range-ADDED file") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10).coalesce(1), root) // v1
+    ManifestStore.append(spark, batch(10, 20).coalesce(1), root) // v2
+    // stats-pruned to v2's file only: v1's entries keep their (absent) dv,
+    // so the old shared-file check alone would let this slip through
+    val (nd, _, _) = ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(GreaterThanOrEqual("id", 15L)))
+    assert(nd == 5L)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readAddedSince(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("appended after"), e.getMessage)
+  }
+
+  /** advice r12: the literal-dot refusal guards EXTERNAL frames only — a
+    * legacy table that already carries a flat `a.b` column must stay
+    * compactable and deletable in place (the maintenance rewrite reads the
+    * table's own committed schema; the collision predates the guard).
+    */
+  test("legacy dotted-column tables stay compactable and deletable") {
+    val root = freshRoot()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(100).select(col("id"), lit(7L).as("a.b"))
+      .coalesce(1).write.parquet(s"$root/data/batch-legacy")
+    val files = fs.listStatus(new Path(s"$root/data/batch-legacy"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val body = "graft-manifest v1\nversion=1\n" +
+      files.map(f => s"${f.getPath.toString}\t${f.getLen}").mkString("", "\n", "\n")
+    val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(body.getBytes("UTF-8"))
+    fs.mkdirs(new Path(s"$root/_manifests"))
+    val out = fs.create(new Path(s"$root/_manifests/v${"%020d".format(1)}.manifest"), false)
+    out.write((body + s"checksum=$sum\n").getBytes("UTF-8")); out.close()
+    ManifestStore.upgradeTable(spark, root)
+
+    val (nb, na, vc) = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(vc > 0, s"compaction of a legacy dotted table must commit, got $vc")
+    assert(nb == 1 && na >= 1)
+    assert(ManifestStore.read(spark, root).count() == 100L)
+    assert(ManifestStore.read(spark, root).columns.toSet == Set("id", "a.b"))
+
+    import org.apache.spark.sql.sources.LessThan
+    val (deleted, _, vd) = ManifestStore.deleteWhere(spark, root, Seq(LessThan("id", 10L)))
+    assert(deleted == 10L && vd > vc)
+    assert(ManifestStore.read(spark, root).count() == 90L)
+
+    // external appends still refuse the dotted name
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.append(spark, spark.range(5).select(col("id"), lit(1L).as("a.b")), root)
+    }
+    assert(e.getMessage.contains("literal '.'"), e.getMessage)
+  }
+
+  /** advice r12: a split fk leaf (a writer/config that ignores the
+    * maxRecordsPerFile=0 packing) merges into ONE dv file instead of
+    * aborting the whole MoR operation after the dv write.
+    */
+  test("dvFileOf merges a split fk leaf instead of aborting") {
+    val dvDir = new Path(freshRoot(), "dv-split")
+    val fs = dvDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fk = "0123456789abcdef0123456789abcdef"
+    (0L until 100L).map(p => (fk, p)).toDF("fkey", "pos")
+      .repartition(3).write.parquet(new Path(dvDir, s"fk=$fk").toString)
+    val leafFiles = fs.listStatus(new Path(dvDir, s"fk=$fk"))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(leafFiles > 1, "precondition: the leaf must actually be split")
+    val merged = ManifestStore.dvFileOf(spark, fs, dvDir, fk)
+    val back = spark.read.parquet(merged.toString)
+    assert(back.count() == 100L)
+    assert(back.select("pos").as[Long].collect().sorted.toSeq == (0L until 100L))
+    // single-file leaves return their file untouched (no merge write)
+    val fk2 = "fedcba9876543210fedcba9876543210"
+    Seq((fk2, 1L)).toDF("fkey", "pos").coalesce(1)
+      .write.parquet(new Path(dvDir, s"fk=$fk2").toString)
+    val single = ManifestStore.dvFileOf(spark, fs, dvDir, fk2)
+    assert(single.getParent.getName == s"fk=$fk2")
+  }
+
+  /** advice r12: a pathologically stale hint (persistently failing hint
+    * writes while commits succeed) falls back to ONE full listing past the
+    * probe cap instead of O(gap) sequential exists() probes — and still
+    * resolves the true head.
+    */
+  test("stale hint past the probe cap falls back to listing, resolves correctly") {
+    val root = freshRoot()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestStore.append(spark, batch(0, 5), root)  // v1
+    ManifestStore.append(spark, batch(5, 10), root) // v2
+    // 68 torn slots above the head (exist, unparseable) + a hint pinned at 1
+    for (v <- 3L to 70L) {
+      val out = fs.create(new Path(s"$root/_manifests/v${"%020d".format(v)}.manifest"), false)
+      out.close()
+    }
+    val hint = fs.create(new Path(s"$root/_manifests/_latest"), true)
+    hint.write("1".getBytes("UTF-8")); hint.close()
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.version == 2L, s"expected the intact head v2, got v${snap.version}")
+    assert(ids(ManifestStore.read(spark, root)) == (0L until 10L))
+  }
 }
 
 /** A connector whose create(path, overwrite=false) silently overwrites —
