@@ -1250,14 +1250,19 @@ object ManifestStore {
   }
 
   /** Scan `entries` under an explicit data schema (None = legacy footer
-    * resolution), APPLYING each entry's deletion vector: dv-carrying
-    * files scan with parquet's per-row identity
-    * (`md5(_metadata.file_path)`, `_metadata.row_index`) and anti-join
-    * the dv rows on (fkey, pos) — the dv side is the deleted-row count,
-    * tiny next to the data, so the anti-join broadcasts by its own size
-    * stats; clean files scan plain. `keepIdentity` keeps the identity
-    * columns on EVERY row (the merge-on-read delete computes new
-    * positions through them); otherwise they never leave this method.
+    * resolution), APPLYING each entry's deletion vector as a SCAN-SIDE
+    * FILTER (r12): the vectors load as compressed per-file bitmaps
+    * ([[DvBitmap.loadBitmaps]], ~2 bits per deleted row worst-case), a
+    * `Map[file path → bitmap]` broadcasts, and the dv files' scan filters
+    * on `!DvDeleted(_metadata.file_path, _metadata.row_index)` — a native
+    * codegen predicate, so a dv-carrying read plans ZERO extra exchanges
+    * and never joins, regardless of accumulated deletes (the r11
+    * anti-join silently became a full shuffle of the data scan past the
+    * broadcast-join threshold — VERDICT r11 #1). Clean files scan plain.
+    * `keepIdentity` keeps per-row identity columns
+    * (`md5(_metadata.file_path)`, `_metadata.row_index`) on EVERY row
+    * (the merge-on-read ops compute new positions through them);
+    * otherwise they never materialize.
     */
   private def scanEntries(spark: SparkSession, schema: Option[StructType],
                           entries: Seq[ManifestEntry],
@@ -1268,9 +1273,8 @@ object ManifestStore {
       .withColumn(PosCol, col("_metadata.row_index"))
     val (dvE, cleanE) = entries.partition(_.dv.exists(_.rows > 0))
     // the reserved names only matter when identity columns materialize —
-    // a dv-free plain read of a table that happens to carry such a column
-    // must keep working (review r11)
-    if (keepIdentity || dvE.nonEmpty) schema.foreach(sc => require(
+    // a dv read no longer materializes them (review r11 / r12)
+    if (keepIdentity) schema.foreach(sc => require(
       !sc.fieldNames.contains(FkeyCol) && !sc.fieldNames.contains(PosCol),
       s"table schema collides with reserved internal columns $FkeyCol/$PosCol"))
     val parts = Seq.newBuilder[DataFrame]
@@ -1279,13 +1283,39 @@ object ManifestStore {
       parts += (if (keepIdentity) withIdentity(plain) else plain)
     }
     if (dvE.nonEmpty) {
-      val dvRows = spark.read.parquet(dvE.flatMap(_.dv.map(_.path)): _*)
-        .select(col("fkey").as(FkeyCol), col("pos").as(PosCol))
-      val alive = withIdentity(reader.parquet(dvE.map(_.path): _*))
-        .join(dvRows, Seq(FkeyCol, PosCol), "left_anti")
-      parts += (if (keepIdentity) alive else alive.drop(FkeyCol, PosCol))
+      val scan = reader.parquet(dvE.map(_.path): _*)
+      val alive = scan.where(!dvDeletedFilter(spark, dvE))
+      parts += (if (keepIdentity) withIdentity(alive) else alive)
     }
     parts.result().reduce(_ unionByName _)
+  }
+
+  /** The [[graft.plans.DvDeleted]] predicate Column for `dvE`'s vectors —
+    * keyed by the data file's PATH STRING exactly as the scan renders
+    * `_metadata.file_path` (= `Path.toString`, the manifest's own
+    * convention, probe-confirmed r11). A stored fkey that matches none of
+    * the entries' md5s means path rendering diverged between manifest and
+    * runtime — refuse loudly rather than silently resurrect (the same
+    * posture as the write-side identity check).
+    */
+  private def dvDeletedFilter(spark: SparkSession, dvE: Seq[ManifestEntry]): Column = {
+    val byFkey = DvBitmap.loadBitmaps(spark, dvE.flatMap(_.dv.map(_.path)))
+    val fkeyOf: ManifestEntry => String = e =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
+    val expected = dvE.map(fkeyOf).toSet
+    val unknown = byFkey.keySet -- expected
+    require(unknown.isEmpty,
+      s"deletion-vector identity mismatch: stored fkeys ${unknown.take(3)} match " +
+        "no scanned entry — path rendering diverged between manifest and runtime; " +
+        "refusing rather than resurrect deleted rows")
+    val keyed: Map[org.apache.spark.unsafe.types.UTF8String, DvBitmap] =
+      dvE.flatMap(e => byFkey.get(fkeyOf(e)).map(bm =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.path) -> bm)).toMap
+    val bcast = spark.sparkContext.broadcast(keyed)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.DvDeleted(
+      ColumnShim.expression(col("_metadata.file_path")),
+      ColumnShim.expression(col("_metadata.row_index")), bcast))
   }
 
   /** Partition columns are not in the data files — reconstruct them from
@@ -1504,32 +1534,46 @@ object ManifestStore {
 
   /** The shared deletion-vector WRITE of [[deleteMorFrom]] and
     * [[upsertMorFrom]]: `del` = (fkey, pos) of the rows to delete, over
-    * LIVE rows of `touched` only. Merges old vectors in the same pass,
-    * writes one dv file per touched file, and returns the re-pointed
-    * entries plus the NEW deletion count — or None when nothing matched
-    * (the orphaned dv directory is vacuum food, like a no-match CoW
-    * rewrite). The touched slice is scanned ONCE (the write IS the scan);
-    * per-file totals come from the written kilobyte dv tree.
+    * LIVE rows of `touched` only. Each touched file's positions pack into
+    * ONE compressed [[DvBitmap]] row `(fkey, bitmap, n)` (r12 — built
+    * distributed per fkey group, merged with the file's OLD vector via
+    * broadcast, so the read side never pays a per-position join), written
+    * as one dv file per touched file. Returns the re-pointed entries plus
+    * the NEW deletion count — or None when nothing matched (the orphaned
+    * dv directory is vacuum food, like a no-match CoW rewrite). The
+    * touched slice is scanned ONCE (the write IS the scan); per-file
+    * totals come from the written kilobyte dv tree's `n` column.
     */
   private def writeDvAndTag(spark: SparkSession, fs: FileSystem, rootP: Path,
                             root: String, touched: Seq[ManifestEntry],
                             del: DataFrame)
       : Option[(Seq[ManifestEntry], Map[String, Option[String]], Long)] = {
     val withOldDv = touched.filter(_.dv.exists(_.rows > 0))
-    val dvFrame = if (withOldDv.isEmpty) del
-      else del.unionByName(spark.read
-        .parquet(withOldDv.flatMap(_.dv.map(_.path)): _*).select("fkey", "pos"))
+    // old vectors are per-file compressed bitmaps — kilobytes; broadcast
+    // into the per-fkey merge instead of re-shipping their positions as rows
+    val oldBc = spark.sparkContext.broadcast(
+      DvBitmap.loadBitmaps(spark, withOldDv.flatMap(_.dv.map(_.path))))
+    val sp = spark
+    import sp.implicits._
+    val bitmapRows = del.select(col("fkey"), col("pos")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fk, it) =>
+        var bm = DvBitmap.build(it.map(_._2).toArray)
+        oldBc.value.get(fk).foreach(old => bm = DvBitmap.union(bm, old))
+        (fk, bm.serialize, bm.cardinality)
+      }.toDF("fkey", "bitmap", "n")
     val dvDir = new Path(dataDir(rootP), s"dv-${UUID.randomUUID()}")
     // duplicate the key into a partition column so the written FILE keeps
-    // (fkey, pos); repartition-by-key puts each fkey in one task → one
-    // file per fk leaf
+    // its fkey; repartition-by-key puts each fkey in one task → one file
+    // per fk leaf
     // maxRecordsPerFile=0: a session-level file-size cap would split an fk
     // leaf into several part files and break the one-dv-file-per-entry
-    // invariant exactly on the LARGE deletes MoR exists for (review r11)
-    dvFrame.withColumn("fk", col("fkey")).repartition(col("fk"))
+    // invariant (review r11; single-row leaves make it unlikely, kept for
+    // defense)
+    bitmapRows.withColumn("fk", col("fkey")).repartition(col("fk"))
       .write.option("maxRecordsPerFile", "0").partitionBy("fk").parquet(dvDir.toString)
     val totals: Map[String, Long] =
-      try spark.read.parquet(dvDir.toString).groupBy("fkey").count()
+      try spark.read.parquet(dvDir.toString).select("fkey", "n")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       catch { // an all-empty write leaves no readable files: nothing matched
         case e: org.apache.spark.sql.AnalysisException
@@ -1577,7 +1621,10 @@ object ManifestStore {
     if (dvFiles.length == 1) return dvFiles.head.getPath
     require(dvFiles.nonEmpty, s"no dv file under $leaf")
     val mergeDir = new Path(dvDir, s"merged/fk=$fk")
-    spark.read.parquet(leaf.toString).select("fkey", "pos")
+    // format-agnostic: (fkey, bitmap, n) rows and legacy (fkey, pos) rows
+    // both just need to land in one file ([[DvBitmap.loadBitmaps]] unions
+    // several fragments per fkey on read)
+    spark.read.parquet(leaf.toString)
       .coalesce(1).write.option("maxRecordsPerFile", "0")
       .mode(SaveMode.ErrorIfExists).parquet(mergeDir.toString)
     val merged = fs.listStatus(mergeDir)

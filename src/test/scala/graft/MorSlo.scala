@@ -61,6 +61,38 @@ object MorSlo {
         f"bytes_written=$rewrittenBytes table_bytes=$tableBytes " +
         f"wall=$wall%.2fs rows_after=$n")
     }
+
+    // --- accrual (r12, VERDICT r11 #1 "done" gate): ≥1M ACCUMULATED deleted
+    // rows, interleaved across every file. The r11 (fkey, pos) anti-join
+    // crossed the 10 MB broadcast threshold near ~250k accumulated deletes
+    // and silently became a full shuffle of the data scan; the bitmap
+    // scan-side filter must hold read cost FLAT through 1M+.
+    val root = s"$work/accrual"
+    M.append(spark,
+      spark.range(0, 20000000L).select(col("id"), (col("id") % 100L).as("r"))
+        .repartitionByRange(16, col("id")).sortWithinPartitions("id"), root)
+    def readWall(): Double = {
+      val t0 = System.nanoTime()
+      // prime stride: survives every r-keyed delete (id%997==0 hits all
+      // residues of id%100, so most probe rows outlive the deletions)
+      val n = M.read(spark, root).where(col("id") % 997L === 0L).count()
+      require(n > 0)
+      (System.nanoTime() - t0) / 1e9
+    }
+    readWall() // warm the scan path once
+    println(f"MORSLO-ACCRUAL dv_rows=0 read_wall=${readWall()}%.2fs dv_bytes=0")
+    var accrued = 0L
+    for (k <- 0 until 5) {
+      val (nd, _, v) = M.deleteWhereMergeOnRead(spark, root,
+        Seq(org.apache.spark.sql.sources.EqualTo("r", k.toLong)))
+      require(v > 0 && nd == 200000L, s"delete $k: ($nd, $v)")
+      accrued += nd
+      val snap = M.latestSnapshot(spark, root).get
+      val dvBytes = snap.files.flatMap(_.dv).map(d => dirBytes(d.path)).sum
+      println(f"MORSLO-ACCRUAL dv_rows=$accrued read_wall=${readWall()}%.2fs " +
+        f"dv_bytes=$dvBytes")
+    }
+    require(M.read(spark, root).count() == 20000000L - accrued)
     spark.stop()
   }
 }

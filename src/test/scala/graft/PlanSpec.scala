@@ -62,6 +62,35 @@ class PlanSpec extends SparkSpec {
       s"scan fell out of whole-stage codegen (no * span):\n$plan")
   }
 
+  /** VERDICT r11 #1 "done" pin: a deletion-vector-carrying read must plan
+    * ZERO extra exchanges and ZERO joins — the vectors apply as a
+    * broadcast-bitmap scan-side filter (graft.plans.DvDeleted), never as
+    * the r11 anti-join that degraded to a full shuffle of the data scan
+    * once deletes outgrew the broadcast threshold.
+    */
+  test("O20: dv-carrying manifest read plans zero exchanges and zero joins") {
+    val root = java.nio.file.Files.createTempDirectory("graft-planspec-dv").toString
+    graft.sources.ManifestStore.append(spark,
+      spark.range(0, 4000).select(col("id"), (col("id") % 7).as("r"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val (nd, _, _) = graft.sources.ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(org.apache.spark.sql.sources.EqualTo("r", 0L)))
+    assert(nd > 500L, s"precondition: a real spread-out delete, got $nd")
+    val df = graft.sources.ManifestStore.read(spark, root)
+    assert(df.count() == 4000L - nd)
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.isEmpty, s"dv read must not exchange:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, s"dv read must not join:\n$plan")
+    assert(plan.toString.contains("graft_dv_deleted"),
+      s"the native dv predicate is not in the plan:\n$plan")
+    assert("""\*\(\d+\)""".r.findFirstIn(plan.toString).isDefined,
+      s"dv filter fell out of whole-stage codegen:\n$plan")
+  }
+
   test("J1: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = explained(queries.Catalog.byName("j1_broadcast_lookup").run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
