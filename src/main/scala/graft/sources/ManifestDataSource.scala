@@ -38,6 +38,14 @@ final class ManifestDataSource extends RelationProvider with DataSourceRegister 
         throw new java.util.NoSuchElementException(
           s"no committed manifest under $root"))
     }
+    // a bare relation cannot attach the deletion-vector filter — reading
+    // through it would RESURRECT deleted rows; refuse with the recipe
+    // (ManifestStore.table and read/readWhere all apply vectors)
+    require(snap.files.forall(_.dv.forall(_.rows == 0L)),
+      s"table under $root carries live deletion vectors (merge-on-read " +
+        "deletes) which the raw format relation cannot apply — run " +
+        "ManifestStore.materializeDeletes(spark, root) first, or read via " +
+        "ManifestStore.table/read/readWhere (all apply vectors)")
     ManifestStore.relationFor(spark, root, snap)
   }
 }

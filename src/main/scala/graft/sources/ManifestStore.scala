@@ -1145,36 +1145,48 @@ object ManifestStore {
     * routes the predicate through [[ManifestFileIndex]] into
     * [[prunedEntries]] at planning time, so file skipping no longer
     * requires hand-built `sources.Filter`s, and the scan is Spark's native
-    * vectorized parquet path. Equivalent to
-    * `spark.read.format("graft-manifest").load(root)`. Partition columns
-    * surface LAST in the schema (hive-table convention).
+    * vectorized parquet path. Live deletion vectors APPLY (r12 — the
+    * scan-side bitmap filter), unlike the raw
+    * `spark.read.format("graft-manifest").load(root)` path, which cannot
+    * attach the filter and keeps its refusal. Partition columns surface
+    * LAST in the schema (hive-table convention).
     */
-  def table(spark: SparkSession, root: String): DataFrame =
-    spark.baseRelationToDataFrame(relationFor(spark, root,
-      latestSnapshot(spark, root).getOrElse(
-        throw new java.util.NoSuchElementException(
-          s"no committed manifest under $root"))))
+  def table(spark: SparkSession, root: String): DataFrame = {
+    val snap = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+    val df = spark.baseRelationToDataFrame(relationFor(spark, root, snap))
+    val dvE = snap.files.filter(_.dv.exists(_.rows > 0))
+    if (dvE.isEmpty) df else df.where(!dvDeletedFilter(spark, dvE))
+  }
 
-  /** The `HadoopFsRelation` of one snapshot (shared by [[table]] and the
-    * `graft-manifest` format).
+  /** The `HadoopFsRelation` of one snapshot (shared by [[table]], the
+    * library read path and the `graft-manifest` format). Does NOT apply
+    * deletion vectors — callers either refuse live vectors
+    * ([[ManifestDataSource]]) or filter the frame with
+    * [[dvDeletedFilter]].
     */
   private[sources] def relationFor(spark: SparkSession, root: String,
                                    snap: Snapshot): org.apache.spark.sql.sources.BaseRelation = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
-    // the plain parquet relation cannot apply deletion vectors — reading
-    // through it would RESURRECT deleted rows; refuse with the recipe
-    require(snap.files.forall(_.dv.forall(_.rows == 0L)),
-      s"table under $root carries live deletion vectors (merge-on-read " +
-        "deletes) which the planner-integrated format cannot apply — run " +
-        "ManifestStore.materializeDeletes(spark, root) first, or read via " +
-        "ManifestStore.read/readWhere (both apply vectors)")
+    relationWith(spark, root, snap,
+      snap.schema.getOrElse(legacySchemaOf(spark, snap.files)), snap.partCols)
+  }
+
+  /** [[relationFor]] with the schema already resolved — the library read
+    * path passes the FULL snapshot's schema when scanning an entry SUBSET
+    * (a pruned or dv-split slice of a legacy table must not re-derive its
+    * schema from the subset's footers and lose columns).
+    */
+  private def relationWith(spark: SparkSession, root: String, snap: Snapshot,
+                           schema: StructType, partCols: Seq[String])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val (_, rootP) = fsFor(spark, root)
-    val schema = snap.schema.getOrElse(legacySchemaOf(spark, snap.files))
-    val partSchema = StructType(snap.partCols.map(c => schema(c)))
+    val partSchema = StructType(partCols.map(c => schema(c)))
     val dataSchema = StructType(
-      schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+      schema.fields.filterNot(f => partCols.contains(f.name)))
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       location = new ManifestFileIndex(spark, rootP, snap, partSchema),
       partitionSchema = partSchema,
@@ -1217,12 +1229,36 @@ object ManifestStore {
   private val FkeyCol = "__graft_dv_fkey"
   private val PosCol = "__graft_dv_pos"
 
+  /** One snapshot as a DataFrame — EVERY library read shape flows through
+    * here, and since r12 every shape plans through the same
+    * [[HadoopFsRelation]]/[[ManifestFileIndex]] machinery as the
+    * `graft-manifest` format (VERDICT r11 #4): a partitioned library read
+    * is ONE native `FileSourceScan` whose `PartitionDirectory`s carry the
+    * manifest's recorded partition values (the per-distinct-tuple union
+    * of scans is retired), filters push into the parquet scan, and column
+    * pruning reaches the reader. Deletion vectors apply as the scan-side
+    * bitmap filter ([[dvDeletedFilter]]) on the dv-carrying files' scan —
+    * at most a TWO-way union (clean files unfiltered + dv files
+    * filtered), never per-partition-tuple, and clean-only tables stay a
+    * single scan with zero per-row dv cost. `keepIdentity` keeps per-row
+    * identity columns (`md5(_metadata.file_path)`,
+    * `_metadata.row_index`) on every row — the merge-on-read ops compute
+    * new positions through them; otherwise they never materialize.
+    * Output column order is the table schema's (partition columns in
+    * place, not hive-last — the library contract).
+    */
   private def snapshotFrame(spark: SparkSession, root: String,
                             snap: Snapshot, filters: Seq[Filter],
                             keepIdentity: Boolean): DataFrame = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
+    // the FULL snapshot's schema, never a subset's footers: a pruned or
+    // dv-split slice of a legacy table must not lose columns
+    val schema = snap.schema.getOrElse(legacySchemaOf(spark, snap.files))
+    if (keepIdentity) require(
+      !schema.fieldNames.contains(FkeyCol) && !schema.fieldNames.contains(PosCol),
+      s"table schema collides with reserved internal columns $FkeyCol/$PosCol")
     val entries = prunedEntries(snap, filters)
     def emptyTyped(sc: StructType): DataFrame = {
       val withId = if (!keepIdentity) sc else StructType(sc.fields ++ Seq(
@@ -1232,62 +1268,27 @@ object ManifestStore {
           org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(new java.util.ArrayList[Row](), withId)
     }
-    val base: DataFrame = (snap.schema, entries) match {
-      case (Some(sc), Seq()) => // every file pruned: an empty frame, same schema
-        emptyTyped(sc)
-      case (None, Seq()) => // legacy, fully pruned: footer union gives the schema
-        emptyTyped(legacySchemaOf(spark, snap.files))
-      case (Some(sc), es) if snap.partCols.nonEmpty =>
-        readPartitioned(spark, sc, snap.partCols, es, keepIdentity)
-      case (Some(sc), es) =>
-        // explicit schema: files written before a column was added
-        // null-fill it; files written after a batch omitted one ditto
-        scanEntries(spark, Some(sc), es, keepIdentity)
-      case (None, es) => // pre-r10 manifest: schema from footers, as before
-        scanEntries(spark, None, es, keepIdentity)
-    }
-    filters.foldLeft(base)((d, f) => d.where(filterColumn(f)))
-  }
-
-  /** Scan `entries` under an explicit data schema (None = legacy footer
-    * resolution), APPLYING each entry's deletion vector as a SCAN-SIDE
-    * FILTER (r12): the vectors load as compressed per-file bitmaps
-    * ([[DvBitmap.loadBitmaps]], ~2 bits per deleted row worst-case), a
-    * `Map[file path → bitmap]` broadcasts, and the dv files' scan filters
-    * on `!DvDeleted(_metadata.file_path, _metadata.row_index)` — a native
-    * codegen predicate, so a dv-carrying read plans ZERO extra exchanges
-    * and never joins, regardless of accumulated deletes (the r11
-    * anti-join silently became a full shuffle of the data scan past the
-    * broadcast-join threshold — VERDICT r11 #1). Clean files scan plain.
-    * `keepIdentity` keeps per-row identity columns
-    * (`md5(_metadata.file_path)`, `_metadata.row_index`) on EVERY row
-    * (the merge-on-read ops compute new positions through them);
-    * otherwise they never materialize.
-    */
-  private def scanEntries(spark: SparkSession, schema: Option[StructType],
-                          entries: Seq[ManifestEntry],
-                          keepIdentity: Boolean = false): DataFrame = {
-    def reader = schema.map(sc => spark.read.schema(sc)).getOrElse(spark.read)
+    val outCols = schema.fieldNames.toSeq ++
+      (if (keepIdentity) Seq(FkeyCol, PosCol) else Seq.empty)
     def withIdentity(df: DataFrame): DataFrame = df
       .withColumn(FkeyCol, org.apache.spark.sql.functions.md5(col("_metadata.file_path")))
       .withColumn(PosCol, col("_metadata.row_index"))
-    val (dvE, cleanE) = entries.partition(_.dv.exists(_.rows > 0))
-    // the reserved names only matter when identity columns materialize —
-    // a dv read no longer materializes them (review r11 / r12)
-    if (keepIdentity) schema.foreach(sc => require(
-      !sc.fieldNames.contains(FkeyCol) && !sc.fieldNames.contains(PosCol),
-      s"table schema collides with reserved internal columns $FkeyCol/$PosCol"))
-    val parts = Seq.newBuilder[DataFrame]
-    if (cleanE.nonEmpty) {
-      val plain = reader.parquet(cleanE.map(_.path): _*)
-      parts += (if (keepIdentity) withIdentity(plain) else plain)
+    def scanOf(es: Seq[ManifestEntry]): DataFrame = {
+      val df = spark.baseRelationToDataFrame(
+        relationWith(spark, root, snap.copy(files = es), schema, snap.partCols))
+      if (keepIdentity) withIdentity(df) else df
     }
-    if (dvE.nonEmpty) {
-      val scan = reader.parquet(dvE.map(_.path): _*)
-      val alive = scan.where(!dvDeletedFilter(spark, dvE))
-      parts += (if (keepIdentity) withIdentity(alive) else alive)
-    }
-    parts.result().reduce(_ unionByName _)
+    val base: DataFrame =
+      if (entries.isEmpty) emptyTyped(schema)
+      else {
+        val (dvE, cleanE) = entries.partition(_.dv.exists(_.rows > 0))
+        val parts = Seq.newBuilder[DataFrame]
+        if (cleanE.nonEmpty) parts += scanOf(cleanE)
+        if (dvE.nonEmpty) parts += scanOf(dvE).where(!dvDeletedFilter(spark, dvE))
+        parts.result().reduce(_ unionByName _)
+          .select(outCols.map(n => col(quoteIdent(n))): _*)
+      }
+    filters.foldLeft(base)((d, f) => d.where(filterColumn(f)))
   }
 
   /** The [[graft.plans.DvDeleted]] predicate Column for `dvE`'s vectors —
@@ -1316,33 +1317,6 @@ object ManifestStore {
     ColumnShim.column(graft.plans.DvDeleted(
       ColumnShim.expression(col("_metadata.file_path")),
       ColumnShim.expression(col("_metadata.row_index")), bcast))
-  }
-
-  /** Partition columns are not in the data files — reconstruct them from
-    * the manifest's recorded values, one scan per distinct partition
-    * tuple, unioned. Plan width scales with the (pruned) snapshot's
-    * DISTINCT partition tuples — the same shape Delta's log-backed scans
-    * produce, sane for real partition keys (date, source); pruning
-    * usually collapses it to a handful.
-    */
-  private def readPartitioned(spark: SparkSession, schema: StructType,
-                              partCols: Seq[String],
-                              entries: Seq[ManifestEntry],
-                              keepIdentity: Boolean = false): DataFrame = {
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val outCols = schema.fieldNames.toSeq ++
-      (if (keepIdentity) Seq(FkeyCol, PosCol) else Seq.empty)
-    entries.groupBy(_.partition.getOrElse(Map.empty)).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
-      .map { case (pv, es) =>
-        val base = scanEntries(spark, Some(dataSchema), es, keepIdentity)
-        val withPart = partCols.foldLeft(base) { (d, c) =>
-          val dt = schema(c).dataType
-          d.withColumn(c,
-            pv.get(c).flatten.map(v => lit(v).cast(dt)).getOrElse(lit(null).cast(dt)))
-        }
-        withPart.select(outCols.map(n => col(quoteIdent(n))): _*)
-      }.reduce(_ unionByName _)
   }
 
   private def quoteIdent(n: String): String = "`" + n.replace("`", "``") + "`"
@@ -1497,11 +1471,33 @@ object ManifestStore {
     */
   def deleteWhereMergeOnRead(spark: SparkSession, root: String,
                              filters: Seq[Filter], maxRetries: Int = 10,
-                             tornGraceMs: Long = 60000L): (Long, Int, Long) =
-    deleteMorFrom(spark, root,
+                             tornGraceMs: Long = 60000L,
+                             autoMaterializeFraction: Option[Double] = None)
+      : (Long, Int, Long) = {
+    val r = deleteMorFrom(spark, root,
       latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
       filters, maxRetries, tornGraceMs)
+    autoMaterialize(spark, root, r._3, autoMaterializeFraction, maxRetries, tornGraceMs)
+    r
+  }
+
+  /** The post-commit retirement hook of the merge-on-read ops (r12,
+    * VERDICT r11 #2): with `fraction` set, any file whose deleted share
+    * reached it is immediately rewritten clean in a FOLLOW-UP commit, so
+    * vectors cannot accrue unboundedly on a hot file. Best-effort by
+    * design — the dv commit already succeeded and is the version the op
+    * reports; a racing rewrite makes the retirement abandon harmlessly
+    * (the vectors stay until the next delete or a manual
+    * [[materializeDeletes]]/[[compact]]).
+    */
+  private def autoMaterialize(spark: SparkSession, root: String, committed: Long,
+                              fraction: Option[Double],
+                              maxRetries: Int, tornGraceMs: Long): Unit =
+    fraction.foreach { f =>
+      if (committed > 0)
+        materializeDeletes(spark, root, maxRetries, tornGraceMs, minDvFraction = f): Unit
+    }
 
   private[graft] def deleteMorFrom(spark: SparkSession, root: String,
                                    before: Snapshot, filters: Seq[Filter],
@@ -1634,7 +1630,7 @@ object ManifestStore {
     merged.head.getPath
   }
 
-  /** Rewrite every dv-carrying file WITHOUT its deleted rows and drop the
+  /** Rewrite dv-carrying files WITHOUT their deleted rows and drop the
     * vectors — the on-demand copy-on-write catch-up that makes a table
     * readable through the planner-integrated format again. Returns
     * (filesMaterialized, version); (0, -1) on the usual abandonment (a
@@ -1644,19 +1640,34 @@ object ManifestStore {
     * schema-only rewrite file is kept — [[deleteWhere]]'s contract); a
     * fully-deleted partitioned one writes no files at all and is refused
     * like a partitioned full-table CoW delete — drop the table instead.
+    *
+    * `minDvFraction` (r12, VERDICT r11 #2) scopes the rewrite to files
+    * whose DELETED fraction (dv.rows / rows) is at or above the threshold
+    * — the Delta-shaped retirement policy: a file more-than-half deleted
+    * pays more in scan-and-filter tax than its rewrite costs, while a
+    * lightly-deleted file keeps its byte identity. 0.0 (default)
+    * materializes every vector (the pre-r12 contract); files the
+    * threshold skips keep their vectors and the table stays merge-on-read
+    * for them.
     */
   def materializeDeletes(spark: SparkSession, root: String,
                          maxRetries: Int = 10,
-                         tornGraceMs: Long = 60000L): (Int, Long) = {
+                         tornGraceMs: Long = 60000L,
+                         minDvFraction: Double = 0.0): (Int, Long) = {
+    require(minDvFraction >= 0.0 && minDvFraction <= 1.0,
+      s"minDvFraction must be in [0, 1]: $minDvFraction")
     val before = latestSnapshot(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
-    val dvE = before.files.filter(_.dv.exists(_.rows > 0))
+    val dvE = before.files.filter(e => e.dv.exists(_.rows > 0) &&
+      (minDvFraction == 0.0 ||
+        e.rows.exists(r => r > 0 && e.dv.get.rows.toDouble / r >= minDvFraction)))
     if (dvE.isEmpty) return (0, before.version)
     val (fs, rootP) = fsFor(spark, root)
     val raw = writeBatch(fs, rootP,
       readSnapshot(spark, root, before.copy(files = dvE), Seq.empty),
       before.partCols, internalRewrite = true)
-    val cleanRemainder = before.files.exists(e => !e.dv.exists(_.rows > 0))
+    val rewriting = dvE.map(_.path).toSet
+    val cleanRemainder = before.files.exists(e => !rewriting(e.path))
     val nonZero = raw.filterNot(_.rows.contains(0L))
     // zero-row rewrite files are dead weight UNLESS they are all that
     // keeps a fully-wiped table readable (review r11)
@@ -1871,11 +1882,16 @@ object ManifestStore {
   def upsertByKeyMergeOnRead(spark: SparkSession, root: String,
                              updates: DataFrame, keyCols: Seq[String],
                              maxProbeKeys: Int = 10000, maxRetries: Int = 10,
-                             tornGraceMs: Long = 60000L): (Long, Int, Long) =
-    upsertMorFrom(spark, root,
+                             tornGraceMs: Long = 60000L,
+                             autoMaterializeFraction: Option[Double] = None)
+      : (Long, Int, Long) = {
+    val r = upsertMorFrom(spark, root,
       latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
       updates, keyCols, maxProbeKeys, maxRetries, tornGraceMs)
+    autoMaterialize(spark, root, r._3, autoMaterializeFraction, maxRetries, tornGraceMs)
+    r
+  }
 
   private[graft] def upsertMorFrom(spark: SparkSession, root: String,
                                    before: Snapshot, updates: DataFrame,

@@ -1670,6 +1670,97 @@ class ManifestStoreSpec extends SparkSpec {
     assert(snap.version == 2L, s"expected the intact head v2, got v${snap.version}")
     assert(ids(ManifestStore.read(spark, root)) == (0L until 10L))
   }
+
+  /** r12 (VERDICT r11 #2): repeated MoR deletes on one file retire its
+    * vector at the configured fraction — a more-than-half-deleted file
+    * pays more in scan-and-filter tax than its rewrite costs. Sub-
+    * threshold files keep byte identity; the standalone policy scopes the
+    * same way.
+    */
+  test("auto-materialize retires dv-heavy files at the threshold") {
+    import org.apache.spark.sql.sources.LessThan
+    val root = freshRoot()
+    // 4 range files of 250 rows each
+    ManifestStore.append(spark,
+      spark.range(0, 1000).select(col("id"), lit("x").as("p"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val before = ManifestStore.latestSnapshot(spark, root).get
+    assert(before.files.size == 4)
+
+    // 30% of file 0 deleted: BELOW the 0.5 threshold, vector stays
+    val (n1, _, v1) = ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 75L)), autoMaterializeFraction = Some(0.5))
+    assert(n1 == 75L && v1 > 0)
+    val s1 = ManifestStore.latestSnapshot(spark, root).get
+    assert(s1.version == v1, "below the threshold nothing else commits")
+    assert(s1.files.count(_.dv.exists(_.rows > 0)) == 1)
+
+    // push file 0 to 60% deleted: the follow-up commit retires it
+    val (n2, _, v2) = ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 150L)), autoMaterializeFraction = Some(0.5))
+    assert(n2 == 75L && v2 > 0)
+    val s2 = ManifestStore.latestSnapshot(spark, root).get
+    assert(s2.version == v2 + 1, "retirement is a follow-up commit")
+    assert(s2.files.forall(_.dv.forall(_.rows == 0L)),
+      s"dv-heavy file not retired: ${s2.files.flatMap(_.dv)}")
+    // the three untouched files keep byte identity
+    val beforePaths = before.files.map(_.path).toSet
+    assert(s2.files.count(f => beforePaths(f.path)) == 3)
+    assert(ids(ManifestStore.read(spark, root)) == (150L until 1000L))
+    // retired table reads through the planner-integrated format again
+    assert(ManifestStore.table(spark, root).count() == 850L)
+
+    // standalone policy: a fresh sub-threshold vector survives a 0.9-scoped
+    // materialize, then a 0.0 sweep retires it
+    val (n3, _, _) = ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 200L)))
+    assert(n3 == 50L)
+    val (m0, _) = ManifestStore.materializeDeletes(spark, root, minDvFraction = 0.9)
+    assert(m0 == 0, "a lightly-deleted file must survive a high-threshold sweep")
+    assert(ManifestStore.latestSnapshot(spark, root).get
+      .files.count(_.dv.exists(_.rows > 0)) == 1)
+    val (m1, _) = ManifestStore.materializeDeletes(spark, root)
+    assert(m1 == 1)
+    assert(ids(ManifestStore.read(spark, root)) == (200L until 1000L))
+  }
+
+  /** r12 (VERDICT r11 #4): library reads plan through the same
+    * HadoopFsRelation machinery as the format — a 100-leaf partitioned
+    * read is ONE native FileSourceScan with the partition values carried
+    * in PartitionDirectorys, not a 100-way union of per-tuple scans.
+    */
+  test("partitioned library read plans one native scan, not a per-tuple union") {
+    import org.apache.spark.sql.sources.EqualTo
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 2000).coalesce(1)
+        .select(col("id"), (col("id") % 100L).cast("int").as("leaf")),
+      root, partitionBy = Seq("leaf"))
+    assert(ManifestStore.latestSnapshot(spark, root).get
+      .files.flatMap(_.partition).distinct.size == 100)
+    val df = ManifestStore.read(spark, root)
+    // the library contract: schema-order columns (not hive-last)
+    assert(df.columns.toSeq == Seq("id", "leaf"))
+    assert(df.count() == 2000L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1,
+      s"expected ONE native scan for 100 leaves:\n${df.queryExecution.executedPlan}")
+    assert(scans.head.toString.contains("ManifestFileIndex"))
+    // content parity with a straight reconstruction
+    assert(df.select(col("id"), col("leaf").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq ==
+      (0L until 2000L).map(i => (i, i % 100L)))
+    // partition pruning still fires through the library filter path
+    val pruned = ManifestStore.readWhere(spark, root, Seq(EqualTo("leaf", 3)))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 2000L).filter(_ % 100L == 3L))
+    val prunedScan = { pruned.collect()
+      pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s } }
+    assert(prunedScan.map(_.metrics("numFiles").value).sum == 1,
+      s"partition pruning inert: ${prunedScan.map(_.metrics("numFiles").value)} of 100")
+  }
 }
 
 /** A connector whose create(path, overwrite=false) silently overwrites —
