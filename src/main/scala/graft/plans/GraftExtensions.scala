@@ -35,5 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => AdcDistance(c.head, c(1))))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectOptimizerRule(_ => TokenCountRewrite)
+    // SQL INSERT INTO a registered graft-manifest table must commit through
+    // the manifest protocol, not write bare unreferenced parquet — runs
+    // after the built-in DataSourceAnalysis in the same Once batch, so it
+    // sees the InsertIntoHadoopFsRelationCommand that rule produced (r12)
+    ext.injectPostHocResolutionRule(_ => graft.sources.ManifestInsertRewrite)
   }
 }

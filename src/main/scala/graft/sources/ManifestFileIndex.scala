@@ -34,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] class ManifestFileIndex(
     spark: SparkSession,
-    root: Path,
+    val root: Path,
     snap: ManifestStore.Snapshot,
     override val partitionSchema: StructType) extends FileIndex {
 

@@ -1406,6 +1406,70 @@ class ManifestStoreSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_probe")
   }
 
+  /** r12 (VERDICT r11 #5): the WRITE idiom — SQL INSERT INTO a registered
+    * table and df.write.format("graft-manifest").mode("append") both land
+    * as committed manifest versions through the append protocol; INSERT
+    * OVERWRITE and writer overwrite refuse with the recipe; concurrent
+    * INSERTs rebase and union (the o12 contract).
+    */
+  test("SQL INSERT INTO and writer append commit through the manifest protocol") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10).coalesce(1), root)
+    spark.sql(s"CREATE TABLE graft_ins_probe USING `graft-manifest` OPTIONS (path '$root')")
+    try {
+      // INSERT INTO ... VALUES → one committed version, visible post-refresh
+      spark.sql("INSERT INTO graft_ins_probe VALUES (100L, 'row-100'), (101L, 'row-101')")
+      assert(ManifestStore.latestSnapshot(spark, root).get.version == 2L,
+        "one INSERT = one committed version")
+      assert(ids(ManifestStore.read(spark, root)) ==
+        ((0L until 10L) ++ Seq(100L, 101L)))
+      // INSERT INTO ... SELECT
+      spark.sql("INSERT INTO graft_ins_probe SELECT id, concat('row-', id) FROM range(200, 203)")
+      assert(ids(ManifestStore.read(spark, root)) ==
+        ((0L until 10L) ++ Seq(100L, 101L, 200L, 201L, 202L)))
+      // the files landed under data/batch-*, referenced by the manifest —
+      // never bare parquet at the table root
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(new Path(root)).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")),
+        "INSERT must not write unreferenced parquet at the table root")
+      // INSERT OVERWRITE refuses with the recipe
+      val eOver = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_ins_probe VALUES (1L, 'x')")
+      }
+      assert(eOver.getMessage.contains("INSERT OVERWRITE is not supported"),
+        eOver.getMessage)
+      // concurrent INSERTs rebase: both batches survive
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val racers = (0 until 4).map { k =>
+        Future(spark.sql(
+          s"INSERT INTO graft_ins_probe SELECT id, concat('c', id) FROM range(${300 + 10 * k}, ${305 + 10 * k})"))
+      }
+      Await.result(Future.sequence(racers), 120.seconds)
+      assert(ids(ManifestStore.read(spark, root)).count(_ >= 300L) == 20,
+        "a concurrent INSERT was lost instead of rebasing")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ins_probe")
+
+    // writer path: append commits; other modes refuse; partitioning reused
+    val r2 = freshRoot()
+    batch(0, 6).withColumn("day", concat(lit("d"), col("id") % 2))
+      .write.format("graft-manifest").partitionBy("day").mode("append").save(r2)
+    assert(ManifestStore.latestSnapshot(spark, r2).get.partCols == Seq("day"))
+    // second append WITHOUT partitionBy: the table's layout is reused
+    batch(6, 9).withColumn("day", lit("d1"))
+      .write.format("graft-manifest").mode("append").save(r2)
+    assert(ids(ManifestStore.read(spark, r2)) == (0L until 9L))
+    assert(ManifestStore.readWhere(spark, r2,
+      Seq(org.apache.spark.sql.sources.EqualTo("day", "d0")))
+      .count() == 3L)
+    val eW = intercept[Exception] {
+      batch(0, 2).write.format("graft-manifest").mode("overwrite").save(r2)
+    }
+    assert(eW.getMessage.contains("only supports mode(append)"), eW.getMessage)
+  }
+
   /** review r11: partition-only predicates are REMOVED from the post-scan
     * filters by FileSourceStrategy, so the index must enforce them EXACTLY
     * — including shapes the pruning translator cannot express (function-
