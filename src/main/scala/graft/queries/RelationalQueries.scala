@@ -1230,6 +1230,44 @@ object RelationalQueries {
         .toDF("n_rows", "cust_sum", "one_version_each", "no_bare_files")
     },
 
+    // O24 (r12): dv-aware CHANGE FEED (VERDICT r11 #6) — a merge-on-read
+    // UPSERT between two versions is read back as exact row-level changes:
+    // the updates batch as `insert` rows, the matched keys' OLD rows as
+    // `delete` rows at exactly the positions the deletion vector grew by
+    // (new bitmap minus old bitmap; content from the byte-identical data
+    // files). The oracle replays the whole change stream in pure SQL
+    // against the source table — inserts carry the NEW values, deletes
+    // the OLD ones.
+    QueryDef.sql(
+      "o24_manifest_change_feed",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, 'x' || lang AS lang,
+        |       n_chars, 'insert' AS _change_type
+        |FROM documents WHERE doc_id % 6 = 0 OR doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete' AS _change_type
+        |FROM documents WHERE doc_id % 6 = 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.concat
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val base = docs.where(col("doc_id") % 3 === 0)
+      val updates = docs.where(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 1)
+        .withColumn("lang", concat(lit("x"), col("lang")))
+      val root = ProcessNonce.scratchDir("graft_o24_changes",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, base.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id"), root)
+      val v1 = M.latestSnapshot(s, root).get.version
+      val (_, _, v2) = M.upsertByKeyMergeOnRead(s, root, updates,
+        Seq("doc_id"), maxProbeKeys = 1000000)
+      require(v2 > v1, s"MoR upsert did not commit: $v2")
+      val (vGot, changes) = M.readChangesSince(s, root, v1)
+      require(vGot == v2)
+      changes
+    },
+
     // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
     // under parquet's dotted path (VERDICT r10 missing #4's second half),
     // so a `meta.custkey` predicate prunes files exactly like a flat one,

@@ -160,6 +160,13 @@ object DvBitmap {
     })
   }
 
+  /** a \ b — the positions deleted in `a` but not in `b`: the EXACT rows a
+    * dv-growth step removed, which is what a change feed emits as deletes
+    * (new vector minus old vector).
+    */
+  def diff(a: DvBitmap, b: DvBitmap): DvBitmap =
+    fromSorted(a.positions.filterNot(b.contains))
+
   /** Build from an ASCENDING (possibly duplicated) position stream —
     * single pass, one container materialized at a time.
     */

@@ -1072,6 +1072,92 @@ object ManifestStore {
     else (cur.version, readSnapshot(spark, root, cur.copy(files = added), Seq.empty))
   }
 
+  /** The reserved change-kind column of [[readChangesSince]]. */
+  val ChangeTypeCol = "_change_type"
+
+  /** dv-aware CHANGE FEED (r12, VERDICT r11 #6): the exact row-level
+    * changes between `fromVersion` and the current snapshot, as
+    * (currentVersion, frame) where the frame carries the table columns
+    * plus `_change_type ∈ insert | delete`:
+    *
+    *  - files APPENDED in range emit their live rows as `insert` (a file
+    *    appended and partially MoR-deleted within the range nets out — the
+    *    consumer never saw the intermediate state);
+    *  - files whose DELETION VECTOR grew emit the rows at exactly the
+    *    newly-deleted positions as `delete` (new bitmap MINUS old bitmap,
+    *    read back from the vectors — row content comes from the data file,
+    *    which merge-on-read kept byte-identical);
+    *  - a merge-on-read UPSERT is therefore both: its updates batch
+    *    inserts, its matched keys' old rows delete.
+    *
+    * Copy-on-write rewrites still REFUSE loudly (a compaction and a CoW
+    * delete are indistinguishable in the manifest diff — emitting the
+    * rewrite as delete+insert of every row would be a correct-but-useless
+    * feed, and wrong for compaction); so does an aged-out `fromVersion`.
+    * This is what [[readAddedSince]] refused to fake: deletes become
+    * expressible the moment they are EXACT. At 100 TB the cost profile is
+    * the tail-read's: a driver-side manifest diff, the new batches'
+    * files, and the dv-changed files' scan filtered to the diff bitmap —
+    * never the accumulated table.
+    */
+  def readChangesSince(spark: SparkSession, root: String,
+                       fromVersion: Long): (Long, DataFrame) = {
+    val cur = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    require(cur.version >= fromVersion,
+      s"current version ${cur.version} is below fromVersion $fromVersion under $root — " +
+        "the table was recreated; reprocess from a full snapshot")
+    val schema = cur.schema.getOrElse(legacySchemaOf(spark, cur.files))
+    require(!schema.fieldNames.contains(ChangeTypeCol),
+      s"table schema collides with the reserved change column $ChangeTypeCol")
+    val outCols = schema.fieldNames.toSeq :+ ChangeTypeCol
+    def emptyChanges: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+        ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)))
+    if (cur.version == fromVersion) return (cur.version, emptyChanges)
+    val fromSnap = snapshotAt(spark, root, fromVersion).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
+          "the change base is unknowable; reprocess from a full snapshot"))
+    val oldByPath = fromSnap.files.map(f => f.path -> f).toMap
+    val curPaths = cur.files.map(_.path).toSet
+    val removed = oldByPath.keySet -- curPaths
+    require(removed.isEmpty,
+      s"${removed.size} file(s) of v$fromVersion were rewritten between " +
+        s"v$fromVersion and v${cur.version} under $root (copy-on-write " +
+        "delete/upsert/compaction) — a rewrite's changes are not derivable " +
+        "from the manifest diff; reprocess from a full snapshot")
+    val added = cur.files.filterNot(f => oldByPath.contains(f.path))
+    val dvGrew = cur.files.filter(f => oldByPath.get(f.path).exists(o =>
+      o.dv.map(_.path) != f.dv.map(_.path)))
+    val parts = Seq.newBuilder[DataFrame]
+    if (added.nonEmpty)
+      parts += readSnapshot(spark, root, cur.copy(files = added), Seq.empty)
+        .withColumn(ChangeTypeCol, lit("insert"))
+    if (dvGrew.nonEmpty) {
+      val newBms = DvBitmap.loadBitmaps(spark, dvGrew.flatMap(_.dv.map(_.path)))
+      val oldDvPaths = dvGrew.flatMap(f => oldByPath(f.path).dv.map(_.path))
+      val oldBms = DvBitmap.loadBitmaps(spark, oldDvPaths)
+      val emptyBm = DvBitmap.build(Array.empty[Long])
+      val diffs: Map[String, DvBitmap] = dvGrew.map { f =>
+        val fk = org.apache.commons.codec.digest.DigestUtils.md5Hex(f.path)
+        val nw = newBms.getOrElse(fk, sys.error(
+          s"dv of ${f.path} unreadable — change feed cannot derive its deletes"))
+        f.path -> DvBitmap.diff(nw, oldBms.getOrElse(fk, emptyBm))
+      }.toMap
+      val deleted = spark.baseRelationToDataFrame(
+        relationWith(spark, root, cur.copy(files = dvGrew), schema, cur.partCols))
+        .where(dvPredicate(spark, diffs))
+        .withColumn(ChangeTypeCol, lit("delete"))
+      parts += deleted
+    }
+    val built = parts.result()
+    if (built.isEmpty) (cur.version, emptyChanges)
+    else (cur.version, built.reduce(_ unionByName _)
+      .select(outCols.map(n => col(quoteIdent(n))): _*))
+  }
+
   /** Manifest→manifest micro-pipeline over [[readAddedSince]] (r11,
     * VERDICT r10 #6) — the poll/checkpoint loop consumers previously
     * hand-rolled, with EXACTLY-ONCE delivery and no checkpoint store of
@@ -1104,12 +1190,22 @@ object ManifestStore {
     * the NEW batches' files — cost scales with the increment, never the
     * accumulated table.
     */
+  /** `changeFeed = true` (r12): each batch is the [[readChangesSince]]
+    * frame instead of the appended tail — table columns plus
+    * `_change_type ∈ insert | delete` — so the destination accrues an
+    * exactly-once CHANGE LOG (the Delta-CDF consumption shape) and
+    * merge-on-read deletes/upserts on the source STREAM instead of
+    * refusing the whole pipeline. The first ever batch is the full
+    * current snapshot as `insert` rows. Copy-on-write rewrites still
+    * refuse (unknowable diff), exactly like the plain tail.
+    */
   def tailStream(spark: SparkSession, srcRoot: String, dstRoot: String,
                  appId: String,
                  transform: DataFrame => DataFrame = identity,
                  partitionBy: Seq[String] = Nil,
                  ticks: Int = 1,
-                 pollMs: Long = 1000L): Long = {
+                 pollMs: Long = 1000L,
+                 changeFeed: Boolean = false): Long = {
     require(ticks >= 1, s"ticks must be positive: $ticks")
     var last = latestSnapshot(spark, dstRoot)
       .map(_.txns.getOrElse(appId, 0L)).getOrElse(0L)
@@ -1119,17 +1215,22 @@ object ManifestStore {
       val advanced =
         if (last == 0L) latestSnapshot(spark, srcRoot) match {
           case Some(cur) if cur.files.nonEmpty =>
-            val out = transform(readSnapshot(spark, srcRoot, cur, Seq.empty))
+            val full = readSnapshot(spark, srcRoot, cur, Seq.empty)
+            val out = transform(
+              if (changeFeed) full.withColumn(ChangeTypeCol, lit("insert"))
+              else full)
             appendBatch(spark, out, dstRoot, appId, cur.version,
               partitionBy = partitionBy)
             last = cur.version
             true
           case _ => false
         } else {
-          val (v, added) = readAddedSince(spark, srcRoot, last) // throws on rewrite
+          val (v, frame) = // both throw on an unknowable rewrite
+            if (changeFeed) readChangesSince(spark, srcRoot, last)
+            else readAddedSince(spark, srcRoot, last)
           if (v > last) {
-            if (!added.isEmpty)
-              appendBatch(spark, transform(added), dstRoot, appId, v,
+            if (!frame.isEmpty)
+              appendBatch(spark, transform(frame), dstRoot, appId, v,
                 partitionBy = partitionBy)
             last = v
             true
@@ -1309,9 +1410,19 @@ object ManifestStore {
       s"deletion-vector identity mismatch: stored fkeys ${unknown.take(3)} match " +
         "no scanned entry — path rendering diverged between manifest and runtime; " +
         "refusing rather than resurrect deleted rows")
-    val keyed: Map[org.apache.spark.unsafe.types.UTF8String, DvBitmap] =
-      dvE.flatMap(e => byFkey.get(fkeyOf(e)).map(bm =>
-        org.apache.spark.unsafe.types.UTF8String.fromString(e.path) -> bm)).toMap
+    dvPredicate(spark,
+      dvE.flatMap(e => byFkey.get(fkeyOf(e)).map(bm => e.path -> bm)).toMap)
+  }
+
+  /** The bare [[graft.plans.DvDeleted]] Column over an arbitrary
+    * path→bitmap map — the read path negates it (live rows); the change
+    * feed uses it POSITIVELY over a dv DIFF (exactly the rows one
+    * dv-growth step deleted).
+    */
+  private def dvPredicate(spark: SparkSession,
+                          byPath: Map[String, DvBitmap]): Column = {
+    val keyed = byPath.map { case (p, bm) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(p) -> bm }
     val bcast = spark.sparkContext.broadcast(keyed)
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(graft.plans.DvDeleted(

@@ -1788,6 +1788,96 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (200L until 1000L))
   }
 
+  /** r12 (VERDICT r11 #6): the change feed — dv growth reads back as
+    * EXACT deletes (new bitmap minus old), in-range-added files net out,
+    * copy-on-write rewrites still refuse.
+    */
+  test("readChangesSince: exact deletes from dv growth; added files net; rewrites refuse") {
+    import org.apache.spark.sql.sources._
+    val root = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 1000).select(col("id"), lit("x").as("p"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val v1 = ManifestStore.latestSnapshot(spark, root).get.version
+
+    // same-version diff: typed empty frame
+    val (vSame, none) = ManifestStore.readChangesSince(spark, root, v1)
+    assert(vSame == v1 && none.columns.contains("_change_type") && none.isEmpty)
+
+    // MoR delete → pure deletes, exact rows with OLD content
+    assert(ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 100L)))._1 == 100L)
+    val v2 = ManifestStore.latestSnapshot(spark, root).get.version
+    val (gv2, c12) = ManifestStore.readChangesSince(spark, root, v1)
+    assert(gv2 == v2)
+    assert(c12.where(col("_change_type") === "insert").isEmpty)
+    assert(c12.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 100L))
+
+    // append a file, then one delete touching BOTH the old file (dv grows:
+    // exact deletes) and the new file (added in range: nets out)
+    ManifestStore.append(spark, spark.range(1000, 1100)
+      .select(col("id"), lit("y").as("p")).coalesce(1), root)
+    assert(ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(Or(And(GreaterThanOrEqual("id", 100L), LessThan("id", 150L)),
+        GreaterThanOrEqual("id", 1080L))))._1 == 70L)
+    val (_, c2) = ManifestStore.readChangesSince(spark, root, v2)
+    assert(c2.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq == (1000L until 1080L),
+      "an in-range-added file must net out its own dv")
+    assert(c2.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 150L),
+      "dv growth on a pre-existing file must emit exactly the diff")
+
+    // spanning the whole range from v1: deletes accumulate, inserts net
+    val (_, cAll) = ManifestStore.readChangesSince(spark, root, v1)
+    assert(cAll.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 150L))
+    assert(cAll.where(col("_change_type") === "insert").count() == 80L)
+
+    // a rewrite makes the diff unknowable: refuse
+    val vc = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)._3
+    assert(vc > 0)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readChangesSince(spark, root, v2)
+    }
+    assert(e.getMessage.contains("rewritten"), e.getMessage)
+  }
+
+  /** r12: tailStream in changeFeed mode streams MoR upserts end-to-end as
+    * an exactly-once change log (VERDICT r11 #6's consumer half — the
+    * plain tail REFUSES across an upsert; the change feed expresses it).
+    */
+  test("tailStream changeFeed: MoR upserts stream exactly-once as a change log") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    ManifestStore.append(spark,
+      spark.range(0, 100).select(col("id"), lit("old").as("p"))
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), src)
+    // tick 1: full snapshot as inserts
+    val l1 = ManifestStore.tailStream(spark, src, dst, "cdc", changeFeed = true)
+    assert(l1 == 1L)
+    assert(ManifestStore.read(spark, dst).count() == 100L)
+    // a MoR upsert on the source: 10 updates + 5 brand-new keys
+    val ups = spark.range(90, 105).select(col("id"), lit("new").as("p"))
+    val (replaced, _, _) = ManifestStore.upsertByKeyMergeOnRead(
+      spark, src, ups, Seq("id"), maxProbeKeys = 1000000)
+    assert(replaced == 10L)
+    // tick 2: the upsert streams as 15 inserts + 10 deletes
+    val l2 = ManifestStore.tailStream(spark, src, dst, "cdc", changeFeed = true)
+    assert(l2 > l1)
+    val log = ManifestStore.read(spark, dst)
+    assert(log.count() == 125L)
+    assert(log.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (90L until 100L))
+    assert(log.where(col("_change_type") === "insert" && col("p") === "new")
+      .count() == 15L)
+    // crash-replay: a third tick at the same watermark appends nothing
+    val l3 = ManifestStore.tailStream(spark, src, dst, "cdc", changeFeed = true)
+    assert(l3 == l2)
+    assert(ManifestStore.read(spark, dst).count() == 125L)
+  }
+
   /** r12 (VERDICT r11 #4): library reads plan through the same
     * HadoopFsRelation machinery as the format — a 100-leaf partitioned
     * read is ONE native FileSourceScan with the partition values carried
