@@ -290,26 +290,25 @@ object ManifestStore {
       if (!fs.rename(tmp, dst)) fs.delete(tmp, false): Unit // lost a hint race: fine
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** The hint version, validated all the way to an INTACT manifest at that
-    * slot — a reader must never trust a number whose manifest is gone
-    * (table recreated in place, vacuum raced) or torn (cannot happen from
-    * our writer, which hints only after a complete commit, but the hint
-    * file is world-writable state and trust must be earned per read).
-    * Returns the validated manifest BYTES alongside the version so the
-    * hot resolution path fetches the head manifest exactly once (review
-    * r11 — a second GET of a several-MB manifest per micro-batch is the
-    * kind of cost the hint exists to remove).
+  /** The hint's version NUMBER — no manifest round-trip here (r12): the
+    * hint is world-writable state, so trust is earned downstream by
+    * [[resolveCached]]'s intact parse (or its cache hit, which proves a
+    * prior intact parse of the exact same file state), the forward probe
+    * is capped, and every broken shape (absent, corrupt, dangling,
+    * truncated) degrades to one full listing. Dropping the eager
+    * head-manifest GET is what makes steady-state resolution O(1) in
+    * entry count.
     */
-  private def readLatestHint(fs: FileSystem, root: Path): Option[(Long, Array[Byte])] =
+  private def readHintedVersion(fs: FileSystem, root: Path): Option[Long] =
     try {
       val p = latestHintPath(root)
       if (!fs.exists(p)) return None
       val in = fs.open(p)
       val s = try {
         // loop to EOF: a single read() may legally return short, and a
-        // truncated digit prefix ("142" of "14203") would validate as a
-        // plausible MUCH older version and turn the forward probe into
-        // thousands of sequential exists() RPCs (review r11)
+        // truncated digit prefix ("142" of "14203") would read as a
+        // plausible MUCH older version (review r11; the probe cap bounds
+        // even that to 64 RPCs + one listing)
         val buf = new Array[Byte](64)
         var off = 0
         var n = in.read(buf, off, buf.length - off)
@@ -317,11 +316,38 @@ object ManifestStore {
         if (off == 0) return None
         new String(buf, 0, off, StandardCharsets.UTF_8).trim
       } finally in.close()
-      val v = s.toLong
-      if (v < 1L) return None
-      readManifestBytes(fs, root, v)
-        .filter(isIntactLite(_, v)).map(bytes => (v, bytes))
+      Some(s.toLong).filter(_ >= 1L)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Parsed-snapshot cache (r12, VERDICT r11 #3 — the Delta `DeltaLog`
+    * posture): manifests are immutable per version, so a snapshot parsed
+    * once per JVM never needs re-parsing. Keys carry the manifest FILE's
+    * (length, mtime) alongside (root, version) — a table recreated in
+    * place mints a different file state and misses, so the cache can
+    * never serve a dead table's content. The measured point (SCALE.md):
+    * parsing is ~3.4 µs per entry line (410 ms at 100k entries, linear),
+    * which a tail-polling consumer would otherwise pay on EVERY
+    * resolution; with the cache the steady state is a hint read + one
+    * existence probe + one getFileStatus — O(1) in entry count. Bounded
+    * LRU (8 snapshots) — an eviction only re-parses.
+    */
+  private val snapshotCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), Snapshot]): Boolean = size > 8
+    })
+
+  /** The intact snapshot at version `v`, through [[snapshotCache]]. */
+  private def resolveCached(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
+    val st = try fs.getFileStatus(manifestPath(root, v))
+    catch { case _: java.io.FileNotFoundException => return None }
+    val key = (root.toString, v, st.getLen, st.getModificationTime)
+    Option(snapshotCache.get(key)).orElse {
+      val parsed = readManifestBytes(fs, root, v).flatMap(parse(_, v))
+      parsed.foreach(snapshotCache.put(key, _))
+      parsed
+    }
+  }
 
   /** The TAIL of the version sequence — `[hint .. highest existing]` via
     * forward existence probes (versions are consecutive by construction:
@@ -335,9 +361,9 @@ object ManifestStore {
     * it is the one caller that genuinely needs the low end.
     */
   private def tailVersions(fs: FileSystem, root: Path): (Seq[Long], Boolean) =
-    readLatestHint(fs, root) match {
+    readHintedVersion(fs, root) match {
       case None => (listVersions(fs, root), false)
-      case Some((hint, _)) => probeHead(fs, root, hint) match {
+      case Some(hint) => probeHead(fs, root, hint) match {
         case Some(v) => (hint to v, true)
         case None => (listVersions(fs, root), false)
       }
@@ -362,45 +388,54 @@ object ManifestStore {
 
   /** Highest intact snapshot, or None for an empty/uninitialized table.
     * Torn versions (crashed or in-flight committers) are skipped, never
-    * trusted. Resolution is hint-accelerated: when the hint IS the head
-    * (the steady state), the one manifest fetched during hint validation
-    * is the one parsed — a single GET of the head manifest per
-    * resolution, regardless of accrued versions.
+    * trusted. Resolution is hint-accelerated AND cached (r12): the steady
+    * state is a hint read, one existence probe, one getFileStatus and a
+    * [[snapshotCache]] hit — zero manifest GETs, zero parsing, O(1) in
+    * both accrued versions and live-file count. Every broken-hint shape
+    * (absent, corrupt, dangling, torn slot, stale past the probe cap)
+    * degrades to one full listing — correctness is exactly the unhinted
+    * behavior.
     */
   def latestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    readLatestHint(fs, rootP) match {
+    readHintedVersion(fs, rootP) match {
       case None => latestIntact(fs, rootP, listVersions(fs, rootP))
-      case Some((hint, bytes)) =>
+      case Some(hint) =>
         val head = probeHead(fs, rootP, hint) match {
           case None => None // pathologically stale hint: full listing below
-          case Some(v) if v == hint => parse(bytes, hint) // steady: zero extra reads
-          case Some(v) =>
-            latestIntact(fs, rootP, (hint + 1) to v).orElse(parse(bytes, hint))
+          case Some(v) => // highest intact in [hint, v] — cached per slot
+            (hint to v).reverse.iterator
+              .flatMap(resolveCached(fs, rootP, _)).nextOption()
         }
-        // checksum-valid but unparseable (tampered) head, or a stale hint
-        // past the probe cap: fall back to the full listing rather than
-        // read an initialized table as empty (or pay O(gap) probes)
+        // dangling/torn hinted tail, or a stale hint past the probe cap:
+        // fall back to the full listing rather than read an initialized
+        // table as empty (or pay O(gap) probes)
         head.orElse(latestIntact(fs, rootP, listVersions(fs, rootP)))
     }
   }
 
-  /** [[latestSnapshot]] forced down the full-listing path — the pre-hint
-    * resolution, kept as the comparison arm for the SLO harness and as
-    * the recovery tool when a root's hint is suspect.
+  /** [[latestSnapshot]] forced down the full-listing path AND past the
+    * snapshot cache — the pre-hint/pre-cache resolution, kept as the
+    * comparison arm for the SLO harness and as the recovery tool when a
+    * root's hint or cache state is suspect.
     */
   private[graft] def latestSnapshotUnhinted(spark: SparkSession,
                                             root: String): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
-    latestIntact(fs, rootP, listVersions(fs, rootP))
+    listVersions(fs, rootP).reverse.iterator
+      .flatMap(v => readManifestBytes(fs, rootP, v).flatMap(parse(_, v)))
+      .nextOption()
   }
 
   private def latestIntact(fs: FileSystem, root: Path,
                            versions: Seq[Long]): Option[Snapshot] =
     versions.reverse.iterator.flatMap(v => readManifest(fs, root, v)).nextOption()
 
+  // cached: manifests are immutable per version and the key carries the
+  // file's (len, mtime), so readVersion/snapshotAt/commit-rebase reads and
+  // a tail consumer's per-tick snapshotAt(fromVersion) all skip re-parsing
   private def readManifest(fs: FileSystem, root: Path, v: Long): Option[Snapshot] =
-    readManifestBytes(fs, root, v).flatMap(parse(_, v))
+    resolveCached(fs, root, v)
 
   private def readManifestBytes(fs: FileSystem, root: Path, v: Long): Option[Array[Byte]] = {
     val p = manifestPath(root, v)
@@ -417,19 +452,6 @@ object ManifestStore {
       Some(bytes)
     }
   }
-
-  /** Intactness WITHOUT entry parsing — header + version line + checksum
-    * only. The hint validator uses this so a hinted resolution parses the
-    * head manifest's entry lines exactly once (in [[latestIntact]]), not
-    * twice; an entry line the full parser would refuse still fails the
-    * full parse there, so trusting the lite check here never widens what
-    * a reader accepts.
-    */
-  private def isIntactLite(bytes: Array[Byte], expectVersion: Long): Boolean =
-    try checksumValidBody(bytes).exists { body =>
-      val lines = body.split("\n", 3)
-      lines.length >= 2 && lines(0) == Header && lines(1) == s"version=$expectVersion"
-    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Probe the commit-point contract on a scratch key: create-exclusive
     * the same path twice; the second claim MUST refuse. A connector whose
