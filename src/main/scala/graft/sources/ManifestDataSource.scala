@@ -1,7 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.streaming.{ManifestStreamSink, ManifestStreamSource}
 
 /** `spark.read.format("graft-manifest").load(tableRoot)` — the idiomatic
   * entry to a [[ManifestStore]] table (VERDICT r10 #1). The relation is a
@@ -29,11 +34,139 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   *
   * Notes: partition columns surface LAST in the schema (the hive-table
   * convention for file-based relations).
+  *
+  * Streaming (r12, VERDICT r11 #7):
+  * `spark.readStream.format("graft-manifest").load(root)` tails the table
+  * under engine triggers/checkpointing ([[graft.streaming.ManifestStreamSource]];
+  * options `changeFeed`, `startingVersion` = exclusive version or
+  * `latest`, `maxVersionsPerTrigger`), and
+  * `df.writeStream.format("graft-manifest").option("appId", ...)` commits
+  * micro-batches exactly-once through the txn watermark
+  * ([[graft.streaming.ManifestStreamSink]]).
   */
 final class ManifestDataSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with DataSourceRegister
+  with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-manifest"
+
+  // stream options arrive as a CaseInsensitiveMap SUBTYPE of Map, but the
+  // instance is not guaranteed across engine paths — normalize ourselves
+  private def normalized(parameters: Map[String, String]): Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private def rootOf(p: Map[String, String], recipe: String): String =
+    p.getOrElse("path", throw new IllegalArgumentException(
+      s"graft-manifest needs exactly one table root: $recipe"))
+
+  private def baseSchemaFor(spark: org.apache.spark.sql.SparkSession,
+                            root: String): StructType = {
+    val snap = ManifestStore.latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root — create the table (one append) " +
+          "before streaming from it"))
+    ManifestStore.tableSchemaOf(spark, snap)
+  }
+
+  private def changeFeedOf(p: Map[String, String]): Boolean =
+    p.get("changefeed").exists(_.toBoolean)
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-manifest streams derive their schema from the manifest — drop .schema(...)")
+    val p = normalized(parameters)
+    val root = rootOf(p, """spark.readStream.format("graft-manifest").load(<root>)""")
+    val base = baseSchemaFor(sqlContext.sparkSession, root)
+    val full = if (changeFeedOf(p))
+      StructType(base.fields :+
+        StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+    else base
+    (shortName(), full)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val p = normalized(parameters)
+    val root = rootOf(p, """spark.readStream.format("graft-manifest").load(<root>)""")
+    // exclusive lower bound of the stream, resolved ONCE per checkpoint
+    // lifetime: `latest` must bind at the FIRST start, or a restart that
+    // happens before the first batch re-resolves it to the new head and
+    // silently skips everything committed in between — so the resolved
+    // value is pinned into the source's metadataPath (the Kafka-source
+    // technique; the engine's offset log takes over after the first batch)
+    val startVersion = pinnedStartVersion(spark, metadataPath) {
+      p.get("startingversion") match {
+        case Some("latest") =>
+          ManifestStore.latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+        case Some(v) =>
+          val n = try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"startingVersion must be a committed version number or 'latest': $v") }
+          require(n >= 0L, s"startingVersion must be >= 0: $n")
+          n
+        case None => 0L
+      }
+    }
+    val maxVersions = p.get("maxversionspertrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1L, s"maxVersionsPerTrigger must be >= 1: $n")
+      n
+    }
+    new ManifestStreamSource(spark, root, changeFeedOf(p), startVersion,
+      maxVersions, baseSchemaFor(spark, root))
+  }
+
+  /** The checkpointed start version: read if pinned, else resolve and pin
+    * (create-then-rename, so a crash mid-write leaves no torn marker —
+    * the next start re-resolves). The marker lives with the engine's
+    * offset log and shares its lifetime: a fresh checkpoint re-resolves.
+    */
+  private def pinnedStartVersion(spark: org.apache.spark.sql.SparkSession,
+                                 metadataPath: String)(resolve: => Long): Long = {
+    val marker = new org.apache.hadoop.fs.Path(metadataPath, "start-version")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val v = resolve
+      fs.mkdirs(marker.getParent)
+      val tmp = new org.apache.hadoop.fs.Path(metadataPath,
+        s".start-version.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      // a concurrent pin of the same checkpoint resolved the same way;
+      // rename-over is idempotent either way
+      if (!fs.rename(tmp, marker) && !fs.exists(marker))
+        throw new java.io.IOException(s"could not pin start version at $marker")
+      v
+    }
+  }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val p = normalized(parameters)
+    val root = rootOf(p,
+      """df.writeStream.format("graft-manifest").option("appId", <id>).start(<root>)""")
+    require(outputMode == OutputMode.Append(),
+      s"graft-manifest sink is append-only (a log-structured table has no " +
+        s"in-place update; aggregate with watermarks + append, or foreachBatch " +
+        s"an explicit upsert) — got $outputMode")
+    // the exactly-once identity: the txn watermark is keyed on it, so it
+    // must survive restarts — the checkpoint location is exactly as stable
+    val appId = p.get("appid").orElse(p.get("checkpointlocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-manifest sink needs a stable exactly-once identity: set " +
+          """.option("appId", <id>) or a checkpointLocation"""))
+    new ManifestStreamSink(sqlContext.sparkSession, root, appId, partitionColumns)
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],

@@ -128,11 +128,26 @@ object ManifestStore {
     * partition columns, which are not stored in the data files);
     * `partCols` the hive partition column names. Both empty on pre-r10
     * manifests (reads fall back to footer-inferred schemas there).
+    * `op` (r12) names THE operation that committed this version
+    * (append/compact/materialize/upgrade/delete/upsert/mor-delete/
+    * mor-upsert) — the Delta `dataChange` idea as a commit-level marker:
+    * physical-only ops ([[PhysicalOps]]) let a tail/change-feed consumer
+    * SKIP the rewrite instead of refusing, so table maintenance stops
+    * breaking every downstream stream. Empty on pre-r12 manifests —
+    * consumers treat unknown as data-changing (the conservative refusal).
     */
   final case class Snapshot(version: Long, files: Seq[ManifestEntry],
                             txns: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
-                            partCols: Seq[String] = Nil)
+                            partCols: Seq[String] = Nil,
+                            op: String = "")
+
+  /** Commit kinds that rewrite BYTES without changing the table's live
+    * rows — a version-range consumer skips them (after verifying live-row
+    * conservation from the manifest's own counts, so a mislabeled commit
+    * can never smuggle a data change past a tail).
+    */
+  private val PhysicalOps = Set("compact", "materialize", "upgrade")
 
   private val Header = "graft-manifest v1"
   private val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -164,6 +179,11 @@ object ManifestStore {
         s"partition column name not manifest-safe: '$c'"))
       body.append("partcols=").append(s.partCols.mkString(",")).append('\n')
     }
+    if (s.op.nonEmpty) {
+      require(!s.op.contains('\n') && !s.op.contains('\t'),
+        s"op not manifest-safe: '${s.op}'")
+      body.append("op=").append(s.op).append('\n')
+    }
     s.txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains('\n') && !appId.contains('\t') && appId.nonEmpty,
         s"appId not manifest-safe: '$appId'")
@@ -172,9 +192,10 @@ object ManifestStore {
     s.files.foreach { f =>
       require(!f.path.contains('\n') && !f.path.contains('\t'),
         s"file path not manifest-safe: ${f.path}")
-      // file paths are URIs (scheme-prefixed), so the txn= marker cannot
-      // collide — enforced rather than assumed
+      // file paths are URIs (scheme-prefixed), so the txn=/op= markers
+      // cannot collide — enforced rather than assumed
       require(!f.path.startsWith("txn="), s"file path collides with txn marker: ${f.path}")
+      require(!f.path.startsWith("op="), s"file path collides with op marker: ${f.path}")
       body.append(f.path).append('\t').append(f.bytes)
       ManifestStats.renderMeta(f.rows, f.stats, f.partition, f.dv)
         .foreach(m => body.append('\t').append(m))
@@ -218,6 +239,7 @@ object ManifestStore {
     if (!v.contains(expectVersion)) return None
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var op: String = ""
     val txns = Map.newBuilder[String, Long]
     val files = Seq.newBuilder[ManifestEntry]
     for (l <- lines.drop(2)) {
@@ -225,6 +247,8 @@ object ManifestStore {
         schema = Some(DataType.fromJson(l.stripPrefix("schema=")).asInstanceOf[StructType])
       } else if (l.startsWith("partcols=")) {
         partCols = l.stripPrefix("partcols=").split(",", -1).toSeq.filter(_.nonEmpty)
+      } else if (l.startsWith("op=")) {
+        op = l.stripPrefix("op=")
       } else if (l.startsWith("txn=")) {
         val i = l.lastIndexOf('\t')
         if (i <= 0) return None
@@ -249,7 +273,7 @@ object ManifestStore {
         }
       }
     }
-    Some(Snapshot(expectVersion, files.result(), txns.result(), schema, partCols))
+    Some(Snapshot(expectVersion, files.result(), txns.result(), schema, partCols, op))
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -724,7 +748,7 @@ object ManifestStore {
       Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
         base.map(_.txns).getOrElse(Map.empty),
         Some(mergedSchema(base, legacy, batchSchema)),
-        partColsOf(base, partitionBy)))
+        partColsOf(base, partitionBy), op = "append"))
     }
   }
 
@@ -767,7 +791,14 @@ object ManifestStore {
       return pre.get.version
     if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
     val legacy = requireCompatibleSchema(spark, df, root, partitionBy, pre)
-    val mine = writeBatch(fs, rootP, df, partitionBy)
+    // an UNpartitioned empty micro-batch still writes one 0-row part file
+    // (partitioned empties write none) — drop such files rather than
+    // commit them, or every all-filtered batch of a long-running format
+    // sink grows the manifest by one empty entry forever (r12)
+    val written = writeBatch(fs, rootP, df, partitionBy)
+    val (zeroRow, mine) = written.partition(_.rows.contains(0L))
+    zeroRow.foreach(e =>
+      fs.delete(new org.apache.hadoop.fs.Path(e.path), false): Unit)
     // a zero-file micro-batch (every partitioned empty frame — an
     // all-dropped dedup batch hits this) is a NO-OP like append's: on a
     // fresh table committing it would create a zero-file manifest, which
@@ -784,7 +815,7 @@ object ManifestStore {
         base.map(_.files).getOrElse(Seq.empty) ++ mine,
         txns + (appId -> batchId),
         Some(mergedSchema(base, legacy, batchSchema)),
-        partColsOf(base, partitionBy)))
+        partColsOf(base, partitionBy), op = "append"))
     }
     if (v == -1L) // already committed concurrently: report the live version
       latestSnapshot(spark, root).map(_.version).getOrElse(0L)
@@ -1035,63 +1066,89 @@ object ManifestStore {
   /** CDC-lite incremental consumption: the rows APPENDED strictly after
     * `fromVersion`, as (currentVersion, frame) — poll `latestSnapshot`,
     * call this with the last version you processed, checkpoint the
-    * returned version. Sound ONLY over an append-only range: if any file
-    * of `fromVersion` is gone from the current snapshot (a compaction,
-    * delete or upsert rewrote data), "new files" would double- or
-    * mis-count rewritten rows — the call REFUSES loudly and the consumer
-    * must reprocess from a full snapshot. An aged-out `fromVersion`
-    * (manifest vacuumed) refuses too: the diff base is unknowable.
-    * At 100 TB this is the cheap tail-read: the diff is a driver-side
-    * set difference over manifest lines, and the scan opens exactly the
-    * new batches' files.
+    * returned version. Sound over append-only ranges AND (r12) across
+    * PHYSICAL rewrites: a compaction/materialization/upgrade commit is
+    * op-labeled in the manifest and verified row-conserving, so the span
+    * walk skips it — table maintenance no longer breaks tail consumers.
+    * DATA-CHANGING rewrites (CoW delete/upsert, pre-r12 unlabeled
+    * commits) still REFUSE loudly — "new files" would double- or
+    * mis-count rewritten rows — and the consumer must reprocess from a
+    * full snapshot. An aged-out `fromVersion` (manifest vacuumed) refuses
+    * too: the diff base is unknowable. At 100 TB this is the cheap
+    * tail-read: the diff is a driver-side set difference over manifest
+    * lines, and the scan opens exactly the new batches' files.
     */
   def readAddedSince(spark: SparkSession, root: String,
                      fromVersion: Long): (Long, DataFrame) = {
     val cur = latestSnapshot(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    (cur.version, addedBetween(spark, root, fromVersion, cur))
+  }
+
+  /** [[readAddedSince]] against an ALREADY-RESOLVED end snapshot — the
+    * replay-deterministic core the streaming source checkpoints on: both
+    * ends are immutable committed versions, so a restarted query
+    * recomputes byte-identical batches (a vacuumed `fromVersion` still
+    * refuses loudly — the diff base is unknowable).
+    *
+    * r12: PHYSICAL rewrites in range (op ∈ [[PhysicalOps]], live-row
+    * conservation verified from the manifest's own counts) are SKIPPED
+    * via the span walk ([[spanPairs]]) instead of refusing — table
+    * maintenance no longer breaks tail consumers. Data-changing rewrites
+    * (CoW delete/upsert, pre-r12 unlabeled commits) still refuse loudly,
+    * as do dv changes (tail mode: a delete is not an append).
+    */
+  private[graft] def addedBetween(spark: SparkSession, root: String,
+                                  fromVersion: Long, cur: Snapshot): DataFrame = {
     require(cur.version >= fromVersion,
       s"current version ${cur.version} is below fromVersion $fromVersion under $root — " +
         "the table was recreated; reprocess from a full snapshot")
-    def emptyFrame: DataFrame = cur.schema match {
-      case Some(sc) => spark.createDataFrame(new java.util.ArrayList[Row](), sc)
-      case None => // legacy: union of footers, same columns a full read sees
-        spark.createDataFrame(new java.util.ArrayList[Row](),
-          legacySchemaOf(spark, cur.files))
-    }
-    if (cur.version == fromVersion) return (cur.version, emptyFrame)
+    val schema = cur.schema.getOrElse(legacySchemaOf(spark, cur.files))
+    def emptyFrame: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    if (cur.version == fromVersion) return emptyFrame
     val fromSnap = snapshotAt(spark, root, fromVersion).getOrElse(
       throw new java.util.NoSuchElementException(
         s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
           "the incremental base is unknowable; reprocess from a full snapshot"))
-    val oldPaths = fromSnap.files.map(_.path).toSet
-    val removed = oldPaths -- cur.files.map(_.path).toSet
-    require(removed.isEmpty,
-      s"${removed.size} file(s) of v$fromVersion were rewritten between v$fromVersion " +
-        s"and v${cur.version} under $root (compaction/delete/upsert) — incremental " +
-        "reads are only sound over append-only ranges; reprocess from a full snapshot")
+    val frames = spanPairs(spark, root, fromSnap, cur).flatMap {
+      case (prev, next) =>
+        if (physicalStepOrRefuse(root, prev, next)) None
+        else addedStep(spark, root, prev, next)
+    }
+    if (frames.isEmpty) emptyFrame
+    else alignedUnion(frames, schema, extra = Seq.empty)
+  }
+
+  /** One removal-free span's appended rows (None when nothing appended) —
+    * the original tail contract applied between two snapshots.
+    */
+  private def addedStep(spark: SparkSession, root: String,
+                        prev: Snapshot, next: Snapshot): Option[DataFrame] = {
+    val oldPaths = prev.files.map(_.path).toSet
     // a deletion vector moving on a SHARED file is a delete, not an append
     // — "new files" cannot express it (r11)
-    val oldDv = fromSnap.files.map(f => f.path -> f.dv.map(_.path)).toMap
-    val dvMoved = cur.files.filter(f =>
+    val oldDv = prev.files.map(f => f.path -> f.dv.map(_.path)).toMap
+    val dvMoved = next.files.filter(f =>
       oldDv.get(f.path).exists(_ != f.dv.map(_.path))).map(_.path)
     require(dvMoved.isEmpty,
       s"${dvMoved.size} file(s) gained or changed a deletion vector between " +
-        s"v$fromVersion and v${cur.version} under $root (merge-on-read delete) — " +
+        s"v${prev.version} and v${next.version} under $root (merge-on-read delete) — " +
         "incremental reads are only sound over append-only ranges; reprocess " +
-        "from a full snapshot")
-    val added = cur.files.filterNot(f => oldPaths(f.path))
-    // a dv on an ADDED file is still a delete: fromVersion never saw the
-    // file, so the dvMoved check above cannot catch it, and emitting the
-    // file's NET rows would silently hide that a delete happened in-range
-    // — the same "a delete is not an append" contract (advice r11)
+        "from a full snapshot (or consume with changeFeed=true)")
+    val added = next.files.filterNot(f => oldPaths(f.path))
+    // a dv on an ADDED file is still a delete: prev never saw the file, so
+    // the dvMoved check above cannot catch it, and emitting the file's NET
+    // rows would silently hide that a delete happened in-range — the same
+    // "a delete is not an append" contract (advice r11)
     val addedWithDv = added.filter(_.dv.exists(_.rows > 0))
     require(addedWithDv.isEmpty,
-      s"${addedWithDv.size} file(s) appended after v$fromVersion already carry a " +
-        s"deletion vector at v${cur.version} under $root (merge-on-read delete) — " +
+      s"${addedWithDv.size} file(s) appended after v${prev.version} already carry a " +
+        s"deletion vector at v${next.version} under $root (merge-on-read delete) — " +
         "incremental reads are only sound over append-only ranges; reprocess " +
-        "from a full snapshot")
-    if (added.isEmpty) (cur.version, emptyFrame)
-    else (cur.version, readSnapshot(spark, root, cur.copy(files = added), Seq.empty))
+        "from a full snapshot (or consume with changeFeed=true)")
+    if (added.isEmpty) None
+    else Some(readSnapshot(spark, root, next.copy(files = added), Seq.empty))
   }
 
   /** The reserved change-kind column of [[readChangesSince]]. */
@@ -1112,10 +1169,13 @@ object ManifestStore {
     *  - a merge-on-read UPSERT is therefore both: its updates batch
     *    inserts, its matched keys' old rows delete.
     *
-    * Copy-on-write rewrites still REFUSE loudly (a compaction and a CoW
-    * delete are indistinguishable in the manifest diff — emitting the
-    * rewrite as delete+insert of every row would be a correct-but-useless
-    * feed, and wrong for compaction); so does an aged-out `fromVersion`.
+    * Data-changing copy-on-write rewrites still REFUSE loudly (emitting a
+    * CoW delete/upsert as delete+insert of every rewritten row would be a
+    * correct-but-useless feed); PHYSICAL rewrites — compaction,
+    * materialization — are op-labeled, verified row-conserving from the
+    * manifest's own counts and SKIPPED (r12, the Delta `dataChange=false`
+    * posture), so maintenance never breaks the feed. An aged-out
+    * `fromVersion` refuses too.
     * This is what [[readAddedSince]] refused to fake: deletes become
     * expressible the moment they are EXACT. At 100 TB the cost profile is
     * the tail-read's: a driver-side manifest diff, the new batches'
@@ -1126,36 +1186,56 @@ object ManifestStore {
                        fromVersion: Long): (Long, DataFrame) = {
     val cur = latestSnapshot(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    (cur.version, changesBetween(spark, root, fromVersion, cur))
+  }
+
+  /** [[readChangesSince]] against an ALREADY-RESOLVED end snapshot — the
+    * replay-deterministic core of the change-feed streaming source (same
+    * posture as [[addedBetween]]: immutable ends, byte-identical replays,
+    * loud refusal on a vacuumed base or a DATA-CHANGING copy-on-write
+    * rewrite; PHYSICAL rewrites — compaction, materialization — are
+    * verified row-conserving and skipped via the span walk, r12).
+    */
+  private[graft] def changesBetween(spark: SparkSession, root: String,
+                                    fromVersion: Long, cur: Snapshot): DataFrame = {
     require(cur.version >= fromVersion,
       s"current version ${cur.version} is below fromVersion $fromVersion under $root — " +
         "the table was recreated; reprocess from a full snapshot")
     val schema = cur.schema.getOrElse(legacySchemaOf(spark, cur.files))
     require(!schema.fieldNames.contains(ChangeTypeCol),
       s"table schema collides with the reserved change column $ChangeTypeCol")
-    val outCols = schema.fieldNames.toSeq :+ ChangeTypeCol
     def emptyChanges: DataFrame = spark.createDataFrame(
       new java.util.ArrayList[Row](),
       StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
         ChangeTypeCol, org.apache.spark.sql.types.StringType, nullable = false)))
-    if (cur.version == fromVersion) return (cur.version, emptyChanges)
+    if (cur.version == fromVersion) return emptyChanges
     val fromSnap = snapshotAt(spark, root, fromVersion).getOrElse(
       throw new java.util.NoSuchElementException(
         s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
           "the change base is unknowable; reprocess from a full snapshot"))
-    val oldByPath = fromSnap.files.map(f => f.path -> f).toMap
-    val curPaths = cur.files.map(_.path).toSet
-    val removed = oldByPath.keySet -- curPaths
-    require(removed.isEmpty,
-      s"${removed.size} file(s) of v$fromVersion were rewritten between " +
-        s"v$fromVersion and v${cur.version} under $root (copy-on-write " +
-        "delete/upsert/compaction) — a rewrite's changes are not derivable " +
-        "from the manifest diff; reprocess from a full snapshot")
-    val added = cur.files.filterNot(f => oldByPath.contains(f.path))
-    val dvGrew = cur.files.filter(f => oldByPath.get(f.path).exists(o =>
+    val frames = spanPairs(spark, root, fromSnap, cur).flatMap {
+      case (prev, next) =>
+        if (physicalStepOrRefuse(root, prev, next)) None
+        else changesStep(spark, root, prev, next)
+    }
+    if (frames.isEmpty) emptyChanges
+    else alignedUnion(frames, schema, extra = Seq(ChangeTypeCol))
+  }
+
+  /** One removal-free span's row-level changes (None when there are none):
+    * appended files' live rows as `insert`, dv growth as `delete` at
+    * exactly the newly-deleted positions.
+    */
+  private def changesStep(spark: SparkSession, root: String,
+                          prev: Snapshot, next: Snapshot): Option[DataFrame] = {
+    val stepSchema = next.schema.getOrElse(legacySchemaOf(spark, next.files))
+    val oldByPath = prev.files.map(f => f.path -> f).toMap
+    val added = next.files.filterNot(f => oldByPath.contains(f.path))
+    val dvGrew = next.files.filter(f => oldByPath.get(f.path).exists(o =>
       o.dv.map(_.path) != f.dv.map(_.path)))
     val parts = Seq.newBuilder[DataFrame]
     if (added.nonEmpty)
-      parts += readSnapshot(spark, root, cur.copy(files = added), Seq.empty)
+      parts += readSnapshot(spark, root, next.copy(files = added), Seq.empty)
         .withColumn(ChangeTypeCol, lit("insert"))
     if (dvGrew.nonEmpty) {
       val newBms = DvBitmap.loadBitmaps(spark, dvGrew.flatMap(_.dv.map(_.path)))
@@ -1169,15 +1249,109 @@ object ManifestStore {
         f.path -> DvBitmap.diff(nw, oldBms.getOrElse(fk, emptyBm))
       }.toMap
       val deleted = spark.baseRelationToDataFrame(
-        relationWith(spark, root, cur.copy(files = dvGrew), schema, cur.partCols))
+        relationWith(spark, root, next.copy(files = dvGrew), stepSchema,
+          next.partCols))
         .where(dvPredicate(spark, diffs))
         .withColumn(ChangeTypeCol, lit("delete"))
       parts += deleted
     }
     val built = parts.result()
-    if (built.isEmpty) (cur.version, emptyChanges)
-    else (cur.version, built.reduce(_ unionByName _)
-      .select(outCols.map(n => col(quoteIdent(n))): _*))
+    if (built.isEmpty) None
+    else Some(built.reduce(_ unionByName _))
+  }
+
+  /** Split `(fromSnap, cur]` into maximal removal-free SPANS (each diffed
+    * directly — one scan, dv growth netted across the span, the pre-r12
+    * semantics) separated by single REMOVAL steps (each classified by
+    * [[physicalStepOrRefuse]]). A removal-free whole range stays one span
+    * with ZERO extra manifest resolutions — the common tail case; a range
+    * with rewrites resolves each intermediate version (driver-side,
+    * snapshot-cache O(1) each), and the number of SCANS stays bounded by
+    * the number of rewrite commits, never the number of versions.
+    */
+  private def spanPairs(spark: SparkSession, root: String,
+                        fromSnap: Snapshot, cur: Snapshot): Seq[(Snapshot, Snapshot)] = {
+    def hasRemoval(prev: Snapshot, next: Snapshot): Boolean = {
+      val nextPaths = next.files.map(_.path).toSet
+      prev.files.exists(f => !nextPaths(f.path))
+    }
+    if (cur.version == fromSnap.version + 1 || !hasRemoval(fromSnap, cur))
+      return Seq((fromSnap, cur))
+    // unresolvable intermediates (torn slots never committed, or vacuumed
+    // history) just coarsen the walk: the diff between their resolved
+    // neighbors is still exact, and a removal hiding in the gap classifies
+    // under the RESOLVED successor's op — a data-changing or mismatched
+    // one refuses conservatively in physicalStepOrRefuse
+    val snaps = fromSnap +: (fromSnap.version + 1 until cur.version).flatMap(
+      v => snapshotAt(spark, root, v)) :+ cur
+    val pairs = Seq.newBuilder[(Snapshot, Snapshot)]
+    var spanStart = snaps.head
+    for (i <- 1 until snaps.size) {
+      val prev = snaps(i - 1); val next = snaps(i)
+      if (hasRemoval(prev, next)) {
+        if (spanStart.version < prev.version) pairs += ((spanStart, prev))
+        pairs += ((prev, next)) // the removal step itself, classified alone
+        spanStart = next
+      }
+    }
+    if (spanStart.version < cur.version) pairs += ((spanStart, cur))
+    pairs.result()
+  }
+
+  /** Classify one step: true = a PHYSICAL rewrite a version-range consumer
+    * skips (op says so AND the manifest's own live-row counts conserve —
+    * a mislabeled commit can never smuggle a data change past a tail);
+    * false = an ordinary removal-free diff step. Data-changing rewrites
+    * and pre-r12 unlabeled commits refuse loudly.
+    */
+  private def physicalStepOrRefuse(root: String,
+                                   prev: Snapshot, next: Snapshot): Boolean = {
+    val nextPaths = next.files.map(_.path).toSet
+    val removed = prev.files.filter(f => !nextPaths(f.path))
+    if (removed.isEmpty) return false
+    val opName = if (next.op.isEmpty) "pre-r12 unlabeled commit" else s"op=${next.op}"
+    require(PhysicalOps(next.op),
+      s"${removed.size} file(s) of v${prev.version} were rewritten by " +
+        s"v${next.version} under $root ($opName — copy-on-write " +
+        "delete/upsert or unknown) — a data-changing rewrite's changes are " +
+        "not derivable from the manifest diff; reprocess from a full snapshot")
+    // conservation: the physical rewrite must carry exactly the live rows
+    // it replaced, provable from the manifest's own counts
+    val prevPaths = prev.files.map(_.path).toSet
+    val added = next.files.filterNot(f => prevPaths(f.path))
+    require(removed.forall(_.rows.isDefined) && added.forall(_.rows.isDefined),
+      s"physical rewrite v${next.version} under $root touches legacy " +
+        "stats-less entries — live-row conservation is unprovable; run " +
+        "upgradeTable first or reprocess from a full snapshot")
+    val beforeRows = removed.map(liveRowsOf).sum
+    val afterRows = added.map(liveRowsOf).sum
+    require(beforeRows == afterRows,
+      s"physical rewrite v${next.version} under $root does not conserve " +
+        s"live rows ($beforeRows -> $afterRows) — mislabeled commit; " +
+        "refusing rather than mis-stream; reprocess from a full snapshot")
+    // a physical rewrite must not move a KEPT file's deletion vector
+    val prevDv = prev.files.map(f => f.path -> f.dv.map(_.path)).toMap
+    val dvMovedShared = next.files.filter(f =>
+      prevDv.get(f.path).exists(_ != f.dv.map(_.path)))
+    require(dvMovedShared.isEmpty,
+      s"physical rewrite v${next.version} under $root also moved " +
+        s"${dvMovedShared.size} kept file(s)' deletion vector — mislabeled " +
+        "commit; reprocess from a full snapshot")
+    true
+  }
+
+  /** Union span frames (schemas may differ when the table widened
+    * mid-range: missing columns null-fill, the evolution contract) and
+    * project to the END snapshot's column order plus `extra`.
+    */
+  private def alignedUnion(frames: Seq[DataFrame], outSchema: StructType,
+                           extra: Seq[String]): DataFrame = {
+    val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    val filled = outSchema.fields.foldLeft(unioned)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    filled.select(
+      (outSchema.fieldNames.toSeq ++ extra).map(n => col(quoteIdent(n))): _*)
   }
 
   /** Manifest→manifest micro-pipeline over [[readAddedSince]] (r11,
@@ -1196,9 +1370,10 @@ object ManifestStore {
     * base to diff against). Returns the last processed source version
     * after `ticks` ticks.
     *
-    * Refusal semantics surface as failure, by design: a compaction,
-    * delete or upsert on the source between ticks makes the pending diff
-    * unknowable ([[readAddedSince]] throws), and the exception propagates
+    * Refusal semantics surface as failure, by design: a DATA-CHANGING
+    * rewrite (CoW delete/upsert) on the source between ticks makes the
+    * pending diff unknowable ([[readAddedSince]] throws — compaction and
+    * other physical rewrites pass through since r12), and the exception propagates
     * out of the loop — reprocess from a full snapshot (fresh destination,
     * or re-run after a destination truncate) rather than silently double-
     * or mis-counting rewritten rows. `transform` must be deterministic
@@ -1282,6 +1457,14 @@ object ManifestStore {
     val dvE = snap.files.filter(_.dv.exists(_.rows > 0))
     if (dvE.isEmpty) df else df.where(!dvDeletedFilter(spark, dvE))
   }
+
+  /** The table schema of one snapshot, footer-derived for legacy
+    * (pre-schema-line) manifests — the streaming source's schema seam
+    * (column order is the library contract's: partition columns in
+    * place, exactly what [[readWhere]] frames carry).
+    */
+  private[graft] def tableSchemaOf(spark: SparkSession, snap: Snapshot): StructType =
+    snap.schema.getOrElse(legacySchemaOf(spark, snap.files))
 
   /** The `HadoopFsRelation` of one snapshot (shared by [[table]], the
     * library read path and the `graft-manifest` format). Does NOT apply
@@ -1566,7 +1749,7 @@ object ManifestStore {
       .map(_ - mine.flatMap(_.rows).sum).getOrElse(matched)
     if (deleted == 0L) return (0L, 0, before.version) // metadata path no-match
     val v = commitReplacing(fs, rootP, dvSignature(touched), mine, before,
-      maxRetries, tornGraceMs, refuseEmpty = true)
+      maxRetries, tornGraceMs, refuseEmpty = true, op = "delete")
     if (v == -1L) (0L, 0, -1L) // abandoned: NOTHING was deleted
     else (deleted, touched.size, v)
   }
@@ -1656,7 +1839,8 @@ object ManifestStore {
       case None => (0L, 0, before.version) // nothing matched; dvDir = vacuum food
       case Some((tagged, replacedSig, deleted)) =>
         val v = commitReplacing(fs, rootP, replacedSig,
-          tagged, before, maxRetries, tornGraceMs, refuseEmpty = false)
+          tagged, before, maxRetries, tornGraceMs, refuseEmpty = false,
+          op = "mor-delete")
         if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
     }
   }
@@ -1806,7 +1990,8 @@ object ManifestStore {
     // keeps a fully-wiped table readable (review r11)
     val mine = if (nonZero.nonEmpty || cleanRemainder) nonZero else raw
     val v = commitReplacing(fs, rootP, dvSignature(dvE), mine, before,
-      maxRetries, tornGraceMs, refuseEmpty = !cleanRemainder)
+      maxRetries, tornGraceMs, refuseEmpty = !cleanRemainder,
+      op = "materialize")
     if (v == -1L) (0, -1L) else (dvE.size, v)
   }
 
@@ -1949,7 +2134,7 @@ object ManifestStore {
     if (touched.isEmpty) {
       // pure insert: no existing file can hold a matching key
       val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
-        maxRetries, tornGraceMs, refuseEmpty = false)
+        maxRetries, tornGraceMs, refuseEmpty = false, op = "upsert")
       return Left((0L, 0, v))
     }
     Right(UpsertPrep(upd, keyRows, touched, seeded, mineUpdates))
@@ -1994,7 +2179,7 @@ object ManifestStore {
       .getOrElse(touchedRows.count() - surviving.count())
     val v = commitReplacing(fs, rootP, dvSignature(p.touched),
       mineRewrite ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
-      refuseEmpty = true)
+      refuseEmpty = true, op = "upsert")
     if (v == -1L) (0L, 0, -1L) else (replaced, p.touched.size, v)
   }
 
@@ -2053,12 +2238,13 @@ object ManifestStore {
         writeDvAndTag(spark, fs, rootP, root, p.touched, del) match {
           case None => // no existing row matched: a pure insert after all
             val v = commitReplacing(fs, rootP, Map.empty, p.mineUpdates,
-              p.seeded, maxRetries, tornGraceMs, refuseEmpty = false)
+              p.seeded, maxRetries, tornGraceMs, refuseEmpty = false,
+              op = "mor-upsert")
             (0L, 0, v)
           case Some((tagged, replacedSig, replaced)) =>
             val v = commitReplacing(fs, rootP, replacedSig,
               tagged ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
-              refuseEmpty = false)
+              refuseEmpty = false, op = "mor-upsert")
             if (v == -1L) (0L, 0, -1L) else (replaced, tagged.size, v)
         }
     }
@@ -2091,7 +2277,7 @@ object ManifestStore {
                               rewrote: Map[String, Option[String]],
                               mine: Seq[ManifestEntry], before: Snapshot,
                               maxRetries: Int, tornGraceMs: Long,
-                              refuseEmpty: Boolean): Long =
+                              refuseEmpty: Boolean, op: String): Long =
     commitWithRebase(fs, root, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
       val baseDv: Map[String, Option[String]] =
@@ -2106,7 +2292,7 @@ object ManifestStore {
         Some(Snapshot(0L, files,
           base.map(_.txns).getOrElse(Map.empty),
           base.flatMap(_.schema).orElse(before.schema),
-          base.map(_.partCols).getOrElse(before.partCols)))
+          base.map(_.partCols).getOrElse(before.partCols), op = op))
       }
     }
 
@@ -2151,7 +2337,7 @@ object ManifestStore {
         baseFiles.map(f => if (f.rows.isEmpty) enriched.getOrElse(f.path, f) else f),
         base.map(_.txns).getOrElse(Map.empty),
         base.flatMap(_.schema).orElse(Some(schema)),
-        base.map(_.partCols).getOrElse(snap.partCols)))
+        base.map(_.partCols).getOrElse(snap.partCols), op = "upgrade"))
     }
   }
 
@@ -2221,7 +2407,7 @@ object ManifestStore {
       return (before.files.size, before.files.size, before.version)
     // txn watermarks, schema and partCols survive via the shared rebase
     val v = commitReplacing(fs, rootP, rewrote, mine, before,
-      maxRetries, tornGraceMs, refuseEmpty = false)
+      maxRetries, tornGraceMs, refuseEmpty = false, op = "compact")
     (before.files.size, mine.size, v)
   }
 

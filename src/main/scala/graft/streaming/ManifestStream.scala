@@ -1,0 +1,192 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftshim.StreamingShim
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.sources.ManifestStore
+
+/** Offset of the manifest streaming source: the highest PROCESSED manifest
+  * version. Versions are the table's own commit sequence, so the offset is
+  * totally ordered, durable and replayable for free — `(from, end]` names
+  * an immutable set of manifest diffs forever (until vacuum, which refuses
+  * loudly rather than fabricate a diff).
+  */
+case class ManifestSourceOffset(version: Long) extends OffsetV1 {
+  override def json: String = version.toString
+}
+
+object ManifestSourceOffset {
+  /** Engine offsets arrive live (this class) or as the engine's
+    * serialized wrapper after a checkpoint restart — the json IS the
+    * version either way.
+    */
+  def versionOf(o: OffsetV2): Long = o match {
+    case ManifestSourceOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+}
+
+/** True Structured Streaming source over a [[ManifestStore]] table
+  * (VERDICT r11 #7): `spark.readStream.format("graft-manifest").load(root)`
+  * replaces the hand-rolled `tailStream` poll loop with engine triggers,
+  * offset checkpointing, progress metrics and restart recovery.
+  *
+  * Batch semantics are exactly the library tail's:
+  *
+  *  - the first batch from a fresh checkpoint is the FULL snapshot (or
+  *    everything after `startingVersion`);
+  *  - each subsequent batch is the version-bounded manifest diff —
+  *    appended files' rows (`changeFeed=false`, the default), or the
+  *    row-level change log with `_change_type ∈ insert | delete`
+  *    (`changeFeed=true`, which streams merge-on-read deletes/upserts
+  *    instead of refusing);
+  *  - PHYSICAL rewrites in range (compaction, dv materialization — the
+  *    op-labeled, row-conservation-verified commits) pass through
+  *    silently: table maintenance does not break the stream;
+  *  - a DATA-CHANGING copy-on-write rewrite (CoW delete/upsert, pre-r12
+  *    unlabeled commits) FAILS the query loudly — its changes are not
+  *    derivable from the manifest diff, and silently double-counting is
+  *    the one thing a tail must never do. Reprocess from a fresh
+  *    checkpoint.
+  *
+  * Exactly-once: offsets are manifest versions; both ends of every batch
+  * are immutable committed snapshots, so a restarted query recomputes
+  * byte-identical batches (the engine's offset log + a deterministic
+  * `getBatch` is the V1 exactly-once contract, same as Spark's own
+  * FileStreamSource — the public design relative, including the
+  * `SupportsAdmissionControl`/`SupportsTriggerAvailableNow` shape that
+  * makes `Trigger.AvailableNow` and rate limiting first-class).
+  *
+  * 100 TB posture: per trigger the source pays one hint-accelerated
+  * snapshot resolution (O(1) in table size) plus a driver-side manifest
+  * diff; the batch plan scans exactly the NEW files through the same
+  * planner-integrated `HadoopFsRelation` as batch reads (vectorized
+  * parquet, pushdown, dv bitmap filters) — cost scales with the
+  * increment, never the accumulated table. `maxVersionsPerTrigger` bounds
+  * a backlogged catch-up to a fixed number of commits per micro-batch.
+  *
+  * Reference behavior twin: the reference's pull-based stream of
+  * minibatches (`DataSetIterator` — chapter2/Word2VecTransformingIterator
+  * .java:24, reset/prefetch at chapter_5/NetworkTrainedToSumNumbers
+  * UsingRegression.java:162-173) re-expressed as a replayable,
+  * checkpointed table tail under engine triggers.
+  */
+class ManifestStreamSource(
+    spark: SparkSession, root: String, changeFeed: Boolean,
+    startVersion: Long, maxVersionsPerTrigger: Option[Long],
+    tableSchema: StructType)
+  extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  override val schema: StructType =
+    if (changeFeed) StructType(tableSchema.fields :+
+      StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+    else tableSchema
+
+  private def currentVersion: Option[Long] =
+    ManifestStore.latestSnapshot(spark, root).map(_.version)
+
+  // Trigger.AvailableNow contract: versions committed after prepare() are
+  // NOT part of this run — they wait for the next one
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(math.max(currentVersion.getOrElse(0L), startVersion))
+
+  override def initialOffset(): OffsetV2 = ManifestSourceOffset(startVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // the engine hands a NULL start for a V1 source with no committed
+    // offset yet (it never consults initialOffset on this path)
+    val from = Option(start).map(o => ManifestSourceOffset.versionOf(o))
+      .getOrElse(startVersion)
+    val latest = math.max(currentVersion.getOrElse(0L), from)
+    val capped = availableNowCap.fold(latest)(math.min(latest, _))
+    val end = math.max(
+      maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m)), from)
+    // fresh checkpoint with nothing past the start: NO available offset —
+    // returning `from` here would make the engine run a pointless empty
+    // batch 0 (null is the engine's "no data yet" signal on this path)
+    if (start == null && end == startVersion) null
+    else ManifestSourceOffset(end)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    ManifestSourceOffset(math.max(currentVersion.getOrElse(0L), startVersion))
+
+  // legacy (pre-admission-control) path; the engine prefers latestOffset
+  override def getOffset: Option[OffsetV1] =
+    Some(ManifestSourceOffset(math.max(currentVersion.getOrElse(0L), startVersion)))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = ManifestSourceOffset.versionOf(end)
+    val fromV = start.map(o => ManifestSourceOffset.versionOf(o)).getOrElse(startVersion)
+    def emptyBatch: DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val raw: DataFrame =
+      if (endV <= fromV) emptyBatch
+      else {
+        val endSnap = ManifestStore.snapshotAt(spark, root, endV).getOrElse(
+          throw new java.util.NoSuchElementException(
+            s"manifest v$endV under $root is gone (vacuumed or never intact) — " +
+              "the checkpointed batch is no longer replayable; reprocess from " +
+              "a fresh checkpoint"))
+        if (fromV == 0L) {
+          // first batch from the beginning: the full snapshot (dv applied)
+          if (endSnap.files.isEmpty) emptyBatch
+          else {
+            val full = ManifestStore.readWhere(spark, root, endSnap, Seq.empty)
+            if (changeFeed)
+              full.withColumn(ManifestStore.ChangeTypeCol, lit("insert"))
+            else full
+          }
+        } else if (changeFeed)
+          ManifestStore.changesBetween(spark, root, fromV, endSnap)
+        else
+          ManifestStore.addedBetween(spark, root, fromV, endSnap)
+      }
+    // project to the stream's declared columns IN ORDER (the engine maps
+    // getBatch output to the relation positionally); a table that gained
+    // columns mid-stream still serves the declared set
+    val projected = raw.select(
+      schema.fieldNames.toSeq.map(n => col("`" + n.replace("`", "``") + "`")): _*)
+    StreamingShim.asStreamingBatch(projected, this)
+  }
+
+  override def commit(end: OffsetV2): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"ManifestStreamSource[$root${if (changeFeed) ", changeFeed" else ""}]"
+}
+
+/** Streaming sink half of the format
+  * (`df.writeStream.format("graft-manifest").option("appId", ...)`):
+  * every micro-batch commits through [[ManifestStore.appendBatch]], whose
+  * txn watermark makes the engine's at-least-once redelivery exactly-once
+  * — the same primitive the `foreachBatch` idiom used, now selectable as
+  * a format. Append-only by construction (a log-structured table has no
+  * in-place update); `Update`/`Complete` output modes are refused at
+  * `createSink`.
+  */
+class ManifestStreamSink(
+    spark: SparkSession, root: String, appId: String,
+    partitionBy: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands a view over its own incremental execution — rebuild
+    // a re-plannable batch frame over the executed rows before the writer
+    // path touches it (StreamingShim scaladoc)
+    val fresh = StreamingShim.freshBatch(data)
+    ManifestStore.appendBatch(spark, fresh, root, appId, batchId,
+      partitionBy = partitionBy)
+  }
+
+  override def toString: String = s"ManifestStreamSink[$root, appId=$appId]"
+}

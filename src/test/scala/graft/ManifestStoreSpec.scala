@@ -557,17 +557,28 @@ class ManifestStoreSpec extends SparkSpec {
     val (_, ptail) = ManifestStore.readAddedSince(spark, rootP, pv1)
     assert(ptail.columns.toSeq == Seq("id", "src"))
     assert(ptail.select("id").as[Long].collect().toSeq == Seq(100L))
-    // a rewrite (compaction) inside the range refuses loudly
+    // r12: a PHYSICAL rewrite (compaction) inside the range passes
+    // through — the op-labeled, row-conserving commit is skipped by the
+    // span walk, so the tail still reads exactly the appended rows
     ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)
-    val e = intercept[IllegalArgumentException] {
-      ManifestStore.readAddedSince(spark, root, v2)
-    }
-    assert(e.getMessage.contains("append-only"), e.getMessage)
-    // but tailing from the post-rewrite version works again
+    val (_, tailC) = ManifestStore.readAddedSince(spark, root, v2)
+    assert(ids(tailC) == (30L until 35L),
+      "a compaction in range must be transparent to the tail")
+    // a DATA-CHANGING rewrite (CoW delete) still refuses loudly
     val vc = ManifestStore.latestSnapshot(spark, root).get.version
     ManifestStore.append(spark, batch(35, 40), root)
-    val (_, tail3) = ManifestStore.readAddedSince(spark, root, vc)
-    assert(ids(tail3) == (35L until 40L))
+    assert(ManifestStore.deleteWhere(spark, root,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 3L)))._1 == 1L)
+    val e = intercept[IllegalArgumentException] {
+      ManifestStore.readAddedSince(spark, root, vc)
+    }
+    assert(e.getMessage.contains("not derivable") &&
+      e.getMessage.contains("op=delete"), e.getMessage)
+    // but tailing from the post-rewrite version works again
+    val vd = ManifestStore.latestSnapshot(spark, root).get.version
+    ManifestStore.append(spark, batch(40, 45), root)
+    val (_, tail3) = ManifestStore.readAddedSince(spark, root, vd)
+    assert(ids(tail3) == (40L until 45L))
     // a vacuumed base version refuses (diff base unknowable)
     ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L)
     intercept[java.util.NoSuchElementException] {
@@ -1865,13 +1876,26 @@ class ManifestStoreSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == (0L until 150L))
     assert(cAll.where(col("_change_type") === "insert").count() == 80L)
 
-    // a rewrite makes the diff unknowable: refuse
+    // r12: a compaction (physical, row-conserving) is TRANSPARENT to the
+    // feed — the span walk skips it and the changes stay exactly the
+    // pre-compaction diff (the compaction also materializes the vectors,
+    // which must NOT surface as deletes)
     val vc = ManifestStore.compact(spark, root, targetFileBytes = 1L << 30)._3
     assert(vc > 0)
+    val (_, cAcross) = ManifestStore.readChangesSince(spark, root, v2)
+    assert(cAcross.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq == (1000L until 1080L))
+    assert(cAcross.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 150L))
+    // a DATA-CHANGING rewrite (CoW delete) still makes the diff
+    // unknowable: refuse, naming the op
+    assert(ManifestStore.deleteWhere(spark, root,
+      Seq(EqualTo("id", 500L)))._1 == 1L)
     val e = intercept[IllegalArgumentException] {
-      ManifestStore.readChangesSince(spark, root, v2)
+      ManifestStore.readChangesSince(spark, root, vc)
     }
-    assert(e.getMessage.contains("rewritten"), e.getMessage)
+    assert(e.getMessage.contains("not derivable") &&
+      e.getMessage.contains("op=delete"), e.getMessage)
   }
 
   /** r12: tailStream in changeFeed mode streams MoR upserts end-to-end as
@@ -1944,6 +1968,42 @@ class ManifestStoreSpec extends SparkSpec {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s } }
     assert(prunedScan.map(_.metrics("numFiles").value).sum == 1,
       s"partition pruning inert: ${prunedScan.map(_.metrics("numFiles").value)} of 100")
+  }
+
+  /** r12: commit op markers — every commit names its operation in the
+    * manifest, and the version-range consumers use them to skip PHYSICAL
+    * rewrites (compaction) while still refusing data-changing ones.
+    */
+  test("op markers round-trip; a mixed maintenance range walks correctly") {
+    import org.apache.spark.sql.sources.LessThan
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10), root) // v1
+    assert(ManifestStore.latestSnapshot(spark, root).get.op == "append")
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30) // v2
+    assert(ManifestStore.latestSnapshot(spark, root).get.op == "compact")
+    ManifestStore.append(spark, batch(10, 20), root) // v3
+    assert(ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(LessThan("id", 2L)))._1 == 2L) // v4
+    assert(ManifestStore.latestSnapshot(spark, root).get.op == "mor-delete")
+    // plain tail from v1: the compaction is skipped, but the dv change is
+    // still a delete — refuse (a delete is not an append)
+    val eTail = intercept[IllegalArgumentException] {
+      ManifestStore.readAddedSince(spark, root, 1L)
+    }
+    assert(eTail.getMessage.contains("deletion vector"), eTail.getMessage)
+    // the change feed expresses the whole range: appended rows as inserts,
+    // the MoR delete as exact deletes, the compaction invisible
+    val (vGot, ch) = ManifestStore.readChangesSince(spark, root, 1L)
+    assert(vGot == 4L)
+    assert(ch.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 20L))
+    assert(ch.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    // and tailing the same range in changeFeed=false mode from AFTER the
+    // delete works (append-only suffix)
+    ManifestStore.append(spark, batch(20, 25), root) // v5
+    val (_, tail) = ManifestStore.readAddedSince(spark, root, 4L)
+    assert(ids(tail) == (20L until 25L))
   }
 }
 

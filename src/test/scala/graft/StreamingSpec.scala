@@ -691,14 +691,23 @@ class StreamingSpec extends SparkSpec {
     assert(M.tailStream(spark, src, dst, "tail", dropAll, pollMs = 1L) == 4L)
     assert(M.read(spark, dst).count() == 30L, "dropped batch must add nothing")
 
-    // rewrite mid-stream: a compaction on the source makes the pending
-    // diff unknowable — the loop must fail loudly, not double-read
+    // r12: a compaction on the source is PHYSICAL (op-labeled,
+    // row-conserving) — the tail streams THROUGH it; the never-
+    // watermarked v4 rows fold into the same batch
     M.append(spark, batch(35, 40), src)
     M.compact(spark, src, targetFileBytes = 1L << 30)
+    assert(M.tailStream(spark, src, dst, "tail", xform, pollMs = 1L) == 6L)
+    assert(M.read(spark, dst).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 40L), "compaction must be transparent to the tail")
+    // a DATA-CHANGING rewrite (CoW delete) still fails loudly, not
+    // double-read
+    M.append(spark, batch(40, 45), src)
+    assert(M.deleteWhere(spark, src,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 1L)))._1 == 1L)
     val e = intercept[IllegalArgumentException] {
       M.tailStream(spark, src, dst, "tail", xform, pollMs = 1L)
     }
-    assert(e.getMessage.contains("rewritten"), e.getMessage)
+    assert(e.getMessage.contains("not derivable"), e.getMessage)
   }
 
   test("session windows merge events within the gap (batch semantics check)") {
