@@ -39,7 +39,7 @@ import graft.streaming.{ManifestStreamSink, ManifestStreamSource}
   * `spark.readStream.format("graft-manifest").load(root)` tails the table
   * under engine triggers/checkpointing ([[graft.streaming.ManifestStreamSource]];
   * options `changeFeed`, `startingVersion` = exclusive version or
-  * `latest`, `maxVersionsPerTrigger`), and
+  * `latest`, `maxVersionsPerTrigger`, `maxBytesPerTrigger`), and
   * `df.writeStream.format("graft-manifest").option("appId", ...)` commits
   * micro-batches exactly-once through the txn watermark
   * ([[graft.streaming.ManifestStreamSink]]).
@@ -116,8 +116,13 @@ final class ManifestDataSource extends RelationProvider
       require(n >= 1L, s"maxVersionsPerTrigger must be >= 1: $n")
       n
     }
+    val maxBytes = p.get("maxbytespertrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1L, s"maxBytesPerTrigger must be >= 1: $n")
+      n
+    }
     new ManifestStreamSource(spark, root, changeFeedOf(p), startVersion,
-      maxVersions, baseSchemaFor(spark, root))
+      maxVersions, maxBytes, baseSchemaFor(spark, root))
   }
 
   /** The checkpointed start version: read if pinned, else resolve and pin

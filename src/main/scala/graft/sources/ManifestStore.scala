@@ -2382,6 +2382,42 @@ object ManifestStore {
       targetFileBytes, maxRetries)
   }
 
+  /** `OPTIMIZE ... ZORDER BY` — rewrite the CURRENT snapshot laid out
+    * along the Z-order curve of `dims` ([[graft.operators.Layout.zOrder]])
+    * and commit it as a PHYSICAL (op=compact) version: per-file min/max
+    * stats come out tight in EVERY interleaved dimension, so
+    * multi-column predicates prune through [[readWhere]] AND the
+    * planner-integrated format — retro-clustering for a table that was
+    * appended in arrival order ([[appendZOrdered]]'s maintenance twin).
+    * Row-conserving by construction (deletion vectors materialize away in
+    * the rewrite), so tails and change feeds stream straight through it
+    * (r12). `files` bounds the rewrite's file count (one per range
+    * partition of the curve). Same abandonment contract as [[compact]]:
+    * a concurrently superseded input abandons (version -1), concurrent
+    * appends rebase in untouched. On a hive-partitioned table the
+    * rewrite re-splits by the partition columns AFTER curve layout, so
+    * partition pruning survives; `files` then bounds files PER partition
+    * directory only approximately.
+    */
+  def compactZOrdered(spark: SparkSession, root: String, dims: Seq[Column],
+                      files: Int, bits: Int = 16, maxRetries: Int = 10,
+                      tornGraceMs: Long = 60000L): (Int, Int, Long) = {
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    if (before.files.isEmpty) return (0, 0, before.version)
+    val (fs, rootP) = fsFor(spark, root)
+    val rewrote = dvSignature(before.files)
+    val mine = writeBatch(fs, rootP,
+      graft.operators.Layout.zOrder(
+        readSnapshot(spark, root, before, Seq.empty), dims, files, bits),
+      before.partCols, internalRewrite = true)
+    if (mine.isEmpty) // zero-row snapshot: nothing to commit, keep the base
+      return (before.files.size, before.files.size, before.version)
+    val v = commitReplacing(fs, rootP, rewrote, mine, before,
+      maxRetries, tornGraceMs, refuseEmpty = false, op = "compact")
+    (before.files.size, mine.size, v)
+  }
+
   /** [[compact]] against an explicit base snapshot — the test seam for the
     * stale-inputs abandonment path (a second compactor holding a snapshot
     * the first already replaced).

@@ -67,7 +67,10 @@ object ManifestSourceOffset {
   * planner-integrated `HadoopFsRelation` as batch reads (vectorized
   * parquet, pushdown, dv bitmap filters) — cost scales with the
   * increment, never the accumulated table. `maxVersionsPerTrigger` bounds
-  * a backlogged catch-up to a fixed number of commits per micro-batch.
+  * a backlogged catch-up to a fixed number of commits per micro-batch;
+  * `maxBytesPerTrigger` bounds it by INPUT BYTES (summed from the
+  * manifest entries, zero data reads) — the knob that matters when
+  * commits vary from kilobytes to terabytes.
   *
   * Reference behavior twin: the reference's pull-based stream of
   * minibatches (`DataSetIterator` — chapter2/Word2VecTransformingIterator
@@ -78,6 +81,7 @@ object ManifestSourceOffset {
 class ManifestStreamSource(
     spark: SparkSession, root: String, changeFeed: Boolean,
     startVersion: Long, maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long],
     tableSchema: StructType)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
@@ -107,13 +111,45 @@ class ManifestStreamSource(
       .getOrElse(startVersion)
     val latest = math.max(currentVersion.getOrElse(0L), from)
     val capped = availableNowCap.fold(latest)(math.min(latest, _))
-    val end = math.max(
+    val vCapped = math.max(
       maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m)), from)
+    val end = maxBytesPerTrigger.fold(vCapped)(b => bytesCappedEnd(from, vCapped, b))
     // fresh checkpoint with nothing past the start: NO available offset —
     // returning `from` here would make the engine run a pointless empty
     // batch 0 (null is the engine's "no data yet" signal on this path)
     if (start == null && end == startVersion) null
     else ManifestSourceOffset(end)
+  }
+
+  /** The last version admittable under a BYTES budget: walk the commit
+    * sequence accumulating each version's newly-added file bytes (from
+    * the manifest entries — zero data reads; snapshot-cache O(1) per
+    * version) and stop before the commit that crosses the budget, always
+    * admitting at least one so a single oversized commit still flows.
+    * The input-bytes knob is the one that matters at 100 TB: a consumer
+    * restarted after a week pages its catch-up by SCAN COST, not by an
+    * arbitrary commit count (commits vary from kilobytes to terabytes).
+    */
+  private def bytesCappedEnd(from: Long, end: Long, maxBytes: Long): Long = {
+    if (end <= from + 1) return end
+    var prevPaths: Set[String] = ManifestStore.snapshotAt(spark, root, from)
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    var acc = 0L
+    var chosen = from
+    var v = from + 1
+    while (v <= end) {
+      ManifestStore.snapshotAt(spark, root, v) match {
+        case None => // torn slot (never committed): free to skip over
+        case Some(s) =>
+          val add = s.files.filterNot(f => prevPaths(f.path)).map(_.bytes).sum
+          if (chosen > from && acc + add > maxBytes) return chosen
+          acc += add
+          prevPaths = s.files.map(_.path).toSet
+      }
+      chosen = v
+      v += 1
+    }
+    chosen
   }
 
   override def reportLatestOffset(): OffsetV2 =

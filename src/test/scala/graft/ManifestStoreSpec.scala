@@ -748,6 +748,44 @@ class ManifestStoreSpec extends SparkSpec {
         .agg(sum("id")).as[Long].head())
   }
 
+  /** r12: OPTIMIZE ZORDER BY — retro-clustering an arrival-ordered table
+    * makes multi-column predicates prune, commits as a PHYSICAL version
+    * (tails stream through it), and conserves the multiset exactly.
+    */
+  test("compactZOrdered: retro-clustering prunes; tails stream through it") {
+    import org.apache.spark.sql.sources._
+    val n = 4096
+    val side = 64
+    val root = freshRoot()
+    // arrival order = id order: every file spans the full (x, y) domain,
+    // so a small box prunes nothing
+    val grid = (0 until n).map(i => (i.toLong, (i % side).toLong, (i / side).toLong))
+      .toDF("id", "x", "y").repartition(16)
+    ManifestStore.append(spark, grid, root)
+    val v1 = ManifestStore.latestSnapshot(spark, root).get.version
+    val box: Seq[Filter] = Seq(And(
+      And(GreaterThanOrEqual("x", 8L), LessThan("x", 16L)),
+      And(GreaterThanOrEqual("y", 8L), LessThan("y", 16L))))
+    val beforeSnap = ManifestStore.latestSnapshot(spark, root).get
+    assert(ManifestStore.prunedEntries(beforeSnap, box).size == beforeSnap.files.size,
+      "arrival order must not prune (the premise of the rewrite)")
+    val (was, now, v2) = ManifestStore.compactZOrdered(spark, root,
+      Seq(col("x"), col("y")), files = 16, bits = 6)
+    assert(v2 == v1 + 1 && was == 16 && now >= 8)
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    assert(snap.op == "compact")
+    val kept = ManifestStore.prunedEntries(snap, box)
+    assert(kept.nonEmpty && kept.size < snap.files.size / 2,
+      s"z-layout should prune most files for a small box: kept ${kept.size} of ${snap.files.size}")
+    assert(ManifestStore.readWhere(spark, root, box).count() == 64L)
+    assert(ManifestStore.read(spark, root).count() == n.toLong)
+    // the rewrite is PHYSICAL: a tail from before it sees nothing
+    ManifestStore.append(spark, Seq((9999L, 0L, 0L)).toDF("id", "x", "y"), root)
+    val (_, tail) = ManifestStore.readAddedSince(spark, root, v1)
+    assert(tail.select("id").as[Long].collect().toSeq == Seq(9999L),
+      "the z-order rewrite must be transparent to the tail")
+  }
+
   /** r10: pre-r10 tables (no schema line, no per-file meta) never skip —
     * upgradeTable retrofits footer stats + a schema without touching a
     * data byte, after which readWhere prunes. Idempotent.

@@ -92,6 +92,23 @@ class ManifestStreamSpec extends SparkSpec {
       "3 source versions at maxVersionsPerTrigger=1 must land as 3 batches")
   }
 
+  test("maxBytesPerTrigger pages a catch-up by manifest-recorded input bytes") {
+    val src = freshDir("bytesrc"); val dst = freshDir("bytedst"); val ckpt = freshDir("byteckpt")
+    (0 until 3).foreach(i =>
+      M.append(spark, (10L * i + 1 to 10L * i + 8).toDF("id"), src))
+    val perVersion = M.latestSnapshot(spark, src).get.files.map(_.bytes).sum / 3
+    // budget ≈ one version's bytes → each commit becomes its own batch
+    runOnce(src, dst, ckpt, Map("maxBytesPerTrigger" -> perVersion.toString))
+    assert(M.latestSnapshot(spark, dst).get.version == 3,
+      "a one-version byte budget must page 3 commits as 3 batches")
+    assert(ids(dst).size == 24)
+    // a budget smaller than any single commit still admits one per batch
+    val dst2 = freshDir("bytedst2"); val ckpt2 = freshDir("byteckpt2")
+    runOnce(src, dst2, ckpt2, Map("maxBytesPerTrigger" -> "1"))
+    assert(M.latestSnapshot(spark, dst2).get.version == 3,
+      "an undersized budget must still admit one commit per batch")
+  }
+
   test("startingVersion=latest skips history; a numeric bound is exclusive") {
     val src = freshDir("svsrc")
     M.append(spark, (1L to 5L).toDF("id"), src)
@@ -171,7 +188,7 @@ class ManifestStreamSpec extends SparkSpec {
     M.append(spark, (1L to 100L).toDF("id"), src)
     val source = new graft.streaming.ManifestStreamSource(
       spark, src, changeFeed = false, startVersion = 0L,
-      maxVersionsPerTrigger = None,
+      maxVersionsPerTrigger = None, maxBytesPerTrigger = None,
       tableSchema = M.tableSchemaOf(spark, M.latestSnapshot(spark, src).get))
     val batch = source.getBatch(None,
       graft.streaming.ManifestSourceOffset(1L))
