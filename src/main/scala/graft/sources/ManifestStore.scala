@@ -1195,6 +1195,10 @@ object ManifestStore {
     * loud refusal on a vacuumed base or a DATA-CHANGING copy-on-write
     * rewrite; PHYSICAL rewrites — compaction, materialization — are
     * verified row-conserving and skipped via the span walk, r12).
+    * Caveat (pre-r12 semantics preserved): a file appended AND rewritten
+    * entirely WITHIN one removal-free span nets out to its final rows —
+    * the consumer never saw the intermediate state (the same net-effect
+    * contract as in-span dv growth on an in-span-added file).
     */
   private[graft] def changesBetween(spark: SparkSession, root: String,
                                     fromVersion: Long, cur: Snapshot): DataFrame = {
@@ -1262,12 +1266,18 @@ object ManifestStore {
 
   /** Split `(fromSnap, cur]` into maximal removal-free SPANS (each diffed
     * directly — one scan, dv growth netted across the span, the pre-r12
-    * semantics) separated by single REMOVAL steps (each classified by
+    * semantics) separated by REMOVAL steps (each classified by
     * [[physicalStepOrRefuse]]). A removal-free whole range stays one span
-    * with ZERO extra manifest resolutions — the common tail case; a range
-    * with rewrites resolves each intermediate version (driver-side,
-    * snapshot-cache O(1) each), and the number of SCANS stays bounded by
-    * the number of rewrite commits, never the number of versions.
+    * with ZERO extra manifest resolutions — the common tail case. Ranges
+    * containing rewrites BISECT for the removal boundaries instead of
+    * walking linearly: a month-lagging consumer crossing one compaction
+    * in a 100k-version backlog resolves O(log versions) manifests, not
+    * 100k — and the number of SCANS stays bounded by the number of
+    * rewrite commits either way. Unresolvable interior versions (torn
+    * slots never committed; vacuumed history) just coarsen the leaves:
+    * the diff between resolved neighbors is still exact, and a removal
+    * hiding in a gap classifies under the RESOLVED successor's op — a
+    * data-changing or mismatched one refuses conservatively.
     */
   private def spanPairs(spark: SparkSession, root: String,
                         fromSnap: Snapshot, cur: Snapshot): Seq[(Snapshot, Snapshot)] = {
@@ -1275,27 +1285,39 @@ object ManifestStore {
       val nextPaths = next.files.map(_.path).toSet
       prev.files.exists(f => !nextPaths(f.path))
     }
-    if (cur.version == fromSnap.version + 1 || !hasRemoval(fromSnap, cur))
-      return Seq((fromSnap, cur))
-    // unresolvable intermediates (torn slots never committed, or vacuumed
-    // history) just coarsen the walk: the diff between their resolved
-    // neighbors is still exact, and a removal hiding in the gap classifies
-    // under the RESOLVED successor's op — a data-changing or mismatched
-    // one refuses conservatively in physicalStepOrRefuse
-    val snaps = fromSnap +: (fromSnap.version + 1 until cur.version).flatMap(
-      v => snapshotAt(spark, root, v)) :+ cur
-    val pairs = Seq.newBuilder[(Snapshot, Snapshot)]
-    var spanStart = snaps.head
-    for (i <- 1 until snaps.size) {
-      val prev = snaps(i - 1); val next = snaps(i)
-      if (hasRemoval(prev, next)) {
-        if (spanStart.version < prev.version) pairs += ((spanStart, prev))
-        pairs += ((prev, next)) // the removal step itself, classified alone
-        spanStart = next
+    // first intact snapshot strictly inside (lo, hi), probing outward from
+    // the midpoint so isolated torn slots cost O(1) extra
+    def probeInside(lo: Long, hi: Long): Option[Snapshot] = {
+      val mid = lo + (hi - lo) / 2
+      Iterator.iterate(0L)(_ + 1L)
+        .map(d => Seq(mid + d, mid - d).filter(v => v > lo && v < hi))
+        .takeWhile(_.nonEmpty)
+        .flatMap(_.iterator.flatMap(v => snapshotAt(spark, root, v)))
+        .nextOption()
+    }
+    def split(a: Snapshot, b: Snapshot): Seq[(Snapshot, Snapshot)] =
+      if (b.version == a.version + 1 || !hasRemoval(a, b)) Seq((a, b))
+      else probeInside(a.version, b.version) match {
+        case None => Seq((a, b)) // nothing intact inside: one coarse leaf
+        case Some(m) => split(a, m) ++ split(m, b)
+      }
+    // re-merge adjacent removal-free leaves into MAXIMAL spans: bisection
+    // probe points are not removal boundaries, and leaving them in would
+    // fragment the net-out semantics (and the scan count). Sound because
+    // files only accumulate across removal-free legs (a ⊆ b ⊆ c).
+    val out = Seq.newBuilder[(Snapshot, Snapshot)]
+    var open: Option[(Snapshot, Snapshot)] = None
+    for (l <- split(fromSnap, cur)) {
+      if (!hasRemoval(l._1, l._2)) open = open match {
+        case Some((a, _)) => Some((a, l._2))
+        case None => Some(l)
+      } else {
+        open.foreach(out += _); open = None
+        out += l
       }
     }
-    if (spanStart.version < cur.version) pairs += ((spanStart, cur))
-    pairs.result()
+    open.foreach(out += _)
+    out.result()
   }
 
   /** Classify one step: true = a PHYSICAL rewrite a version-range consumer

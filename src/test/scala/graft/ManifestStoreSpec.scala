@@ -786,6 +786,36 @@ class ManifestStoreSpec extends SparkSpec {
       "the z-order rewrite must be transparent to the tail")
   }
 
+  /** r12: the span walk BISECTS a long maintenance-bearing range (one
+    * compaction among many appends) and a schema widened mid-range
+    * null-fills on the pre-widening spans — the evolution contract
+    * carried into the change feed.
+    */
+  test("span walk bisects a long range; mid-range schema widening null-fills") {
+    val root = freshRoot()
+    (0 until 5).foreach(i =>
+      ManifestStore.append(spark, batch(5 * i, 5 * i + 5), root)) // v1..v5
+    ManifestStore.compact(spark, root, targetFileBytes = 1L << 30) // v6
+    (5 until 8).foreach(i =>
+      ManifestStore.append(spark, batch(5 * i, 5 * i + 5), root)) // v7..v9
+    ManifestStore.append(spark, // v10: widening append (new column)
+      (40 until 45).map(i => (i.toLong, s"row-$i", i * 2L))
+        .toDF("id", "payload", "extra"), root)
+    val (v, ch) = ManifestStore.readChangesSince(spark, root, 1L)
+    assert(v == 10L)
+    val ins = ch.where(col("_change_type") === "insert")
+    assert(ins.select("id").as[Long].collect().sorted.toSeq == (5L until 45L),
+      "the compaction must be invisible; every post-v1 append must surface")
+    assert(ch.where(col("_change_type") === "delete").isEmpty)
+    assert(ins.where(col("extra").isNotNull)
+      .select("id").as[Long].collect().sorted.toSeq == (40L until 45L),
+      "pre-widening spans must null-fill the new column")
+    // the plain tail walks the same range identically
+    val (_, tail) = ManifestStore.readAddedSince(spark, root, 1L)
+    assert(tail.select("id").as[Long].collect().sorted.toSeq == (5L until 45L))
+    assert(tail.columns.contains("extra"))
+  }
+
   /** r10: pre-r10 tables (no schema line, no per-file meta) never skip —
     * upgradeTable retrofits footer stats + a schema without touching a
     * data byte, after which readWhere prunes. Idempotent.
