@@ -1327,6 +1327,58 @@ object RelationalQueries {
       M.table(s, dst).select("doc_id", "lang", "n_chars", M.ChangeTypeCol)
     },
 
+    // O26 (r12): INCREMENTAL VIEW MAINTENANCE — a materialized per-lang
+    // (count, sum) table advanced EXACTLY-ONCE from the change feed:
+    // tick 1 seeds from the full snapshot, tick 2 folds a MoR upsert
+    // (its deletes retract, its inserts add) plus a fresh append, and a
+    // tick across a compaction commits nothing (physical = invisible).
+    // Per tick the source side scans only the CHANGED files and the
+    // destination side touches only the |groups|-sized table — never the
+    // accumulated corpus. The oracle recomputes the aggregate from the
+    // source's replayed end state in pure SQL.
+    QueryDef.sql(
+      "o26_manifest_ivm",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM (
+        |  SELECT lang, n_chars + 7 AS n_chars FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 6 <> 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 1
+        |) GROUP BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val tag = Integer.toHexString(d.hashCode)
+      val src = ProcessNonce.scratchDir("graft_o26_src", tag)
+      val dst = ProcessNonce.scratchDir("graft_o26_dst", tag)
+      val hc = s.sparkContext.hadoopConfiguration
+      Seq(src, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      val M = graft.sources.ManifestStore
+      val IVM = graft.sources.Materialized
+      M.append(s, docs.where(col("doc_id") % 3 === 0)
+        .repartition(4, col("doc_id")), src)
+      IVM.maintainSums(s, src, dst, keys = Seq("lang"), sumCols = Seq("n_chars"))
+      // a MoR upsert (retract + add) and a fresh append fold in one tick
+      val updates = docs.where(col("doc_id") % 6 === 0)
+        .withColumn("n_chars", col("n_chars") + 7)
+      M.upsertByKeyMergeOnRead(s, src, updates, Seq("doc_id"),
+        maxProbeKeys = 1000000)
+      M.append(s, docs.where(col("doc_id") % 3 === 1), src)
+      IVM.maintainSums(s, src, dst, keys = Seq("lang"), sumCols = Seq("n_chars"))
+      // a compaction is physical: the next tick must commit NOTHING
+      val vAfter = M.latestSnapshot(s, dst).get.version
+      M.compact(s, src)
+      IVM.maintainSums(s, src, dst, keys = Seq("lang"), sumCols = Seq("n_chars"))
+      require(M.latestSnapshot(s, dst).get.version == vAfter,
+        "a compaction tick must not commit to the maintained table")
+      M.table(s, dst).where(col("n") > 0)
+        .select(col("lang"), col("n"), col("sum_n_chars"))
+    },
+
     // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
     // under parquet's dotted path (VERDICT r10 missing #4's second half),
     // so a `meta.custkey` predicate prunes files exactly like a flat one,

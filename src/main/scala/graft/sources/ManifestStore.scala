@@ -2040,11 +2040,12 @@ object ManifestStore {
   def upsertByKey(spark: SparkSession, root: String, updates: DataFrame,
                   keyCols: Seq[String], maxProbeKeys: Int = 10000,
                   maxRetries: Int = 10,
-                  tornGraceMs: Long = 60000L): (Long, Int, Long) =
+                  tornGraceMs: Long = 60000L,
+                  txn: Option[(String, Long)] = None): (Long, Int, Long) =
     upsertFrom(spark, root,
       latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(s"no committed manifest under $root")),
-      updates, keyCols, maxProbeKeys, maxRetries, tornGraceMs)
+      updates, keyCols, maxProbeKeys, maxRetries, tornGraceMs, txn)
 
   /** [[upsertByKey]] against an explicit base snapshot — the test seam for
     * the abandonment path (same pattern as [[compactFrom]]/[[deleteFrom]]).
@@ -2053,12 +2054,13 @@ object ManifestStore {
                                 before: Snapshot, updates: DataFrame,
                                 keyCols: Seq[String], maxProbeKeys: Int = 10000,
                                 maxRetries: Int = 10,
-                                tornGraceMs: Long = 60000L): (Long, Int, Long) =
+                                tornGraceMs: Long = 60000L,
+                                txn: Option[(String, Long)] = None): (Long, Int, Long) =
     prepareUpsert(spark, root, before, updates, keyCols, maxProbeKeys,
-      maxRetries, tornGraceMs) match {
+      maxRetries, tornGraceMs, txn) match {
       case Left(done) => done
       case Right(p) => upsertCowTail(spark, root, before, updates, keyCols,
-        maxProbeKeys, maxRetries, tornGraceMs, p)
+        maxProbeKeys, maxRetries, tornGraceMs, p, txn)
     }
 
   /** Everything [[upsertFrom]] and [[upsertMorFrom]] share: validation,
@@ -2074,7 +2076,8 @@ object ManifestStore {
   private def prepareUpsert(spark: SparkSession, root: String,
                             before: Snapshot, updates: DataFrame,
                             keyCols: Seq[String], maxProbeKeys: Int,
-                            maxRetries: Int, tornGraceMs: Long)
+                            maxRetries: Int, tornGraceMs: Long,
+                            txn: Option[(String, Long)] = None)
       : Either[(Long, Int, Long), UpsertPrep] = {
     require(keyCols.nonEmpty, "upsertByKey needs at least one key column")
     val (fs, rootP) = fsFor(spark, root)
@@ -2156,7 +2159,8 @@ object ManifestStore {
     if (touched.isEmpty) {
       // pure insert: no existing file can hold a matching key
       val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
-        maxRetries, tornGraceMs, refuseEmpty = false, op = "upsert")
+        maxRetries, tornGraceMs, refuseEmpty = false, op = "upsert",
+        txn = txn)
       return Left((0L, 0, v))
     }
     Right(UpsertPrep(upd, keyRows, touched, seeded, mineUpdates))
@@ -2183,7 +2187,8 @@ object ManifestStore {
                             before: Snapshot, updates: DataFrame,
                             keyCols: Seq[String], maxProbeKeys: Int,
                             maxRetries: Int, tornGraceMs: Long,
-                            p: UpsertPrep): (Long, Int, Long) = {
+                            p: UpsertPrep,
+                            txn: Option[(String, Long)] = None): (Long, Int, Long) = {
     val (fs, rootP) = fsFor(spark, root)
     val touchedRows = readSnapshot(spark, root, before.copy(files = p.touched), Seq.empty)
     val keysSide = upsertKeysSide(spark, updates, keyCols, maxProbeKeys, p)
@@ -2201,7 +2206,7 @@ object ManifestStore {
       .getOrElse(touchedRows.count() - surviving.count())
     val v = commitReplacing(fs, rootP, dvSignature(p.touched),
       mineRewrite ++ p.mineUpdates, p.seeded, maxRetries, tornGraceMs,
-      refuseEmpty = true, op = "upsert")
+      refuseEmpty = true, op = "upsert", txn = txn)
     if (v == -1L) (0L, 0, -1L) else (replaced, p.touched.size, v)
   }
 
@@ -2299,20 +2304,24 @@ object ManifestStore {
                               rewrote: Map[String, Option[String]],
                               mine: Seq[ManifestEntry], before: Snapshot,
                               maxRetries: Int, tornGraceMs: Long,
-                              refuseEmpty: Boolean, op: String): Long =
+                              refuseEmpty: Boolean, op: String,
+                              txn: Option[(String, Long)] = None): Long =
     commitWithRebase(fs, root, maxRetries, tornGraceMs) { base =>
       val baseFiles = base.map(_.files).getOrElse(Seq.empty)
+      val baseTxns = base.map(_.txns).getOrElse(Map.empty)
       val baseDv: Map[String, Option[String]] =
         baseFiles.map(f => f.path -> f.dv.map(_.path)).toMap
       if (rewrote.exists { case (p, dvp) => !baseDv.get(p).contains(dvp) })
         None // inputs already replaced, or their deletion vector moved
+      else if (txn.exists { case (a, b) => baseTxns.getOrElse(a, -1L) >= b })
+        None // this (appId, batchId) already committed: idempotent retry
       else {
         val files = baseFiles.filterNot(f => rewrote.contains(f.path)) ++ mine
         if (refuseEmpty) require(files.nonEmpty,
           s"this rewrite would leave $root with no files — an empty manifest is " +
             "unreadable by contract; drop the table (or keep a sentinel row) instead")
         Some(Snapshot(0L, files,
-          base.map(_.txns).getOrElse(Map.empty),
+          baseTxns ++ txn,
           base.flatMap(_.schema).orElse(before.schema),
           base.map(_.partCols).getOrElse(before.partCols), op = op))
       }

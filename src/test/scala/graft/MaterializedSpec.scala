@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.sources.{EqualTo, LessThan}
+
+import graft.sources.{ManifestStore => M, Materialized}
+
+/** Incremental view maintenance over the manifest change feed: the
+  * maintained (count, sum) table must equal a full recompute after every
+  * kind of source change, advance exactly-once, and ignore physical
+  * maintenance.
+  */
+class MaterializedSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft-ivm").toString
+
+  private def rows(lo: Long, hi: Long): DataFrame =
+    (lo until hi).map(i => (i, i % 5, i)).toDF("id", "k", "v")
+
+  private def maintained(dst: String): Set[(Long, Long, Long)] =
+    M.table(spark, dst).where(col("n") > 0)
+      .select("k", "n", "sum_v").as[(Long, Long, Long)].collect().toSet
+
+  private def recompute(src: String): Set[(Long, Long, Long)] =
+    M.read(spark, src).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("maintained aggregate tracks appends, MoR deletes/upserts and retractions exactly") {
+    val src = freshRoot(); val dst = freshRoot()
+    def tickAndCheck(): Unit = {
+      Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"))
+      assert(maintained(dst) == recompute(src), "maintained != recompute")
+    }
+    M.append(spark, rows(0, 100).repartition(4), src)
+    tickAndCheck() // seed from the full snapshot
+
+    M.append(spark, rows(100, 120), src)
+    tickAndCheck() // plain append folds in
+
+    assert(M.deleteWhereMergeOnRead(spark, src, Seq(LessThan("id", 10L)))._1 == 10L)
+    tickAndCheck() // MoR delete retracts
+
+    val ups = (50L until 60L).map(i => (i, i % 5, i + 1000L)).toDF("id", "k", "v")
+    M.upsertByKeyMergeOnRead(spark, src, ups, Seq("id"), maxProbeKeys = 1000000)
+    tickAndCheck() // MoR upsert = retraction + addition in one tick
+
+    // full retraction of one group: k=3 disappears behind the n>0 read
+    assert(M.deleteWhereMergeOnRead(spark, src, Seq(EqualTo("k", 3L)))._1 > 0L)
+    tickAndCheck()
+    assert(!maintained(dst).exists(_._1 == 3L), "retracted group must not surface")
+    assert(M.table(spark, dst).where(col("k") === 3L && col("n") === 0L).count() == 1L,
+      "the zero row is kept by contract (upserts replace, never delete)")
+
+    // idle tick: no source change — no destination commit (exactly-once)
+    val vBefore = M.latestSnapshot(spark, dst).get.version
+    Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"))
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore)
+
+    // a replayed merge (same appId, same already-committed source
+    // version) no-ops INSIDE the commit — the crash-after-commit retry
+    val wm = M.latestSnapshot(spark, dst).get.txns("graft-ivm")
+    val replay = Seq((0L, 999L, 999L)).toDF("k", "n", "sum_v")
+    val (_, _, vReplay) = M.upsertByKey(spark, dst, replay, Seq("k"),
+      txn = Some("graft-ivm" -> wm))
+    assert(vReplay == -1L, "a replayed (appId, version) must abandon")
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore)
+    assert(maintained(dst) == recompute(src), "the replay must not corrupt")
+
+    // physical maintenance is invisible to the view
+    M.compact(spark, src)
+    Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"))
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore,
+      "a compaction tick must not commit")
+    assert(maintained(dst) == recompute(src))
+
+    // a CoW rewrite of a file appended ENTIRELY within the tick nets out
+    // (the documented net-effect caveat): the view stays exact
+    M.append(spark, rows(200, 205), src)
+    M.deleteWhere(spark, src, Seq(EqualTo("id", 202L)))
+    tickAndCheck()
+
+    // a CoW delete touching PRE-watermark data is unknowable — refuse
+    M.deleteWhere(spark, src, Seq(EqualTo("id", 20L)))
+    val e = intercept[IllegalArgumentException] {
+      Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("not derivable"), e.getMessage)
+  }
+}
