@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum
   * `deleteWhere(dst, EqualTo("n", 0L))`. A SUM over an all-null group
   * stores 0 where SQL would say NULL — compare with `coalesce(sum, 0)`.
   * NULL group keys refuse loudly at the merge (the upsert's null-key
-  * contract) — filter or sentinel them upstream.
+  * contract) — filter or sentinel them upstream. Floating-point SUMs
+  * accumulate rounding exactly like any streaming aggregation (the
+  * incremental addition order differs from a batch recompute's) — use
+  * integer or decimal columns where bit-exactness matters.
   */
 object Materialized {
 

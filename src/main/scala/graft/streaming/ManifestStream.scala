@@ -187,9 +187,15 @@ class ManifestStreamSource(
           ManifestStore.addedBetween(spark, root, fromV, endSnap)
       }
     // project to the stream's declared columns IN ORDER (the engine maps
-    // getBatch output to the relation positionally); a table that gained
-    // columns mid-stream still serves the declared set
-    val projected = raw.select(
+    // getBatch output to the relation positionally). A batch replaying a
+    // PRE-WIDENING version range lacks columns the (re-resolved) stream
+    // schema gained — null-fill them, the same evolution contract as
+    // batch reads of old files; a table that gained columns mid-RUN still
+    // serves the declared set only.
+    val filled = schema.fields.foldLeft(raw)((df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val projected = filled.select(
       schema.fieldNames.toSeq.map(n => col("`" + n.replace("`", "``") + "`")): _*)
     StreamingShim.asStreamingBatch(projected, this)
   }

@@ -168,6 +168,48 @@ class ManifestStreamSpec extends SparkSpec {
     assert(exId.getMessage.contains("exactly-once identity"), exId.getMessage)
   }
 
+  test("a schema widening applies on restart; replayed old batches null-fill") {
+    val src = freshDir("widesrc"); val dst = freshDir("widedst"); val ckpt = freshDir("wideckpt")
+    M.append(spark, (1L to 5L).toDF("id"), src)
+    runOnce(src, dst, ckpt)
+    // the SOURCE widens between runs; the restarted stream re-resolves
+    // the schema (the Delta-source posture: schema is fixed per RUN) and
+    // any replayed pre-widening batch null-fills the new column
+    M.append(spark, Seq((6L, "x")).toDF("id", "tag"), src)
+    runOnce(src, dst, ckpt)
+    assert(ids(dst) == (1L to 6L), "exactly-once must survive the widening restart")
+    val tags = M.table(spark, dst).select("id", "tag")
+      .as[(Long, Option[String])].collect().toMap
+    assert(tags(6L).contains("x"), s"the widened column must arrive: $tags")
+    assert((1L to 5L).forall(i => tags(i).isEmpty),
+      s"pre-widening rows read null in the new column: $tags")
+  }
+
+  test("the format sink honors writeStream.partitionBy") {
+    val src = freshDir("psrc"); val dst = freshDir("pdst"); val ckpt = freshDir("pckpt")
+    M.append(spark, (1L to 20L).map(i => (i, (i % 2).toString)).toDF("id", "p"), src)
+    val q = spark.readStream.format("graft-manifest").load(src)
+      .writeStream.format("graft-manifest")
+      .partitionBy("p")
+      .option("appId", "part-sink").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    val snap = M.latestSnapshot(spark, dst).get
+    assert(snap.partCols == Seq("p"), s"partition layout lost: ${snap.partCols}")
+    assert(ids(dst) == (1L to 20L))
+    // the second batch must append under the SAME layout
+    M.append(spark, Seq((21L, "1")).toDF("id", "p"), src)
+    val q2 = spark.readStream.format("graft-manifest").load(src)
+      .writeStream.format("graft-manifest")
+      .partitionBy("p")
+      .option("appId", "part-sink").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q2.awaitTermination()
+    assert(ids(dst) == (1L to 21L))
+  }
+
   test("source refuses a user schema and a table that does not exist yet") {
     val src = freshDir("nosrc")
     val exNoTable = intercept[Exception] {

@@ -91,4 +91,33 @@ class MaterializedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not derivable"), e.getMessage)
   }
+
+  test("multi-key groups and double sums maintain within float tolerance") {
+    val src = freshRoot(); val dst = freshRoot()
+    def rows2(lo: Long, hi: Long): DataFrame =
+      (lo until hi).map(i => (i, i % 3, if (i % 2 == 0) "a" else "b", i * 0.5))
+        .toDF("id", "k1", "k2", "x")
+    def check(): Unit = {
+      val got = M.table(spark, dst).where(col("n") > 0)
+        .select("k1", "k2", "n", "sum_x")
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      val exp = M.read(spark, src).groupBy("k1", "k2")
+        .agg(count(lit(1)).as("n"), sum("x").as("sum_x"))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got.keySet == exp.keySet, s"groups: ${got.keySet} vs ${exp.keySet}")
+      got.foreach { case (k, (n, s)) =>
+        assert(n == exp(k)._1, s"count of $k")
+        assert(math.abs(s - exp(k)._2) < 1e-9, s"sum of $k: $s vs ${exp(k)._2}")
+      }
+    }
+    M.append(spark, rows2(0, 60).repartition(3), src)
+    Materialized.maintainSums(spark, src, dst, Seq("k1", "k2"), Seq("x"))
+    check()
+    M.append(spark, rows2(60, 90), src)
+    assert(M.deleteWhereMergeOnRead(spark, src, Seq(LessThan("id", 12L)))._1 == 12L)
+    Materialized.maintainSums(spark, src, dst, Seq("k1", "k2"), Seq("x"))
+    check()
+  }
 }
