@@ -75,27 +75,9 @@ object Materialized {
         } else {
           val (v, changes) = M.readChangesSince(spark, srcRoot, last)
           if (v > last) {
-            if (!changes.isEmpty) {
-              val signed = changes.withColumn(SignCol,
-                when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
-              val deltaAgg = grouped(signed, keys, sumCols)
-              val dTypes = aggNames.map(n => n -> deltaAgg.schema(n).dataType).toMap
-              val deltas = deltaAgg.select(keys.map(col) ++
-                aggNames.map(n => col(n).as(s"__d_$n")): _*)
-              // existing values of exactly the touched groups: the delta
-              // key set is change-sized, so it broadcasts into a semi-join
-              // against the |groups|-sized maintained table
-              val touched = broadcast(deltas.select(keys.map(col): _*))
-              val existing = M.read(spark, dstRoot).join(touched, keys, "left_semi")
-              val merged = deltas.join(existing, keys, "left").select(
-                keys.map(col) ++ aggNames.map { n =>
-                  (coalesce(col(n), lit(0L).cast(dTypes(n))) + col(s"__d_$n")).as(n)
-                }: _*)
-              // -1 = this (appId, v) already committed by a racing retry —
-              // the watermark is authoritative either way
-              M.upsertByKey(spark, dstRoot, merged, keys,
-                maxProbeKeys = maxProbeKeys, txn = Some(appId -> v)): Unit
-            }
+            if (!changes.isEmpty)
+              mergeChanges(spark, changes, dstRoot, keys, sumCols,
+                appId, v, maxProbeKeys)
             last = v
             true
           } else false
@@ -103,6 +85,79 @@ object Materialized {
       if (!advanced && tick < ticks) Thread.sleep(pollMs)
     }
     last
+  }
+
+  /** The same maintenance under ENGINE triggers: a `changeFeed` stream of
+    * the source merged per micro-batch through the txn-watermarked upsert
+    * (batchId is the idempotence key — the engine's replays no-op inside
+    * the commit). The FIRST batch of a fresh checkpoint is the full
+    * snapshot as `insert` rows, which seeds the table through the very
+    * same delta path (merging into an empty table IS the seed). Returns
+    * the started query; stop it or use Trigger.AvailableNow.
+    *
+    * The idempotence key here is the ENGINE batch id, not the source
+    * version — never share an `appId` between [[maintainSums]] ticks and
+    * a streaming maintainer of the same destination (the defaults
+    * differ deliberately).
+    */
+  def streamingMaintain(spark: SparkSession, srcRoot: String, dstRoot: String,
+                        keys: Seq[String], sumCols: Seq[String] = Nil,
+                        appId: String = "graft-ivm-stream",
+                        checkpointLocation: String,
+                        trigger: org.apache.spark.sql.streaming.Trigger =
+                          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                        maxProbeKeys: Int = 10000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keys.nonEmpty, "streamingMaintain needs at least one group key")
+    spark.readStream.format("graft-manifest")
+      .option("changeFeed", "true").load(srcRoot)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mergeChanges(spark, batch, dstRoot, keys, sumCols,
+            appId, batchId, maxProbeKeys)
+      }
+      .option("checkpointLocation", checkpointLocation)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Fold one batch of `_change_type`-tagged rows into the maintained
+    * table: signed deltas per group, merged with the touched groups'
+    * current values, committed as ONE txn-watermarked upsert (idempotent
+    * per (appId, batchId)). Seeds a missing destination via the same
+    * math against an empty table.
+    */
+  private def mergeChanges(spark: SparkSession, changes: DataFrame,
+                           dstRoot: String, keys: Seq[String],
+                           sumCols: Seq[String], appId: String,
+                           batchId: Long, maxProbeKeys: Int): Unit = {
+    val M = ManifestStore
+    val aggNames = "n" +: sumCols.map(c => s"sum_$c")
+    val signed = changes.withColumn(SignCol,
+      when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
+    val deltaAgg = grouped(signed, keys, sumCols)
+    if (M.latestSnapshot(spark, dstRoot).isEmpty) {
+      // first ever batch: the merge against an empty table IS the seed
+      M.appendBatch(spark, deltaAgg, dstRoot, appId, batchId): Unit
+      return
+    }
+    val dTypes = aggNames.map(n => n -> deltaAgg.schema(n).dataType).toMap
+    val deltas = deltaAgg.select(keys.map(col) ++
+      aggNames.map(n => col(n).as(s"__d_$n")): _*)
+    // existing values of exactly the touched groups: the delta key set is
+    // change-sized, so it broadcasts into a semi-join against the
+    // |groups|-sized maintained table
+    val touched = broadcast(deltas.select(keys.map(col): _*))
+    val existing = M.read(spark, dstRoot).join(touched, keys, "left_semi")
+    val merged = deltas.join(existing, keys, "left").select(
+      keys.map(col) ++ aggNames.map { n =>
+        (coalesce(col(n), lit(0L).cast(dTypes(n))) + col(s"__d_$n")).as(n)
+      }: _*)
+    // -1 = this (appId, batchId) already committed by a racing retry —
+    // the watermark is authoritative either way
+    M.upsertByKey(spark, dstRoot, merged, keys,
+      maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId)): Unit
   }
 
   private val SignCol = "__graft_ivm_sign"

@@ -92,6 +92,29 @@ class MaterializedSpec extends SparkSpec {
     assert(e.getMessage.contains("not derivable"), e.getMessage)
   }
 
+  test("streamingMaintain runs the same maintenance under engine triggers") {
+    val src = freshRoot(); val dst = freshRoot()
+    val ckpt = freshRoot()
+    def runOnce(): Unit = {
+      val q = Materialized.streamingMaintain(spark, src, dst,
+        Seq("k"), Seq("v"), checkpointLocation = ckpt)
+      q.awaitTermination()
+    }
+    M.append(spark, rows(0, 100).repartition(4), src)
+    runOnce() // seed batch
+    assert(maintained(dst) == recompute(src))
+    // MoR churn + append between runs; the restart folds it exactly once
+    assert(M.deleteWhereMergeOnRead(spark, src, Seq(LessThan("id", 20L)))._1 == 20L)
+    M.append(spark, rows(100, 130), src)
+    runOnce()
+    assert(maintained(dst) == recompute(src))
+    // idle restart: nothing new, no commit
+    val vBefore = M.latestSnapshot(spark, dst).get.version
+    runOnce()
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore,
+      "an idle engine restart must not commit to the maintained table")
+  }
+
   test("multi-key groups and double sums maintain within float tolerance") {
     val src = freshRoot(); val dst = freshRoot()
     def rows2(lo: Long, hi: Long): DataFrame =
