@@ -154,10 +154,22 @@ object Materialized {
       keys.map(col) ++ aggNames.map { n =>
         (coalesce(col(n), lit(0L).cast(dTypes(n))) + col(s"__d_$n")).as(n)
       }: _*)
-    // -1 = this (appId, batchId) already committed by a racing retry —
-    // the watermark is authoritative either way
-    M.upsertByKey(spark, dstRoot, merged, keys,
-      maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId)): Unit
+    val (_, _, v) = M.upsertByKey(spark, dstRoot, merged, keys,
+      maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId))
+    // -1 is EITHER the idempotent replay (watermark already at/past this
+    // batch — fine) OR an abandonment (a concurrent rewrite of the
+    // destination superseded a touched file — NOTHING committed). The two
+    // must not be conflated: returning normally from an abandoned merge
+    // would advance the caller past deltas that were never applied. The
+    // durable watermark distinguishes them; fail the tick for retry.
+    if (v == -1L) {
+      val wm = M.latestSnapshot(spark, dstRoot)
+        .map(_.txns.getOrElse(appId, -1L)).getOrElse(-1L)
+      require(wm >= batchId,
+        s"maintained merge for batch $batchId abandoned (a concurrent " +
+          s"rewrite of $dstRoot superseded a touched file; watermark=$wm) " +
+          "— failing the tick so it retries against the fresh state")
+    }
   }
 
   private val SignCol = "__graft_ivm_sign"

@@ -92,6 +92,22 @@ class MaterializedSpec extends SparkSpec {
     assert(e.getMessage.contains("not derivable"), e.getMessage)
   }
 
+  test("merge abandonment is distinguishable from replay via the watermark") {
+    val src = freshRoot(); val dst = freshRoot()
+    M.append(spark, rows(0, 50).repartition(2), src)
+    Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"))
+    val wm = M.latestSnapshot(spark, dst).get.txns("graft-ivm")
+    val stale = M.latestSnapshot(spark, dst).get
+    M.compact(spark, dst) // supersede the stale snapshot's files
+    val upd = Seq((0L, 1L, 1L)).toDF("k", "n", "sum_v")
+    val (_, _, v) = M.upsertFrom(spark, dst, stale, upd, Seq("k"),
+      txn = Some("graft-ivm" -> (wm + 1)))
+    assert(v == -1L, "a superseded base must abandon, not commit blind")
+    assert(M.latestSnapshot(spark, dst).get.txns("graft-ivm") == wm,
+      "an abandoned merge must not advance the watermark — the signal " +
+        "mergeChanges uses to fail the tick for retry")
+  }
+
   test("streamingMaintain runs the same maintenance under engine triggers") {
     val src = freshRoot(); val dst = freshRoot()
     val ckpt = freshRoot()
