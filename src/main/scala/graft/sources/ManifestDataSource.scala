@@ -71,14 +71,37 @@ final class ManifestDataSource extends RelationProvider
   private def changeFeedOf(p: Map[String, String]): Boolean =
     p.get("changefeed").exists(_.toBoolean)
 
+  /** A provided schema (a registered catalog table routes its stored one
+    * through here — `spark.readStream.table("t")`) must MATCH the
+    * manifest's by (name → type), nullability-insensitive; its column
+    * ORDER is honored (the catalog relation surfaces partition columns
+    * hive-last, the manifest in place — both are the same table). A
+    * genuinely different schema refuses: manifest tables own theirs.
+    */
+  private def declaredSchemaFor(spark: org.apache.spark.sql.SparkSession,
+                                root: String,
+                                provided: Option[StructType]): StructType = {
+    val base = baseSchemaFor(spark, root)
+    provided match {
+      case None => base
+      case Some(s) =>
+        def shape(st: StructType) =
+          st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        require(shape(s) == shape(base),
+          s"provided schema $s does not match the manifest's $base — " +
+            "graft-manifest streams derive their schema from the manifest; " +
+            "drop .schema(...) (a registered catalog table passes " +
+            "automatically)")
+        s
+    }
+  }
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "graft-manifest streams derive their schema from the manifest — drop .schema(...)")
     val p = normalized(parameters)
     val root = rootOf(p, """spark.readStream.format("graft-manifest").load(<root>)""")
-    val base = baseSchemaFor(sqlContext.sparkSession, root)
+    val base = declaredSchemaFor(sqlContext.sparkSession, root, schema)
     val full = if (changeFeedOf(p))
       StructType(base.fields :+
         StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
@@ -122,7 +145,7 @@ final class ManifestDataSource extends RelationProvider
       n
     }
     new ManifestStreamSource(spark, root, changeFeedOf(p), startVersion,
-      maxVersions, maxBytes, baseSchemaFor(spark, root))
+      maxVersions, maxBytes, declaredSchemaFor(spark, root, schema))
   }
 
   /** The checkpointed start version: read if pinned, else resolve and pin

@@ -210,7 +210,7 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ids(dst) == (1L to 21L))
   }
 
-  test("source refuses a user schema and a table that does not exist yet") {
+  test("source refuses a mismatched schema and a table that does not exist yet") {
     val src = freshDir("nosrc")
     val exNoTable = intercept[Exception] {
       spark.readStream.format("graft-manifest").load(src)
@@ -218,11 +218,35 @@ class ManifestStreamSpec extends SparkSpec {
     assert(exNoTable.getMessage.contains("no committed manifest"),
       exNoTable.getMessage)
     M.append(spark, (1L to 3L).toDF("id"), src)
+    // a MATCHING provided schema passes (the catalog-table path relies on
+    // it); a mismatched one refuses — manifest tables own their schema
+    spark.readStream.format("graft-manifest").schema("id LONG").load(src): Unit
     val exSchema = intercept[Exception] {
       spark.readStream.format("graft-manifest")
-        .schema("id LONG").load(src)
+        .schema("id LONG, bogus STRING").load(src)
     }
-    assert(exSchema.getMessage.contains("drop .schema"), exSchema.getMessage)
+    assert(exSchema.getMessage.contains("does not match the manifest"),
+      exSchema.getMessage)
+  }
+
+  test("readStream.table streams a registered catalog table") {
+    val src = freshDir("cattbl"); val dst = freshDir("catdst"); val ckpt = freshDir("catckpt")
+    M.append(spark, (1L to 10L).toDF("id"), src)
+    spark.sql("DROP TABLE IF EXISTS graft_mstream_cat")
+    spark.sql(s"CREATE TABLE graft_mstream_cat USING `graft-manifest` OPTIONS (path '$src')")
+    def runTable(): Unit = {
+      val q = spark.readStream.table("graft_mstream_cat")
+        .writeStream.format("graft-manifest")
+        .option("appId", "cat-sink").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination()
+    }
+    runTable()
+    assert(ids(dst) == (1L to 10L))
+    M.append(spark, (11L to 12L).toDF("id"), src)
+    runTable()
+    assert(ids(dst) == (1L to 12L), "catalog-table streams resume exactly-once")
+    spark.sql("DROP TABLE IF EXISTS graft_mstream_cat")
   }
 
   test("the micro-batch plan keeps the native parquet scan (pushdown survives)") {
