@@ -102,10 +102,13 @@ final class ManifestDataSource extends RelationProvider
     val p = normalized(parameters)
     val root = rootOf(p, """spark.readStream.format("graft-manifest").load(<root>)""")
     val base = declaredSchemaFor(sqlContext.sparkSession, root, schema)
-    val full = if (changeFeedOf(p))
+    val full = if (changeFeedOf(p)) {
+      require(!base.fieldNames.contains(ManifestStore.ChangeTypeCol),
+        s"table schema collides with the reserved change column " +
+          s"${ManifestStore.ChangeTypeCol} — changeFeed cannot stream it")
       StructType(base.fields :+
         StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
-    else base
+    } else base
     (shortName(), full)
   }
 
@@ -121,7 +124,7 @@ final class ManifestDataSource extends RelationProvider
     // silently skips everything committed in between — so the resolved
     // value is pinned into the source's metadataPath (the Kafka-source
     // technique; the engine's offset log takes over after the first batch)
-    val startVersion = pinnedStartVersion(spark, metadataPath) {
+    val startVersion = pinnedStartVersion(spark, metadataPath, root) {
       p.get("startingversion") match {
         case Some("latest") =>
           ManifestStore.latestSnapshot(spark, root).map(_.version).getOrElse(0L)
@@ -148,26 +151,43 @@ final class ManifestDataSource extends RelationProvider
       maxVersions, maxBytes, declaredSchemaFor(spark, root, schema))
   }
 
-  /** The checkpointed start version: read if pinned, else resolve and pin
+  /** The checkpointed start version — and the TABLE IDENTITY it was
+    * pinned against: read if pinned, else resolve and pin
     * (create-then-rename, so a crash mid-write leaves no torn marker —
     * the next start re-resolves). The marker lives with the engine's
     * offset log and shares its lifetime: a fresh checkpoint re-resolves.
+    * A root recreated in place mints a different manifest tableId, and a
+    * restart against it REFUSES — the checkpoint's offsets are version
+    * numbers of the DEAD table, and resuming would silently skip the new
+    * table's first commits (review r12).
     */
   private def pinnedStartVersion(spark: org.apache.spark.sql.SparkSession,
-                                 metadataPath: String)(resolve: => Long): Long = {
+                                 metadataPath: String, root: String)
+                                (resolve: => Long): Long = {
     val marker = new org.apache.hadoop.fs.Path(metadataPath, "start-version")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def currentId: String =
+      ManifestStore.latestSnapshot(spark, root).map(_.tableId).getOrElse("")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.split("\n", -1)
       finally in.close()
+      val pinnedId = lines.lift(1).map(_.trim).getOrElse("")
+      val curId = currentId
+      require(pinnedId.isEmpty || curId.isEmpty || pinnedId == curId,
+        s"the checkpoint at $metadataPath was created against a DIFFERENT " +
+          s"table under $root (the root was recreated in place) — its " +
+          "offsets are version numbers of the dead table; start a fresh " +
+          "checkpoint")
+      lines.head.trim.toLong
     } else {
       val v = resolve
       fs.mkdirs(marker.getParent)
       val tmp = new org.apache.hadoop.fs.Path(metadataPath,
         s".start-version.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      try out.write(s"$v\n$currentId".getBytes("UTF-8")) finally out.close()
       // a concurrent pin of the same checkpoint resolved the same way;
       // rename-over is idempotent either way
       if (!fs.rename(tmp, marker) && !fs.exists(marker))
@@ -216,7 +236,29 @@ final class ManifestDataSource extends RelationProvider
     val partitionBy = declared.getOrElse(
       ManifestStore.latestSnapshot(spark, root).map(_.partCols).getOrElse(Seq.empty))
     ManifestStore.append(spark, data, root, partitionBy = partitionBy)
-    createRelation(sqlContext, Map("path" -> root))
+    // the append COMMITTED — appending to a table with live deletion
+    // vectors is legitimate (appends never touch vectors), but the raw
+    // format relation cannot apply them: throwing ITS refusal here would
+    // make an already-committed write look failed and invite a
+    // duplicating retry (review r12). Return a schema-bearing relation
+    // that refuses only if someone actually SCANS it.
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    if (snap.files.forall(_.dv.forall(_.rows == 0L)))
+      createRelation(sqlContext, Map("path" -> root))
+    else {
+      val outer = sqlContext
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = outer
+        override def schema: org.apache.spark.sql.types.StructType =
+          ManifestStore.tableSchemaOf(spark, snap)
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          throw new UnsupportedOperationException(
+            s"table under $root carries live deletion vectors which the raw " +
+              "format relation cannot apply — read via ManifestStore.table/" +
+              "read/readWhere (all apply vectors), or materializeDeletes first. " +
+              "(The append itself committed.)")
+      }
+    }
   }
 
   override def createRelation(sqlContext: SQLContext,

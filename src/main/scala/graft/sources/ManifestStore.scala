@@ -140,7 +140,8 @@ object ManifestStore {
                             txns: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
                             partCols: Seq[String] = Nil,
-                            op: String = "")
+                            op: String = "",
+                            tableId: String = "")
 
   /** Commit kinds that rewrite BYTES without changing the table's live
     * rows — a version-range consumer skips them (after verifying live-row
@@ -184,6 +185,11 @@ object ManifestStore {
         s"op not manifest-safe: '${s.op}'")
       body.append("op=").append(s.op).append('\n')
     }
+    if (s.tableId.nonEmpty) {
+      require(!s.tableId.contains('\n') && !s.tableId.contains('\t'),
+        s"tableId not manifest-safe: '${s.tableId}'")
+      body.append("table=").append(s.tableId).append('\n')
+    }
     s.txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains('\n') && !appId.contains('\t') && appId.nonEmpty,
         s"appId not manifest-safe: '$appId'")
@@ -196,6 +202,7 @@ object ManifestStore {
       // cannot collide — enforced rather than assumed
       require(!f.path.startsWith("txn="), s"file path collides with txn marker: ${f.path}")
       require(!f.path.startsWith("op="), s"file path collides with op marker: ${f.path}")
+      require(!f.path.startsWith("table="), s"file path collides with table marker: ${f.path}")
       body.append(f.path).append('\t').append(f.bytes)
       ManifestStats.renderMeta(f.rows, f.stats, f.partition, f.dv)
         .foreach(m => body.append('\t').append(m))
@@ -240,6 +247,7 @@ object ManifestStore {
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
     var op: String = ""
+    var tableId: String = ""
     val txns = Map.newBuilder[String, Long]
     val files = Seq.newBuilder[ManifestEntry]
     for (l <- lines.drop(2)) {
@@ -249,6 +257,8 @@ object ManifestStore {
         partCols = l.stripPrefix("partcols=").split(",", -1).toSeq.filter(_.nonEmpty)
       } else if (l.startsWith("op=")) {
         op = l.stripPrefix("op=")
+      } else if (l.startsWith("table=")) {
+        tableId = l.stripPrefix("table=")
       } else if (l.startsWith("txn=")) {
         val i = l.lastIndexOf('\t')
         if (i <= 0) return None
@@ -273,7 +283,8 @@ object ManifestStore {
         }
       }
     }
-    Some(Snapshot(expectVersion, files.result(), txns.result(), schema, partCols, op))
+    Some(Snapshot(expectVersion, files.result(), txns.result(), schema, partCols,
+      op, tableId))
   }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
@@ -347,8 +358,12 @@ object ManifestStore {
     * posture): manifests are immutable per version, so a snapshot parsed
     * once per JVM never needs re-parsing. Keys carry the manifest FILE's
     * (length, mtime) alongside (root, version) — a table recreated in
-    * place mints a different file state and misses, so the cache can
-    * never serve a dead table's content. The measured point (SCALE.md):
+    * place mints a different file state and misses. Honest residual
+    * (review r12): a recreation producing an IDENTICAL-length manifest
+    * within one mtime tick (coarse-granularity stores) can be served
+    * until eviction; its reads then fail on the dead table's missing
+    * files rather than mis-answer, and the r12 `tableId` guards refuse
+    * checkpointed consumers either way. The measured point (SCALE.md):
     * parsing is ~3.4 µs per entry line (410 ms at 100k entries, linear),
     * which a tail-polling consumer would otherwise pay on EVERY
     * resolution; with the cache the steady state is a hint read + one
@@ -973,7 +988,15 @@ object ManifestStore {
       build(base) match {
         case None => return -1L
         case Some(snap) =>
-          if (tryCommit(fs, root, snap.copy(version = next))) {
+          // the table IDENTITY: minted at the table's first commit,
+          // carried verbatim by every later one (the Delta tableId
+          // posture) — a recreated-in-place table mints a DIFFERENT id,
+          // which version-range consumers and checkpointed streams use
+          // to refuse resuming against the wrong table (review r12)
+          val withId = snap.copy(version = next,
+            tableId = base.map(_.tableId).filter(_.nonEmpty)
+              .getOrElse(UUID.randomUUID().toString))
+          if (tryCommit(fs, root, withId)) {
             writeLatestHint(fs, root, next) // best-effort resolution hint
             return next
           } else commitRetries.increment()
@@ -1111,6 +1134,7 @@ object ManifestStore {
       throw new java.util.NoSuchElementException(
         s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
           "the incremental base is unknowable; reprocess from a full snapshot"))
+    requireSameTable(root, fromSnap, cur)
     val frames = spanPairs(spark, root, fromSnap, cur).flatMap {
       case (prev, next) =>
         if (physicalStepOrRefuse(root, prev, next)) None
@@ -1217,6 +1241,7 @@ object ManifestStore {
       throw new java.util.NoSuchElementException(
         s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
           "the change base is unknowable; reprocess from a full snapshot"))
+    requireSameTable(root, fromSnap, cur)
     val frames = spanPairs(spark, root, fromSnap, cur).flatMap {
       case (prev, next) =>
         if (physicalStepOrRefuse(root, prev, next)) None
@@ -1263,6 +1288,19 @@ object ManifestStore {
     if (built.isEmpty) None
     else Some(built.reduce(_ unionByName _))
   }
+
+  /** Both ends of a version range must belong to the SAME table: a table
+    * recreated in place mints a fresh identity at its first commit, and
+    * diffing across identities would silently serve the new table's rows
+    * as if they were the old one's increment (review r12). Pre-r12
+    * manifests carry no id — the check is best-effort there, exactly like
+    * every other marker.
+    */
+  private def requireSameTable(root: String, a: Snapshot, b: Snapshot): Unit =
+    require(a.tableId.isEmpty || b.tableId.isEmpty || a.tableId == b.tableId,
+      s"version ${a.version} and version ${b.version} under $root belong to " +
+        "DIFFERENT tables (the root was recreated in place) — reprocess " +
+        "from a full snapshot")
 
   /** Split `(fromSnap, cur]` into maximal removal-free SPANS (each diffed
     * directly — one scan, dv growth netted across the span, the pre-r12
@@ -1366,8 +1404,8 @@ object ManifestStore {
     * mid-range: missing columns null-fill, the evolution contract) and
     * project to the END snapshot's column order plus `extra`.
     */
-  private def alignedUnion(frames: Seq[DataFrame], outSchema: StructType,
-                           extra: Seq[String]): DataFrame = {
+  private[graft] def alignedUnion(frames: Seq[DataFrame], outSchema: StructType,
+                                  extra: Seq[String]): DataFrame = {
     val unioned = frames.reduce(_.unionByName(_, allowMissingColumns = true))
     val filled = outSchema.fields.foldLeft(unioned)((df, f) =>
       if (df.columns.contains(f.name)) df

@@ -65,6 +65,11 @@ final case class ManifestInsertCommand(root: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = DatasetShim.ofRows(spark, query).toDF(outputColumnNames: _*)
     ManifestStore.append(spark, df, root, partitionBy = partitionBy)
+    // a same-session SELECT resolves through the catalog's relation cache,
+    // whose LogicalRelation pins the PRE-insert snapshot — invalidate it,
+    // exactly as InsertIntoHadoopFsRelationCommand does after writing
+    // (review r12; o23 previously needed a manual REFRESH TABLE)
+    spark.catalog.refreshByPath(root)
     Seq.empty
   }
 }

@@ -136,7 +136,11 @@ object Materialized {
     val aggNames = "n" +: sumCols.map(c => s"sum_$c")
     val signed = changes.withColumn(SignCol,
       when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
-    val deltaAgg = grouped(signed, keys, sumCols)
+    // |groups-touched|-sized by construction, and evaluated several times
+    // below (key probe, broadcast, rewrite) — pin it so each evaluation
+    // does not re-run the change-feed scan and the grouping (review r12)
+    val deltaAgg = grouped(signed, keys, sumCols).persist()
+    try {
     if (M.latestSnapshot(spark, dstRoot).isEmpty) {
       // first ever batch: the merge against an empty table IS the seed
       M.appendBatch(spark, deltaAgg, dstRoot, appId, batchId): Unit
@@ -170,6 +174,7 @@ object Materialized {
           s"rewrite of $dstRoot superseded a touched file; watermark=$wm) " +
           "— failing the tick so it retries against the fresh state")
     }
+    } finally deltaAgg.unpersist(blocking = false): Unit
   }
 
   private val SignCol = "__graft_ivm_sign"

@@ -86,9 +86,13 @@ class ManifestStreamSource(
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   override val schema: StructType =
-    if (changeFeed) StructType(tableSchema.fields :+
-      StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
-    else tableSchema
+    if (changeFeed) {
+      require(!tableSchema.fieldNames.contains(ManifestStore.ChangeTypeCol),
+        s"table schema collides with the reserved change column " +
+          s"${ManifestStore.ChangeTypeCol} — changeFeed cannot stream it")
+      StructType(tableSchema.fields :+
+        StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+    } else tableSchema
 
   private def currentVersion: Option[Long] =
     ManifestStore.latestSnapshot(spark, root).map(_.version)
@@ -189,14 +193,10 @@ class ManifestStreamSource(
     // project to the stream's declared columns IN ORDER (the engine maps
     // getBatch output to the relation positionally). A batch replaying a
     // PRE-WIDENING version range lacks columns the (re-resolved) stream
-    // schema gained — null-fill them, the same evolution contract as
-    // batch reads of old files; a table that gained columns mid-RUN still
-    // serves the declared set only.
-    val filled = schema.fields.foldLeft(raw)((df, f) =>
-      if (df.columns.contains(f.name)) df
-      else df.withColumn(f.name, lit(null).cast(f.dataType)))
-    val projected = filled.select(
-      schema.fieldNames.toSeq.map(n => col("`" + n.replace("`", "``") + "`")): _*)
+    // schema gained — ManifestStore.alignedUnion null-fills them, the
+    // same evolution contract as batch reads of old files; a table that
+    // gained columns mid-RUN still serves the declared set only.
+    val projected = ManifestStore.alignedUnion(Seq(raw), schema, Seq.empty)
     StreamingShim.asStreamingBatch(projected, this)
   }
 
@@ -226,8 +226,14 @@ class ManifestStreamSink(
     // a re-plannable batch frame over the executed rows before the writer
     // path touches it (StreamingShim scaladoc)
     val fresh = StreamingShim.freshBatch(data)
+    // a restarted query resubmitted WITHOUT .partitionBy keeps the
+    // destination's existing layout — the batch writer path's ergonomic
+    // default, mirrored here (review r12)
+    val layout = if (partitionBy.nonEmpty) partitionBy
+      else ManifestStore.latestSnapshot(spark, root)
+        .map(_.partCols).getOrElse(Nil)
     ManifestStore.appendBatch(spark, fresh, root, appId, batchId,
-      partitionBy = partitionBy)
+      partitionBy = layout)
   }
 
   override def toString: String = s"ManifestStreamSink[$root, appId=$appId]"

@@ -2047,6 +2047,9 @@ class ManifestStoreSpec extends SparkSpec {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 10), root) // v1
     assert(ManifestStore.latestSnapshot(spark, root).get.op == "append")
+    // the table identity is minted at birth and carried by every commit
+    val tableId = ManifestStore.latestSnapshot(spark, root).get.tableId
+    assert(tableId.nonEmpty, "v1 must mint a table id")
     ManifestStore.compact(spark, root, targetFileBytes = 1L << 30) // v2
     assert(ManifestStore.latestSnapshot(spark, root).get.op == "compact")
     ManifestStore.append(spark, batch(10, 20), root) // v3
@@ -2072,6 +2075,8 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.append(spark, batch(20, 25), root) // v5
     val (_, tail) = ManifestStore.readAddedSince(spark, root, 4L)
     assert(ids(tail) == (20L until 25L))
+    assert(ManifestStore.latestSnapshot(spark, root).get.tableId == tableId,
+      "every commit must carry the minted identity forward")
   }
 }
 

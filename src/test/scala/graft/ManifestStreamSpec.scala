@@ -229,6 +229,22 @@ class ManifestStreamSpec extends SparkSpec {
       exSchema.getMessage)
   }
 
+  test("a recreated source table refuses checkpointed resume") {
+    val src = freshDir("recsrc"); val dst = freshDir("recdst"); val ckpt = freshDir("recckpt")
+    M.append(spark, (1L to 5L).toDF("id"), src)
+    runOnce(src, dst, ckpt)
+    assert(ids(dst) == (1L to 5L))
+    // drop and recreate the root in place: a DIFFERENT table now lives at
+    // the same path — the checkpoint's offsets are version numbers of the
+    // dead one, and resuming would silently skip the new table's commits
+    val hp = new org.apache.hadoop.fs.Path(src)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    M.append(spark, (100L to 105L).toDF("id"), src)
+    val ex = intercept[Exception] { runOnce(src, dst, ckpt) }
+    assert(ex.getMessage.contains("DIFFERENT table"), ex.getMessage)
+    assert(ids(dst) == (1L to 5L), "nothing from the impostor table may land")
+  }
+
   test("readStream.table streams a registered catalog table") {
     val src = freshDir("cattbl"); val dst = freshDir("catdst"); val ckpt = freshDir("catckpt")
     M.append(spark, (1L to 10L).toDF("id"), src)
