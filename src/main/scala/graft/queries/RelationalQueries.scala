@@ -1216,7 +1216,9 @@ object RelationalQueries {
         .createOrReplaceTempView("graft_o23_src")
       s.sql("INSERT INTO graft_o23 SELECT * FROM graft_o23_src")
       val v2 = M.latestSnapshot(s, root).get.version
-      s.sql("REFRESH TABLE graft_o23")
+      // NO manual REFRESH: the INSERT command invalidates the catalog's
+      // relation cache itself (r12) — this SELECT seeing the new rows IS
+      // the regression pin
       val (nGot, sumGot) = s.sql(
         "SELECT count(*), sum(o_custkey) FROM graft_o23")
         .as[(Long, Option[Long])].head()

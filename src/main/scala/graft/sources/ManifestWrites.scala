@@ -44,7 +44,8 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
       ManifestInsertCommand(
         i.fileIndex.get.asInstanceOf[ManifestFileIndex].root.toString,
         i.partitionColumns.map(_.name),
-        i.query, i.outputColumnNames)
+        i.query, i.outputColumnNames,
+        i.catalogTable.map(_.identifier))
     case other => other
   }
 }
@@ -57,7 +58,9 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
 final case class ManifestInsertCommand(root: String,
                                        partitionBy: Seq[String],
                                        query: LogicalPlan,
-                                       outputColumnNames: Seq[String])
+                                       outputColumnNames: Seq[String],
+                                       table: Option[
+                                         org.apache.spark.sql.catalyst.TableIdentifier])
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
@@ -66,10 +69,11 @@ final case class ManifestInsertCommand(root: String,
     val df = DatasetShim.ofRows(spark, query).toDF(outputColumnNames: _*)
     ManifestStore.append(spark, df, root, partitionBy = partitionBy)
     // a same-session SELECT resolves through the catalog's relation cache,
-    // whose LogicalRelation pins the PRE-insert snapshot — invalidate it,
-    // exactly as InsertIntoHadoopFsRelationCommand does after writing
-    // (review r12; o23 previously needed a manual REFRESH TABLE)
-    spark.catalog.refreshByPath(root)
+    // whose LogicalRelation pins the PRE-insert snapshot — invalidate it
+    // by identifier, exactly as InsertIntoHadoopFsRelationCommand does
+    // after writing (review r12; o23 previously needed a manual REFRESH
+    // TABLE; refreshByPath alone misses, the cache keys on the table)
+    table.foreach(t => spark.sessionState.catalog.refreshTable(t))
     Seq.empty
   }
 }
