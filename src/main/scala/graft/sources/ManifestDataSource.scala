@@ -168,7 +168,7 @@ final class ManifestDataSource extends RelationProvider
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def currentId: String =
       ManifestStore.latestSnapshot(spark, root).map(_.tableId).getOrElse("")
-    if (fs.exists(marker)) {
+    def readPinned(): Long = {
       val in = fs.open(marker)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.split("\n", -1)
@@ -181,18 +181,27 @@ final class ManifestDataSource extends RelationProvider
           "offsets are version numbers of the dead table; start a fresh " +
           "checkpoint")
       lines.head.trim.toLong
-    } else {
+    }
+    if (fs.exists(marker)) readPinned()
+    else {
       val v = resolve
       fs.mkdirs(marker.getParent)
       val tmp = new org.apache.hadoop.fs.Path(metadataPath,
         s".start-version.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(s"$v\n$currentId".getBytes("UTF-8")) finally out.close()
-      // a concurrent pin of the same checkpoint resolved the same way;
-      // rename-over is idempotent either way
-      if (!fs.rename(tmp, marker) && !fs.exists(marker))
-        throw new java.io.IOException(s"could not pin start version at $marker")
-      v
+      if (fs.rename(tmp, marker)) v
+      else {
+        // lost the pin race (advice r12): the WINNER's marker is the
+        // durable truth — with startingVersion=latest two racing starters
+        // can resolve DIFFERENT versions, and returning our own would make
+        // this run's batches disagree with every restart. Clean up the
+        // leaked tmp and defer to the winner's pin (tableId re-checked).
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        if (fs.exists(marker)) readPinned()
+        else throw new java.io.IOException(
+          s"could not pin start version at $marker")
+      }
     }
   }
 

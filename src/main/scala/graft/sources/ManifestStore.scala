@@ -488,29 +488,6 @@ object ManifestStore {
     }
   }
 
-  /** Apply one delta to its resolved base. None when the delta names a
-    * DIFFERENT table than its base (corruption — a delta can only be
-    * committed against its own table's head).
-    */
-  private def applyDelta(base: Snapshot, d: DeltaRec): Option[Snapshot] = {
-    if (base.tableId.nonEmpty && d.tableId.nonEmpty && base.tableId != d.tableId)
-      return None
-    val removed = d.removed.toSet
-    val byPath = d.entries.map(e => e.path -> e).toMap
-    val basePaths = base.files.map(_.path).toSet
-    val kept = base.files.flatMap(f =>
-      if (removed(f.path)) None else Some(byPath.getOrElse(f.path, f)))
-    val added = d.entries.filterNot(e => basePaths(e.path))
-    Some(Snapshot(d.version, kept ++ added,
-      base.txns ++ d.txns,
-      d.schema.orElse(base.schema),
-      d.partCols.getOrElse(base.partCols),
-      d.op,
-      if (d.tableId.nonEmpty) d.tableId else base.tableId,
-      checkpointVersion = base.checkpointVersion,
-      deltaDepth = base.deltaDepth + 1,
-      addedBytes = d.addedBytes))
-  }
 
   private def listVersions(fs: FileSystem, root: Path): Seq[Long] = {
     val dir = manifestsDir(root)
@@ -615,19 +592,92 @@ object ManifestStore {
     * self-contained version.
     */
   private def resolveCached(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
-    val st = try fs.getFileStatus(manifestPath(root, v))
-    catch { case _: java.io.FileNotFoundException => return None }
-    val key = (root.toString, v, st.getLen, st.getModificationTime)
-    Option(snapshotCache.get(key)).orElse {
-      val resolved = readManifestBytes(fs, root, v).flatMap(parse(_, v)).flatMap {
-        case FullManifest(s) => Some(s)
-        case DeltaManifest(d) =>
-          resolveCached(fs, root, d.base).flatMap(applyDelta(_, d))
+    // walk the delta chain DOWN to a cached or self-contained anchor,
+    // then apply the collected deltas in ONE pass ([[applyChain]]): cold
+    // resolution is O(files + Σ delta sizes), not O(chain × files) — a
+    // per-level recursive apply would re-copy the full entry list once
+    // per delta
+    var recs: List[DeltaRec] = Nil
+    var cur = v
+    while (true) {
+      val st = try fs.getFileStatus(manifestPath(root, cur))
+      catch { case _: java.io.FileNotFoundException => return None }
+      val key = (root.toString, cur, st.getLen, st.getModificationTime)
+      Option(snapshotCache.get(key)) match {
+        case Some(anchor) =>
+          return finishChain(fs, root, v, anchor, recs)
+        case None =>
+          readManifestBytes(fs, root, cur).flatMap(parse(_, cur)) match {
+            case None => return None // torn link: the whole chain is unresolvable
+            case Some(FullManifest(s)) =>
+              snapshotCache.put(key, s)
+              return finishChain(fs, root, v, s, recs)
+            case Some(DeltaManifest(d)) =>
+              recs = d :: recs // oldest-first accumulation
+              cur = d.base
+          }
       }
-      resolved.foreach(snapshotCache.put(key, _))
-      resolved
     }
+    None // unreachable
   }
+
+  /** Apply a collected chain onto its anchor and cache the result under
+    * the TARGET version's file identity.
+    */
+  private def finishChain(fs: FileSystem, root: Path, v: Long, anchor: Snapshot,
+                          recs: List[DeltaRec]): Option[Snapshot] = {
+    val resolved = applyChain(anchor, recs)
+    resolved.foreach { s =>
+      // target key re-derived from the (immutable) manifest file — the
+      // walk above proved it exists
+      try {
+        val st = fs.getFileStatus(manifestPath(root, v))
+        snapshotCache.put((root.toString, v, st.getLen, st.getModificationTime), s): Unit
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    resolved
+  }
+
+  /** One-pass application of `recs` (oldest-first) onto `anchor`:
+    * removals drop, same-path entries replace IN PLACE (order preserved),
+    * new entries append in commit order — exactly the per-delta
+    * [[applyDelta]] semantics, without the per-level entry-list copy.
+    */
+  private def applyChain(anchor: Snapshot, recs: List[DeltaRec]): Option[Snapshot] = {
+    if (recs.isEmpty) return Some(anchor)
+    var tableId = anchor.tableId
+    for (d <- recs) {
+      if (tableId.nonEmpty && d.tableId.nonEmpty && d.tableId != tableId)
+        return None // a delta can only extend its own table's chain
+      if (d.tableId.nonEmpty) tableId = d.tableId
+    }
+    val files = new java.util.LinkedHashMap[String, ManifestEntry](
+      math.max(16, anchor.files.size * 2))
+    anchor.files.foreach(f => files.put(f.path, f))
+    var txns = anchor.txns
+    var schema = anchor.schema
+    var partCols = anchor.partCols
+    for (d <- recs) {
+      d.removed.foreach(files.remove)
+      // LinkedHashMap.put on an existing key keeps its position (in-place
+      // replacement); a new key appends — the applyDelta order contract
+      d.entries.foreach(e => files.put(e.path, e))
+      txns = txns ++ d.txns
+      d.schema.foreach(s => schema = Some(s))
+      d.partCols.foreach(p => partCols = p)
+    }
+    val last = recs.last
+    import scala.jdk.CollectionConverters._
+    Some(Snapshot(last.version, files.values.asScala.toSeq, txns, schema,
+      partCols, last.op, tableId,
+      checkpointVersion = anchor.checkpointVersion,
+      deltaDepth = anchor.deltaDepth + recs.size,
+      addedBytes = last.addedBytes))
+  }
+
+  /** Single-step [[applyChain]] — kept as the uncached resolver's unit. */
+  private def applyDelta(base: Snapshot, d: DeltaRec): Option[Snapshot] =
+    applyChain(base, List(d))
 
   /** The TAIL of the version sequence — `[hint .. highest existing]` via
     * forward existence probes (versions are consecutive by construction:
@@ -1336,6 +1386,41 @@ object ManifestStore {
   def snapshotAt(spark: SparkSession, root: String, v: Long): Option[Snapshot] = {
     val (fs, rootP) = fsFor(spark, root)
     readManifest(fs, rootP, v)
+  }
+
+  /** ONE version's commit record — op and `addbytes=` — parsed from its
+    * own manifest file WITHOUT resolving the delta chain (r13, VERDICT
+    * r12 #2): cost is O(that manifest's bytes), which for a delta is the
+    * increment, independent of table width. None = torn/absent (the slot
+    * is not a commit). `addedBytes` None = a pre-r13 manifest without the
+    * marker (callers fall back to the snapshot diff). The streaming
+    * source's admission control walks a deep backlog through this instead
+    * of materializing every version's file list.
+    */
+  final case class CommitRecord(op: String, addedBytes: Option[Long],
+                                isDelta: Boolean)
+
+  private val recordCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), CommitRecord](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), CommitRecord])
+        : Boolean = size > 256
+    })
+
+  private[graft] def commitRecordAt(spark: SparkSession, root: String,
+                                    v: Long): Option[CommitRecord] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val st = try fs.getFileStatus(manifestPath(rootP, v))
+    catch { case _: java.io.FileNotFoundException => return None }
+    val key = (rootP.toString, v, st.getLen, st.getModificationTime)
+    Option(recordCache.get(key)).orElse {
+      val rec = readManifestBytes(fs, rootP, v).flatMap(parse(_, v)).map {
+        case FullManifest(s) => CommitRecord(s.op, s.addedBytes, isDelta = false)
+        case DeltaManifest(d) => CommitRecord(d.op, d.addedBytes, isDelta = true)
+      }
+      rec.foreach(recordCache.put(key, _))
+      rec
+    }
   }
 
   /** CDC-lite incremental consumption: the rows APPENDED strictly after

@@ -88,6 +88,75 @@ object ManifestStreamSlo {
       f"construct_with_compaction=${consMixed}%.0fms (bisected boundary; " +
       f"pure range is a single span with zero interior resolutions)")
 
+    // ---- admission arm (r13, VERDICT r12 #2): a deep byte-budgeted
+    // catch-up's ADMISSION walk must cost the same on a 100k-entry table
+    // as on a 100-entry one — each version's added bytes come from its own
+    // commit record (`addbytes=`), one O(increment) manifest parse, never
+    // a per-version file-set materialization. Build a WIDE table from a
+    // synthetic checkpoint (admission never opens data files) and a narrow
+    // twin, stack the same 20-commit backlog on each, and time the raw
+    // latestOffset walk (cold caches per rep via distinct from-offsets is
+    // not possible — report cold-first + steady p50 instead).
+    def syntheticWide(nEntries: Int): String = {
+      val root = fresh(s"wide$nEntries")
+      val seed = fresh("wseed")
+      M.append(spark, Seq((0L, "p")).toDF("id", "payload"), seed)
+      val fs = new org.apache.hadoop.fs.Path(seed)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$seed/_manifests/v${"%020d".format(1)}.manifest"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = text.split("\n").toSeq
+      val headerLines = lines.takeWhile(l => !l.contains("\t") || l.startsWith("txn="))
+      val entryLine = lines.find(l => l.contains("\t") && !l.startsWith("txn=")
+        && !l.startsWith("checksum=")).get
+      val entryPath = entryLine.takeWhile(_ != '\t')
+      val body = new StringBuilder
+      headerLines.foreach(l => body.append(l).append('\n'))
+      for (i <- 0 until nEntries)
+        body.append(entryLine.replace(entryPath, s"file:/tbl/part-$i.parquet"))
+          .append('\n')
+      val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        body.toString.getBytes("UTF-8"))
+      val fsN = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsN.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_manifests"))
+      val out = fsN.create(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/v${"%020d".format(1)}.manifest"), false)
+      out.write((body.toString + s"checksum=$sum\n").getBytes("UTF-8")); out.close()
+      val hint = fsN.create(new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/_latest"), true)
+      hint.write("1".getBytes("UTF-8")); hint.close()
+      root
+    }
+    def admissionWall(root: String, backlog: Int): (Double, Double) = {
+      (0 until backlog).foreach(i =>
+        M.append(spark, Seq((i.toLong, s"b$i")).toDF("id", "payload"), root))
+      val snap = M.latestSnapshot(spark, root).get
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.StringType)))
+      val sourceStream = new graft.streaming.ManifestStreamSource(
+        spark, root, changeFeed = false, 1L, None, Some(Long.MaxValue), schema)
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      def walk(): Unit = require(
+        graft.streaming.ManifestSourceOffset.versionOf(sourceStream.latestOffset(
+          graft.streaming.ManifestSourceOffset(1L), ReadLimit.allAvailable()))
+          == snap.version)
+      val cold = wallMs(walk())
+      val steady = p50(9)(walk())
+      (cold, steady)
+    }
+    val backlog = 20
+    val (coldN, steadyN) = admissionWall(syntheticWide(100), backlog)
+    val (coldW, steadyW) = admissionWall(syntheticWide(100000), backlog)
+    println(f"STREAMSLO admission backlog=$backlog entries=100 cold=${coldN}%.0fms " +
+      f"steady_p50=${steadyN}%.1fms | entries=100000 cold=${coldW}%.0fms " +
+      f"steady_p50=${steadyW}%.1fms (flat ratio=${coldW / coldN}%.2fx)")
+
     spark.stop()
   }
 }

@@ -109,6 +109,36 @@ class ManifestStreamSpec extends SparkSpec {
       "an undersized budget must still admit one commit per batch")
   }
 
+  test("rate caps never name a torn slot as the end offset (advice r12: " +
+    "a wedged WAL offset is unrecoverable)") {
+    val src = freshDir("tornsrc"); val dst = freshDir("torndst")
+    val ckpt = freshDir("tornckpt")
+    M.append(spark, Seq(1L, 2L).toDF("id"), src) // v1
+    // a dead committer's durable torn slot at v2 (aged past any grace)
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$src/_manifests/v${"%020d".format(2)}.manifest")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(torn, false)
+    out.write("graft-manifest v2\nversion=2\nhalf-a-lin".getBytes("UTF-8"))
+    out.close()
+    fs.setTimes(torn, System.currentTimeMillis() - 3600 * 1000L, -1L)
+    M.append(spark, Seq(3L, 4L).toDF("id"), src, tornGraceMs = 0L) // v3
+    M.append(spark, Seq(5L, 6L).toDF("id"), src, tornGraceMs = 0L) // v4
+    // maxVersionsPerTrigger=1 with from=1 used to compute end = from+1 = 2
+    // — the torn slot — which getBatch cannot resolve; the engine WALs the
+    // offset first, so every restart replayed the same bad version. The
+    // admission walk must skip the slot and admit v3, then v4.
+    runOnce(src, dst, ckpt, Map("maxVersionsPerTrigger" -> "1"))
+    assert(ids(dst) == (1L to 6L))
+    assert(M.latestSnapshot(spark, dst).get.version == 3,
+      "3 intact commits at 1/trigger = 3 batches; the torn slot is not a commit")
+    // same walk under a byte budget: chosen must never rest on the torn slot
+    val dst2 = freshDir("torndst2"); val ckpt2 = freshDir("tornckpt2")
+    runOnce(src, dst2, ckpt2, Map("maxBytesPerTrigger" -> "1"))
+    assert(ids(dst2) == (1L to 6L))
+    assert(M.latestSnapshot(spark, dst2).get.version == 3)
+  }
+
   test("startingVersion=latest skips history; a numeric bound is exclusive") {
     val src = freshDir("svsrc")
     M.append(spark, (1L to 5L).toDF("id"), src)
