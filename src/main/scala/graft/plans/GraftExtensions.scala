@@ -40,5 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // after the built-in DataSourceAnalysis in the same Once batch, so it
     // sees the InsertIntoHadoopFsRelationCommand that rule produced (r12)
     ext.injectPostHocResolutionRule(_ => graft.sources.ManifestInsertRewrite)
+    // SQL DELETE/UPDATE/MERGE on registered graft-manifest tables land as
+    // merge-on-read manifest commits (r13) — Spark's own planner refuses
+    // row-level DML on v1 tables, so without this rule the statements fail
+    // rather than misbehave
+    ext.injectPostHocResolutionRule(_ => graft.sources.ManifestDmlRewrite)
+    // format/catalog reads of tables with live deletion vectors get the
+    // scan-side bitmap filter in the planner (r13) — the extension-less
+    // refusal stays for sessions without this rule
+    ext.injectPostHocResolutionRule { session =>
+      ManifestDvApplyRule.register(session)
+      new ManifestDvApplyRule(session)
+    }
   }
 }

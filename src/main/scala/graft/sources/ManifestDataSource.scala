@@ -71,6 +71,14 @@ final class ManifestDataSource extends RelationProvider
   private def changeFeedOf(p: Map[String, String]): Boolean =
     p.get("changefeed").exists(_.toBoolean)
 
+  private def commitVersionsOf(p: Map[String, String]): Boolean = {
+    val on = p.get("commitversions").exists(_.toBoolean)
+    require(!on || changeFeedOf(p),
+      "option commitVersions=true needs changeFeed=true — attribution is a " +
+        "change-feed column")
+    on
+  }
+
   /** A provided schema (a registered catalog table routes its stored one
     * through here — `spark.readStream.table("t")`) must MATCH the
     * manifest's by (name → type), nullability-insensitive; its column
@@ -106,8 +114,12 @@ final class ManifestDataSource extends RelationProvider
       require(!base.fieldNames.contains(ManifestStore.ChangeTypeCol),
         s"table schema collides with the reserved change column " +
           s"${ManifestStore.ChangeTypeCol} — changeFeed cannot stream it")
-      StructType(base.fields :+
+      val withType = StructType(base.fields :+
         StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+      if (commitVersionsOf(p))
+        StructType(withType.fields :+ StructField(ManifestStore.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+      else withType
     } else base
     (shortName(), full)
   }
@@ -148,7 +160,8 @@ final class ManifestDataSource extends RelationProvider
       n
     }
     new ManifestStreamSource(spark, root, changeFeedOf(p), startVersion,
-      maxVersions, maxBytes, declaredSchemaFor(spark, root, schema))
+      maxVersions, maxBytes, declaredSchemaFor(spark, root, schema),
+      commitVersionsOf(p))
   }
 
   /** The checkpointed start version — and the TABLE IDENTITY it was
@@ -247,12 +260,13 @@ final class ManifestDataSource extends RelationProvider
     ManifestStore.append(spark, data, root, partitionBy = partitionBy)
     // the append COMMITTED — appending to a table with live deletion
     // vectors is legitimate (appends never touch vectors), but the raw
-    // format relation cannot apply them: throwing ITS refusal here would
-    // make an already-committed write look failed and invite a
-    // duplicating retry (review r12). Return a schema-bearing relation
-    // that refuses only if someone actually SCANS it.
+    // format relation cannot apply them WITHOUT the extensions: throwing
+    // the refusal here would make an already-committed write look failed
+    // and invite a duplicating retry (review r12). Return a schema-bearing
+    // relation that refuses only if someone actually SCANS it.
     val snap = ManifestStore.latestSnapshot(spark, root).get
-    if (snap.files.forall(_.dv.forall(_.rows == 0L)))
+    if (snap.files.forall(_.dv.forall(_.rows == 0L)) ||
+        graft.plans.ManifestDvApplyRule.enabledFor(spark))
       createRelation(sqlContext, Map("path" -> root))
     else {
       val outer = sqlContext
@@ -283,14 +297,20 @@ final class ManifestDataSource extends RelationProvider
         throw new java.util.NoSuchElementException(
           s"no committed manifest under $root"))
     }
-    // a bare relation cannot attach the deletion-vector filter — reading
-    // through it would RESURRECT deleted rows; refuse with the recipe
-    // (ManifestStore.table and read/readWhere all apply vectors)
-    require(snap.files.forall(_.dv.forall(_.rows == 0L)),
-      s"table under $root carries live deletion vectors (merge-on-read " +
-        "deletes) which the raw format relation cannot apply — run " +
-        "ManifestStore.materializeDeletes(spark, root) first, or read via " +
-        "ManifestStore.table/read/readWhere (all apply vectors)")
-    ManifestStore.relationFor(spark, root, snap)
+    // live deletion vectors: with GraftExtensions installed, the relation
+    // is flagged and graft.plans.ManifestDvApplyRule attaches the
+    // scan-side bitmap filter in the planner (r13 — SQL reads of a table
+    // SQL DML just touched see exactly the live rows). Extension-less
+    // sessions keep the loud refusal: a bare relation cannot attach the
+    // filter, and reading through it would RESURRECT deleted rows.
+    val hasDv = snap.files.exists(_.dv.exists(_.rows > 0))
+    if (hasDv)
+      require(graft.plans.ManifestDvApplyRule.enabledFor(spark),
+        s"table under $root carries live deletion vectors (merge-on-read " +
+          "deletes) which the raw format relation cannot apply — install " +
+          "GraftExtensions (spark.sql.extensions=graft.plans.GraftExtensions), " +
+          "run ManifestStore.materializeDeletes(spark, root) first, or read " +
+          "via ManifestStore.table/read/readWhere (all apply vectors)")
+    ManifestStore.relationFor(spark, root, snap, applyDvInPlanner = hasDv)
   }
 }

@@ -36,7 +36,17 @@ private[graft] class ManifestFileIndex(
     spark: SparkSession,
     val root: Path,
     snap: ManifestStore.Snapshot,
-    override val partitionSchema: StructType) extends FileIndex {
+    override val partitionSchema: StructType,
+    /** True only on relations minted by the FORMAT/catalog read path:
+      * [[graft.plans.ManifestDvApplyRule]] wraps exactly these in the
+      * deletion-vector scan filter. Library-internal slice scans
+      * (snapshotFrame, the change feed's positive dv diff) manage vectors
+      * themselves and must stay untouched (r13).
+      */
+    val applyDvInPlanner: Boolean = false) extends FileIndex {
+
+  /** The pinned snapshot (r13: the dv-apply rule reads its vectors). */
+  private[graft] def snapshot: ManifestStore.Snapshot = snap
 
   import ManifestFileIndex._
 

@@ -582,6 +582,15 @@ object ManifestStore {
           e: java.util.Map.Entry[(String, Long, Long, Long), Snapshot]): Boolean = size > 40
     })
 
+  /** Test/SLO seam: drop every cached snapshot and commit record so the
+    * next resolution pays the true cold path (fresh-JVM behavior without
+    * a fresh JVM).
+    */
+  private[graft] def clearCachesForTest(): Unit = {
+    snapshotCache.clear()
+    recordCache.clear()
+  }
+
   /** The intact snapshot at version `v`, through [[snapshotCache]]. A v2
     * DELTA manifest resolves by recursing to its base (each level cached
     * under its own immutable file identity), so a delta chain's cold
@@ -1550,6 +1559,116 @@ object ManifestStore {
     (cur.version, changesBetween(spark, root, fromVersion, cur))
   }
 
+  /** The reserved commit-attribution column of the versioned change feed. */
+  val CommitVersionCol = "_commit_version"
+
+  /** [[readChangesSince]] with PER-COMMIT attribution (r13, VERDICT r12
+    * #5): every change row additionally carries `_commit_version` — the
+    * manifest version whose commit produced it (the standard Delta-CDF
+    * column). Semantics differ from the unversioned feed in exactly one
+    * way: changes do NOT net out across versions — a file appended at v5
+    * and MoR-deleted at v7 emits its inserts tagged 5 and its deletes
+    * tagged 7, because that is what attribution MEANS. Costs: the walk
+    * resolves every version in range (delta-cheap, cached); consecutive
+    * append-only versions still share ONE scan (per-file attribution via
+    * a broadcast path→version map), and each dv-changing version pays its
+    * own diff scan. Physical rewrites are skipped, data-changing CoW
+    * rewrites refuse, vacuumed interior versions coarsen onto the next
+    * resolvable version — all exactly the unversioned feed's contracts.
+    */
+  def readChangesSinceVersioned(spark: SparkSession, root: String,
+                                fromVersion: Long): (Long, DataFrame) = {
+    val cur = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    (cur.version, changesBetweenVersioned(spark, root, fromVersion, cur))
+  }
+
+  private[graft] def changesBetweenVersioned(spark: SparkSession, root: String,
+                                             fromVersion: Long,
+                                             cur: Snapshot): DataFrame = {
+    require(cur.version >= fromVersion,
+      s"current version ${cur.version} is below fromVersion $fromVersion under $root — " +
+        "the table was recreated; reprocess from a full snapshot")
+    val schema = cur.schema.getOrElse(legacySchemaOf(spark, cur.files))
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(c =>
+      require(!schema.fieldNames.contains(c),
+        s"table schema collides with the reserved change column $c"))
+    def emptyChanges: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    if (cur.version == fromVersion) return emptyChanges
+    // every resolvable version in range, in order — each is one
+    // attribution step. fromVersion = 0 starts from a synthetic empty
+    // base: the earliest resolvable version owns the initial state.
+    val fromSnap =
+      if (fromVersion == 0L) Snapshot(0L, Seq.empty, tableId = cur.tableId)
+      else snapshotAt(spark, root, fromVersion).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
+            "the change base is unknowable; reprocess from a full snapshot"))
+    requireSameTable(root, fromSnap, cur)
+    val interior = ((fromVersion + 1) until cur.version)
+      .flatMap(v => snapshotAt(spark, root, v))
+    val snaps = (fromSnap +: interior) :+ cur
+    val rawSteps = snaps.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    // group CONSECUTIVE pure-append steps into one scan (per-file
+    // attribution rides a broadcast path→version map, CommitVersionOf);
+    // every dv-changing step pays its own exact diff scan, and a PHYSICAL
+    // rewrite flushes the run (it rewrites paths, so a run must never
+    // span it) while emitting nothing
+    def isPureAppend(prev: Snapshot, next: Snapshot): Boolean = {
+      val oldDv = prev.files.map(f => f.path -> f.dv.map(_.path)).toMap
+      val oldPaths = prev.files.map(_.path).toSet
+      !next.files.exists(f =>
+        oldDv.get(f.path).exists(_ != f.dv.map(_.path)) || // kept file's dv moved
+          (!oldPaths(f.path) && f.dv.exists(_.rows > 0)))  // added already dv'd
+    }
+    val frames = Seq.newBuilder[DataFrame]
+    var run = List.empty[(Snapshot, Snapshot)]
+    def flushRun(): Unit = if (run.nonEmpty) {
+      val runSteps = run.reverse
+      val last = runSteps.last._2
+      val stepSchema = last.schema.getOrElse(legacySchemaOf(spark, last.files))
+      val fileVersion: Map[String, Long] = runSteps.flatMap { case (p, n) =>
+        val old = p.files.map(_.path).toSet
+        n.files.filterNot(f => old(f.path)).map(_.path -> n.version)
+      }.toMap
+      // pure-append runs never remove files, so every added file survives
+      // to `last` — key the scanned entries off the attribution map itself
+      val addedEntries = last.files.filter(f => fileVersion.contains(f.path))
+      if (addedEntries.nonEmpty) {
+        val bcast = spark.sparkContext.broadcast(fileVersion.map { case (p, v) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(p) -> v })
+        import org.apache.spark.sql.graftshim.ColumnShim
+        val versionCol = ColumnShim.column(graft.plans.CommitVersionOf(
+          ColumnShim.expression(col("_metadata.file_path")), bcast))
+        frames += spark.baseRelationToDataFrame(
+          relationWith(spark, root, last.copy(files = addedEntries), stepSchema,
+            last.partCols))
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, versionCol)
+      }
+      run = Nil
+    }
+    for ((prev, next) <- rawSteps) {
+      if (physicalStepOrRefuse(root, prev, next)) flushRun() // boundary, no rows
+      else if (isPureAppend(prev, next)) run = (prev, next) :: run
+      else {
+        flushRun()
+        changesStep(spark, root, prev, next).foreach(df =>
+          frames += df.withColumn(CommitVersionCol, lit(next.version)))
+      }
+    }
+    flushRun()
+    val built = frames.result()
+    if (built.isEmpty) emptyChanges
+    else alignedUnion(built, schema, extra = Seq(ChangeTypeCol, CommitVersionCol))
+  }
+
   /** [[readChangesSince]] against an ALREADY-RESOLVED end snapshot — the
     * replay-deterministic core of the change-feed streaming source (same
     * posture as [[addedBetween]]: immutable ends, byte-identical replays,
@@ -1870,12 +1989,14 @@ object ManifestStore {
     * [[dvDeletedFilter]].
     */
   private[sources] def relationFor(spark: SparkSession, root: String,
-                                   snap: Snapshot): org.apache.spark.sql.sources.BaseRelation = {
+                                   snap: Snapshot, applyDvInPlanner: Boolean = false)
+      : org.apache.spark.sql.sources.BaseRelation = {
     if (snap.files.isEmpty)
       throw new java.util.NoSuchElementException(
         s"manifest v${snap.version} under $root references no files")
     relationWith(spark, root, snap,
-      snap.schema.getOrElse(legacySchemaOf(spark, snap.files)), snap.partCols)
+      snap.schema.getOrElse(legacySchemaOf(spark, snap.files)), snap.partCols,
+      applyDvInPlanner)
   }
 
   /** [[relationFor]] with the schema already resolved — the library read
@@ -1884,14 +2005,16 @@ object ManifestStore {
     * schema from the subset's footers and lose columns).
     */
   private def relationWith(spark: SparkSession, root: String, snap: Snapshot,
-                           schema: StructType, partCols: Seq[String])
+                           schema: StructType, partCols: Seq[String],
+                           applyDvInPlanner: Boolean = false)
       : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val (_, rootP) = fsFor(spark, root)
     val partSchema = StructType(partCols.map(c => schema(c)))
     val dataSchema = StructType(
       schema.fields.filterNot(f => partCols.contains(f.name)))
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      location = new ManifestFileIndex(spark, rootP, snap, partSchema),
+      location = new ManifestFileIndex(spark, rootP, snap, partSchema,
+        applyDvInPlanner),
       partitionSchema = partSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -2003,17 +2126,53 @@ object ManifestStore {
     * posture as the write-side identity check).
     */
   private def dvDeletedFilter(spark: SparkSession, dvE: Seq[ManifestEntry]): Column = {
-    val byFkey = DvBitmap.loadBitmaps(spark, dvE.flatMap(_.dv.map(_.path)))
-    val fkeyOf: ManifestEntry => String = e =>
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
-    val expected = dvE.map(fkeyOf).toSet
-    val unknown = byFkey.keySet -- expected
-    require(unknown.isEmpty,
-      s"deletion-vector identity mismatch: stored fkeys ${unknown.take(3)} match " +
-        "no scanned entry — path rendering diverged between manifest and runtime; " +
-        "refusing rather than resurrect deleted rows")
-    dvPredicate(spark,
-      dvE.flatMap(e => byFkey.get(fkeyOf(e)).map(bm => e.path -> bm)).toMap)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.DvDeleted(
+      ColumnShim.expression(col("_metadata.file_path")),
+      ColumnShim.expression(col("_metadata.row_index")),
+      dvBroadcastFor(spark, dvE)))
+  }
+
+  /** The BROADCAST deletion-vector map of `dvE`'s vectors, keyed by data
+    * file path — cached per dv-path set (r13): dv files are immutable, and
+    * the planner-integrated dv apply ([[graft.plans.ManifestDvApplyRule]])
+    * runs at ANALYSIS time, so every re-analysis of a query over the same
+    * snapshot must not re-read the vectors or re-broadcast. A stored fkey
+    * matching none of the entries' md5s means path rendering diverged
+    * between manifest and runtime — refuse loudly rather than silently
+    * resurrect (the write-side identity check's posture).
+    */
+  private val dvBroadcastCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[
+          Map[org.apache.spark.unsafe.types.UTF8String, DvBitmap]]](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String,
+          org.apache.spark.broadcast.Broadcast[
+            Map[org.apache.spark.unsafe.types.UTF8String, DvBitmap]]]): Boolean =
+        size > 16
+    })
+
+  private[graft] def dvBroadcastFor(spark: SparkSession, dvE: Seq[ManifestEntry])
+      : org.apache.spark.broadcast.Broadcast[
+          Map[org.apache.spark.unsafe.types.UTF8String, DvBitmap]] = {
+    val cacheKey = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      (dvE.map(_.path) ++ dvE.flatMap(_.dv.map(_.path))).sorted.mkString("\n"))
+    Option(dvBroadcastCache.get(cacheKey)).getOrElse {
+      val byFkey = DvBitmap.loadBitmaps(spark, dvE.flatMap(_.dv.map(_.path)))
+      val fkeyOf: ManifestEntry => String = e =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
+      val expected = dvE.map(fkeyOf).toSet
+      val unknown = byFkey.keySet -- expected
+      require(unknown.isEmpty,
+        s"deletion-vector identity mismatch: stored fkeys ${unknown.take(3)} match " +
+          "no scanned entry — path rendering diverged between manifest and runtime; " +
+          "refusing rather than resurrect deleted rows")
+      val keyed = dvE.flatMap(e => byFkey.get(fkeyOf(e)).map(bm =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(e.path) -> bm)).toMap
+      val bcast = spark.sparkContext.broadcast(keyed)
+      dvBroadcastCache.put(cacheKey, bcast)
+      bcast
+    }
   }
 
   /** The bare [[graft.plans.DvDeleted]] Column over an arbitrary
@@ -2218,19 +2377,32 @@ object ManifestStore {
                                    tornGraceMs: Long = 60000L): (Long, Int, Long) = {
     require(filters.nonEmpty, "deleteWhereMergeOnRead with no filters would " +
       "truncate the table — pass AlwaysTrue() explicitly if that is the intent")
+    deleteMorExpr(spark, root, before, filters,
+      filters.map(filterColumn).reduce(_ && _), maxRetries, tornGraceMs)
+  }
+
+  /** [[deleteMorFrom]] generalized to an ARBITRARY deterministic predicate
+    * Column (r13, the SQL `DELETE FROM` path): `pruning` is the
+    * best-effort translatable subset of the condition (file skipping
+    * only — prunes less when the condition is not Filter-expressible),
+    * `cond` the full condition applied exactly.
+    */
+  private[graft] def deleteMorExpr(spark: SparkSession, root: String,
+                                   before: Snapshot, pruning: Seq[Filter],
+                                   cond: Column, maxRetries: Int = 10,
+                                   tornGraceMs: Long = 60000L): (Long, Int, Long) = {
     val (fs, rootP) = fsFor(spark, root)
-    val touched = prunedEntries(before, filters)
+    val touched = prunedEntries(before, pruning)
     if (touched.isEmpty) return (0L, 0, before.version)
     require(touched.forall(_.rows.isDefined),
       s"deleteWhereMergeOnRead needs per-file row counts under $root — run " +
         "upgradeTable first (legacy stats-less entries cannot carry exact dv counts)")
-    val matchPred = filters.map(filterColumn).reduce(_ && _)
     // LIVE rows of the touched slice, with per-row file identity; existing
     // vectors are already applied by the scan, so new positions are
     // disjoint from old ones and per-file counts are exact
     val live = snapshotFrame(spark, root, before.copy(files = touched),
       Seq.empty, keepIdentity = true)
-    val del = live.where(coalesce(matchPred, lit(false)))
+    val del = live.where(coalesce(cond, lit(false)))
       .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
     writeDvAndTag(spark, fs, rootP, root, touched, del) match {
       case None => (0L, 0, before.version) // nothing matched; dvDir = vacuum food
@@ -2239,6 +2411,56 @@ object ManifestStore {
           tagged, before, maxRetries, tornGraceMs, refuseEmpty = false,
           op = "mor-delete")
         if (v == -1L) (0L, 0, -1L) else (deleted, tagged.size, v)
+    }
+  }
+
+  /** MERGE-ON-READ row-level UPDATE (r13, the SQL `UPDATE` path): the
+    * matching rows' positions land in per-file deletion vectors and the
+    * SAME rows re-append with `set` applied — one atomic commit
+    * (op=mor-update), cost O(matched rows), touched data files keep byte
+    * identity. The change feed reads it exactly as the old rows' deletes
+    * plus the updated rows' inserts. `set` values may reference the
+    * table's own columns (`SET n = n + 1`); each is cast to the column's
+    * existing type (an UPDATE cannot change the schema). Same isolation
+    * and abandonment contracts as [[upsertByKeyMergeOnRead]].
+    */
+  private[graft] def updateMorExpr(spark: SparkSession, root: String,
+                                   before: Snapshot, pruning: Seq[Filter],
+                                   cond: Column, set: Map[String, Column],
+                                   maxRetries: Int = 10,
+                                   tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(before.files.forall(_.rows.isDefined),
+      s"UPDATE (merge-on-read) needs per-file row counts under $root — run " +
+        "upgradeTable first")
+    val (fs, rootP) = fsFor(spark, root)
+    val table = before.schema.getOrElse(legacySchemaOf(spark, before.files))
+    set.keys.foreach(k => require(table.fieldNames.contains(k),
+      s"UPDATE SET column $k is not a column of the table under $root"))
+    val touched = prunedEntries(before, pruning)
+    if (touched.isEmpty) return (0L, 0, before.version)
+    val live = snapshotFrame(spark, root, before.copy(files = touched),
+      Seq.empty, keepIdentity = true)
+    val matched = live.where(coalesce(cond, lit(false)))
+    val del = matched.select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
+    writeDvAndTag(spark, fs, rootP, root, touched, del) match {
+      case None => (0L, 0, before.version) // nothing matched
+      case Some((tagged, replacedSig, nUpdated)) =>
+        val updated = matched.select(table.fieldNames.toSeq.map { n =>
+          set.get(n).map(_.cast(table(n).dataType).as(n))
+            .getOrElse(col(quoteIdent(n)))
+        }: _*)
+        // an updated PARTITION value must still round-trip the hive path
+        // (incl. the empty-string-is-NULL-sentinel refusal)
+        if (before.partCols.exists(set.contains))
+          requirePartitionable(updated, before.partCols)
+        val mineUpdates = writeBatch(fs, rootP, updated, before.partCols,
+          internalRewrite = true)
+        val seeded = before.copy(schema = before.schema.orElse(Some(table)))
+        val v = commitReplacing(fs, rootP, replacedSig, tagged ++ mineUpdates,
+          seeded, maxRetries, tornGraceMs, refuseEmpty = false,
+          op = "mor-update")
+        if (v == -1L) (0L, 0, -1L) else (nUpdated, tagged.size, v)
     }
   }
 

@@ -43,18 +43,33 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, sum
 object Materialized {
 
   /** One maintained tick (or `ticks` of them, polling like
-    * [[ManifestStore.tailStream]]): advance the grouped COUNT (+ SUMs)
-    * table under `dstRoot` to the source's current version. The
-    * destination schema is `keys ++ [n] ++ sumCols.map("sum_" + _)`.
+    * [[ManifestStore.tailStream]]): advance the grouped COUNT (+ SUMs,
+    * + MIN/MAXes) table under `dstRoot` to the source's current version.
+    * The destination schema is `keys ++ [n] ++ sumCols.map("sum_" + _) ++
+    * minMaxCols.flatMap(c => ["min_" + c, "max_" + c])`.
     * Returns the last maintained source version.
+    *
+    * MIN/MAX (r13, VERDICT r12 #4) are NOT retractable — a delete that
+    * removes a group's extreme cannot be folded from the change alone —
+    * so each tick recomputes them EXACTLY for the touched groups from the
+    * SOURCE table at the tick's end version: the tick's delta keys
+    * semi-join (broadcast, change-sized) against the source read, which
+    * is file-pruned by the keys' In-set / partition values
+    * ([[ManifestStore.readWhere]]) — delta-proportional on a source
+    * clustered or partitioned by the group keys, never a full scan there.
+    * Recomputation pins to the SAME resolved source version the
+    * retractable deltas came from, so sums and extremes always describe
+    * one consistent snapshot.
     */
   def maintainSums(spark: SparkSession, srcRoot: String, dstRoot: String,
                    keys: Seq[String], sumCols: Seq[String] = Nil,
                    appId: String = "graft-ivm", ticks: Int = 1,
-                   pollMs: Long = 1000L, maxProbeKeys: Int = 10000): Long = {
+                   pollMs: Long = 1000L, maxProbeKeys: Int = 10000,
+                   minMaxCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "maintainSums needs at least one group key")
     require(ticks >= 1, s"ticks must be positive: $ticks")
-    val aggNames = "n" +: sumCols.map(c => s"sum_$c")
+    val aggNames = "n" +: (sumCols.map(c => s"sum_$c") ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
     require(keys.intersect(aggNames).isEmpty,
       s"group keys collide with maintained column names $aggNames")
     val M = ManifestStore
@@ -67,8 +82,10 @@ object Materialized {
         if (last == 0L) M.latestSnapshot(spark, srcRoot) match {
           case Some(cur) if cur.files.nonEmpty =>
             val full = M.readWhere(spark, srcRoot, cur, Seq.empty)
-            M.appendBatch(spark, grouped(full.withColumn(SignCol, lit(1L)), keys, sumCols),
-              dstRoot, appId, cur.version)
+            val seed = withMinMax(
+              grouped(full.withColumn(SignCol, lit(1L)), keys, sumCols),
+              full.groupBy(keys.map(col): _*), keys, minMaxCols)
+            M.appendBatch(spark, seed, dstRoot, appId, cur.version)
             last = cur.version
             true
           case _ => false
@@ -77,7 +94,8 @@ object Materialized {
           if (v > last) {
             if (!changes.isEmpty)
               mergeChanges(spark, changes, dstRoot, keys, sumCols,
-                appId, v, maxProbeKeys)
+                appId, v, maxProbeKeys, minMaxCols,
+                Some((srcRoot, v)))
             last = v
             true
           } else false
@@ -85,6 +103,49 @@ object Materialized {
       if (!advanced && tick < ticks) Thread.sleep(pollMs)
     }
     last
+  }
+
+  /** Attach exact `min_c`/`max_c` columns to `base` by aggregating the
+    * given grouped rows (a relational agg — nulls ignored exactly as SQL
+    * MIN/MAX do; an all-null or emptied group reads null).
+    */
+  private def withMinMax(base: DataFrame,
+                         groupedSrc: org.apache.spark.sql.RelationalGroupedDataset,
+                         keys: Seq[String], minMaxCols: Seq[String]): DataFrame = {
+    if (minMaxCols.isEmpty) return base
+    val aggs = minMaxCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+    base.join(groupedSrc.agg(aggs.head, aggs.tail: _*), keys, "left")
+  }
+
+  /** Exact MIN/MAX of the TOUCHED groups, recomputed from the source at
+    * the tick's resolved end version: the read prunes files against the
+    * collected delta keys (In-sets up to `maxProbeKeys`; above the cap it
+    * degrades to the unpruned scan, documented) and semi-joins the
+    * broadcast key set — delta-proportional on a key-clustered source.
+    */
+  private def touchedMinMax(spark: SparkSession, srcRoot: String,
+                            srcVersion: Long, touchedKeys: DataFrame,
+                            keys: Seq[String], minMaxCols: Seq[String],
+                            maxProbeKeys: Int): DataFrame = {
+    val M = ManifestStore
+    val snap = M.snapshotAt(spark, srcRoot, srcVersion).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"source version $srcVersion under $srcRoot is gone — the tick's " +
+          "min/max recompute base is unknowable"))
+    val keyRows = touchedKeys.limit(maxProbeKeys + 1).collect()
+    val pruning: Seq[org.apache.spark.sql.sources.Filter] =
+      if (keyRows.length > maxProbeKeys) Nil // over cap: no file pruning
+      else keys.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.sources.In(c, keyRows.map(_.get(i)).distinct)
+      }
+    val srcRows = M.readWhere(spark, srcRoot, snap, pruning)
+      .join(broadcast(touchedKeys), keys, "left_semi")
+    val aggs = minMaxCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)).as(s"min_$c"),
+      org.apache.spark.sql.functions.max(col(c)).as(s"max_$c")))
+    srcRows.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** The same maintenance under ENGINE triggers: a `changeFeed` stream of
@@ -131,9 +192,13 @@ object Materialized {
   private def mergeChanges(spark: SparkSession, changes: DataFrame,
                            dstRoot: String, keys: Seq[String],
                            sumCols: Seq[String], appId: String,
-                           batchId: Long, maxProbeKeys: Int): Unit = {
+                           batchId: Long, maxProbeKeys: Int,
+                           minMaxCols: Seq[String] = Nil,
+                           srcAt: Option[(String, Long)] = None): Unit = {
     val M = ManifestStore
-    val aggNames = "n" +: sumCols.map(c => s"sum_$c")
+    require(minMaxCols.isEmpty || srcAt.isDefined,
+      "min/max maintenance needs the source version to recompute against")
+    val sumNames = "n" +: sumCols.map(c => s"sum_$c")
     val signed = changes.withColumn(SignCol,
       when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
     // |groups-touched|-sized by construction, and evaluated several times
@@ -141,23 +206,31 @@ object Materialized {
     // does not re-run the change-feed scan and the grouping (review r12)
     val deltaAgg = grouped(signed, keys, sumCols).persist()
     try {
+    def minMaxOf(sums: DataFrame): DataFrame =
+      if (minMaxCols.isEmpty) sums
+      else {
+        val (srcRoot, srcVersion) = srcAt.get
+        val mm = touchedMinMax(spark, srcRoot, srcVersion,
+          deltaAgg.select(keys.map(col): _*), keys, minMaxCols, maxProbeKeys)
+        sums.join(mm, keys, "left") // an emptied group reads null extremes
+      }
     if (M.latestSnapshot(spark, dstRoot).isEmpty) {
       // first ever batch: the merge against an empty table IS the seed
-      M.appendBatch(spark, deltaAgg, dstRoot, appId, batchId): Unit
+      M.appendBatch(spark, minMaxOf(deltaAgg), dstRoot, appId, batchId): Unit
       return
     }
-    val dTypes = aggNames.map(n => n -> deltaAgg.schema(n).dataType).toMap
+    val dTypes = sumNames.map(n => n -> deltaAgg.schema(n).dataType).toMap
     val deltas = deltaAgg.select(keys.map(col) ++
-      aggNames.map(n => col(n).as(s"__d_$n")): _*)
+      sumNames.map(n => col(n).as(s"__d_$n")): _*)
     // existing values of exactly the touched groups: the delta key set is
     // change-sized, so it broadcasts into a semi-join against the
     // |groups|-sized maintained table
     val touched = broadcast(deltas.select(keys.map(col): _*))
     val existing = M.read(spark, dstRoot).join(touched, keys, "left_semi")
-    val merged = deltas.join(existing, keys, "left").select(
-      keys.map(col) ++ aggNames.map { n =>
+    val merged = minMaxOf(deltas.join(existing, keys, "left").select(
+      keys.map(col) ++ sumNames.map { n =>
         (coalesce(col(n), lit(0L).cast(dTypes(n))) + col(s"__d_$n")).as(n)
-      }: _*)
+      }: _*))
     val (_, _, v) = M.upsertByKey(spark, dstRoot, merged, keys,
       maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId))
     // -1 is EITHER the idempotent replay (watermark already at/past this

@@ -82,16 +82,25 @@ class ManifestStreamSource(
     spark: SparkSession, root: String, changeFeed: Boolean,
     startVersion: Long, maxVersionsPerTrigger: Option[Long],
     maxBytesPerTrigger: Option[Long],
-    tableSchema: StructType)
+    tableSchema: StructType,
+    commitVersions: Boolean = false)
   extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  require(!commitVersions || changeFeed,
+    "commitVersions=true needs changeFeed=true — attribution is a change-feed column")
 
   override val schema: StructType =
     if (changeFeed) {
       require(!tableSchema.fieldNames.contains(ManifestStore.ChangeTypeCol),
         s"table schema collides with the reserved change column " +
           s"${ManifestStore.ChangeTypeCol} — changeFeed cannot stream it")
-      StructType(tableSchema.fields :+
+      val withType = StructType(tableSchema.fields :+
         StructField(ManifestStore.ChangeTypeCol, StringType, nullable = false))
+      if (commitVersions)
+        StructType(withType.fields :+ StructField(
+          ManifestStore.CommitVersionCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+      else withType
     } else tableSchema
 
   private def currentVersion: Option[Long] =
@@ -204,7 +213,12 @@ class ManifestStreamSource(
             s"manifest v$endV under $root is gone (vacuumed or never intact) — " +
               "the checkpointed batch is no longer replayable; reprocess from " +
               "a fresh checkpoint"))
-        if (fromV == 0L) {
+        if (commitVersions)
+          // per-commit attribution (r13): fromV == 0 walks the table's
+          // resolvable history, so even the seed batch attributes each
+          // row to the commit that inserted it
+          ManifestStore.changesBetweenVersioned(spark, root, fromV, endSnap)
+        else if (fromV == 0L) {
           // first batch from the beginning: the full snapshot (dv applied)
           if (endSnap.files.isEmpty) emptyBatch
           else {

@@ -15,6 +15,18 @@ object ColumnShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to `private[sql]` DataSourceStrategy.translateFilter — the SQL
+  * DML rewrites (manifest DELETE/UPDATE) translate each conjunct of a
+  * resolved condition into the public `sources.Filter` ADT for manifest
+  * file pruning (best-effort: untranslatable conjuncts just prune less;
+  * the full condition is always applied exactly as a Column).
+  */
+object FilterShim {
+  def translate(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+}
+
 /** Bridge to `private[sql] Dataset.ofRows` — a command that re-plans a
   * resolved query (the manifest INSERT rewrite) needs a DataFrame over an
   * existing LogicalPlan without re-parsing anything.

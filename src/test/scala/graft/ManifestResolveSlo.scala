@@ -71,7 +71,9 @@ object ManifestResolveSlo {
     val entryLine = seedLines.find(l => l.contains("\t") && !l.startsWith("txn=")
       && !l.startsWith("checksum=")).get
     val entryPath = entryLine.takeWhile(_ != '\t')
-    for (nEntries <- Seq(1000, 10000, 100000, 300000)) {
+    val maxEntries = args.lift(1).map(_.toInt).getOrElse(300000)
+    for (nEntries <- Seq(1000, 10000, 100000, 300000, 800000)
+         if nEntries <= maxEntries) {
       val rootN = java.nio.file.Files.createTempDirectory(s"graft-mrslo-$nEntries").toString
       val body = new StringBuilder
       headerLines.foreach(l => body.append(l).append('\n'))
@@ -102,6 +104,31 @@ object ManifestResolveSlo {
       }
       println(f"MANIFESTENTRIES entries=$nEntries%7d manifest_bytes=$bytes%10d " +
         f"cold_ms=$cold%.1f steady_p50=$steady%.2fms")
+
+      // r13 delta-chain arm: stack a near-interval chain of delta commits
+      // on the wide checkpoint and measure COLD resolution of the head —
+      // one O(entries) checkpoint parse + chain-apply + O(delta) parses
+      // (the replay a periodic checkpoint bounds); steady stays the cache
+      // hit. clearCachesForTest gives fresh-JVM behavior per rep.
+      val chain = graft.sources.ManifestStore.checkpointInterval - 2
+      val batch = spark.range(0, 5).select(
+        org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.lit("payload-string").as("payload"))
+      (0 until chain).foreach(_ =>
+        graft.sources.ManifestStore.append(spark, batch, rootN))
+      val coldChain = (0 until 3).map { _ =>
+        graft.sources.ManifestStore.clearCachesForTest()
+        val t = System.nanoTime()
+        require(graft.sources.ManifestStore.latestSnapshot(spark, rootN)
+          .get.version == 1L + chain)
+        (System.nanoTime() - t) / 1e6
+      }.min
+      val steadyChain = timeMs(25) {
+        require(graft.sources.ManifestStore.latestSnapshot(spark, rootN)
+          .get.version == 1L + chain)
+      }
+      println(f"MANIFESTCHAIN entries=$nEntries%7d deltas=$chain " +
+        f"cold_replay_ms=$coldChain%.1f steady_p50=$steadyChain%.2fms")
     }
     spark.stop()
   }

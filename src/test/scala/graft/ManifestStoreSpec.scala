@@ -1210,11 +1210,14 @@ class ManifestStoreSpec extends SparkSpec {
     val merged = ManifestStore.latestSnapshot(spark, root).get
     assert(merged.files.flatMap(_.dv).map(_.rows).sum == 300L)
 
-    // the planner-integrated format refuses while vectors are live
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-manifest").load(root).count()
-    }
-    assert(e.getMessage.contains("materializeDeletes"), e.getMessage)
+    // r13: with GraftExtensions installed the planner-integrated format
+    // APPLIES live vectors (ManifestDvApplyRule attaches the scan-side
+    // bitmap filter); the r12 refusal remains for extension-less sessions
+    assert(spark.read.format("graft-manifest").load(root).count() == 700L,
+      "format read must apply live deletion vectors under GraftExtensions")
+    assert(spark.read.format("graft-manifest").load(root)
+      .where(col("id") < 400L).count() == 100L,
+      "vectors compose with pushed filters on the format path")
 
     // CoW delete on the dv-carrying slice counts LIVE rows only, and its
     // rewrite naturally materializes the touched vectors away

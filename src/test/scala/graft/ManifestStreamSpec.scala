@@ -109,6 +109,39 @@ class ManifestStreamSpec extends SparkSpec {
       "an undersized budget must still admit one commit per batch")
   }
 
+  test("commitVersions stream attributes every change row to its commit (r13)") {
+    val src = freshDir("cvsrc"); val dst = freshDir("cvdst")
+    val ckpt = freshDir("cvckpt")
+    M.append(spark, (1L to 8L).toDF("id"), src)                        // v1
+    M.append(spark, (9L to 16L).toDF("id"), src)                      // v2
+    M.deleteWhereMergeOnRead(spark, src,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 3L)))           // v3
+    val q = spark.readStream.format("graft-manifest")
+      .option("changeFeed", "true").option("commitVersions", "true").load(src)
+      .writeStream.format("graft-manifest")
+      .option("appId", "cv-spec").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(dst)
+    q.awaitTermination()
+    val got = M.table(spark, dst)
+      .select("id", ManifestStore.ChangeTypeCol, ManifestStore.CommitVersionCol)
+      .as[(Long, String, Long)].collect().toSet
+    val exp = (1L to 8L).map(i => (i, "insert", 1L)).toSet ++
+      (9L to 16L).map(i => (i, "insert", 2L)) ++
+      Seq((1L, "delete", 3L), (2L, "delete", 3L))
+    assert(got == exp, s"attributed feed mismatch:\n$got")
+    // restart with one more commit: only the new version's rows arrive
+    M.append(spark, Seq(100L).toDF("id"), src)                        // v4
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("changeFeed", "true").option("commitVersions", "true").load(src)
+      .writeStream.format("graft-manifest")
+      .option("appId", "cv-spec").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(dst)
+    q2.awaitTermination()
+    assert(M.table(spark, dst).count() == got.size + 1)
+    assert(M.table(spark, dst).where(col("id") === 100L)
+      .select(ManifestStore.CommitVersionCol).as[Long].head() == 4L)
+  }
+
   test("rate caps never name a torn slot as the end offset (advice r12: " +
     "a wedged WAL offset is unrecoverable)") {
     val src = freshDir("tornsrc"); val dst = freshDir("torndst")

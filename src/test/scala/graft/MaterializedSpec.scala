@@ -92,6 +92,55 @@ class MaterializedSpec extends SparkSpec {
     assert(e.getMessage.contains("not derivable"), e.getMessage)
   }
 
+  test("min/max maintain exactly through extreme-retracting deletes via " +
+    "touched-group source recompute (r13)") {
+    val src = freshRoot(); val dst = freshRoot()
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    def tickAndCheck(): Unit = {
+      Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"),
+        minMaxCols = Seq("v"))
+      val got = M.table(spark, dst).where(col("n") > 0)
+        .select("k", "n", "sum_v", "min_v", "max_v")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val exp = M.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+          smin("v").as("min_v"), smax("v").as("max_v"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == exp, s"min/max maintained != recompute\n$got\n$exp")
+    }
+    // source PARTITIONED by the group key: the recompute's In-pruning
+    // opens only the touched groups' files (the delta-proportional claim)
+    M.append(spark, rows(0, 100).repartition(2), src, partitionBy = Seq("k"))
+    tickAndCheck() // seed carries min/max
+    // delete the MAX rows of group k=0 (v 95, 90) — not retractable from
+    // the change alone; the recompute must surface the new max 85
+    M.deleteWhereMergeOnRead(spark, src,
+      Seq(org.apache.spark.sql.sources.And(EqualTo("k", 0L),
+        org.apache.spark.sql.sources.GreaterThanOrEqual("v", 90L))))
+    tickAndCheck()
+    // a new min lands in another group; both change kinds in one tick
+    M.append(spark, Seq((-10L, 1L, -10L)).toDF("id", "k", "v"), src,
+      partitionBy = Seq("k"))
+    M.deleteWhereMergeOnRead(spark, src,
+      Seq(org.apache.spark.sql.sources.And(EqualTo("k", 2L), LessThan("v", 10L))))
+    tickAndCheck()
+    // an EMPTIED group keeps its n=0 row with null extremes
+    M.deleteWhereMergeOnRead(spark, src, Seq(EqualTo("k", 3L)))
+    Materialized.maintainSums(spark, src, dst, Seq("k"), Seq("v"),
+      minMaxCols = Seq("v"))
+    val emptied = M.table(spark, dst).where(col("k") === 3L)
+      .select("n", "min_v", "max_v").collect().head
+    assert(emptied.getLong(0) == 0L && emptied.isNullAt(1) && emptied.isNullAt(2))
+    // the pruning the recompute rides on: a one-group In-filter keeps
+    // only that group's partition files
+    val snap = M.latestSnapshot(spark, src).get
+    val kept = M.prunedEntries(snap,
+      Seq(org.apache.spark.sql.sources.In("k", Array(0L))))
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"recompute pruning must open only touched partitions: " +
+        s"${kept.size}/${snap.files.size}")
+  }
+
   test("merge abandonment is distinguishable from replay via the watermark") {
     val src = freshRoot(); val dst = freshRoot()
     M.append(spark, rows(0, 50).repartition(2), src)
