@@ -2874,6 +2874,116 @@ object ManifestStore {
     }
   }
 
+  /** CDC APPLY (r13): ONE merge-on-read commit that both REPLACES
+    * `upserts`' keys' rows and REMOVES `deleteKeys`' rows — the
+    * replication primitive ([[Materialized.replicate]] folds a versioned
+    * change feed through it). Mechanics are [[upsertByKeyMergeOnRead]]'s
+    * with the dv side keyed on the UNION of both key sets: affected
+    * files are pruned by the collected keys (In-sets up to
+    * `maxProbeKeys`; above the cap candidacy degrades to every file),
+    * matched live rows become deletion-vector positions, the upsert
+    * batch appends, and everything lands in one op=mor-upsert version
+    * whose optional `txn` watermark makes redelivery a no-op INSIDE the
+    * commit. Returns (rowsRemoved, filesTagged, version); -1 is either
+    * abandonment (a concurrent rewrite superseded a touched file) or the
+    * idempotent replay — disambiguate via the destination's watermark,
+    * exactly like [[Materialized]]'s merge. NULL delete keys match
+    * nothing (SQL semantics) and are ignored; `upserts` must be
+    * key-unique and NULL-key-free (the MERGE audit).
+    */
+  def applyByKeyMergeOnRead(spark: SparkSession, root: String,
+                            upserts: DataFrame, deleteKeys: DataFrame,
+                            keyCols: Seq[String], maxProbeKeys: Int = 10000,
+                            maxRetries: Int = 10, tornGraceMs: Long = 60000L,
+                            txn: Option[(String, Long)] = None): (Long, Int, Long) = {
+    require(keyCols.nonEmpty, "applyByKeyMergeOnRead needs at least one key column")
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    require(before.files.forall(_.rows.isDefined),
+      s"applyByKeyMergeOnRead needs per-file row counts under $root — run " +
+        "upgradeTable first")
+    val (fs, rootP) = fsFor(spark, root)
+    val table = before.schema.getOrElse(legacySchemaOf(spark, before.files))
+    val upd = normalizeSchema(upserts.schema)
+    val tableCols = table.fields.map(_.name).toSet
+    val newCols = upd.fields.map(_.name).filterNot(tableCols)
+    require(newCols.isEmpty,
+      s"apply: upserts carry new column(s) ${newCols.mkString(", ")} — widen " +
+        "the table with append() first")
+    checkColumnTypes(upd, table, root,
+      "an apply cannot change a column's type — fix the upserts frame")
+    require(keyCols.forall(upserts.columns.contains),
+      s"key column(s) missing from upserts: ${keyCols.filterNot(upserts.columns.contains)}")
+    require(keyCols.forall(deleteKeys.columns.contains),
+      s"key column(s) missing from deleteKeys: ${keyCols.filterNot(deleteKeys.columns.contains)}")
+    require(before.partCols.forall(upserts.columns.contains),
+      s"upserts must carry the table's partition columns ${before.partCols}")
+    if (before.partCols.nonEmpty) requirePartitionable(upserts, before.partCols)
+    val keyExprs = keyCols.map(c => col(quoteIdent(c)))
+    // the MERGE audit over the upsert side (one pass)
+    val auditRow = upserts.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          keyExprs.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("nullkeys"),
+      org.apache.spark.sql.functions.countDistinct(keyExprs.head, keyExprs.tail: _*)
+        .as("d")).head()
+    val updCount = auditRow.getLong(0)
+    if (updCount > 0L) {
+      require(auditRow.getLong(1) == 0L,
+        s"apply: ${auditRow.getLong(1)} upsert row(s) carry a NULL key")
+      require(auditRow.getLong(2) == updCount,
+        s"apply: upserts hold $updCount rows but only ${auditRow.getLong(2)} " +
+          "distinct keys — deduplicate first (one replacement per key)")
+    }
+    val delK = deleteKeys.select(keyExprs: _*)
+      .where(keyExprs.map(_.isNotNull).reduce(_ && _)).distinct()
+    val allKeys = upserts.select(keyExprs: _*).distinct().unionByName(delK).distinct()
+    val keyRows = allKeys.limit(maxProbeKeys + 1).collect()
+    if (updCount == 0L && keyRows.isEmpty) return (0L, 0, before.version)
+    val touched =
+      if (keyRows.length > maxProbeKeys) before.files
+      else prunedEntries(before, keyCols.zipWithIndex.map { case (c, i) =>
+        In(c, keyRows.map(_.get(i)).distinct)
+      })
+    val seeded = before.copy(schema = before.schema.orElse(Some(table)))
+    val mineUpdates =
+      if (updCount == 0L) Seq.empty
+      else writeBatch(fs, rootP, upserts, before.partCols)
+    if (touched.isEmpty) { // nothing to remove: a pure insert
+      if (mineUpdates.isEmpty) return (0L, 0, before.version) // full no-op
+      val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
+        maxRetries, tornGraceMs, refuseEmpty = false, op = "mor-upsert",
+        txn = txn)
+      return (0L, 0, v)
+    }
+    val touchedRows = snapshotFrame(spark, root,
+      before.copy(files = touched), Seq.empty, keepIdentity = true)
+    val keysSide =
+      if (keyRows.length > maxProbeKeys) allKeys
+      else {
+        import scala.jdk.CollectionConverters._
+        val keySchema = StructType(keyCols.map(c => table(table.fieldIndex(c))))
+        org.apache.spark.sql.functions.broadcast(
+          spark.createDataFrame(keyRows.toSeq.asJava, keySchema))
+      }
+    val del = touchedRows.join(keysSide, keyCols, "left_semi")
+      .select(col(FkeyCol).as("fkey"), col(PosCol).as("pos"))
+    writeDvAndTag(spark, fs, rootP, root, touched, del) match {
+      case None => // no existing row matched any key: a pure insert
+        if (mineUpdates.isEmpty) return (0L, 0, before.version) // full no-op
+        val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
+          maxRetries, tornGraceMs, refuseEmpty = false, op = "mor-upsert",
+          txn = txn)
+        (0L, 0, v)
+      case Some((tagged, replacedSig, removed)) =>
+        val v = commitReplacing(fs, rootP, replacedSig, tagged ++ mineUpdates,
+          seeded, maxRetries, tornGraceMs, refuseEmpty = false,
+          op = "mor-upsert", txn = txn)
+        if (v == -1L) (0L, 0, -1L) else (removed, tagged.size, v)
+    }
+  }
+
   /** The file-replacement rebase commit shared by [[compactFrom]],
     * [[deleteFrom]] and [[upsertFrom]] — the store's most delicate
     * concurrency logic kept in ONE place: abandon (None → -1) when any replaced input is no longer

@@ -250,6 +250,99 @@ object Materialized {
     } finally deltaAgg.unpersist(blocking = false): Unit
   }
 
+  /** Exactly-once CDC REPLICATION (r13): maintain a keyed MIRROR of a
+    * source manifest table from its VERSIONED change feed — by the last
+    * applied version, `mirror == source` row-for-row (keys unique in the
+    * source, the replication contract; duplicates refuse loudly in the
+    * apply's MERGE audit). Per tick:
+    *
+    *  1. read the attributed changes since the destination's watermark
+    *     ([[ManifestStore.readChangesSinceVersioned]]);
+    *  2. reduce to each key's FINAL state — present iff an `insert`
+    *     exists at the key's maximum `_commit_version` (an upsert's
+    *     delete+insert at one version nets to the insert; a later pure
+    *     delete wins over an earlier insert);
+    *  3. apply as ONE merge-on-read commit
+    *     ([[ManifestStore.applyByKeyMergeOnRead]]): replaced/deleted
+    *     keys' rows become deletion-vector positions, the final rows
+    *     append, and the commit's txn watermark `(appId -> srcVersion)`
+    *     makes redelivery a no-op inside the commit — the destination's
+    *     watermark IS the resume point, no side checkpoint.
+    *
+    * 100 TB posture: per tick the source side scans only the changed
+    * files; the mirror side prunes to the affected keys' files (In-set /
+    * partition values) — cost scales with the change, never either
+    * table. Physical source maintenance streams through; a data-changing
+    * CoW rewrite refuses loudly (reprocess from a fresh mirror) — the
+    * change-feed contracts. Returns the last applied source version.
+    */
+  def replicate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                keyCols: Seq[String], appId: String = "graft-replicate",
+                ticks: Int = 1, pollMs: Long = 1000L,
+                maxProbeKeys: Int = 10000): Long = {
+    require(keyCols.nonEmpty, "replicate needs at least one key column")
+    require(ticks >= 1, s"ticks must be positive: $ticks")
+    val M = ManifestStore
+    var last = M.latestSnapshot(spark, dstRoot)
+      .map(_.txns.getOrElse(appId, 0L)).getOrElse(0L)
+    var tick = 0
+    while (tick < ticks) {
+      tick += 1
+      val advanced =
+        if (last == 0L) M.latestSnapshot(spark, srcRoot) match {
+          case Some(cur) if cur.files.nonEmpty =>
+            M.appendBatch(spark, M.readWhere(spark, srcRoot, cur, Seq.empty),
+              dstRoot, appId, cur.version)
+            last = cur.version
+            true
+          case _ => false
+        } else {
+          val (v, changes) = M.readChangesSinceVersioned(spark, srcRoot, last)
+          if (v > last) {
+            if (!changes.isEmpty) applyTick(spark, changes, dstRoot, keyCols,
+              appId, v, maxProbeKeys)
+            last = v
+            true
+          } else false
+        }
+      if (!advanced && tick < ticks) Thread.sleep(pollMs)
+    }
+    last
+  }
+
+  /** Reduce one attributed change batch to final per-key states and apply
+    * them as one idempotent commit.
+    */
+  private def applyTick(spark: SparkSession, changes: DataFrame,
+                        dstRoot: String, keyCols: Seq[String], appId: String,
+                        srcVersion: Long, maxProbeKeys: Int): Unit = {
+    val M = ManifestStore
+    val kc = keyCols.map(col)
+    // change-sized frames throughout; pin the source scan once
+    val pinned = changes.persist()
+    try {
+      val vmax = pinned.groupBy(kc: _*)
+        .agg(org.apache.spark.sql.functions.max(col(M.CommitVersionCol)).as("__vmax"))
+      val atMax = pinned.join(vmax, keyCols)
+        .where(col(M.CommitVersionCol) === col("__vmax"))
+      val upserts = atMax.where(col(M.ChangeTypeCol) === "insert")
+        .drop(M.ChangeTypeCol, M.CommitVersionCol, "__vmax")
+      val deletes = atMax.where(col(M.ChangeTypeCol) === "delete")
+        .join(upserts.select(kc: _*), keyCols, "left_anti")
+        .select(kc: _*).distinct()
+      val (_, _, v) = M.applyByKeyMergeOnRead(spark, dstRoot, upserts, deletes,
+        keyCols, maxProbeKeys = maxProbeKeys, txn = Some(appId -> srcVersion))
+      if (v == -1L) { // replay vs abandonment: the watermark disambiguates
+        val wm = M.latestSnapshot(spark, dstRoot)
+          .map(_.txns.getOrElse(appId, -1L)).getOrElse(-1L)
+        require(wm >= srcVersion,
+          s"replicated apply for source v$srcVersion abandoned (a concurrent " +
+            s"rewrite of $dstRoot superseded a touched file; watermark=$wm) — " +
+            "failing the tick so it retries against the fresh state")
+      }
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
   private val SignCol = "__graft_ivm_sign"
 
   /** Grouped signed aggregates: `n = Σ sign`, `sum_c = Σ sign * c` (0,

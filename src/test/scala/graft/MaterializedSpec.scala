@@ -141,6 +141,41 @@ class MaterializedSpec extends SparkSpec {
         s"${kept.size}/${snap.files.size}")
   }
 
+  test("replicate maintains an exact keyed mirror through appends, upserts, " +
+    "deletes and source compaction (r13)") {
+    val src = freshRoot(); val dst = freshRoot()
+    def content(root: String): Set[(Long, Long, Long)] =
+      M.read(spark, root).as[(Long, Long, Long)].collect().toSet
+    def tickAndCheck(): Unit = {
+      Materialized.replicate(spark, src, dst, Seq("id"))
+      assert(content(dst) == content(src), "mirror != source")
+    }
+    M.append(spark, rows(0, 50).repartition(4), src)
+    tickAndCheck() // seed = full snapshot
+    // one tick folds an append + a MoR upsert + a MoR delete
+    M.append(spark, rows(50, 70), src)
+    M.upsertByKeyMergeOnRead(spark, src,
+      Seq((10L, 99L, 1010L), (60L, 99L, 6060L)).toDF("id", "k", "v"), Seq("id"))
+    M.deleteWhereMergeOnRead(spark, src, Seq(LessThan("id", 5L)))
+    tickAndCheck()
+    // a key deleted then re-inserted across versions lands present
+    M.deleteWhereMergeOnRead(spark, src, Seq(EqualTo("id", 20L)))
+    M.append(spark, Seq((20L, 7L, 777L)).toDF("id", "k", "v"), src)
+    tickAndCheck()
+    assert(M.read(spark, dst).where(col("id") === 20L)
+      .select("v").as[Long].head() == 777L)
+    // source compaction is physical: the next tick applies nothing new
+    val vBefore = M.latestSnapshot(spark, dst).get.version
+    M.compact(spark, src)
+    Materialized.replicate(spark, src, dst, Seq("id"))
+    assert(content(dst) == content(src))
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore,
+      "a compaction tick must not commit to the mirror")
+    // idempotent re-run: nothing new, nothing committed
+    Materialized.replicate(spark, src, dst, Seq("id"))
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore)
+  }
+
   test("merge abandonment is distinguishable from replay via the watermark") {
     val src = freshRoot(); val dst = freshRoot()
     M.append(spark, rows(0, 50).repartition(2), src)
