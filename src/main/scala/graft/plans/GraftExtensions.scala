@@ -52,5 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ManifestDvApplyRule.register(session)
       new ManifestDvApplyRule(session)
     }
+    // SQL `VERSION AS OF` on registered graft-manifest tables (r13) —
+    // must run BEFORE resolution (Spark's ResolveRelations refuses time
+    // travel on v1 relations outright), hence the hint batch
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.ManifestTimeTravelRule(session))
   }
 }

@@ -3185,6 +3185,46 @@ object ManifestStore {
     (before.files.size, mine.size, v)
   }
 
+  /** Table history (r13) — the DESCRIBE HISTORY analog: one row per
+    * RESOLVABLE version, newest first, up to `limit` —
+    * `(version, op, table_id, is_checkpoint, delta_depth, files,
+    * live_rows, added_bytes, committed_at)`. `added_bytes` is the v2
+    * commit record (null pre-r13); `committed_at` the manifest file's
+    * mtime (informational — mtimes are not a stable clock, which is why
+    * time travel is by VERSION). Torn/vacuumed slots are simply absent.
+    * Tooling-grade cost: one listing + `limit` cached resolutions.
+    */
+  def history(spark: SparkSession, root: String, limit: Int = 20): DataFrame = {
+    require(limit >= 1, s"limit must be positive: $limit")
+    val (fs, rootP) = fsFor(spark, root)
+    val rows = listVersions(fs, rootP).reverse.iterator
+      .flatMap { v =>
+        readManifest(fs, rootP, v).map { s =>
+          val mtime = try new java.sql.Timestamp(
+            fs.getFileStatus(manifestPath(rootP, v)).getModificationTime)
+          catch { case scala.util.control.NonFatal(_) => null }
+          Row(s.version, if (s.op.isEmpty) null else s.op,
+            if (s.tableId.isEmpty) null else s.tableId,
+            s.deltaDepth == 0, s.deltaDepth, s.files.size.toLong,
+            s.files.map(liveRowsOf).sum, s.addedBytes.orNull, mtime)
+        }
+      }.take(limit).toSeq
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("op", StringType),
+        StructField("table_id", StringType),
+        StructField("is_checkpoint", BooleanType, nullable = false),
+        StructField("delta_depth", IntegerType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("added_bytes", LongType),
+        StructField("committed_at", TimestampType))))
+  }
+
   /** Drop data unreferenced by the newest `keepVersions` intact manifests
     * AND older than `minAgeMs` — age is the max of the batch directory's
     * own mtime and its (recursively listed) FILES' mtimes (object stores

@@ -187,6 +187,24 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 20L))
   }
 
+  test("history lists resolvable versions newest-first with ops, kinds and " +
+    "live counts (r13)") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 30).coalesce(1), root)
+    ManifestStore.append(spark, batch(30, 40).coalesce(1), root)
+    ManifestStore.deleteWhereMergeOnRead(spark, root,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 5L)))
+    val h = ManifestStore.history(spark, root)
+      .select("version", "op", "is_checkpoint", "live_rows")
+      .as[(Long, String, Boolean, Long)].collect().toSeq
+    assert(h.map(_._1) == Seq(3L, 2L, 1L), "newest first")
+    assert(h.map(_._2) == Seq("mor-delete", "append", "append"))
+    assert(h.head._4 == 35L && h(1)._4 == 40L && h(2)._4 == 30L)
+    assert(h.last._3, "v1 is a checkpoint")
+    assert(!h.head._3, "the delete rides a delta")
+    assert(ManifestStore.history(spark, root, limit = 1).count() == 1L)
+  }
+
   test("addbytes= marker records each version's added data bytes") {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 50).coalesce(1), root)

@@ -103,6 +103,33 @@ class ManifestDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS dml_merge")
   }
 
+  test("SQL VERSION AS OF replays exact versions, including across a SQL " +
+    "DELETE's deletion vectors (r13)") {
+    val root = freshTable("dml_tt", n = 20) // v1: ids 0..19
+    spark.sql("INSERT INTO dml_tt SELECT id, concat('n', id), 9 FROM range(20, 30)") // v2
+    spark.sql("DELETE FROM dml_tt WHERE id < 8") // v3 (mor-delete)
+    assert(spark.sql("SELECT count(*) FROM dml_tt VERSION AS OF 1")
+      .as[Long].head() == 20L)
+    assert(spark.sql("SELECT count(*) FROM dml_tt VERSION AS OF 2")
+      .as[Long].head() == 30L)
+    assert(spark.sql("SELECT count(*) FROM dml_tt VERSION AS OF 3")
+      .as[Long].head() == 22L, "the travelled read applies the version's vectors")
+    assert(spark.sql("SELECT count(*) FROM dml_tt").as[Long].head() == 22L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage.take(200))
+    // a non-manifest table keeps Spark's own time-travel refusal
+    val pdir = java.nio.file.Files.createTempDirectory("graft-tt-parq").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(pdir)
+    spark.sql("DROP TABLE IF EXISTS tt_parq")
+    spark.sql(s"CREATE TABLE tt_parq USING parquet OPTIONS (path '$pdir')")
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM tt_parq VERSION AS OF 1").collect())
+    assert(!e2.getMessage.contains("graft-manifest"))
+    spark.sql("DROP TABLE IF EXISTS dml_tt")
+    spark.sql("DROP TABLE IF EXISTS tt_parq")
+  }
+
   test("out-of-scope shapes refuse with the recipe; other formats are untouched") {
     freshTable("dml_refuse", n = 8)
     Seq((1L, "x", 0)).toDF("id", "payload", "grp")
