@@ -242,28 +242,29 @@ object ManifestStore {
     require(!v.contains('\n') && !v.contains('\t'),
       s"$what not manifest-safe: '$v'")
 
-  private def appendSchema(body: StringBuilder, sc: StructType): Unit = {
+  private def appendSchema(body: Appendable, sc: StructType): Unit = {
     val json = sc.json
     require(!json.contains('\n') && !json.contains('\t'),
       "schema json not manifest-safe (raw control characters)")
     body.append("schema=").append(json).append('\n')
   }
 
-  private def appendPartCols(body: StringBuilder, partCols: Seq[String]): Unit = {
+  private def appendPartCols(body: Appendable, partCols: Seq[String]): Unit = {
     partCols.foreach(c => require(
       !c.contains(',') && !c.contains('\n') && !c.contains('\t') && c.nonEmpty,
       s"partition column name not manifest-safe: '$c'"))
     body.append("partcols=").append(partCols.mkString(",")).append('\n')
   }
 
-  private def appendTxns(body: StringBuilder, txns: Map[String, Long]): Unit =
+  private def appendTxns(body: Appendable, txns: Map[String, Long]): Unit =
     txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains('\n') && !appId.contains('\t') && appId.nonEmpty,
         s"appId not manifest-safe: '$appId'")
-      body.append("txn=").append(appId).append('\t').append(batchId).append('\n')
+      body.append("txn=").append(appId).append('\t')
+        .append(batchId.toString).append('\n')
     }
 
-  private def appendEntry(body: StringBuilder, f: ManifestEntry): Unit = {
+  private def appendEntry(body: Appendable, f: ManifestEntry): Unit = {
     require(!f.path.contains('\n') && !f.path.contains('\t'),
       s"file path not manifest-safe: ${f.path}")
     // file paths are scheme-qualified URIs, so they can never match the
@@ -271,37 +272,52 @@ object ManifestStore {
     // rule depends on it: unknown markers are skipped, file lines are not)
     require(!MarkerShape.matcher(f.path).find(),
       s"file path collides with the marker-line shape: ${f.path}")
-    body.append(f.path).append('\t').append(f.bytes)
+    body.append(f.path).append('\t').append(f.bytes.toString)
     ManifestStats.renderMeta(f.rows, f.stats, f.partition, f.dv)
       .foreach(m => body.append('\t').append(m))
-    body.append('\n')
+    body.append('\n'): Unit
   }
 
-  private def sealBody(body: StringBuilder): Array[Byte] = {
-    val bodyStr = body.toString
-    val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
-      bodyStr.getBytes(StandardCharsets.UTF_8))
-    (bodyStr + s"checksum=$sum\n").getBytes(StandardCharsets.UTF_8)
+  /** STREAM a manifest body straight into `out` through an md5 digest —
+    * a checkpoint at the 800k-entry design point is ~134 MB of text, and
+    * building it as a StringBuilder + String + byte[] before writing
+    * churned ~3× that in transient heap per checkpoint commit (the max
+    * spikes ManifestCommitSlo measured). The checksum trailer is written
+    * with digesting OFF, exactly the framing [[checksumValidBody]] reads.
+    */
+  private def streamManifest(out: java.io.OutputStream)
+                            (body: Appendable => Unit): Unit = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new java.security.DigestOutputStream(
+      new java.io.BufferedOutputStream(out, 1 << 16), md)
+    val w = new java.io.OutputStreamWriter(dig, StandardCharsets.UTF_8)
+    body(w)
+    w.flush()
+    val sum = org.apache.commons.codec.binary.Hex.encodeHexString(md.digest())
+    dig.on(false)
+    w.append("checksum=").append(sum).append('\n')
+    w.flush()
   }
 
   /** A v2 CHECKPOINT manifest: self-contained (the v1 body shape plus the
     * `addbytes=` marker), the replay anchor of every delta chain.
     */
-  private def renderFull(s: Snapshot, addedBytes: Long): Array[Byte] = {
-    val body = new StringBuilder
+  private def renderFull(s: Snapshot, addedBytes: Long)
+      : java.io.OutputStream => Unit = out => streamManifest(out) { body =>
     body.append(Header2).append('\n')
-    body.append("version=").append(s.version).append('\n')
-    body.append("addbytes=").append(addedBytes).append('\n')
+    body.append("version=").append(s.version.toString).append('\n')
+    body.append("addbytes=").append(addedBytes.toString).append('\n')
     s.schema.foreach(appendSchema(body, _))
     if (s.partCols.nonEmpty) appendPartCols(body, s.partCols)
-    if (s.op.nonEmpty) { requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n') }
+    if (s.op.nonEmpty) {
+      requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
+    }
     if (s.tableId.nonEmpty) {
       requireSafe(s.tableId, "tableId")
       body.append("table=").append(s.tableId).append('\n')
     }
     appendTxns(body, s.txns)
     s.files.foreach(appendEntry(body, _))
-    sealBody(body)
   }
 
   /** A v2 DELTA manifest: O(changed entries) — the commit-side answer to
@@ -312,15 +328,17 @@ object ManifestStore {
     * lines carry only moved watermarks, `schema=` only a widening.
     */
   private def renderDelta(s: Snapshot, base: Snapshot, removed: Seq[String],
-                          changed: Seq[ManifestEntry], addedBytes: Long): Array[Byte] = {
-    val body = new StringBuilder
+                          changed: Seq[ManifestEntry], addedBytes: Long)
+      : java.io.OutputStream => Unit = out => streamManifest(out) { body =>
     body.append(Header2).append('\n')
-    body.append("version=").append(s.version).append('\n')
-    body.append("base=").append(base.version).append('\n')
-    body.append("addbytes=").append(addedBytes).append('\n')
+    body.append("version=").append(s.version.toString).append('\n')
+    body.append("base=").append(base.version.toString).append('\n')
+    body.append("addbytes=").append(addedBytes.toString).append('\n')
     if (s.schema != base.schema) s.schema.foreach(appendSchema(body, _))
     if (s.partCols != base.partCols) appendPartCols(body, s.partCols)
-    if (s.op.nonEmpty) { requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n') }
+    if (s.op.nonEmpty) {
+      requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
+    }
     if (s.tableId.nonEmpty) {
       requireSafe(s.tableId, "tableId")
       body.append("table=").append(s.tableId).append('\n')
@@ -331,7 +349,6 @@ object ManifestStore {
       body.append("rm=").append(p).append('\n')
     }
     changed.foreach(appendEntry(body, _))
-    sealBody(body)
   }
 
   /** The bytes to commit for snapshot `s` built on `base`: a DELTA when a
@@ -342,17 +359,41 @@ object ManifestStore {
     * the data bytes this version added over its base.
     */
   private def encodeCommit(base: Option[Snapshot], s: Snapshot)
-      : (Array[Byte], Snapshot) = {
-    val basePaths = base.map(_.files.map(f => f.path -> f).toMap).getOrElse(Map.empty)
-    val addedBytes = s.files.filterNot(f => basePaths.contains(f.path)).map(_.bytes).sum
+      : (java.io.OutputStream => Unit, Snapshot) = {
+    // APPEND fast path: every commit builder that only ADDS files returns
+    // `base.files ++ mine` — the shared prefix is detectable by REFERENCE
+    // (O(files) pointer compares, no hash maps), and the diff is exactly
+    // the suffix. This is the streaming sink's per-micro-batch shape; the
+    // general diff below allocates two O(live files) hash structures per
+    // commit, the dominant in-memory term at the 800k-entry design point.
+    val appendSuffix: Option[Seq[ManifestEntry]] = base.flatMap { b =>
+      if (s.files.length < b.files.length) None
+      else {
+        val bi = b.files.iterator; val si = s.files.iterator
+        var same = true
+        while (same && bi.hasNext) { same = bi.next() eq si.next() }
+        if (same) Some(s.files.drop(b.files.length)) else None
+      }
+    }
+    val addedBytes = appendSuffix match {
+      case Some(suffix) => suffix.map(_.bytes).sum
+      case None =>
+        val basePaths = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+        s.files.filterNot(f => basePaths(f.path)).map(_.bytes).sum
+    }
     def checkpoint = (renderFull(s, addedBytes),
       s.copy(checkpointVersion = s.version, deltaDepth = 0,
         addedBytes = Some(addedBytes)))
     base match {
       case Some(b) if b.deltaDepth + 1 < checkpointInterval =>
-        val newPaths = s.files.map(_.path).toSet
-        val removed = b.files.map(_.path).filterNot(newPaths)
-        val changed = s.files.filter(f => !basePaths.get(f.path).contains(f))
+        val (removed, changed) = appendSuffix match {
+          case Some(suffix) => (Seq.empty[String], suffix)
+          case None =>
+            val basePaths = b.files.map(f => f.path -> f).toMap
+            val newPaths = s.files.map(_.path).toSet
+            (b.files.map(_.path).filterNot(newPaths),
+              s.files.filter(f => !basePaths.get(f.path).contains(f)))
+        }
         if (removed.size + changed.size >= s.files.size) checkpoint
         else (renderDelta(s, b, removed, changed, addedBytes),
           s.copy(checkpointVersion = b.checkpointVersion,
@@ -845,14 +886,14 @@ object ManifestStore {
     * connectors — probed by [[verifyCommitPoint]] on first use).
     */
   private def tryCommit(fs: FileSystem, root: Path, version: Long,
-                        bytes: Array[Byte]): Boolean = {
+                        write: java.io.OutputStream => Unit): Boolean = {
     fs.mkdirs(manifestsDir(root))
     val p = manifestPath(root, version)
     if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
       val local = new java.io.File(p.toUri.getPath)
       if (!local.createNewFile()) return false // atomic O_EXCL claim
       val out = new java.io.FileOutputStream(local)
-      try out.write(bytes) finally out.close()
+      try write(out) finally out.close()
       true
     } else {
       if (!verifiedCommitPoints.contains(fs.getUri.toString)) {
@@ -873,7 +914,7 @@ object ManifestStore {
             return false
           else throw e
       }
-      try { out.write(bytes); true } finally out.close()
+      try { write(out); true } finally out.close()
     }
   }
 
@@ -1305,8 +1346,8 @@ object ManifestStore {
           // delta-encode against the SAME base the slot claim derives from
           // (r13): the write is O(changed entries), not O(live files) —
           // a lost race rebases onto the winner and re-encodes
-          val (bytes, resolved) = encodeCommit(base, withId)
-          if (tryCommit(fs, root, next, bytes)) {
+          val (writeBody, resolved) = encodeCommit(base, withId)
+          if (tryCommit(fs, root, next, writeBody)) {
             seedCache(fs, root, resolved)
             writeLatestHint(fs, root, next) // best-effort resolution hint
             return next
