@@ -415,6 +415,25 @@ object ManifestStore {
         resolved): Unit
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Throw iff the FIRST LINE declares a format version above
+    * [[MaxFormatVersion]] — inspected on the raw bytes, before any
+    * trailer validation (a newer format may have changed the trailer).
+    */
+  private def refuseNewerFormat(bytes: Array[Byte]): Unit = {
+    val probeLen = math.min(bytes.length, 64)
+    val nl = bytes.take(probeLen).indexOf('\n'.toByte)
+    val head = new String(bytes, 0, if (nl < 0) probeLen else nl,
+      StandardCharsets.UTF_8)
+    if (head.startsWith(HeaderPrefix)) {
+      val num = head.stripPrefix(HeaderPrefix)
+      if (num.nonEmpty && num.forall(_.isDigit) && num.toLong > MaxFormatVersion)
+        throw new UnsupportedManifestVersionException(
+          s"manifest format '$head' is newer than this reader's " +
+            s"(max v$MaxFormatVersion) — upgrade the reader; refusing rather " +
+            "than silently serve an older version's stale snapshot")
+    }
+  }
+
   /** Parse a manifest; None when torn/corrupt (bad header, bad checksum,
     * version mismatch with its file name, malformed schema json) —
     * callers treat that version slot as not (yet) committed. A format
@@ -445,20 +464,17 @@ object ManifestStore {
   }
 
   private def parseStrict(bytes: Array[Byte], expectVersion: Long): Option[Parsed] = {
+    // the NEWER-format refusal must come BEFORE checksum validation: a
+    // future format may change the trailer itself, and validating first
+    // would silently read its manifests as torn — exactly the stale-data
+    // failure the version gate exists to prevent
+    refuseNewerFormat(bytes)
     val body = checksumValidBody(bytes).getOrElse(return None)
     val lines = body.split("\n", -1).toSeq.dropRight(1) // trailing ""
     if (lines.isEmpty) return None
     val isV2 = lines.head match {
       case Header => false
       case Header2 => true
-      case h if h.startsWith(HeaderPrefix) &&
-          h.stripPrefix(HeaderPrefix).forall(_.isDigit) &&
-          h.stripPrefix(HeaderPrefix).nonEmpty &&
-          h.stripPrefix(HeaderPrefix).toLong > MaxFormatVersion =>
-        throw new UnsupportedManifestVersionException(
-          s"manifest format '$h' is newer than this reader's " +
-            s"(max v$MaxFormatVersion) — upgrade the reader; refusing rather " +
-            "than silently serve an older version's stale snapshot")
       case _ => return None
     }
     val v = lines.lift(1).collect { case s if s.startsWith("version=") =>

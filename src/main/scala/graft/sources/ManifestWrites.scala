@@ -116,7 +116,7 @@ object ManifestDmlRewrite extends Rule[LogicalPlan] {
       ManifestDeleteCommand(root, cond, ident)
 
     case UpdateTable(t, assignments, condOpt)
-        if manifestTarget(t).isDefined &&
+        if manifestTarget(t).isDefined && condOpt.forall(_.resolved) &&
           assignments.forall(a => a.key.resolved && a.value.resolved) =>
       val (root, ident) = manifestTarget(t).get
       val cond = condOpt.getOrElse(Literal.TrueLiteral)

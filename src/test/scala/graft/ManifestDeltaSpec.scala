@@ -165,6 +165,17 @@ class ManifestDeltaSpec extends SparkSpec {
       ManifestStore.latestSnapshot(spark, root)
     }
     assert(e.getMessage.contains("v3") || e.getMessage.contains("newer"))
+    // a v3 manifest with a DIFFERENT (or absent) checksum trailer must
+    // refuse just as loudly — the version gate runs before trailer
+    // validation, or the file would silently read as torn
+    val f2 = fs(root)
+    f2.delete(new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest"), false)
+    val out2 = f2.create(new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest"), false)
+    out2.write("graft-manifest v3\nversion=2\nsha256=abcdef\n".getBytes("UTF-8"))
+    out2.close()
+    intercept[ManifestStore.UnsupportedManifestVersionException] {
+      ManifestStore.latestSnapshotUnhinted(spark, root)
+    }
   }
 
   test("delta base skips torn slots: a crashed committer's slot does not " +
