@@ -1459,15 +1459,18 @@ object RelationalQueries {
       // merge-on-read throughout: every base data file survives the DML
       require(basePaths.subsetOf(s3.files.map(_.path).toSet),
         "SQL DML must never rewrite the base data files (merge-on-read)")
-      // the answer, read back through the CATALOG (planner-applied dvs)
-      val out = s.sql(
-        """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey, o_totalprice
-          |FROM graft_o27""".stripMargin)
-      val collected = out.collect()
+      // catalog-read parity pin (planner-applied dvs), kept to one
+      // driver-side aggregate — the full answer below goes through the
+      // library read so it needs no collect and survives the DROP
+      val catN = s.sql("SELECT count(*) FROM graft_o27").as[Long].head()
       s.sql("DROP TABLE IF EXISTS graft_o27")
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          java.util.Arrays.asList(collected: _*)), out.schema)
+      val out = M.table(s, root)
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice"))
+      val libN = out.count()
+      require(catN == libN,
+        s"catalog read (planner dvs) and library read disagree: $catN vs $libN")
+      out
     },
 
     // O28 (r13, VERDICT r12 #4): IVM MIN/MAX — the non-retractable

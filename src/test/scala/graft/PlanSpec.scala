@@ -91,6 +91,41 @@ class PlanSpec extends SparkSpec {
       s"dv filter fell out of whole-stage codegen:\n$plan")
   }
 
+  test("r13: planner-applied dv read (format/catalog path) keeps the native " +
+    "scan, the codegen predicate, zero exchanges and file pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft-planspec-dvfmt").toString
+    graft.sources.ManifestStore.append(spark,
+      spark.range(0, 4000).select(col("id"), (col("id") % 7).as("r"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), root)
+    val (nd, _, _) = graft.sources.ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(org.apache.spark.sql.sources.EqualTo("r", 0L)))
+    assert(nd > 500L)
+    // the FORMAT path (ManifestDvApplyRule wraps it — r13): same structural
+    // contract as the library read, plus manifest file pruning under a
+    // pushed predicate composing with the dv filter
+    val df = spark.read.format("graft-manifest").load(root)
+    assert(df.count() == 4000L - nd)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }.isEmpty,
+      s"format dv read must not exchange:\n$plan")
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"format dv read must not join:\n$plan")
+    assert(plan.toString.contains("graft_dv_deleted"),
+      s"the native dv predicate is not in the format plan:\n$plan")
+    val pruned = df.where(col("id") < 1000L)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty, "format dv read must stay a native file scan")
+    val opened = scans.map(_.metrics("numFiles").value).sum
+    pruned.count()
+    val openedAfter = scans.map(_.metrics("numFiles").value).sum
+    assert(math.max(opened, openedAfter) < 4,
+      s"range predicate must prune manifest files under the dv filter: " +
+        s"${math.max(opened, openedAfter)} of 4 opened")
+  }
+
   test("J1: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = explained(queries.Catalog.byName("j1_broadcast_lookup").run(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
