@@ -216,6 +216,37 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(ManifestStore.history(spark, root, limit = 1).count() == 1L)
   }
 
+  test("concurrent committers race across checkpoint boundaries without " +
+    "losing a commit (interval=3 stress)") {
+    val root = freshRoot()
+    val saved = ManifestStore.checkpointInterval
+    ManifestStore.checkpointInterval = 3
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Long]] =
+          (0 until 16).map(i => () =>
+            ManifestStore.append(spark,
+              batch(i * 100, i * 100 + 100).coalesce(1), root,
+              tornGraceMs = 0L))
+        val versions = pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        assert(versions.sorted == (1L to 16L),
+          s"every commit must land its own version: $versions")
+      } finally pool.shutdown()
+      // the union survived every rebase, across multiple checkpoints
+      assert(ids(ManifestStore.read(spark, root)) ==
+        (0 until 16).flatMap(i => i * 100 until i * 100 + 100).map(_.toLong).sorted)
+      // chain shape sane: version 1 is a checkpoint; checkpoints recur
+      val kinds = (1L to 16L).map(v => isDelta(root, v))
+      assert(!kinds.head && kinds.count(_ == false) >= 4,
+        s"interval=3 must mint several checkpoints: $kinds")
+      // every version still exactly replayable after the race
+      for (v <- Seq(1L, 5L, 9L, 16L))
+        assert(ManifestStore.readVersion(spark, root, v).count() == v * 100)
+    } finally ManifestStore.checkpointInterval = saved
+  }
+
   test("addbytes= marker records each version's added data bytes") {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 50).coalesce(1), root)
