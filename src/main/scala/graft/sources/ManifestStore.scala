@@ -3242,6 +3242,46 @@ object ManifestStore {
     (before.files.size, mine.size, v)
   }
 
+  /** SHALLOW CLONE (r13): a new manifest table at `dstRoot` whose first
+    * commit references the SOURCE's current data files (and deletion
+    * vectors) IN PLACE — a zero-copy fork, the Delta `SHALLOW CLONE`
+    * shape. From that commit on the clone is a fully independent table:
+    * its appends/deletes/upserts/compactions write under ITS root and
+    * re-point ITS manifest only; its [[vacuum]] lists only the clone's
+    * own `data/` tree, so foreign (source-owned) batch directories are
+    * structurally untouchable. The clone materializes the source's
+    * SCHEMA explicitly (a legacy source's footer-derived union), keeps
+    * its partition columns, mints a FRESH table identity and starts at
+    * version 1 with empty txn watermarks — checkpointed consumers of the
+    * source must not resume against it, and vice versa.
+    *
+    * The Delta caveat, stated: the SOURCE's vacuum knows nothing about
+    * clones — vacuuming the source past the cloned snapshot deletes
+    * shared files. Retain the source, or [[compact]] the clone (its
+    * rewrite copies the rows it keeps into its own root, severing the
+    * share). Cloning onto an existing table refuses loudly. Returns the
+    * clone's committed version (always 1).
+    */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val snap = latestSnapshot(spark, srcRoot).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed manifest under $srcRoot"))
+    require(snap.files.nonEmpty, s"cannot clone an empty table at $srcRoot")
+    require(latestSnapshot(spark, dstRoot).isEmpty,
+      s"refusing to clone onto $dstRoot — it already holds a committed " +
+        "table (clones create tables, they never merge into one)")
+    val schema = tableSchemaOf(spark, snap)
+    val (fs, dstP) = fsFor(spark, dstRoot)
+    commitWithRebase(fs, dstP, maxRetries, tornGraceMs) { base =>
+      require(base.isEmpty,
+        s"a table appeared at $dstRoot concurrently — refusing to clone " +
+          "onto it")
+      Some(Snapshot(0L, snap.files, Map.empty, Some(schema), snap.partCols,
+        op = "clone"))
+    }
+  }
+
   /** Table history (r13) — the DESCRIBE HISTORY analog: one row per
     * RESOLVABLE version, newest first, up to `limit` —
     * `(version, op, table_id, is_checkpoint, delta_depth, files,

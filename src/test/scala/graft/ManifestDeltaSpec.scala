@@ -198,6 +198,49 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(ids(ManifestStore.read(spark, root)) == (0L until 20L))
   }
 
+  test("shallow clone: zero-copy fork, fully independent evolution, " +
+    "clone vacuum cannot touch source files (r13)") {
+    val src = freshRoot(); val dst = freshRoot()
+    ManifestStore.append(spark, batch(0, 60).repartitionByRange(3, col("id")), src)
+    ManifestStore.deleteWhereMergeOnRead(spark, src,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 10L))) // dv travels too
+    val v = ManifestStore.cloneShallow(spark, src, dst)
+    assert(v == 1L)
+    assert(ids(ManifestStore.read(spark, dst)) == (10L until 60L))
+    val srcFiles = ManifestStore.latestSnapshot(spark, src).get.files.map(_.path).toSet
+    assert(ManifestStore.latestSnapshot(spark, dst).get.files.map(_.path).toSet
+      == srcFiles, "a shallow clone references the source's files in place")
+    assert(ManifestStore.latestSnapshot(spark, dst).get.tableId !=
+      ManifestStore.latestSnapshot(spark, src).get.tableId,
+      "a clone is a different table")
+    // independent evolution both ways
+    ManifestStore.append(spark, batch(100, 110), dst)
+    assert(ids(ManifestStore.read(spark, src)) == (10L until 60L),
+      "appending to the clone must not touch the source")
+    ManifestStore.deleteWhereMergeOnRead(spark, src,
+      Seq(org.apache.spark.sql.sources.LessThan("id", 20L)))
+    assert(ids(ManifestStore.read(spark, dst)) ==
+      ((10L until 60L) ++ (100L until 110L)),
+      "a later source delete must not reach the clone")
+    // clone vacuum: aggressive retention cannot delete source-owned files
+    ManifestStore.vacuum(spark, dst, keepVersions = 1, minAgeMs = 0L)
+    val f = fs(src)
+    assert(srcFiles.forall(p => f.exists(new Path(p))),
+      "clone vacuum must never delete foreign batch directories")
+    assert(ids(ManifestStore.read(spark, dst)) ==
+      ((10L until 60L) ++ (100L until 110L)))
+    // compacting the clone severs the share (its own copies)
+    ManifestStore.compact(spark, dst)
+    assert(ManifestStore.latestSnapshot(spark, dst).get.files
+      .forall(e => !srcFiles(e.path)), "compaction copies rows into the clone")
+    assert(ManifestStore.history(spark, dst).select("op")
+      .as[String].collect().toSeq.lastOption.contains("clone"))
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      ManifestStore.cloneShallow(spark, src, dst)
+    }
+  }
+
   test("history lists resolvable versions newest-first with ops, kinds and " +
     "live counts (r13)") {
     val root = freshRoot()
