@@ -73,8 +73,13 @@ object ManifestDvApplyRule {
   // sessions whose analyzer carries this rule: the format's createRelation
   // consults it to decide "hand the planner a dv-carrying relation" vs the
   // extension-less loud refusal. Weak keys — sessions must stay GC-able.
-  private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+  // Synchronized (advice r13): register runs during one session's analyzer
+  // construction while enabledFor reads on every format read from any
+  // other session/thread — a bare WeakHashMap would race (corruption, or
+  // a missed registration surfacing as a spurious dv refusal).
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
   private[graft] def register(spark: SparkSession): Unit = {
     sessions.add(spark): Unit

@@ -649,13 +649,17 @@ object ManifestStore {
   }
 
   /** The intact snapshot at version `v`, through [[snapshotCache]]. A v2
-    * DELTA manifest resolves by recursing to its base (each level cached
-    * under its own immutable file identity), so a delta chain's cold
-    * resolution is one O(files) checkpoint parse plus ≤
-    * [[checkpointInterval]] O(delta) parses, and the steady state is one
-    * cache hit. A delta whose base is gone (vacuumed past its chain, or
-    * never intact) is unresolvable — None, exactly like a vacuumed
-    * self-contained version.
+    * DELTA manifest resolves by walking down to its anchor and applying
+    * the collected deltas in one pass; only the ANCHOR and the TARGET are
+    * cached (each under its own immutable file identity) — intermediate
+    * delta levels are not, so resolving a chain-interior neighbor re-walks
+    * the shorter suffix down to the same cached anchor (O(Σ suffix delta
+    * bytes), cheap; caching every level would bloat the LRU for versions
+    * nobody asks for). Cold resolution is one O(files) checkpoint parse
+    * plus ≤ [[checkpointInterval]] O(delta) parses, and the steady state
+    * is one cache hit. A delta whose base is gone (vacuumed past its
+    * chain, or never intact) is unresolvable — None, exactly like a
+    * vacuumed self-contained version.
     */
   private def resolveCached(fs: FileSystem, root: Path, v: Long): Option[Snapshot] = {
     // walk the delta chain DOWN to a cached or self-contained anchor,
@@ -1668,56 +1672,111 @@ object ManifestStore {
           s"version $fromVersion under $root is gone (vacuumed or never intact) — " +
             "the change base is unknowable; reprocess from a full snapshot"))
     requireSameTable(root, fromSnap, cur)
-    val interior = ((fromVersion + 1) until cur.version)
-      .flatMap(v => snapshotAt(spark, root, v))
-    val snaps = (fromSnap +: interior) :+ cur
-    val rawSteps = snaps.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
-    // group CONSECUTIVE pure-append steps into one scan (per-file
-    // attribution rides a broadcast path→version map, CommitVersionOf);
-    // every dv-changing step pays its own exact diff scan, and a PHYSICAL
-    // rewrite flushes the run (it rewrites paths, so a run must never
-    // span it) while emitting nothing
-    def isPureAppend(prev: Snapshot, next: Snapshot): Boolean = {
-      val oldDv = prev.files.map(f => f.path -> f.dv.map(_.path)).toMap
-      val oldPaths = prev.files.map(_.path).toSet
-      !next.files.exists(f =>
-        oldDv.get(f.path).exists(_ != f.dv.map(_.path)) || // kept file's dv moved
-          (!oldPaths(f.path) && f.dv.exists(_.rows > 0)))  // added already dv'd
-    }
+    // ONE raw-manifest walk over (from, cur] (advice r13): each intact
+    // interior version contributes its own INCREMENT — a delta manifest's
+    // bytes, or a checkpoint's diff against the running state — applied
+    // onto an incrementally-maintained entry map. Total cost is O(width
+    // seed + Σ increment bytes), never O(versions × width) chain
+    // resolutions through the snapshot cache (a commitVersions=true stream
+    // seeding from version 0 over a deep history used to thrash). Full
+    // prev/next snapshots are synthesized from the map only at NON-PURE
+    // steps (dv change / removal), so O(width) materializations are
+    // bounded by the number of rewrite/dv commits in range, not by the
+    // version count. Torn/vacuumed/unresolvable interiors coarsen onto
+    // the next resolvable version, exactly as before.
+    val (fs, rootP) = fsFor(spark, root)
+    import scala.jdk.CollectionConverters._
+    val state = new java.util.LinkedHashMap[String, ManifestEntry]()
+    fromSnap.files.foreach(f => state.put(f.path, f))
+    var stateVersion = fromVersion
+    var stateSchema = fromSnap.schema
+    var statePartCols = fromSnap.partCols
+    var stateTableId = fromSnap.tableId
+    def stateFiles: Seq[ManifestEntry] = state.values.asScala.toSeq
     val frames = Seq.newBuilder[DataFrame]
-    var run = List.empty[(Snapshot, Snapshot)]
-    def flushRun(): Unit = if (run.nonEmpty) {
-      val runSteps = run.reverse
-      val last = runSteps.last._2
-      val stepSchema = last.schema.getOrElse(legacySchemaOf(spark, last.files))
-      val fileVersion: Map[String, Long] = runSteps.flatMap { case (p, n) =>
-        val old = p.files.map(_.path).toSet
-        n.files.filterNot(f => old(f.path)).map(_.path -> n.version)
-      }.toMap
-      // pure-append runs never remove files, so every added file survives
-      // to `last` — key the scanned entries off the attribution map itself
-      val addedEntries = last.files.filter(f => fileVersion.contains(f.path))
-      if (addedEntries.nonEmpty) {
-        val bcast = spark.sparkContext.broadcast(fileVersion.map { case (p, v) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(p) -> v })
-        import org.apache.spark.sql.graftshim.ColumnShim
-        val versionCol = ColumnShim.column(graft.plans.CommitVersionOf(
-          ColumnShim.expression(col("_metadata.file_path")), bcast))
-        frames += spark.baseRelationToDataFrame(
-          relationWith(spark, root, last.copy(files = addedEntries), stepSchema,
-            last.partCols))
-          .withColumn(ChangeTypeCol, lit("insert"))
-          .withColumn(CommitVersionCol, versionCol)
-      }
-      run = Nil
+    // pure-append run accumulation (consecutive append steps share ONE
+    // scan; per-file attribution rides a broadcast path→version map,
+    // CommitVersionOf): path → (version that ADDED it, LATEST entry) —
+    // an in-place metadata re-put updates the scanned entry, never the
+    // attribution
+    val runAdded = new java.util.LinkedHashMap[String, (Long, ManifestEntry)]()
+    def flushRun(): Unit = if (!runAdded.isEmpty) {
+      val addedEntries = runAdded.values.asScala.map(_._2).toSeq
+      val stepSchema = stateSchema.getOrElse(legacySchemaOf(spark, stateFiles))
+      val fileVersion: Map[String, Long] =
+        runAdded.asScala.map { case (p, (v, _)) => p -> v }.toMap
+      val bcast = spark.sparkContext.broadcast(fileVersion.map { case (p, v) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(p) -> v })
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val versionCol = ColumnShim.column(graft.plans.CommitVersionOf(
+        ColumnShim.expression(col("_metadata.file_path")), bcast))
+      frames += spark.baseRelationToDataFrame(
+        relationWith(spark, root,
+          Snapshot(stateVersion, addedEntries, schema = stateSchema,
+            partCols = statePartCols, tableId = stateTableId),
+          stepSchema, statePartCols))
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, versionCol)
+      runAdded.clear()
     }
-    for ((prev, next) <- rawSteps) {
-      if (physicalStepOrRefuse(root, prev, next)) flushRun() // boundary, no rows
-      else if (isPureAppend(prev, next)) run = (prev, next) :: run
-      else {
-        flushRun()
-        changesStep(spark, root, prev, next).foreach(df =>
-          frames += df.withColumn(CommitVersionCol, lit(next.version)))
+    // one version's increment vs the running state: classify, then apply
+    def step(v: Long, removed: Seq[String], puts: Seq[ManifestEntry],
+             schemaOpt: Option[StructType], partColsOpt: Option[Seq[String]],
+             tableIdNew: String, op: String): Unit = {
+      def advance(): Unit = {
+        schemaOpt.foreach(s => stateSchema = Some(s))
+        partColsOpt.foreach(pc => statePartCols = pc)
+        if (tableIdNew.nonEmpty) stateTableId = tableIdNew
+        stateVersion = v
+      }
+      val dvChange = puts.exists { e =>
+        Option(state.get(e.path)) match {
+          case Some(old) => old.dv.map(_.path) != e.dv.map(_.path) // dv moved
+          case None => e.dv.exists(_.rows > 0)                     // added already dv'd
+        }
+      }
+      if (removed.isEmpty && !dvChange) { // pure append (+ in-place metadata)
+        puts.foreach { e =>
+          if (!state.containsKey(e.path)) runAdded.put(e.path, (v, e))
+          else Option(runAdded.get(e.path)).foreach { case (av, _) =>
+            runAdded.put(e.path, (av, e))
+          }
+          state.put(e.path, e)
+        }
+        advance()
+      } else {
+        flushRun() // a rewrite/dv boundary: a run must never span it
+        val prevSnap = Snapshot(stateVersion, stateFiles, schema = stateSchema,
+          partCols = statePartCols, tableId = stateTableId)
+        removed.foreach(state.remove)
+        puts.foreach(e => state.put(e.path, e))
+        advance()
+        val nextSnap = Snapshot(v, stateFiles, schema = stateSchema,
+          partCols = statePartCols, op = op, tableId = stateTableId)
+        if (!physicalStepOrRefuse(root, prevSnap, nextSnap))
+          changesStep(spark, root, prevSnap, nextSnap).foreach(df =>
+            frames += df.withColumn(CommitVersionCol, lit(v)))
+      }
+    }
+    def stepFull(v: Long, s: Snapshot): Unit = {
+      val newPaths = s.files.map(_.path).toSet
+      val rm = state.keySet.asScala.toSeq.filterNot(newPaths)
+      step(v, rm, s.files, s.schema, Some(s.partCols), s.tableId, s.op)
+    }
+    for (v <- (fromVersion + 1) to cur.version) {
+      if (v == cur.version) stepFull(v, cur) // already resolved
+      else readManifestBytes(fs, rootP, v).flatMap(parse(_, v)) match {
+        case None => () // torn/vacuumed interior: coarsen onto the next one
+        case Some(DeltaManifest(d)) if d.base == stateVersion =>
+          step(v, d.removed.filter(state.containsKey), d.entries, d.schema,
+            d.partCols, d.tableId, d.op)
+        case Some(DeltaManifest(_)) =>
+          // base discontinuity (a delta anchored past a version this walk
+          // applied — cannot happen for commits this library wrote, since
+          // deltas anchor on the last INTACT version): fall back to the
+          // resolved snapshot and diff states; unresolvable coarsens
+          snapshotAt(spark, root, v).foreach(stepFull(v, _))
+        case Some(FullManifest(s)) => stepFull(v, s) // interior checkpoint
       }
     }
     flushRun()
@@ -3080,7 +3139,23 @@ object ManifestStore {
       else if (txn.exists { case (a, b) => baseTxns.getOrElse(a, -1L) >= b })
         None // this (appId, batchId) already committed: idempotent retry
       else {
-        val files = baseFiles.filterNot(f => rewrote.contains(f.path)) ++ mine
+        // order the snapshot exactly as a cold delta-chain resolution
+        // reconstructs it (advice r13): applyChain's LinkedHashMap replaces
+        // same-path entries IN PLACE — so a merge-on-read's dv-tagged
+        // entries must keep their base position here too (the committer
+        // seeds the snapshot cache with this list; a trailing-`mine` order
+        // would diverge from what every other resolver sees). Genuinely
+        // new paths append in commit order, replaced-without-successor
+        // paths drop.
+        val mineByPath = mine.iterator.map(e => e.path -> e).toMap
+        val basePaths = baseFiles.iterator.map(_.path).toSet
+        val appended = mine.filterNot(e => basePaths(e.path))
+        val files = baseFiles.flatMap { f =>
+          mineByPath.get(f.path) match {
+            case Some(repl) => Some(repl) // same-path successor: in place
+            case None => if (rewrote.contains(f.path)) None else Some(f)
+          }
+        } ++ appended
         if (refuseEmpty) require(files.nonEmpty,
           s"this rewrite would leave $root with no files — an empty manifest is " +
             "unreadable by contract; drop the table (or keep a sentinel row) instead")
@@ -3359,9 +3434,21 @@ object ManifestStore {
       }
       if (parent == null) None else Some(cur)
     }
+    // manifest retention and data retention must AGREE (advice r13): a
+    // kept DELTA version keeps its whole chain back to its checkpoint
+    // resolvable, so chain-interior versions (e.g. pre-compaction deltas
+    // on a kept checkpoint chain) stay readable — their data must be live
+    // too, or readVersion/history/changesBetweenVersioned would plan scans
+    // over vanished files and die with FileNotFoundException at execution
+    // instead of the contracted "gone (vacuumed)" refusal. The live set
+    // therefore spans EVERY retained manifest (>= the kept snapshots'
+    // lowest checkpoint), not just the newest keepVersions.
+    val keepV = kept.map(_.checkpointVersion).min
+    val retained = versions.iterator.filter(_ >= keepV)
+      .flatMap(v => readManifest(fs, rootP, v)).toSeq
     // deletion-vector files are referenced state too: vacuuming a live
     // dv dir would resurrect the deleted rows of every kept version (r11)
-    val live = kept.flatMap(_.files.flatMap(f =>
+    val live = retained.flatMap(_.files.flatMap(f =>
       (Seq(new Path(f.path)) ++ f.dv.map(d => new Path(d.path)))
         .flatMap(p => batchDirOf(p).map(stripped)))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -3380,7 +3467,6 @@ object ManifestStore {
     // a kept DELTA version needs its whole chain back to its checkpoint to
     // stay replayable (r13) — prune manifests strictly below the kept
     // snapshots' lowest checkpoint, never just below their lowest version
-    val keepV = kept.map(_.checkpointVersion).min
     for (v <- versions if v < keepV)
       fs.delete(manifestPath(rootP, v), false)
     dropped

@@ -184,6 +184,58 @@ class ManifestStoreSpec extends SparkSpec {
       "the interleaved append's files must survive the compaction commit")
   }
 
+  test("vacuum keeps chain-interior versions' DATA readable — manifest and data retention agree (advice r13)") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10).repartition(2), root)  // v1 checkpoint: batch A
+    ManifestStore.append(spark, batch(10, 20).repartition(2), root) // v2 delta: batch B
+    ManifestStore.append(spark, batch(20, 30).repartition(2), root) // v3 delta: batch C
+    // CoW delete of exactly batch A's rows: stats-pruned to A's files, the
+    // rewrite survives zero rows so v4 is a small DELTA (rm= only) whose
+    // chain anchors on the v1 checkpoint
+    import org.apache.spark.sql.sources.LessThan
+    val (n, _, v4) = ManifestStore.deleteWhere(spark, root, Seq(LessThan("id", 10L)))
+    assert(n == 10 && v4 == 4L)
+    assert(ManifestStore.latestSnapshot(spark, root).get.deltaDepth > 0,
+      "the delete must commit as a delta for this regression to bite")
+    // keepVersions=1 retains manifests down to v4's checkpoint (v1) to keep
+    // the chain replayable — so the data THOSE manifests reference must stay
+    // live too: pre-r14, batch A dropped here while readVersion(3) still
+    // resolved, and the scan died with FileNotFoundException at execution
+    assert(ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L) == 0,
+      "every batch is referenced by a retained (chain) manifest — none may drop")
+    assert(ids(ManifestStore.readVersion(spark, root, 3)) == (0L until 30L),
+      "a chain-interior version whose manifest vacuum retained must stay readable")
+    assert(ids(ManifestStore.read(spark, root)) == (10L until 30L))
+    // once the head is a CHECKPOINT (compaction rewrites the whole table),
+    // the chain collapses and retention genuinely reclaims: old batches drop
+    // AND their versions become unresolvable together
+    ManifestStore.compact(spark, root)
+    // batches A, B, C drop (plus the CoW delete's orphaned empty-rewrite dir)
+    assert(ManifestStore.vacuum(spark, root, keepVersions = 1, minAgeMs = 0L) >= 3)
+    assert(ManifestStore.snapshotAt(spark, root, 3).isEmpty,
+      "below the kept checkpoint, manifests are pruned with their data")
+    assert(ids(ManifestStore.read(spark, root)) == (10L until 30L))
+  }
+
+  test("committer-seeded snapshot matches cold resolution file ORDER after in-place dv tagging (advice r13)") {
+    val root = freshRoot()
+    ManifestStore.append(spark, batch(0, 10).repartition(2), root)
+    ManifestStore.append(spark, batch(10, 20).repartition(2), root)
+    // MoR delete tags batch A's files with dvs IN PLACE (same path, new dv)
+    import org.apache.spark.sql.sources.LessThan
+    val (n, _, _) = ManifestStore.deleteWhereMergeOnRead(
+      spark, root, Seq(LessThan("id", 3L)))
+    assert(n == 3)
+    val seeded = ManifestStore.latestSnapshot(spark, root).get.files
+      .map(f => f.path -> f.dv.map(_.path))
+    ManifestStore.clearCachesForTest()
+    val cold = ManifestStore.latestSnapshot(spark, root).get.files
+      .map(f => f.path -> f.dv.map(_.path))
+    assert(seeded == cold,
+      "the committer's seedCache order must be exactly what a cold delta-chain " +
+        "resolution reconstructs (dv-tagged entries replace IN PLACE)")
+  }
+
   test("vacuum drops unreferenced batches and old manifests, honors the age guard") {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 100).repartition(8), root)
