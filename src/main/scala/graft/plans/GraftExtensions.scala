@@ -52,10 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ManifestDvApplyRule.register(session)
       new ManifestDvApplyRule(session)
     }
-    // SQL `VERSION AS OF` on registered graft-manifest tables (r13) —
-    // must run BEFORE resolution (Spark's ResolveRelations refuses time
-    // travel on v1 relations outright), hence the hint batch
+    // SQL `VERSION AS OF` / `TIMESTAMP AS OF` on registered graft-manifest
+    // tables (r13/r14) — must run BEFORE resolution (Spark's
+    // ResolveRelations refuses time travel on v1 relations outright),
+    // hence the hint batch
     ext.injectHintResolutionRule(session =>
       new graft.sources.ManifestTimeTravelRule(session))
+    // SQL maintenance verbs OPTIMIZE / VACUUM (r14) — not ANSI SQL, so a
+    // DELEGATING parser recognizes exactly the two verb shapes and hands
+    // every other statement to Spark's own parser untouched
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
   }
 }

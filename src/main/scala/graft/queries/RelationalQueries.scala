@@ -1630,6 +1630,276 @@ object RelationalQueries {
       M.table(s, dst).select("doc_id", "lang", "n_chars")
     },
 
+    // O31 (r14, VERDICT r13 #1): the SQL-ONLY table lifecycle — a table is
+    // BORN in SQL (`CREATE TABLE ... AS SELECT` commits v1 through the
+    // CreatableRelationProvider seam), extended (`INSERT INTO`),
+    // restructured (`OPTIMIZE` = one physical bin-pack commit, rows
+    // conserved by construction) and reclaimed (`VACUUM ... RETAIN 1
+    // VERSIONS RETAIN 0 HOURS` drops the superseded pre-compaction
+    // batches) — no library call needed at any step. `timestampAsOf` a
+    // future instant resolves to the head (nearest-version-at-or-before by
+    // commit mtime). The oracle replays the CTAS ∪ INSERT content in pure
+    // SQL; every maintenance step is row-conserving, so the end state is
+    // exactly that union.
+    QueryDef.sql(
+      "o31_sql_lifecycle",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val base = orders.where(col("o_orderkey") % 4 === 1)
+      val root = ProcessNonce.scratchDir("graft_o31_life",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      s.sql("DROP TABLE IF EXISTS graft_o31")
+      val M = graft.sources.ManifestStore
+      // birth: CTAS commits version 1 (many small files, so OPTIMIZE bites)
+      base.where(col("o_orderkey") % 3 === 0).repartition(8)
+        .createOrReplaceTempView("graft_o31_seed")
+      s.sql(s"CREATE TABLE graft_o31 USING `graft-manifest` " +
+        s"OPTIONS (path '$root') AS SELECT * FROM graft_o31_seed")
+      require(M.latestSnapshot(s, root).get.version == 1L,
+        "CTAS must commit exactly one manifest version")
+      // extend: INSERT INTO commits version 2
+      base.where(col("o_orderkey") % 3 =!= 0).repartition(8)
+        .createOrReplaceTempView("graft_o31_more")
+      s.sql("INSERT INTO graft_o31 SELECT * FROM graft_o31_more")
+      val afterInsert = M.latestSnapshot(s, root).get
+      require(afterInsert.version == 2L, "INSERT must commit version 2")
+      // restructure: OPTIMIZE = one physical compaction commit
+      val opt = s.sql("OPTIMIZE graft_o31").collect().head
+      require(opt.getLong(1) < opt.getLong(0),
+        s"OPTIMIZE must reduce files: ${opt.getLong(0)} -> ${opt.getLong(1)}")
+      require(M.latestSnapshot(s, root).get.op == "compact",
+        "OPTIMIZE commits are PHYSICAL (change feeds stream through them)")
+      // time travel by TIMESTAMP: a future instant lands on the head
+      val headN = s.read.format("graft-manifest")
+        .option("timestampAsOf",
+          (System.currentTimeMillis() + 3600L * 1000).toString)
+        .load(root).count()
+      // reclaim: drop the pre-compaction batches; the table reads on
+      val dropped = s.sql(
+        s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS").as[Long].head()
+      require(dropped >= 1L, s"vacuum must reclaim superseded batches: $dropped")
+      val catN = s.sql("SELECT count(*) FROM graft_o31").as[Long].head()
+      s.sql("DROP TABLE IF EXISTS graft_o31")
+      val out = M.table(s, root)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      require(headN == catN,
+        s"timestampAsOf(+1h) must resolve to the head: $headN vs $catN")
+      out
+    },
+
+    // O33 (r14, VERDICT r13 #4): incrementally-maintained fact⋈dim JOIN
+    // view — dst = SELECT region, count(*), sum(n_chars) FROM fact JOIN
+    // dim USING (lang) GROUP BY region, advanced per tick from BOTH
+    // tables' change feeds by the exact bilinear decomposition
+    // ΔV = fact@old ⋈ Δdim + Δfact ⋈ dim@new (Materialized
+    // .maintainJoinedSums): late-arriving dim keys fold old fact rows in
+    // retroactively, a dim attribute upsert moves its group, a fact MoR
+    // delete retracts — each tick ONE atomic commit carrying both source
+    // watermarks. The oracle replays the end state in pure SQL.
+    QueryDef.sql(
+      "o33_ivm_join_view",
+      """WITH fact AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 3 IN (0, 1) AND NOT (doc_id % 5 = 0)),
+        |     dim AS (SELECT DISTINCT lang FROM documents),
+        |     ml AS (SELECT min(lang) AS l FROM dim),
+        |     dimf AS (SELECT lang,
+        |                     CASE WHEN lang = (SELECT l FROM ml) THEN 'XX'
+        |                          ELSE upper(lang) END AS region FROM dim)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM fact JOIN dimf USING (lang) GROUP BY region""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val langs = docs.select("lang").distinct()
+      val tag = Integer.toHexString(d.hashCode)
+      val fact = ProcessNonce.scratchDir("graft_o33_fact", tag)
+      val dim = ProcessNonce.scratchDir("graft_o33_dim", tag)
+      val dst = ProcessNonce.scratchDir("graft_o33_dst", tag)
+      val hc = s.sparkContext.hadoopConfiguration
+      Seq(fact, dim, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      val M = graft.sources.ManifestStore
+      val IVM = graft.sources.Materialized
+      def tick(): Unit = IVM.maintainJoinedSums(s, fact, dim, dst,
+        joinKeys = Seq("lang"), groupKeys = Seq("region"),
+        sumCols = Seq("n_chars")): Unit
+      // seed: fact slice 0, HALF the dim keys (even first-char codepoint)
+      val evenLang = ascii(substring(col("lang"), 1, 1)) % 2 === 0
+      M.append(s, docs.where(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")), fact)
+      M.append(s, langs.where(evenLang)
+        .withColumn("region", upper(col("lang"))), dim)
+      tick()
+      // both sides advance: new fact slice + the LATE dim keys (old fact
+      // rows matching them fold in retroactively — the fact@old ⋈ Δdim term)
+      M.append(s, docs.where(col("doc_id") % 3 === 1), fact)
+      M.append(s, langs.where(!evenLang)
+        .withColumn("region", upper(col("lang"))), dim)
+      tick()
+      // dim attribute UPDATE (delete+insert in its feed): group moves
+      val minLang = langs.agg(min("lang")).as[String].head()
+      M.upsertByKeyMergeOnRead(s, dim,
+        Seq((minLang, "XX")).toDF("lang", "region"), Seq("lang"),
+        maxProbeKeys = 1000)
+      tick()
+      // fact retraction via MoR delete
+      M.deleteMorExpr(s, fact, M.latestSnapshot(s, fact).get,
+        pruning = Seq.empty, cond = pmod(col("doc_id"), lit(5)) === 0)
+      tick()
+      M.table(s, dst).where(col("n") > 0)
+        .select(col("region"), col("n"), col("sum_n_chars"))
+    },
+
+    // O34 (r14, VERDICT r13 #4): maintained AVG — the retractable
+    // (Σ sign·v, Σ sign·[v IS NOT NULL]) pair SQL AVG derives from,
+    // advanced from the change feed and stored beside the derived avg_
+    // column; the per-column NON-NULL denominator matches SQL AVG's
+    // null-skipping exactly. Retractions adjust numerator and denominator
+    // together. Oracle: a plain AVG recompute of the replayed end state.
+    QueryDef.sql(
+      "o34_ivm_avg",
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents
+        |              WHERE doc_id % 2 = 0),
+        |     endstate AS (SELECT * FROM base WHERE NOT (doc_id % 7 = 0))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       AVG(CAST(n_chars AS DOUBLE)) AS avg_n_chars
+        |FROM endstate GROUP BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .where(col("doc_id") % 2 === 0)
+      val tag = Integer.toHexString(d.hashCode)
+      val src = ProcessNonce.scratchDir("graft_o34_src", tag)
+      val dst = ProcessNonce.scratchDir("graft_o34_dst", tag)
+      val hc = s.sparkContext.hadoopConfiguration
+      Seq(src, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      val M = graft.sources.ManifestStore
+      val IVM = graft.sources.Materialized
+      def tick(): Unit = IVM.maintainSums(s, src, dst, Seq("lang"),
+        avgCols = Seq("n_chars")): Unit
+      M.append(s, docs.where(col("doc_id") % 3 === 0)
+        .repartition(4, col("doc_id")), src)
+      tick() // seed
+      M.append(s, docs.where(col("doc_id") % 3 =!= 0), src)
+      tick() // append folds into both numerator and denominator
+      M.deleteMorExpr(s, src, M.latestSnapshot(s, src).get,
+        pruning = Seq.empty, cond = pmod(col("doc_id"), lit(7)) === 0)
+      tick() // retraction adjusts the pair
+      M.table(s, dst).where(col("n") > 0)
+        .select(col("lang"), col("n"), col("avg_n_chars"))
+    },
+
+    // O35 (r14, VERDICT r13 #5): MULTI-TABLE consistent replication — two
+    // mirrors advance under a two-phase VERSION-VECTOR pin (capture both
+    // heads, then apply each mirror to exactly its pin), every apply
+    // stamping a shared EPOCH watermark; consistentMirrorVersions returns
+    // the newest epoch present on BOTH mirrors with each one's exact
+    // version, and the answer JOINS the two mirrors AT those versions —
+    // join-consistent time travel across tables (the documented posture:
+    // exactly as consistent as the sources were at capture, since no
+    // cross-table transaction exists to copy). Oracle: the end state
+    // replayed in pure SQL.
+    QueryDef.sql(
+      "o35_multi_replicate",
+      """WITH a AS (SELECT doc_id, lang FROM documents
+        |           WHERE doc_id % 2 = 0 AND NOT (doc_id % 6 = 0)),
+        |     b AS (SELECT doc_id, n_chars * 2 AS twice FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(twice) AS BIGINT) AS sum_twice
+        |FROM a JOIN b USING (doc_id) GROUP BY lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tag = Integer.toHexString(d.hashCode)
+      val srcA = ProcessNonce.scratchDir("graft_o35_srca", tag)
+      val srcB = ProcessNonce.scratchDir("graft_o35_srcb", tag)
+      val dstA = ProcessNonce.scratchDir("graft_o35_dsta", tag)
+      val dstB = ProcessNonce.scratchDir("graft_o35_dstb", tag)
+      val hc = s.sparkContext.hadoopConfiguration
+      Seq(srcA, srcB, dstA, dstB).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      val M = graft.sources.ManifestStore
+      val R = graft.sources.Materialized
+      val tables = Seq((srcA, dstA, Seq("doc_id")), (srcB, dstB, Seq("doc_id")))
+      M.append(s, docs.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang").repartition(4, col("doc_id")), srcA)
+      M.append(s, docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), (col("n_chars") * 2).as("twice")), srcB)
+      R.replicateConsistent(s, tables) // epoch 1
+      // both sources advance DIFFERENTLY; the pin keeps the pair coherent
+      M.deleteMorExpr(s, srcA, M.latestSnapshot(s, srcA).get,
+        pruning = Seq.empty, cond = pmod(col("doc_id"), lit(6)) === 0)
+      M.append(s, docs.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), (col("n_chars") * 2).as("twice")), srcB)
+      R.replicateConsistent(s, tables) // epoch 2
+      val (epoch, at) = R.consistentMirrorVersions(s, Seq(dstA, dstB)).getOrElse(
+        sys.error("no complete epoch across the mirrors"))
+      require(epoch == 2L, s"expected epoch 2, got $epoch")
+      M.readVersion(s, dstA, at(dstA))
+        .join(M.readVersion(s, dstB, at(dstB)), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("twice").as("sum_twice"))
+    },
+
+    // O32 (r14, VERDICT r13 #2): COLUMN MAPPING — RENAME COLUMN and DROP
+    // COLUMN as METADATA-ONLY commits (files keep their immutable physical
+    // names; the manifest carries the logical schema + logical→physical
+    // map; the read path rewrites reader schemas/filters per file — the
+    // Delta name-mapping architecture). Pinned here: zero data entries
+    // change across both DDL commits, reads/filters/MoR-DML speak the new
+    // logical names, stats pruning still bites through the mapping, and a
+    // mapped table's manifests carry format v3 (pre-r14 readers refuse
+    // loudly instead of serving physical columns under stale names). The
+    // oracle replays the surviving rows with the renamed projection in
+    // pure SQL.
+    QueryDef.sql(
+      "o32_column_mapping",
+      """SELECT doc_id, n_chars AS chars
+        |FROM documents WHERE doc_id % 5 = 2 AND NOT (doc_id % 3 = 0)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .where(col("doc_id") % 5 === 2)
+      val root = ProcessNonce.scratchDir("graft_o32_colmap",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, docs.repartitionByRange(8, col("doc_id")), root)
+      val before = M.latestSnapshot(s, root).get
+      // two metadata-only DDL commits: rename + drop move ZERO data bytes
+      M.renameColumn(s, root, "n_chars", "chars")
+      M.dropColumn(s, root, "lang")
+      val snap = M.latestSnapshot(s, root).get
+      require(snap.files == before.files,
+        "rename/drop must be metadata-only (no data entry may change)")
+      require(snap.colMap == Map("chars" -> "n_chars") &&
+        snap.droppedPhys == Seq("lang"),
+        s"mapping state: ${snap.colMap} / ${snap.droppedPhys}")
+      // stats pruning maps the LOGICAL filter onto the physical stats key
+      val probe = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val kept = M.prunedEntries(snap,
+        Seq(org.apache.spark.sql.sources.GreaterThan("doc_id", probe)))
+      require(kept.nonEmpty && kept.size < snap.files.size,
+        s"range-laid-out table must still prune through the mapping: " +
+          s"${kept.size}/${snap.files.size}")
+      // MoR delete keyed on the ORIGINAL column name via its NEW name —
+      // one dv commit, the mapped read applies it
+      M.deleteMorExpr(s, root, snap, pruning = Seq.empty,
+        cond = pmod(col("doc_id"), lit(3)) === 0)
+      M.table(s, root).select(col("doc_id"), col("chars"))
+    },
+
     // O21 (r11): NESTED data skipping — struct leaves carry min/max stats
     // under parquet's dotted path (VERDICT r10 missing #4's second half),
     // so a `meta.custkey` predicate prunes files exactly like a flat one,

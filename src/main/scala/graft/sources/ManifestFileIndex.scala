@@ -72,8 +72,9 @@ private[graft] class ManifestFileIndex(
       val dirs = kept.groupBy(_.partition.getOrElse(Map.empty)).toSeq
         .sortBy(_._1.toSeq.sortBy(_._1).mkString(","))
         .map { case (pv, es) =>
+          // entry partition keys are PHYSICAL names (r14 column mapping)
           val values = partitionSchema.fields.map(f =>
-            partCatalyst(pv.get(f.name).flatten, f.dataType))
+            partCatalyst(pv.get(snap.physOf(f.name)).flatten, f.dataType))
           PartitionDirectory(new GenericInternalRow(values), es.map(statusOf))
         }
       if (partitionFilters.isEmpty) dirs

@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** SQL maintenance verbs for graft-manifest tables (r14, VERDICT r13 #1):
+  * the lifecycle a SQL-only user needs beyond DML —
+  *
+  * {{{
+  *   OPTIMIZE t [ZORDER BY (c1, c2)]
+  *   VACUUM t [RETAIN <n> VERSIONS] [RETAIN <n> HOURS]
+  * }}}
+  *
+  * `t` is a session-catalog table registered with provider
+  * `graft-manifest`, or a quoted path literal (`OPTIMIZE '/data/t'`) —
+  * the Delta surface shape. Neither statement is ANSI SQL, so this is a
+  * DELEGATING parser (the Delta extension pattern, installed via
+  * `SparkSessionExtensions.injectParser`): the two verb shapes are
+  * recognized up front by a cheap anchored match and everything else —
+  * including parse ERRORS in non-maintenance statements — flows to
+  * Spark's own parser untouched.
+  *
+  * Semantics map 1:1 onto the library API:
+  *  - `OPTIMIZE` = [[ManifestStore.compact]] (bin-pack to the default
+  *    target file size); with `ZORDER BY` =
+  *    [[ManifestStore.compactZOrdered]] (file count derived from current
+  *    bytes / 128 MiB). Both commit ONE physical (op=compact) version —
+  *    row-conserving, so tails and change feeds stream through it.
+  *  - `VACUUM` = [[ManifestStore.vacuum]]. `RETAIN n VERSIONS` maps to
+  *    keepVersions (default 2); `RETAIN n HOURS` maps to the age guard
+  *    (default 24h). Both clauses may appear (either order).
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+  extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // target = 'path literal' | (possibly backquoted, possibly qualified)
+  // identifier. Backquotes and quotes may not NEST here — a name that
+  // needs them goes through the library API.
+  private val Target = """('[^']+'|`[^`]+`(?:\.`[^`]+`)*|[\w.]+)"""
+
+  private val OptimizeRe = Pattern.compile(
+    s"""(?is)^\\s*OPTIMIZE\\s+$Target(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""")
+
+  private val VacuumRe = Pattern.compile(
+    s"""(?is)^\\s*VACUUM\\s+$Target((?:\\s+RETAIN\\s+\\d+\\s+(?:VERSIONS|HOURS))*)\\s*;?\\s*$$""")
+
+  private val RetainRe = Pattern.compile(
+    """(?i)RETAIN\s+(\d+)\s+(VERSIONS|HOURS)""")
+
+  // identifier-only targets here (a bare path has no catalog schema to
+  // keep in sync). Column tokens: bare or backquoted, no dots.
+  private val ColTok = """(`[^`]+`|\w+)"""
+  private val RenameColRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+RENAME\\s+COLUMN\\s+$ColTok\\s+TO\\s+$ColTok\\s*;?\\s*$$""")
+  private val DropColRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+COLUMN\\s+$ColTok\\s*;?\\s*$$""")
+
+  private def unquoteCol(t: String): String =
+    if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
+
+  /** The parsed maintenance command, or None for every other statement. */
+  private[sources] def parseMaintenance(sqlText: String,
+                                        delegate: ParserInterface)
+      : Option[LogicalPlan] = {
+    def targetOf(raw: String): Either[String, Seq[String]] =
+      if (raw.startsWith("'")) Left(raw.substring(1, raw.length - 1))
+      else Right(delegate.parseMultipartIdentifier(raw))
+    val om = OptimizeRe.matcher(sqlText)
+    if (om.matches()) {
+      val zorder = Option(om.group(2)).map(_.split(",").map { c =>
+        val t = c.trim
+        if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1)
+        else t
+      }.toSeq).getOrElse(Seq.empty)
+      zorder.foreach(c => require(c.nonEmpty, "empty ZORDER BY column"))
+      return Some(ManifestOptimizeCommand(targetOf(om.group(1)), zorder))
+    }
+    // ALTER TABLE ... RENAME/DROP COLUMN (r14 column mapping): Spark's own
+    // analyzer refuses both statements on every v1 table, so intercepting
+    // the shape shadows no working behavior — the command itself verifies
+    // the provider at run time and refuses non-manifest tables with the
+    // cause (other v1 formats could never run these anyway).
+    val rc = RenameColRe.matcher(sqlText)
+    if (rc.matches() && !rc.group(1).startsWith("'")) {
+      val parts = delegate.parseMultipartIdentifier(rc.group(1))
+      if (parts.size <= 2) // 3-part names live in v2 catalogs: not ours
+        return Some(ManifestAlterColumnCommand(Right(parts),
+          unquoteCol(rc.group(2)), Some(unquoteCol(rc.group(3)))))
+    }
+    val dc = DropColRe.matcher(sqlText)
+    if (dc.matches() && !dc.group(1).startsWith("'")) {
+      val parts = delegate.parseMultipartIdentifier(dc.group(1))
+      if (parts.size <= 2)
+        return Some(ManifestAlterColumnCommand(Right(parts),
+          unquoteCol(dc.group(2)), None))
+    }
+    val vm = VacuumRe.matcher(sqlText)
+    if (vm.matches()) {
+      var keepVersions: Option[Int] = None
+      var retainHours: Option[Long] = None
+      val rm = RetainRe.matcher(vm.group(2))
+      while (rm.find()) {
+        val n = rm.group(1).toLong
+        if (rm.group(2).toUpperCase(Locale.ROOT) == "VERSIONS") {
+          require(n >= 1, s"RETAIN $n VERSIONS — must keep at least 1")
+          keepVersions = Some(n.toInt)
+        } else retainHours = Some(n)
+      }
+      return Some(ManifestVacuumCommand(targetOf(vm.group(1)),
+        keepVersions, retainHours))
+    }
+    None
+  }
+
+  /** SQL maintenance target → manifest root (+ the catalog identity to
+    * refresh, when the target is a registered table). A path literal is
+    * used directly; an identifier must name a session-catalog table whose
+    * provider is `graft-manifest` — other formats refuse loudly rather
+    * than have their directories compacted as if they were manifest
+    * tables.
+    */
+  private[sources] def rootOf(spark: SparkSession,
+                              target: Either[String, Seq[String]])
+      : (String, Option[TableIdentifier]) = target match {
+    case Left(path) => (path, None)
+    case Right(parts) =>
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case other => throw new IllegalArgumentException(
+          s"maintenance target must be a [db.]table name or a quoted path " +
+            s"literal — got ${other.mkString(".")}")
+      }
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      require(meta.provider.exists(_.equalsIgnoreCase("graft-manifest")),
+        s"$ident is not a graft-manifest table (provider " +
+          s"${meta.provider.getOrElse("?")}) — OPTIMIZE/VACUUM apply to " +
+          "manifest tables only")
+      val root = meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(_.toString)).getOrElse(
+          throw new IllegalArgumentException(s"$ident records no path"))
+      (root, Some(ident))
+  }
+
+  /** Retry a rewrite that ABANDONED (-1: a concurrent rewrite superseded a
+    * touched file between snapshot and commit) — same policy as SQL DML.
+    */
+  private[sources] def retryingRewrite(what: String, root: String,
+                                       attempts: Int = 3)
+                                      (op: => (Int, Int, Long)): (Int, Int, Long) = {
+    var i = 0
+    while (i < attempts) {
+      val r = op
+      if (r._3 != -1L) return r
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"$what on $root abandoned $attempts times (concurrent rewrites kept " +
+        "superseding the touched files) — quiesce maintenance and retry")
+  }
+}
+
+/** One `OPTIMIZE` = one physical compaction commit (bin-pack, or Z-order
+  * layout when `ZORDER BY` columns are given). Returns
+  * (files_before, files_after, version).
+  */
+final case class ManifestOptimizeCommand(target: Either[String, Seq[String]],
+                                         zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    val (b, a, v) = GraftSqlParser.retryingRewrite("OPTIMIZE", root) {
+      if (zorderBy.isEmpty) ManifestStore.compact(spark, root)
+      else {
+        val snap = ManifestStore.latestSnapshot(spark, root).getOrElse(
+          throw new java.util.NoSuchElementException(
+            s"no committed manifest under $root"))
+        val files = math.max(1L,
+          (snap.files.map(_.bytes).sum + (128L << 20) - 1) / (128L << 20)).toInt
+        ManifestStore.compactZOrdered(spark, root,
+          zorderBy.map(org.apache.spark.sql.functions.col), files)
+      }
+    }
+    ident.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    Seq(Row(b.toLong, a.toLong, v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` / `DROP COLUMN a` on a registered
+  * graft-manifest table (r14 column mapping): ONE metadata-only manifest
+  * commit through [[ManifestStore.renameColumn]]/[[ManifestStore.dropColumn]]
+  * — zero data bytes move — then the session catalog's stored schema is
+  * updated to the manifest's new logical schema (catalog reads pass the
+  * stored schema back through the provider, which verifies the match).
+  * Spark's own analyzer refuses both statements on every v1 table, so the
+  * intercept shadows nothing; non-manifest providers refuse here with the
+  * cause. Renaming a PARTITION column is refused on the SQL surface (the
+  * catalog pins partition columns in ways `alterTableDataSchema` cannot
+  * follow) — the library API handles that case for path-rooted tables.
+  */
+final case class ManifestAlterColumnCommand(target: Either[String, Seq[String]],
+                                            column: String,
+                                            renameTo: Option[String])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, identOpt) = GraftSqlParser.rootOf(spark, target)
+    val ident = identOpt.get // identifier-only by construction (parser)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(!meta.partitionColumnNames.contains(column),
+      s"cannot ${if (renameTo.isDefined) "rename" else "drop"} partition " +
+        s"column '$column' of $ident in SQL — the catalog pins partition " +
+        "columns; rewrite the table (or use the library API on a " +
+        "path-rooted table)")
+    renameTo match {
+      case Some(to) => ManifestStore.renameColumn(spark, root, column, to)
+      case None => ManifestStore.dropColumn(spark, root, column)
+    }
+    val snap = ManifestStore.latestSnapshot(spark, root).get
+    val logical = ManifestStore.tableSchemaOf(spark, snap)
+    // stored catalog layout: data columns first, partition columns last
+    // (alterTable, not alterTableDataSchema — the latter refuses renames/
+    // drops by design; the manifest commit above is the source of truth)
+    val newFull = org.apache.spark.sql.types.StructType(
+      logical.fields.filterNot(f => meta.partitionColumnNames.contains(f.name)) ++
+        meta.partitionSchema.fields)
+    spark.sessionState.catalog.alterTable(meta.copy(schema = newFull))
+    spark.sessionState.catalog.refreshTable(ident)
+    Seq.empty
+  }
+}
+
+/** One `VACUUM` = [[ManifestStore.vacuum]] (drop data unreferenced by
+  * every retained manifest AND older than the age guard; prune manifests
+  * below the kept snapshots' lowest checkpoint). Returns the number of
+  * batch directories deleted.
+  */
+final case class ManifestVacuumCommand(target: Either[String, Seq[String]],
+                                       keepVersions: Option[Int],
+                                       retainHours: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("batches_deleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.rootOf(spark, target)
+    val dropped = ManifestStore.vacuum(spark, root,
+      keepVersions = keepVersions.getOrElse(2),
+      minAgeMs = retainHours.map(_ * 3600L * 1000L)
+        .getOrElse(24L * 3600 * 1000))
+    Seq(Row(dropped.toLong))
+  }
+}

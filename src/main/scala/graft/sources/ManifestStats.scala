@@ -349,6 +349,40 @@ private[graft] object ManifestStats {
   private def instantMicros(i: java.time.Instant): Long =
     math.addExact(math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
 
+  /** Rewrite every attribute reference of a pushed filter through
+    * `phys` (r14 column mapping: logical → physical name). Dotted names
+    * map their TOP-level segment only — nested struct fields are not
+    * renameable, so the tail is the physical path already. Unknown filter
+    * shapes pass through unchanged: [[mightMatch]] treats an unmatched
+    * name conservatively (keep), and parquet pushdown ignores filters on
+    * columns absent from the file schema — unrenamed ≠ wrong, just
+    * unpruned.
+    */
+  def renameFilter(f: Filter, phys: String => String): Filter = {
+    def ren(n: String): String = {
+      val i = n.indexOf('.')
+      if (i < 0) phys(n) else phys(n.substring(0, i)) + n.substring(i)
+    }
+    f match {
+      case EqualTo(a, v) => EqualTo(ren(a), v)
+      case EqualNullSafe(a, v) => EqualNullSafe(ren(a), v)
+      case GreaterThan(a, v) => GreaterThan(ren(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(ren(a), v)
+      case LessThan(a, v) => LessThan(ren(a), v)
+      case LessThanOrEqual(a, v) => LessThanOrEqual(ren(a), v)
+      case In(a, vs) => In(ren(a), vs)
+      case IsNull(a) => IsNull(ren(a))
+      case IsNotNull(a) => IsNotNull(ren(a))
+      case StringStartsWith(a, v) => StringStartsWith(ren(a), v)
+      case StringEndsWith(a, v) => StringEndsWith(ren(a), v)
+      case StringContains(a, v) => StringContains(ren(a), v)
+      case And(l, r) => And(renameFilter(l, phys), renameFilter(r, phys))
+      case Or(l, r) => Or(renameFilter(l, phys), renameFilter(r, phys))
+      case Not(c) => Not(renameFilter(c, phys))
+      case other => other
+    }
+  }
+
   /** Conservative may-this-file-match evaluation of one pushed filter
     * against an entry's stats + partition values. `true` = cannot rule the
     * file out (keep); every unknown — missing stats, unsupported filter

@@ -16,11 +16,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * tables whose provider is `graft-manifest`; everything else passes
   * through to Spark's own handling untouched.
   *
-  * `TIMESTAMP AS OF` is refused with the recipe: the manifest records no
-  * commit timestamps (file mtimes are not a stable clock across
-  * stores/rewrites), and guessing one would silently travel to the wrong
-  * version — name the version (`ManifestStore.snapshotAt` enumerates
-  * them).
+  * `TIMESTAMP AS OF <ts>` (r14, VERDICT r13 #3) resolves to the NEWEST
+  * version committed at or before `ts`, by manifest mtime
+  * ([[ManifestStore.versionAtOrBefore]] — see its clock-skew caveat:
+  * mtimes are the store's write clock, not a transactional commit clock;
+  * `history()` shows exactly what a timestamp lands on, and
+  * version-precise replays should use `VERSION AS OF`). The timestamp
+  * must be a foldable expression (a literal or literal cast) — it is
+  * evaluated in the session time zone.
   */
 class ManifestTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -29,19 +32,48 @@ class ManifestTimeTravelRule(spark: SparkSession) extends Rule[LogicalPlan] {
       manifestRootOf(u) match {
         case None => tt
         case Some((root, alias)) =>
-          require(ts.isEmpty && version.isDefined,
-            s"TIMESTAMP AS OF is not supported on a graft-manifest table " +
-              s"($root) — the manifest records versions, not commit " +
-              "timestamps; use VERSION AS OF <n> " +
-              "(ManifestStore.snapshotAt enumerates committed versions)")
-          val v = try version.get.toLong catch {
-            case _: NumberFormatException => throw new IllegalArgumentException(
-              s"VERSION AS OF on a graft-manifest table must be a version " +
-                s"number, got '${version.get}'")
+          val v = (ts, version) match {
+            case (None, Some(vs)) =>
+              try vs.toLong catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"VERSION AS OF on a graft-manifest table must be a version " +
+                    s"number, got '$vs'")
+              }
+            case (Some(tsExpr), _) =>
+              val millis = evalTimestampMillis(tsExpr, root)
+              ManifestStore.versionAtOrBefore(spark, root, millis).getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"TIMESTAMP AS OF $tsExpr predates the retained history " +
+                    s"under $root — no committed version is at or before it " +
+                    "(ManifestStore.history lists per-version commit times)"))
+            case (None, None) => throw new IllegalArgumentException(
+              s"time travel on $root needs VERSION AS OF <n> or " +
+                "TIMESTAMP AS OF <ts>")
           }
           SubqueryAlias(alias,
             ManifestStore.readVersion(spark, root, v).queryExecution.analyzed)
       }
+  }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: it must be
+    * foldable (this rule runs BEFORE resolution, so non-literal
+    * expressions cannot be evaluated here — and a non-deterministic
+    * timestamp would make the travelled version irreproducible anyway).
+    */
+  private def evalTimestampMillis(tsExpr: org.apache.spark.sql.catalyst.expressions.Expression,
+                                  root: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    require(tsExpr.resolved && tsExpr.foldable,
+      s"TIMESTAMP AS OF on a graft-manifest table ($root) must be a literal " +
+        s"timestamp — got $tsExpr (evaluated before resolution; bind " +
+        "function results yourself)")
+    val cast = Cast(tsExpr, TimestampType,
+      Some(spark.sessionState.conf.sessionLocalTimeZone))
+    val micros = cast.eval(null)
+    require(micros != null,
+      s"TIMESTAMP AS OF value $tsExpr does not parse as a timestamp")
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
   }
 
   /** The manifest root behind a bare/qualified SESSION-CATALOG table name

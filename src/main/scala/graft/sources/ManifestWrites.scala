@@ -41,11 +41,35 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
         s"static PARTITION clauses are not supported on a graft-manifest " +
           s"table (${i.outputPath}) — write the partition column as data " +
           "(dynamic partitioning); the manifest records each file's values")
+      // the relation's partitionSchema is authoritative once the table has
+      // commits; a column-list CREATE's pre-first-insert relation carries
+      // none (the v1 provider seam loses PARTITIONED BY), so the FIRST
+      // insert falls back to the catalog's declared partitioning (r14)
+      val partCols =
+        if (i.partitionColumns.nonEmpty) i.partitionColumns.map(_.name)
+        else i.catalogTable.map(_.partitionColumnNames).getOrElse(Seq.empty)
       ManifestInsertCommand(
         i.fileIndex.get.asInstanceOf[ManifestFileIndex].root.toString,
-        i.partitionColumns.map(_.name),
+        partCols,
         i.query, i.outputColumnNames,
         i.catalogTable.map(_.identifier))
+
+    // CTAS with PARTITIONED BY: Spark's v1 CreateDataSourceTableAsSelect
+    // hands a CreatableRelationProvider only (mode, options, data) — the
+    // declared partitioning stays on the CatalogTable and never reaches
+    // the provider. Thread it through the one channel the provider DOES
+    // see: the same options key DataFrameWriter.partitionBy uses (r14).
+    case c: org.apache.spark.sql.execution.command.CreateDataSourceTableAsSelectCommand
+        if c.table.provider.exists(_.equalsIgnoreCase("graft-manifest")) &&
+          c.table.partitionColumnNames.nonEmpty &&
+          !c.table.storage.properties.contains(
+            org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY) =>
+      val key = org.apache.spark.sql.execution.datasources.DataSourceUtils.PARTITIONING_COLUMNS_KEY
+      val encoded = org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .encodePartitioningColumns(c.table.partitionColumnNames)
+      c.copy(table = c.table.copy(storage = c.table.storage.copy(
+        properties = c.table.storage.properties + (key -> encoded))))
+
     case other => other
   }
 }

@@ -65,11 +65,13 @@ object Materialized {
                    keys: Seq[String], sumCols: Seq[String] = Nil,
                    appId: String = "graft-ivm", ticks: Int = 1,
                    pollMs: Long = 1000L, maxProbeKeys: Int = 10000,
-                   minMaxCols: Seq[String] = Nil): Long = {
+                   minMaxCols: Seq[String] = Nil,
+                   avgCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "maintainSums needs at least one group key")
     require(ticks >= 1, s"ticks must be positive: $ticks")
     val aggNames = "n" +: (sumCols.map(c => s"sum_$c") ++
-      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")))
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+      avgCols.flatMap(c => Seq(s"asum_$c", s"acnt_$c", s"avg_$c")))
     require(keys.intersect(aggNames).isEmpty,
       s"group keys collide with maintained column names $aggNames")
     val M = ManifestStore
@@ -83,7 +85,8 @@ object Materialized {
           case Some(cur) if cur.files.nonEmpty =>
             val full = M.readWhere(spark, srcRoot, cur, Seq.empty)
             val seed = withMinMax(
-              grouped(full.withColumn(SignCol, lit(1L)), keys, sumCols),
+              withAvg(grouped(full.withColumn(SignCol, lit(1L)), keys,
+                sumCols, avgCols), avgCols),
               full.groupBy(keys.map(col): _*), keys, minMaxCols)
             M.appendBatch(spark, seed, dstRoot, appId, cur.version)
             last = cur.version
@@ -95,7 +98,7 @@ object Materialized {
             if (!changes.isEmpty)
               mergeChanges(spark, changes, dstRoot, keys, sumCols,
                 appId, v, maxProbeKeys, minMaxCols,
-                Some((srcRoot, v)))
+                Some((srcRoot, v)), avgCols)
             last = v
             true
           } else false
@@ -194,17 +197,20 @@ object Materialized {
                            sumCols: Seq[String], appId: String,
                            batchId: Long, maxProbeKeys: Int,
                            minMaxCols: Seq[String] = Nil,
-                           srcAt: Option[(String, Long)] = None): Unit = {
+                           srcAt: Option[(String, Long)] = None,
+                           avgCols: Seq[String] = Nil,
+                           extraTxns: Map[String, Long] = Map.empty): Unit = {
     val M = ManifestStore
     require(minMaxCols.isEmpty || srcAt.isDefined,
       "min/max maintenance needs the source version to recompute against")
-    val sumNames = "n" +: sumCols.map(c => s"sum_$c")
+    val sumNames = "n" +: (sumCols.map(c => s"sum_$c") ++
+      avgCols.flatMap(c => Seq(s"asum_$c", s"acnt_$c")))
     val signed = changes.withColumn(SignCol,
       when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
     // |groups-touched|-sized by construction, and evaluated several times
     // below (key probe, broadcast, rewrite) — pin it so each evaluation
     // does not re-run the change-feed scan and the grouping (review r12)
-    val deltaAgg = grouped(signed, keys, sumCols).persist()
+    val deltaAgg = grouped(signed, keys, sumCols, avgCols).persist()
     try {
     def minMaxOf(sums: DataFrame): DataFrame =
       if (minMaxCols.isEmpty) sums
@@ -216,7 +222,8 @@ object Materialized {
       }
     if (M.latestSnapshot(spark, dstRoot).isEmpty) {
       // first ever batch: the merge against an empty table IS the seed
-      M.appendBatch(spark, minMaxOf(deltaAgg), dstRoot, appId, batchId): Unit
+      M.appendBatch(spark, minMaxOf(withAvg(deltaAgg, avgCols)), dstRoot,
+        appId, batchId, extraTxns = extraTxns): Unit
       return
     }
     val dTypes = sumNames.map(n => n -> deltaAgg.schema(n).dataType).toMap
@@ -227,12 +234,13 @@ object Materialized {
     // |groups|-sized maintained table
     val touched = broadcast(deltas.select(keys.map(col): _*))
     val existing = M.read(spark, dstRoot).join(touched, keys, "left_semi")
-    val merged = minMaxOf(deltas.join(existing, keys, "left").select(
+    val merged = minMaxOf(withAvg(deltas.join(existing, keys, "left").select(
       keys.map(col) ++ sumNames.map { n =>
         (coalesce(col(n), lit(0L).cast(dTypes(n))) + col(s"__d_$n")).as(n)
-      }: _*))
+      }: _*), avgCols))
     val (_, _, v) = M.upsertByKey(spark, dstRoot, merged, keys,
-      maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId))
+      maxProbeKeys = maxProbeKeys, txn = Some(appId -> batchId),
+      extraTxns = extraTxns)
     // -1 is EITHER the idempotent replay (watermark already at/past this
     // batch — fine) OR an abandonment (a concurrent rewrite of the
     // destination superseded a touched file — NOTHING committed). The two
@@ -248,6 +256,148 @@ object Materialized {
           "— failing the tick so it retries against the fresh state")
     }
     } finally deltaAgg.unpersist(blocking = false): Unit
+  }
+
+  /** Incrementally-maintained GROUPED AGGREGATE over an equi-JOIN of two
+    * manifest tables (r14, VERDICT r13 #4) — the fact⋈dim view:
+    *
+    * {{{ dst = SELECT groupKeys, count(*) AS n, sum(c) AS sum_c ...
+    *     FROM fact JOIN dim USING (joinKeys) GROUP BY groupKeys }}}
+    *
+    * advanced per tick from BOTH tables' row-level change feeds by the
+    * exact bilinear decomposition
+    *
+    * {{{ ΔV = fact@lastF ⋈ Δdim  +  Δfact ⋈ dim@vd }}}
+    *
+    * (V is bilinear in the two multisets, so the cross term cancels —
+    * algebraically exact, including LATE-ARRIVING dim keys: old fact rows
+    * that suddenly match a new dim row fold in through the first term).
+    * Each tick is ONE atomic commit: the idempotence watermark is the
+    * strictly-monotone `appId -> vf+vd`, and the per-source resume state
+    * (`appId#fact -> vf`, `appId#dim -> vd`) rides the SAME commit as
+    * extra txn entries — a crash replays deterministically from the
+    * recorded pair, with no side checkpoint. A tick whose deltas net to
+    * zero rows still advances the watermarks (a watermark-only stamp
+    * commit).
+    *
+    * 100 TB posture: per tick the fact side scans only its CHANGED files;
+    * the dim-change term prunes the fact read by the changed dim keys
+    * (In-sets up to `maxProbeKeys` — delta-proportional on a fact table
+    * clustered by the join key); the dim table BROADCASTS (it is a
+    * dimension — that is the contract); the destination is
+    * |groups|-sized. Requirements: column names distinct across the two
+    * tables apart from `joinKeys`; `fact@lastF` must stay resolvable
+    * between ticks (vacuum retention must cover the maintenance lag — the
+    * r14 vacuum keeps every retained manifest's data readable, so
+    * `keepVersions` is the lever); join-key updates in dim express as
+    * delete+insert in its feed and fold exactly.
+    *
+    * Returns the last applied (factVersion, dimVersion).
+    */
+  def maintainJoinedSums(spark: SparkSession, factRoot: String,
+                         dimRoot: String, dstRoot: String,
+                         joinKeys: Seq[String], groupKeys: Seq[String],
+                         sumCols: Seq[String] = Nil,
+                         appId: String = "graft-ivm-join", ticks: Int = 1,
+                         pollMs: Long = 1000L,
+                         maxProbeKeys: Int = 10000): (Long, Long) = {
+    require(joinKeys.nonEmpty, "maintainJoinedSums needs join key columns")
+    require(groupKeys.nonEmpty, "maintainJoinedSums needs group key columns")
+    require(ticks >= 1, s"ticks must be positive: $ticks")
+    val M = ManifestStore
+    val factWm = s"$appId#fact"
+    val dimWm = s"$appId#dim"
+    val outCols = groupKeys.map(col) ++ sumCols.map(col) :+ col(SignCol)
+    var (lastF, lastD) = M.latestSnapshot(spark, dstRoot)
+      .map(s => (s.txns.getOrElse(factWm, 0L), s.txns.getOrElse(dimWm, 0L)))
+      .getOrElse((0L, 0L))
+    def signedOf(changes: DataFrame): DataFrame = changes
+      .withColumn(SignCol,
+        when(col(ManifestStore.ChangeTypeCol) === "insert", 1L).otherwise(-1L))
+      .drop(ManifestStore.ChangeTypeCol)
+    var tick = 0
+    while (tick < ticks) {
+      tick += 1
+      val advanced =
+        if (lastF == 0L) {
+          (M.latestSnapshot(spark, factRoot), M.latestSnapshot(spark, dimRoot)) match {
+            case (Some(f), Some(dm)) if f.files.nonEmpty && dm.files.nonEmpty =>
+              val joined = M.readWhere(spark, factRoot, f, Seq.empty)
+                .join(broadcast(M.readWhere(spark, dimRoot, dm, Seq.empty)),
+                  joinKeys)
+              val seed = grouped(joined.withColumn(SignCol, lit(1L)),
+                groupKeys, sumCols)
+              M.appendBatch(spark, seed, dstRoot, appId, f.version + dm.version,
+                extraTxns = Map(factWm -> f.version, dimWm -> dm.version))
+              lastF = f.version; lastD = dm.version
+              true
+            case _ => false
+          }
+        } else {
+          val (vf, fch) = M.readChangesSince(spark, factRoot, lastF)
+          val (vd, dch) = M.readChangesSince(spark, dimRoot, lastD)
+          if (vf == lastF && vd == lastD) false
+          else {
+            var pinned: Option[DataFrame] = None
+            try {
+            val parts = Seq.newBuilder[DataFrame]
+            if (vd > lastD && !dch.isEmpty) {
+              // term 1: fact AT THE OLD WATERMARK ⋈ Δdim — the fact read
+              // prunes by the changed dim keys (delta-proportional on a
+              // key-clustered fact table), the change-sized Δdim broadcasts
+              // (pinned: evaluated for the key probe AND the join)
+              val dSigned = signedOf(dch).persist()
+              pinned = Some(dSigned)
+              val factOld = M.snapshotAt(spark, factRoot, lastF).getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"fact version $lastF under $factRoot is gone (vacuumed) — " +
+                    "the joined view's recompute base is unknowable; raise " +
+                    "vacuum keepVersions above the maintenance lag"))
+              val keyRows = dSigned.select(joinKeys.map(col): _*)
+                .distinct().limit(maxProbeKeys + 1).collect()
+              val pruning: Seq[org.apache.spark.sql.sources.Filter] =
+                if (keyRows.length > maxProbeKeys) Nil
+                else joinKeys.zipWithIndex.map { case (c, i) =>
+                  org.apache.spark.sql.sources.In(c, keyRows.map(_.get(i)).distinct)
+                }
+              parts += M.readWhere(spark, factRoot, factOld, pruning)
+                .join(broadcast(dSigned), joinKeys).select(outCols: _*)
+            }
+            if (vf > lastF && !fch.isEmpty) {
+              // term 2: Δfact ⋈ dim AT THE NEW VERSION — the dim broadcasts
+              val dimNew = M.snapshotAt(spark, dimRoot, vd).getOrElse(
+                throw new java.util.NoSuchElementException(
+                  s"dim version $vd under $dimRoot is gone (vacuumed) — " +
+                    "retry the tick against the fresh head"))
+              parts += signedOf(fch)
+                .join(broadcast(M.readWhere(spark, dimRoot, dimNew, Seq.empty)),
+                  joinKeys).select(outCols: _*)
+            }
+            val built = parts.result()
+            val deltaRows =
+              if (built.isEmpty) None
+              else Some(built.reduce(_ unionByName _)).filterNot(_.isEmpty)
+            deltaRows match {
+              case Some(rows) =>
+                mergeChanges(spark,
+                  // reuse the change-feed merge: re-tag the signed rows
+                  rows.withColumn(ManifestStore.ChangeTypeCol,
+                    when(col(SignCol) === 1L, "insert").otherwise("delete"))
+                    .drop(SignCol),
+                  dstRoot, groupKeys, sumCols, appId, vf + vd, maxProbeKeys,
+                  extraTxns = Map(factWm -> vf, dimWm -> vd))
+              case None => // netted to nothing: still advance the watermarks
+                M.stampTxns(spark, dstRoot,
+                  Map(appId -> (vf + vd), factWm -> vf, dimWm -> vd)): Unit
+            }
+            lastF = vf; lastD = vd
+            true
+            } finally pinned.foreach(_.unpersist(blocking = false))
+          }
+        }
+      if (!advanced && tick < ticks) Thread.sleep(pollMs)
+    }
+    (lastF, lastD)
   }
 
   /** Exactly-once CDC REPLICATION (r13): maintain a keyed MIRROR of a
@@ -310,12 +460,105 @@ object Materialized {
     last
   }
 
+  /** MULTI-TABLE consistent replication (r14, VERDICT r13 #5): mirror
+    * several tables under a TWO-PHASE VERSION-VECTOR PIN —
+    *
+    *  1. CAPTURE: pin every source's head version in one tight driver
+    *     pass (the version vector);
+    *  2. APPLY: advance each mirror to EXACTLY its pinned version (never
+    *     the live head, which may keep moving), each apply one idempotent
+    *     commit that also stamps a shared EPOCH counter
+    *     (`appId#epoch -> e`).
+    *
+    * The honest consistency statement — stated because the manifest layer
+    * has no cross-table transaction, and neither do the SOURCES: the
+    * epoch-`e` mirror versions reproduce a state in which each source
+    * stood at its captured version simultaneously (up to the capture
+    * pass's skew, one metadata read per table). Joins across epoch-`e`
+    * mirror versions are exactly as consistent as joins against the
+    * sources at capture time — no better consistency exists to copy. A
+    * crash mid-apply leaves epoch `e` on a prefix of the mirrors; rerun
+    * to completion or use [[consistentMirrorVersions]], which only ever
+    * returns epochs present on EVERY mirror. Returns
+    * (epoch, per-table pinned source versions).
+    */
+  def replicateConsistent(spark: SparkSession,
+                          tables: Seq[(String, String, Seq[String])],
+                          appId: String = "graft-replicate-multi",
+                          maxProbeKeys: Int = 10000): (Long, Seq[Long]) = {
+    require(tables.nonEmpty, "replicateConsistent needs at least one table")
+    require(tables.map(_._2).distinct.size == tables.size,
+      "destination roots must be distinct")
+    val M = ManifestStore
+    val epochKey = s"$appId#epoch"
+    // PHASE 1 — capture the version vector (one metadata read per source)
+    val pinned = tables.map { case (src, _, _) =>
+      M.latestSnapshot(spark, src).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"no committed manifest under $src")) }
+    val epoch = 1L + tables.map { case (_, dst, _) =>
+      M.latestSnapshot(spark, dst)
+        .map(_.txns.getOrElse(epochKey, 0L)).getOrElse(0L) }.max
+    // PHASE 2 — apply each mirror to exactly its pin, stamping the epoch
+    tables.zip(pinned).foreach { case ((src, dst, keys), pin) =>
+      val last = M.latestSnapshot(spark, dst)
+        .map(_.txns.getOrElse(appId, 0L)).getOrElse(0L)
+      if (last == 0L) {
+        require(pin.files.nonEmpty, s"cannot seed a mirror of the empty table $src")
+        M.appendBatch(spark, M.readWhere(spark, src, pin, Seq.empty), dst,
+          appId, pin.version, extraTxns = Map(epochKey -> epoch)): Unit
+      } else if (pin.version > last) {
+        val changes = M.changesBetweenVersioned(spark, src, last, pin)
+        if (!changes.isEmpty)
+          applyTick(spark, changes, dst, keys, appId, pin.version,
+            maxProbeKeys, Map(epochKey -> epoch))
+        else M.stampTxns(spark, dst,
+          Map(appId -> pin.version, epochKey -> epoch)): Unit
+      } else // already at the pin (idle table): stamp the epoch only
+        M.stampTxns(spark, dst, Map(epochKey -> epoch)): Unit
+    }
+    (epoch, pinned.map(_.version))
+  }
+
+  /** The newest epoch present on EVERY mirror, with each mirror's exact
+    * version at that epoch — the read-side key to join-consistent time
+    * travel (`ManifestStore.readVersion(dst, v)` per mirror). Walks each
+    * mirror's recent versions backward (bounded by `maxLookback`); None
+    * when no complete epoch is visible in that window.
+    */
+  def consistentMirrorVersions(spark: SparkSession, dstRoots: Seq[String],
+                               appId: String = "graft-replicate-multi",
+                               maxLookback: Int = 64)
+      : Option[(Long, Map[String, Long])] = {
+    require(dstRoots.nonEmpty, "no mirrors given")
+    val M = ManifestStore
+    val epochKey = s"$appId#epoch"
+    // per mirror: epoch → newest version carrying it (within the window)
+    val perMirror: Seq[Map[Long, Long]] = dstRoots.map { dst =>
+      val head = M.latestSnapshot(spark, dst).getOrElse(return None)
+      Iterator.iterate(head.version)(_ - 1L)
+        .takeWhile(v => v >= 1L && v > head.version - maxLookback)
+        .flatMap(v => M.snapshotAt(spark, dst, v))
+        .flatMap(s => s.txns.get(epochKey).map(_ -> s.version))
+        .foldLeft(Map.empty[Long, Long]) { case (m, (e, v)) =>
+          if (m.get(e).exists(_ >= v)) m else m + (e -> v)
+        }
+    }
+    val common = perMirror.map(_.keySet).reduce(_ intersect _)
+    if (common.isEmpty) None
+    else {
+      val e = common.max
+      Some((e, dstRoots.zip(perMirror.map(_(e))).toMap))
+    }
+  }
+
   /** Reduce one attributed change batch to final per-key states and apply
     * them as one idempotent commit.
     */
   private def applyTick(spark: SparkSession, changes: DataFrame,
                         dstRoot: String, keyCols: Seq[String], appId: String,
-                        srcVersion: Long, maxProbeKeys: Int): Unit = {
+                        srcVersion: Long, maxProbeKeys: Int,
+                        extraTxns: Map[String, Long] = Map.empty): Unit = {
     val M = ManifestStore
     val kc = keyCols.map(col)
     // change-sized frames throughout; pin the source scan once
@@ -331,7 +574,8 @@ object Materialized {
         .join(upserts.select(kc: _*), keyCols, "left_anti")
         .select(kc: _*).distinct()
       val (_, _, v) = M.applyByKeyMergeOnRead(spark, dstRoot, upserts, deletes,
-        keyCols, maxProbeKeys = maxProbeKeys, txn = Some(appId -> srcVersion))
+        keyCols, maxProbeKeys = maxProbeKeys, txn = Some(appId -> srcVersion),
+        extraTxns = extraTxns)
       if (v == -1L) { // replay vs abandonment: the watermark disambiguates
         val wm = M.latestSnapshot(spark, dstRoot)
           .map(_.txns.getOrElse(appId, -1L)).getOrElse(-1L)
@@ -347,15 +591,36 @@ object Materialized {
 
   /** Grouped signed aggregates: `n = Σ sign`, `sum_c = Σ sign * c` (0,
     * not NULL, when every contribution is null — the retraction algebra
-    * needs a group element, and NULL is not one).
+    * needs a group element, and NULL is not one). AVG columns (r14,
+    * VERDICT r13 #4) maintain the RETRACTABLE pair SQL AVG derives from —
+    * `asum_c = Σ sign * c` and `acnt_c = Σ sign * [c IS NOT NULL]` (AVG
+    * ignores nulls, so the denominator is the per-column non-null count,
+    * not the group's row count) — [[withAvg]] stores the derived
+    * `avg_c = asum_c / acnt_c` beside them.
     */
   private def grouped(signed: DataFrame, keys: Seq[String],
-                      sumCols: Seq[String]): DataFrame = {
+                      sumCols: Seq[String],
+                      avgCols: Seq[String] = Nil): DataFrame = {
     val aggs: Seq[Column] =
       sum(col(SignCol)).as("n") +:
-        sumCols.map(c => sum(col(c) * col(SignCol)).as(s"sum_$c"))
+        (sumCols.map(c => sum(col(c) * col(SignCol)).as(s"sum_$c")) ++
+          avgCols.flatMap(c => Seq(
+            sum(col(c) * col(SignCol)).as(s"asum_$c"),
+            sum(when(col(c).isNotNull, col(SignCol)).otherwise(0L))
+              .as(s"acnt_$c"))))
     val raw = signed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    sumCols.foldLeft(raw)((df, c) => df.withColumn(s"sum_$c",
-      coalesce(col(s"sum_$c"), lit(0L).cast(df.schema(s"sum_$c").dataType))))
+    val zeroed = (sumCols.map(c => s"sum_$c") ++
+      avgCols.flatMap(c => Seq(s"asum_$c", s"acnt_$c")))
+    zeroed.foldLeft(raw)((df, n) => df.withColumn(n,
+      coalesce(col(n), lit(0L).cast(df.schema(n).dataType))))
   }
+
+  /** Store the derived `avg_c` beside its maintained (asum, acnt) pair —
+    * recomputed after every merge, NULL when the group holds no non-null
+    * values (exactly SQL AVG's answer).
+    */
+  private def withAvg(df: DataFrame, avgCols: Seq[String]): DataFrame =
+    avgCols.foldLeft(df)((d, c) => d.withColumn(s"avg_$c",
+      when(col(s"acnt_$c") > 0L,
+        col(s"asum_$c").cast("double") / col(s"acnt_$c")).otherwise(lit(null))))
 }

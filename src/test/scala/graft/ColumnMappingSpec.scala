@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestStore
+
+/** Column mapping (r14, VERDICT r13 #2): RENAME COLUMN and DROP COLUMN as
+  * METADATA-ONLY manifest commits — files keep their physical column
+  * names (assigned at birth, immutable), the manifest carries the logical
+  * schema plus a logical→physical map, and the read path rewrites reader
+  * schemas/filters per file. A 100 TB schema refactor is one
+  * O(manifest-bytes) commit, never a table rewrite.
+  */
+class ColumnMappingSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private val M = ManifestStore
+
+  private def freshRoot() =
+    java.nio.file.Files.createTempDirectory("graft-colmap").toString
+
+  private def frame(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"p$i", i % 4)).toDF("id", "payload", "grp")
+
+  test("rename is metadata-only: bytes untouched, reads/filters/pruning map through") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 40).repartitionByRange(4, col("id")), root)
+    val before = M.latestSnapshot(spark, root).get
+    val v = M.renameColumn(spark, root, "id", "doc_id")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(v == before.version + 1 && snap.op == "rename-column")
+    assert(snap.files == before.files, "zero data entries may change")
+    assert(snap.colMap == Map("doc_id" -> "id"))
+    // logical reads under the new name
+    val df = M.read(spark, root)
+    assert(df.columns.toSeq == Seq("doc_id", "payload", "grp"))
+    assert(df.where(col("doc_id") < 10).count() == 10L)
+    // stats pruning still bites: the filter maps to the physical stats key
+    val kept = M.prunedEntries(snap,
+      Seq(org.apache.spark.sql.sources.LessThan("doc_id", 10L)))
+    assert(kept.nonEmpty && kept.size < snap.files.size,
+      s"renamed-column filter must still prune: ${kept.size}/${snap.files.size}")
+    // format read (planner path) agrees, including pushdown
+    val fmt = spark.read.format("graft-manifest").load(root)
+    assert(fmt.where(col("doc_id") === 7L).select("payload").as[String]
+      .collect().toSeq == Seq("p7"))
+    // time travel replays the OLD name
+    assert(M.readVersion(spark, root, before.version).columns.head == "id")
+  }
+
+  test("rename chain and rename-back normalize; appends keep working (physical names immutable)") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 10), root)
+    M.renameColumn(spark, root, "id", "key")
+    M.renameColumn(spark, root, "key", "ident")
+    assert(M.latestSnapshot(spark, root).get.colMap == Map("ident" -> "id"))
+    // appends arrive LOGICAL and write the PHYSICAL name into new files
+    M.append(spark,
+      (10 until 20).map(i => (i.toLong, s"p$i", i % 4)).toDF("ident", "payload", "grp"),
+      root)
+    val df = M.read(spark, root)
+    assert(df.where(col("ident") >= 10).count() == 10L)
+    assert(df.select(sum("ident")).as[Long].head() == (0L until 20L).sum)
+    // rename BACK to the physical name drops the mapping entry entirely
+    M.renameColumn(spark, root, "ident", "id")
+    assert(M.latestSnapshot(spark, root).get.colMap.isEmpty)
+    assert(M.read(spark, root).select(sum("id")).as[Long].head() == (0L until 20L).sum)
+  }
+
+  test("drop is metadata-only; the retired physical name cannot be reused by widening") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 12), root)
+    val v0 = M.latestSnapshot(spark, root).get.version
+    M.dropColumn(spark, root, "payload")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.op == "drop-column" && snap.droppedPhys == Seq("payload"))
+    val df = M.read(spark, root)
+    assert(df.columns.toSeq == Seq("id", "grp"))
+    assert(df.count() == 12L)
+    // time travel still reads the dropped column at the old version
+    assert(M.readVersion(spark, root, v0).columns.contains("payload"))
+    // a widening append re-using the retired physical name refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      M.append(spark, (12 until 15).map(i => (i.toLong, 0, s"x$i"))
+        .toDF("id", "grp", "payload"), root)
+    }
+    assert(e.getMessage.contains("collide with a PHYSICAL"), e.getMessage)
+    // a fresh name is fine (old files null-fill it)
+    M.append(spark, (12 until 15).map(i => (i.toLong, 0, s"x$i"))
+      .toDF("id", "grp", "body"), root)
+    assert(M.read(spark, root).where(col("body").isNull).count() == 12L)
+  }
+
+  test("partition-column rename maps directory-keyed partition values and pruning") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 40), root, partitionBy = Seq("grp"))
+    M.renameColumn(spark, root, "grp", "bucket")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.partCols == Seq("bucket") && snap.colMap == Map("bucket" -> "grp"))
+    val df = M.read(spark, root).where(col("bucket") === 2)
+    assert(df.count() == 10L)
+    assert(df.select("bucket").distinct().as[Int].collect().toSeq == Seq(2))
+    // pruning on the renamed partition column
+    val kept = M.prunedEntries(snap,
+      Seq(org.apache.spark.sql.sources.EqualTo("bucket", 2)))
+    assert(kept.forall(_.partition.exists(_.get("grp").flatten.contains("2"))))
+    // appends under the new logical partitioning land in the OLD dirs' scheme
+    M.append(spark, (40 until 44).map(i => (i.toLong, s"p$i", 1))
+      .toDF("id", "payload", "bucket"), root, partitionBy = Seq("bucket"))
+    assert(M.read(spark, root).where(col("bucket") === 1).count() == 14L)
+  }
+
+  test("MoR delete/upsert, compaction and the change feed survive a rename") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 30).repartitionByRange(3, col("id")), root)
+    M.renameColumn(spark, root, "id", "doc_id")
+    val v1 = M.latestSnapshot(spark, root).get.version
+    // MoR delete keyed on the renamed column: dv prunes + applies
+    val (nDel, _, _) = M.deleteWhereMergeOnRead(spark, root,
+      Seq(org.apache.spark.sql.sources.LessThan("doc_id", 5L)))
+    assert(nDel == 5L)
+    assert(M.read(spark, root).count() == 25L)
+    // the change feed over the delete speaks the LOGICAL schema
+    val (_, changes) = M.readChangesSince(spark, root, v1)
+    assert(changes.columns.contains("doc_id"))
+    assert(changes.where(col(M.ChangeTypeCol) === "delete").count() == 5L)
+    // upsert by the renamed key
+    val (replaced, _, _) = M.upsertByKeyMergeOnRead(spark, root,
+      Seq((10L, "NEW", 9)).toDF("doc_id", "payload", "grp"), Seq("doc_id"))
+    assert(replaced == 1L)
+    assert(M.read(spark, root).where(col("doc_id") === 10L)
+      .select("payload").as[String].head() == "NEW")
+    // compaction rewrites files under the SAME physical names
+    val (_, _, cv) = M.compact(spark, root)
+    assert(cv > 0)
+    val after = M.latestSnapshot(spark, root).get
+    assert(after.colMap == Map("doc_id" -> "id"),
+      "compaction preserves the mapping (physical names are immutable)")
+    assert(M.read(spark, root).count() == 25L)
+    assert(M.read(spark, root).where(col("doc_id") === 10L)
+      .select("payload").as[String].head() == "NEW")
+  }
+
+  test("SQL: ALTER TABLE RENAME/DROP COLUMN sync the catalog; pre-r14 readers refuse format v3") {
+    val root = freshRoot()
+    new java.io.File(root).delete()
+    M.append(spark, frame(0, 10), root)
+    spark.sql("DROP TABLE IF EXISTS cm_t")
+    spark.sql(s"CREATE TABLE cm_t USING `graft-manifest` OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE cm_t RENAME COLUMN id TO doc_id")
+    assert(spark.sql("SELECT sum(doc_id) FROM cm_t").as[Long].head() == 45L)
+    assert(spark.table("cm_t").columns.toSeq == Seq("doc_id", "payload", "grp"))
+    spark.sql("ALTER TABLE cm_t DROP COLUMN payload")
+    assert(spark.table("cm_t").columns.toSeq == Seq("doc_id", "grp"))
+    // SQL DML keeps working on the renamed column
+    assert(spark.sql("DELETE FROM cm_t WHERE doc_id < 3").as[Long].head() == 3L)
+    assert(spark.sql("SELECT count(*) FROM cm_t").as[Long].head() == 7L)
+    spark.sql("DROP TABLE IF EXISTS cm_t")
+    // format protocol: a mapped table's manifests are v3 — readers capped
+    // at v2 must refuse LOUDLY, never serve stale/misnamed columns
+    val head = {
+      val p = new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/v${"%020d".format(M.latestSnapshot(spark, root).get.version)}.manifest")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().next()
+      finally in.close()
+    }
+    assert(head == "graft-manifest v3", head)
+  }
+}

@@ -155,7 +155,7 @@ class ManifestDeltaSpec extends SparkSpec {
     "silently serving the previous intact version") {
     val root = freshRoot()
     ManifestStore.append(spark, batch(0, 10).coalesce(1), root)
-    val body = "graft-manifest v3\nversion=2\nshiny_new_thing=1\n"
+    val body = "graft-manifest v4\nversion=2\nshiny_new_thing=1\n"
     val sum = org.apache.commons.codec.digest.DigestUtils.md5Hex(
       body.getBytes("UTF-8"))
     val f = fs(root)
@@ -164,14 +164,14 @@ class ManifestDeltaSpec extends SparkSpec {
     val e = intercept[ManifestStore.UnsupportedManifestVersionException] {
       ManifestStore.latestSnapshot(spark, root)
     }
-    assert(e.getMessage.contains("v3") || e.getMessage.contains("newer"))
+    assert(e.getMessage.contains("v4") || e.getMessage.contains("newer"))
     // a v3 manifest with a DIFFERENT (or absent) checksum trailer must
     // refuse just as loudly — the version gate runs before trailer
     // validation, or the file would silently read as torn
     val f2 = fs(root)
     f2.delete(new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest"), false)
     val out2 = f2.create(new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest"), false)
-    out2.write("graft-manifest v3\nversion=2\nsha256=abcdef\n".getBytes("UTF-8"))
+    out2.write("graft-manifest v4\nversion=2\nsha256=abcdef\n".getBytes("UTF-8"))
     out2.close()
     intercept[ManifestStore.UnsupportedManifestVersionException] {
       ManifestStore.latestSnapshotUnhinted(spark, root)

@@ -115,9 +115,14 @@ class ManifestDmlSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dml_tt VERSION AS OF 3")
       .as[Long].head() == 22L, "the travelled read applies the version's vectors")
     assert(spark.sql("SELECT count(*) FROM dml_tt").as[Long].head() == 22L)
+    // TIMESTAMP AS OF (r14): a past instant that predates the table's
+    // whole history refuses loudly; a future one lands on the head (exact
+    // mtime-pinned resolution is covered in ManifestSqlLifecycleSpec)
     val e = intercept[Exception](
-      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '2026-01-01'").collect())
-    assert(e.getMessage.contains("VERSION AS OF"), e.getMessage.take(200))
+      spark.sql("SELECT * FROM dml_tt TIMESTAMP AS OF '2001-01-01'").collect())
+    assert(e.getMessage.contains("predates"), e.getMessage.take(200))
+    assert(spark.sql("SELECT count(*) FROM dml_tt TIMESTAMP AS OF '2999-01-01'")
+      .as[Long].head() == 22L)
     // a non-manifest table keeps Spark's own time-travel refusal
     val pdir = java.nio.file.Files.createTempDirectory("graft-tt-parq").toString
     Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(pdir)

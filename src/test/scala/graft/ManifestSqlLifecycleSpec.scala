@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.sources.ManifestStore
+
+/** SQL table LIFECYCLE on graft-manifest tables (r14, VERDICT r13 #1+#3):
+  * birth (`CREATE TABLE ... AS SELECT`, column-list `CREATE TABLE` +
+  * first INSERT), maintenance (`OPTIMIZE [ZORDER BY]`, `VACUUM RETAIN`),
+  * and `TIMESTAMP AS OF` time travel — a SQL-only user can now create,
+  * fill, query, restructure and reclaim a table without touching the
+  * library API.
+  */
+class ManifestSqlLifecycleSpec extends SparkSpec {
+
+  import SharedSpark.spark.implicits._
+
+  private val M = ManifestStore
+
+  private def freshRoot(name: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-sql-$name").toString
+    new java.io.File(root).delete()
+    root
+  }
+
+  test("CREATE TABLE AS SELECT births a manifest table; re-CTAS refuses; INSERT extends it") {
+    val root = freshRoot("ctas")
+    spark.sql("DROP TABLE IF EXISTS ctas_t")
+    spark.sql(s"CREATE TABLE ctas_t USING `graft-manifest` OPTIONS (path '$root') " +
+      "AS SELECT id, concat('p', id) AS payload FROM range(20)")
+    assert(M.latestSnapshot(spark, root).get.version == 1L,
+      "CTAS must commit exactly one manifest version")
+    assert(spark.sql("SELECT count(*) FROM ctas_t").as[Long].head() == 20L)
+    // a second CTAS at the same root refuses — the manifest log exists
+    val err = intercept[Exception] {
+      spark.sql(s"CREATE TABLE ctas_t2 USING `graft-manifest` OPTIONS (path '$root') " +
+        "AS SELECT id FROM range(3)")
+    }
+    assert(err.getMessage != null)
+    spark.sql("DROP TABLE IF EXISTS ctas_t2")
+    // INSERT INTO keeps working against the CTAS-born table
+    spark.sql("INSERT INTO ctas_t SELECT id, 'x' FROM range(20, 25)")
+    assert(spark.sql("SELECT count(*) FROM ctas_t").as[Long].head() == 25L)
+    assert(M.latestSnapshot(spark, root).get.version == 2L)
+    spark.sql("DROP TABLE IF EXISTS ctas_t")
+  }
+
+  test("column-list CREATE TABLE: empty read before first write, INSERT births v1") {
+    val root = freshRoot("birth")
+    spark.sql("DROP TABLE IF EXISTS birth_t")
+    spark.sql(s"CREATE TABLE birth_t (id BIGINT, payload STRING) " +
+      s"USING `graft-manifest` OPTIONS (path '$root')")
+    assert(M.latestSnapshot(spark, root).isEmpty,
+      "a column-list CREATE registers the schema; no manifest until data lands")
+    assert(spark.sql("SELECT * FROM birth_t").count() == 0L,
+      "a created-but-never-written table reads as zero rows")
+    spark.sql("INSERT INTO birth_t VALUES (1, 'a'), (2, 'b')")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.version == 1L, "the FIRST insert births version 1")
+    assert(spark.sql("SELECT id FROM birth_t ORDER BY id").as[Long].collect()
+      .toSeq == Seq(1L, 2L))
+    // the manifest owns the schema from here on: library reads agree
+    assert(M.read(spark, root).columns.toSeq == Seq("id", "payload"))
+    spark.sql("DROP TABLE IF EXISTS birth_t")
+  }
+
+  test("column-list CREATE TABLE ... PARTITIONED BY: first insert commits the catalog's partitioning") {
+    val root = freshRoot("pbirth")
+    spark.sql("DROP TABLE IF EXISTS pbirth_t")
+    spark.sql(s"CREATE TABLE pbirth_t (id BIGINT, grp STRING) " +
+      s"USING `graft-manifest` PARTITIONED BY (grp) OPTIONS (path '$root')")
+    spark.sql("INSERT INTO pbirth_t SELECT id, concat('g', id % 3) FROM range(30)")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.partCols == Seq("grp"),
+      "the catalog's PARTITIONED BY must reach the birthing commit")
+    assert(snap.files.forall(_.partition.exists(_.contains("grp"))),
+      "files must carry hive partition values")
+    assert(spark.sql("SELECT count(*) FROM pbirth_t WHERE grp = 'g1'")
+      .as[Long].head() == 10L)
+    spark.sql("DROP TABLE IF EXISTS pbirth_t")
+  }
+
+  test("OPTIMIZE bin-packs; OPTIMIZE ZORDER BY lays out the curve; rows conserved") {
+    val root = freshRoot("opt")
+    spark.sql("DROP TABLE IF EXISTS opt_t")
+    M.append(spark, (0 until 400).map(i => (i.toLong, (i * 7 % 100).toLong))
+      .toDF("a", "b").repartition(16), root)
+    spark.sql(s"CREATE TABLE opt_t USING `graft-manifest` OPTIONS (path '$root')")
+    val r = spark.sql("OPTIMIZE opt_t").collect().head
+    assert(r.getLong(0) >= 16 && r.getLong(1) < r.getLong(0),
+      s"OPTIMIZE must reduce file count: ${r.getLong(0)} -> ${r.getLong(1)}")
+    assert(spark.sql("SELECT count(*) FROM opt_t").as[Long].head() == 400L)
+    // z-order: one physical commit, rows conserved, both dims' stats tight
+    val z = spark.sql("OPTIMIZE opt_t ZORDER BY (a, b)").collect().head
+    assert(z.getLong(2) == r.getLong(2) + 1, "one more committed version")
+    assert(spark.sql("SELECT count(*) FROM opt_t").as[Long].head() == 400L)
+    assert(M.latestSnapshot(spark, root).get.op == "compact",
+      "OPTIMIZE commits are PHYSICAL — change feeds stream through them")
+    spark.sql("DROP TABLE IF EXISTS opt_t")
+  }
+
+  test("VACUUM RETAIN n VERSIONS / HOURS reclaims; a path-literal target works") {
+    val root = freshRoot("vac")
+    spark.sql("DROP TABLE IF EXISTS vac_t")
+    M.append(spark, (0 until 50).toDF("id").repartition(4), root)
+    M.append(spark, (50 until 100).toDF("id").repartition(4), root)
+    spark.sql(s"CREATE TABLE vac_t USING `graft-manifest` OPTIONS (path '$root')")
+    spark.sql("OPTIMIZE vac_t")
+    // age guard honored: RETAIN 24 HOURS (default) drops nothing young
+    assert(spark.sql("VACUUM vac_t RETAIN 1 VERSIONS").as[Long].head() == 0L)
+    // explicit zero-hour retention reclaims the pre-compaction batches
+    val dropped = spark.sql(s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
+      .as[Long].head()
+    assert(dropped == 2L, s"two superseded batch dirs, got $dropped")
+    assert(spark.sql("SELECT count(*) FROM vac_t").as[Long].head() == 100L)
+    spark.sql("DROP TABLE IF EXISTS vac_t")
+  }
+
+  test("the delegating parser leaves every other statement to Spark (incl. its errors)") {
+    assert(spark.sql("SELECT 1 + 1").as[Int].head() == 2)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql("SELEKT banana")
+    }
+    // OPTIMIZE on a non-manifest target refuses loudly, not silently
+    spark.sql("CREATE OR REPLACE TEMP VIEW not_a_table AS SELECT 1 AS x")
+    intercept[Exception] { spark.sql("OPTIMIZE not_a_table") }
+  }
+
+  test("TIMESTAMP AS OF resolves nearest-version-at-or-before by commit mtime (SQL + reader option)") {
+    val root = freshRoot("ts")
+    spark.sql("DROP TABLE IF EXISTS ts_t")
+    M.append(spark, (0 until 10).toDF("id"), root)  // v1
+    M.append(spark, (10 until 20).toDF("id"), root) // v2
+    // pin distinguishable commit times (mtimes are the store's write clock)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = 1600000000000L
+    val t2 = 1600000100000L
+    fs.setTimes(new Path(s"$root/_manifests/v${"%020d".format(1)}.manifest"), t1, -1)
+    fs.setTimes(new Path(s"$root/_manifests/v${"%020d".format(2)}.manifest"), t2, -1)
+    spark.sql(s"CREATE TABLE ts_t USING `graft-manifest` OPTIONS (path '$root')")
+    def countAt(millis: Long): Long =
+      spark.read.format("graft-manifest").option("timestampAsOf", millis.toString)
+        .load(root).count()
+    assert(countAt(t1) == 10L, "exactly at v1's commit time → v1")
+    assert(countAt(t1 + 50000) == 10L, "between commits → the older version")
+    assert(countAt(t2) == 20L && countAt(t2 + 1) == 20L)
+    intercept[java.util.NoSuchElementException] { countAt(t1 - 1) }
+    // SQL surface: literal evaluated in the session time zone
+    val lit1 = new java.sql.Timestamp(t1 + 1).toString
+    assert(spark.sql(s"SELECT count(*) FROM ts_t TIMESTAMP AS OF '$lit1'")
+      .as[Long].head() == 10L)
+    val lit2 = new java.sql.Timestamp(t2).toString
+    assert(spark.sql(s"SELECT count(*) FROM ts_t TIMESTAMP AS OF '$lit2'")
+      .as[Long].head() == 20L)
+    spark.sql("DROP TABLE IF EXISTS ts_t")
+  }
+
+  test("CTAS with PARTITIONED BY births a partitioned table in one statement") {
+    val root = freshRoot("ctasp")
+    spark.sql("DROP TABLE IF EXISTS ctasp_t")
+    spark.sql(s"CREATE TABLE ctasp_t USING `graft-manifest` " +
+      s"PARTITIONED BY (grp) OPTIONS (path '$root') " +
+      "AS SELECT id, concat('g', id % 2) AS grp FROM range(10)")
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.partCols == Seq("grp"))
+    assert(spark.sql("SELECT count(*) FROM ctasp_t WHERE grp = 'g0'")
+      .as[Long].head() == 5L)
+    spark.sql("DROP TABLE IF EXISTS ctasp_t")
+  }
+}

@@ -1504,7 +1504,10 @@ class ManifestStoreSpec extends SparkSpec {
     assert(byBucket.count() == 10L)
     assert(byBucket.select("bucket").distinct().as[Int].collect().toSeq == Seq(3))
 
-    // no CreatableRelationProvider: format-level writes refuse
+    // r14: a default-mode (ErrorIfExists) save BIRTHS a table when no
+    // manifest exists — and refuses once one does
+    d0.write.format("graft-manifest").save(s"$root-other")
+    assert(ManifestStore.read(spark, s"$root-other").count() == d0.count())
     intercept[Exception] {
       d0.write.format("graft-manifest").save(s"$root-other")
     }
@@ -1601,7 +1604,7 @@ class ManifestStoreSpec extends SparkSpec {
     val eW = intercept[Exception] {
       batch(0, 2).write.format("graft-manifest").mode("overwrite").save(r2)
     }
-    assert(eW.getMessage.contains("only supports mode(append)"), eW.getMessage)
+    assert(eW.getMessage.contains("cannot replace it"), eW.getMessage)
   }
 
   /** review r11: partition-only predicates are REMOVED from the post-scan

@@ -243,4 +243,151 @@ class MaterializedSpec extends SparkSpec {
     Materialized.maintainSums(spark, src, dst, Seq("k1", "k2"), Seq("x"))
     check()
   }
+
+  test("AVG maintains as a retractable (sum, non-null count) pair (r14)") {
+    val src = freshRoot(); val dst = freshRoot()
+    // v column with NULLs: AVG must ignore them (per-column denominator)
+    def mk(lo: Long, hi: Long) = (lo until hi)
+      .map(i => (i, i % 3, if (i % 4 == 0) None else Some(i.toDouble)))
+      .toDF("id", "k", "v")
+    def check(): Unit = {
+      Materialized.maintainSums(spark, src, dst, Seq("k"), avgCols = Seq("v"))
+      val got = M.table(spark, dst).where(col("n") > 0)
+        .select("k", "avg_v").as[(Long, Option[Double])].collect().toMap
+      val want = M.read(spark, src).groupBy("k")
+        .agg(org.apache.spark.sql.functions.avg("v").as("a"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, a) =>
+        (a, want(k)) match {
+          case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"k=$k: $x vs $y")
+          case (x, y) => assert(x == y, s"k=$k: $x vs $y")
+        }
+      }
+    }
+    M.append(spark, mk(0, 60).repartition(3), src)
+    check() // seed
+    M.append(spark, mk(60, 90), src)
+    check() // append folds
+    assert(M.deleteWhereMergeOnRead(spark, src, Seq(LessThan("id", 30L)))._1 == 30L)
+    check() // retraction adjusts both numerator and denominator
+    // a group whose every value is NULL reads avg = NULL (SQL semantics)
+    M.append(spark, Seq((1000L, 9L, Option.empty[Double])).toDF("id", "k", "v"), src)
+    check()
+    assert(M.table(spark, dst).where(col("k") === 9L)
+      .select("avg_v").as[Option[Double]].head().isEmpty)
+  }
+
+  test("maintained fact⋈dim join view: bilinear delta folding from BOTH feeds (r14)") {
+    val fact = freshRoot(); val dim = freshRoot(); val dst = freshRoot()
+    def factRows(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, i % 7, i)).toDF("id", "fk", "amount")
+    def dimRows(keys: Seq[Long]) =
+      keys.map(k => (k, s"name$k")).toDF("fk", "dname")
+    def tickAndCheck(): Unit = {
+      Materialized.maintainJoinedSums(spark, fact, dim, dst,
+        joinKeys = Seq("fk"), groupKeys = Seq("dname"), sumCols = Seq("amount"))
+      val got = M.table(spark, dst).where(col("n") > 0)
+        .select("dname", "n", "sum_amount").as[(String, Long, Long)]
+        .collect().toSet
+      val want = M.read(spark, fact).join(M.read(spark, dim), "fk")
+        .groupBy("dname")
+        .agg(count(lit(1)).as("n"), sum("amount").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"maintained != recompute:\n$got\n$want")
+    }
+    // dim covers only SOME fact keys at seed — unmatched facts contribute 0
+    M.append(spark, factRows(0, 70).repartition(4), fact)
+    M.append(spark, dimRows(Seq(0L, 1L, 2L, 3L)), dim)
+    tickAndCheck() // seed = full join
+
+    M.append(spark, factRows(70, 100), fact)
+    tickAndCheck() // Δfact ⋈ dim
+
+    // LATE-ARRIVING dim keys: old fact rows (fk=4,5) fold in retroactively
+    M.append(spark, dimRows(Seq(4L, 5L)), dim)
+    tickAndCheck() // fact_old ⋈ Δdim
+
+    // BOTH sides advance in one tick
+    M.append(spark, factRows(100, 120), fact)
+    M.append(spark, dimRows(Seq(6L)), dim)
+    tickAndCheck()
+
+    // dim attribute UPDATE = delete+insert in its feed: group moves
+    M.upsertByKeyMergeOnRead(spark, dim,
+      Seq((2L, "RENAMED")).toDF("fk", "dname"), Seq("fk"), maxProbeKeys = 1000)
+    tickAndCheck()
+    assert(M.table(spark, dst).where(col("dname") === "RENAMED" && col("n") > 0)
+      .count() == 1L)
+
+    // fact retraction
+    assert(M.deleteWhereMergeOnRead(spark, fact, Seq(LessThan("id", 20L)))._1 == 20L)
+    tickAndCheck()
+
+    // dim key REMOVAL retracts that group entirely
+    assert(M.deleteWhereMergeOnRead(spark, dim, Seq(EqualTo("fk", 0L)))._1 == 1L)
+    tickAndCheck()
+    assert(!maintainedNames(dst).contains("name0"))
+
+    // idle tick: neither side changed → no destination commit
+    val vBefore = M.latestSnapshot(spark, dst).get.version
+    Materialized.maintainJoinedSums(spark, fact, dim, dst,
+      Seq("fk"), Seq("dname"), Seq("amount"))
+    assert(M.latestSnapshot(spark, dst).get.version == vBefore)
+
+    // physical maintenance on the FACT side streams through (a compaction
+    // advances the version with zero row changes → watermark-only stamp)
+    M.compact(spark, fact)
+    val before = maintainedNames(dst)
+    Materialized.maintainJoinedSums(spark, fact, dim, dst,
+      Seq("fk"), Seq("dname"), Seq("amount"))
+    assert(maintainedNames(dst) == before)
+    val txns = M.latestSnapshot(spark, dst).get.txns
+    assert(txns("graft-ivm-join#fact") == M.latestSnapshot(spark, fact).get.version,
+      "the zero-delta tick must still advance the fact watermark")
+  }
+
+  private def maintainedNames(dst: String): Set[String] =
+    M.table(spark, dst).where(col("n") > 0)
+      .select("dname").as[String].collect().toSet
+
+  test("replicateConsistent: two-phase version-vector pin + epoch stamps give join-consistent mirrors (r14)") {
+    val srcA = freshRoot(); val srcB = freshRoot()
+    val dstA = freshRoot(); val dstB = freshRoot()
+    def tables = Seq((srcA, dstA, Seq("id")), (srcB, dstB, Seq("id")))
+    M.append(spark, rows(0, 50).repartition(2), srcA)
+    M.append(spark, rows(0, 30), srcB)
+    val (e1, pins1) = Materialized.replicateConsistent(spark, tables)
+    assert(e1 == 1L && pins1 == Seq(1L, 1L))
+    assert(M.table(spark, dstA).count() == 50L && M.table(spark, dstB).count() == 30L)
+
+    // both sources advance differently; mirrors pin TOGETHER
+    M.append(spark, rows(50, 80), srcA)
+    M.upsertByKeyMergeOnRead(spark, srcB,
+      Seq((5L, 99L, 500L)).toDF("id", "k", "v"), Seq("id"), maxProbeKeys = 100)
+    M.deleteWhereMergeOnRead(spark, srcB, Seq(LessThan("id", 3L)))
+    val (e2, _) = Materialized.replicateConsistent(spark, tables)
+    assert(e2 == 2L)
+    def setOf(root: String) =
+      M.table(spark, root).as[(Long, Long, Long)].collect().toSet
+    assert(setOf(dstA) == setOf(srcA) && setOf(dstB) == setOf(srcB))
+
+    // the read-side key: newest COMPLETE epoch, per-mirror versions —
+    // time-travel reads at those versions reproduce epoch-2 state even
+    // after the sources (and mirrors) move on
+    val Some((eGot, at2)) = Materialized.consistentMirrorVersions(
+      spark, Seq(dstA, dstB)): @unchecked
+    assert(eGot == 2L)
+    val a2 = M.readVersion(spark, dstA, at2(dstA)).count()
+    M.append(spark, rows(80, 90), srcA)
+    Materialized.replicateConsistent(spark, tables) // epoch 3
+    assert(M.readVersion(spark, dstA, at2(dstA)).count() == a2,
+      "epoch-2 mirror versions stay replayable after epoch 3")
+    val Some((e3, at3)) = Materialized.consistentMirrorVersions(
+      spark, Seq(dstA, dstB)): @unchecked
+    assert(e3 == 3L)
+    assert(M.readVersion(spark, dstA, at3(dstA)).count() == 90L)
+    // an idle source still stamps the epoch (B unchanged since epoch 2)
+    assert(M.latestSnapshot(spark, dstB).get.txns("graft-replicate-multi#epoch") == 3L)
+  }
 }
