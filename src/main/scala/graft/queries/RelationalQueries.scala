@@ -1800,6 +1800,39 @@ object RelationalQueries {
         .select(col("lang"), col("n"), col("avg_n_chars"))
     },
 
+    // O36 (r14): RESTORE — durable time travel. A MoR delete removes rows
+    // at v2; RESTORE TABLE ... VERSION AS OF 1 commits v3 whose live state
+    // is exactly v1's (file+dv list identical, zero data bytes move, txn
+    // watermarks kept), while v2 stays time-travelable. The oracle is the
+    // ORIGINAL content — restore must round-trip the delete away exactly.
+    QueryDef.sql(
+      "o36_restore",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 4 = 2""".stripMargin) { (s, d) =>
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .where(col("o_orderkey") % 4 === 2)
+      val root = ProcessNonce.scratchDir("graft_o36_restore",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, base.repartitionByRange(4, col("o_orderkey")), root) // v1
+      val v1 = M.latestSnapshot(s, root).get
+      val (nDel, _, v2) = M.deleteWhereMergeOnRead(s, root,
+        Seq(org.apache.spark.sql.sources.GreaterThan("o_orderkey", 0L)))
+      require(nDel > 0 && v2 == 2L, s"the delete must bite: $nDel @ v$v2")
+      val v3 = M.restore(s, root, 1L)
+      val snap = M.latestSnapshot(s, root).get
+      require(v3 == 3L && snap.op == "restore")
+      require(snap.files.map(f => f.path -> f.dv.map(_.path)) ==
+        v1.files.map(f => f.path -> f.dv.map(_.path)),
+        "restored state must be exactly v1's file+dv list")
+      require(M.readVersion(s, root, 2L).count() == v1.files.map(_.rows.get).sum - nDel,
+        "the deleted state must stay time-travelable")
+      M.table(s, root)
+    },
+
     // O35 (r14, VERDICT r13 #5): MULTI-TABLE consistent replication — two
     // mirrors advance under a two-phase VERSION-VECTOR pin (capture both
     // heads, then apply each mirror to exactly its pin), every apply

@@ -91,6 +91,12 @@ object GraftSqlParser {
   private def unquoteCol(t: String): String =
     if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
 
+  private val RestoreRe = Pattern.compile(
+    s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
+
+  private val HistoryRe = Pattern.compile(
+    s"""(?is)^\\s*DESCRIBE\\s+HISTORY\\s+$Target(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*$$""")
+
   /** The parsed maintenance command, or None for every other statement. */
   private[sources] def parseMaintenance(sqlText: String,
                                         delegate: ParserInterface)
@@ -127,6 +133,18 @@ object GraftSqlParser {
         return Some(ManifestAlterColumnCommand(Right(parts),
           unquoteCol(dc.group(2)), None))
     }
+    // RESTORE TABLE t [TO] VERSION AS OF n — durable time travel (the
+    // Delta RESTORE shape); DESCRIBE HISTORY t [LIMIT n] — the table's
+    // committed versions. Neither is valid Spark SQL, so the intercept
+    // shadows nothing.
+    val rs = RestoreRe.matcher(sqlText)
+    if (rs.matches())
+      return Some(ManifestRestoreCommand(targetOf(rs.group(1)),
+        rs.group(2).toLong))
+    val hs = HistoryRe.matcher(sqlText)
+    if (hs.matches())
+      return Some(ManifestHistoryCommand(targetOf(hs.group(1)),
+        Option(hs.group(2)).map(_.toInt).getOrElse(20)))
     val vm = VacuumRe.matcher(sqlText)
     if (vm.matches()) {
       var keepVersions: Option[Int] = None
@@ -266,6 +284,54 @@ final case class ManifestAlterColumnCommand(target: Either[String, Seq[String]],
     spark.sessionState.catalog.alterTable(meta.copy(schema = newFull))
     spark.sessionState.catalog.refreshTable(ident)
     Seq.empty
+  }
+}
+
+/** `RESTORE TABLE t [TO] VERSION AS OF n` = one [[ManifestStore.restore]]
+  * commit: the live state becomes exactly version `n`'s (files, schema,
+  * partitioning, column mapping), zero data bytes move, txn watermarks
+  * are kept (streams' resume points never regress). Returns
+  * (restored_version, new_version).
+  */
+final case class ManifestRestoreCommand(target: Either[String, Seq[String]],
+                                        toVersion: Long)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_version", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    val v = ManifestStore.restore(spark, root, toVersion)
+    ident.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    Seq(Row(toVersion, v))
+  }
+}
+
+/** `DESCRIBE HISTORY t [LIMIT n]` = [[ManifestStore.history]]: one row per
+  * resolvable version, newest first.
+  */
+final case class ManifestHistoryCommand(target: Either[String, Seq[String]],
+                                        limit: Int)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("table_id", org.apache.spark.sql.types.StringType)(),
+    AttributeReference("is_checkpoint", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("delta_depth", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("files", LongType, nullable = false)(),
+    AttributeReference("live_rows", LongType, nullable = false)(),
+    AttributeReference("added_bytes", LongType)(),
+    AttributeReference("committed_at", org.apache.spark.sql.types.TimestampType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.rootOf(spark, target)
+    ManifestStore.history(spark, root, limit).collect().toSeq
   }
 }
 

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Manifest-committed parquet table — the OBJECT-STORE answer to the
   * rename-swap compaction in [[Sink]] (whose `requireAtomicRename` refuses
@@ -3408,6 +3408,88 @@ object ManifestStore {
   /** The `rewrote` argument of [[commitReplacing]] for a set of inputs. */
   private def dvSignature(entries: Seq[ManifestEntry]): Map[String, Option[String]] =
     entries.map(e => e.path -> e.dv.map(_.path)).toMap
+
+  /** Widen the table with new NULLABLE columns in one metadata-only
+    * commit (r14 — the `ALTER TABLE ... ADD COLUMNS` shape): existing
+    * files null-fill them on read, exactly like the append-time widening
+    * this formalizes. Refuses non-nullable fields (old rows have no value
+    * to give), name collisions (logical), and — on mapped tables —
+    * collisions with a physical name in use or retired (the old files
+    * would serve orphaned bytes as the new column).
+    */
+  def addColumns(spark: SparkSession, root: String,
+                 fields: Seq[StructField],
+                 maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    require(fields.nonEmpty, "addColumns with no columns")
+    fields.foreach { f =>
+      requireColumnName(f.name, "new column name")
+      require(f.nullable,
+        s"new column ${f.name} must be nullable — existing rows null-fill it")
+    }
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"duplicate new column names: ${fields.map(_.name)}")
+    val (fs, rootP) = fsFor(spark, root)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      val schema = base.schema.getOrElse(throw new IllegalStateException(
+        s"the table under $root records no schema (pre-r10 legacy) — run " +
+          "ManifestStore.upgradeTable first"))
+      val dup = fields.map(_.name).filter(schema.fieldNames.contains)
+      require(dup.isEmpty, s"column(s) ${dup.mkString(", ")} already exist under $root")
+      val taken = base.physicalNames
+      val bad = fields.map(_.name).filter(taken)
+      require(bad.isEmpty,
+        s"new column(s) ${bad.mkString(", ")} collide with a PHYSICAL column " +
+          s"name in use or dropped under $root — old files already carry " +
+          "data under that name; choose a different name")
+      Some(base.copy(version = 0L,
+        schema = Some(StructType(schema.fields ++ fields)),
+        op = "add-columns", addedBytes = None))
+    }
+  }
+
+  /** RESTORE the table's LIVE state to that of an earlier version (r14 —
+    * the Delta RESTORE shape): one commit (op=restore) whose file list,
+    * schema, partition columns and column mapping are exactly version
+    * `v`'s — time travel made durable, without touching a data byte (the
+    * restored files still exist on disk because manifest retention and
+    * data retention agree: a resolvable version's data is live, verified
+    * here per batch directory anyway in case a pre-r14 vacuum ran).
+    * Txn watermarks are KEPT from the current state — a restore must
+    * never regress an exactly-once stream's resume point. Restore is a
+    * DATA-CHANGING rewrite by nature (files leave the live set), so
+    * change feeds and tails refuse across it, exactly like a CoW delete:
+    * consumers reprocess from a full snapshot. Returns the new version.
+    */
+  def restore(spark: SparkSession, root: String, v: Long,
+              maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val target = readManifest(fs, rootP, v).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no intact manifest v$v under $root — cannot restore to it"))
+    require(target.files.nonEmpty,
+      s"version $v under $root references no files — nothing to restore")
+    // per-batch-directory existence probe (grouped: O(batches), not
+    // O(files)) — a pre-r14 vacuum may have dropped a resolvable
+    // version's data; restoring dangling references must refuse here,
+    // not surface as FileNotFoundException mid-scan later
+    val missing = target.files
+      .flatMap(f => Option(new Path(f.path).getParent)).distinct
+      .filterNot(fs.exists)
+    require(missing.isEmpty,
+      s"cannot restore $root to v$v — ${missing.size} referenced batch " +
+        s"director${if (missing.size == 1) "y is" else "ies are"} gone " +
+        s"(vacuumed): ${missing.take(3).mkString(", ")}")
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      requireSameTable(root, target, base)
+      Some(target.copy(version = 0L,
+        txns = base.txns, // never regress an exactly-once resume point
+        op = "restore", addedBytes = None))
+    }
+  }
 
   // ---- column mapping (r14, VERDICT r13 #2) ---------------------------
   // RENAME/DROP COLUMN as METADATA-ONLY commits: files bind columns by

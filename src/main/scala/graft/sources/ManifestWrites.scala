@@ -70,7 +70,50 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
       c.copy(table = c.table.copy(storage = c.table.storage.copy(
         properties = c.table.storage.properties + (key -> encoded))))
 
+    // ALTER TABLE ... ADD COLUMNS on a registered graft-manifest table
+    // (r14): Spark's v1 command only updates the CATALOG, which would
+    // desynchronize it from the manifest (the schema's owner) — reads
+    // verify the two agree and would refuse afterwards. Route it through
+    // a schema-widening manifest commit + the catalog update together.
+    // Non-manifest providers keep Spark's own command untouched.
+    case a: org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
+        if {
+          val cat = org.apache.spark.sql.SparkSession.active.sessionState.catalog
+          cat.tableExists(a.table) &&
+            (try cat.getTableMetadata(a.table).provider
+              .exists(_.equalsIgnoreCase("graft-manifest"))
+            catch { case scala.util.control.NonFatal(_) => false })
+        } =>
+      ManifestAddColumnsCommand(a.table, a.colsToAdd)
+
     case other => other
+  }
+}
+
+/** One `ALTER TABLE ... ADD COLUMNS` = one schema-widening manifest commit
+  * ([[ManifestStore.addColumns]] — nullable only, old files null-fill) plus
+  * the catalog schema update, kept in ONE command so the two owners of the
+  * schema cannot desynchronize.
+  */
+final case class ManifestAddColumnsCommand(
+    table: org.apache.spark.sql.catalyst.TableIdentifier,
+    colsToAdd: Seq[org.apache.spark.sql.types.StructField])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(table)
+    val root = meta.storage.properties.get("path")
+      .orElse(meta.storage.locationUri.map(_.toString)).getOrElse(
+        throw new IllegalArgumentException(s"$table records no path"))
+    ManifestStore.addColumns(spark, root, colsToAdd)
+    val newFull = org.apache.spark.sql.types.StructType(
+      meta.schema.fields.filterNot(f =>
+        meta.partitionColumnNames.contains(f.name)) ++
+        colsToAdd ++ meta.partitionSchema.fields)
+    cat.alterTable(meta.copy(schema = newFull))
+    cat.refreshTable(table)
+    Seq.empty
   }
 }
 

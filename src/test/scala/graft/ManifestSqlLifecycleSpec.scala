@@ -155,6 +155,73 @@ class ManifestSqlLifecycleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ts_t")
   }
 
+  test("RESTORE TABLE makes time travel durable; DESCRIBE HISTORY lists versions (r14)") {
+    val root = freshRoot("restore")
+    spark.sql("DROP TABLE IF EXISTS rst_t")
+    M.append(spark, (0 until 10).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), root) // v1
+    M.append(spark, (10 until 20).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), root) // v2
+    // an exactly-once watermark that must survive the restore
+    graft.sources.ManifestStore.appendBatch(spark,
+      Seq((100L, "wm")).toDF("id", "payload"), root, "wm-app", 7L) // v3
+    spark.sql(s"CREATE TABLE rst_t USING `graft-manifest` OPTIONS (path '$root')")
+    assert(spark.sql("DELETE FROM rst_t WHERE id < 5").as[Long].head() == 5L) // v4
+    assert(spark.sql("SELECT count(*) FROM rst_t").as[Long].head() == 16L)
+    // durable time travel: live state becomes v3's, zero data moved
+    val r = spark.sql("RESTORE TABLE rst_t TO VERSION AS OF 3").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.op == "restore")
+    assert(spark.sql("SELECT count(*) FROM rst_t").as[Long].head() == 21L)
+    assert(snap.files.map(f => f.path -> f.dv.map(_.path)) ==
+      M.snapshotAt(spark, root, 3L).get.files.map(f => f.path -> f.dv.map(_.path)),
+      "the restored file list is exactly the target version's")
+    assert(snap.txns.get("wm-app").contains(7L),
+      "txn watermarks never regress across a restore")
+    // the deleted state stays time-travelable (v4 still reads post-delete)
+    assert(M.readVersion(spark, root, 4L).count() == 16L)
+    // restoring to a pre-watermark version keeps the CURRENT txns too
+    spark.sql("RESTORE TABLE rst_t VERSION AS OF 1") // optional TO
+    assert(spark.sql("SELECT count(*) FROM rst_t").as[Long].head() == 10L)
+    assert(M.latestSnapshot(spark, root).get.txns.get("wm-app").contains(7L))
+    // DESCRIBE HISTORY: newest first, restore ops visible, LIMIT honored
+    val hist = spark.sql("DESCRIBE HISTORY rst_t").collect()
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).sorted.reverse.toSeq)
+    assert(hist.exists(_.getString(1) == "restore"))
+    assert(spark.sql("DESCRIBE HISTORY rst_t LIMIT 2").count() == 2L)
+    spark.sql("DROP TABLE IF EXISTS rst_t")
+  }
+
+  test("ALTER TABLE ADD COLUMNS widens the manifest AND the catalog together (r14)") {
+    val root = freshRoot("addcol")
+    spark.sql("DROP TABLE IF EXISTS ac_t")
+    M.append(spark, (0 until 8).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), root)
+    spark.sql(s"CREATE TABLE ac_t USING `graft-manifest` OPTIONS (path '$root')")
+    spark.sql("ALTER TABLE ac_t ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(M.latestSnapshot(spark, root).get.op == "add-columns")
+    // old rows null-fill; catalog and manifest agree so reads keep working
+    assert(spark.table("ac_t").columns.toSeq == Seq("id", "payload", "score", "tag"))
+    assert(spark.sql("SELECT count(*) FROM ac_t WHERE score IS NULL")
+      .as[Long].head() == 8L)
+    spark.sql("INSERT INTO ac_t VALUES (8, 'x', 0.5, 't')")
+    assert(spark.sql("SELECT count(*) FROM ac_t WHERE score IS NOT NULL")
+      .as[Long].head() == 1L)
+    // a dropped column's PHYSICAL name cannot be re-added (column mapping)
+    spark.sql("ALTER TABLE ac_t DROP COLUMN tag")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE ac_t ADD COLUMNS (tag STRING)")
+    }
+    assert(e.getMessage.contains("PHYSICAL"), e.getMessage)
+    // a parquet table keeps Spark's own ALTER behavior (rule must not touch it)
+    val pdir = java.nio.file.Files.createTempDirectory("graft-ac-parq").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(pdir)
+    spark.sql("DROP TABLE IF EXISTS ac_parq")
+    spark.sql(s"CREATE TABLE ac_parq USING parquet OPTIONS (path '$pdir')")
+    spark.sql("ALTER TABLE ac_parq ADD COLUMNS (w INT)")
+    assert(spark.table("ac_parq").columns.contains("w"))
+    spark.sql("DROP TABLE IF EXISTS ac_t")
+    spark.sql("DROP TABLE IF EXISTS ac_parq")
+  }
+
   test("CTAS with PARTITIONED BY births a partitioned table in one statement") {
     val root = freshRoot("ctasp")
     spark.sql("DROP TABLE IF EXISTS ctasp_t")
