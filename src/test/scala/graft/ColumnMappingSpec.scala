@@ -142,6 +142,82 @@ class ColumnMappingSpec extends SparkSpec {
       .select("payload").as[String].head() == "NEW")
   }
 
+  test("PLANNER file skipping survives the mapping: a renamed-column predicate opens fewer files") {
+    val root = freshRoot()
+    M.append(spark, (0 until 10000).map(i => (i.toLong, i * 2L))
+      .toDF("id", "v").repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id"), root)
+    M.renameColumn(spark, root, "id", "doc_id")
+    val snap = M.latestSnapshot(spark, root).get
+    val df = spark.read.format("graft-manifest").load(root)
+      .where(col("doc_id") >= 9000)
+    df.collect() // populate scan metrics on THIS queryExecution
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"one file scan:\n${df.queryExecution.executedPlan}")
+    val opened = scans.head.metrics("numFiles").value
+    assert(opened > 0 && opened < snap.files.size,
+      s"mapped planner skipping inert: opened $opened of ${snap.files.size}")
+    assert(df.count() == 1000L)
+    assert(df.agg(sum("v")).as[Long].head() ==
+      (9000L until 10000L).map(_ * 2).sum)
+  }
+
+  test("DDL races appends: rename and append commit concurrently without losing either") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 20), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val rename = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = M.renameColumn(spark, root, "payload", "body")
+      })
+      val appends = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (0 until 4).foreach { i =>
+          // appends race the rename: whichever logical schema each commit
+          // rebases onto, the PHYSICAL name is the same — both orders land
+          val name = try { rename.get(0, java.util.concurrent.TimeUnit.MILLISECONDS); "body" }
+                     catch { case _: java.util.concurrent.TimeoutException => "payload" }
+          try M.append(spark, Seq((100L + i, s"x$i", 0))
+            .toDF("id", name, "grp"), root)
+          catch { case e: IllegalArgumentException
+              if e.getMessage.contains("keep its type") ||
+                e.getMessage.contains("collide") => () } // raced the rename: retry under the new name
+        }
+      })
+      rename.get(); appends.get()
+    } finally pool.shutdown()
+    // whatever interleaving happened, the table is coherent and mapped
+    val snap = M.latestSnapshot(spark, root).get
+    assert(snap.colMap == Map("body" -> "payload"))
+    val df = M.read(spark, root)
+    assert(df.columns.contains("body"))
+    assert(df.count() >= 20L)
+    assert(df.where(col("id") < 20).count() == 20L,
+      "the pre-race rows survive under the mapped read")
+  }
+
+  test("streaming: a mapped table tails and change-feeds under the LOGICAL schema") {
+    val root = freshRoot()
+    new java.io.File(root).delete()
+    M.append(spark, frame(0, 10), root)
+    M.renameColumn(spark, root, "id", "doc_id")
+    M.append(spark, (10 until 15).map(i => (i.toLong, s"p$i", i % 4))
+      .toDF("doc_id", "payload", "grp"), root)
+    val out = java.nio.file.Files.createTempDirectory("graft-cm-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cm-ckpt").toString
+    val q = spark.readStream.format("graft-manifest").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq.sorted == Seq("doc_id", "grp", "payload"))
+    assert(got.count() == 15L)
+    assert(got.agg(sum("doc_id")).as[Long].head() == (0L until 15L).sum)
+  }
+
   test("SQL: ALTER TABLE RENAME/DROP COLUMN sync the catalog; pre-r14 readers refuse format v3") {
     val root = freshRoot()
     new java.io.File(root).delete()
