@@ -63,5 +63,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // every other statement to Spark's own parser untouched
     ext.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(session, delegate))
+    // graft_table_changes('<table-or-path>', from[, to]) — the CDC
+    // table-valued function (r14, the Delta table_changes analog): rows
+    // changed strictly after `from` (up to `to`, or the head), tagged
+    // `_change_type` + `_commit_version`. Arguments must be literals —
+    // the TVF binds the change window at resolution time, so one query
+    // reads one consistent window.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sources.ManifestStore", "graft_table_changes"),
+      (children: Seq[Expr]) => {
+        require(children.size == 2 || children.size == 3,
+          "graft_table_changes takes (table-or-path, fromVersion[, toVersion])")
+        def evalLit(e: Expr, what: String): Any = {
+          require(e.foldable, s"graft_table_changes $what must be a literal — got $e")
+          val v = e.eval()
+          require(v != null, s"graft_table_changes $what is null")
+          v
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val target = evalLit(children.head, "target").toString
+        // a path has a separator; anything else is a session-catalog name
+        val root =
+          if (target.contains('/')) target
+          else graft.sources.GraftSqlParser.rootOf(spark,
+            Right(target.split('.').toSeq))._1
+        val from = evalLit(children(1), "fromVersion") match {
+          case n: Number => n.longValue()
+          case other => other.toString.toLong
+        }
+        val df = children.lift(2) match {
+          case None =>
+            graft.sources.ManifestStore.readChangesSinceVersioned(
+              spark, root, from)._2
+          case Some(toE) =>
+            val to = evalLit(toE, "toVersion") match {
+              case n: Number => n.longValue()
+              case other => other.toString.toLong
+            }
+            val snap = graft.sources.ManifestStore.snapshotAt(spark, root, to)
+              .getOrElse(throw new java.util.NoSuchElementException(
+                s"no intact manifest v$to under $root"))
+            graft.sources.ManifestStore.changesBetweenVersioned(
+              spark, root, from, snap)
+        }
+        df.queryExecution.analyzed
+      }))
   }
 }

@@ -1800,6 +1800,37 @@ object RelationalQueries {
         .select(col("lang"), col("n"), col("avg_n_chars"))
     },
 
+    // O37 (r14): the CDC TABLE-VALUED FUNCTION — graft_table_changes
+    // ('<table-or-path>', from[, to]) reads the attributed change feed in
+    // plain SQL (the Delta table_changes analog): v2's appended rows
+    // surface as `insert` at commit 2, v3's MoR-deleted positions as
+    // `delete` at commit 3, each tagged with its exact commit version.
+    // The oracle replays the attribution with literal versions.
+    QueryDef.sql(
+      "o37_table_changes",
+      """WITH ins AS (SELECT doc_id, 'insert' AS change_type,
+        |                    CAST(2 AS BIGINT) AS commit_version
+        |             FROM documents WHERE doc_id % 4 = 2),
+        |     del AS (SELECT doc_id, 'delete' AS change_type,
+        |                    CAST(3 AS BIGINT) AS commit_version
+        |             FROM documents WHERE doc_id % 8 = 2)
+        |SELECT * FROM ins UNION ALL SELECT * FROM del""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val root = ProcessNonce.scratchDir("graft_o37_tvf",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      M.append(s, docs.where(col("doc_id") % 4 === 0)
+        .repartition(4, col("doc_id")), root) // v1
+      M.append(s, docs.where(col("doc_id") % 4 === 2), root) // v2
+      M.deleteMorExpr(s, root, M.latestSnapshot(s, root).get,
+        pruning = Seq.empty, cond = pmod(col("doc_id"), lit(8)) === 2) // v3
+      s.sql(s"SELECT doc_id, _change_type AS change_type, " +
+        s"_commit_version AS commit_version FROM graft_table_changes('$root', 1)")
+    },
+
     // O36 (r14): RESTORE — durable time travel. A MoR delete removes rows
     // at v2; RESTORE TABLE ... VERSION AS OF 1 commits v3 whose live state
     // is exactly v1's (file+dv list identical, zero data bytes move, txn

@@ -170,8 +170,8 @@ object GraftSqlParser {
     * than have their directories compacted as if they were manifest
     * tables.
     */
-  private[sources] def rootOf(spark: SparkSession,
-                              target: Either[String, Seq[String]])
+  private[graft] def rootOf(spark: SparkSession,
+                            target: Either[String, Seq[String]])
       : (String, Option[TableIdentifier]) = target match {
     case Left(path) => (path, None)
     case Right(parts) =>

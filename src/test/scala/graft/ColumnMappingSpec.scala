@@ -218,6 +218,38 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got.agg(sum("doc_id")).as[Long].head() == (0L until 15L).sum)
   }
 
+  test("DDL commits are O(manifest-lines), never O(files): byte-size pin on a wide table") {
+    val root = freshRoot()
+    M.append(spark, (0 until 4000).map(i => (i.toLong, s"p$i", i % 4))
+      .toDF("id", "payload", "grp").repartition(200), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestBytes(v: Long): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(
+        s"$root/_manifests/v${"%020d".format(v)}.manifest")).getLen
+    val checkpointBytes = manifestBytes(1L)
+    assert(checkpointBytes > 20000L, s"200-file checkpoint should be wide: $checkpointBytes")
+    val vRename = M.renameColumn(spark, root, "id", "doc_id")
+    val vDrop = M.dropColumn(spark, root, "payload")
+    val vAdd = M.addColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val vRestore = M.restore(spark, root, vRename)
+    for ((v, what) <- Seq((vRename, "rename"), (vDrop, "drop"), (vAdd, "add"))) {
+      val b = manifestBytes(v)
+      assert(b < 4096L,
+        s"$what commit must be O(schema+colmap lines), got $b bytes " +
+          s"(checkpoint is $checkpointBytes) — an O(files) DDL write regressed")
+    }
+    // restore re-lists nothing either: its file list is byte-identical to
+    // the base's, so the delta encodes only the schema/colmap rollback
+    assert(manifestBytes(vRestore) < 8192L,
+      s"restore-to-neighbor commit should be delta-small: ${manifestBytes(vRestore)}")
+    // the restore rolled the schema back to the post-rename state: payload
+    // returns (its physical bytes never left), score goes
+    assert(M.read(spark, root).columns.toSeq == Seq("doc_id", "payload", "grp"))
+  }
+
   test("SQL: ALTER TABLE RENAME/DROP COLUMN sync the catalog; pre-r14 readers refuse format v3") {
     val root = freshRoot()
     new java.io.File(root).delete()

@@ -222,6 +222,30 @@ class ManifestSqlLifecycleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ac_parq")
   }
 
+  test("graft_table_changes TVF reads the attributed change feed in SQL (r14)") {
+    val root = freshRoot("tvf")
+    spark.sql("DROP TABLE IF EXISTS tvf_t")
+    M.append(spark, (0 until 10).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), root) // v1
+    M.append(spark, (10 until 16).map(i => (i.toLong, s"p$i")).toDF("id", "payload"), root) // v2
+    spark.sql(s"CREATE TABLE tvf_t USING `graft-manifest` OPTIONS (path '$root')")
+    assert(spark.sql("DELETE FROM tvf_t WHERE id < 3").as[Long].head() == 3L)  // v3
+    // by PATH, full window from version 1
+    val byPath = spark.sql(
+      s"SELECT _change_type AS t, _commit_version AS v, count(*) AS n " +
+        s"FROM graft_table_changes('$root', 1) GROUP BY 1, 2 ORDER BY 1, 2")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(byPath == Seq(("delete", 3L, 3L), ("insert", 2L, 6L)))
+    // by TABLE NAME, bounded window [from 1 to 2] — the delete is excluded
+    val byName = spark.sql(
+      "SELECT count(*) FROM graft_table_changes('tvf_t', 1, 2)").as[Long].head()
+    assert(byName == 6L)
+    // non-literal arguments refuse with the recipe
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_table_changes('$root', (SELECT 1))").collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS tvf_t")
+  }
+
   test("CTAS with PARTITIONED BY births a partitioned table in one statement") {
     val root = freshRoot("ctasp")
     spark.sql("DROP TABLE IF EXISTS ctasp_t")
