@@ -15,28 +15,34 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * the lifecycle a SQL-only user needs beyond DML —
   *
   * {{{
-  *   OPTIMIZE t [ZORDER BY (c1, c2)]
-  *   VACUUM t [RETAIN <n> VERSIONS] [RETAIN <n> HOURS]
+  *   OPTIMIZE t [WHERE <stats-prunable conjuncts>] [ZORDER BY (c1, c2)]
+  *   VACUUM t [RETAIN <n> VERSIONS] [RETAIN <n> HOURS] [DRY RUN]
+  *   ALTER TABLE t RENAME COLUMN a TO b / DROP COLUMN a
+  *   RESTORE TABLE t [TO] VERSION AS OF <n>
+  *   DESCRIBE HISTORY t [LIMIT <n>]
   * }}}
   *
   * `t` is a session-catalog table registered with provider
-  * `graft-manifest`, or a quoted path literal (`OPTIMIZE '/data/t'`) —
-  * the Delta surface shape. Neither statement is ANSI SQL, so this is a
-  * DELEGATING parser (the Delta extension pattern, installed via
-  * `SparkSessionExtensions.injectParser`): the two verb shapes are
-  * recognized up front by a cheap anchored match and everything else —
-  * including parse ERRORS in non-maintenance statements — flows to
-  * Spark's own parser untouched.
+  * `graft-manifest`, or (except ALTER, which syncs catalog schema) a
+  * quoted path literal (`OPTIMIZE '/data/t'`) — the Delta surface shape.
+  * None of these statements are ANSI SQL, so this is a DELEGATING parser
+  * (the Delta extension pattern, installed via
+  * `SparkSessionExtensions.injectParser`): the verb shapes are recognized
+  * up front by cheap anchored matches and everything else — including
+  * parse ERRORS in non-maintenance statements — flows to Spark's own
+  * parser untouched.
   *
   * Semantics map 1:1 onto the library API:
   *  - `OPTIMIZE` = [[ManifestStore.compact]] (bin-pack to the default
-  *    target file size); with `ZORDER BY` =
-  *    [[ManifestStore.compactZOrdered]] (file count derived from current
-  *    bytes / 128 MiB). Both commit ONE physical (op=compact) version —
-  *    row-conserving, so tails and change feeds stream through it.
+  *    target file size); with `WHERE` = [[ManifestStore.compactWhere]]
+  *    (only the files whose stats might match are rewritten); with
+  *    `ZORDER BY` = [[ManifestStore.compactZOrdered]] (file count derived
+  *    from current bytes / 128 MiB). All commit ONE physical (op=compact)
+  *    version — row-conserving, so tails and change feeds stream through.
   *  - `VACUUM` = [[ManifestStore.vacuum]]. `RETAIN n VERSIONS` maps to
   *    keepVersions (default 2); `RETAIN n HOURS` maps to the age guard
-  *    (default 24h). Both clauses may appear (either order).
+  *    (default 24h). Both clauses may appear (either order); `DRY RUN`
+  *    reports the reclaimable batch count and touches nothing.
   */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   extends ParserInterface {
@@ -72,10 +78,10 @@ object GraftSqlParser {
   private val Target = """('[^']+'|`[^`]+`(?:\.`[^`]+`)*|[\w.]+)"""
 
   private val OptimizeRe = Pattern.compile(
-    s"""(?is)^\\s*OPTIMIZE\\s+$Target(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""")
+    s"""(?is)^\\s*OPTIMIZE\\s+$Target(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*$$""")
 
   private val VacuumRe = Pattern.compile(
-    s"""(?is)^\\s*VACUUM\\s+$Target((?:\\s+RETAIN\\s+\\d+\\s+(?:VERSIONS|HOURS))*)\\s*;?\\s*$$""")
+    s"""(?is)^\\s*VACUUM\\s+$Target((?:\\s+RETAIN\\s+\\d+\\s+(?:VERSIONS|HOURS))*)(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""")
 
   private val RetainRe = Pattern.compile(
     """(?i)RETAIN\s+(\d+)\s+(VERSIONS|HOURS)""")
@@ -106,13 +112,17 @@ object GraftSqlParser {
       else Right(delegate.parseMultipartIdentifier(raw))
     val om = OptimizeRe.matcher(sqlText)
     if (om.matches()) {
-      val zorder = Option(om.group(2)).map(_.split(",").map { c =>
+      val zorder = Option(om.group(3)).map(_.split(",").map { c =>
         val t = c.trim
         if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1)
         else t
       }.toSeq).getOrElse(Seq.empty)
       zorder.foreach(c => require(c.nonEmpty, "empty ZORDER BY column"))
-      return Some(ManifestOptimizeCommand(targetOf(om.group(1)), zorder))
+      val where = Option(om.group(2)).map(_.trim).filter(_.nonEmpty)
+      require(where.isEmpty || zorder.isEmpty,
+        "OPTIMIZE ... WHERE cannot combine with ZORDER BY — z-order the " +
+          "whole table, or bin-pack the matching slice")
+      return Some(ManifestOptimizeCommand(targetOf(om.group(1)), zorder, where))
     }
     // ALTER TABLE ... RENAME/DROP COLUMN (r14 column mapping): Spark's own
     // analyzer refuses both statements on every v1 table, so intercepting
@@ -158,7 +168,7 @@ object GraftSqlParser {
         } else retainHours = Some(n)
       }
       return Some(ManifestVacuumCommand(targetOf(vm.group(1)),
-        keepVersions, retainHours))
+        keepVersions, retainHours, dryRun = vm.group(3) != null))
     }
     None
   }
@@ -212,11 +222,18 @@ object GraftSqlParser {
 }
 
 /** One `OPTIMIZE` = one physical compaction commit (bin-pack, or Z-order
-  * layout when `ZORDER BY` columns are given). Returns
-  * (files_before, files_after, version).
+  * layout when `ZORDER BY` columns are given; with `WHERE`, only the
+  * files whose stats/partition values might match the condition are
+  * rewritten — the Delta `OPTIMIZE WHERE` shape, for compacting today's
+  * hot partition while the rest of a 100 TB table stays untouched).
+  * Returns (files_before, files_after, version). The WHERE condition
+  * must be simple stats-prunable conjuncts (`col <op> literal`) — it
+  * SELECTS FILES, it never filters rows, so an untranslatable shape
+  * refuses rather than silently compacting everything.
   */
 final case class ManifestOptimizeCommand(target: Either[String, Seq[String]],
-                                         zorderBy: Seq[String])
+                                         zorderBy: Seq[String],
+                                         where: Option[String] = None)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -224,10 +241,53 @@ final case class ManifestOptimizeCommand(target: Either[String, Seq[String]],
     AttributeReference("files_after", LongType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
+  /** Translate the WHERE text to stats filters: conjuncts of
+    * `col <op> literal` (and IN/IS NULL/IS NOT NULL). File-selection
+    * semantics make row-level precision unnecessary, but an
+    * untranslatable conjunct must refuse — keeping it would compact MORE
+    * than asked, silently.
+    */
+  private def filtersOf(spark: SparkSession, cond: String)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def scala(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    def name(e: Expression): String = e match {
+      case UnresolvedAttribute(parts) => parts.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE supports bare columns — got $other")
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(spark.sessionState.sqlParser.parseExpression(cond)).map {
+      case EqualTo(a, l: Literal) => org.apache.spark.sql.sources.EqualTo(name(a), scala(l))
+      case EqualTo(l: Literal, a) => org.apache.spark.sql.sources.EqualTo(name(a), scala(l))
+      case GreaterThan(a, l: Literal) => org.apache.spark.sql.sources.GreaterThan(name(a), scala(l))
+      case GreaterThanOrEqual(a, l: Literal) => org.apache.spark.sql.sources.GreaterThanOrEqual(name(a), scala(l))
+      case LessThan(a, l: Literal) => org.apache.spark.sql.sources.LessThan(name(a), scala(l))
+      case LessThanOrEqual(a, l: Literal) => org.apache.spark.sql.sources.LessThanOrEqual(name(a), scala(l))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        org.apache.spark.sql.sources.In(name(a),
+          vs.map(v => scala(v.asInstanceOf[Literal])).toArray)
+      case IsNull(a) => org.apache.spark.sql.sources.IsNull(name(a))
+      case IsNotNull(a) => org.apache.spark.sql.sources.IsNotNull(name(a))
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE conjunct '$other' is not a stats-prunable shape " +
+          "(col <op> literal / IN / IS [NOT] NULL) — it selects FILES, not " +
+          "rows; use ManifestStore.compactWhere for richer Filter shapes")
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val (root, ident) = GraftSqlParser.rootOf(spark, target)
     val (b, a, v) = GraftSqlParser.retryingRewrite("OPTIMIZE", root) {
-      if (zorderBy.isEmpty) ManifestStore.compact(spark, root)
+      if (where.isDefined)
+        ManifestStore.compactWhere(spark, root, filtersOf(spark, where.get))
+      else if (zorderBy.isEmpty) ManifestStore.compact(spark, root)
       else {
         val snap = ManifestStore.latestSnapshot(spark, root).getOrElse(
           throw new java.util.NoSuchElementException(
@@ -342,7 +402,8 @@ final case class ManifestHistoryCommand(target: Either[String, Seq[String]],
   */
 final case class ManifestVacuumCommand(target: Either[String, Seq[String]],
                                        keepVersions: Option[Int],
-                                       retainHours: Option[Long])
+                                       retainHours: Option[Long],
+                                       dryRun: Boolean = false)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -353,7 +414,8 @@ final case class ManifestVacuumCommand(target: Either[String, Seq[String]],
     val dropped = ManifestStore.vacuum(spark, root,
       keepVersions = keepVersions.getOrElse(2),
       minAgeMs = retainHours.map(_ * 3600L * 1000L)
-        .getOrElse(24L * 3600 * 1000))
+        .getOrElse(24L * 3600 * 1000),
+      dryRun = dryRun)
     Seq(Row(dropped.toLong))
   }
 }

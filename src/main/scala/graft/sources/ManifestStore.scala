@@ -3820,7 +3820,8 @@ object ManifestStore {
     * kept set. Returns the number of batch directories deleted.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 2,
-             minAgeMs: Long = 24L * 3600 * 1000): Int = {
+             minAgeMs: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val (fs, rootP) = fsFor(spark, root)
     val versions = listVersions(fs, rootP)
@@ -3875,14 +3876,15 @@ object ManifestStore {
     if (fs.exists(dd)) for (d <- fs.listStatus(dd) if d.isDirectory) {
       val ref = live.contains(stripped(d.getPath))
       if (!ref && newestTouch(d) < cutoff) {
-        fs.delete(d.getPath, true)
+        if (!dryRun) fs.delete(d.getPath, true): Unit
         dropped += 1
       }
     }
     // a kept DELTA version needs its whole chain back to its checkpoint to
     // stay replayable (r13) — prune manifests strictly below the kept
     // snapshots' lowest checkpoint, never just below their lowest version
-    for (v <- versions if v < keepV)
+    // (dry run touches nothing and just reports the batch count)
+    if (!dryRun) for (v <- versions if v < keepV)
       fs.delete(manifestPath(rootP, v), false)
     dropped
   }

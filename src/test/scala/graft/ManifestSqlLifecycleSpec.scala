@@ -246,6 +246,44 @@ class ManifestSqlLifecycleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS tvf_t")
   }
 
+  test("OPTIMIZE ... WHERE compacts only the matching slice; VACUUM DRY RUN deletes nothing (r14)") {
+    val root = freshRoot("optw")
+    spark.sql("DROP TABLE IF EXISTS optw_t")
+    // range layout → per-file id bounds → WHERE prunes to one slice
+    M.append(spark, (0 until 400).map(i => (i.toLong, i % 7)).toDF("id", "g")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id"), root)
+    M.append(spark, (400 until 800).map(i => (i.toLong, i % 7)).toDF("id", "g")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("id"))
+      .sortWithinPartitions("id"), root)
+    spark.sql(s"CREATE TABLE optw_t USING `graft-manifest` OPTIONS (path '$root')")
+    val total = M.latestSnapshot(spark, root).get.files.size
+    // the predicate covers exactly the FIRST batch: its 8 files compact,
+    // the second batch's files are stats-pruned out of the rewrite — and
+    // the whole superseded batch directory becomes vacuum food
+    val r = spark.sql("OPTIMIZE optw_t WHERE id < 400").collect().head
+    assert(r.getLong(0) < total,
+      s"WHERE must select a strict file subset: ${r.getLong(0)} of $total")
+    assert(r.getLong(0) >= 2 && r.getLong(1) < r.getLong(0),
+      s"the slice must actually merge: ${r.getLong(0)} -> ${r.getLong(1)}")
+    assert(spark.sql("SELECT count(*) FROM optw_t").as[Long].head() == 800L)
+    // untranslatable shapes refuse (file selection must never widen silently)
+    val e = intercept[Exception](spark.sql("OPTIMIZE optw_t WHERE id + 1 < 100"))
+    assert(e.getMessage.contains("bare columns") ||
+      e.getMessage.contains("stats-prunable"), e.getMessage)
+    // DRY RUN reports without deleting
+    val wouldDrop = spark.sql("VACUUM optw_t RETAIN 1 VERSIONS RETAIN 0 HOURS DRY RUN")
+      .as[Long].head()
+    assert(wouldDrop >= 1L)
+    assert(spark.sql("SELECT count(*) FROM optw_t VERSION AS OF 2").as[Long].head() == 800L,
+      "dry run must leave every old version readable")
+    val dropped = spark.sql("VACUUM optw_t RETAIN 1 VERSIONS RETAIN 0 HOURS")
+      .as[Long].head()
+    assert(dropped == wouldDrop, s"dry-run count must match the real pass: $wouldDrop vs $dropped")
+    assert(spark.sql("SELECT count(*) FROM optw_t").as[Long].head() == 800L)
+    spark.sql("DROP TABLE IF EXISTS optw_t")
+  }
+
   test("CTAS with PARTITIONED BY births a partitioned table in one statement") {
     val root = freshRoot("ctasp")
     spark.sql("DROP TABLE IF EXISTS ctasp_t")
