@@ -3460,7 +3460,14 @@ object ManifestStore {
     * never regress an exactly-once stream's resume point. Restore is a
     * DATA-CHANGING rewrite by nature (files leave the live set), so
     * change feeds and tails refuse across it, exactly like a CoW delete:
-    * consumers reprocess from a full snapshot. Returns the new version.
+    * consumers reprocess from a full snapshot.
+    *
+    * CONCURRENCY (the Delta RESTORE posture): restore is declarative —
+    * it commits the target state wholesale, so a write racing it is
+    * superseded in the live view the moment the restore lands (its rows
+    * stay time-travelable at its own version until vacuum; nothing is
+    * lost, only un-lived). Callers needing to keep racing appends must
+    * serialize them against the restore. Returns the new version.
     */
   def restore(spark: SparkSession, root: String, v: Long,
               maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
