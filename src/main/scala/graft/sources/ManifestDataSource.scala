@@ -11,11 +11,14 @@ import graft.streaming.{ManifestStreamSink, ManifestStreamSource}
 object ManifestDataSource {
 
   /** `timestampAsOf` option value → epoch millis: epoch-millis digits,
-    * `yyyy-MM-dd[ HH:mm:ss[.f…]]` (session-independent local wall time is
-    * deliberately NOT guessed — a bare date/datetime is read as UTC), or
-    * ISO-8601 instant.
+    * ISO-8601 instant, or bare `yyyy-MM-dd[ HH:mm:ss[.f…]]` — the bare
+    * form is read in the SESSION time zone (`zone`), matching how the SQL
+    * `TIMESTAMP AS OF` surface casts the identical literal
+    * (ManifestTimeTravelRule.evalTimestampMillis), so the same string
+    * resolves to the same version on both surfaces (ADVICE r14 #5).
     */
-  private[sources] def parseTsMillis(ts: String): Long = {
+  private[sources] def parseTsMillis(ts: String,
+                                     zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Long = {
     val t = ts.trim
     if (t.matches("-?\\d{10,}")) return t.toLong
     try return java.time.Instant.parse(t).toEpochMilli
@@ -23,12 +26,13 @@ object ManifestDataSource {
     val normalized = if (t.contains(" ") || t.contains("T")) t.replace(" ", "T")
                      else t + "T00:00:00"
     try java.time.LocalDateTime.parse(normalized)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      .atZone(zone).toInstant.toEpochMilli
     catch {
       case _: java.time.format.DateTimeParseException =>
         throw new IllegalArgumentException(
           s"cannot parse timestampAsOf '$ts' — pass epoch millis, " +
-            "'yyyy-MM-dd[ HH:mm:ss]' (read as UTC) or an ISO-8601 instant")
+            "'yyyy-MM-dd[ HH:mm:ss]' (read in the session time zone) or " +
+            "an ISO-8601 instant")
     }
   }
 }
@@ -298,7 +302,22 @@ final class ManifestDataSource extends RelationProvider
       .map(org.apache.spark.sql.execution.datasources.DataSourceUtils.decodePartitioningColumns)
     val partitionBy = declared.getOrElse(
       ManifestStore.latestSnapshot(spark, root).map(_.partCols).getOrElse(Seq.empty))
-    ManifestStore.append(spark, data, root, partitionBy = partitionBy)
+    // birth is ATOMIC (ADVICE r14 #4): for the create modes the "no table
+    // yet" observation above is re-verified inside the commit protocol —
+    // two racing CTAS/ErrorIfExists saves cannot both birth the table
+    val birth = mode != SaveMode.Append && existing.isEmpty
+    val committed = ManifestStore.append(spark, data, root,
+      partitionBy = partitionBy, expectNoTable = birth)
+    if (committed == -1L) {
+      // lost the birth race: another writer created the table concurrently
+      if (mode == SaveMode.Ignore)
+        return createRelation(sqlContext, Map("path" -> root))
+      throw new IllegalStateException(
+        s"a graft-manifest table was created under $root concurrently and " +
+          s"mode($mode) cannot replace it — INSERT INTO/mode(append) extends " +
+          "it; overwrites are explicit rewrites (ManifestStore.compact/" +
+          "deleteWhere/upsertByKey)")
+    }
     // the append COMMITTED — appending to a table with live deletion
     // vectors is legitimate (appends never touch vectors), but the raw
     // format relation cannot apply them WITHOUT the extensions: throwing
@@ -374,7 +393,8 @@ final class ManifestDataSource extends RelationProvider
         throw new java.util.NoSuchElementException(
           s"no intact manifest v$v under $root"))
       case (None, Some(ts)) =>
-        val millis = ManifestDataSource.parseTsMillis(ts)
+        val millis = ManifestDataSource.parseTsMillis(ts,
+          java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
         val v = ManifestStore.versionAtOrBefore(spark, root, millis).getOrElse(
           throw new java.util.NoSuchElementException(
             s"timestamp $ts predates the retained history under $root — " +

@@ -97,6 +97,29 @@ object GraftSqlParser {
   private def unquoteCol(t: String): String =
     if (t.startsWith("`") && t.endsWith("`")) t.substring(1, t.length - 1) else t
 
+  /** True iff the 1-2 part name resolves in the active session's v1
+    * catalog to a table with provider `graft-manifest` (the same probe
+    * [[rootOf]] makes at run time). Best-effort at PARSE time: any
+    * resolution failure means "not ours" and the statement flows to the
+    * delegate untouched — never a parse-time error from this probe.
+    */
+  private def isSessionManifestTable(parts: Seq[String]): Boolean =
+    SparkSession.getActiveSession.exists { spark =>
+      val ident = parts match {
+        case Seq(t) => Some(TableIdentifier(t))
+        case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+        case _ => None
+      }
+      ident.exists { id =>
+        try {
+          val cat = spark.sessionState.catalog
+          cat.tableExists(id) &&
+            cat.getTableMetadata(id).provider
+              .exists(_.equalsIgnoreCase("graft-manifest"))
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
+
   private val RestoreRe = Pattern.compile(
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
 
@@ -124,22 +147,25 @@ object GraftSqlParser {
           "whole table, or bin-pack the matching slice")
       return Some(ManifestOptimizeCommand(targetOf(om.group(1)), zorder, where))
     }
-    // ALTER TABLE ... RENAME/DROP COLUMN (r14 column mapping): Spark's own
-    // analyzer refuses both statements on every v1 table, so intercepting
-    // the shape shadows no working behavior — the command itself verifies
-    // the provider at run time and refuses non-manifest tables with the
-    // cause (other v1 formats could never run these anyway).
+    // ALTER TABLE ... RENAME/DROP COLUMN (r14 column mapping): intercepted
+    // ONLY when the session catalog resolves the 1-2 part name to a v1
+    // table whose provider is graft-manifest — Spark's analyzer refuses
+    // both statements on every OTHER v1 table, but a DSv2 catalog plugin
+    // registered as spark_catalog legitimately supports them through the
+    // same 1-2 part names, and a blanket intercept would shadow it
+    // (ADVICE r14 #3). Unresolvable names fall through too, so the
+    // delegate produces the standard table-not-found error.
     val rc = RenameColRe.matcher(sqlText)
     if (rc.matches() && !rc.group(1).startsWith("'")) {
       val parts = delegate.parseMultipartIdentifier(rc.group(1))
-      if (parts.size <= 2) // 3-part names live in v2 catalogs: not ours
+      if (parts.size <= 2 && isSessionManifestTable(parts))
         return Some(ManifestAlterColumnCommand(Right(parts),
           unquoteCol(rc.group(2)), Some(unquoteCol(rc.group(3)))))
     }
     val dc = DropColRe.matcher(sqlText)
     if (dc.matches() && !dc.group(1).startsWith("'")) {
       val parts = delegate.parseMultipartIdentifier(dc.group(1))
-      if (parts.size <= 2)
+      if (parts.size <= 2 && isSessionManifestTable(parts))
         return Some(ManifestAlterColumnCommand(Right(parts),
           unquoteCol(dc.group(2)), None))
     }

@@ -389,7 +389,16 @@ object ManifestStore {
   private def renderDelta(s: Snapshot, base: Snapshot, removed: Seq[String],
                           changed: Seq[ManifestEntry], addedBytes: Long)
       : java.io.OutputStream => Unit = out => streamManifest(out) { body =>
-    body.append(headerOf(s)).append('\n')
+    // A delta that CHANGES the mapping must carry the v3 header even when
+    // the new state is EMPTY (a rename-back or restore that resets
+    // colMap/droppedPhys): parseStrict only honors `colmap=`/`dropped=`
+    // markers at fmtV>=3, so a v2-headed reset delta would have its reset
+    // lines skipped by the v2 unknown-marker rule and every cold chain
+    // resolution would silently keep the stale mapping (ADVICE r14 #1).
+    val hdr =
+      if (s.colMap != base.colMap || s.droppedPhys != base.droppedPhys) Header3
+      else headerOf(s)
+    body.append(hdr).append('\n')
     body.append("version=").append(s.version.toString).append('\n')
     body.append("base=").append(base.version.toString).append('\n')
     body.append("addbytes=").append(addedBytes.toString).append('\n')
@@ -567,11 +576,15 @@ object ManifestStore {
         val i = l.lastIndexOf('\t')
         if (i <= 0) return None
         txns += l.substring("txn=".length, i) -> l.substring(i + 1).toLong
-      } else if (fmtV >= 3 && l.startsWith("colmap=")) {
+      } else if (isV2 && l.startsWith("colmap=")) {
+        // honored at v2 as well as v3: genuine pre-r14 writers never emit
+        // this marker, and a buggy v2-headed mapping-RESET delta (written
+        // before the renderDelta header fix above) must still clear the
+        // mapping on cold resolution rather than be skipped (ADVICE r14 #1)
         val toks = l.stripPrefix("colmap=").split("\t", -1).toSeq.filter(_.nonEmpty)
         if (toks.size % 2 != 0) return None
         colMap = Some(toks.grouped(2).map(p => p.head -> p(1)).toMap)
-      } else if (fmtV >= 3 && l.startsWith("dropped=")) {
+      } else if (isV2 && l.startsWith("dropped=")) {
         droppedPhys = Some(l.stripPrefix("dropped=").split("\t", -1).toSeq
           .filter(_.nonEmpty))
       } else if (isV2 && l.startsWith("base=")) {
@@ -1210,7 +1223,8 @@ object ManifestStore {
     */
   def append(spark: SparkSession, df: DataFrame, root: String,
              maxRetries: Int = 10, tornGraceMs: Long = 60000L,
-             partitionBy: Seq[String] = Nil): Long = {
+             partitionBy: Seq[String] = Nil,
+             expectNoTable: Boolean = false): Long = {
     val (fs, rootP) = fsFor(spark, root)
     if (partitionBy.nonEmpty) requirePartitionable(df, partitionBy)
     val cur = latestSnapshot(spark, root)
@@ -1220,14 +1234,26 @@ object ManifestStore {
     if (mine.isEmpty)
       return cur.map(_.version).getOrElse(0L)
     val batchSchema = normalizeSchema(df.schema)
-    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
-      Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
+    val v = commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+      // birth semantics (ADVICE r14 #4): a CTAS/ErrorIfExists/Ignore save
+      // checked "no table" BEFORE writing its batch; that check-then-act
+      // is made atomic HERE, against the actual commit base — if another
+      // writer birthed the table in between, ABANDON (the caller maps -1
+      // to its mode's semantics: throw for ErrorIfExists/Overwrite-as-
+      // create, no-op for Ignore) instead of stacking a second "create"
+      if (expectNoTable && base.exists(_.files.nonEmpty)) None
+      else Some(Snapshot(0L, base.map(_.files).getOrElse(Seq.empty) ++ mine,
         base.map(_.txns).getOrElse(Map.empty),
         Some(mergedSchema(base, legacy, batchSchema)),
         partColsOf(base, partitionBy), op = "append",
         colMap = base.map(_.colMap).getOrElse(Map.empty),
         droppedPhys = base.map(_.droppedPhys).getOrElse(Nil)))
     }
+    if (v == -1L) // lost the birth race: reclaim this attempt's orphan batch
+      mine.foreach(e =>
+        try fs.delete(new Path(e.path), false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    v
   }
 
   /** [[append]] with the batch laid out along the Z-order curve of `dims`
@@ -1452,6 +1478,21 @@ object ManifestStore {
           require(bf.dataType == tt,
             s"concurrent schema conflict on column ${bf.name}: " +
               s"${bf.dataType.simpleString} vs ${tt.simpleString}")
+        // The physical-name collision guard must run HERE too, against the
+        // ACTUAL commit base — the pre-commit requireCompatibleSchema check
+        // ran against an older snapshot, so an append racing a concurrent
+        // DROP/RENAME COLUMN could otherwise commit a retired physical name
+        // back into the schema and serve the old files' orphaned bytes as
+        // the re-added column's values (ADVICE r14 #2).
+        base.filter(b => b.colMap.nonEmpty || b.droppedPhys.nonEmpty).foreach { b =>
+          val newCols = batch.fieldNames.filterNot(byName.contains)
+          val bad = newCols.filter(b.physicalNames)
+          require(bad.isEmpty,
+            s"new column(s) ${bad.mkString(", ")} collide with a PHYSICAL " +
+              "column name in use or dropped (a concurrent RENAME/DROP landed " +
+              "since this append's pre-check) — old files already carry data " +
+              "under that name; choose a different name or rewrite the table")
+        }
         StructType(t.fields ++ batch.fields.filterNot(f => byName.contains(f.name)))
     }
   }

@@ -277,4 +277,49 @@ class ColumnMappingSpec extends SparkSpec {
     }
     assert(head == "graft-manifest v3", head)
   }
+
+  test("mapping RESET survives cold resolution: rename-back parity, seeded vs delta-chain replay (ADVICE r15 #1)") {
+    // a rename BACK to the physical name empties colMap; the reset delta
+    // must still carry the v3 header so parseStrict honors its `colmap=`
+    // reset line — under a v2 header the line is skipped by the unknown-
+    // marker rule and every COLD chain resolution keeps the stale mapping
+    val root = freshRoot()
+    M.append(spark, frame(0, 10), root)
+    M.renameColumn(spark, root, "id", "doc_id")
+    M.renameColumn(spark, root, "doc_id", "id") // reset: colMap -> empty
+    val seeded = M.latestSnapshot(spark, root).get
+    assert(seeded.colMap.isEmpty, s"seeded colMap: ${seeded.colMap}")
+    M.clearCachesForTest()
+    val cold = M.latestSnapshot(spark, root).get
+    assert(cold.colMap == seeded.colMap && cold.colMap.isEmpty,
+      s"cold delta-chain replay diverged from the committer-seeded snapshot: " +
+        s"cold=${cold.colMap} seeded=${seeded.colMap}")
+    assert(M.read(spark, root).columns.toSeq == Seq("id", "payload", "grp"))
+    assert(M.read(spark, root).select(sum("id")).as[Long].head() == 45L)
+    // a widening append may now re-introduce "doc_id" (the mapping is
+    // GONE, so the name is free) — under the stale-mapping bug this would
+    // map onto the live physical "id" column and serve wrong data
+    M.append(spark, Seq((100L, "x", 0, 7L)).toDF("id", "payload", "grp", "doc_id"), root)
+    val got = M.read(spark, root).where(col("id") === 100L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(7L), s"re-added column read wrong data: $got")
+  }
+
+  test("mapping RESET survives cold resolution: restore to pre-DDL version (ADVICE r15 #1)") {
+    val root = freshRoot()
+    M.append(spark, frame(0, 10), root)
+    val preDdl = M.latestSnapshot(spark, root).get.version
+    M.renameColumn(spark, root, "id", "doc_id")
+    M.dropColumn(spark, root, "payload")
+    M.restore(spark, root, preDdl) // colMap AND droppedPhys -> empty
+    val seeded = M.latestSnapshot(spark, root).get
+    assert(seeded.colMap.isEmpty && seeded.droppedPhys.isEmpty)
+    M.clearCachesForTest()
+    val cold = M.latestSnapshot(spark, root).get
+    assert(cold.colMap.isEmpty && cold.droppedPhys.isEmpty,
+      s"cold replay kept stale mapping state: colMap=${cold.colMap} " +
+        s"dropped=${cold.droppedPhys}")
+    assert(M.read(spark, root).columns.toSeq == Seq("id", "payload", "grp"))
+    assert(M.read(spark, root).count() == 10L)
+  }
 }
