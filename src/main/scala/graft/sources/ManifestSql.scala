@@ -120,6 +120,60 @@ object GraftSqlParser {
       }
     }
 
+  // r15: constraints, table properties and the one-row detail twin.
+  // SET/UNSET TBLPROPERTIES and ALTER COLUMN SET/DROP NOT NULL are valid
+  // Spark SQL on other tables, so they intercept ONLY for session-catalog
+  // graft-manifest tables (or quoted paths, which no other surface
+  // accepts); ADD/DROP CONSTRAINT and DESCRIBE DETAIL are gated the same
+  // way for symmetry and future-proofing (DSv2 check constraints).
+  private val AddConstraintRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val DropConstraintRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$$""")
+  private val NotNullRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ALTER\\s+COLUMN\\s+$ColTok\\s+(SET|DROP)\\s+NOT\\s+NULL\\s*;?\\s*$$""")
+  private val AlterTypeRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ALTER\\s+COLUMN\\s+$ColTok\\s+TYPE\\s+([\\w()\\s,]+?)\\s*;?\\s*$$""")
+  private val SetPropsRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val UnsetPropsRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$$""")
+  private val DetailRe = Pattern.compile(
+    s"""(?is)^\\s*DESCRIBE\\s+DETAIL\\s+$Target\\s*;?\\s*$$""")
+
+  // one `'k' = 'v'` (or bare-identifier key) pair of a TBLPROPERTIES list
+  private val PropPairRe = Pattern.compile(
+    """\s*(?:'([^']*)'|([\w.\-]+))\s*=\s*'([^']*)'\s*(?:,|$)""")
+  private val PropKeyRe = Pattern.compile(
+    """\s*(?:'([^']*)'|([\w.\-]+))\s*(?:,|$)""")
+
+  private def parsePropPairs(list: String): Map[String, String] = {
+    val m = PropPairRe.matcher(list)
+    val out = Map.newBuilder[String, String]
+    var consumed = 0
+    while (m.find() && m.start() == consumed) {
+      out += Option(m.group(1)).getOrElse(m.group(2)) -> m.group(3)
+      consumed = m.end()
+    }
+    require(consumed == list.length,
+      s"cannot parse TBLPROPERTIES list at: '${list.substring(consumed)}' — " +
+        "expected 'key' = 'value' pairs")
+    out.result()
+  }
+
+  private def parsePropKeys(list: String): Seq[String] = {
+    val m = PropKeyRe.matcher(list)
+    val out = Seq.newBuilder[String]
+    var consumed = 0
+    while (m.find() && m.start() == consumed) {
+      out += Option(m.group(1)).getOrElse(m.group(2))
+      consumed = m.end()
+    }
+    require(consumed == list.length,
+      s"cannot parse UNSET TBLPROPERTIES list at: '${list.substring(consumed)}'")
+    out.result()
+  }
+
   private val RestoreRe = Pattern.compile(
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
 
@@ -169,6 +223,42 @@ object GraftSqlParser {
         return Some(ManifestAlterColumnCommand(Right(parts),
           unquoteCol(dc.group(2)), None))
     }
+    // a quoted path is ALWAYS ours (no other surface accepts one); an
+    // identifier must resolve to a session-catalog graft-manifest table
+    // or the statement flows to the delegate untouched
+    def ours(raw: String): Boolean =
+      raw.startsWith("'") || {
+        val parts = delegate.parseMultipartIdentifier(raw)
+        parts.size <= 2 && isSessionManifestTable(parts)
+      }
+    val ac = AddConstraintRe.matcher(sqlText)
+    if (ac.matches() && ours(ac.group(1)))
+      return Some(ManifestAddConstraintCommand(targetOf(ac.group(1)),
+        ac.group(2), ac.group(3).trim))
+    val dcon = DropConstraintRe.matcher(sqlText)
+    if (dcon.matches() && ours(dcon.group(1)))
+      return Some(ManifestDropConstraintCommand(targetOf(dcon.group(1)),
+        dcon.group(2)))
+    val nn = NotNullRe.matcher(sqlText)
+    if (nn.matches() && ours(nn.group(1)))
+      return Some(ManifestNotNullCommand(targetOf(nn.group(1)),
+        unquoteCol(nn.group(2)),
+        set = nn.group(3).equalsIgnoreCase("SET")))
+    val at = AlterTypeRe.matcher(sqlText)
+    if (at.matches() && ours(at.group(1)))
+      return Some(ManifestAlterTypeCommand(targetOf(at.group(1)),
+        unquoteCol(at.group(2)), at.group(3).trim))
+    val sp = SetPropsRe.matcher(sqlText)
+    if (sp.matches() && ours(sp.group(1)))
+      return Some(ManifestPropertiesCommand(targetOf(sp.group(1)),
+        set = parsePropPairs(sp.group(2)), unset = Seq.empty))
+    val up = UnsetPropsRe.matcher(sqlText)
+    if (up.matches() && ours(up.group(1)))
+      return Some(ManifestPropertiesCommand(targetOf(up.group(1)),
+        set = Map.empty, unset = parsePropKeys(up.group(2))))
+    val dd = DetailRe.matcher(sqlText)
+    if (dd.matches() && ours(dd.group(1)))
+      return Some(ManifestDetailCommand(targetOf(dd.group(1))))
     // RESTORE TABLE t [TO] VERSION AS OF n — durable time travel (the
     // Delta RESTORE shape); DESCRIBE HISTORY t [LIMIT n] — the table's
     // committed versions. Neither is valid Spark SQL, so the intercept
@@ -443,5 +533,170 @@ final case class ManifestVacuumCommand(target: Either[String, Seq[String]],
         .getOrElse(24L * 3600 * 1000),
       dryRun = dryRun)
     Seq(Row(dropped.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` =
+  * [[ManifestStore.addCheckConstraint]]: existing data is validated
+  * first (a violating table refuses with the offending row), then one
+  * metadata-only commit records the rule and every later write seam
+  * enforces it.
+  */
+final case class ManifestAddConstraintCommand(target: Either[String, Seq[String]],
+                                              name: String, expr: String)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    ManifestStore.addCheckConstraint(spark, root, name, expr)
+    ident.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` = [[ManifestStore.dropConstraint]]. */
+final case class ManifestDropConstraintCommand(target: Either[String, Seq[String]],
+                                               name: String)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    ManifestStore.dropConstraint(spark, root, name)
+    ident.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SET NOT NULL` / `DROP NOT NULL` =
+  * [[ManifestStore.setNotNull]] / [[ManifestStore.dropNotNull]].
+  */
+final case class ManifestNotNullCommand(target: Either[String, Seq[String]],
+                                        column: String, set: Boolean)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    if (set) ManifestStore.setNotNull(spark, root, column)
+    else ManifestStore.dropNotNull(spark, root, column)
+    ident.foreach(t => spark.sessionState.catalog.refreshTable(t))
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES ('k'='v', ...)` /
+  * `UNSET TBLPROPERTIES ('k', ...)` on a graft-manifest table: the
+  * MANIFEST is the source of truth (properties travel with the table
+  * root, survive time travel, restore and clone); the session catalog's
+  * own property map is mirrored best-effort so DESCRIBE TABLE EXTENDED
+  * agrees.
+  */
+final case class ManifestPropertiesCommand(target: Either[String, Seq[String]],
+                                           set: Map[String, String],
+                                           unset: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, ident) = GraftSqlParser.rootOf(spark, target)
+    if (set.nonEmpty) ManifestStore.setProperties(spark, root, set)
+    if (unset.nonEmpty) ManifestStore.unsetProperties(spark, root, unset)
+    ident.foreach { t =>
+      try {
+        val cat = spark.sessionState.catalog
+        val meta = cat.getTableMetadata(t)
+        cat.alterTable(meta.copy(properties = meta.properties ++ set -- unset))
+      } catch { case scala.util.control.NonFatal(_) => () } // mirror only
+      spark.sessionState.catalog.refreshTable(t)
+    }
+    Seq.empty
+  }
+}
+
+/** `DESCRIBE DETAIL t` — the one-row table-detail twin of DESCRIBE
+  * HISTORY (the Delta shape): format, identity, location, current
+  * version and format version, commit time, layout, live size/rows, and
+  * the full metadata ring (properties, constraints, column mapping,
+  * retired physical names). Everything comes from the current snapshot —
+  * O(manifest), no data file is touched.
+  */
+final case class ManifestDetailCommand(target: Either[String, Seq[String]])
+  extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, MapType, StringType, TimestampType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("format_version", IntegerType, nullable = false)(),
+    AttributeReference("last_modified", TimestampType)(),
+    AttributeReference("partition_columns", ArrayType(StringType), nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_in_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType)(),
+    AttributeReference("properties", MapType(StringType, StringType), nullable = false)(),
+    AttributeReference("constraints", ArrayType(StringType), nullable = false)(),
+    AttributeReference("column_mapping", MapType(StringType, StringType), nullable = false)(),
+    AttributeReference("dropped_physical", ArrayType(StringType), nullable = false)(),
+    AttributeReference("is_checkpoint", BooleanType, nullable = false)(),
+    AttributeReference("delta_depth", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.rootOf(spark, target)
+    val snap = ManifestStore.latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+    val committedAt = ManifestStore.history(spark, root, 1)
+      .select("committed_at").collect().headOption.map(_.getTimestamp(0)).orNull
+    val liveRows: Any =
+      if (snap.files.exists(_.rows.isEmpty)) null
+      else snap.files.map(f => f.rows.get - f.dv.map(_.rows).getOrElse(0L)).sum
+    val fmtVersion =
+      if (snap.colMap.nonEmpty || snap.droppedPhys.nonEmpty ||
+          snap.constraints.nonEmpty || snap.properties.nonEmpty) 3 else 2
+    Seq(Row(
+      "graft-manifest",
+      if (snap.tableId.nonEmpty) snap.tableId else null,
+      root,
+      snap.version,
+      fmtVersion,
+      committedAt,
+      snap.partCols,
+      snap.files.size.toLong,
+      snap.files.map(_.bytes).sum,
+      liveRows,
+      snap.properties,
+      snap.constraints.map(c => s"${c.name}: ${c.describe}"),
+      snap.colMap,
+      snap.droppedPhys,
+      snap.version == snap.checkpointVersion,
+      snap.deltaDepth))
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <newType>` =
+  * [[ManifestStore.alterColumnType]] (r15): one metadata-only widening
+  * commit — old files read under parquet's native type promotion, the
+  * session catalog's stored schema follows.
+  */
+final case class ManifestAlterTypeCommand(target: Either[String, Seq[String]],
+                                          column: String, typeText: String)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, identOpt) = GraftSqlParser.rootOf(spark, target)
+    val newType = spark.sessionState.sqlParser.parseDataType(typeText)
+    ManifestStore.alterColumnType(spark, root, column, newType)
+    identOpt.foreach { ident =>
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val snap = ManifestStore.latestSnapshot(spark, root).get
+      val logical = ManifestStore.tableSchemaOf(spark, snap)
+      val newFull = org.apache.spark.sql.types.StructType(
+        logical.fields.filterNot(f => meta.partitionColumnNames.contains(f.name)) ++
+          meta.partitionSchema.fields)
+      spark.sessionState.catalog.alterTable(meta.copy(schema = newFull))
+      spark.sessionState.catalog.refreshTable(ident)
+    }
+    Seq.empty
   }
 }

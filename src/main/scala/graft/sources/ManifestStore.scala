@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat, lit, not, struct, to_json}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -147,6 +147,21 @@ object ManifestStore {
     * its base (None on pre-r13 manifests), the O(1) input the streaming
     * source's byte-budget admission reads instead of diffing file sets.
     */
+  /** A write-path invariant carried by the manifest (r15 — the Delta
+    * constraints shape). `kind` is `"notnull"` (`target` = the LOGICAL
+    * column name) or `"check"` (`target` = a SQL boolean expression over
+    * logical columns). Enforced at EVERY seam that lands new or modified
+    * row values (append, streaming append, CoW/MoR upsert, MoR update);
+    * a violating batch refuses the whole commit loudly with the first
+    * offending row rendered. CHECK follows the SQL standard: only a row
+    * where the expression evaluates to FALSE violates (NULL passes).
+    */
+  final case class Constraint(name: String, kind: String, target: String) {
+    require(kind == "notnull" || kind == "check", s"unknown constraint kind $kind")
+    def describe: String =
+      if (kind == "notnull") s"NOT NULL $target" else s"CHECK ($target)"
+  }
+
   final case class Snapshot(version: Long, files: Seq[ManifestEntry],
                             txns: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
@@ -157,7 +172,9 @@ object ManifestStore {
                             deltaDepth: Int = 0,
                             addedBytes: Option[Long] = None,
                             colMap: Map[String, String] = Map.empty,
-                            droppedPhys: Seq[String] = Nil) {
+                            droppedPhys: Seq[String] = Nil,
+                            constraints: Seq[Constraint] = Nil,
+                            properties: Map[String, String] = Map.empty) {
 
     /** Physical (parquet/file-layout) name of a LOGICAL column (r14 column
       * mapping): identity unless a rename re-pointed it. Physical names
@@ -265,7 +282,9 @@ object ManifestStore {
                                     entries: Seq[ManifestEntry],
                                     addedBytes: Option[Long],
                                     colMap: Option[Map[String, String]] = None,
-                                    droppedPhys: Option[Seq[String]] = None)
+                                    droppedPhys: Option[Seq[String]] = None,
+                                    constraints: Option[Seq[Constraint]] = None,
+                                    properties: Option[Map[String, String]] = None)
 
   private def requireSafe(v: String, what: String): Unit =
     require(!v.contains('\n') && !v.contains('\t'),
@@ -328,11 +347,15 @@ object ManifestStore {
     w.flush()
   }
 
-  /** A table with live column mapping writes format v3; everything else
-    * stays v2 (no gratuitous refusal for pre-r14 readers).
+  /** A table with live column mapping, constraints or properties writes
+    * format v3; everything else stays v2 (no gratuitous refusal for
+    * pre-r14 readers). Constraints FORCE v3 deliberately: a pre-r15
+    * writer cannot enforce them, so it must refuse the table loudly
+    * rather than land unvalidated rows.
     */
   private def headerOf(s: Snapshot): String =
-    if (s.colMap.nonEmpty || s.droppedPhys.nonEmpty) Header3 else Header2
+    if (s.colMap.nonEmpty || s.droppedPhys.nonEmpty ||
+        s.constraints.nonEmpty || s.properties.nonEmpty) Header3 else Header2
 
   /** `colmap=` logical→physical pairs and `dropped=` retired physical
     * names — tab-separated (names are tab/newline-rejected at the rename/
@@ -356,6 +379,30 @@ object ManifestStore {
     body.append("dropped=").append(d.mkString("\t")).append('\n')
   }
 
+  /** `constraints=` name/kind/target triples; `properties=` key/value
+    * pairs — tab-separated (all parts tab/newline-rejected at the API).
+    * Emitted only on v3 manifests; properties sorted for byte-determinism
+    * (constraints keep their declaration order — it is user-visible in
+    * DESCRIBE DETAIL).
+    */
+  private def appendConstraints(body: Appendable, cs: Seq[Constraint]): Unit = {
+    cs.foreach { c =>
+      requireSafe(c.name, "constraint name"); requireSafe(c.target, "constraint target")
+    }
+    body.append("constraints=").append(cs
+      .map(c => s"${c.name}\t${c.kind}\t${c.target}").mkString("\t")).append('\n')
+  }
+
+  private def appendProperties(body: Appendable, m: Map[String, String]): Unit = {
+    m.foreach { case (k, v) =>
+      requireSafe(k, "property key"); requireSafe(v, "property value")
+      require(k.nonEmpty && v.nonEmpty,
+        s"property key/value must be non-empty (UNSET removes a key): '$k'='$v'")
+    }
+    body.append("properties=").append(m.toSeq.sorted
+      .map { case (k, v) => s"$k\t$v" }.mkString("\t")).append('\n')
+  }
+
   /** A v2 CHECKPOINT manifest: self-contained (the v1 body shape plus the
     * `addbytes=` marker), the replay anchor of every delta chain.
     */
@@ -367,6 +414,8 @@ object ManifestStore {
     s.schema.foreach(appendSchema(body, _))
     if (s.colMap.nonEmpty) appendColMap(body, s.colMap)
     if (s.droppedPhys.nonEmpty) appendDropped(body, s.droppedPhys)
+    if (s.constraints.nonEmpty) appendConstraints(body, s.constraints)
+    if (s.properties.nonEmpty) appendProperties(body, s.properties)
     if (s.partCols.nonEmpty) appendPartCols(body, s.partCols)
     if (s.op.nonEmpty) {
       requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
@@ -396,7 +445,9 @@ object ManifestStore {
     // lines skipped by the v2 unknown-marker rule and every cold chain
     // resolution would silently keep the stale mapping (ADVICE r14 #1).
     val hdr =
-      if (s.colMap != base.colMap || s.droppedPhys != base.droppedPhys) Header3
+      if (s.colMap != base.colMap || s.droppedPhys != base.droppedPhys ||
+          s.constraints != base.constraints || s.properties != base.properties)
+        Header3
       else headerOf(s)
     body.append(hdr).append('\n')
     body.append("version=").append(s.version.toString).append('\n')
@@ -405,6 +456,8 @@ object ManifestStore {
     if (s.schema != base.schema) s.schema.foreach(appendSchema(body, _))
     if (s.colMap != base.colMap) appendColMap(body, s.colMap)
     if (s.droppedPhys != base.droppedPhys) appendDropped(body, s.droppedPhys)
+    if (s.constraints != base.constraints) appendConstraints(body, s.constraints)
+    if (s.properties != base.properties) appendProperties(body, s.properties)
     if (s.partCols != base.partCols) appendPartCols(body, s.partCols)
     if (s.op.nonEmpty) {
       requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
@@ -558,6 +611,8 @@ object ManifestStore {
     var partCols: Option[Seq[String]] = None
     var colMap: Option[Map[String, String]] = None
     var droppedPhys: Option[Seq[String]] = None
+    var constraints: Option[Seq[Constraint]] = None
+    var properties: Option[Map[String, String]] = None
     var op: String = ""
     var tableId: String = ""
     val txns = Map.newBuilder[String, Long]
@@ -587,6 +642,18 @@ object ManifestStore {
       } else if (isV2 && l.startsWith("dropped=")) {
         droppedPhys = Some(l.stripPrefix("dropped=").split("\t", -1).toSeq
           .filter(_.nonEmpty))
+      } else if (isV2 && l.startsWith("constraints=")) {
+        val toks = l.stripPrefix("constraints=").split("\t", -1).toSeq.filter(_.nonEmpty)
+        if (toks.size % 3 != 0) return None
+        val parsed = toks.grouped(3).map { t =>
+          if (t(1) != "notnull" && t(1) != "check") return None
+          Constraint(t.head, t(1), t(2))
+        }.toSeq
+        constraints = Some(parsed)
+      } else if (isV2 && l.startsWith("properties=")) {
+        val toks = l.stripPrefix("properties=").split("\t", -1).toSeq.filter(_.nonEmpty)
+        if (toks.size % 2 != 0) return None
+        properties = Some(toks.grouped(2).map(p => p.head -> p(1)).toMap)
       } else if (isV2 && l.startsWith("base=")) {
         base = Some(l.stripPrefix("base=").toLong)
       } else if (isV2 && l.startsWith("addbytes=")) {
@@ -621,13 +688,15 @@ object ManifestStore {
         if (b >= expectVersion) return None // a delta's base must precede it
         Some(DeltaManifest(DeltaRec(expectVersion, b, op, tableId,
           txns.result(), schema, partCols, removed.result(), files.result(),
-          addedBytes, colMap, droppedPhys)))
+          addedBytes, colMap, droppedPhys, constraints, properties)))
       case None =>
         Some(FullManifest(Snapshot(expectVersion, files.result(), txns.result(),
           schema, partCols.getOrElse(Nil), op, tableId,
           checkpointVersion = expectVersion, deltaDepth = 0,
           addedBytes = addedBytes, colMap = colMap.getOrElse(Map.empty),
-          droppedPhys = droppedPhys.getOrElse(Nil))))
+          droppedPhys = droppedPhys.getOrElse(Nil),
+          constraints = constraints.getOrElse(Nil),
+          properties = properties.getOrElse(Map.empty))))
     }
   }
 
@@ -815,6 +884,8 @@ object ManifestStore {
     var partCols = anchor.partCols
     var colMap = anchor.colMap
     var droppedPhys = anchor.droppedPhys
+    var constraints = anchor.constraints
+    var properties = anchor.properties
     for (d <- recs) {
       d.removed.foreach(files.remove)
       // LinkedHashMap.put on an existing key keeps its position (in-place
@@ -825,6 +896,8 @@ object ManifestStore {
       d.partCols.foreach(p => partCols = p)
       d.colMap.foreach(m => colMap = m)
       d.droppedPhys.foreach(p => droppedPhys = p)
+      d.constraints.foreach(c => constraints = c)
+      d.properties.foreach(p => properties = p)
     }
     val last = recs.last
     import scala.jdk.CollectionConverters._
@@ -833,7 +906,8 @@ object ManifestStore {
       checkpointVersion = anchor.checkpointVersion,
       deltaDepth = anchor.deltaDepth + recs.size,
       addedBytes = last.addedBytes,
-      colMap = colMap, droppedPhys = droppedPhys))
+      colMap = colMap, droppedPhys = droppedPhys,
+      constraints = constraints, properties = properties))
   }
 
   /** Single-step [[applyChain]] — kept as the uncached resolver's unit. */
@@ -1037,6 +1111,59 @@ object ManifestStore {
     * small driver-side pool — metadata-only round-trips, cost scales with
     * the batch's file count, never its bytes.
     */
+  /** Marker embedded in every constraint-violation error message so the
+    * write seam can recognize its own refusal inside Spark's task-failure
+    * wrapping and re-throw it as ONE nameable cause.
+    */
+  private val ConstraintTag = "[graft constraint]"
+
+  /** The CHECK expression as a Column over `df`, with references to
+    * columns the batch OMITS substituted by NULL — an omitted column
+    * null-fills on read, so the constraint must see exactly the value
+    * later readers will (SQL semantics then let NULL pass unless the
+    * expression forces otherwise). Top-level names only, case-insensitive
+    * like Spark's resolution.
+    */
+  private def checkExprColumn(df: DataFrame, exprText: String): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val parsed = df.sparkSession.sessionState.sqlParser.parseExpression(exprText)
+    val subbed = parsed.transform {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 &&
+          !df.columns.exists(_.equalsIgnoreCase(a.nameParts.head)) =>
+        Literal(null)
+    }
+    org.apache.spark.sql.graftshim.ColumnShim.column(subbed)
+  }
+
+  /** Inject the table's constraints into the write pass: each one becomes
+    * an `assert_true` filter that THROWS on the first violating row (with
+    * the row rendered as JSON), so enforcement costs zero extra scans of
+    * the batch and fails the commit before any manifest write. NOT NULL
+    * on a column the batch omits refuses up front — the omitted column
+    * null-fills, which IS the violation, but no row-level check would see
+    * it.
+    */
+  private def withConstraintChecks(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val rowJson = to_json(struct(df.columns.map(c => col(quoteIdent(c))).toIndexedSeq: _*))
+    constraints.foldLeft(df) { (acc, c) =>
+      val violated: Column = c.kind match {
+        case "notnull" =>
+          require(df.columns.exists(_.equalsIgnoreCase(c.target)),
+            s"$ConstraintTag batch omits column ${c.target}, which carries a " +
+              "NOT NULL constraint — omitted columns null-fill, violating it " +
+              "for every row; include the column with real values")
+          col(quoteIdent(c.target)).isNull
+        case "check" =>
+          // SQL standard: only FALSE violates; NULL (unknown) passes
+          not(coalesce(checkExprColumn(df, c.target), lit(true)))
+      }
+      acc.where(assert_true(not(coalesce(violated, lit(false))),
+        concat(lit(s"$ConstraintTag ${c.describe} (name=${c.name}) violated by row: "),
+          rowJson)).isNull)
+    }
+  }
+
   /** `colMap` (r14 column mapping): the table's logical→physical name map
     * at write time. Files ALWAYS carry physical names — the frame arrives
     * logical (every library surface is logical) and is renamed here, at
@@ -1048,11 +1175,19 @@ object ManifestStore {
   private def writeBatch(fs: FileSystem, root: Path, dfLogical: DataFrame,
                          partitionByLogical: Seq[String],
                          internalRewrite: Boolean = false,
-                         colMap: Map[String, String] = Map.empty): Seq[ManifestEntry] = {
+                         colMap: Map[String, String] = Map.empty,
+                         constraints: Seq[Constraint] = Nil): Seq[ManifestEntry] = {
     def phys(n: String): String = colMap.getOrElse(n, n)
+    // constraints enforce on the LOGICAL frame (their targets/exprs speak
+    // logical names), INSIDE the write pass — one distributed scan, no
+    // extra batch read. Sites passing Nil (compaction, delete-survivor
+    // and materialization rewrites) re-land rows already admitted.
+    val dfChecked =
+      if (constraints.isEmpty) dfLogical
+      else withConstraintChecks(dfLogical, constraints)
     val df =
-      if (colMap.isEmpty) dfLogical
-      else dfLogical.select(dfLogical.columns.map(c =>
+      if (colMap.isEmpty) dfChecked
+      else dfChecked.select(dfChecked.columns.map(c =>
         col(quoteIdent(c)).as(phys(c))).toIndexedSeq: _*)
     val partitionBy = partitionByLogical.map(phys)
     // a field name containing a literal '.' — at ANY nesting depth — is
@@ -1085,8 +1220,26 @@ object ManifestStore {
         "pushed filters; rename them before writing to a manifest table")
     val batch = new Path(dataDir(root), s"batch-${UUID.randomUUID()}")
     val writer = df.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(batch.toString)
+    catch {
+      case e: Throwable =>
+        // a constraint refusal rides out of the task as a wrapped
+        // RuntimeException — find our tag in the cause chain and rethrow
+        // it as the ONE loud, nameable cause (the partial batch directory
+        // is deleted: nothing was committed, vacuum owes nothing)
+        val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains(ConstraintTag))
+        msg match {
+          case Some(m) =>
+            try fs.delete(batch, true) catch { case scala.util.control.NonFatal(_) => () }
+            throw new IllegalStateException(
+              m.substring(m.indexOf(ConstraintTag)) +
+                " — the write was refused; no version was committed", e)
+          case None => throw e
+        }
+    }
     val files = {
       val it = fs.listFiles(batch, true)
       val buf = Seq.newBuilder[FileStatus]
@@ -1230,7 +1383,8 @@ object ManifestStore {
     val cur = latestSnapshot(spark, root)
     val legacy = requireCompatibleSchema(spark, df, root, partitionBy, cur)
     val mine = writeBatch(fs, rootP, df, partitionBy,
-      colMap = cur.map(_.colMap).getOrElse(Map.empty))
+      colMap = cur.map(_.colMap).getOrElse(Map.empty),
+      constraints = cur.map(_.constraints).getOrElse(Nil))
     if (mine.isEmpty)
       return cur.map(_.version).getOrElse(0L)
     val batchSchema = normalizeSchema(df.schema)
@@ -1247,7 +1401,9 @@ object ManifestStore {
         Some(mergedSchema(base, legacy, batchSchema)),
         partColsOf(base, partitionBy), op = "append",
         colMap = base.map(_.colMap).getOrElse(Map.empty),
-        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil)))
+        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil),
+        constraints = base.map(_.constraints).getOrElse(Nil),
+        properties = base.map(_.properties).getOrElse(Map.empty)))
     }
     if (v == -1L) // lost the birth race: reclaim this attempt's orphan batch
       mine.foreach(e =>
@@ -1301,7 +1457,8 @@ object ManifestStore {
     // commit them, or every all-filtered batch of a long-running format
     // sink grows the manifest by one empty entry forever (r12)
     val written = writeBatch(fs, rootP, df, partitionBy,
-      colMap = pre.map(_.colMap).getOrElse(Map.empty))
+      colMap = pre.map(_.colMap).getOrElse(Map.empty),
+      constraints = pre.map(_.constraints).getOrElse(Nil))
     val (zeroRow, mine) = written.partition(_.rows.contains(0L))
     zeroRow.foreach(e =>
       fs.delete(new org.apache.hadoop.fs.Path(e.path), false): Unit)
@@ -1323,7 +1480,9 @@ object ManifestStore {
         Some(mergedSchema(base, legacy, batchSchema)),
         partColsOf(base, partitionBy), op = "append",
         colMap = base.map(_.colMap).getOrElse(Map.empty),
-        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil)))
+        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil),
+        constraints = base.map(_.constraints).getOrElse(Nil),
+        properties = base.map(_.properties).getOrElse(Map.empty)))
     }
     if (v == -1L) // already committed concurrently: report the live version
       latestSnapshot(spark, root).map(_.version).getOrElse(0L)
@@ -2837,7 +2996,8 @@ object ManifestStore {
         if (before.partCols.exists(set.contains))
           requirePartitionable(updated, before.partCols)
         val mineUpdates = writeBatch(fs, rootP, updated, before.partCols,
-          internalRewrite = true, colMap = before.colMap)
+          internalRewrite = true, colMap = before.colMap,
+          constraints = before.constraints) // SET values are NEW — enforce
         val seeded = before.copy(schema = before.schema.orElse(Some(table)))
         val v = commitReplacing(fs, rootP, replacedSig, tagged ++ mineUpdates,
           seeded, maxRetries, tornGraceMs, refuseEmpty = false,
@@ -3138,7 +3298,7 @@ object ManifestStore {
     // table would drop them nondeterministically on read (review r10)
     val seeded = before.copy(schema = before.schema.orElse(Some(table)))
     val mineUpdates = writeBatch(fs, rootP, updates, before.partCols,
-      colMap = before.colMap)
+      colMap = before.colMap, constraints = before.constraints)
     if (touched.isEmpty) {
       // pure insert: no existing file can hold a matching key
       val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
@@ -3337,7 +3497,8 @@ object ManifestStore {
     val seeded = before.copy(schema = before.schema.orElse(Some(table)))
     val mineUpdates =
       if (updCount == 0L) Seq.empty
-      else writeBatch(fs, rootP, upserts, before.partCols, colMap = before.colMap)
+      else writeBatch(fs, rootP, upserts, before.partCols, colMap = before.colMap,
+        constraints = before.constraints)
     if (touched.isEmpty) { // nothing to remove: a pure insert
       if (mineUpdates.isEmpty) return (0L, 0, before.version) // full no-op
       val v = commitReplacing(fs, rootP, Map.empty, mineUpdates, seeded,
@@ -3442,7 +3603,9 @@ object ManifestStore {
           base.flatMap(_.schema).orElse(before.schema),
           base.map(_.partCols).getOrElse(before.partCols), op = op,
           colMap = base.map(_.colMap).getOrElse(before.colMap),
-          droppedPhys = base.map(_.droppedPhys).getOrElse(before.droppedPhys)))
+          droppedPhys = base.map(_.droppedPhys).getOrElse(before.droppedPhys),
+          constraints = base.map(_.constraints).getOrElse(before.constraints),
+          properties = base.map(_.properties).getOrElse(before.properties)))
       }
     }
 
@@ -3588,11 +3751,24 @@ object ManifestStore {
       val newMap0 = base.colMap - oldName
       val newMap = if (newName == physName) newMap0
                    else newMap0 + (newName -> physName)
+      // constraints SURVIVE the rename: targets/expressions speak logical
+      // names, so the rename rewrites them in the same commit — NOT NULL
+      // re-targets, CHECK expressions re-render with the attribute renamed
+      val newConstraints = base.constraints.map { c =>
+        if (!constraintReferences(spark, c, oldName)) c
+        else c.kind match {
+          case "notnull" => c.copy(
+            name = if (c.name == s"notnull_$oldName") s"notnull_$newName" else c.name,
+            target = newName)
+          case _ => c.copy(target = renameInExpr(spark, c.target, oldName, newName))
+        }
+      }
       Some(base.copy(version = 0L,
         schema = Some(StructType(schema.fields.map(f =>
           if (f.name == oldName) f.copy(name = newName) else f))),
         partCols = base.partCols.map(c => if (c == oldName) newName else c),
-        colMap = newMap, op = "rename-column", addedBytes = None))
+        colMap = newMap, constraints = newConstraints,
+        op = "rename-column", addedBytes = None))
     }
   }
 
@@ -3623,11 +3799,272 @@ object ManifestStore {
       require(schema.fields.length > 1,
         s"cannot drop the last column of $root — drop the table instead")
       val phys = base.physOf(name)
+      val referencedBy = base.constraints.filter(c => constraintReferences(spark, c, name))
+      require(referencedBy.isEmpty,
+        s"cannot drop column '$name' — referenced by constraint(s) " +
+          s"${referencedBy.map(_.name).mkString(", ")}; drop them first")
       Some(base.copy(version = 0L,
         schema = Some(StructType(schema.fields.filterNot(_.name == name))),
         colMap = base.colMap - name,
         droppedPhys = (base.droppedPhys :+ phys).distinct,
         op = "drop-column", addedBytes = None))
+    }
+  }
+
+  /** Lossless type widenings `ALTER COLUMN ... TYPE` accepts: Spark's
+    * parquet readers (vectorized AND row-based, probed on 4.1) serve a
+    * file written narrow under the wider requested type natively, so the
+    * widen is ONE metadata-only schema commit — old files read under
+    * promotion, new batches arrive wide, no byte is rewritten. long→
+    * double is deliberately absent (lossy past 2^53), as is decimal
+    * scale-up (parquet FIXED_LEN_BYTE_ARRAY width changes with
+    * precision — a widened read refuses at the chunk level).
+    */
+  private val Widenings: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set(ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set(IntegerType, LongType, DoubleType),
+      IntegerType -> Set(LongType, DoubleType),
+      FloatType -> Set(DoubleType))
+  }
+
+  /** Widen a column's type WITHOUT rewriting a byte (r15, VERDICT r14 #2
+    * — the `ALTER TABLE ... ALTER COLUMN ... TYPE` shape): one
+    * metadata-only commit (op=widen-column) records the new logical type;
+    * existing files keep their narrow physical type and every reader
+    * serves them under parquet's native type promotion. Only the lossless
+    * matrix in [[Widenings]] is accepted — narrowing and reinterpreting
+    * changes refuse loudly. Stats pruning survives: integral widenings
+    * stay in the canonical "long" stats domain (float→double in
+    * "double"); an int→double widen leaves old files' "long"-tagged
+    * stats unrenderable against double literals, which degrades to
+    * keep-the-file — conservative, never wrong. Time travel replays old
+    * versions under their own narrower schema. Partition columns refuse
+    * (their values round-trip through hive directory strings typed by
+    * the schema — widening them would re-key the layout).
+    */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+                      newType: DataType,
+                      maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      val schema = base.schema.getOrElse(throw new IllegalStateException(
+        s"the table under $root records no schema (pre-r10 legacy) — run " +
+          "ManifestStore.upgradeTable first"))
+      val field = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' under $root (have ${schema.fieldNames.mkString(", ")})"))
+      require(!base.partCols.contains(name),
+        s"cannot widen partition column '$name' — partition values are " +
+          "directory-keyed by the schema type; rewrite the table instead")
+      require(field.dataType != newType,
+        s"column '$name' already has type ${newType.simpleString}")
+      require(Widenings.get(field.dataType).exists(_.contains(newType)),
+        s"cannot change column '$name' from ${field.dataType.simpleString} to " +
+          s"${newType.simpleString} — only lossless widenings are supported " +
+          "(byte/short/int up the integral chain, int→double, float→double); " +
+          "anything else would reinterpret or truncate stored bytes")
+      Some(base.copy(version = 0L,
+        schema = Some(StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = newType) else f))),
+        op = "widen-column", addedBytes = None))
+    }
+  }
+
+  // ---- write-path constraints (r15, VERDICT r14 #1) -------------------
+  // NOT NULL and CHECK as manifest-carried invariants (the Delta
+  // constraints shape): one metadata-only commit records the rule, and
+  // EVERY seam that lands new or modified row values (append, streaming
+  // append, CoW/MoR upsert, MoR update, SQL INSERT — all flow through
+  // writeBatch) enforces it inside the write pass, refusing the whole
+  // commit with the first offending row rendered. Adding a constraint
+  // validates EXISTING data first; a commit racing the validation is
+  // re-validated delta-only inside the rebase closure, so no violating
+  // row can slip between check and commit.
+
+  /** True iff `c` references logical column `colName` (case-insensitive,
+    * Spark's resolution rule): the NOT NULL target, or any top-level
+    * attribute of the CHECK expression.
+    */
+  private def constraintReferences(spark: SparkSession, c: Constraint,
+                                   colName: String): Boolean = c.kind match {
+    case "notnull" => c.target.equalsIgnoreCase(colName)
+    case _ => checkExprAttrs(spark, c.target).exists(_.equalsIgnoreCase(colName))
+  }
+
+  /** Top-level attribute names a CHECK expression references. */
+  private def checkExprAttrs(spark: SparkSession, exprText: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(exprText).collect {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => a.nameParts.head
+    }
+  }
+
+  /** Re-render a CHECK expression with every reference to `oldName`
+    * renamed to `newName` — parse, transform the attribute, and emit the
+    * expression's canonical SQL (never string surgery: `price` inside a
+    * literal or another identifier must not be touched).
+    */
+  private def renameInExpr(spark: SparkSession, exprText: String,
+                           oldName: String, newName: String): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val out = spark.sessionState.sqlParser.parseExpression(exprText).transform {
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 1 && a.nameParts.head.equalsIgnoreCase(oldName) =>
+        UnresolvedAttribute(Seq(newName))
+    }.sql
+    requireSafe(out, "renamed constraint expression")
+    out
+  }
+
+  /** First live row violating `c`, rendered as JSON — None when the data
+    * under `files` satisfies the constraint. Scans only `files` (the
+    * caller passes the whole table at ADD time, and just the
+    * raced-in-delta at rebase re-validation).
+    */
+  private def firstViolation(spark: SparkSession, root: String, snap: Snapshot,
+                             c: Constraint): Option[String] = {
+    if (snap.files.isEmpty) return None
+    val live = readSnapshot(spark, root, snap, Seq.empty)
+    val violated = c.kind match {
+      case "notnull" =>
+        if (!live.columns.exists(_.equalsIgnoreCase(c.target))) lit(true)
+        else col(quoteIdent(c.target)).isNull
+      case _ => not(coalesce(checkExprColumn(live, c.target), lit(true)))
+    }
+    live.where(coalesce(violated, lit(false)))
+      .select(to_json(struct(live.columns.map(n => col(quoteIdent(n))).toIndexedSeq: _*)))
+      .limit(1).collect().headOption.map(_.getString(0))
+  }
+
+  /** Add a CHECK constraint in one metadata-only commit (op =
+    * add-constraint), after validating every EXISTING live row satisfies
+    * it — a violating table refuses with the first offending row. The
+    * expression is SQL over logical column names; every referenced
+    * column must exist (a typo would otherwise silently pass all rows).
+    * Names are unique across both constraint kinds.
+    */
+  def addCheckConstraint(spark: SparkSession, root: String,
+                         name: String, expr: String,
+                         maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    requireSafe(name, "constraint name"); requireSafe(expr, "constraint expression")
+    require(name.nonEmpty && expr.nonEmpty, "constraint name/expression must be non-empty")
+    val attrs = checkExprAttrs(spark, expr) // also proves the expr parses
+    addConstraint(spark, root, Constraint(name, "check", expr), attrs,
+      maxRetries, tornGraceMs)
+  }
+
+  /** Declare a column NOT NULL in one metadata-only commit, after
+    * validating no existing live row is null there (the
+    * `ALTER TABLE ... ALTER COLUMN ... SET NOT NULL` shape). Every later
+    * write must include the column with non-null values — a batch
+    * OMITTING it refuses up front (omitted columns null-fill, which is
+    * the violation).
+    */
+  def setNotNull(spark: SparkSession, root: String, column: String,
+                 maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long =
+    addConstraint(spark, root, Constraint(s"notnull_$column", "notnull", column),
+      Seq(column), maxRetries, tornGraceMs)
+
+  private def addConstraint(spark: SparkSession, root: String, c: Constraint,
+                            referenced: Seq[String],
+                            maxRetries: Int, tornGraceMs: Long): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val pre = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val table = tableSchemaOf(spark, pre)
+    referenced.foreach(a => require(table.fieldNames.exists(_.equalsIgnoreCase(a)),
+      s"constraint ${c.name} references column '$a', which is not in the " +
+        s"table under $root (have ${table.fieldNames.mkString(", ")})"))
+    firstViolation(spark, root, pre, c).foreach(row => throw new IllegalStateException(
+      s"cannot add ${c.describe} (name=${c.name}) to $root — existing data " +
+        s"violates it, e.g. $row"))
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      require(!base.constraints.exists(_.name == c.name),
+        s"a constraint named ${c.name} already exists under $root")
+      // rows appended between the validation snapshot and THIS commit base
+      // were admitted under the old constraint set — re-validate just that
+      // delta (O(raced-in files), not the table)
+      val validatedPaths = pre.files.iterator.map(_.path).toSet
+      val racedIn = base.files.filterNot(f => validatedPaths(f.path))
+      if (racedIn.nonEmpty)
+        firstViolation(spark, root, base.copy(files = racedIn), c)
+          .foreach(row => throw new IllegalStateException(
+            s"cannot add ${c.describe} (name=${c.name}) to $root — a row " +
+              s"appended concurrently violates it: $row"))
+      Some(base.copy(version = 0L, constraints = base.constraints :+ c,
+        op = "add-constraint", addedBytes = None))
+    }
+  }
+
+  /** Drop a constraint by name (NOT NULL constraints are named
+    * `notnull_<column>`). One metadata-only commit (op=drop-constraint).
+    */
+  def dropConstraint(spark: SparkSession, root: String, name: String,
+                     maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      require(base.constraints.exists(_.name == name),
+        s"no constraint named $name under $root (have " +
+          s"${base.constraints.map(_.name).mkString(", ")})")
+      Some(base.copy(version = 0L,
+        constraints = base.constraints.filterNot(_.name == name),
+        op = "drop-constraint", addedBytes = None))
+    }
+  }
+
+  /** `ALTER COLUMN column DROP NOT NULL`. */
+  def dropNotNull(spark: SparkSession, root: String, column: String,
+                  maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long =
+    dropConstraint(spark, root, s"notnull_$column", maxRetries, tornGraceMs)
+
+  // ---- table properties (r15, VERDICT r14 #5) --------------------------
+
+  /** Merge `props` into the table's properties in one metadata-only
+    * commit (the `ALTER TABLE ... SET TBLPROPERTIES` shape). Keys/values
+    * are opaque user metadata; the manifest stores them verbatim.
+    */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Map[String, String],
+                    maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    require(props.nonEmpty, "setProperties with no properties")
+    props.foreach { case (k, v) =>
+      requireSafe(k, "property key"); requireSafe(v, "property value")
+      require(k.nonEmpty && v.nonEmpty, s"empty property key/value: '$k'='$v'")
+    }
+    val (fs, rootP) = fsFor(spark, root)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      Some(base.copy(version = 0L, properties = base.properties ++ props,
+        op = "set-properties", addedBytes = None))
+    }
+  }
+
+  /** Remove property keys (missing keys are a no-op, the SQL UNSET
+    * convention). Returns the committed version, or the current one when
+    * nothing changed.
+    */
+  def unsetProperties(spark: SparkSession, root: String, keys: Seq[String],
+                      maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    require(keys.nonEmpty, "unsetProperties with no keys")
+    val (fs, rootP) = fsFor(spark, root)
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      if (!keys.exists(base.properties.contains)) None // nothing to remove
+      else Some(base.copy(version = 0L, properties = base.properties -- keys,
+        op = "unset-properties", addedBytes = None))
+    } match {
+      case -1L => latestSnapshot(spark, root).map(_.version).getOrElse(0L)
+      case v => v
     }
   }
 
@@ -3670,7 +4107,9 @@ object ManifestStore {
         base.flatMap(_.schema).orElse(Some(schema)),
         base.map(_.partCols).getOrElse(snap.partCols), op = "upgrade",
         colMap = base.map(_.colMap).getOrElse(Map.empty),
-        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil)))
+        droppedPhys = base.map(_.droppedPhys).getOrElse(Nil),
+        constraints = base.map(_.constraints).getOrElse(Nil),
+        properties = base.map(_.properties).getOrElse(Map.empty)))
     }
   }
 
@@ -3816,7 +4255,8 @@ object ManifestStore {
         s"a table appeared at $dstRoot concurrently — refusing to clone " +
           "onto it")
       Some(Snapshot(0L, snap.files, Map.empty, Some(schema), snap.partCols,
-        op = "clone", colMap = snap.colMap, droppedPhys = snap.droppedPhys))
+        op = "clone", colMap = snap.colMap, droppedPhys = snap.droppedPhys,
+        constraints = snap.constraints, properties = snap.properties))
     }
   }
 

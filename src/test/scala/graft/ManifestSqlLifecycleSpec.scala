@@ -296,4 +296,80 @@ class ManifestSqlLifecycleSpec extends SparkSpec {
       .as[Long].head() == 5L)
     spark.sql("DROP TABLE IF EXISTS ctasp_t")
   }
+
+  test("ADD/DROP CONSTRAINT + SET/DROP NOT NULL enforce on SQL INSERT; violating statement leaves no version (r15)") {
+    val root = freshRoot("constraint")
+    spark.sql("DROP TABLE IF EXISTS con_t")
+    spark.sql(s"CREATE TABLE con_t USING `graft-manifest` OPTIONS (path '$root') " +
+      "AS SELECT id, CAST(id % 4 AS INT) AS grp, concat('p', id) AS payload FROM range(10)")
+    spark.sql("ALTER TABLE con_t ADD CONSTRAINT grp_domain CHECK (grp BETWEEN 0 AND 3)")
+    spark.sql("ALTER TABLE con_t ALTER COLUMN payload SET NOT NULL")
+    val vBefore = M.latestSnapshot(spark, root).get.version
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO con_t VALUES (100, 9, 'x')")
+    }
+    assert(e1.getMessage.contains("grp_domain"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO con_t VALUES (100, 2, NULL)")
+    }
+    assert(e2.getMessage.contains("NOT NULL payload"), e2.getMessage)
+    assert(M.latestSnapshot(spark, root).get.version == vBefore,
+      "refused INSERTs must not commit versions")
+    assert(spark.sql("SELECT count(*) FROM con_t").as[Long].head() == 10L)
+    // adding a constraint EXISTING data violates refuses, naming a row
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE con_t ADD CONSTRAINT ids_small CHECK (id < 5)")
+    }
+    assert(e3.getMessage.contains("existing data violates"), e3.getMessage)
+    // drop both; the formerly-violating insert lands
+    spark.sql("ALTER TABLE con_t DROP CONSTRAINT grp_domain")
+    spark.sql("ALTER TABLE con_t ALTER COLUMN payload DROP NOT NULL")
+    spark.sql("INSERT INTO con_t VALUES (100, 9, NULL)")
+    assert(spark.sql("SELECT count(*) FROM con_t").as[Long].head() == 11L)
+    spark.sql("DROP TABLE IF EXISTS con_t")
+  }
+
+  test("SET/UNSET TBLPROPERTIES live in the manifest; DESCRIBE DETAIL is the one-row twin (r15)") {
+    val root = freshRoot("detail")
+    spark.sql("DROP TABLE IF EXISTS det_t")
+    spark.sql(s"CREATE TABLE det_t USING `graft-manifest` OPTIONS (path '$root') " +
+      "AS SELECT id, CAST(id % 3 AS INT) AS grp FROM range(30)")
+    spark.sql("ALTER TABLE det_t SET TBLPROPERTIES ('owner' = 'team-data', 'tier' = 'gold')")
+    spark.sql("ALTER TABLE det_t ADD CONSTRAINT ids_pos CHECK (id >= 0)")
+    spark.sql("ALTER TABLE det_t RENAME COLUMN grp TO bucket")
+    val d = spark.sql("DESCRIBE DETAIL det_t").collect().head
+    assert(d.getAs[String]("format") == "graft-manifest")
+    assert(d.getAs[String]("location").endsWith(root),
+      s"location should be the table root (URI form allowed): ${d.getAs[String]("location")}")
+    assert(d.getAs[Int]("format_version") == 3)
+    assert(d.getAs[Long]("num_files") >= 1L)
+    assert(d.getAs[Long]("num_rows") == 30L)
+    assert(d.getAs[Map[String, String]]("properties") ==
+      Map("owner" -> "team-data", "tier" -> "gold"))
+    assert(d.getAs[scala.collection.Seq[String]]("constraints").toSeq ==
+      Seq("ids_pos: CHECK (id >= 0)"))
+    assert(d.getAs[Map[String, String]]("column_mapping") == Map("bucket" -> "grp"))
+    assert(d.getAs[java.sql.Timestamp]("last_modified") != null)
+    // UNSET removes; absent keys no-op; properties survive restore
+    spark.sql("ALTER TABLE det_t UNSET TBLPROPERTIES ('tier', 'absent')")
+    val d2 = spark.sql("DESCRIBE DETAIL det_t").collect().head
+    assert(d2.getAs[Map[String, String]]("properties") == Map("owner" -> "team-data"))
+    // a path-literal target works without a catalog entry
+    val d3 = spark.sql(s"DESCRIBE DETAIL '$root'").collect().head
+    assert(d3.getAs[Long]("version") == d2.getAs[Long]("version"))
+    spark.sql("DROP TABLE IF EXISTS det_t")
+  }
+
+  test("SET TBLPROPERTIES on a NON-manifest table flows to Spark untouched (r15 gate)") {
+    spark.sql("DROP TABLE IF EXISTS plainprops_t")
+    spark.sql("CREATE TABLE plainprops_t (id BIGINT) USING parquet")
+    try {
+      spark.sql("ALTER TABLE plainprops_t SET TBLPROPERTIES ('k' = 'v')")
+      val props = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("plainprops_t"))
+        .properties
+      assert(props.get("k").contains("v"),
+        s"Spark's own SET TBLPROPERTIES must keep working on parquet tables: $props")
+    } finally spark.sql("DROP TABLE IF EXISTS plainprops_t")
+  }
 }
