@@ -2790,8 +2790,8 @@ object ManifestStore {
     * keyed on a partition or clustered column rewrites only the touched
     * slice, never the table. ISOLATION: a concurrent blind APPEND rebases
     * in untouched, so rows it adds that match this predicate SURVIVE this
-    * delete (see [[commitReplacing]]) — compliance-erasure callers must
-    * serialize against appends or re-run until a pass deletes zero rows.
+    * delete (see [[commitReplacing]]) — compliance-erasure callers opt
+    * into [[deleteWhereSerializable]]'s quiescent-pass loop instead.
     * Deleting EVERY row leaves a readable
     * zero-row table on an unpartitioned layout (the rewrite's schema-only
     * file keeps the manifest non-empty); a partitioned full-table delete
@@ -2893,6 +2893,78 @@ object ManifestStore {
       filters, maxRetries, tornGraceMs)
     autoMaterialize(spark, root, r._3, autoMaterializeFraction, maxRetries, tornGraceMs)
     r
+  }
+
+  /** SERIALIZABLE delete (r15, VERDICT r14 #4) — the opt-in upgrade over
+    * the store's WriteSerializable default. Under WriteSerializable a
+    * concurrent blind APPEND rebases in untouched, so its matching rows
+    * survive a racing [[deleteWhere]] / [[deleteWhereMergeOnRead]] (see
+    * [[commitReplacing]]'s posture paragraph); compliance erasure needs
+    * "zero matching rows as of some commit point". This loops delete
+    * passes until a QUIESCENT pass: one that deletes zero rows against a
+    * snapshot that is STILL the table head when the pass ends — at that
+    * version no matching row exists, which is exactly a serial
+    * delete-after-everything ordering. Each pass costs only the pruned
+    * slice (usually nothing after the first: the quiescence check is one
+    * prunedEntries walk over manifest stats, zero data reads when no new
+    * file can match), so the loop converges unless matching appends land
+    * faster than passes complete — after `maxPasses` it refuses loudly
+    * with the progress made, rather than spinning. Abandoned passes
+    * (concurrent rewrite, -1) count against the same bound. Returns
+    * (rowsDeleted across all passes, filesTouched across all passes,
+    * version of the quiescent head). MoR by default (erasure touches
+    * kilobytes of dv, not terabytes of parquet); `mergeOnRead = false`
+    * rewrites copy-on-write.
+    *
+    * SQL surface: `ALTER TABLE t SET TBLPROPERTIES
+    * ('graft.isolation' = 'serializable')` upgrades every subsequent SQL
+    * `DELETE FROM t` to this loop (ManifestDeleteCommand consults the
+    * property at run time).
+    */
+  def deleteWhereSerializable(spark: SparkSession, root: String,
+                              filters: Seq[Filter],
+                              mergeOnRead: Boolean = true,
+                              maxPasses: Int = 10, maxRetries: Int = 10,
+                              tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    require(filters.nonEmpty, "deleteWhereSerializable with no filters would " +
+      "truncate the table — pass AlwaysTrue() explicitly if that is the intent")
+    serializableDeleteLoop(spark, root, maxPasses) { head =>
+      if (mergeOnRead) deleteMorFrom(spark, root, head, filters, maxRetries, tornGraceMs)
+      else deleteFrom(spark, root, head, filters, maxRetries, tornGraceMs)
+    }
+  }
+
+  /** The quiescent-pass loop shared by [[deleteWhereSerializable]] and the
+    * TBLPROPERTIES-upgraded SQL DELETE: run `pass` against successive
+    * heads until a pass deletes zero rows against a snapshot that is
+    * still the head when the pass ends, then report the accumulated
+    * (rows, files) at that quiescent version. Abandoned passes (-1)
+    * consume an attempt and retry; `maxPasses` exhaustion refuses loudly.
+    */
+  private[graft] def serializableDeleteLoop(spark: SparkSession, root: String,
+                                            maxPasses: Int)
+      (passFn: Snapshot => (Long, Int, Long)): (Long, Int, Long) = {
+    var deleted = 0L
+    var files = 0
+    var pass = 0
+    while (pass < maxPasses) {
+      pass += 1
+      val head = latestSnapshot(spark, root).getOrElse(
+        throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+      val (n, f, v) = passFn(head)
+      if (v != -1L) { // abandoned passes retry against the new head
+        deleted += n
+        files += f
+        if (n == 0L &&
+            latestSnapshot(spark, root).exists(_.version == head.version))
+          return (deleted, files, head.version) // quiescent: serialized at head
+      }
+    }
+    throw new IllegalStateException(
+      s"serializable delete did not reach a quiescent pass in $maxPasses " +
+        s"passes under $root ($deleted rows deleted so far) — concurrent " +
+        "writers are landing matching rows faster than passes complete; " +
+        "pause them or raise maxPasses")
   }
 
   /** The post-commit retirement hook of the merge-on-read ops (r12,
@@ -3545,9 +3617,11 @@ object ManifestStore {
     * blind APPEND rebases in untouched — its files are kept, not
     * re-scanned — so rows it added that would have matched a racing
     * delete's predicate SURVIVE that delete. Callers needing
-    * every-row-as-of-commit semantics (compliance erasure) must serialize
-    * deletes against appends or re-run the delete until a quiescent pass
-    * deletes zero rows.
+    * every-row-as-of-commit semantics (compliance erasure) opt in via
+    * [[deleteWhereSerializable]] (or TBLPROPERTIES
+    * 'graft.isolation' = 'serializable' for SQL DELETE), which loops
+    * this same commit path until a quiescent pass — r15, no longer a
+    * hand-rolled caller loop.
     */
   /** `rewrote` maps each replaced input path to the DELETION-VECTOR path
     * the operation READ it under (None = no dv). Abandonment fires when a

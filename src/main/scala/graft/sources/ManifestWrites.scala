@@ -323,12 +323,25 @@ final case class ManifestDeleteCommand(root: String,
       "num_affected_rows", org.apache.spark.sql.types.LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val n = ManifestDml.retryingMor("DELETE", root) {
-      val before = ManifestStore.latestSnapshot(spark, root).getOrElse(
-        throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
-      ManifestStore.deleteMorExpr(spark, root, before,
-        ManifestDml.pruningOf(cond), ManifestDml.byName(cond))
-    }
+    // 'graft.isolation' = 'serializable' (TBLPROPERTIES, r15) upgrades the
+    // statement to the quiescent-pass loop: zero matching rows as of a
+    // still-head version, appends racing this DELETE notwithstanding —
+    // see [[ManifestStore.deleteWhereSerializable]]. The default stays
+    // WriteSerializable (one MoR pass, Delta-default semantics).
+    val serializable = ManifestStore.latestSnapshot(spark, root)
+      .exists(_.properties.get("graft.isolation").contains("serializable"))
+    val n =
+      if (serializable)
+        ManifestStore.serializableDeleteLoop(spark, root, maxPasses = 10) { head =>
+          ManifestStore.deleteMorExpr(spark, root, head,
+            ManifestDml.pruningOf(cond), ManifestDml.byName(cond))
+        }._1
+      else ManifestDml.retryingMor("DELETE", root) {
+        val before = ManifestStore.latestSnapshot(spark, root).getOrElse(
+          throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+        ManifestStore.deleteMorExpr(spark, root, before,
+          ManifestDml.pruningOf(cond), ManifestDml.byName(cond))
+      }
     table.foreach(t => spark.sessionState.catalog.refreshTable(t))
     Seq(Row(n))
   }
