@@ -1949,6 +1949,64 @@ object RelationalQueries {
       out
     },
 
+    // O40 (r15, VERDICT r14 #6): per-file BLOOM SIDECAR point lookup —
+    // the pruning tier z-order can't give on a non-clustered id. The
+    // table is built ADVERSARIALLY for min/max stats: 8 stripes, each
+    // holding o_orderkey ≡ i (mod 8), so every file's range straddles
+    // every key and stats prune NOTHING; buildBloomIndex then registers
+    // per-file filters in the manifest and the idiomatic format read's
+    // EXECUTED scan must open ≤2 of 8 files (the numFiles metric — a
+    // strict pin, fpp=0.01 makes a second survivor a rare false
+    // positive). At 100 TB: the build reads each file once and shuffles
+    // only filter bytes (~9.6 bits/row); a needle query then opens
+    // ~fpp×files instead of every file of a 100 TB table whose stats
+    // straddle the key.
+    QueryDef.sql(
+      "o40_bloom_lookup",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders
+        |                    WHERE o_orderkey % 8 = 3
+        |                      AND o_orderkey * 2 <= (SELECT max(o_orderkey)
+        |                                             FROM orders))""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      val root = ProcessNonce.scratchDir("graft_o40_bloom",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val M = graft.sources.ManifestStore
+      for (i <- 0 until 8)
+        M.append(s, base.where(col("o_orderkey") % 8 === i).coalesce(1), root)
+      M.buildBloomIndex(s, root, Seq("o_orderkey"))
+      val snap = M.latestSnapshot(s, root).get
+      require(snap.files.size == 8 && snap.bloomIdx.isDefined)
+      // a MID-RANGE key of stripe 3 (≤ half the global max): every
+      // stripe's [min, max] straddles it, so min/max stats keep all 8
+      // files and the observed skip is the bloom tier's alone
+      val globalMax = base.agg(max("o_orderkey")).as[Long].head()
+      val needle = base.where(col("o_orderkey") % 8 === 3 &&
+          col("o_orderkey") * 2 <= globalMax)
+        .agg(max("o_orderkey")).as[Long].head() // bounded scalar collects
+      // stats alone keep every stripe — the layout really defeats min/max
+      require(M.prunedEntries(snap,
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", needle))).size == 8,
+        "the stripes must straddle the needle, or this pins nothing")
+      val df = s.read.format("graft-manifest").load(root)
+        .where(col("o_orderkey") === needle)
+      val rows = df.collect()
+      val opened = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+      require(opened >= 1 && opened <= 2,
+        s"the bloom tier must open ~1 of 8 files, opened $opened")
+      require(rows.length == 1 && rows.head.getLong(0) == needle,
+        s"the needle row must come back exactly: ${rows.toSeq}")
+      df
+    },
+
     // O36 (r14): RESTORE — durable time travel. A MoR delete removes rows
     // at v2; RESTORE TABLE ... VERSION AS OF 1 commits v3 whose live state
     // is exactly v1's (file+dv list identical, zero data bytes move, txn

@@ -64,7 +64,10 @@ private[graft] class ManifestFileIndex(
     // InMemoryFileIndex.prunePartitions discipline), which also makes
     // function-wrapped partition predicates PRUNE, not just stay correct.
     val pushed = dataFilters.flatMap(e => translate(e, insideNot = false))
-    val kept = ManifestStore.prunedEntries(snap, pushed)
+    // the Bloom sidecar tier (r15) engages only for equality lookups on
+    // indexed columns with >1 stats-surviving candidate — a bounded
+    // distributed consult during planning, same class as a listing job
+    val kept = ManifestStore.prunedEntriesBloom(spark, root.toString, snap, pushed)
     if (partitionSchema.isEmpty)
       Seq(PartitionDirectory(new GenericInternalRow(Array.empty[Any]),
         kept.map(statusOf)))

@@ -162,6 +162,28 @@ object ManifestStore {
       if (kind == "notnull") s"NOT NULL $target" else s"CHECK ($target)"
   }
 
+  /** A per-file Bloom point-lookup index registered in the manifest (r15,
+    * VERDICT r14 #6 — the pruning tier z-order can't give on
+    * non-clustered ids). `columns` are PHYSICAL names (files and their
+    * sidecars outlive renames); `dirs` are sidecar directory NAMES under
+    * `root/data/` — each holds parquet rows (file, column, items, bits)
+    * where `bits` is a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` over that file's PHYSICAL rows (deleted rows only add
+    * false positives — conservative). Strictly a HINT: the line is
+    * tab-free so pre-r15 readers skip it under the v2 unknown-marker rule
+    * and simply don't bloom-prune; correctness never depends on it.
+    * Incremental builds append dirs (files already covered are not
+    * re-read); a build with different columns/fpp REPLACES the ref, the
+    * old dirs becoming vacuum food like any unreferenced batch.
+    */
+  final case class BloomIndex(columns: Seq[String], fpp: Double,
+                              dirs: Seq[String]) {
+    require(columns.nonEmpty && dirs.forall(d => !d.contains(",") &&
+      !d.contains(";") && !d.contains("\t") && !d.contains("\n")),
+      s"bloom index ref not manifest-safe: $this")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+  }
+
   final case class Snapshot(version: Long, files: Seq[ManifestEntry],
                             txns: Map[String, Long] = Map.empty,
                             schema: Option[StructType] = None,
@@ -174,7 +196,8 @@ object ManifestStore {
                             colMap: Map[String, String] = Map.empty,
                             droppedPhys: Seq[String] = Nil,
                             constraints: Seq[Constraint] = Nil,
-                            properties: Map[String, String] = Map.empty) {
+                            properties: Map[String, String] = Map.empty,
+                            bloomIdx: Option[BloomIndex] = None) {
 
     /** Physical (parquet/file-layout) name of a LOGICAL column (r14 column
       * mapping): identity unless a rename re-pointed it. Physical names
@@ -199,7 +222,8 @@ object ManifestStore {
     * conservation from the manifest's own counts, so a mislabeled commit
     * can never smuggle a data change past a tail).
     */
-  private val PhysicalOps = Set("compact", "materialize", "upgrade")
+  private val PhysicalOps = Set("compact", "materialize", "upgrade",
+    "bloom", "bloom-drop")
 
   /** Manifest FORMAT versions (r13, advice r12). v1 is the original
     * self-contained format, still read (and was silently extended with
@@ -284,7 +308,10 @@ object ManifestStore {
                                     colMap: Option[Map[String, String]] = None,
                                     droppedPhys: Option[Seq[String]] = None,
                                     constraints: Option[Seq[Constraint]] = None,
-                                    properties: Option[Map[String, String]] = None)
+                                    properties: Option[Map[String, String]] = None,
+                                    // tri-state: None = inherit, Some(None)
+                                    // = explicit clear, Some(Some) = set
+                                    bloomIdx: Option[Option[BloomIndex]] = None)
 
   private def requireSafe(v: String, what: String): Unit =
     require(!v.contains('\n') && !v.contains('\t'),
@@ -393,6 +420,38 @@ object ManifestStore {
       .map(c => s"${c.name}\t${c.kind}\t${c.target}").mkString("\t")).append('\n')
   }
 
+  /** `bloomidx=` — deliberately TAB-FREE (`<fpp>;<cols ,-joined>;<dirs
+    * ,-joined>`, or `-` for an explicit clear) so pre-r15 readers skip it
+    * under the v2 unknown-marker rule instead of tearing the manifest: a
+    * Bloom ref is a pruning hint, not load-bearing state, so it must not
+    * force a format refusal the way constraints do. Column and dir names
+    * are comma/semicolon-rejected at the build API.
+    */
+  private def appendBloomIdx(body: Appendable, b: Option[BloomIndex]): Unit = {
+    val rendered = b match {
+      case None => "-"
+      case Some(ix) =>
+        (ix.columns ++ ix.dirs).foreach { n =>
+          requireSafe(n, "bloom index name")
+          require(!n.contains(",") && !n.contains(";"),
+            s"bloom index name not marker-safe: '$n'")
+        }
+        s"${ix.fpp};${ix.columns.mkString(",")};${ix.dirs.mkString(",")}"
+    }
+    require(!rendered.contains('\t'), s"bloomidx line grew a tab: $rendered")
+    body.append("bloomidx=").append(rendered).append('\n')
+  }
+
+  private def parseBloomIdx(s: String): Option[Option[BloomIndex]] =
+    if (s == "-") Some(None)
+    else s.split(";", -1) match {
+      case Array(fpp, cols, dirs) if cols.nonEmpty =>
+        try Some(Some(BloomIndex(cols.split(",", -1).toSeq.filter(_.nonEmpty),
+          fpp.toDouble, dirs.split(",", -1).toSeq.filter(_.nonEmpty))))
+        catch { case _: IllegalArgumentException => None }
+      case _ => None
+    }
+
   private def appendProperties(body: Appendable, m: Map[String, String]): Unit = {
     m.foreach { case (k, v) =>
       requireSafe(k, "property key"); requireSafe(v, "property value")
@@ -416,6 +475,7 @@ object ManifestStore {
     if (s.droppedPhys.nonEmpty) appendDropped(body, s.droppedPhys)
     if (s.constraints.nonEmpty) appendConstraints(body, s.constraints)
     if (s.properties.nonEmpty) appendProperties(body, s.properties)
+    if (s.bloomIdx.nonEmpty) appendBloomIdx(body, s.bloomIdx)
     if (s.partCols.nonEmpty) appendPartCols(body, s.partCols)
     if (s.op.nonEmpty) {
       requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
@@ -458,6 +518,7 @@ object ManifestStore {
     if (s.droppedPhys != base.droppedPhys) appendDropped(body, s.droppedPhys)
     if (s.constraints != base.constraints) appendConstraints(body, s.constraints)
     if (s.properties != base.properties) appendProperties(body, s.properties)
+    if (s.bloomIdx != base.bloomIdx) appendBloomIdx(body, s.bloomIdx)
     if (s.partCols != base.partCols) appendPartCols(body, s.partCols)
     if (s.op.nonEmpty) {
       requireSafe(s.op, "op"); body.append("op=").append(s.op).append('\n')
@@ -613,6 +674,7 @@ object ManifestStore {
     var droppedPhys: Option[Seq[String]] = None
     var constraints: Option[Seq[Constraint]] = None
     var properties: Option[Map[String, String]] = None
+    var bloomIdx: Option[Option[BloomIndex]] = None
     var op: String = ""
     var tableId: String = ""
     val txns = Map.newBuilder[String, Long]
@@ -654,6 +716,11 @@ object ManifestStore {
         val toks = l.stripPrefix("properties=").split("\t", -1).toSeq.filter(_.nonEmpty)
         if (toks.size % 2 != 0) return None
         properties = Some(toks.grouped(2).map(p => p.head -> p(1)).toMap)
+      } else if (isV2 && l.startsWith("bloomidx=")) {
+        // a hint line: malformed/extended shapes are IGNORED (the prune
+        // tier just doesn't engage), never a tear — unlike constraints,
+        // nothing row-correctness-bearing rides here
+        parseBloomIdx(l.stripPrefix("bloomidx=")).foreach(b => bloomIdx = Some(b))
       } else if (isV2 && l.startsWith("base=")) {
         base = Some(l.stripPrefix("base=").toLong)
       } else if (isV2 && l.startsWith("addbytes=")) {
@@ -688,7 +755,7 @@ object ManifestStore {
         if (b >= expectVersion) return None // a delta's base must precede it
         Some(DeltaManifest(DeltaRec(expectVersion, b, op, tableId,
           txns.result(), schema, partCols, removed.result(), files.result(),
-          addedBytes, colMap, droppedPhys, constraints, properties)))
+          addedBytes, colMap, droppedPhys, constraints, properties, bloomIdx)))
       case None =>
         Some(FullManifest(Snapshot(expectVersion, files.result(), txns.result(),
           schema, partCols.getOrElse(Nil), op, tableId,
@@ -696,7 +763,8 @@ object ManifestStore {
           addedBytes = addedBytes, colMap = colMap.getOrElse(Map.empty),
           droppedPhys = droppedPhys.getOrElse(Nil),
           constraints = constraints.getOrElse(Nil),
-          properties = properties.getOrElse(Map.empty))))
+          properties = properties.getOrElse(Map.empty),
+          bloomIdx = bloomIdx.flatten)))
     }
   }
 
@@ -886,6 +954,7 @@ object ManifestStore {
     var droppedPhys = anchor.droppedPhys
     var constraints = anchor.constraints
     var properties = anchor.properties
+    var bloomIdx = anchor.bloomIdx
     for (d <- recs) {
       d.removed.foreach(files.remove)
       // LinkedHashMap.put on an existing key keeps its position (in-place
@@ -898,6 +967,7 @@ object ManifestStore {
       d.droppedPhys.foreach(p => droppedPhys = p)
       d.constraints.foreach(c => constraints = c)
       d.properties.foreach(p => properties = p)
+      d.bloomIdx.foreach(b => bloomIdx = b)
     }
     val last = recs.last
     import scala.jdk.CollectionConverters._
@@ -907,7 +977,8 @@ object ManifestStore {
       deltaDepth = anchor.deltaDepth + recs.size,
       addedBytes = last.addedBytes,
       colMap = colMap, droppedPhys = droppedPhys,
-      constraints = constraints, properties = properties))
+      constraints = constraints, properties = properties,
+      bloomIdx = bloomIdx))
   }
 
   /** Single-step [[applyChain]] — kept as the uncached resolver's unit. */
@@ -1403,7 +1474,8 @@ object ManifestStore {
         colMap = base.map(_.colMap).getOrElse(Map.empty),
         droppedPhys = base.map(_.droppedPhys).getOrElse(Nil),
         constraints = base.map(_.constraints).getOrElse(Nil),
-        properties = base.map(_.properties).getOrElse(Map.empty)))
+        properties = base.map(_.properties).getOrElse(Map.empty),
+        bloomIdx = base.flatMap(_.bloomIdx)))
     }
     if (v == -1L) // lost the birth race: reclaim this attempt's orphan batch
       mine.foreach(e =>
@@ -1482,7 +1554,8 @@ object ManifestStore {
         colMap = base.map(_.colMap).getOrElse(Map.empty),
         droppedPhys = base.map(_.droppedPhys).getOrElse(Nil),
         constraints = base.map(_.constraints).getOrElse(Nil),
-        properties = base.map(_.properties).getOrElse(Map.empty)))
+        properties = base.map(_.properties).getOrElse(Map.empty),
+        bloomIdx = base.flatMap(_.bloomIdx)))
     }
     if (v == -1L) // already committed concurrently: report the live version
       latestSnapshot(spark, root).map(_.version).getOrElse(0L)
@@ -2576,6 +2649,132 @@ object ManifestStore {
         physFilters.forall(f =>
           ManifestStats.mightMatch(f, e.rows, e.stats, e.partition, partTags)))
     }
+
+  /** [[prunedEntries]] plus the Bloom sidecar tier (r15, VERDICT r14 #6):
+    * after stats/partition pruning, equality-constrained columns covered
+    * by the snapshot's [[BloomIndex]] drop every file whose per-file
+    * filter refutes all queried values. Needs spark+root (the sidecar
+    * consult is a small distributed job over filter BYTES — see
+    * [[ManifestBloom]]); engages only when an index exists, an equality
+    * on an indexed column is present, and more than one candidate
+    * survived stats (a single candidate has nothing left to prune).
+    * Conservative everywhere: uncovered files, non-canonical values and
+    * unreadable sidecars keep their files.
+    */
+  def prunedEntriesBloom(spark: SparkSession, root: String, snap: Snapshot,
+                         filters: Seq[Filter]): Seq[ManifestEntry] = {
+    val kept = prunedEntries(snap, filters)
+    val idx = snap.bloomIdx.orNull
+    if (idx == null || kept.size <= 1 || idx.dirs.isEmpty) return kept
+    val physFilters =
+      if (snap.colMap.isEmpty) filters
+      else filters.map(ManifestStats.renameFilter(_, snap.physOf))
+    val queried = ManifestBloom.equalityValues(physFilters, idx.columns.toSet)
+    if (queried.isEmpty) return kept
+    val excluded = try
+      ManifestBloom.excludedPairs(spark, root, idx.dirs, queried)
+    catch { // a vanished/corrupt sidecar degrades to no bloom pruning
+      case scala.util.control.NonFatal(_) => return kept
+    }
+    if (excluded.isEmpty) kept
+    else kept.filter { e =>
+      val f = ManifestBloom.strip(e.path)
+      !queried.keysIterator.exists(c => excluded((f, c)))
+    }
+  }
+
+  /** Build (or incrementally extend) the per-file Bloom point-lookup
+    * index over `columns` (LOGICAL names; integral or string, data
+    * columns only — partition values already prune exactly). One pass
+    * over files NOT already covered by the current index; files the index
+    * already covers are never re-read. Commits op=bloom — PHYSICAL-only
+    * (no data change: streams skip it). A build whose columns/fpp differ
+    * from the existing index REPLACES it (old sidecars become vacuum
+    * food). Returns the committed version — or the current head when
+    * every file is already covered (no commit, nothing written).
+    *
+    * At 100 TB: the build reads each uncovered file once and shuffles
+    * only filter bytes (~9.6 bits/row at fpp 0.01); a point lookup then
+    * opens ~fpp × files instead of every stats-straddling file. Rewrites
+    * (compact/CoW delete) mint new paths that simply read as uncovered —
+    * re-run the build after heavy maintenance to restore coverage; dv
+    * (MoR) deletes keep filters valid (false positives only).
+    */
+  def buildBloomIndex(spark: SparkSession, root: String,
+                      columns: Seq[String], fpp: Double = 0.01,
+                      maxRetries: Int = 10,
+                      tornGraceMs: Long = 60000L): Long = {
+    require(columns.nonEmpty, "buildBloomIndex needs at least one column")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1): $fpp")
+    val (fs, rootP) = fsFor(spark, root)
+    val head = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val schema = head.schema.getOrElse(throw new IllegalStateException(
+      s"the table under $root records no schema (pre-r10 legacy) — run " +
+        "ManifestStore.upgradeTable first"))
+    columns.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"no column '$c' under $root (have ${schema.fieldNames.mkString(", ")})")
+      require(!head.partCols.contains(c),
+        s"'$c' is a partition column — partition values prune exactly " +
+          "already; bloom-index data columns instead")
+      require(ManifestBloom.supported(schema(c).dataType),
+        s"'$c' is ${schema(c).dataType.simpleString} — bloom equality " +
+          "lookup supports integral and string columns")
+    }
+    val physCols = columns.map(head.physOf).sorted
+    physCols.foreach(c => require(!c.contains(";") && !c.contains(","),
+      s"physical column name '$c' not bloom-marker-safe (',' / ';')"))
+    val sameIndex = head.bloomIdx.filter(ix =>
+      ix.columns == physCols && ix.fpp == fpp)
+    val covered = sameIndex.map(ix =>
+      ManifestBloom.coveredFiles(spark, root, ix.dirs)).getOrElse(Set.empty)
+    val uncovered = head.files.filterNot(e =>
+      covered(ManifestBloom.strip(e.path)))
+    if (uncovered.isEmpty && sameIndex.isDefined) return head.version
+    val dirName = s"bloom-${UUID.randomUUID()}"
+    val newDirs =
+      if (uncovered.isEmpty) Seq.empty
+      else {
+        val physData = StructType(schema.fields
+          .filterNot(f => head.partCols.contains(f.name))
+          .map(f => f.copy(name = head.physOf(f.name))))
+        ManifestBloom.buildSidecar(spark, uncovered, physData, physCols, fpp,
+          new Path(dataDir(rootP), dirName).toString)
+        Seq(dirName)
+      }
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      // a racing same-(columns, fpp) build unions dirs (duplicate
+      // coverage of a file is harmless — deterministic filters agree);
+      // anything else is replaced by ours
+      val dirs = base.bloomIdx.filter(ix =>
+        ix.columns == physCols && ix.fpp == fpp)
+        .map(_.dirs).getOrElse(Seq.empty) ++ newDirs
+      Some(base.copy(version = 0L,
+        bloomIdx = Some(BloomIndex(physCols, fpp, dirs.distinct)),
+        op = "bloom", addedBytes = None))
+    }
+  }
+
+  /** Drop the Bloom index: one metadata commit (op=bloom-drop) clearing
+    * the ref; the sidecar dirs become vacuum food.
+    */
+  def dropBloomIndex(spark: SparkSession, root: String,
+                     maxRetries: Int = 10, tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    val head = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    if (head.bloomIdx.isEmpty) return head.version // already index-less
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { baseOpt =>
+      val base = baseOpt.getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed manifest under $root"))
+      if (base.bloomIdx.isEmpty) None
+      else Some(base.copy(version = 0L, bloomIdx = None,
+        op = "bloom-drop", addedBytes = None))
+    }
+  }
 
   /** [[readWhere]] against an ALREADY-RESOLVED snapshot — for callers that
     * hold one (e.g. a streaming sink that reads, decides and appends per
@@ -3679,7 +3878,8 @@ object ManifestStore {
           colMap = base.map(_.colMap).getOrElse(before.colMap),
           droppedPhys = base.map(_.droppedPhys).getOrElse(before.droppedPhys),
           constraints = base.map(_.constraints).getOrElse(before.constraints),
-          properties = base.map(_.properties).getOrElse(before.properties)))
+          properties = base.map(_.properties).getOrElse(before.properties),
+          bloomIdx = base.flatMap(_.bloomIdx).orElse(before.bloomIdx)))
       }
     }
 
@@ -4426,9 +4626,14 @@ object ManifestStore {
       .flatMap(v => readManifest(fs, rootP, v)).toSeq
     // deletion-vector files are referenced state too: vacuuming a live
     // dv dir would resurrect the deleted rows of every kept version (r11)
+    // bloom sidecar dirs are referenced state too (r15): they live under
+    // data/ like any batch, so retention is simply membership in a
+    // retained manifest's index ref — dropped/replaced refs age out here
     val live = retained.flatMap(_.files.flatMap(f =>
       (Seq(new Path(f.path)) ++ f.dv.map(d => new Path(d.path)))
-        .flatMap(p => batchDirOf(p).map(stripped)))).toSet
+        .flatMap(p => batchDirOf(p).map(stripped)))).toSet ++
+      retained.flatMap(_.bloomIdx.toSeq.flatMap(_.dirs))
+        .map(n => stripped(new Path(dd, n))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var dropped = 0
     def newestTouch(s: FileStatus): Long = {
