@@ -174,6 +174,15 @@ object GraftSqlParser {
     out.result()
   }
 
+  // r15 Bloom sidecar index: `ALTER TABLE t ADD BLOOM INDEX ON (c1, c2)
+  // [WITH FPP 0.01]` / `ALTER TABLE t DROP BLOOM INDEX`. Not valid Spark
+  // SQL on any table, but gated by ours() like the other ALTERs so a
+  // non-manifest identifier still gets Spark's own parse error.
+  private val AddBloomRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+ADD\\s+BLOOM\\s+INDEX\\s+ON\\s*\\(([^)]+)\\)(?:\\s+WITH\\s+FPP\\s+([0-9.eE+]+))?\\s*;?\\s*$$""")
+  private val DropBloomRe = Pattern.compile(
+    s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+BLOOM\\s+INDEX\\s*;?\\s*$$""")
+
   private val RestoreRe = Pattern.compile(
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
 
@@ -259,6 +268,16 @@ object GraftSqlParser {
     val dd = DetailRe.matcher(sqlText)
     if (dd.matches() && ours(dd.group(1)))
       return Some(ManifestDetailCommand(targetOf(dd.group(1))))
+    val ab = AddBloomRe.matcher(sqlText)
+    if (ab.matches() && ours(ab.group(1))) {
+      val cols = ab.group(2).split(",").map(c => unquoteCol(c.trim)).toSeq
+      cols.foreach(c => require(c.nonEmpty, "empty BLOOM INDEX column"))
+      return Some(ManifestBloomCommand(targetOf(ab.group(1)), cols,
+        Option(ab.group(3)).map(_.toDouble)))
+    }
+    val db = DropBloomRe.matcher(sqlText)
+    if (db.matches() && ours(db.group(1)))
+      return Some(ManifestBloomCommand(targetOf(db.group(1)), Seq.empty, None))
     // RESTORE TABLE t [TO] VERSION AS OF n — durable time travel (the
     // Delta RESTORE shape); DESCRIBE HISTORY t [LIMIT n] — the table's
     // committed versions. Neither is valid Spark SQL, so the intercept
@@ -611,6 +630,29 @@ final case class ManifestPropertiesCommand(target: Either[String, Seq[String]],
   }
 }
 
+/** `ALTER TABLE t ADD BLOOM INDEX ON (cols) [WITH FPP x]` /
+  * `... DROP BLOOM INDEX` (r15) = [[ManifestStore.buildBloomIndex]] /
+  * [[ManifestStore.dropBloomIndex]]: the per-file point-lookup pruning
+  * tier. `columns` empty = drop. Returns the committed version.
+  */
+final case class ManifestBloomCommand(target: Either[String, Seq[String]],
+                                      columns: Seq[String],
+                                      fpp: Option[Double])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.rootOf(spark, target)
+    val v =
+      if (columns.isEmpty) ManifestStore.dropBloomIndex(spark, root)
+      else ManifestStore.buildBloomIndex(spark, root, columns,
+        fpp.getOrElse(0.01))
+    Seq(Row(v))
+  }
+}
+
 /** `DESCRIBE DETAIL t` — the one-row table-detail twin of DESCRIBE
   * HISTORY (the Delta shape): format, identity, location, current
   * version and format version, commit time, layout, live size/rows, and
@@ -638,6 +680,7 @@ final case class ManifestDetailCommand(target: Either[String, Seq[String]])
     AttributeReference("constraints", ArrayType(StringType), nullable = false)(),
     AttributeReference("column_mapping", MapType(StringType, StringType), nullable = false)(),
     AttributeReference("dropped_physical", ArrayType(StringType), nullable = false)(),
+    AttributeReference("bloom_index", StringType)(),
     AttributeReference("is_checkpoint", BooleanType, nullable = false)(),
     AttributeReference("delta_depth", IntegerType, nullable = false)())
 
@@ -669,6 +712,9 @@ final case class ManifestDetailCommand(target: Either[String, Seq[String]])
       snap.constraints.map(c => s"${c.name}: ${c.describe}"),
       snap.colMap,
       snap.droppedPhys,
+      snap.bloomIdx.map(ix =>
+        s"columns=${ix.columns.mkString(",")} fpp=${ix.fpp} " +
+          s"sidecars=${ix.dirs.size}").orNull,
       snap.version == snap.checkpointVersion,
       snap.deltaDepth))
   }

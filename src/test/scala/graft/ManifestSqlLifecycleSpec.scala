@@ -372,4 +372,34 @@ class ManifestSqlLifecycleSpec extends SparkSpec {
         s"Spark's own SET TBLPROPERTIES must keep working on parquet tables: $props")
     } finally spark.sql("DROP TABLE IF EXISTS plainprops_t")
   }
+
+  test("ADD/DROP BLOOM INDEX in SQL; DESCRIBE DETAIL shows the ref (r15)") {
+    val root = freshRoot("bloom")
+    spark.sql("DROP TABLE IF EXISTS bloom_t")
+    spark.sql(s"CREATE TABLE bloom_t USING `graft-manifest` OPTIONS (path '$root') " +
+      "AS SELECT id, CAST(id AS STRING) AS name FROM range(1000)")
+    try {
+      spark.sql("ALTER TABLE bloom_t ADD BLOOM INDEX ON (id, name) WITH FPP 0.005")
+      val snap = graft.sources.ManifestStore.latestSnapshot(spark, root).get
+      assert(snap.bloomIdx.exists(ix =>
+        ix.columns == Seq("id", "name") && ix.fpp == 0.005), snap.bloomIdx.toString)
+      val d = spark.sql("DESCRIBE DETAIL bloom_t").collect().head
+      assert(d.getAs[String]("bloom_index") ==
+        "columns=id,name fpp=0.005 sidecars=1", d.getAs[String]("bloom_index"))
+      // the indexed lookup still answers exactly through SQL
+      assert(spark.sql("SELECT name FROM bloom_t WHERE id = 417")
+        .collect().map(_.getString(0)).toSeq == Seq("417"))
+      spark.sql("ALTER TABLE bloom_t DROP BLOOM INDEX")
+      assert(graft.sources.ManifestStore.latestSnapshot(spark, root)
+        .get.bloomIdx.isEmpty)
+      assert(spark.sql("DESCRIBE DETAIL bloom_t").collect().head
+        .getAs[String]("bloom_index") == null)
+      // a non-manifest table's ALTER flows to Spark and fails ITS way
+      spark.sql("DROP TABLE IF EXISTS plainbloom_t")
+      spark.sql("CREATE TABLE plainbloom_t (id BIGINT) USING parquet")
+      try intercept[Exception] {
+        spark.sql("ALTER TABLE plainbloom_t ADD BLOOM INDEX ON (id)")
+      } finally spark.sql("DROP TABLE IF EXISTS plainbloom_t")
+    } finally spark.sql("DROP TABLE IF EXISTS bloom_t")
+  }
 }
