@@ -2007,6 +2007,75 @@ object RelationalQueries {
       df
     },
 
+    // O41 (r15): PREDICATE-SCOPED OVERWRITE — the Delta replaceWhere
+    // shape (`mode(overwrite).option("replaceWhere", ...)`) plus SQL
+    // `INSERT OVERWRITE` as DYNAMIC partition overwrite. Each is ONE
+    // atomic commit: the matching slice's files leave, the recomputed
+    // batch lands, untouched partitions keep byte identity (pinned),
+    // readers see old or new, never a mix or a gap — the backfill idiom.
+    // Rows outside the predicate refuse the whole commit (pinned). At
+    // 100 TB: a backfill keyed on the partition column replaces only the
+    // slice — zero survivor rewrite in the dynamic case, stats-pruned
+    // rewrite in the predicate case; the table is never unreadable
+    // mid-swap (unlike delete-then-write INSERT OVERWRITE on plain
+    // parquet).
+    QueryDef.sql(
+      "o41_replace_where",
+      """SELECT o_orderkey,
+        |       CAST(o_orderkey % 4 AS INT) AS bucket,
+        |       CASE WHEN o_orderkey % 4 = 2 THEN 'replaced'
+        |            WHEN o_orderkey % 4 = 1 THEN 'ow'
+        |            ELSE 'orig' END AS tag
+        |FROM orders WHERE o_orderkey % 16 < 8""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 16 < 8)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 4).cast("int").as("bucket"),
+          lit("orig").as("tag"))
+      val root = ProcessNonce.scratchDir("graft_o41_replace",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      s.sql("DROP TABLE IF EXISTS graft_o41")
+      val M = graft.sources.ManifestStore
+      M.append(s, src, root, partitionBy = Seq("bucket")) // v1
+      val v1 = M.latestSnapshot(s, root).get
+      val untouched = v1.files.filter(_.partition.exists(p =>
+        p.get("bucket").contains(Some("0")) || p.get("bucket").contains(Some("3"))))
+        .map(_.path).toSet
+      // replaceWhere through the idiomatic writer surface: ONE commit
+      src.where(col("bucket") === 2).withColumn("tag", lit("replaced"))
+        .write.format("graft-manifest").mode("overwrite")
+        .option("replaceWhere", "bucket = 2").save(root)
+      require(M.latestSnapshot(s, root).get.version == v1.version + 1,
+        "replaceWhere must be ONE commit")
+      // a row OUTSIDE the predicate refuses everything
+      val eOut = try {
+        M.overwriteWhere(s, src.limit(1).withColumn("bucket", lit(3)), root,
+          "bucket = 2"); ""
+      } catch { case e: Exception => String.valueOf(e.getMessage) }
+      require(eOut.contains("outside the replaced slice"),
+        s"out-of-slice rows must refuse: $eOut")
+      // SQL INSERT OVERWRITE = dynamic partition overwrite (catalog order
+      // puts the partition column last: o_orderkey, tag, bucket)
+      s.sql(s"CREATE TABLE graft_o41 USING `graft-manifest` OPTIONS (path '$root')")
+      src.createOrReplaceTempView("graft_o41_src")
+      s.sql("INSERT OVERWRITE graft_o41 SELECT o_orderkey, 'ow' AS tag, bucket " +
+        "FROM graft_o41_src WHERE bucket = 1")
+      val after = M.latestSnapshot(s, root).get
+      require(after.version == v1.version + 2, "INSERT OVERWRITE must be ONE commit")
+      require(untouched.subsetOf(after.files.map(_.path).toSet),
+        "untouched partitions must keep byte identity through BOTH overwrites")
+      // time travel: v1 is still the all-orig state
+      require(M.readVersion(s, root, v1.version)
+        .where(col("tag") =!= "orig").count() == 0L)
+      val out = s.sql("SELECT o_orderkey, bucket, tag FROM graft_o41")
+      s.sql("DROP TABLE IF EXISTS graft_o41")
+      out
+    },
+
     // O36 (r14): RESTORE — durable time travel. A MoR delete removes rows
     // at v2; RESTORE TABLE ... VERSION AS OF 1 commits v3 whose live state
     // is exactly v1's (file+dv list identical, zero data bytes move, txn

@@ -285,14 +285,32 @@ final class ManifestDataSource extends RelationProvider
     // step in the manifest protocol, not a save mode), ErrorIfExists
     // refuses by definition, Ignore no-ops.
     val existing = ManifestStore.latestSnapshot(spark, root)
+    // r15: mode(Overwrite) + option("replaceWhere", <predicate>) on an
+    // EXISTING table is the one sanctioned overwrite — the atomic
+    // predicate-scoped slice swap (the Delta replaceWhere idiom). An
+    // unscoped Overwrite stays refused: truncate-and-swap remains an
+    // explicit protocol step, never an ambient save mode.
+    val replaceWhere = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("replaceWhere") => v
+    }
+    if (existing.isDefined && mode == SaveMode.Overwrite && replaceWhere.isDefined) {
+      val (_, _, v) = ManifestStore.overwriteWhere(spark, data, root,
+        replaceWhere.get)
+      if (v == -1L) throw new IllegalStateException(
+        s"replaceWhere overwrite under $root abandoned — a concurrent " +
+          "rewrite superseded a touched file; re-run against the new state")
+      return createRelation(sqlContext, Map("path" -> root))
+    }
     if (existing.isDefined && mode != SaveMode.Append) {
       if (mode == SaveMode.Ignore)
         return createRelation(sqlContext, Map("path" -> root))
       throw new IllegalStateException(
         s"a graft-manifest table already exists under $root (version " +
           s"${existing.get.version}) and mode($mode) cannot replace it — " +
-          "INSERT INTO/mode(append) extends it; overwrites are explicit " +
-          "rewrites (ManifestStore.compact/deleteWhere/upsertByKey)")
+          "INSERT INTO/mode(append) extends it; mode(overwrite) with " +
+          "option(\"replaceWhere\", <predicate>) swaps a slice atomically; " +
+          "full overwrites are explicit rewrites (ManifestStore.compact/" +
+          "deleteWhere/upsertByKey)")
     }
     // DataFrameWriter.partitionBy travels JSON-encoded under this key; an
     // absent key on an EXISTING table reuses its layout (append would

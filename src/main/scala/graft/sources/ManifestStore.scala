@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat, lit, not, struct, to_json}
+import org.apache.spark.sql.functions.{assert_true, coalesce, col, concat, expr, lit, not, struct, to_json}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -3053,6 +3053,152 @@ object ManifestStore {
   /** An entry's LIVE row count: physical rows minus its deletion vector's. */
   private def liveRowsOf(e: ManifestEntry): Long =
     e.rows.getOrElse(0L) - e.dv.map(_.rows).getOrElse(0L)
+
+  private val ReplaceWhereTag = "[graft replaceWhere]"
+
+  /** Predicate-scoped atomic OVERWRITE (r15 — the Delta `replaceWhere`
+    * shape): ONE commit removes every row matching `condSql` and lands
+    * `df` in its place. The idiomatic surface is
+    * `df.write.format("graft-manifest").mode("overwrite")
+    * .option("replaceWhere", "date = '2026-01-01'").save(root)` — the
+    * backfill idiom: recompute a slice, swap it in atomically, readers
+    * see either the old slice or the new one, never a mix or a gap.
+    *
+    * Semantics, stated:
+    *  - every incoming row MUST satisfy the predicate (a row that
+    *    doesn't would silently land outside the slice being replaced —
+    *    the Delta rule); violations refuse the whole commit loudly with
+    *    the row rendered, and nothing is committed;
+    *  - table constraints and column mapping apply to the incoming batch
+    *    exactly as on append;
+    *  - the batch schema must match the table's (overwrite does not
+    *    widen — ADD COLUMNS first);
+    *  - file pruning: stats-prunable conjuncts of the predicate bound
+    *    the touched set; touched files are rewritten without their
+    *    matching rows (a file left empty just drops), untouched files
+    *    keep byte identity. At 100 TB a backfill keyed on a partition
+    *    or clustered column rewrites only the slice;
+    *  - isolation is [[commitReplacing]]'s: abandonment (-1) when a
+    *    concurrent rewrite superseded a touched file; a racing blind
+    *    append's matching rows survive (WriteSerializable — loop with
+    *    [[deleteWhereSerializable]] + append if erasure-grade replacement
+    *    is needed).
+    *
+    * Returns (rowsReplaced, filesRewritten, version) — version -1 on
+    * abandonment (nothing changed; orphaned rewrite dirs are vacuum
+    * food).
+    */
+  def overwriteWhere(spark: SparkSession, df: DataFrame, root: String,
+                     condSql: String, maxRetries: Int = 10,
+                     tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    val schema = before.schema.getOrElse(throw new IllegalStateException(
+      s"the table under $root records no schema (pre-r10 legacy) — run " +
+        "ManifestStore.upgradeTable first"))
+    require(normalizeSchema(df.schema).fieldNames.sorted.toSeq ==
+      schema.fieldNames.sorted.toSeq,
+      s"replaceWhere batch columns ${df.columns.sorted.mkString(", ")} must " +
+        s"match the table's ${schema.fieldNames.sorted.mkString(", ")} — " +
+        "overwrite does not evolve schemas (ADD COLUMNS first)")
+    // resolve the predicate against the TABLE's analyzed frame, so the
+    // condition speaks logical names and fails loudly on unknown columns
+    val table = readSnapshot(spark, root, before, Seq.empty)
+    val condCol = expr(condSql)
+    val resolvedCond = table.where(condCol).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"cannot resolve replaceWhere predicate '$condSql'"))
+    require(resolvedCond.deterministic,
+      s"replaceWhere needs a deterministic predicate — got $condSql")
+    require(!resolvedCond.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]),
+      s"replaceWhere does not support subqueries: $condSql")
+    val pruning = ManifestDml.pruningOf(resolvedCond)
+    val cond = ManifestDml.byName(resolvedCond)
+    // every incoming row must satisfy the predicate — enforced INSIDE the
+    // batch write's own pass (the constraint mechanism: a violating row
+    // raises with the row rendered, writeBatch unwraps the tag, deletes
+    // the partial directory and nothing commits). NULL does NOT satisfy.
+    val rowJson = to_json(struct(df.columns.map(c => col(quoteIdent(c))).toIndexedSeq: _*))
+    val guarded = df.where(assert_true(coalesce(condCol, lit(false)),
+      concat(lit(s"$ConstraintTag$ReplaceWhereTag row outside the replaced " +
+        s"slice (predicate: $condSql): "), rowJson)).isNull)
+    val mine = writeBatch(fs, rootP, guarded, before.partCols,
+      colMap = before.colMap, constraints = before.constraints)
+    // rewrite the touched slice without its matching rows (deleteFrom's
+    // metadata-counted shape: zero extra scans when stats carry rows)
+    val touched = prunedEntries(before, pruning)
+    val (survivors, replaced) =
+      if (touched.isEmpty) (Seq.empty[ManifestEntry], 0L)
+      else {
+        val touchedRows = readSnapshot(spark, root,
+          before.copy(files = touched), Seq.empty)
+        val surviving = touchedRows.where(!coalesce(cond, lit(false)))
+        val sEntries = writeBatch(fs, rootP, surviving, before.partCols,
+          internalRewrite = true, colMap = before.colMap)
+        val total = if (touched.forall(_.rows.isDefined))
+          Some(touched.map(liveRowsOf).sum) else None
+        val n = total.map(_ - sEntries.flatMap(_.rows).sum)
+          .getOrElse(touchedRows.where(coalesce(cond, lit(false))).count())
+        (sEntries, n)
+      }
+    if (replaced == 0L) {
+      // nothing matched: the batch still lands, but as a pure addition —
+      // no touched file changes meaning, so no replacement (the no-match
+      // rewrite directory is orphaned vacuum food, deleteFrom's shape)
+      val v = commitReplacing(fs, rootP, Map.empty, mine, before,
+        maxRetries, tornGraceMs, refuseEmpty = true, op = "overwrite")
+      return if (v == -1L) (0L, 0, -1L) else (0L, 0, v)
+    }
+    val v = commitReplacing(fs, rootP, dvSignature(touched),
+      survivors ++ mine, before, maxRetries, tornGraceMs,
+      refuseEmpty = true, op = "overwrite")
+    if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (r15): replace exactly the partitions
+    * present in `df`, atomically — the Spark
+    * `partitionOverwriteMode=dynamic` semantics as one manifest commit,
+    * and what SQL `INSERT OVERWRITE` on a partitioned manifest table
+    * means. Cheaper than [[overwriteWhere]] where it applies: whole
+    * files die (partition membership is exact per entry), so there is NO
+    * survivor rewrite — the commit removes the touched partitions' files
+    * and adds the batch's. Unpartitioned tables refuse with the
+    * replaceWhere recipe. Constraints and column mapping apply to the
+    * batch as on append. Returns (rowsReplaced, filesRemoved, version);
+    * -1 = abandoned (concurrent rewrite superseded a touched file).
+    */
+  def overwriteDynamicPartitions(spark: SparkSession, df: DataFrame,
+                                 root: String, maxRetries: Int = 10,
+                                 tornGraceMs: Long = 60000L): (Long, Int, Long) = {
+    val (fs, rootP) = fsFor(spark, root)
+    val before = latestSnapshot(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed manifest under $root"))
+    require(before.partCols.nonEmpty,
+      s"the table under $root is unpartitioned — INSERT OVERWRITE means " +
+        "dynamic PARTITION overwrite; use replaceWhere (overwriteWhere) " +
+        "for a predicate-scoped swap on an unpartitioned table")
+    val schema = before.schema.getOrElse(throw new IllegalStateException(
+      s"the table under $root records no schema (pre-r10 legacy) — run " +
+        "ManifestStore.upgradeTable first"))
+    require(normalizeSchema(df.schema).fieldNames.sorted.toSeq ==
+      schema.fieldNames.sorted.toSeq,
+      s"overwrite batch columns ${df.columns.sorted.mkString(", ")} must " +
+        s"match the table's ${schema.fieldNames.sorted.mkString(", ")}")
+    val mine = writeBatch(fs, rootP, df, before.partCols,
+      colMap = before.colMap, constraints = before.constraints)
+    if (mine.isEmpty) return (0L, 0, before.version) // empty batch: no-op
+    // the partitions being replaced = exactly the tuples the batch wrote
+    // (each entry carries its partition values — no extra job)
+    val newParts = mine.flatMap(_.partition).toSet
+    val touched = before.files.filter(e => e.partition.exists(newParts))
+    val replaced = touched.map(liveRowsOf).sum
+    val v = commitReplacing(fs, rootP, dvSignature(touched), mine, before,
+      maxRetries, tornGraceMs, refuseEmpty = true, op = "overwrite")
+    if (v == -1L) (0L, 0, -1L) else (replaced, touched.size, v)
+  }
 
   /** MERGE-ON-READ row-level DELETE (r11) — the Delta deletion-vector
     * shape: instead of rewriting every file that might match

@@ -32,11 +32,10 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoHadoopFsRelationCommand
         if i.fileIndex.exists(_.isInstanceOf[ManifestFileIndex]) =>
-      require(i.mode == SaveMode.Append,
-        s"INSERT OVERWRITE is not supported on a graft-manifest table " +
-          s"(${i.outputPath}) — the manifest commit protocol expresses " +
-          "overwrites as explicit rewrites (compact/deleteWhere/upsertByKey); " +
-          "use INSERT INTO, or the library API")
+      require(i.mode == SaveMode.Append || i.mode == SaveMode.Overwrite,
+        s"mode(${i.mode}) is not supported on a graft-manifest table " +
+          s"(${i.outputPath}) — use INSERT INTO / INSERT OVERWRITE, or the " +
+          "library API")
       require(i.staticPartitions.isEmpty && !i.ifPartitionNotExists,
         s"static PARTITION clauses are not supported on a graft-manifest " +
           s"table (${i.outputPath}) — write the partition column as data " +
@@ -48,11 +47,17 @@ object ManifestInsertRewrite extends Rule[LogicalPlan] {
       val partCols =
         if (i.partitionColumns.nonEmpty) i.partitionColumns.map(_.name)
         else i.catalogTable.map(_.partitionColumnNames).getOrElse(Seq.empty)
+      // INSERT OVERWRITE (r15) = DYNAMIC partition overwrite: exactly the
+      // partitions present in the incoming rows are replaced, atomically —
+      // one commit, never Spark's delete-then-write (which would leave a
+      // reader-visible gap and writes no manifest). Unpartitioned tables
+      // refuse inside the command with the replaceWhere recipe.
       ManifestInsertCommand(
         i.fileIndex.get.asInstanceOf[ManifestFileIndex].root.toString,
         partCols,
         i.query, i.outputColumnNames,
-        i.catalogTable.map(_.identifier))
+        i.catalogTable.map(_.identifier),
+        overwrite = i.mode == SaveMode.Overwrite)
 
     // CTAS with PARTITIONED BY: Spark's v1 CreateDataSourceTableAsSelect
     // hands a CreatableRelationProvider only (mode, options, data) — the
@@ -419,14 +424,20 @@ final case class ManifestInsertCommand(root: String,
                                        query: LogicalPlan,
                                        outputColumnNames: Seq[String],
                                        table: Option[
-                                         org.apache.spark.sql.catalyst.TableIdentifier])
+                                         org.apache.spark.sql.catalyst.TableIdentifier],
+                                       overwrite: Boolean = false)
   extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val df = DatasetShim.ofRows(spark, query).toDF(outputColumnNames: _*)
-    ManifestStore.append(spark, df, root, partitionBy = partitionBy)
+    if (overwrite) {
+      val (_, _, v) = ManifestStore.overwriteDynamicPartitions(spark, df, root)
+      if (v == -1L) throw new IllegalStateException(
+        s"INSERT OVERWRITE under $root abandoned — a concurrent rewrite " +
+          "superseded a touched partition's file; re-run")
+    } else ManifestStore.append(spark, df, root, partitionBy = partitionBy)
     // a same-session SELECT resolves through the catalog's relation cache,
     // whose LogicalRelation pins the PRE-insert snapshot — invalidate it
     // by identifier, exactly as InsertIntoHadoopFsRelationCommand does
