@@ -2076,6 +2076,61 @@ object RelationalQueries {
       out
     },
 
+    // O42 (r15): CONVERT TO MANIFEST — in-place adoption of an existing
+    // plain-parquet directory (the Delta CONVERT shape). One
+    // footer-metadata pass (no data reads) commits v1 referencing the
+    // ORIGINAL files — zero bytes move (pinned by path identity), typed
+    // hive partition columns survive inference, harvested stats prune
+    // immediately, and the adopted table is instantly ACID (an append
+    // lands as v2; time travel reads the as-converted state). At 100 TB
+    // this is the onboarding path: a parquet lake prefix becomes a
+    // transactional, skippable table for the cost of reading footers.
+    QueryDef.sql(
+      "o42_convert_parquet",
+      """SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS bucket, o_totalprice
+        |FROM orders WHERE o_orderkey % 16 < 6""".stripMargin) { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val src = Tables.orders(s, d).where(col("o_orderkey") % 16 < 6)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 4).cast("int").as("bucket"),
+          col("o_totalprice"))
+      val root = ProcessNonce.scratchDir("graft_o42_convert",
+        Integer.toHexString(d.hashCode))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // the pre-existing plain parquet lake prefix (hive-partitioned)
+      src.write.partitionBy("bucket").parquet(root)
+      val plainPaths = {
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet")) b += p.toString
+        }
+        b.result()
+      }
+      val M = graft.sources.ManifestStore
+      val v = M.convertParquet(s, root)
+      val snap = M.latestSnapshot(s, root).get
+      require(v == 1L && snap.op == "convert" && snap.partCols == Seq("bucket"))
+      require(snap.files.map(_.path).toSet == plainPaths,
+        "convert must reference the ORIGINAL files — zero bytes move")
+      require(snap.files.forall(e => e.rows.isDefined && e.stats.nonEmpty),
+        "footer harvest must stock rows + stats for pruning")
+      // partition pruning engages immediately on the adopted table
+      require(M.prunedEntries(snap,
+        Seq(org.apache.spark.sql.sources.EqualTo("bucket", 1))).size <
+        snap.files.size, "the adopted table must prune partitions")
+      // and it is instantly ACID: an append commits v2, v1 stays exact
+      M.append(s, src.limit(0), root, // empty append: version bump at most
+        partitionBy = Seq("bucket"))
+      require(M.readVersion(s, root, 1L).count() == src.count(),
+        "v1 must stay the as-converted state")
+      M.table(s, root).select("o_orderkey", "bucket", "o_totalprice")
+    },
+
     // O36 (r14): RESTORE — durable time travel. A MoR delete removes rows
     // at v2; RESTORE TABLE ... VERSION AS OF 1 commits v3 whose live state
     // is exactly v1's (file+dv list identical, zero data bytes move, txn

@@ -183,6 +183,12 @@ object GraftSqlParser {
   private val DropBloomRe = Pattern.compile(
     s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Target\\s+DROP\\s+BLOOM\\s+INDEX\\s*;?\\s*$$""")
 
+  // r15: `CONVERT TO MANIFEST '<path>'` — in-place adoption of a plain
+  // parquet directory (the Delta CONVERT shape). Path-literal only: a
+  // catalog identifier's provider rewrite is a separate concern.
+  private val ConvertRe = Pattern.compile(
+    """(?is)^\s*CONVERT\s+TO\s+MANIFEST\s+('[^']+')\s*;?\s*$""")
+
   private val RestoreRe = Pattern.compile(
     s"""(?is)^\\s*RESTORE\\s+TABLE\\s+$Target\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""")
 
@@ -282,6 +288,10 @@ object GraftSqlParser {
     // Delta RESTORE shape); DESCRIBE HISTORY t [LIMIT n] — the table's
     // committed versions. Neither is valid Spark SQL, so the intercept
     // shadows nothing.
+    val cv = ConvertRe.matcher(sqlText)
+    if (cv.matches())
+      return Some(ManifestConvertCommand(
+        cv.group(1).substring(1, cv.group(1).length - 1)))
     val rs = RestoreRe.matcher(sqlText)
     if (rs.matches())
       return Some(ManifestRestoreCommand(targetOf(rs.group(1)),
@@ -628,6 +638,21 @@ final case class ManifestPropertiesCommand(target: Either[String, Seq[String]],
     }
     Seq.empty
   }
+}
+
+/** `CONVERT TO MANIFEST '<path>'` (r15) =
+  * [[ManifestStore.convertParquet]]: adopt a plain parquet directory as
+  * a manifest table in place — one footer-metadata pass, zero data
+  * movement. Returns the committed version (1).
+  */
+final case class ManifestConvertCommand(path: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(ManifestStore.convertParquet(spark, path)))
 }
 
 /** `ALTER TABLE t ADD BLOOM INDEX ON (cols) [WITH FPP x]` /

@@ -2758,6 +2758,104 @@ object ManifestStore {
     }
   }
 
+  /** CONVERT an existing plain-parquet directory into a manifest table
+    * IN PLACE (r15 — the Delta `CONVERT TO DELTA` shape): zero data
+    * bytes move. The directory's parquet leaves (flat or
+    * hive-partitioned `col=value` layout) are footer-harvested for
+    * row counts + min/max stats and committed as version 1 (op=convert)
+    * referencing the ORIGINAL file paths; schema and typed partition
+    * columns come from Spark's own inference over the directory. From
+    * that commit on, the table is a full manifest table: ACID appends,
+    * stats/partition/bloom pruning, DML, time travel, streaming tails.
+    *
+    * Contract notes, stated where a user meets them:
+    *  - refuses if a manifest already exists at `root` (or appears
+    *    concurrently — the birth is atomic, same as CTAS);
+    *  - the source files are adopted, not copied: they live OUTSIDE
+    *    `data/`, so [[vacuum]] never deletes them — after maintenance
+    *    rewrites them away (compact/CoW delete), reclaim the originals
+    *    manually (they are referenced by the retained HISTORY until
+    *    then, exactly like any pre-rewrite state);
+    *  - partition directory types must be partitionable (string/
+    *    integral/boolean/date — the same set the store writes);
+    *  - concurrent writers to the directory during conversion are the
+    *    caller's race to lose, as with any external-table adoption.
+    *
+    * At 100 TB this IS the onboarding path: one footer-metadata pass
+    * (file-count-proportional, pooled, no data reads) turns a parquet
+    * lake prefix into an ACID table with data skipping.
+    */
+  def convertParquet(spark: SparkSession, root: String,
+                     maxRetries: Int = 10,
+                     tornGraceMs: Long = 60000L): Long = {
+    val (fs, rootP) = fsFor(spark, root)
+    require(latestSnapshot(spark, root).isEmpty,
+      s"$root already holds a committed manifest table — convert adopts " +
+        "plain parquet directories only")
+    val inferred = spark.read.parquet(root)
+    val fullSchema = normalizeSchema(inferred.schema)
+    def leaves(p: Path): Seq[FileStatus] = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+      else if (st.isDirectory) leaves(st.getPath)
+      else if (n.endsWith(".parquet")) Seq(st)
+      else Seq.empty
+    }
+    val files = leaves(rootP)
+    require(files.nonEmpty, s"no parquet files under $root — nothing to convert")
+    // partition columns: the first file's hive segments name them; every
+    // other file must agree (partitionOf enforces), and their inferred
+    // types must be in the store's partitionable set
+    val partCols: Seq[String] = {
+      var segs = List.empty[String]
+      var p = files.head.getPath.getParent
+      val stop = Path.getPathWithoutSchemeAndAuthority(rootP).toString
+      while (p != null && Path.getPathWithoutSchemeAndAuthority(p).toString != stop) {
+        segs = p.getName :: segs
+        p = p.getParent
+      }
+      segs.map { s =>
+        val i = s.indexOf('=')
+        require(i > 0, s"non-hive directory segment '$s' under $root — " +
+          "convert supports flat or col=value layouts only")
+        unescapePathName(s.substring(0, i))
+      }
+    }
+    partCols.foreach { c =>
+      val dt = fullSchema(c).dataType
+      val ok = dt match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }
+      require(ok, s"partition column '$c' inferred as ${dt.simpleString} — " +
+        "not in the store's partitionable set (string/integral/boolean/date)")
+    }
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(f => partCols.contains(f.name)))
+    val harvested = harvestStats(
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration),
+      files.map(_.getPath), dataSchema)
+    val entries = files.map { st =>
+      val (rows, stats) = harvested(st.getPath.toString)
+      val part = if (partCols.isEmpty) None
+        else Some(partitionOf(rootP, st.getPath, partCols))
+      ManifestEntry(st.getPath.toString, st.getLen, Some(rows), stats, part)
+    }
+    commitWithRebase(fs, rootP, maxRetries, tornGraceMs) { base =>
+      require(base.isEmpty,
+        s"a manifest table appeared at $root concurrently — refusing to " +
+          "convert over it")
+      Some(Snapshot(0L, entries, schema = Some(fullSchema),
+        partCols = partCols, op = "convert"))
+    }
+  }
+
   /** Drop the Bloom index: one metadata commit (op=bloom-drop) clearing
     * the ref; the sidecar dirs become vacuum food.
     */
