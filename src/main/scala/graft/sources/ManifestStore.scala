@@ -2772,10 +2772,10 @@ object ManifestStore {
     *  - refuses if a manifest already exists at `root` (or appears
     *    concurrently — the birth is atomic, same as CTAS);
     *  - the source files are adopted, not copied: they live OUTSIDE
-    *    `data/`, so [[vacuum]] never deletes them — after maintenance
-    *    rewrites them away (compact/CoW delete), reclaim the originals
-    *    manually (they are referenced by the retained HISTORY until
-    *    then, exactly like any pre-rewrite state);
+    *    `data/`; [[vacuum]] reclaims them per-file once maintenance
+    *    rewrites them away AND every referencing manifest leaves
+    *    retention (until then the retained HISTORY still reads them,
+    *    exactly like any pre-rewrite state);
     *  - partition directory types must be partitionable (string/
     *    integral/boolean/date — the same set the store writes);
     *  - concurrent writers to the directory during conversion are the
@@ -4890,6 +4890,34 @@ object ManifestStore {
         if (!dryRun) fs.delete(d.getPath, true): Unit
         dropped += 1
       }
+    }
+    // ADOPTED files (r15, CONVERT TO MANIFEST): a converted table's
+    // original parquet lives OUTSIDE data/ — once maintenance rewrites
+    // it away and every referencing manifest leaves retention, reclaim
+    // it here (per-FILE, not per-batch-dir: adopted layouts are not ours
+    // to bulldoze; emptied partition dirs are left, harmless). The walk
+    // skips data/ and _manifests/, so on a never-converted table it is
+    // one listStatus of root finding nothing. Like Delta's vacuum, any
+    // UNREFERENCED parquet under the table root past the age cutoff is
+    // reclaimed — the root is the table's, by contract.
+    val liveOutside = retained.flatMap(_.files.map(f => stripped(new Path(f.path))))
+      .filterNot(_.startsWith(ddStr)).toSet
+    val mdStr = stripped(manifestsDir(rootP))
+    def outsideLeaves(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val sp = stripped(st.getPath)
+        if (n.startsWith("_") || n.startsWith(".") ||
+            sp == ddStr || sp == mdStr) Seq.empty
+        else if (st.isDirectory) outsideLeaves(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    for (st <- outsideLeaves(rootP)
+         if !liveOutside.contains(stripped(st.getPath)) &&
+           st.getModificationTime < cutoff) {
+      if (!dryRun) fs.delete(st.getPath, false): Unit
+      dropped += 1
     }
     // a kept DELTA version needs its whole chain back to its checkpoint to
     // stay replayable (r13) — prune manifests strictly below the kept

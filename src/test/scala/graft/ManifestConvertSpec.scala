@@ -83,6 +83,36 @@ class ManifestConvertSpec extends SparkSpec {
     assert(ManifestStore.read(spark, dir).where(col("bucket") === 2).count() == 1L)
   }
 
+  test("vacuum reclaims adopted originals once compaction and retention forget them") {
+    val dir = freshDir()
+    (0 until 200).map(i => (i.toLong, s"p-$i")).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    ManifestStore.convertParquet(spark, dir)
+    val adopted = ManifestStore.latestSnapshot(spark, dir).get.files.map(_.path)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def adoptedLeft() = adopted.count(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(p)))
+    // compaction rewrites the content INTO data/ — originals become
+    // history-only references
+    ManifestStore.compact(spark, dir)
+    assert(ManifestStore.latestSnapshot(spark, dir).get.files
+      .forall(_.path.contains("/data/")), "compact migrates into data/")
+    // still retained (the convert version resolves) → vacuum keeps them
+    ManifestStore.vacuum(spark, dir, keepVersions = 10, minAgeMs = 0L)
+    assert(adoptedLeft() == adopted.size,
+      "retained history must keep the adopted originals readable")
+    // roll past a checkpoint so the convert version leaves retention
+    for (i <- 0 until 17)
+      ManifestStore.append(spark,
+        Seq((10000L + i, s"pad-$i")).toDF("id", "payload").coalesce(1), dir)
+    val freed = ManifestStore.vacuum(spark, dir, keepVersions = 1, minAgeMs = 0L)
+    assert(adoptedLeft() == 0,
+      s"forgotten adopted originals must be reclaimed (freed=$freed)")
+    // the table is intact
+    assert(ManifestStore.read(spark, dir).count() == 200L + 17L)
+  }
+
   test("SQL CONVERT TO MANIFEST; refusals: empty dir, non-hive layout") {
     val dir = freshDir()
     (0 until 50).map(i => (i.toLong, s"s-$i")).toDF("id", "payload")

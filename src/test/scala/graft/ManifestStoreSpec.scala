@@ -1570,12 +1570,13 @@ class ManifestStoreSpec extends SparkSpec {
       assert(!fs.listStatus(new Path(root)).exists(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet")),
         "INSERT must not write unreferenced parquet at the table root")
-      // INSERT OVERWRITE refuses with the recipe
+      // INSERT OVERWRITE on an UNPARTITIONED table refuses with the
+      // replaceWhere recipe (r15: partitioned tables get the dynamic
+      // partition overwrite — ManifestOverwriteSpec)
       val eOver = intercept[Exception] {
         spark.sql("INSERT OVERWRITE graft_ins_probe VALUES (1L, 'x')")
       }
-      assert(eOver.getMessage.contains("INSERT OVERWRITE is not supported"),
-        eOver.getMessage)
+      assert(eOver.getMessage.contains("replaceWhere"), eOver.getMessage)
       // concurrent INSERTs rebase: both batches survive
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
