@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -35,6 +34,10 @@ object ProductQuantization {
   /** Per-subspace codebooks: m x (<=kCodes) x (dim/m) floats, fit with one
     * small KMeans per subspace (seeded, random init — like the IVF coarse
     * quantizer, cell SHAPE is what matters; recall comes from re-ranking).
+    * r15: each fit goes through [[KMeansFit]] — bit-identical centers to
+    * the ml.KMeans wrapper used through r14, minus its per-fit summary/
+    * transform jobs (see KMeansFit's scaladoc for why bit-identity is the
+    * point).
     *
     * @param fitSampleFraction deterministic hash-sample fraction for the
     *        fit (the assignment/encode step still covers every vector).
@@ -70,10 +73,7 @@ object ProductQuantization {
       sliced.count()
       val fits = (0 until m).map { s =>
         scala.concurrent.Future {
-          new KMeans().setK(kCodes).setSeed(42 + s).setMaxIter(4)
-            .setInitMode("random").setFeaturesCol(s"sub_$s")
-            .fit(sliced)
-            .clusterCenters.map(_.toArray.map(_.toFloat))
+          KMeansFit.centers(sliced, s"sub_$s", kCodes, seed = 42 + s)
         }
       }
       scala.concurrent.Await.result(
@@ -89,7 +89,8 @@ object ProductQuantization {
   }
 
   /** Sum of squared differences between a d-dim slice and a literal
-    * centroid — the primitive both encode and the ADC table build on.
+    * centroid — the ADC table's per-query primitive (|Q| rows; the
+    * corpus-side encode uses the fused native PqEncode instead).
     */
   private def sqDist(sub: Column, centroid: Array[Float]): Column =
     aggregate(
@@ -98,18 +99,16 @@ object ProductQuantization {
       lit(0.0), (acc, v) => acc + v)
 
   /** PQ codes for an embedding column: array<int> of length m, code s =
-    * index of the nearest subspace-s centroid (first-min tie-break via
-    * array_position, so encoding is deterministic under any partitioning).
+    * index of the nearest subspace-s centroid (first-min tie-break, so
+    * encoding is deterministic under any partitioning). r15 optimization:
+    * the composed slice/array_min/array_position form expanded to m x
+    * kCodes interpreted aggregate(zip_with(...)) chains per row — the
+    * native [[graft.plans.PqEncode]] expression is the same arithmetic as
+    * one fused loop (semantics doc'd there; parity pinned in ScaleOpsSpec
+    * and PqEncodeSpec).
     */
-  def encode(emb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
-    val d = codebooks(0)(0).length
-    val codes = codebooks.zipWithIndex.map { case (book, s) =>
-      val sub = slice(emb, s * d + 1, d)
-      val dists = array(book.map(c => sqDist(sub, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(codes: _*)
-  }
+  def encode(emb: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    graft.plans.NativeColumns.pqEncode(emb, codebooks)
 
   /** Per-query ADC lookup table: array<array<double>>, entry [s][j] =
     * squared distance from the query's subspace-s slice to centroid j.
@@ -358,10 +357,11 @@ object ProductQuantization {
       array_to_vector(col("embedding")).as("features"))
     val fitInput =
       feat.where(Sampling.hashSampleFraction(col("vec_id"), "ivf_fit", fitSampleFraction))
-    val coarse = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(fitInput)
-    val cents = coarse.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    // r15: KMeansFit = bit-identical centers to the r14 ml.KMeans fit,
+    // minus the wrapper's summary/transform jobs
+    val coarse = KMeansFit.centers(fitInput, "features", nCells, seed = 42)
+    val cents = coarse.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cell", "c_emb")
     // assignment goes through the SAME float-centroid rule appends use
     // (withAssignedCell), NOT the model's double-precision transform: the

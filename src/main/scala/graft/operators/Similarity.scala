@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -54,19 +53,26 @@ object Similarity {
     * KMeans over a deterministic hash sample -- recall/quality come from
     * nProbe / the threshold, not centroid polish, so random init + few
     * iterations suffice (the k-means|| init alone is several passes).
-    * Returns (model, (vec_id, embedding, cell)).
+    * r15: the fit goes through [[KMeansFit]] (bit-identical centers to
+    * the r14 ml.KMeans wrapper, minus its per-fit summary/transform
+    * jobs) and assignment is the model's own `predict` broadcast into a
+    * map pass — the identical findClosest rule ml's transform applied.
+    * Returns (float centers, (vec_id, embedding, cell)).
     */
   private def coarseQuantizer(corpus: DataFrame, nCells: Int,
                               fitSampleFraction: Double, salt: String)
-      : (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+      : (Array[Array[Float]], DataFrame) = {
     val feat = corpus.select(col("vec_id"), col("embedding"),
       array_to_vector(col("embedding")).as("features"))
     val fitInput =
       feat.where(Sampling.hashSampleFraction(col("vec_id"), salt, fitSampleFraction))
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(4)
-      .setInitMode("random").fit(fitInput)
-    (model, model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell")))
+    val model = KMeansFit.model(fitInput, "features", nCells, seed = 42)
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val assign = udf((v: org.apache.spark.ml.linalg.Vector) =>
+      bc.value.predict(org.apache.spark.mllib.linalg.Vectors.fromML(v)))
+    (model.clusterCenters.map(_.toArray.map(_.toFloat)),
+      feat.select(col("vec_id"), col("embedding"),
+        assign(col("features")).as("cell")))
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1): plane `p`,
@@ -171,12 +177,12 @@ object Similarity {
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (model, assigned0) = coarseQuantizer(corpus, nCells, fitSampleFraction, "ivf_fit")
+    val (centers, assigned0) = coarseQuantizer(corpus, nCells, fitSampleFraction, "ivf_fit")
     val assigned = assigned0
       .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"), col("cell"))
     // tiny centroid table, broadcast against the query side
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat).toSeq) }
+    val cents = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("cell", "c_emb")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wCell = Window.partitionBy("q_id").orderBy(col("c_dist"), col("cell"))

@@ -27,4 +27,7 @@ object NativeColumns {
 
   def adcDistance(codes: Column, table: Column): Column =
     ColumnShim.column(AdcDistance(expr(codes), expr(table)))
+
+  def pqEncode(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    ColumnShim.column(PqEncode(expr(emb), books))
 }

@@ -11,7 +11,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_EXTRA_JAVA_OPTS: optional extra -D flags (e.g. event-log profiling:
+# "-Dspark.eventLog.enabled=true -Dspark.eventLog.dir=file:/tmp/spark-events")
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_EXTRA_JAVA_OPTS:-} \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "target/scala-2.13/classes:target/scala-2.13/test-classes:/opt/spark/jars/*" "$@"
