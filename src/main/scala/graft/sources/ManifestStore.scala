@@ -3559,15 +3559,22 @@ object ManifestStore {
     // leaf into several part files and break the one-dv-file-per-entry
     // invariant (review r11; single-row leaves make it unlikely, kept for
     // defense)
-    bitmapRows.withColumn("fk", col("fkey")).repartition(col("fk"))
-      .write.option("maxRecordsPerFile", "0").partitionBy("fk").parquet(dvDir.toString)
+    // r15: cache the kilobyte bitmap frame so the per-file totals come
+    // from the SAME computed rows the write lands — previously the totals
+    // were read back from the just-written parquet tree (schema-infer +
+    // rescan, plus an exception-path for the all-empty case), a second
+    // full plan+execute of the dv pipeline per MoR commit
+    val bitmapCached = bitmapRows.cache()
     val totals: Map[String, Long] =
-      try spark.read.parquet(dvDir.toString).select("fkey", "n")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      catch { // an all-empty write leaves no readable files: nothing matched
-        case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => Map.empty
-      }
+      try {
+        val t = bitmapCached.select("fkey", "n")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (t.nonEmpty)
+          bitmapCached.withColumn("fk", col("fkey")).repartition(col("fk"))
+            .write.option("maxRecordsPerFile", "0").partitionBy("fk")
+            .parquet(dvDir.toString)
+        t
+      } finally bitmapCached.unpersist()
     val fkeyOf: ManifestEntry => String = e =>
       org.apache.commons.codec.digest.DigestUtils.md5Hex(e.path)
     val byFkey = touched.map(e => fkeyOf(e) -> e).toMap
@@ -3761,32 +3768,62 @@ object ManifestStore {
     // keys would insert several rows per key where MERGE promises
     // replacement — both refuse loudly (Delta MERGE errors on multi-match
     // sources the same way).
-    val auditAggs =
-      org.apache.spark.sql.functions.count(lit(1)).as("n") +:
-      org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.when(
-          keyExprs.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("nullkeys") +:
-      org.apache.spark.sql.functions.countDistinct(keyExprs.head, keyExprs.tail: _*)
-        .as("d") +:
-      keyExprs.flatMap(e => Seq(org.apache.spark.sql.functions.min(e),
-        org.apache.spark.sql.functions.max(e)))
-    val auditRow = updates.agg(auditAggs.head, auditAggs.tail: _*).head()
-    val updCount = auditRow.getLong(0)
+    // r15 (guide §1.2 step 2): the audit and the bounded key enumeration
+    // used to be TWO full passes over `updates` (an agg head() plus a
+    // distinct-limit collect) — at fixture scale each pass is mostly
+    // fixed planning/scheduling cost, and the o-family lifecycle entries
+    // pay it per commit. One grouped pass now serves both: per-key row
+    // counts, capped at maxProbeKeys+1 groups. When the cap is NOT hit
+    // the group set is complete, so row count, null-key count and
+    // per-key uniqueness all derive locally from it (bounded driver
+    // rows, same refusal messages); only an over-cap update set falls
+    // back to the old aggregate pass (whose min/max the range pruning
+    // needs anyway) — same two passes it always cost.
+    var overCapAudit: Option[Row] = None
+    val grouped = updates.groupBy(keyExprs: _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__cnt"))
+      .limit(maxProbeKeys + 1).collect()
+    val overCap = grouped.length > maxProbeKeys
+    val nKeys = keyCols.length
+    val (updCount, nullKeyRows, distinctKeys) =
+      if (overCap) {
+        val auditAggs =
+          org.apache.spark.sql.functions.count(lit(1)).as("n") +:
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              keyExprs.map(_.isNull).reduce(_ || _), 1L).otherwise(0L)).as("nullkeys") +:
+          org.apache.spark.sql.functions.countDistinct(keyExprs.head, keyExprs.tail: _*)
+            .as("d") +:
+          keyExprs.flatMap(e => Seq(org.apache.spark.sql.functions.min(e),
+            org.apache.spark.sql.functions.max(e)))
+        val auditRow = updates.agg(auditAggs.head, auditAggs.tail: _*).head()
+        overCapAudit = Some(auditRow)
+        (auditRow.getLong(0), auditRow.getLong(1), auditRow.getLong(2))
+      } else {
+        val n = grouped.map(_.getLong(nKeys)).sum
+        val nulls = grouped.iterator
+          .filter(r => (0 until nKeys).exists(r.isNullAt))
+          .map(_.getLong(nKeys)).sum
+        // countDistinct semantics: distinct fully-non-null key tuples
+        (n, nulls, (grouped.length - grouped.count(r => (0 until nKeys).exists(r.isNullAt))).toLong)
+      }
     if (updCount == 0L) return Left((0L, 0, before.version))
-    require(auditRow.getLong(1) == 0L,
-      s"upsertByKey: ${auditRow.getLong(1)} update row(s) carry a NULL key — a null " +
+    require(nullKeyRows == 0L,
+      s"upsertByKey: $nullKeyRows update row(s) carry a NULL key — a null " +
         "key can never match an existing row, so it would insert instead of update")
-    require(auditRow.getLong(2) == updCount,
-      s"upsertByKey: updates hold $updCount rows but only ${auditRow.getLong(2)} " +
+    require(distinctKeys == updCount,
+      s"upsertByKey: updates hold $updCount rows but only $distinctKeys " +
         "distinct keys — several rows per key would all be inserted where MERGE " +
         "promises one replacement; deduplicate the updates first")
     // bounded driver-side key collection buys the file pruning; per-column
     // IN sets are a SUPERSET of the key-tuple set, so pruning stays
     // conservative for multi-column keys
-    val keyRows = updates.select(keyExprs: _*)
-      .distinct().limit(maxProbeKeys + 1).collect()
+    val keyRows: Array[Row] =
+      if (overCap) grouped // only the length matters past the cap
+      else grouped.map(r => Row.fromSeq((0 until nKeys).map(r.get)))
     val touched =
-      if (keyRows.length > maxProbeKeys) {
+      if (overCap) {
+        val auditRow = overCapAudit.get
         // above the probe cap the exact key set is too large to ship, but
         // file candidacy need not collapse to the whole table (VERDICT r10
         // wrong-#2): the audit pass already computed each key column's
