@@ -264,9 +264,15 @@ object Dedup {
     // persists back the RETURNED lazy frame, so they stay cached until the
     // caller finishes consuming it; consumers then call Pinned.release()
     // (the Verify/Bench harnesses do so between queries)
-    val sh = Pinned.pin(shingleSet(corpus, idCol, textCol, shingleN, repartitionFirst))
-    val sig = Pinned.pin(minhashSignatures(sh, numHashes))
-    val cand = Pinned.pin(candidatePairs(bands(sig, numHashes, rowsPerBand), hubCap))
+    // pinEager, not pin (r15): the three consumers meet in ONE action,
+    // and AQE's concurrent stage materialization raced the lazy caches —
+    // each stage recomputed the shingle/signature pipelines instead of
+    // sharing them (profiled: up to 6 parallel corpus-shaped jobs per
+    // query). Eager chaining also makes each level build FROM the
+    // previous level's cache.
+    val sh = Pinned.pinEager(shingleSet(corpus, idCol, textCol, shingleN, repartitionFirst))
+    val sig = Pinned.pinEager(minhashSignatures(sh, numHashes))
+    val cand = Pinned.pinEager(candidatePairs(bands(sig, numHashes, rowsPerBand), hubCap))
     exactJaccard(cand, sh, sizes = Some(sig.select("doc_id", "n_sh")))
       .where(col("jaccard") >= threshold)
   }
@@ -588,7 +594,14 @@ object Dedup {
         existing.where(col(idCol).isin(candIds.toSeq: _*))
       else existing.join(candExisting, Seq(idCol), "left_semi")
     val existingSh = shingleSet(candExistingDocs, idCol, textCol)
-    val verifySh = Pinned.pin(batchSh.unionByName(existingSh))
+    // pinEager (r15): exactJaccard reads both sides of this union in
+    // concurrent stages of its one action — see Pinned.pinEager. Only
+    // when the call is ALREADY eager (a pushdown strategy collected
+    // above): SemiJoin's no-collect-at-call-time contract must hold, so
+    // it keeps the lazy pin and pays the first-action cache race.
+    val verifySh =
+      if (idPushdownCap >= 0) Pinned.pinEager(batchSh.unionByName(existingSh))
+      else Pinned.pin(batchSh.unionByName(existingSh))
     val verified = exactJaccard(cand.select("a_id", "b_id"), verifySh,
       sizes = Some(allSig.select("doc_id", "n_sh")))
       .where(col("jaccard") >= threshold)

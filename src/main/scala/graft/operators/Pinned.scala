@@ -41,6 +41,26 @@ object Pinned {
     df
   }
 
+  /** [[pin]] + force materialization NOW (one count of the persisted
+    * frame). A merely-lazy persist is RACED when its consumers fan out
+    * into concurrent stages of one action: AQE materializes independent
+    * shuffle-map stages in parallel, and each stage's tasks recompute any
+    * not-yet-cached partition of the shared upstream instead of waiting
+    * for it — profiled this round (r15) as the kmv/minhash corpus
+    * pipelines executing up to 6x per query. Forcing the cache costs the
+    * one pass the first consumer would have paid anyway; every
+    * concurrent consumer then reads blocks. Use for pins whose upstream
+    * is expensive AND whose consumers meet in a single action; keep
+    * plain [[pin]] where consumption is sequential (the first action
+    * populates the cache for the rest).
+    */
+  private[graft] def pinEager(df: DataFrame,
+      lvl: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = pin(df, lvl)
+    p.count()
+    p
+  }
+
   /** Run `f`, then unpersist every intermediate the graft operators pinned
     * DURING it (on this thread). Use when the result is fully consumed
     * inside the block — e.g. a foreachBatch body or a per-query harness

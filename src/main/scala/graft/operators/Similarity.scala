@@ -268,14 +268,17 @@ object Similarity {
       s"fitSampleFraction must be in (0, 1], got $fitSampleFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val assigned = Pinned.pin(coarseQuantizer(corpus, nCells, fitSampleFraction,
+    // pinEager (r15): both self-join sides of the edge pass read this in
+    // concurrent stages of one action — a lazy persist was raced and the
+    // assignment pipeline ran per side
+    val assigned = Pinned.pinEager(coarseQuantizer(corpus, nCells, fitSampleFraction,
       "semdedup_fit")._2)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
     // edges carry their cosine so the witness survives to the output —
     // pinned because both the component closure and the witness aggregate
     // read them (the quadratic per-cell pass must run once, not twice)
-    val edges = Pinned.pin(
+    val edges = Pinned.pinEager(
       a.join(b, "cell").where(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           cosine(col("a_emb"), col("b_emb")).as("cos"))

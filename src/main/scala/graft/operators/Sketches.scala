@@ -156,8 +156,10 @@ object Sketches {
     require(k >= 1, s"k must be >= 1, got $k")
     // the signature is structurally consumed four times below (strata
     // list x2, union sides x2) — pin the k x |strata|-row frame once
-    // instead of re-running the corpus pipeline per consumer
-    val sig = Pinned.pin(sigRaw)
+    // instead of re-running the corpus pipeline per consumer. pinEager
+    // (r15): the consumers fan out into concurrent stages of one action,
+    // which raced the lazy cache and re-ran the corpus pipeline per side.
+    val sig = Pinned.pinEager(sigRaw)
     val strata = sig.select(col("stratum")).distinct()
     val prs = strata.select(col("stratum").as("source_a"))
       .crossJoin(strata.select(col("stratum").as("source_b")))
