@@ -115,7 +115,18 @@ object ProductQuantization {
     * Built once per query row from the FULL-precision query vector — the
     * "asymmetric" in ADC (only the corpus side is quantized).
     */
-  def adcTable(qEmb: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+  def adcTable(qEmb: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    // r15: the composed nested-array form embedded m x kCodes x d literal
+    // nodes (1,024 at the catalog shape) and its per-probe ANALYSIS cost
+    // outweighed the arithmetic — the native expression is one plan node,
+    // bit-identical (see plans.AdcTable; parity pinned in PqEncodeSpec)
+    graft.plans.NativeColumns.adcTable(qEmb, codebooks)
+
+  /** The pre-r15 composed adcTable, kept as the parity oracle for the
+    * native expression (PqEncodeSpec), like [[adcDistanceComposed]].
+    */
+  private[graft] def adcTableComposed(qEmb: Column,
+                                      codebooks: Array[Array[Array[Float]]]): Column = {
     val d = codebooks(0)(0).length
     array(codebooks.zipWithIndex.map { case (book, s) =>
       val sub = slice(qEmb, s * d + 1, d)

@@ -87,6 +87,12 @@ object Similarity {
     h.toDouble / 2147483648.0 - 1.0
   }
 
+  /** Test seam: the parity spec reconstructs the pre-r15 composed
+    * signature from the same plane components.
+    */
+  private[graft] def planeComponentForTest(p: Int, i: Int): Double =
+    planeComponent(p, i)
+
   /** Sign-bit LSH signature under planes [p0, p0+numPlanes): one zip_with
     * dot product per plane against a literal plane vector.
     */
@@ -97,12 +103,12 @@ object Similarity {
     // positions — fail loudly instead of degrading recall (review r9)
     require(numPlanes >= 1 && numPlanes <= 63,
       s"numPlanes must be in [1, 63] (one signature bit per plane in a Long), got $numPlanes")
-    val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(i => lit(planeComponent(p0 + p, i))): _*)
-      val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
+    // r15: one native accumulator node instead of numPlanes x dim literal
+    // nodes — the composed tree's analysis/codegen dominated the LSH
+    // entries' wall time (see plans.LshBits; bit-identical arithmetic,
+    // parity pinned in PqEncodeSpec)
+    val planes = Array.tabulate(numPlanes, dim)((p, i) => planeComponent(p0 + p, i))
+    val bits = graft.plans.NativeColumns.lshBits(emb, planes)
     // a null or wrong-length embedding would null the dot and every bit
     // would fall to 0 -- ALL such rows co-bucket under signature 0 and the
     // bucket join degenerates toward the |Q| x corpus cross product this
@@ -113,7 +119,7 @@ object Similarity {
         coalesce(size(emb).cast("string"), lit("NULL")),
         lit(s" does not match dim=$dim - an all-zero signature would " +
           "co-bucket every mismatched row"))).cast("long"))
-      .otherwise(bits.reduce(_ + _))
+      .otherwise(bits)
   }
 
   /** ANN via multi-table random-hyperplane LSH + exact re-rank. Classic

@@ -30,4 +30,10 @@ object NativeColumns {
 
   def pqEncode(emb: Column, books: Array[Array[Array[Float]]]): Column =
     ColumnShim.column(PqEncode(expr(emb), books))
+
+  def adcTable(emb: Column, books: Array[Array[Array[Float]]]): Column =
+    ColumnShim.column(AdcTable(expr(emb), books))
+
+  def lshBits(emb: Column, planes: Array[Array[Double]]): Column =
+    ColumnShim.column(LshBits(expr(emb), planes))
 }

@@ -98,4 +98,55 @@ class PqEncodeSpec extends SparkSpec {
         .as[(Long, Seq[Int])].collect().toMap
     assert(codes(df) == codes(df.repartition(7)))
   }
+
+  test("native adcTable == composed adcTable (clean, NaN, null-slot, short, null emb)") {
+    val rows: Seq[Seq[java.lang.Float]] = Seq(
+      Seq.tabulate(6)(i => java.lang.Float.valueOf((i * 3 - 7).toFloat / 2f)),
+      Seq.tabulate(6)(i => java.lang.Float.valueOf(i.toFloat)),
+      Seq[java.lang.Float](Float.NaN, 1f, 2f, 3f, 4f, 5f),
+      Seq[java.lang.Float](null, 1f, 2f, 3f, 4f, 5f),
+      Seq[java.lang.Float](1f, 2f, 3f),
+      null)
+    val df = rows.zipWithIndex
+      .map { case (r, i) => (i.toLong, if (r == null) null else r.map(x => x: java.lang.Float)) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = df.select(col("vec_id"),
+      ProductQuantization.adcTable(col("embedding"), books).as("t"))
+      .as[(Long, Seq[Seq[Option[Double]]])].collect().toMap
+    val want = df.select(col("vec_id"),
+      ProductQuantization.adcTableComposed(col("embedding"), books).as("t"))
+      .as[(Long, Seq[Seq[Option[Double]]])].collect().toMap
+    // NaN != NaN under ==; compare through string rendering
+    assert(got.view.mapValues(_.toString).toMap == want.view.mapValues(_.toString).toMap,
+      s"native=$got composed=$want")
+  }
+
+  test("native lshBits == composed per-plane signature (incl. NaN slots)") {
+    import graft.operators.Similarity
+    val dim = 8
+    // the pre-r15 composed form, reconstructed as the oracle
+    def composed(emb: org.apache.spark.sql.Column, numPlanes: Int, p0: Int) = {
+      val bits = (0 until numPlanes).map { p =>
+        val plane = array((0 until dim).map(i =>
+          lit(Similarity.planeComponentForTest(p0 + p, i))): _*)
+        val dot = aggregate(zip_with(emb, plane, (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+    val df = ((0 until 40).map(i =>
+        (i.toLong, Seq.tabulate(dim)(d => ((i * 13 + d * 5) % 17 - 8).toFloat / 3f))) :+
+        (100L, Seq.tabulate(dim)(d => if (d == 2) Float.NaN else d.toFloat)))
+      .toDF("vec_id", "embedding")
+    for (p0 <- Seq(0, 12)) {
+      val got = df.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), dim, 7, p0).as("s"))
+        .as[(Long, Long)].collect().toMap
+      val want = df.select(col("vec_id"), composed(col("embedding"), 7, p0).as("s"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"p0=$p0")
+    }
+  }
 }
